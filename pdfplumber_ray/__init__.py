@@ -1,0 +1,16 @@
+"""pdfplumber_ray — a Ray-Data-native extraction engine.
+
+A brand-new engine with the query/data-processing capabilities of
+jsvine/pdfplumber (reference at /root/reference), re-expressed as
+``ray.data.Dataset`` pipelines of ``map_batches`` over zero-copy Arrow
+batches, with actor pools for stateful decode/layout stages.
+
+Layout:
+    functions/  pure vectorized kernels (numpy / pyarrow; no Ray)
+    sources/    readers + adapters (parquet now, lance in prod) + synth corpus
+    stages/     map_batches callables (stateless fns and actor-pool classes)
+    pipelines/  end-to-end dataset pipelines (docs -> out_spans, tables, ...)
+    state/      checkpoint manifests, lineage, metrics
+"""
+
+__version__ = "0.1.0"

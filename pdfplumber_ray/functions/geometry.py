@@ -1,0 +1,174 @@
+"""Vectorized geometry kernels over struct-of-arrays "object tables".
+
+An object table is a dict of equal-length numpy arrays with at least
+``x0, top, x1, bottom`` — the columnar equivalent of the reference's object
+dicts. Semantics mirror reference utils/geometry.py (clip geometry.py:75-92,
+containment filters geometry.py:95-117, snap geometry.py:150-159, edge
+derivation geometry.py:189-260).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+from .clustering import cluster_means
+
+Bbox = Tuple[float, float, float, float]
+ObjArrays = Dict[str, np.ndarray]
+
+
+def merge_bboxes(x0: np.ndarray, top: np.ndarray, x1: np.ndarray, bottom: np.ndarray) -> Bbox:
+    """Smallest bbox containing all objects (geometry.py:44-50)."""
+    return (float(x0.min()), float(top.min()), float(x1.max()), float(bottom.max()))
+
+
+def bbox_overlap_mask(objs: ObjArrays, bbox: Bbox) -> np.ndarray:
+    """True where the object's bbox overlaps ``bbox`` under the reference's
+    rule (geometry.py:53-65): non-negative overlap extents with positive
+    total extent — zero-area touch on exactly one axis still counts."""
+    bx0, btop, bx1, bbottom = bbox
+    o_left = np.maximum(objs["x0"], bx0)
+    o_right = np.minimum(objs["x1"], bx1)
+    o_top = np.maximum(objs["top"], btop)
+    o_bottom = np.minimum(objs["bottom"], bbottom)
+    w = o_right - o_left
+    h = o_bottom - o_top
+    return (w >= 0) & (h >= 0) & ((w + h) > 0)
+
+
+def within_bbox_mask(objs: ObjArrays, bbox: Bbox) -> np.ndarray:
+    """Full containment (geometry.py:102-110): overlap == own bbox."""
+    bx0, btop, bx1, bbottom = bbox
+    overlap = bbox_overlap_mask(objs, bbox)
+    return (
+        overlap
+        & (objs["x0"] >= bx0)
+        & (objs["x1"] <= bx1)
+        & (objs["top"] >= btop)
+        & (objs["bottom"] <= bbottom)
+    )
+
+
+def outside_bbox_mask(objs: ObjArrays, bbox: Bbox) -> np.ndarray:
+    return ~bbox_overlap_mask(objs, bbox)
+
+
+def clip_to_bbox(objs: ObjArrays, bbox: Bbox) -> Tuple[ObjArrays, np.ndarray]:
+    """Crop objects to bbox (geometry.py:75-92, 120-125).
+
+    Returns (clipped arrays for surviving objects, survivor mask).
+    Coordinate columns are rewritten; ``doctop`` is shifted by the top
+    delta; ``width``/``height`` recomputed.
+    """
+    mask = bbox_overlap_mask(objs, bbox)
+    bx0, btop, bx1, bbottom = bbox
+    out: ObjArrays = {}
+    for k, v in objs.items():
+        out[k] = v[mask].copy() if isinstance(v, np.ndarray) else v
+    new_top = np.clip(out["top"], btop, bbottom)
+    if "doctop" in out:
+        out["doctop"] = out["doctop"] + (new_top - out["top"])
+    out["x0"] = np.clip(out["x0"], bx0, bx1)
+    out["x1"] = np.clip(out["x1"], bx0, bx1)
+    out["top"] = new_top
+    out["bottom"] = np.clip(out["bottom"], btop, bbottom)
+    out["width"] = out["x1"] - out["x0"]
+    out["height"] = out["bottom"] - out["top"]
+    return out, mask
+
+
+def snap_positions(values: np.ndarray, tolerance: float) -> np.ndarray:
+    """Cluster values within tolerance and move each to its cluster mean
+    (geometry.py:150-159)."""
+    return cluster_means(values, tolerance)
+
+
+def midpoint_in_bbox_mask(
+    x0: np.ndarray, top: np.ndarray, x1: np.ndarray, bottom: np.ndarray, bbox: Bbox
+) -> np.ndarray:
+    """Reference ``char_in_bbox`` (table.py:404-410): centre-point binning
+    with half-open right/bottom."""
+    h_mid = (x0 + x1) / 2
+    v_mid = (top + bottom) / 2
+    bx0, btop, bx1, bbottom = bbox
+    return (h_mid >= bx0) & (h_mid < bx1) & (v_mid >= btop) & (v_mid < bbottom)
+
+
+# ---- edge derivation (geometry.py:189-260) ----
+# Edges are an ObjArrays with x0, top, x1, bottom and an "orientation" array
+# of 'v'/'h' codes (object dtype).
+
+
+def rects_to_edges(rects: ObjArrays) -> ObjArrays:
+    """4 zero-thickness edges per rect (geometry.py:207-244)."""
+    n = rects["x0"].shape[0]
+    x0, x1 = rects["x0"], rects["x1"]
+    top, bottom = rects["top"], rects["bottom"]
+    # order per rect: top edge, bottom edge, left edge, right edge
+    ex0 = np.concatenate([x0, x0, x0, x1])
+    ex1 = np.concatenate([x1, x1, x0, x1])
+    etop = np.concatenate([top, bottom, top, top])
+    ebottom = np.concatenate([top, bottom, bottom, bottom])
+    orient = np.concatenate(
+        [np.full(n, "h", dtype=object), np.full(n, "h", dtype=object),
+         np.full(n, "v", dtype=object), np.full(n, "v", dtype=object)]
+    )
+    return {
+        "x0": ex0,
+        "x1": ex1,
+        "top": etop,
+        "bottom": ebottom,
+        "width": ex1 - ex0,
+        "height": ebottom - etop,
+        "orientation": orient,
+        "object_type": np.full(4 * n, "rect_edge", dtype=object),
+    }
+
+
+def lines_to_edges(lines: ObjArrays) -> ObjArrays:
+    """orientation = 'h' when top == bottom else 'v' (geometry.py:247-250)."""
+    horiz = lines["top"] == lines["bottom"]
+    orient = np.where(horiz, "h", "v").astype(object)
+    return {
+        "x0": lines["x0"].copy(),
+        "x1": lines["x1"].copy(),
+        "top": lines["top"].copy(),
+        "bottom": lines["bottom"].copy(),
+        "width": lines["x1"] - lines["x0"],
+        "height": lines["bottom"] - lines["top"],
+        "orientation": orient,
+        "object_type": np.full(lines["x0"].shape[0], "line", dtype=object),
+    }
+
+
+def concat_edges(parts: Iterable[Optional[ObjArrays]]) -> ObjArrays:
+    parts = [p for p in parts if p is not None and p["x0"].shape[0] > 0]
+    keys = ("x0", "x1", "top", "bottom", "width", "height", "orientation", "object_type")
+    if not parts:
+        return {
+            k: np.empty(0, dtype=object if k in ("orientation", "object_type") else np.float64)
+            for k in keys
+        }
+    return {k: np.concatenate([p[k] for p in parts]) for k in keys}
+
+
+def filter_edges_mask(
+    edges: ObjArrays,
+    orientation: Optional[str] = None,
+    edge_type: Optional[str] = None,
+    min_length: float = 1,
+) -> np.ndarray:
+    """Reference filter_edges (geometry.py:263-278): keep edges matching
+    orientation/type whose length along their own axis >= min_length."""
+    if orientation not in ("v", "h", None):
+        raise ValueError("Orientation must be 'v' or 'h'")
+    is_v = edges["orientation"] == "v"
+    dim = np.where(is_v, edges["height"], edges["width"])
+    mask = dim >= min_length
+    if orientation is not None:
+        mask &= edges["orientation"] == orientation
+    if edge_type is not None:
+        mask &= edges["object_type"] == edge_type
+    return mask

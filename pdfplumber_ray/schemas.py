@@ -1,0 +1,153 @@
+"""Arrow schema constants for every table that crosses a stage boundary.
+
+The reference keeps objects as schemaless Python dicts
+(reference _typing.py:7, page.py:416-425); here every inter-stage table is a
+declared ``pyarrow.Schema`` so blocks stay zero-copy Arrow end to end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---- input (the authoritative input_hint shape) ----
+SPAN = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+
+DOCS = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN))])
+
+# ---- decoded per-page object tables (one row per page) ----
+CHAR = pa.struct(
+    [
+        ("text", pa.string()),
+        ("x0", pa.float64()),
+        ("x1", pa.float64()),
+        ("top", pa.float64()),
+        ("bottom", pa.float64()),
+        ("doctop", pa.float64()),
+        ("size", pa.float64()),
+        ("fontname", pa.string()),
+        ("upright", pa.bool_()),
+    ]
+)
+
+RECT = pa.struct(
+    [
+        ("x0", pa.float64()),
+        ("x1", pa.float64()),
+        ("top", pa.float64()),
+        ("bottom", pa.float64()),
+        ("doctop", pa.float64()),
+    ]
+)
+
+IMAGE = pa.struct(
+    [
+        ("x0", pa.float64()),
+        ("x1", pa.float64()),
+        ("top", pa.float64()),
+        ("bottom", pa.float64()),
+        ("media_ref", pa.string()),
+    ]
+)
+
+PAGES = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("page_number", pa.int32()),
+        ("page_width", pa.float64()),
+        ("page_height", pa.float64()),
+        ("initial_doctop", pa.float64()),
+        ("chars", pa.list_(CHAR)),
+        ("rects", pa.list_(RECT)),
+        ("images", pa.list_(IMAGE)),
+    ]
+)
+
+# ---- flat object tables (one row per object; operator-level API) ----
+CHARS_FLAT = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("page_number", pa.int32()),
+        ("text", pa.string()),
+        ("x0", pa.float64()),
+        ("x1", pa.float64()),
+        ("top", pa.float64()),
+        ("bottom", pa.float64()),
+        ("doctop", pa.float64()),
+        ("width", pa.float64()),
+        ("height", pa.float64()),
+        ("size", pa.float64()),
+        ("fontname", pa.string()),
+        ("upright", pa.bool_()),
+    ]
+)
+
+WORDS = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("page_number", pa.int32()),
+        ("text", pa.string()),
+        ("x0", pa.float64()),
+        ("x1", pa.float64()),
+        ("top", pa.float64()),
+        ("bottom", pa.float64()),
+        ("doctop", pa.float64()),
+        ("width", pa.float64()),
+        ("height", pa.float64()),
+        ("upright", pa.bool_()),
+        ("direction", pa.string()),
+    ]
+)
+
+TABLES = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("page_number", pa.int32()),
+        ("table_index", pa.int32()),
+        ("x0", pa.float64()),
+        ("top", pa.float64()),
+        ("x1", pa.float64()),
+        ("bottom", pa.float64()),
+        ("rows", pa.list_(pa.list_(pa.string()))),  # nullable inner cells
+    ]
+)
+
+PAGE_TEXT = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("page_number", pa.int32()),
+        ("text", pa.string()),
+    ]
+)
+
+# ---- output (north rule) ----
+OUT_SPANS = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN))])
+
+ERRORS = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("stage", pa.string()),
+        ("error", pa.string()),
+    ]
+)
+
+METRICS = pa.schema(
+    [
+        ("partition_id", pa.string()),
+        ("docs", pa.int64()),
+        ("pages", pa.int64()),
+        ("spans_out", pa.int64()),
+        ("errors", pa.int64()),
+        ("wall_sec", pa.float64()),
+    ]
+)
+
+
+def empty_table(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()
