@@ -1,0 +1,10 @@
+from .extract import (  # noqa: F401
+    read_docs,
+    extract_spans_ds,
+    decode_pages_ds,
+    chars_ds,
+    words_ds,
+    page_text_ds,
+    tables_ds,
+    split_errors,
+)

@@ -1,0 +1,351 @@
+"""Ray Data ``map_batches`` callables (zero-copy Arrow in/out).
+
+Stage classes here are used as actor-pool UDFs
+(``ds.map_batches(Cls, fn_constructor_kwargs=..., concurrency=...)``):
+config resolution and any precomputed metric tables happen once per actor
+in ``__init__`` (the reference amortizes the same state in its per-doc
+``PDFResourceManager``, reference pdf.py:46, page.py:269-275); per-batch
+work is vectorized numpy/pyarrow.
+
+A pathological document never fails a task: per-doc decode errors are
+quarantined into rows with a non-null ``error`` column (dead-letter
+pattern; the reference would raise, pdf.py:65-108).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import PipelineConfig, SynthLayoutConfig, TableConfig, WordConfig
+from ..functions.words import extract_words_page
+from ..functions.textmap import extract_text_page, extract_text_simple_page
+from ..schemas import CHAR, IMAGE, RECT, SPAN
+from .flatten import extract_doc_spans, page_tables
+from .layout import LayoutError, PageDict, layout_doc
+
+_CHAR_FIELDS = ("text", "x0", "x1", "top", "bottom", "doctop", "size", "fontname", "upright")
+_RECT_FIELDS = ("x0", "x1", "top", "bottom", "doctop")
+
+
+def _spans_column(span_lists: List[List[Dict]]) -> pa.Array:
+    return pa.array(span_lists, type=pa.list_(SPAN))
+
+
+def docs_batch_rows(batch: pa.Table) -> Iterable[Tuple[str, List[Dict]]]:
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans = batch.column("spans").to_pylist()
+    return zip(doc_ids, spans)
+
+
+class ExtractSpans:
+    """Fused flagship stage: interleaved docs -> ordered output spans.
+
+    Decode (span layout), extraction (tables + words + media) and per-doc
+    flattening happen in one actor call, so no intermediate Arrow
+    materialization and no per-doc shuffle is needed — a document is
+    processed whole, exactly like the reference's per-document pipeline
+    (reference pdf.py:130-156), but across an autoscaling actor pool.
+    """
+
+    def __init__(self, cfg: Optional[PipelineConfig] = None):
+        cfg = cfg or PipelineConfig()
+        self.word_cfg = cfg.word
+        self.table_cfg = cfg.table
+        self.synth_cfg = cfg.synth
+        self.quarantine = cfg.quarantine_errors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids: List[str] = []
+        out_spans: List[List[Dict]] = []
+        out_err: List[Optional[str]] = []
+        n_pages: List[int] = []
+        for doc_id, spans in docs_batch_rows(batch):
+            try:
+                pages = layout_doc(spans, self.synth_cfg)
+                result = extract_doc_spans(
+                    pages, self.word_cfg, self.table_cfg, self.synth_cfg
+                )
+                out_ids.append(doc_id)
+                out_spans.append(result)
+                out_err.append(None)
+                n_pages.append(len(pages))
+            except Exception as exc:  # poison-pill quarantine
+                if not self.quarantine:
+                    raise
+                out_ids.append(doc_id)
+                out_spans.append([])
+                out_err.append(f"{type(exc).__name__}: {exc}")
+                n_pages.append(0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.string()),
+                "spans": _spans_column(out_spans),
+                "n_pages": pa.array(n_pages, pa.int32()),
+                "error": pa.array(out_err, pa.string()),
+            }
+        )
+
+
+class SynthDecodePages:
+    """Decode stage alone: docs -> one row per page with typed object
+    tables (chars/rects/images struct-lists) — the operator-level surface
+    mirroring ``Page.objects`` (reference page.py:416-425)."""
+
+    def __init__(self, cfg: Optional[PipelineConfig] = None):
+        cfg = cfg or PipelineConfig()
+        self.synth_cfg = cfg.synth
+        self.quarantine = cfg.quarantine_errors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: List[Tuple[str, PageDict]] = []
+        for doc_id, spans in docs_batch_rows(batch):
+            try:
+                for page in layout_doc(spans, self.synth_cfg):
+                    rows.append((doc_id, page))
+            except Exception:
+                if not self.quarantine:
+                    raise
+                # dead-letter: a doc that fails decode contributes no pages
+                continue
+        return pages_to_arrow(rows)
+
+
+def pages_to_arrow(rows: List[Tuple[str, PageDict]]) -> pa.Table:
+    doc_ids = [d for d, _ in rows]
+    char_flat: Dict[str, List[np.ndarray]] = {k: [] for k in _CHAR_FIELDS}
+    char_lens: List[int] = []
+    rect_flat: Dict[str, List[np.ndarray]] = {k: [] for k in _RECT_FIELDS}
+    rect_lens: List[int] = []
+    images: List[List[Dict]] = []
+    pn: List[int] = []
+    pw: List[float] = []
+    ph: List[float] = []
+    idt: List[float] = []
+    for _, page in rows:
+        chars = page["chars"]
+        for k in _CHAR_FIELDS:
+            char_flat[k].append(np.asarray(chars[k]))
+        char_lens.append(int(chars["x0"].shape[0]))
+        rects = page["rects"]
+        for k in _RECT_FIELDS:
+            rect_flat[k].append(np.asarray(rects[k]))
+        rect_lens.append(int(rects["x0"].shape[0]))
+        images.append(page["images"])
+        pn.append(int(page["page_number"]))
+        pw.append(float(page["page_width"]))
+        ph.append(float(page["page_height"]))
+        idt.append(float(page["initial_doctop"]))
+
+    def struct_list(
+        flat: Dict[str, List[np.ndarray]], lens: List[int], typ: pa.StructType
+    ) -> pa.Array:
+        arrays = []
+        for f in typ:
+            vals = (
+                np.concatenate(flat[f.name])
+                if flat[f.name]
+                else np.empty(0, dtype=object)
+            )
+            arrays.append(pa.array(vals.tolist() if vals.dtype == object else vals, f.type))
+        struct = pa.StructArray.from_arrays(arrays, fields=list(typ))
+        offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
+        return pa.ListArray.from_arrays(offsets, struct)
+
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "page_number": pa.array(pn, pa.int32()),
+            "page_width": pa.array(pw, pa.float64()),
+            "page_height": pa.array(ph, pa.float64()),
+            "initial_doctop": pa.array(idt, pa.float64()),
+            "chars": struct_list(char_flat, char_lens, CHAR),
+            "rects": struct_list(rect_flat, rect_lens, RECT),
+            "images": pa.array(images, pa.list_(IMAGE)),
+        }
+    )
+
+
+def arrow_pages_to_dicts(batch: pa.Table) -> List[Tuple[str, PageDict]]:
+    """Inverse of :func:`pages_to_arrow` — numpy views per page row."""
+    out: List[Tuple[str, PageDict]] = []
+    doc_ids = batch.column("doc_id").to_pylist()
+    chars_col = batch.column("chars").combine_chunks()
+    rects_col = batch.column("rects").combine_chunks()
+    images = batch.column("images").to_pylist()
+    pn = batch.column("page_number").to_numpy()
+    pw = batch.column("page_width").to_numpy()
+    ph = batch.column("page_height").to_numpy()
+    idt = batch.column("initial_doctop").to_numpy()
+
+    def field_arrays(col: pa.ListArray, fields: Tuple[str, ...]) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+        values = col.values
+        offs = col.offsets.to_numpy()
+        flat = {}
+        for name in fields:
+            arr = values.field(name)
+            flat[name] = arr.to_numpy(zero_copy_only=False)
+        return flat, offs
+
+    cflat, coffs = field_arrays(chars_col, _CHAR_FIELDS)
+    rflat, roffs = field_arrays(rects_col, _RECT_FIELDS)
+
+    for i, doc_id in enumerate(doc_ids):
+        cs, ce = int(coffs[i]), int(coffs[i + 1])
+        rs, re_ = int(roffs[i]), int(roffs[i + 1])
+        chars = {k: v[cs:ce] for k, v in cflat.items()}
+        chars["width"] = chars["x1"] - chars["x0"]
+        chars["height"] = chars["bottom"] - chars["top"]
+        page: PageDict = {
+            "page_number": int(pn[i]),
+            "page_width": float(pw[i]),
+            "page_height": float(ph[i]),
+            "initial_doctop": float(idt[i]),
+            "chars": chars,
+            "rects": {k: v[rs:re_] for k, v in rflat.items()},
+            "images": images[i],
+        }
+        out.append((doc_id, page))
+    return out
+
+
+# ---- stateless per-page operator stages (plain map_batches functions) ----
+
+
+def pages_batch_to_chars(batch: pa.Table) -> pa.Table:
+    """Explode page rows into a flat chars table (one row per char) —
+    vectorized (no per-char Python loop): repeats the page keys by list
+    length and reuses the flattened struct child arrays."""
+    chars_col = batch.column("chars").combine_chunks()
+    lens = np.diff(chars_col.offsets.to_numpy())
+    doc_rep = pa.array(np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), lens))
+    pn_rep = pa.array(np.repeat(batch.column("page_number").to_numpy(), lens), pa.int32())
+    values = chars_col.values
+    cols: Dict[str, pa.Array] = {"doc_id": doc_rep, "page_number": pn_rep}
+    for f in _CHAR_FIELDS:
+        cols[f] = values.field(f)
+    t = pa.table(cols)
+    w = pa.compute.subtract(t.column("x1"), t.column("x0"))
+    h = pa.compute.subtract(t.column("bottom"), t.column("top"))
+    return t.append_column("width", w).append_column("height", h)
+
+
+class PagesToWords:
+    """Per-page word assembly stage (stateless kernels; class only to carry
+    resolved config)."""
+
+    def __init__(self, word_cfg: Optional[WordConfig] = None):
+        self.word_cfg = word_cfg or WordConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: Dict[str, List[Any]] = {
+            k: []
+            for k in (
+                "doc_id", "page_number", "text", "x0", "x1", "top", "bottom",
+                "doctop", "width", "height", "upright", "direction",
+            )
+        }
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            words = extract_words_page(page["chars"], self.word_cfg)
+            n = words["text"].shape[0]
+            out["doc_id"].append(np.full(n, doc_id, dtype=object))
+            out["page_number"].append(np.full(n, page["page_number"], dtype=np.int32))
+            for k in ("text", "x0", "x1", "top", "bottom", "doctop", "width",
+                      "height", "upright", "direction"):
+                out[k].append(words[k])
+        cols = {}
+        for k, parts in out.items():
+            arr = np.concatenate(parts) if parts else np.empty(0, dtype=object)
+            cols[k] = pa.array(arr.tolist() if arr.dtype == object else arr)
+        return pa.table(cols)
+
+
+class PagesToText:
+    """Per-page text extraction: ``mode`` in {"simple", "default",
+    "layout"} (reference extract_text_simple / extract_text / layout=True,
+    utils/text.py:713-781)."""
+
+    def __init__(self, mode: str = "default", **kwargs: Any):
+        self.mode = mode
+        self.kwargs = kwargs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: List[str] = []
+        pns: List[int] = []
+        texts: List[str] = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            if self.mode == "simple":
+                txt = extract_text_simple_page(page["chars"], **self.kwargs)
+            elif self.mode == "layout":
+                txt = extract_text_page(page["chars"], layout=True, **self.kwargs)
+            else:
+                txt = extract_text_page(page["chars"], **self.kwargs)
+            doc_ids.append(doc_id)
+            pns.append(page["page_number"])
+            texts.append(txt)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "page_number": pa.array(pns, pa.int32()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+
+class PagesToTables:
+    """Per-page table detection + extraction (lattice/stream per config)."""
+
+    def __init__(self, table_cfg: Optional[TableConfig] = None):
+        self.table_cfg = table_cfg or TableConfig.resolve(table_cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: List[str] = []
+        pns: List[int] = []
+        tidx: List[int] = []
+        bbox_cols: Dict[str, List[float]] = {k: [] for k in ("x0", "top", "x1", "bottom")}
+        rows_out: List[List[List[Optional[str]]]] = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            tabs = page_tables_full(page, self.table_cfg)
+            for i, (bbox, rows) in enumerate(tabs):
+                doc_ids.append(doc_id)
+                pns.append(page["page_number"])
+                tidx.append(i)
+                for k, v in zip(("x0", "top", "x1", "bottom"), bbox):
+                    bbox_cols[k].append(float(v))
+                rows_out.append(rows)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "page_number": pa.array(pns, pa.int32()),
+                "table_index": pa.array(tidx, pa.int32()),
+                "x0": pa.array(bbox_cols["x0"], pa.float64()),
+                "top": pa.array(bbox_cols["top"], pa.float64()),
+                "x1": pa.array(bbox_cols["x1"], pa.float64()),
+                "bottom": pa.array(bbox_cols["bottom"], pa.float64()),
+                "rows": pa.array(rows_out, pa.list_(pa.list_(pa.string()))),
+            }
+        )
+
+
+def page_tables_full(page: PageDict, table_cfg: TableConfig):
+    """Like flatten.page_tables but keeps the row/col structure."""
+    from ..functions.geometry import concat_edges, rects_to_edges
+    from ..functions.tables import find_tables_page
+
+    rects = page["rects"]
+    if rects["x0"].shape[0] == 0 and "text" not in (
+        table_cfg.vertical_strategy, table_cfg.horizontal_strategy
+    ):
+        return []
+    edges = concat_edges([rects_to_edges(rects)]) if rects["x0"].shape[0] else concat_edges([])
+    bbox = (0.0, 0.0, page["page_width"], page["page_height"])
+    chars = page["chars"]
+    tables = find_tables_page(
+        edges,
+        table_cfg,
+        bbox,
+        words_provider=lambda: extract_words_page(chars, WordConfig()),
+    )
+    return [(t.bbox, t.extract(chars)) for t in tables]

@@ -1,0 +1,240 @@
+"""Deterministic span -> page-geometry layout (the synthetic decode kernel).
+
+Plays the role of the reference's pdfminer interpreter step
+(reference page.py:265-277 ``Page.layout`` + page.py:335-400
+``process_object``): input-document spans are laid onto monospace pages,
+producing the typed char/rect/image object tables the extraction kernels
+consume. The layout is constructed so extraction *inverts* it exactly:
+
+* every text/heading span starts a new block; blocks are separated by one
+  blank line, so successive in-block lines are ``line_height`` apart and
+  block boundaries are > ``para_gap_threshold`` apart;
+* a maximal run of ``table_cell`` spans becomes a lattice grid of rects
+  (``table_cols`` columns); runs taller than a page split at row
+  boundaries into per-page grids — the row-major cell sequence is
+  preserved across the split;
+* ``media_ref`` spans become image objects carrying their ref;
+* blocks never split across pages, so per-page extraction is complete.
+
+Output pages are struct-of-numpy-array tables (zero-copy into the word /
+table kernels), one dict per page.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import SynthLayoutConfig
+
+PageDict = Dict[str, object]
+
+
+class LayoutError(ValueError):
+    """Raised when a span cannot be laid out (quarantined by the stage)."""
+
+
+def wrap_words(text: str, max_chars: int) -> List[str]:
+    """Greedy word wrap; a single over-long word gets its own line."""
+    lines: List[str] = []
+    cur = ""
+    for w in text.split(" "):
+        if not cur:
+            cur = w
+        elif len(cur) + 1 + len(w) <= max_chars:
+            cur = cur + " " + w
+        else:
+            lines.append(cur)
+            cur = w
+    if cur:
+        lines.append(cur)
+    return lines or [""]
+
+
+class _PageBuilder:
+    def __init__(self, page_number: int, cfg: SynthLayoutConfig):
+        self.page_number = page_number
+        self.cfg = cfg
+        self.initial_doctop = (page_number - 1) * cfg.page_height
+        self.char_parts: List[Dict[str, np.ndarray]] = []
+        self.rect_parts: List[Dict[str, np.ndarray]] = []
+        self.images: List[Dict[str, object]] = []
+
+    def emit_line_chars(
+        self, line: str, line_top: float, size: float, fontname: str, x_left: float
+    ) -> None:
+        cfg = self.cfg
+        glyphs = [(k, ch) for k, ch in enumerate(line) if ch != " "]
+        if not glyphs:
+            return
+        ks = np.array([g[0] for g in glyphs], dtype=np.float64)
+        x0 = x_left + ks * cfg.char_advance
+        n = len(glyphs)
+        self.char_parts.append(
+            {
+                "text": np.array([g[1] for g in glyphs], dtype=object),
+                "x0": x0,
+                "x1": x0 + cfg.char_width,
+                "top": np.full(n, line_top),
+                "bottom": np.full(n, line_top + size),
+                "doctop": np.full(n, self.initial_doctop + line_top),
+                "size": np.full(n, size),
+                "fontname": np.array([fontname] * n, dtype=object),
+                "upright": np.ones(n, dtype=bool),
+            }
+        )
+
+    def emit_rect(self, x0: float, top: float, x1: float, bottom: float) -> None:
+        self.rect_parts.append(
+            {
+                "x0": np.array([x0]),
+                "x1": np.array([x1]),
+                "top": np.array([top]),
+                "bottom": np.array([bottom]),
+            }
+        )
+
+    def emit_image(self, x0: float, top: float, x1: float, bottom: float, ref: str) -> None:
+        self.images.append(
+            {"x0": x0, "top": top, "x1": x1, "bottom": bottom, "media_ref": ref}
+        )
+
+    def finish(self) -> PageDict:
+        cfg = self.cfg
+        if self.char_parts:
+            chars = {
+                k: np.concatenate([p[k] for p in self.char_parts])
+                for k in self.char_parts[0]
+            }
+        else:
+            chars = _empty_chars()
+        chars["width"] = chars["x1"] - chars["x0"]
+        chars["height"] = chars["bottom"] - chars["top"]
+        if self.rect_parts:
+            rects = {
+                k: np.concatenate([p[k] for p in self.rect_parts])
+                for k in ("x0", "x1", "top", "bottom")
+            }
+        else:
+            rects = {k: np.empty(0, dtype=np.float64) for k in ("x0", "x1", "top", "bottom")}
+        rects["doctop"] = rects["top"] + self.initial_doctop
+        return {
+            "page_number": self.page_number,
+            "page_width": cfg.page_width,
+            "page_height": cfg.page_height,
+            "initial_doctop": self.initial_doctop,
+            "chars": chars,
+            "rects": rects,
+            "images": self.images,
+        }
+
+
+def _empty_chars() -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {
+        k: np.empty(0, dtype=np.float64)
+        for k in ("x0", "x1", "top", "bottom", "doctop", "size")
+    }
+    out["text"] = np.empty(0, dtype=object)
+    out["fontname"] = np.empty(0, dtype=object)
+    out["upright"] = np.empty(0, dtype=bool)
+    return out
+
+
+def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -> List[PageDict]:
+    """Lay a document's span sequence onto pages. Returns page dicts."""
+    cfg = cfg or SynthLayoutConfig()
+    pages: List[PageDict] = []
+    builder = _PageBuilder(1, cfg)
+    li = 0  # next free line slot on the current page
+
+    def line_top(slot: int) -> float:
+        return cfg.margin_top + slot * cfg.line_height
+
+    def new_page() -> None:
+        nonlocal builder, li
+        pages.append(builder.finish())
+        builder = _PageBuilder(builder.page_number + 1, cfg)
+        li = 0
+
+    def ensure_lines(n: int) -> None:
+        nonlocal li
+        if n > cfg.lines_per_page:
+            raise LayoutError(
+                f"block of {n} lines exceeds page capacity {cfg.lines_per_page}"
+            )
+        if li + n > cfg.lines_per_page and li > 0:
+            new_page()
+
+    def emit_text_block(text: str, heading: bool) -> None:
+        nonlocal li
+        size = cfg.heading_size if heading else cfg.body_size
+        font = cfg.heading_font if heading else cfg.body_font
+        lines = wrap_words(text, cfg.max_line_chars)
+        ensure_lines(len(lines))
+        for line in lines:
+            builder.emit_line_chars(line, line_top(li), size, font, cfg.margin_left)
+            li += 1
+        li += 1  # blank separator line -> paragraph gap
+
+    def emit_table_run(cells: List[str]) -> None:
+        nonlocal li
+        ncols = max(2, min(cfg.table_cols, len(cells)))
+        width_chars = max(len(c) for c in cells) + 2 * cfg.cell_pad_chars
+        col_w = width_chars * cfg.char_advance
+        cell_h = cfg.cell_height_lines * cfg.line_height
+        rows_per_page = max(1, cfg.lines_per_page // cfg.cell_height_lines - 1)
+        i = 0
+        while i < len(cells):
+            chunk = cells[i : i + rows_per_page * ncols]
+            i += len(chunk)
+            nrows = math.ceil(len(chunk) / ncols)
+            ensure_lines(nrows * cfg.cell_height_lines)
+            grid_top = line_top(li)
+            for j, cell_text in enumerate(chunk):
+                r, c = divmod(j, ncols)
+                cx0 = cfg.margin_left + c * col_w
+                ctop = grid_top + r * cell_h
+                builder.emit_rect(cx0, ctop, cx0 + col_w, ctop + cell_h)
+                pad = cfg.cell_pad_chars * cfg.char_advance
+                text_top = ctop + (cell_h - cfg.body_size) / 2.0
+                builder.emit_line_chars(
+                    cell_text, text_top, cfg.body_size, cfg.body_font, cx0 + pad
+                )
+            li += nrows * cfg.cell_height_lines + 1
+
+    def emit_media(ref: str) -> None:
+        nonlocal li
+        ensure_lines(cfg.media_height_lines)
+        top = line_top(li)
+        builder.emit_image(
+            cfg.margin_left,
+            top,
+            cfg.margin_left + cfg.media_width,
+            top + cfg.media_height_lines * cfg.line_height,
+            ref,
+        )
+        li += cfg.media_height_lines + 1
+
+    i = 0
+    n = len(spans)
+    while i < n:
+        span = spans[i]
+        kind = span["kind"]
+        if kind == "table_cell":
+            run = [span["text"]]
+            while i + 1 < n and spans[i + 1]["kind"] == "table_cell":
+                i += 1
+                run.append(spans[i]["text"])
+            emit_table_run(run)
+        elif kind == "media_ref":
+            emit_media(span["media_ref"])
+        elif kind == "heading":
+            emit_text_block(span["text"], heading=True)
+        else:  # text (default)
+            emit_text_block(span["text"], heading=False)
+        i += 1
+
+    pages.append(builder.finish())
+    return pages

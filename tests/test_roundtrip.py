@@ -1,0 +1,75 @@
+"""Round-trip span-sequence equality (the north-rule correctness gate):
+synth corpus -> deterministic layout -> kernel extraction -> spans must
+reproduce the input sequence under (kind, text, media_ref, order) — and we
+also require offset equality (same running-offset rule on both sides)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from pdfplumber_ray.config import PipelineConfig, SynthLayoutConfig
+from pdfplumber_ray.sources.synth_corpus import (
+    docs_from_documents_batch,
+    make_doc_spans,
+    make_docs_table,
+)
+from pdfplumber_ray.stages.flatten import extract_doc_spans
+from pdfplumber_ray.stages.layout import layout_doc, wrap_words
+
+
+def span_key(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+@pytest.mark.parametrize("seed", [42, 7, 99])
+def test_roundtrip_synth_corpus(seed):
+    for i in range(40):
+        spans = make_doc_spans(i, seed=seed)
+        out = extract_doc_spans(layout_doc(spans))
+        assert span_key(out) == span_key(spans), f"doc {i} seed {seed}"
+
+
+def test_roundtrip_pathological_skew_docs():
+    for i in range(3):
+        spans = make_doc_spans(i, seed=5, pathological_rate=1.0)
+        assert len(spans) > 300  # genuinely pathological
+        out = extract_doc_spans(layout_doc(spans))
+        assert span_key(out) == span_key(spans)
+
+
+def test_roundtrip_documents_adapter_sf0001():
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    docs = docs_from_documents_batch(t)
+    texts = t.column("text").to_pylist()
+    for r in range(0, docs.num_rows, 7):
+        spans = docs.column("spans")[r].as_py()
+        out = extract_doc_spans(layout_doc(spans))
+        assert span_key(out) == span_key(spans)
+        assert " ".join(s["text"] for s in out) == texts[r]
+
+
+def test_corpus_deterministic_and_sharding_invariant():
+    a = make_docs_table(10, seed=42)
+    b = make_docs_table(10, seed=42)
+    assert a.equals(b)
+    # shard-independent: generating docs 5..9 directly matches the slice
+    c = make_docs_table(5, seed=42, start_index=5)
+    assert a.slice(5, 5).column("spans").to_pylist() == c.column("spans").to_pylist()
+
+
+def test_wrap_words_greedy():
+    assert wrap_words("aa bb cc", 5) == ["aa bb", "cc"]
+    assert wrap_words("aaaaaaaa", 5) == ["aaaaaaaa"]
+    assert wrap_words("", 5) == [""]
+
+
+def test_layout_blocks_never_split_pages():
+    cfg = SynthLayoutConfig()
+    spans = make_doc_spans(3, seed=11, pathological_rate=1.0)
+    pages = layout_doc(spans, cfg)
+    assert len(pages) > 1
+    for p in pages:
+        chars = p["chars"]
+        if chars["top"].shape[0]:
+            assert chars["top"].min() >= cfg.margin_top - 1e-9
+            assert chars["bottom"].max() <= cfg.page_height
