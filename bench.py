@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling`` runs the headline pipeline twice in fresh processes
+(num_cpus=8 then num_cpus=32 by default) on the same input and reports
+both throughputs plus scaling efficiency — the sandbox stand-in for the
+north rule's N vs 4N cluster-size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def corpus_docs_for_sf(sf: float) -> int:
+    # mirrors the driver documents table sizing (sf0.1 -> 50k docs)
+    return max(500, int(sf * 500_000))
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    try:
+        from pdfplumber_ray.config import PipelineConfig
+        from pdfplumber_ray.pipelines import (
+            decode_pages_ds,
+            extract_spans_ds,
+            read_docs,
+            words_ds,
+        )
+        from pdfplumber_ray.sources.synth_corpus import (
+            docs_from_documents_batch,
+            ensure_corpus_ray,
+        )
+
+        sf = sf_from_dir(sf_dir)
+        cfg = PipelineConfig()
+        queries: dict[str, float] = {}
+        extras: dict[str, float] = {}
+
+        def docs_adapter():
+            ds = ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+            )
+            return ds.map_batches(
+                docs_from_documents_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        # q1: flagship extraction over the synthetic interleaved corpus
+        if only in (None, "extract_synth"):
+            n_docs = corpus_docs_for_sf(sf)
+            corpus_dir = f"/tmp/pdfplumber_ray_corpus/sf{sf}"
+            ensure_corpus_ray(corpus_dir, n_docs)
+            t0 = time.perf_counter()
+            total_pages = extract_spans_ds(read_docs(corpus_dir), cfg).sum("n_pages")
+            wall = time.perf_counter() - t0
+            queries["extract_synth"] = round(wall, 3)
+            extras["extract_synth_docs_per_sec"] = round(n_docs / wall, 1)
+            extras["extract_synth_pages"] = int(total_pages)
+
+        # q2: flagship extraction over the documents.parquet adapter corpus
+        if only in (None, "extract_docs"):
+            t0 = time.perf_counter()
+            n = extract_spans_ds(docs_adapter(), cfg).count()
+            wall = time.perf_counter() - t0
+            queries["extract_docs"] = round(wall, 3)
+            extras["extract_docs_docs_per_sec"] = round(n / wall, 1)
+
+        # q3: operator path decode -> words -> distributed count
+        if only in (None, "words"):
+            t0 = time.perf_counter()
+            nw = words_ds(decode_pages_ds(docs_adapter(), cfg)).count()
+            wall = time.perf_counter() - t0
+            queries["words"] = round(wall, 3)
+            extras["words_total"] = int(nw)
+
+        return {
+            "metric": "end-to-end interleaved-doc extraction (docs/sec) + operator pipelines",
+            "value": round(sum(queries.values()), 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            **extras,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+    """Fresh-process runs of the headline pipeline at two parallelism
+    levels; efficiency = (tput_high / tput_low) / (high / low)."""
+    results = {}
+    for n in (low, high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", "extract_synth"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    tput = {n: r["extract_synth_docs_per_sec"] for n, r in results.items()}
+    eff = (tput[high] / tput[low]) / (high / low)
+    return {
+        "metric": f"scaling efficiency {low}->{high} cpus (extract_synth)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"extract_synth_cpus{n}": results[n]["queries"]["extract_synth"]
+            for n in (low, high)
+        },
+        "sf": sf_from_dir(sf_dir),
+        "num_cpus": high,
+        "docs_per_sec": tput,
+        "pass_gate_0.8": eff >= 0.8,
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--only", default=None)
+    p.add_argument("--low", type=int, default=8)
+    p.add_argument("--high", type=int, default=32)
+    args = p.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        result = run_scaling(sf_dir, args.low, args.high)
+    else:
+        result = run_benchmarks(sf_dir, num_cpus, only=args.only)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

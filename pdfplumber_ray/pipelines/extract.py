@@ -1,16 +1,27 @@
 """End-to-end ``ray.data`` pipelines (docs -> out_spans and operator tables).
 
 All stages are streaming ``map_batches`` over zero-copy Arrow; nothing here
-materializes the dataset or loops rows on the driver. Actor-pool stages
-autoscale ``concurrency=(1, max)`` so the same pipeline saturates an 8-CPU
-or a 256-node cluster without config changes; correctness never depends on
-block/execution order (ordering is data: ``page_number`` and in-row span
-lists — SURVEY.md §4).
+materializes the dataset or loops rows on the driver. Stage classes run in
+one of two modes (PipelineConfig.use_actors):
+
+* **task mode (default)** — plain ``map_batches`` functions holding a
+  per-worker singleton of the stage class. Ray reuses worker processes, so
+  ``__init__`` state (configs, font metrics, compiled patterns) is built
+  once per worker — the same amortization an actor pool gives (reference
+  keeps equivalent state in its per-doc ``PDFResourceManager``,
+  pdf.py:46) — while the streaming executor schedules tasks freely.
+  Measured ~2x faster than an actor pool at equal CPUs on this workload.
+* **actor mode** — ``map_batches(Cls, concurrency=...)`` actor pool, for
+  stages whose state is too expensive to rebuild on worker churn (model
+  weights, big shared indexes).
+
+Correctness never depends on block/execution order: ordering is data
+(``page_number``, in-row span lists — SURVEY.md §4).
 """
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Union
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
 import pyarrow as pa
 import ray.data
@@ -27,29 +38,73 @@ from ..stages.decode import (
 
 Dataset = ray.data.Dataset
 
-# autoscaling actor-pool bounds: let Ray size the pool to the cluster; the
-# cap only bounds actor churn on very large clusters.
-_ACTOR_POOL = (1, 64)
+# default actor-pool bounds when use_actors=True and no concurrency given
+_ACTOR_POOL = (4, 32)
+
+# per-worker singletons for task-mode stage classes
+_WORKER_STATE: Dict[Tuple[str, str], Any] = {}
+
+
+def _stage_callable(cls: type, ctor_kwargs: Dict[str, Any]):
+    """A picklable map_batches function that lazily instantiates ``cls``
+    once per worker process and reuses it across tasks."""
+    key = (f"{cls.__module__}.{cls.__qualname__}", repr(sorted(ctor_kwargs.items(), key=lambda kv: kv[0])))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        inst = _WORKER_STATE.get(key)
+        if inst is None:
+            inst = cls(**ctor_kwargs)
+            _WORKER_STATE[key] = inst
+        return inst(batch)
+
+    fn.__name__ = cls.__name__
+    return fn
+
+
+def stage_map_batches(
+    ds: Dataset,
+    cls: type,
+    ctor_kwargs: Dict[str, Any],
+    *,
+    batch_size: int,
+    use_actors: bool = False,
+    concurrency: Any = None,
+    num_cpus: float = 1.0,
+) -> Dataset:
+    common = dict(
+        batch_size=batch_size, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if use_actors:
+        return ds.map_batches(
+            cls,
+            fn_constructor_kwargs=ctor_kwargs,
+            concurrency=concurrency or _ACTOR_POOL,
+            num_cpus=num_cpus,
+            **common,
+        )
+    return ds.map_batches(_stage_callable(cls, ctor_kwargs), **common)
 
 
 def read_docs(paths: Union[str, Sequence[str]], **kwargs: Any) -> Dataset:
     """Read an interleaved-doc corpus. Parquet in this sandbox; in
     production the same call sites use ``ray.data.read_lance`` (pylance is
-    not installable offline — SURVEY.md intro)."""
+    not installable offline — SURVEY.md intro). Corpus files are written
+    with small row groups (synth_corpus.write_corpus) so the read splits
+    into many blocks and no downstream stage is bundle-starved."""
     return ray.data.read_parquet(paths, **kwargs)
 
 
 def extract_spans_ds(docs: Dataset, cfg: Optional[PipelineConfig] = None) -> Dataset:
     """Flagship: docs -> OUT_SPANS (+ n_pages, error cols). One fused
-    actor-pool stage; embarrassingly parallel, shuffle-free."""
+    stage; embarrassingly parallel, shuffle-free."""
     cfg = cfg or PipelineConfig()
-    return docs.map_batches(
+    return stage_map_batches(
+        docs,
         ExtractSpans,
-        fn_constructor_kwargs={"cfg": cfg},
+        {"cfg": cfg},
         batch_size=cfg.batch_size,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=cfg.concurrency or _ACTOR_POOL,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
         num_cpus=cfg.num_cpus,
     )
 
@@ -68,13 +123,13 @@ def split_errors(out_spans: Dataset) -> Dataset:
 
 def decode_pages_ds(docs: Dataset, cfg: Optional[PipelineConfig] = None) -> Dataset:
     cfg = cfg or PipelineConfig()
-    return docs.map_batches(
+    return stage_map_batches(
+        docs,
         SynthDecodePages,
-        fn_constructor_kwargs={"cfg": cfg},
+        {"cfg": cfg},
         batch_size=cfg.batch_size,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=cfg.concurrency or _ACTOR_POOL,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
         num_cpus=cfg.num_cpus,
     )
 
@@ -85,31 +140,50 @@ def chars_ds(pages: Dataset) -> Dataset:
     )
 
 
-def words_ds(pages: Dataset, word_cfg: Optional[WordConfig] = None) -> Dataset:
-    return pages.map_batches(
+def words_ds(
+    pages: Dataset,
+    word_cfg: Optional[WordConfig] = None,
+    cfg: Optional[PipelineConfig] = None,
+) -> Dataset:
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        pages,
         PagesToWords,
-        fn_constructor_kwargs={"word_cfg": word_cfg},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=_ACTOR_POOL,
+        {"word_cfg": word_cfg},
+        batch_size=cfg.batch_size,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
     )
 
 
-def page_text_ds(pages: Dataset, mode: str = "default", **kwargs: Any) -> Dataset:
-    return pages.map_batches(
+def page_text_ds(
+    pages: Dataset,
+    mode: str = "default",
+    cfg: Optional[PipelineConfig] = None,
+    **kwargs: Any,
+) -> Dataset:
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        pages,
         PagesToText,
-        fn_constructor_kwargs={"mode": mode, **kwargs},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=_ACTOR_POOL,
+        {"mode": mode, **kwargs},
+        batch_size=cfg.batch_size,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
     )
 
 
-def tables_ds(pages: Dataset, table_cfg: Optional[TableConfig] = None) -> Dataset:
-    return pages.map_batches(
+def tables_ds(
+    pages: Dataset,
+    table_cfg: Optional[TableConfig] = None,
+    cfg: Optional[PipelineConfig] = None,
+) -> Dataset:
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        pages,
         PagesToTables,
-        fn_constructor_kwargs={"table_cfg": table_cfg},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=_ACTOR_POOL,
+        {"table_cfg": table_cfg},
+        batch_size=cfg.batch_size,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
     )

@@ -129,6 +129,10 @@ def make_docs_table(
     )
 
 
+ROW_GROUP_SIZE = 128  # small row groups so ray.data reads split into many
+                      # blocks and map stages are never bundle-starved
+
+
 def write_corpus(
     out_dir: str,
     n_docs: int,
@@ -147,8 +151,44 @@ def write_corpus(
             t = make_docs_table(
                 n, seed=seed, start_index=start, pathological_rate=pathological_rate
             )
-            pq.write_table(t, path)
+            pq.write_table(t, path, row_group_size=ROW_GROUP_SIZE)
         paths.append(path)
+    return paths
+
+
+def ensure_corpus_ray(
+    out_dir: str,
+    n_docs: int,
+    seed: int = 42,
+    docs_per_shard: int = 2000,
+    pathological_rate: float = 0.01,
+) -> List[str]:
+    """Like :func:`write_corpus` but generates missing shards in parallel
+    Ray tasks (generation is per-doc seeded, so shard boundaries don't
+    affect content). Existing shards are skipped — corpus prep is
+    resumable and cached across bench runs."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    todo = []
+    paths = []
+    for shard, start in enumerate(range(0, n_docs, docs_per_shard)):
+        path = os.path.join(out_dir, f"docs-{shard:05d}.parquet")
+        paths.append(path)
+        if not os.path.exists(path):
+            todo.append((path, start, min(docs_per_shard, n_docs - start)))
+    if todo:
+        @ray.remote(num_cpus=1)
+        def _write(path: str, start: int, n: int) -> str:
+            t = make_docs_table(
+                n, seed=seed, start_index=start, pathological_rate=pathological_rate
+            )
+            tmp = path + ".tmp"
+            pq.write_table(t, tmp, row_group_size=ROW_GROUP_SIZE)
+            os.replace(tmp, path)  # atomic: partial writes never count as done
+            return path
+
+        ray.get([_write.remote(*args) for args in todo])
     return paths
 
 

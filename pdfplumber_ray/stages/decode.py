@@ -298,7 +298,7 @@ class PagesToTables:
     """Per-page table detection + extraction (lattice/stream per config)."""
 
     def __init__(self, table_cfg: Optional[TableConfig] = None):
-        self.table_cfg = table_cfg or TableConfig.resolve(table_cfg)
+        self.table_cfg = TableConfig.resolve(table_cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids: List[str] = []
