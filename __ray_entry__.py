@@ -2,7 +2,10 @@
 
 ``entry()`` runs the flagship extraction pipeline at sf0.001;
 ``queries()``/``oracle_sql()`` expose each implemented operator with a
-DuckDB-checkable SQL twin (column names match on both sides).
+DuckDB-checkable SQL twin where the semantics are SQL-expressible
+(column names match on both sides). Ops that SQL cannot express
+(MinHash/SimHash LSH, fingerprints, candidate-pair verification) have no
+oracle entry — the driver records a rows-only check for those.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -19,13 +22,18 @@ import pyarrow as pa
 import ray.data
 
 from pdfplumber_ray.config import PipelineConfig
+from pdfplumber_ray.functions.textstats import BPE_TOKEN_RE, STOPWORDS
 from pdfplumber_ray.pipelines import (
+    corpus_ops as co,
     decode_pages_ds,
     extract_spans_ds,
-    read_docs,
+    search_ds,
     words_ds,
 )
 from pdfplumber_ray.sources.synth_corpus import docs_from_documents_batch
+from pdfplumber_ray.sources.table_docs import cells_table_from_spans, docs_from_lineitem
+
+SEARCH_PATTERN = "qu[a-z]+"
 
 
 def _interleaved_docs(sf_dir: str) -> ray.data.Dataset:
@@ -38,8 +46,27 @@ def _interleaved_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _documents(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _embeddings(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
 def _doc_id_to_int(doc_ids: List[str]) -> pa.Array:
     return pa.array([int(d.rsplit("-", 1)[1]) for d in doc_ids], pa.int64())
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    """Deterministic ANN query: the embedding of the smallest vec_id."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    return np.asarray(t.column("embedding")[int(np.argmin(ids))].as_py(), dtype=np.float64)
 
 
 def entry() -> Any:
@@ -48,12 +75,12 @@ def entry() -> Any:
     return extract_spans_ds(_interleaved_docs("/root/testdata/sf0.001"), PipelineConfig())
 
 
-# ---- queries & oracles -------------------------------------------------
+# ---- extraction-pipeline queries ----------------------------------------
 
 
 def q_roundtrip_text(sf_dir: str) -> ray.data.Dataset:
-    """Full extraction round trip: the joined extracted span texts must
-    equal the original document text (geometry -> words -> blocks path)."""
+    """Full extraction round trip: joined extracted span texts must equal
+    the original document text (geometry -> words -> blocks path)."""
     out = extract_spans_ds(_interleaved_docs(sf_dir))
 
     def rejoin(batch: pa.Table) -> pa.Table:
@@ -69,14 +96,12 @@ def q_roundtrip_text(sf_dir: str) -> ray.data.Dataset:
 
 def q_word_count(sf_dir: str) -> ray.data.Dataset:
     """Per-document word count via the decode -> extract_words kernel path
-    (reference utils/text.py:423-688), aggregated distributedly."""
+    (reference utils/text.py:423-688), aggregated with a partial combine
+    before the distributed groupby."""
     pages = decode_pages_ds(_interleaved_docs(sf_dir))
     w = words_ds(pages)
 
-    # partial aggregation inside map_batches, then a tiny groupby
     def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         g = batch.group_by("doc_id").aggregate([("doc_id", "count")])
         return pa.table(
             {
@@ -96,10 +121,129 @@ def q_word_count(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_search(sf_dir: str) -> ray.data.Dataset:
+    """Regex search over the page textmap (reference TextMap.search,
+    utils/text.py:172-210); matches equal regexp matches on the raw text
+    because the layout is word-preserving."""
+    pages = decode_pages_ds(_interleaved_docs(sf_dir))
+    hits = search_ds(pages, SEARCH_PATTERN)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table({"doc_id": ids, "text": batch.column("text")})
+
+    return hits.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_table_cells_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """Lattice table chain with a relational oracle: every lineitem order
+    becomes a grid of (linenumber, returnflag, linestatus) cells; edge
+    snap/join -> intersections -> cells -> tables must recover them in
+    row-major order (reference table.py:566-578)."""
+    docs = docs_from_lineitem(sf_dir)
+    out = extract_spans_ds(docs, PipelineConfig())
+    return out.map_batches(
+        cells_table_from_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---- training-data corpus ops -------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    return co.exact_dedup_ds(_documents(sf_dir))
+
+
+def q_token_stats(sf_dir: str) -> ray.data.Dataset:
+    return co.token_stats_ds(_documents(sf_dir))
+
+
+def q_quality(sf_dir: str) -> ray.data.Dataset:
+    return co.quality_ds(_documents(sf_dir))
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    return co.lang_id_ds(_documents(sf_dir))
+
+
+def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    return co.fingerprint_ds(_documents(sf_dir))
+
+
+def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    return co.minhash_pairs_ds(_documents(sf_dir), threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    return co.simhash_pairs_ds(_documents(sf_dir), max_hamming=3)
+
+
+def q_near_dup_verified(sf_dir: str) -> ray.data.Dataset:
+    docs = _documents(sf_dir)
+    cands = co.minhash_pairs_ds(docs, threshold=0.35)
+    return co.ngram_jaccard_verify_ds(cands, docs, threshold=0.5)
+
+
+def _sim_e3(ds: ray.data.Dataset) -> ray.data.Dataset:
+    def fix(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sims = batch.column("sim").to_numpy(zero_copy_only=False)
+        e3 = np.round(sims * 1000).astype(np.int64)
+        return pa.table({"vec_id": batch.column("vec_id"), "sim_e3": pa.array(e3)})
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ann_brute(sf_dir: str) -> ray.data.Dataset:
+    q = _query_vector(sf_dir)
+    return _sim_e3(co.ann_brute_topk_ds(_embeddings(sf_dir), q, k=10))
+
+
+def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
+    """IVF variant run exact (nprobe == nlist) so the brute-force oracle
+    applies; at scale nprobe < nlist trades recall for a pruned scan."""
+    q = _query_vector(sf_dir)
+    return _sim_e3(
+        co.ann_ivf_topk_ds(_embeddings(sf_dir), q, k=10, nlist=8, nprobe=8)
+    )
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "roundtrip_text": q_roundtrip_text,
     "word_count": q_word_count,
+    "search": q_search,
+    "table_cells_lineitem": q_table_cells_lineitem,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "near_dup_verified": q_near_dup_verified,
+    "ann_brute": q_ann_brute,
+    "ann_ivf": q_ann_ivf,
 }
+
+
+def _sw_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+_LANG_SCORES = ", ".join(
+    f"len(list_filter(string_split(text, ' '), w -> w IN ({_sw_list(lang)}))) AS s_{lang}"
+    for lang in ("en", "es", "de", "fr")
+)
+
+_ANN_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT vec_id,
+       CAST(round(list_cosine_similarity(embedding, qe) * 1000) AS BIGINT) AS sim_e3
+FROM embeddings, q
+ORDER BY round(list_cosine_similarity(embedding, qe), 6) DESC, vec_id
+LIMIT 10
+"""
 
 ORACLES: Dict[str, str] = {
     "roundtrip_text": "SELECT doc_id, text FROM documents",
@@ -107,6 +251,50 @@ ORACLES: Dict[str, str] = {
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "
         "FROM documents"
     ),
+    "search": (
+        f"SELECT doc_id, unnest(regexp_extract_all(text, '{SEARCH_PATTERN}')) AS text "
+        "FROM documents"
+    ),
+    "table_cells_lineitem": """
+        WITH b AS (
+          SELECT l_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_returnflag, l_linestatus) AS rn,
+                 [CAST(l_linenumber AS VARCHAR), l_returnflag, l_linestatus] AS cells
+          FROM lineitem)
+        SELECT l_orderkey AS doc_key,
+               CAST((rn - 1) * 3 + generate_subscripts(cells, 1) - 1 AS BIGINT) AS cell_index,
+               unnest(cells) AS cell_text
+        FROM b
+    """,
+    "dedup_exact": (
+        "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY md5(text)"
+    ),
+    "token_stats": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws, "
+        f"CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_tokens_bpe "
+        "FROM documents"
+    ),
+    "quality": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+        "CAST(len(regexp_extract_all(text, '[.,;:!?''\"()\\[\\]{}-]')) AS BIGINT) AS n_punct, "
+        f"CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_sw_list('en')}))) AS BIGINT) AS n_stopwords_en "
+        "FROM documents"
+    ),
+    "lang_id": f"""
+        WITH s AS (SELECT doc_id, {_LANG_SCORES} FROM documents)
+        SELECT doc_id,
+               CASE WHEN s_en=0 AND s_es=0 AND s_de=0 AND s_fr=0 THEN 'und'
+                    WHEN s_en>=s_es AND s_en>=s_de AND s_en>=s_fr THEN 'en'
+                    WHEN s_es>=s_de AND s_es>=s_fr THEN 'es'
+                    WHEN s_de>=s_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM s
+    """,
+    "ann_brute": _ANN_SQL,
+    "ann_ivf": _ANN_SQL,
 }
 
 

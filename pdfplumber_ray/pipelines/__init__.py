@@ -5,6 +5,8 @@ from .extract import (  # noqa: F401
     chars_ds,
     words_ds,
     page_text_ds,
+    search_ds,
     tables_ds,
     split_errors,
 )
+from . import corpus_ops  # noqa: F401

@@ -1,0 +1,448 @@
+"""Training-data corpus operators as streaming Ray Data pipelines.
+
+Engine-side additions beyond the reference's operator set (a 100 TB
+training-data pipeline needs them; pdfplumber itself has none of these):
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard verify),
+similarity search (brute-force cosine top-k and an IVF variant), and text
+analysis (language-ID, quality scoring, token counting, fingerprinting).
+
+Scale design notes:
+* Every per-doc transform is a task-mode ``map_batches`` (no shuffle).
+* Dedup aggregations pre-combine inside the batch (pyarrow ``group_by``)
+  before the global ``groupby`` — the shuffle moves one row per distinct
+  key per block, not one per document.
+* LSH banding turns near-dup search into a ``groupby`` on band keys whose
+  groups are tiny; candidate pairs are verified with signature agreement
+  (optionally exact shingle Jaccard) inside the group.
+* ANN broadcasts the small side (query matrix / centroid index) via
+  ``ray.put`` once; each task reads it from the object store — never a
+  shuffle join, never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions import textstats as ts
+
+Dataset = ray.data.Dataset
+
+
+# ---------- text analysis ----------
+
+
+def token_stats_ds(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens_ws": pa.array(ts.ws_token_count(texts)),
+                "n_tokens_bpe": pa.array(ts.bpe_token_count(texts)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_ds(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Quality-signal metrics; integer counts so SQL oracles match exactly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n_chars = pa.array(
+            np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        )
+        n_words = pa.array(ts.ws_token_count(texts))
+        n_punct = pa.array(ts.punct_count(texts))
+        sw = ts.stopword_counts(texts)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_chars": n_chars,
+                "n_words": n_words,
+                "n_punct": n_punct,
+                "n_stopwords_en": pa.array(sw["en"]),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_id_ds(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "lang_pred": pa.array(ts.lang_id(texts).tolist(), pa.string()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprint_ds(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        fp = ts.rolling_fingerprint(texts)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "fingerprint": pa.array([f"{v:016x}" for v in fp], pa.string()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- deduplication ----------
+
+
+def exact_dedup_ds(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Exact dedup groups: md5(text) -> (keep_doc_id = min id, n_docs).
+
+    Pre-aggregates per batch before the global groupby (combiner pattern).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        h = pa.array(ts.md5_hex(texts).tolist(), pa.string())
+        t = pa.table({"content_hash": h, id_col: batch.column(id_col)})
+        g = t.group_by("content_hash").aggregate([(id_col, "min"), (id_col, "count")])
+        return pa.table(
+            {
+                "content_hash": g.column("content_hash"),
+                "keep_partial": g.column(f"{id_col}_min"),
+                "n_partial": g.column(f"{id_col}_count").cast(pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("content_hash").aggregate(
+        Min("keep_partial"), Sum("n_partial")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "content_hash": batch.column("content_hash"),
+                "keep_doc_id": batch.column("min(keep_partial)"),
+                "n_docs": batch.column("sum(n_partial)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _MinHashStage:
+    """Per-worker MinHasher: signatures + LSH band keys per doc."""
+
+    def __init__(self, num_perm: int, bands: int, shingle_k: int, text_col: str, id_col: str):
+        self.mh = ts.MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+        self.bands = bands
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_band: List[int] = []
+        out_id: List = []
+        out_sig: List[bytes] = []
+        for i, t in zip(ids, texts):
+            sig = self.mh.signature(t or "")
+            sb = sig.tobytes()
+            for key in self.mh.band_keys(sig, self.bands):
+                out_band.append(key)
+                out_id.append(i)
+                out_sig.append(sb)
+        return pa.table(
+            {
+                "band_key": pa.array(out_band, pa.int64()),
+                "doc_id": pa.array(out_id),
+                "sig": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+
+def minhash_pairs_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> Dataset:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Emits (doc_a, doc_b, est_jaccard) with doc_a < doc_b and estimated
+    Jaccard (signature agreement) >= threshold. The only shuffle is the
+    band-key groupby; groups are bucket-sized, so the pair loop inside a
+    group is bounded."""
+    banded = docs.map_batches(
+        _MinHashStage,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(2, 32),
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group.column("sig").to_pylist()]
+        a_out: List = []
+        b_out: List = []
+        j_out: List[float] = []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ids[i] == ids[j]:
+                    continue
+                est = float(np.mean(sigs[i] == sigs[j]))
+                if est >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    j_out.append(est)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out),
+                "doc_b": pa.array(b_out),
+                "est_jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    pairs = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    # a pair found in multiple bands appears multiple times -> keep one
+    dedup = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("est_jaccard"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "est_jaccard": batch.column("min(est_jaccard)"),
+            }
+        )
+
+    return dedup.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_pairs_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> Dataset:
+    """SimHash near-dup pairs: 64-bit fingerprints, bucketing by each of 4
+    16-bit chunks (pigeonhole: any pair within Hamming distance 3 shares at
+    least one chunk), verify exact Hamming distance within buckets."""
+
+    def sign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        sh = ts.simhash64(texts)
+        out_key: List[int] = []
+        out_id: List = []
+        out_sig: List[int] = []
+        for idx, i in enumerate(ids):
+            v = int(sh[idx])
+            for c in range(4):
+                chunk = (v >> (16 * c)) & 0xFFFF
+                out_key.append((c << 16) | chunk)
+                out_id.append(i)
+                out_sig.append(v)
+        return pa.table(
+            {
+                "bucket": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(out_id),
+                "sig": pa.array(np.array(out_sig, dtype=np.uint64)),
+            }
+        )
+
+    banded = docs.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        sigs = np.asarray(group.column("sig").to_numpy(zero_copy_only=False), dtype=np.uint64)
+        a_out: List = []
+        b_out: List = []
+        d_out: List[int] = []
+        n = len(ids)
+        for i in range(n):
+            d = ts.hamming64(np.full(n - i - 1, sigs[i], dtype=np.uint64), sigs[i + 1 :])
+            for off, dist in enumerate(d):
+                j = i + 1 + off
+                if ids[i] != ids[j] and dist <= max_hamming:
+                    a, b = sorted((ids[i], ids[j]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    d_out.append(int(dist))
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out),
+                "doc_b": pa.array(b_out),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    pairs = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    dedup = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "hamming": batch.column("min(hamming)").cast(pa.int64()),
+            }
+        )
+
+    return dedup.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_jaccard_verify_ds(
+    pairs: Dataset,
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> Dataset:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    The doc texts are broadcast once via ``ray.put`` (small side of the
+    join); each verify task reads the map from the object store."""
+    lookup: Dict = {}
+    for b in docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
+        for i, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
+            lookup[i] = t
+    ref = ray.put(lookup)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(ref)
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        jac = [
+            ts.ngram_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
+            for a, b in zip(a_ids, b_ids)
+        ]
+        t = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- similarity search ----------
+
+
+def _as_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    arr = col.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def ann_brute_topk_ds(
+    embeddings: Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> Dataset:
+    """Brute-force cosine top-k: per-batch numpy matmul against the
+    broadcast query, local top-k, then a tiny global sort+limit."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(vec_col))
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qn) / norms
+        sims = np.round(sims, round_digits)
+        order = np.argsort(-sims, kind="stable")[:k]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {id_col: pa.array(ids), "sim": pa.array(sims[order], pa.float64())}
+        )
+
+    local = embeddings.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return local.sort(["sim", id_col], descending=[True, False]).limit(k)
+
+
+def build_ivf_centroids(
+    embeddings: Dataset,
+    nlist: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> np.ndarray:
+    """Deterministic mini k-means over a bounded sample (the index-build
+    step; at scale this is a one-off job whose output is broadcast)."""
+    sample = embeddings.limit(sample_size).to_pandas()
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)]
+    for _ in range(iters):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(cent.shape[0]):
+            sel = m[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+    return cent
+
+
+def ann_ivf_topk_ds(
+    embeddings: Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    centroids: Optional[np.ndarray] = None,
+) -> Dataset:
+    """IVF-style ANN: vectors whose nearest centroid is not among the
+    query's ``nprobe`` closest lists are pruned before the cosine scan.
+    With nprobe == nlist this is exact (== brute force)."""
+    cent = centroids if centroids is not None else build_ivf_centroids(embeddings, nlist, vec_col=vec_col)
+    cent_ref = ray.put(cent)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    qd = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probed = set(np.argsort(qd, kind="stable")[:nprobe].tolist())
+
+    def local(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _as_matrix(batch.column(vec_col))
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        mask = np.isin(assign, list(probed))
+        m = m[mask]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[mask]
+        if m.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((m @ qn) / norms, round_digits)
+        order = np.argsort(-sims, kind="stable")[:k]
+        return pa.table({id_col: pa.array(ids[order]), "sim": pa.array(sims[order], pa.float64())})
+
+    localtk = embeddings.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return localtk.sort(["sim", id_col], descending=[True, False]).limit(k)

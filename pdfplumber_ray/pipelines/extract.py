@@ -29,6 +29,7 @@ import ray.data
 from ..config import PipelineConfig, TableConfig, WordConfig
 from ..stages.decode import (
     ExtractSpans,
+    PagesSearch,
     PagesToTables,
     PagesToText,
     PagesToWords,
@@ -167,6 +168,24 @@ def page_text_ds(
         pages,
         PagesToText,
         {"mode": mode, **kwargs},
+        batch_size=cfg.batch_size,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+
+
+def search_ds(
+    pages: Dataset,
+    pattern: str,
+    regex: bool = True,
+    case: bool = True,
+    cfg: Optional[PipelineConfig] = None,
+) -> Dataset:
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        pages,
+        PagesSearch,
+        {"pattern": pattern, "regex": regex, "case": case},
         batch_size=cfg.batch_size,
         use_actors=cfg.use_actors,
         concurrency=cfg.concurrency,

@@ -294,6 +294,51 @@ class PagesToText:
         )
 
 
+class PagesSearch:
+    """Per-page regex search over the page textmap with char-level
+    provenance (reference TextMap.search, utils/text.py:172-210). The
+    pattern is compiled once per worker in ``__init__``."""
+
+    def __init__(self, pattern: str, regex: bool = True, case: bool = True):
+        import re as _re
+
+        from ..functions.textmap import search_page
+
+        self._search_page = search_page
+        if not regex:
+            pattern = _re.escape(pattern)
+        self.compiled = _re.compile(pattern, 0 if case else _re.I)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: List[str] = []
+        pns: List[int] = []
+        texts: List[str] = []
+        x0s: List[Optional[float]] = []
+        tops: List[Optional[float]] = []
+        x1s: List[Optional[float]] = []
+        bottoms: List[Optional[float]] = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            for m in self._search_page(page["chars"], self.compiled):
+                doc_ids.append(doc_id)
+                pns.append(page["page_number"])
+                texts.append(m["text"])
+                x0s.append(m["x0"])
+                tops.append(m["top"])
+                x1s.append(m["x1"])
+                bottoms.append(m["bottom"])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "page_number": pa.array(pns, pa.int32()),
+                "text": pa.array(texts, pa.string()),
+                "x0": pa.array(x0s, pa.float64()),
+                "top": pa.array(tops, pa.float64()),
+                "x1": pa.array(x1s, pa.float64()),
+                "bottom": pa.array(bottoms, pa.float64()),
+            }
+        )
+
+
 class PagesToTables:
     """Per-page table detection + extraction (lattice/stream per config)."""
 

@@ -1,0 +1,167 @@
+"""Training-data corpus operators: unit kernels + DuckDB oracle parity at
+sf0.001 + planted near-duplicate recovery."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pdfplumber_ray.functions import textstats as ts
+from pdfplumber_ray.pipelines import corpus_ops as co
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- kernel units ----
+
+
+def test_lang_id_tiebreak_and_und():
+    out = ts.lang_id(["zzz qqq", "the der", "que el y los"])
+    assert out[0] == "und"
+    assert out[1] == "en"  # en/de tie broken by LANG_ORDER
+    assert out[2] == "es"
+
+
+def test_hamming_and_jaccard():
+    a = np.array([0b1011], dtype=np.uint64)
+    b = np.array([0b0010], dtype=np.uint64)
+    assert ts.hamming64(a, b)[0] == 2
+    assert ts.ngram_jaccard("a b c d e f", "a b c d e f", k=5) == 1.0
+    assert ts.ngram_jaccard("a b c d e", "v w x y z", k=5) == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    mh = ts.MinHasher(num_perm=128, shingle_k=2)
+    t1 = " ".join(f"w{i}" for i in range(50))
+    t2 = " ".join(f"w{i}" for i in range(5, 55))  # high overlap
+    est = float(np.mean(mh.signature(t1) == mh.signature(t2)))
+    true = ts.ngram_jaccard(t1, t2, k=2)
+    assert abs(est - true) < 0.2
+
+
+def test_simhash_similar_docs_close():
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = base.replace("tok50", "tok999")
+    far = " ".join(f"other{i}" for i in range(100))
+    s = ts.simhash64([base, near, far])
+    d_near = ts.hamming64(s[:1], s[1:2])[0]
+    d_far = ts.hamming64(s[:1], s[2:3])[0]
+    assert d_near < d_far
+    assert d_near <= 6
+
+
+# ---- pipelines ----
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _duck(sql):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def _match(ds, sql, key):
+    got = ds.to_pandas()
+    want = _duck(sql)
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.shape == w.shape
+    assert g.equals(w)
+
+
+def test_exact_dedup_oracle(docs_ds):
+    _match(
+        co.exact_dedup_ds(docs_ds),
+        "SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY md5(text)",
+        "content_hash",
+    )
+
+
+def test_token_stats_oracle(docs_ds):
+    from pdfplumber_ray.functions.textstats import BPE_TOKEN_RE
+
+    _match(
+        co.token_stats_ds(docs_ds),
+        "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens_ws, "
+        f"CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_tokens_bpe "
+        "FROM documents",
+        "doc_id",
+    )
+
+
+def test_ann_brute_matches_numpy(docs_ds, ray_session):
+    import pyarrow.parquet as pq
+
+    emb_t = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.stack([np.asarray(v, np.float64) for v in emb_t.column("embedding").to_pylist()])
+    ids = emb_t.column("vec_id").to_numpy()
+    q = m[int(np.argmin(ids))]
+    sims = np.round((m @ (q / np.linalg.norm(q))) / np.linalg.norm(m, axis=1), 6)
+    order = np.lexsort((ids, -sims))[:10]
+    want = {(int(ids[i]), float(sims[i])) for i in order}
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    got = co.ann_brute_topk_ds(emb, q, k=10).to_pandas()
+    assert {(int(r.vec_id), float(r.sim)) for r in got.itertuples()} == want
+
+    # IVF with full probing is exact
+    got_ivf = co.ann_ivf_topk_ds(emb, q, k=10, nlist=4, nprobe=4).to_pandas()
+    assert {(int(r.vec_id), float(r.sim)) for r in got_ivf.itertuples()} == want
+
+
+def test_planted_near_dups_found(ray_session):
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [
+        " ".join(rng.choice(vocab, 60).tolist()) for _ in range(40)
+    ]
+    # plant: doc 100+i is a light edit of doc i for i in 0..4
+    planted = []
+    for i in range(5):
+        toks = texts[i].split(" ")
+        toks[7] = "EDITED"
+        planted.append(" ".join(toks))
+    table = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)) + [100 + i for i in range(5)], pa.int64()),
+            "text": pa.array(texts + planted),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    pairs = co.minhash_pairs_ds(ds, threshold=0.5).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert {(i, 100 + i) for i in range(5)} <= found
+
+    verified = co.ngram_jaccard_verify_ds(
+        co.minhash_pairs_ds(ds, threshold=0.35), ds, threshold=0.5
+    ).to_pandas()
+    vfound = {(int(a), int(b)) for a, b in zip(verified.doc_a, verified.doc_b)}
+    assert {(i, 100 + i) for i in range(5)} <= vfound
+    assert (verified.jaccard > 0.5).all()
+
+    # simhash: the 4-chunk bucketing guarantees recall only for Hamming<=3
+    # (pigeonhole); compare against brute-force ground truth at that radius.
+    all_ids = table.column("doc_id").to_pylist()
+    all_texts = table.column("text").to_pylist()
+    sh = ts.simhash64(all_texts)
+    truth = set()
+    for i in range(len(all_ids)):
+        d = ts.hamming64(np.full(len(all_ids) - i - 1, sh[i], dtype=np.uint64), sh[i + 1 :])
+        for off, dist in enumerate(d):
+            if dist <= 3:
+                a, b = sorted((all_ids[i], all_ids[i + 1 + off]))
+                truth.add((a, b))
+    spairs = co.simhash_pairs_ds(ds, max_hamming=3).to_pandas()
+    sfound = {(int(a), int(b)) for a, b in zip(spairs.doc_a, spairs.doc_b)}
+    assert sfound == truth
