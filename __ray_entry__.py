@@ -209,6 +209,32 @@ def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_media_decode(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal plumbing: deterministic binary payload per doc ->
+    actor-stage decode -> typed metadata; the synthetic container packs
+    values the oracle predicts arithmetically from doc_id."""
+    from pdfplumber_ray.pipelines.media import media_decode_ds
+
+    ds = media_decode_ds(_documents(sf_dir).select_columns(["doc_id"]))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "media_ref", "width", "height", "n_frames", "n_bytes"])
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """Video frame sampling: one row per every-5th frame of each payload."""
+    from pdfplumber_ray.pipelines.media import frame_sample_ds
+
+    ds = frame_sample_ds(_documents(sf_dir).select_columns(["doc_id"]), stride=5)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "frame_index"])
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "roundtrip_text": q_roundtrip_text,
     "word_count": q_word_count,
@@ -224,6 +250,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "near_dup_verified": q_near_dup_verified,
     "ann_brute": q_ann_brute,
     "ann_ivf": q_ann_ivf,
+    "media_decode": q_media_decode,
+    "frame_sample": q_frame_sample,
 }
 
 
@@ -295,6 +323,19 @@ ORACLES: Dict[str, str] = {
     """,
     "ann_brute": _ANN_SQL,
     "ann_ivf": _ANN_SQL,
+    "media_decode": """
+        SELECT doc_id,
+               'media://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS media_ref,
+               CAST(64 + doc_id % 1024 AS BIGINT) AS width,
+               CAST(64 + (doc_id * 7) % 1024 AS BIGINT) AS height,
+               CAST(1 + doc_id % 30 AS BIGINT) AS n_frames,
+               CAST(11 + ((64 + doc_id % 1024) * (64 + (doc_id * 7) % 1024)) // 64 AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    "frame_sample": (
+        "SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 30, 5)) AS BIGINT) AS frame_index "
+        "FROM documents"
+    ),
 }
 
 

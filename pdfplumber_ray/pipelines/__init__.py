@@ -10,3 +10,4 @@ from .extract import (  # noqa: F401
     split_errors,
 )
 from . import corpus_ops  # noqa: F401
+from . import media  # noqa: F401

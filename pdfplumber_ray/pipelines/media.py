@@ -1,0 +1,74 @@
+"""Multimodal dataset pipelines: payload attach -> decode / resize /
+frame-sample actor stages. Small default batch sizes: payload bytes x
+batch x concurrency must fit the worker heap (SURVEY.md §4 memory note).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import ray.data
+
+from ..config import PipelineConfig
+from ..stages.multimodal import FrameSample, MediaDecode, MediaResize, attach_payloads
+from .extract import stage_map_batches
+
+Dataset = ray.data.Dataset
+
+MEDIA_BATCH_SIZE = 128  # large binary rows -> smaller batches than text
+
+
+def with_payloads(docs: Dataset, id_col: str = "doc_id") -> Dataset:
+    def fn(batch):
+        return attach_payloads(batch, id_col=id_col)
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_decode_ds(
+    docs: Dataset, cfg: Optional[PipelineConfig] = None, id_col: str = "doc_id"
+) -> Dataset:
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        with_payloads(docs, id_col),
+        MediaDecode,
+        {"id_col": id_col},
+        batch_size=MEDIA_BATCH_SIZE,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+
+
+def media_resize_ds(
+    docs: Dataset,
+    target_w: int,
+    target_h: int,
+    cfg: Optional[PipelineConfig] = None,
+    id_col: str = "doc_id",
+) -> Dataset:
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        with_payloads(docs, id_col),
+        MediaResize,
+        {"target_w": target_w, "target_h": target_h, "id_col": id_col},
+        batch_size=MEDIA_BATCH_SIZE,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+
+
+def frame_sample_ds(
+    docs: Dataset,
+    stride: int = 5,
+    cfg: Optional[PipelineConfig] = None,
+    id_col: str = "doc_id",
+) -> Dataset:
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        with_payloads(docs, id_col),
+        FrameSample,
+        {"stride": stride, "id_col": id_col},
+        batch_size=MEDIA_BATCH_SIZE,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
