@@ -209,6 +209,124 @@ def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _adapter_chunk6(batch: pa.Table) -> pa.Table:
+    return docs_from_documents_batch(batch, chunk_words=6)
+
+
+def _interleaved_docs6(sf_dir: str) -> ray.data.Dataset:
+    """Adapter variant with 6-word spans: every span fits one layout line,
+    so line-level operators get exact SQL oracles."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        _adapter_chunk6, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_text_lines(sf_dir: str) -> ray.data.Dataset:
+    """extract_text_lines over the textmap (reference utils/text.py:212-230);
+    with 6-word spans each line is exactly one 6-word window of the text."""
+    from pdfplumber_ray.pipelines import text_lines_ds
+
+    pages = decode_pages_ds(_interleaved_docs6(sf_dir))
+    lines = text_lines_ds(pages)
+
+    def index_group(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (g.column("top").to_numpy(), g.column("page_number").to_numpy())
+        )
+        did = int(g.column("doc_id")[0].as_py().rsplit("-", 1)[1])
+        texts = np.asarray(g.column("text").to_pylist(), dtype=object)[order]
+        return pa.table(
+            {
+                "doc_id": pa.array([did] * len(order), pa.int64()),
+                "line_index": pa.array(np.arange(len(order), dtype=np.int64)),
+                "text": pa.array(texts.tolist(), pa.string()),
+            }
+        )
+
+    return lines.groupby("doc_id").map_groups(index_group, batch_format="pyarrow")
+
+
+def q_crop_first_line(sf_dir: str) -> ray.data.Dataset:
+    """within_bbox crop (reference utils/geometry.py:95-117 + CroppedPage
+    page.py:649-686): keep only the first text line's band on page 1 and
+    extract its text — equal to the first 6 words of the document."""
+    from pdfplumber_ray.pipelines import crop_ds, page_text_ds
+
+    pages = decode_pages_ds(_interleaved_docs6(sf_dir))
+
+    def first_page_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("page_number"), 1))
+
+    p1 = pages.map_batches(first_page_only, batch_format="pyarrow", zero_copy_batch=True)
+    cropped = crop_ds(p1, (0.0, 0.0, 612.0, 84.0), mode="within")
+    txt = page_text_ds(cropped, mode="simple")
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table({"doc_id": ids, "text": batch.column("text")})
+
+    return txt.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dedupe_chars(sf_dir: str) -> ray.data.Dataset:
+    """dedupe_chars (reference utils/text.py:784-804): inject a jittered
+    duplicate of every char, dedupe, then word counts must equal the
+    clean pipeline's — checked against the SQL word count."""
+    from pdfplumber_ray.pipelines import dedupe_chars_ds, duplicate_chars_ds
+
+    pages = decode_pages_ds(_interleaved_docs(sf_dir))
+    deduped = dedupe_chars_ds(duplicate_chars_ds(pages), tolerance=1.0)
+    w = words_ds(deduped)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("doc_id").aggregate([("doc_id", "count")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "partial_n": g.column("doc_id_count").cast(pa.int64()),
+            }
+        )
+
+    partials = w.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("doc_id").sum("partial_n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table(
+            {"doc_id": ids, "n_words": batch.column("sum(partial_n)").cast(pa.int64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_outline(sf_dir: str) -> ray.data.Dataset:
+    """Document outline (engine analogue of the reference structure tree,
+    structure.py:151-459) from extracted spans; adapter docs are all
+    paragraphs, one per 12-word window."""
+    from pdfplumber_ray.pipelines import outline_ds
+
+    out = extract_spans_ds(_interleaved_docs(sf_dir))
+    ol = outline_ds(out)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "element_index": batch.column("element_index"),
+                "type": batch.column("type"),
+                "text": batch.column("text"),
+            }
+        )
+
+    return ol.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal plumbing: deterministic binary payload per doc ->
     actor-stage decode -> typed metadata; the synthetic container packs
@@ -252,6 +370,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_ivf": q_ann_ivf,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
+    "text_lines": q_text_lines,
+    "crop_first_line": q_crop_first_line,
+    "dedupe_chars": q_dedupe_chars,
+    "outline": q_outline,
 }
 
 
@@ -336,6 +458,32 @@ ORACLES: Dict[str, str] = {
         "SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 30, 5)) AS BIGINT) AS frame_index "
         "FROM documents"
     ),
+    "text_lines": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+          FROM documents)
+        SELECT doc_id, CAST(i // 6 AS BIGINT) AS line_index,
+               string_agg(word, ' ' ORDER BY i) AS text
+        FROM w GROUP BY doc_id, i // 6
+    """,
+    "crop_first_line": (
+        "SELECT doc_id, array_to_string(string_split(text, ' ')[1:6], ' ') AS text "
+        "FROM documents"
+    ),
+    "dedupe_chars": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "
+        "FROM documents"
+    ),
+    "outline": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+          FROM documents)
+        SELECT doc_id, CAST(i // 12 AS BIGINT) AS element_index, 'P' AS type,
+               string_agg(word, ' ' ORDER BY i) AS text
+        FROM w GROUP BY doc_id, i // 12
+    """,
 }
 
 

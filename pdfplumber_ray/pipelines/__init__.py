@@ -8,6 +8,11 @@ from .extract import (  # noqa: F401
     search_ds,
     tables_ds,
     split_errors,
+    crop_ds,
+    dedupe_chars_ds,
+    duplicate_chars_ds,
+    text_lines_ds,
+    outline_ds,
 )
 from . import corpus_ops  # noqa: F401
 from . import media  # noqa: F401

@@ -28,10 +28,14 @@ import ray.data
 
 from ..config import PipelineConfig, TableConfig, WordConfig
 from ..stages.decode import (
+    DuplicateChars,
     ExtractSpans,
+    PagesCrop,
+    PagesDedupeChars,
     PagesSearch,
     PagesToTables,
     PagesToText,
+    PagesToTextLines,
     PagesToWords,
     SynthDecodePages,
     pages_batch_to_chars,
@@ -172,6 +176,111 @@ def page_text_ds(
         use_actors=cfg.use_actors,
         concurrency=cfg.concurrency,
     )
+
+
+def crop_ds(
+    pages: Dataset,
+    bbox,
+    mode: str = "crop",
+    cfg: Optional[PipelineConfig] = None,
+) -> Dataset:
+    """Geometric crop / within_bbox / outside_bbox over page rows."""
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        pages,
+        PagesCrop,
+        {"bbox": tuple(bbox), "mode": mode},
+        batch_size=cfg.batch_size,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+
+
+def dedupe_chars_ds(
+    pages: Dataset,
+    tolerance: float = 1.0,
+    extra_key_cols=(),
+    cfg: Optional[PipelineConfig] = None,
+) -> Dataset:
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        pages,
+        PagesDedupeChars,
+        {"tolerance": tolerance, "extra_key_cols": tuple(extra_key_cols)},
+        batch_size=cfg.batch_size,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+
+
+def duplicate_chars_ds(pages: Dataset, dx: float = 0.4, dy: float = 0.25) -> Dataset:
+    """Test harness: inject sub-tolerance duplicate chars."""
+    return stage_map_batches(
+        pages, DuplicateChars, {"dx": dx, "dy": dy}, batch_size=64
+    )
+
+
+def text_lines_ds(
+    pages: Dataset, strip: bool = True, cfg: Optional[PipelineConfig] = None
+) -> Dataset:
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        pages,
+        PagesToTextLines,
+        {"strip": strip},
+        batch_size=cfg.batch_size,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+
+
+def outline_ds(out_spans: Dataset) -> Dataset:
+    """Document outline from extracted spans — the engine-side analogue of
+    the reference's logical structure tree (reference structure.py:151-459):
+    heading spans open sections ('H'), text spans are paragraphs ('P'),
+    table_cell runs collapse to one 'Table' element, media to 'Figure'."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids: list = []
+        idxs: list = []
+        types: list = []
+        texts: list = []
+        for did, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            ei = 0
+            i = 0
+            while i < len(spans):
+                s = spans[i]
+                if s["kind"] == "table_cell":
+                    ncells = 0
+                    while i < len(spans) and spans[i]["kind"] == "table_cell":
+                        ncells += 1
+                        i += 1
+                    doc_ids.append(did)
+                    idxs.append(ei)
+                    types.append("Table")
+                    texts.append(f"[{ncells} cells]")
+                else:
+                    kind = s["kind"]
+                    doc_ids.append(did)
+                    idxs.append(ei)
+                    types.append(
+                        "H" if kind == "heading" else "Figure" if kind == "media_ref" else "P"
+                    )
+                    texts.append(s["text"] if kind != "media_ref" else s["media_ref"])
+                    i += 1
+                ei += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "element_index": pa.array(idxs, pa.int64()),
+                "type": pa.array(types, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return out_spans.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def search_ds(

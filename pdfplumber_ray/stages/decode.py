@@ -294,6 +294,142 @@ class PagesToText:
         )
 
 
+class PagesCrop:
+    """Per-page geometric filtering of the object tables — the engine's
+    ``Page.crop`` / ``within_bbox`` / ``outside_bbox`` (reference
+    page.py:649-686, utils/geometry.py:75-125).
+
+    mode: "crop" clips object geometry to the bbox; "within" keeps fully
+    contained objects; "outside" keeps disjoint ones."""
+
+    def __init__(self, bbox: Tuple[float, float, float, float], mode: str = "crop"):
+        if mode not in ("crop", "within", "outside"):
+            raise ValueError(f"invalid crop mode: {mode}")
+        self.bbox = tuple(float(v) for v in bbox)
+        self.mode = mode
+
+    def _apply(self, objs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        from ..functions.geometry import (
+            clip_to_bbox,
+            outside_bbox_mask,
+            within_bbox_mask,
+        )
+
+        if objs["x0"].shape[0] == 0:
+            return objs
+        if self.mode == "crop":
+            clipped, _ = clip_to_bbox(objs, self.bbox)
+            return clipped
+        mask = (
+            within_bbox_mask(objs, self.bbox)
+            if self.mode == "within"
+            else outside_bbox_mask(objs, self.bbox)
+        )
+        return {k: np.asarray(v)[mask] for k, v in objs.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: List[Tuple[str, PageDict]] = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            page = dict(page)
+            page["chars"] = self._apply(page["chars"])
+            page["rects"] = self._apply(page["rects"])
+            imgs = page["images"]
+            if imgs:
+                arr = {
+                    k: np.array([float(i[k]) for i in imgs]) for k in ("x0", "x1", "top", "bottom")
+                }
+                arr["media_ref"] = np.array([i["media_ref"] for i in imgs], dtype=object)
+                out = self._apply(arr)
+                page["images"] = [
+                    {k: out[k][j] for k in arr} for j in range(out["x0"].shape[0])
+                ]
+            rows.append((doc_id, page))
+        return pages_to_arrow(rows)
+
+
+class PagesDedupeChars:
+    """Per-page duplicate-char removal (reference utils/text.py:784-804);
+    keeps the positionally-first char of each (font,size,upright,text)
+    cluster within tolerance."""
+
+    def __init__(self, tolerance: float = 1.0, extra_key_cols: Tuple[str, ...] = ()):
+        self.tolerance = tolerance
+        self.extra_key_cols = tuple(extra_key_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.dedupe import dedupe_chars_mask
+
+        rows: List[Tuple[str, PageDict]] = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            chars = page["chars"]
+            if chars["x0"].shape[0]:
+                keep = dedupe_chars_mask(chars, self.tolerance, self.extra_key_cols)
+                page = dict(page)
+                page["chars"] = {k: np.asarray(v)[keep] for k, v in chars.items()}
+            rows.append((doc_id, page))
+        return pages_to_arrow(rows)
+
+
+class DuplicateChars:
+    """Test-harness stage: append a jittered duplicate of every char
+    (sub-tolerance offset), the input shape ``dedupe_chars`` must undo
+    (cf. reference tests/test_dedupe_chars.py)."""
+
+    def __init__(self, dx: float = 0.4, dy: float = 0.25):
+        self.dx = dx
+        self.dy = dy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: List[Tuple[str, PageDict]] = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            chars = page["chars"]
+            n = chars["x0"].shape[0]
+            if n:
+                dup = {}
+                for k, v in chars.items():
+                    v = np.asarray(v)
+                    if k in ("x0", "x1"):
+                        dup[k] = np.concatenate([v, v + self.dx])
+                    elif k in ("top", "bottom", "doctop"):
+                        dup[k] = np.concatenate([v, v + self.dy])
+                    else:
+                        dup[k] = np.concatenate([v, v])
+                page = dict(page)
+                page["chars"] = dup
+            rows.append((doc_id, page))
+        return pages_to_arrow(rows)
+
+
+class PagesToTextLines:
+    """Per-page line records via the textmap (reference
+    TextMap.extract_text_lines, utils/text.py:212-230)."""
+
+    def __init__(self, strip: bool = True):
+        self.strip = strip
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.textmap import extract_text_lines_page
+
+        doc_ids: List[str] = []
+        pns: List[int] = []
+        texts: List[str] = []
+        tops: List[Optional[float]] = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            for line in extract_text_lines_page(page["chars"], strip=self.strip):
+                doc_ids.append(doc_id)
+                pns.append(page["page_number"])
+                texts.append(line["text"])
+                tops.append(line.get("top"))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "page_number": pa.array(pns, pa.int32()),
+                "top": pa.array(tops, pa.float64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+
 class PagesSearch:
     """Per-page regex search over the page textmap with char-level
     provenance (reference TextMap.search, utils/text.py:172-210). The

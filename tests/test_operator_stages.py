@@ -1,0 +1,127 @@
+"""Operator-stage coverage: crop/within/outside, dedupe_chars round trip,
+text lines, outline, and CSV/JSON serialization contracts."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pdfplumber_ray.config import PipelineConfig
+from pdfplumber_ray.pipelines import (
+    chars_ds,
+    crop_ds,
+    decode_pages_ds,
+    dedupe_chars_ds,
+    duplicate_chars_ds,
+    extract_spans_ds,
+    outline_ds,
+    page_text_ds,
+    text_lines_ds,
+    words_ds,
+)
+from pdfplumber_ray.sinks import csv_column_order, objects_csv_ds, pages_json_ds
+from pdfplumber_ray.sources.synth_corpus import make_docs_table
+
+
+@pytest.fixture(scope="module")
+def pages(ray_session):
+    import ray.data
+
+    docs = ray.data.from_arrow(make_docs_table(25, seed=9))
+    return decode_pages_ds(docs, PipelineConfig(batch_size=8))
+
+
+def test_crop_within_outside_partition(pages):
+    bbox = (0.0, 0.0, 612.0, 400.0)
+    n_all = chars_ds(pages).count()
+    n_within = chars_ds(crop_ds(pages, bbox, mode="within")).count()
+    n_outside = chars_ds(crop_ds(pages, bbox, mode="outside")).count()
+    assert n_within > 0 and n_outside > 0
+    # chars never straddle the band boundary mid-glyph in ways that drop
+    # them from both sides; within+outside <= all, and overlappers only in crop
+    assert n_within + n_outside <= n_all
+    n_crop = chars_ds(crop_ds(pages, bbox, mode="crop")).count()
+    assert n_crop >= n_within
+
+
+def test_crop_clips_geometry(pages):
+    bbox = (0.0, 0.0, 612.0, 300.0)
+    out = chars_ds(crop_ds(pages, bbox, mode="crop")).take_all()
+    assert all(r["bottom"] <= 300.0 + 1e-9 for r in out)
+
+
+def test_dedupe_chars_roundtrip(pages):
+    clean_words = words_ds(pages).count()
+    duped = duplicate_chars_ds(pages)
+    assert chars_ds(duped).count() == 2 * chars_ds(pages).count()
+    deduped = dedupe_chars_ds(duped, tolerance=1.0)
+    assert chars_ds(deduped).count() == chars_ds(pages).count()
+    assert words_ds(deduped).count() == clean_words
+
+
+def test_text_lines_match_simple_text(pages):
+    lines = text_lines_ds(pages).take_all()
+    assert all(r["text"].strip() == r["text"] for r in lines)
+    assert all(r["text"] for r in lines)
+    # every line appears within the page's simple-extracted text
+    txt = {(r["doc_id"], r["page_number"]): r["text"] for r in page_text_ds(pages, mode="simple").take_all()}
+    for r in lines[:50]:
+        assert r["text"] in txt[(r["doc_id"], r["page_number"])]
+
+
+def test_outline_matches_span_kinds(ray_session):
+    import ray.data
+
+    table = make_docs_table(10, seed=9)
+    out = extract_spans_ds(ray.data.from_arrow(table))
+    ol = outline_ds(out).take_all()
+    by_doc = {}
+    for r in ol:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, spans in zip(table.column("doc_id").to_pylist(), table.column("spans").to_pylist()):
+        want = []
+        i = 0
+        while i < len(spans):
+            k = spans[i]["kind"]
+            if k == "table_cell":
+                while i < len(spans) and spans[i]["kind"] == "table_cell":
+                    i += 1
+                want.append("Table")
+            else:
+                want.append({"heading": "H", "media_ref": "Figure"}.get(k, "P"))
+                i += 1
+        got = [r["type"] for r in sorted(by_doc[did], key=lambda r: r["element_index"])]
+        assert got == want, did
+
+
+def test_csv_column_order_contract():
+    fields = ["fontname", "x0", "x1", "top", "bottom", "doctop", "width",
+              "height", "page_number", "size", "text", "upright", "object_type"]
+    cols = csv_column_order(fields)
+    assert cols[0] == "object_type"
+    assert cols[1:11] == ["page_number", "x0", "x1", "doctop", "top", "bottom",
+                          "width", "height"][:10] or cols[1] == "page_number"
+    # prepend list order is fixed; remaining sorted
+    tail = cols[1 + len([c for c in ["page_number","x0","x1","y0","y1","doctop","top","bottom","width","height"] if c in fields]):]
+    assert tail == sorted(tail)
+    with pytest.raises(ValueError):
+        csv_column_order(fields, include_attrs=["x0"], exclude_attrs=["x1"])
+    with pytest.raises(ValueError):
+        csv_column_order(fields, exclude_attrs=["object_type"])
+    incl = csv_column_order(fields, include_attrs=["x0", "text"])
+    assert incl == ["object_type", "x0", "text"]
+
+
+def test_objects_csv_and_json(pages, tmp_path):
+    csv_ds = objects_csv_ds(chars_ds(pages), "char", precision=2)
+    first = csv_ds.take(1)[0]
+    assert list(first.keys())[0] == "object_type"
+    assert first["object_type"] == "char"
+    assert abs(first["x0"] * 100 - round(first["x0"] * 100)) < 1e-9
+
+    js = pages_json_ds(pages, precision=3).take(2)
+    for r in js:
+        obj = json.loads(r["json"])
+        assert obj["doc_id"] == r["doc_id"]
+        assert obj["page_number"] == r["page_number"]
+        assert all(c["object_type"] == "char" for c in obj["chars"])
