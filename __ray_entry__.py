@@ -370,6 +370,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_ivf": q_ann_ivf,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
+    "sessionize": lambda sf_dir: co.sessionize_ds(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+        )
+    ),
     "text_lines": q_text_lines,
     "crop_first_line": q_crop_first_line,
     "dedupe_chars": q_dedupe_chars,
@@ -458,6 +463,18 @@ ORACLES: Dict[str, str] = {
         "SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 30, 5)) AS BIGINT) AS frame_index "
         "FROM documents"
     ),
+    "sessionize": """
+        WITH e AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events)
+        SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM e GROUP BY user_id
+    """,
     "text_lines": """
         WITH w AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS word,

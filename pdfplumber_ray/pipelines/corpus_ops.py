@@ -345,6 +345,46 @@ def ngram_jaccard_verify_ds(
     return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ---------- windowed / sessionized aggregates ----------
+
+
+def sessionize_ds(
+    events: Dataset,
+    gap_sec: float = 1800.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> Dataset:
+    """Per-user gap sessionization: a new session starts when the time
+    since the previous event (ordered by ``(ts, order_col)``) exceeds
+    ``gap_sec``. Partitioning assumption: one user's events co-locate via
+    the ``groupby(user_col)`` shuffle; within a group the window scan is a
+    vectorized diff. Returns (user_id, n_sessions, n_events)."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).to_numpy()  # datetime64[us]
+        oid = group.column(order_col).to_numpy()
+        order = np.lexsort((oid, ts))
+        ts_sorted = ts[order].astype("datetime64[us]").astype(np.int64)
+        if ts_sorted.shape[0] == 0:
+            return pa.table(
+                {user_col: pa.array([], group.column(user_col).type),
+                 "n_sessions": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64())}
+            )
+        gaps = np.diff(ts_sorted) > gap_sec * 1_000_000
+        n_sessions = 1 + int(gaps.sum())
+        return pa.table(
+            {
+                user_col: group.column(user_col).slice(0, 1),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "n_events": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    return events.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+
+
 # ---------- similarity search ----------
 
 

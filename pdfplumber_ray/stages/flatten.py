@@ -34,49 +34,75 @@ from .layout import PageDict
 
 
 def _cells_texts_fast(
-    chars, cells: Sequence[Tuple[float, float, float, float]], x_tol: float, y_tol: float
+    chars, rows_grid: Sequence[Sequence[Optional[Tuple[float, float, float, float]]]],
+    x_tol: float, y_tol: float,
 ) -> List[str]:
-    """Row-major cell texts via midpoint binning + line collation.
+    """Row-major cell texts via one grid-binning pass + line collation.
 
     Equivalent to ``PageTable.extract`` + per-cell ``extract_text`` for the
     monospace layouts this stage decodes (each word is a gap-separated char
-    run), but ~6x cheaper: no per-cell word assembly, one vectorized mask
-    per cell over the table-bbox char subset."""
+    run): rows share exact tops and columns share exact lefts after edge
+    snapping, so a single ``searchsorted`` assigns every char its (row,
+    col) cell; per-cell text is an x-ordered collation."""
+    from ..functions.clustering import cluster_groups
     from ..functions.textmap import collate_line
 
-    tx0 = min(c[0] for c in cells)
-    ttop = min(c[1] for c in cells)
-    tx1 = max(c[2] for c in cells)
-    tbot = max(c[3] for c in cells)
-    tmask = midpoint_in_bbox_mask(
-        chars["x0"], chars["top"], chars["x1"], chars["bottom"], (tx0, ttop, tx1, tbot)
-    )
-    tidx = np.flatnonzero(tmask)
-    x0 = chars["x0"][tidx]
-    x1 = chars["x1"][tidx]
-    top = chars["top"][tidx]
-    bottom = chars["bottom"][tidx]
-    doctop = chars["doctop"][tidx]
-    texts = np.asarray(chars["text"], dtype=object)[tidx]
+    row_top = np.array([min(c[1] for c in row if c) for row in rows_grid])
+    row_bot = np.array([max(c[3] for c in row if c) for row in rows_grid])
+    xs: List[float] = sorted({c[0] for row in rows_grid for c in row if c})
+    xs_arr = np.array(xs)
+    x1_of_col = np.empty(len(xs))
+    for row in rows_grid:
+        for c in row:
+            if c:
+                x1_of_col[xs.index(c[0])] = c[2]
+
+    h_mid = (chars["x0"] + chars["x1"]) / 2
+    v_mid = (chars["top"] + chars["bottom"]) / 2
+    ri = np.searchsorted(row_top, v_mid, side="right") - 1
+    ci = np.searchsorted(xs_arr, h_mid, side="right") - 1
+    valid = (ri >= 0) & (ci >= 0)
+    ri_c = np.clip(ri, 0, len(row_top) - 1)
+    ci_c = np.clip(ci, 0, len(xs) - 1)
+    valid &= (v_mid < row_bot[ri_c]) & (h_mid < x1_of_col[ci_c])
+    vidx = np.flatnonzero(valid)
+
+    buckets: dict = {}
+    keys = ri_c[vidx] * len(xs) + ci_c[vidx]
+    order = np.argsort(keys, kind="stable")
+    sv = vidx[order]
+    ks = keys[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    ends = np.append(starts[1:], sv.shape[0])
+    for s, e in zip(starts, ends):
+        buckets[int(ks[s])] = sv[s:e]
+
+    texts_arr = np.asarray(chars["text"], dtype=object)
+    x0 = chars["x0"]
+    x1 = chars["x1"]
+    doctop = chars["doctop"]
 
     out: List[str] = []
-    for cell in cells:
-        m = midpoint_in_bbox_mask(x0, top, x1, bottom, cell)
-        ci = np.flatnonzero(m)
-        if ci.shape[0] == 0:
-            out.append("")
-            continue
-        order = ci[np.argsort(doctop[ci], kind="stable")]
-        # single-line fast path; fall back to per-line collation on wraps
-        from ..functions.clustering import cluster_groups
-
-        groups = cluster_groups(doctop[order], y_tol)
-        out.append(
-            "\n".join(
-                collate_line(texts[order[g]], x0[order[g]], x1[order[g]], x_tol)
-                for g in groups
-            )
-        )
+    for r, row in enumerate(rows_grid):
+        for c_i, cell in enumerate(row):
+            if cell is None:
+                continue
+            idx = buckets.get(r * len(xs) + c_i)
+            if idx is None or idx.shape[0] == 0:
+                out.append("")
+                continue
+            dt = doctop[idx]
+            if dt.max() - dt.min() <= y_tol:  # single-line fast path
+                out.append(collate_line(texts_arr[idx], x0[idx], x1[idx], x_tol))
+            else:
+                srt = idx[np.argsort(dt, kind="stable")]
+                groups = cluster_groups(doctop[srt], y_tol)
+                out.append(
+                    "\n".join(
+                        collate_line(texts_arr[srt[g]], x0[srt[g]], x1[srt[g]], x_tol)
+                        for g in groups
+                    )
+                )
     return out
 
 
@@ -100,8 +126,7 @@ def page_tables(
     yt = float(table_cfg.text_settings.get("y_tolerance", 3))
     out = []
     for t in tables:
-        cells = [c for row in t.rows for c in row if c is not None]
-        out.append((t.bbox, _cells_texts_fast(chars, cells, xt, yt)))
+        out.append((t.bbox, _cells_texts_fast(chars, t.rows, xt, yt)))
     # reading order: top-left first (cells_to_tables already sorts groups,
     # but order defensively by geometric position)
     out.sort(key=lambda bc: (bc[0][1], bc[0][0]))

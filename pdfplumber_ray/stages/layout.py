@@ -54,47 +54,44 @@ def wrap_words(text: str, max_chars: int) -> List[str]:
 
 
 class _PageBuilder:
+    """Accumulates glyphs/rects in flat Python lists; numpy arrays are
+    materialized once per page in ``finish`` (per-line array allocation was
+    the layout hot spot)."""
+
     def __init__(self, page_number: int, cfg: SynthLayoutConfig):
         self.page_number = page_number
         self.cfg = cfg
         self.initial_doctop = (page_number - 1) * cfg.page_height
-        self.char_parts: List[Dict[str, np.ndarray]] = []
-        self.rect_parts: List[Dict[str, np.ndarray]] = []
+        self.g_text: List[str] = []
+        self.g_k: List[int] = []      # char index within its line
+        self.g_xleft: List[float] = []
+        self.g_top: List[float] = []
+        self.g_size: List[float] = []
+        self.g_font: List[str] = []
+        self.r_x0: List[float] = []
+        self.r_x1: List[float] = []
+        self.r_top: List[float] = []
+        self.r_bottom: List[float] = []
         self.images: List[Dict[str, object]] = []
 
     def emit_line_chars(
         self, line: str, line_top: float, size: float, fontname: str, x_left: float
     ) -> None:
-        cfg = self.cfg
-        glyphs = [(k, ch) for k, ch in enumerate(line) if ch != " "]
-        if not glyphs:
-            return
-        ks = np.array([g[0] for g in glyphs], dtype=np.float64)
-        x0 = x_left + ks * cfg.char_advance
-        n = len(glyphs)
-        self.char_parts.append(
-            {
-                "text": np.array([g[1] for g in glyphs], dtype=object),
-                "x0": x0,
-                "x1": x0 + cfg.char_width,
-                "top": np.full(n, line_top),
-                "bottom": np.full(n, line_top + size),
-                "doctop": np.full(n, self.initial_doctop + line_top),
-                "size": np.full(n, size),
-                "fontname": np.array([fontname] * n, dtype=object),
-                "upright": np.ones(n, dtype=bool),
-            }
-        )
+        for k, ch in enumerate(line):
+            if ch == " ":
+                continue
+            self.g_text.append(ch)
+            self.g_k.append(k)
+            self.g_xleft.append(x_left)
+            self.g_top.append(line_top)
+            self.g_size.append(size)
+            self.g_font.append(fontname)
 
     def emit_rect(self, x0: float, top: float, x1: float, bottom: float) -> None:
-        self.rect_parts.append(
-            {
-                "x0": np.array([x0]),
-                "x1": np.array([x1]),
-                "top": np.array([top]),
-                "bottom": np.array([bottom]),
-            }
-        )
+        self.r_x0.append(x0)
+        self.r_x1.append(x1)
+        self.r_top.append(top)
+        self.r_bottom.append(bottom)
 
     def emit_image(self, x0: float, top: float, x1: float, bottom: float, ref: str) -> None:
         self.images.append(
@@ -103,22 +100,35 @@ class _PageBuilder:
 
     def finish(self) -> PageDict:
         cfg = self.cfg
-        if self.char_parts:
-            chars = {
-                k: np.concatenate([p[k] for p in self.char_parts])
-                for k in self.char_parts[0]
+        n = len(self.g_text)
+        if n:
+            x0 = (
+                np.asarray(self.g_xleft, dtype=np.float64)
+                + np.asarray(self.g_k, dtype=np.float64) * cfg.char_advance
+            )
+            top = np.asarray(self.g_top, dtype=np.float64)
+            size = np.asarray(self.g_size, dtype=np.float64)
+            chars: Dict[str, np.ndarray] = {
+                "text": np.asarray(self.g_text, dtype=object),
+                "x0": x0,
+                "x1": x0 + cfg.char_width,
+                "top": top,
+                "bottom": top + size,
+                "doctop": top + self.initial_doctop,
+                "size": size,
+                "fontname": np.asarray(self.g_font, dtype=object),
+                "upright": np.ones(n, dtype=bool),
             }
         else:
             chars = _empty_chars()
         chars["width"] = chars["x1"] - chars["x0"]
         chars["height"] = chars["bottom"] - chars["top"]
-        if self.rect_parts:
-            rects = {
-                k: np.concatenate([p[k] for p in self.rect_parts])
-                for k in ("x0", "x1", "top", "bottom")
-            }
-        else:
-            rects = {k: np.empty(0, dtype=np.float64) for k in ("x0", "x1", "top", "bottom")}
+        rects = {
+            "x0": np.asarray(self.r_x0, dtype=np.float64),
+            "x1": np.asarray(self.r_x1, dtype=np.float64),
+            "top": np.asarray(self.r_top, dtype=np.float64),
+            "bottom": np.asarray(self.r_bottom, dtype=np.float64),
+        }
         rects["doctop"] = rects["top"] + self.initial_doctop
         return {
             "page_number": self.page_number,
