@@ -327,6 +327,28 @@ def q_outline(sf_dir: str) -> ray.data.Dataset:
     return ol.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_words_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Kernel word counts broadcast-joined (no shuffle) to the documents
+    dimension column, then a grouped rollup — the MCID-join shape of the
+    reference (cli.py:72-91) over real data."""
+    wc = q_word_count(sf_dir)  # doc_id:int64, n_words
+    lookup = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    joined = co.broadcast_join_ds(wc, lookup, "doc_id", ["lang"])
+    agg = joined.groupby("lang").sum("n_words")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_words": batch.column("sum(n_words)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal plumbing: deterministic binary payload per doc ->
     actor-stage decode -> typed metadata; the synthetic container packs
@@ -370,6 +392,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_ivf": q_ann_ivf,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
+    "words_by_lang": q_words_by_lang,
     "sessionize": lambda sf_dir: co.sessionize_ds(
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
@@ -462,6 +485,10 @@ ORACLES: Dict[str, str] = {
     "frame_sample": (
         "SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 30, 5)) AS BIGINT) AS frame_index "
         "FROM documents"
+    ),
+    "words_by_lang": (
+        "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words "
+        "FROM documents GROUP BY lang"
     ),
     "sessionize": """
         WITH e AS (

@@ -345,6 +345,44 @@ def ngram_jaccard_verify_ds(
     return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ---------- broadcast join (small-side lookup, no shuffle) ----------
+
+
+def broadcast_join_ds(
+    ds: Dataset,
+    lookup: Dataset,
+    key_col: str,
+    value_cols: List[str],
+) -> Dataset:
+    """Hash-join against a small dimension table WITHOUT a shuffle: the
+    lookup map is built once, put in the object store, and read by every
+    map task (the reference's only join — struct-tree MCID to text,
+    cli.py:72-91 — has the same small-side shape). Rows with no match get
+    nulls."""
+    maps: Dict[str, Dict] = {c: {} for c in value_cols}
+    for b in lookup.select_columns([key_col] + value_cols).iter_batches(
+        batch_format="pyarrow"
+    ):
+        keys = b.column(key_col).to_pylist()
+        for c in value_cols:
+            vals = b.column(c).to_pylist()
+            m = maps[c]
+            for k, v in zip(keys, vals):
+                m[k] = v
+    ref = ray.put(maps)
+
+    def join(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        keys = batch.column(key_col).to_pylist()
+        t = batch
+        for c in value_cols:
+            m = lk[c]
+            t = t.append_column(c, pa.array([m.get(k) for k in keys]))
+        return t
+
+    return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------- windowed / sessionized aggregates ----------
 
 

@@ -91,11 +91,22 @@ def stage_map_batches(
 
 
 def read_docs(paths: Union[str, Sequence[str]], **kwargs: Any) -> Dataset:
-    """Read an interleaved-doc corpus. Parquet in this sandbox; in
-    production the same call sites use ``ray.data.read_lance`` (pylance is
-    not installable offline — SURVEY.md intro). Corpus files are written
-    with small row groups (synth_corpus.write_corpus) so the read splits
-    into many blocks and no downstream stage is bundle-starved."""
+    """Read an interleaved-doc corpus.
+
+    Lance in production (``*.lance`` datasets use ``ray.data.read_lance``;
+    pylance is not installable in this sandbox, so the path is gated on
+    import), Parquet otherwise with the identical Arrow schema. Parquet
+    corpus files are written with small row groups
+    (synth_corpus.write_corpus) so the read splits into many blocks and no
+    downstream stage is bundle-starved."""
+    if isinstance(paths, str) and paths.rstrip("/").endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - prod-only path
+            raise ImportError(
+                "reading a .lance dataset requires the pylance package"
+            ) from exc
+        return ray.data.read_lance(paths, **kwargs)
     return ray.data.read_parquet(paths, **kwargs)
 
 
