@@ -327,6 +327,54 @@ def q_outline(sf_dir: str) -> ray.data.Dataset:
     return ol.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_table_cells_stream(sf_dir: str) -> ray.data.Dataset:
+    """Text-alignment (stream) table strategy (reference
+    table.py:101-204 words_to_edges_v/h): detect the lineitem grids from
+    word alignment alone, drop the empty gap-row cells the stream grid
+    legitimately produces, and the remaining row-major cells must equal
+    the relational rows. Needs >= 3 aligned rows (min_words_vertical)."""
+    import pyarrow.compute as pc
+
+    from pdfplumber_ray.config import TableConfig
+
+    docs = docs_from_lineitem(sf_dir)
+
+    def three_plus_rows(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(batch.column("spans"))
+        return batch.filter(pc.greater_equal(n, 9))
+
+    docs3 = docs.map_batches(three_plus_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cfg = PipelineConfig(
+        table=TableConfig(vertical_strategy="text", horizontal_strategy="text")
+    )
+    out = extract_spans_ds(docs3, cfg)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        keys: List[int] = []
+        idxs: List[int] = []
+        texts: List[str] = []
+        for did, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            okey = int(did.rsplit("-", 1)[1])
+            i = 0
+            for s in spans:
+                if s["kind"] == "table_cell" and s["text"] != "":
+                    keys.append(okey)
+                    idxs.append(i)
+                    texts.append(s["text"])
+                    i += 1
+        return pa.table(
+            {
+                "doc_key": pa.array(keys, pa.int64()),
+                "cell_index": pa.array(idxs, pa.int64()),
+                "cell_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return out.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_words_by_lang(sf_dir: str) -> ray.data.Dataset:
     """Kernel word counts broadcast-joined (no shuffle) to the documents
     dimension column, then a grouped rollup — the MCID-join shape of the
@@ -392,6 +440,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_ivf": q_ann_ivf,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
+    "table_cells_stream": q_table_cells_stream,
     "words_by_lang": q_words_by_lang,
     "sessionize": lambda sf_dir: co.sessionize_ds(
         ray.data.read_parquet(
@@ -486,6 +535,20 @@ ORACLES: Dict[str, str] = {
         "SELECT doc_id, CAST(unnest(range(0, 1 + doc_id % 30, 5)) AS BIGINT) AS frame_index "
         "FROM documents"
     ),
+    "table_cells_stream": """
+        WITH big AS (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 3),
+        b AS (
+          SELECT l.l_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY l.l_orderkey
+                     ORDER BY l_linenumber, l_returnflag, l_linestatus) AS rn,
+                 [CAST(l_linenumber AS VARCHAR), l_returnflag, l_linestatus] AS cells
+          FROM lineitem l JOIN big USING (l_orderkey))
+        SELECT l_orderkey AS doc_key,
+               CAST((rn - 1) * 3 + generate_subscripts(cells, 1) - 1 AS BIGINT) AS cell_index,
+               unnest(cells) AS cell_text
+        FROM b
+    """,
     "words_by_lang": (
         "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words "
         "FROM documents GROUP BY lang"

@@ -143,6 +143,46 @@ def lines_to_edges(lines: ObjArrays) -> ObjArrays:
     }
 
 
+def curves_to_edges(pts_per_curve: Iterable) -> ObjArrays:
+    """Point-pair segments per curve (reference geometry.py:189-204
+    ``curve_to_edges``): each consecutive point pair becomes one edge;
+    orientation 'h' when the two tops coincide, 'v' when the two x
+    coincide — matching line_to_edge's rule applied per segment. Only
+    axis-aligned segments are emitted as usable edges (the reference keeps
+    obliques too but the table finder only consumes v/h; we tag obliques
+    orientation '' so filter_edges drops them)."""
+    x0s, x1s, tops, bottoms, orients = [], [], [], [], []
+    for pts in pts_per_curve:
+        for (xa, ta), (xb, tb) in zip(pts[:-1], pts[1:]):
+            x0, x1 = min(xa, xb), max(xa, xb)
+            t0, t1 = min(ta, tb), max(ta, tb)
+            x0s.append(x0)
+            x1s.append(x1)
+            tops.append(t0)
+            bottoms.append(t1)
+            if ta == tb:
+                orients.append("h")
+            elif xa == xb:
+                orients.append("v")
+            else:
+                orients.append("")
+    n = len(x0s)
+    x0a = np.asarray(x0s, dtype=np.float64)
+    x1a = np.asarray(x1s, dtype=np.float64)
+    ta = np.asarray(tops, dtype=np.float64)
+    ba = np.asarray(bottoms, dtype=np.float64)
+    return {
+        "x0": x0a,
+        "x1": x1a,
+        "top": ta,
+        "bottom": ba,
+        "width": x1a - x0a,
+        "height": ba - ta,
+        "orientation": np.asarray(orients, dtype=object),
+        "object_type": np.full(n, "curve_edge", dtype=object),
+    }
+
+
 def concat_edges(parts: Iterable[Optional[ObjArrays]]) -> ObjArrays:
     parts = [p for p in parts if p is not None and p["x0"].shape[0] > 0]
     keys = ("x0", "x1", "top", "bottom", "width", "height", "orientation", "object_type")

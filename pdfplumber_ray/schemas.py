@@ -46,6 +46,9 @@ RECT = pa.struct(
     ]
 )
 
+# zero-height/width stroked line objects (reference 'line' kind)
+LINE = RECT
+
 IMAGE = pa.struct(
     [
         ("x0", pa.float64()),
@@ -65,6 +68,7 @@ PAGES = pa.schema(
         ("initial_doctop", pa.float64()),
         ("chars", pa.list_(CHAR)),
         ("rects", pa.list_(RECT)),
+        ("lines", pa.list_(LINE)),
         ("images", pa.list_(IMAGE)),
     ]
 )

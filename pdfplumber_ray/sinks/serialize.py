@@ -153,6 +153,18 @@ def pages_json_ds(pages: Dataset, precision: Optional[int] = None) -> Dataset:
                     }
                     for i in range(page["rects"]["x0"].shape[0])
                 ],
+                "lines": [
+                    {
+                        "x0": f(page["lines"]["x0"][i]),
+                        "x1": f(page["lines"]["x1"][i]),
+                        "top": f(page["lines"]["top"][i]),
+                        "bottom": f(page["lines"]["bottom"][i]),
+                        "object_type": "line",
+                    }
+                    for i in range(page["lines"]["x0"].shape[0])
+                ]
+                if page.get("lines") is not None
+                else [],
                 "images": [
                     {
                         "x0": f(img["x0"]),

@@ -22,7 +22,7 @@ import pyarrow as pa
 from ..config import PipelineConfig, SynthLayoutConfig, TableConfig, WordConfig
 from ..functions.words import extract_words_page
 from ..functions.textmap import extract_text_page, extract_text_simple_page
-from ..schemas import CHAR, IMAGE, RECT, SPAN
+from ..schemas import CHAR, IMAGE, LINE, RECT, SPAN
 from .flatten import extract_doc_spans, page_tables
 from .layout import LayoutError, PageDict, layout_doc
 
@@ -119,6 +119,8 @@ def pages_to_arrow(rows: List[Tuple[str, PageDict]]) -> pa.Table:
     char_lens: List[int] = []
     rect_flat: Dict[str, List[np.ndarray]] = {k: [] for k in _RECT_FIELDS}
     rect_lens: List[int] = []
+    line_flat: Dict[str, List[np.ndarray]] = {k: [] for k in _RECT_FIELDS}
+    line_lens: List[int] = []
     images: List[List[Dict]] = []
     pn: List[int] = []
     pw: List[float] = []
@@ -133,6 +135,10 @@ def pages_to_arrow(rows: List[Tuple[str, PageDict]]) -> pa.Table:
         for k in _RECT_FIELDS:
             rect_flat[k].append(np.asarray(rects[k]))
         rect_lens.append(int(rects["x0"].shape[0]))
+        plines = page.get("lines") or {k: np.empty(0) for k in _RECT_FIELDS}
+        for k in _RECT_FIELDS:
+            line_flat[k].append(np.asarray(plines[k], dtype=np.float64))
+        line_lens.append(int(np.asarray(plines["x0"]).shape[0]))
         images.append(page["images"])
         pn.append(int(page["page_number"]))
         pw.append(float(page["page_width"]))
@@ -163,6 +169,7 @@ def pages_to_arrow(rows: List[Tuple[str, PageDict]]) -> pa.Table:
             "initial_doctop": pa.array(idt, pa.float64()),
             "chars": struct_list(char_flat, char_lens, CHAR),
             "rects": struct_list(rect_flat, rect_lens, RECT),
+            "lines": struct_list(line_flat, line_lens, LINE),
             "images": pa.array(images, pa.list_(IMAGE)),
         }
     )
@@ -174,6 +181,7 @@ def arrow_pages_to_dicts(batch: pa.Table) -> List[Tuple[str, PageDict]]:
     doc_ids = batch.column("doc_id").to_pylist()
     chars_col = batch.column("chars").combine_chunks()
     rects_col = batch.column("rects").combine_chunks()
+    lines_col = batch.column("lines").combine_chunks()
     images = batch.column("images").to_pylist()
     pn = batch.column("page_number").to_numpy()
     pw = batch.column("page_width").to_numpy()
@@ -191,6 +199,7 @@ def arrow_pages_to_dicts(batch: pa.Table) -> List[Tuple[str, PageDict]]:
 
     cflat, coffs = field_arrays(chars_col, _CHAR_FIELDS)
     rflat, roffs = field_arrays(rects_col, _RECT_FIELDS)
+    lflat, loffs = field_arrays(lines_col, _RECT_FIELDS)
 
     for i, doc_id in enumerate(doc_ids):
         cs, ce = int(coffs[i]), int(coffs[i + 1])
@@ -205,6 +214,7 @@ def arrow_pages_to_dicts(batch: pa.Table) -> List[Tuple[str, PageDict]]:
             "initial_doctop": float(idt[i]),
             "chars": chars,
             "rects": {k: v[rs:re_] for k, v in rflat.items()},
+            "lines": {k: v[int(loffs[i]):int(loffs[i + 1])] for k, v in lflat.items()},
             "images": images[i],
         }
         out.append((doc_id, page))
@@ -333,6 +343,8 @@ class PagesCrop:
             page = dict(page)
             page["chars"] = self._apply(page["chars"])
             page["rects"] = self._apply(page["rects"])
+            if "lines" in page:
+                page["lines"] = self._apply(page["lines"])
             imgs = page["images"]
             if imgs:
                 arr = {

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config import SynthLayoutConfig, TableConfig, WordConfig
 from ..functions.clustering import cluster_ids
-from ..functions.geometry import concat_edges, midpoint_in_bbox_mask, rects_to_edges
+from ..functions.geometry import concat_edges, lines_to_edges, midpoint_in_bbox_mask, rects_to_edges
 from ..functions.tables import find_tables_page
 from ..functions.words import extract_words_page
 from ..sources.synth_corpus import assign_offsets
@@ -111,9 +111,13 @@ def page_tables(
 ) -> List[Tuple[Tuple[float, float, float, float], List[str]]]:
     """Detected tables on one page -> [(bbox, row-major cell texts)]."""
     rects = page["rects"]
-    if rects["x0"].shape[0] == 0:
+    plines = page.get("lines")
+    has_lines = plines is not None and np.asarray(plines["x0"]).shape[0] > 0
+    if rects["x0"].shape[0] == 0 and not has_lines:
         return []
-    edges = concat_edges([rects_to_edges(rects)])
+    edges = concat_edges(
+        [rects_to_edges(rects)] + ([lines_to_edges(plines)] if has_lines else [])
+    )
     bbox = (0.0, 0.0, page["page_width"], page["page_height"])
     chars = page["chars"]
     tables = find_tables_page(

@@ -72,6 +72,9 @@ class _PageBuilder:
         self.r_x1: List[float] = []
         self.r_top: List[float] = []
         self.r_bottom: List[float] = []
+        self.l_x0: List[float] = []
+        self.l_x1: List[float] = []
+        self.l_top: List[float] = []
         self.images: List[Dict[str, object]] = []
 
     def emit_line_chars(
@@ -92,6 +95,11 @@ class _PageBuilder:
         self.r_x1.append(x1)
         self.r_top.append(top)
         self.r_bottom.append(bottom)
+
+    def emit_line_obj(self, x0: float, x1: float, top: float) -> None:
+        self.l_x0.append(x0)
+        self.l_x1.append(x1)
+        self.l_top.append(top)
 
     def emit_image(self, x0: float, top: float, x1: float, bottom: float, ref: str) -> None:
         self.images.append(
@@ -130,6 +138,13 @@ class _PageBuilder:
             "bottom": np.asarray(self.r_bottom, dtype=np.float64),
         }
         rects["doctop"] = rects["top"] + self.initial_doctop
+        lines = {
+            "x0": np.asarray(self.l_x0, dtype=np.float64),
+            "x1": np.asarray(self.l_x1, dtype=np.float64),
+            "top": np.asarray(self.l_top, dtype=np.float64),
+        }
+        lines["bottom"] = lines["top"].copy()
+        lines["doctop"] = lines["top"] + self.initial_doctop
         return {
             "page_number": self.page_number,
             "page_width": cfg.page_width,
@@ -137,6 +152,7 @@ class _PageBuilder:
             "initial_doctop": self.initial_doctop,
             "chars": chars,
             "rects": rects,
+            "lines": lines,
             "images": self.images,
         }
 
@@ -183,9 +199,17 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
         font = cfg.heading_font if heading else cfg.body_font
         lines = wrap_words(text, cfg.max_line_chars)
         ensure_lines(len(lines))
+        first_w = len(lines[0]) * cfg.char_advance
         for line in lines:
             builder.emit_line_chars(line, line_top(li), size, font, cfg.margin_left)
             li += 1
+        if heading and first_w > 0:
+            # decorative underline: a zero-height line object in the blank
+            # gap; carried through the object model (reference 'line'
+            # objects) but invisible to text/tables extraction
+            builder.emit_line_obj(
+                cfg.margin_left, cfg.margin_left + first_w, line_top(li - 1) + size + 1.0
+            )
         li += 1  # blank separator line -> paragraph gap
 
     def emit_table_run(cells: List[str]) -> None:

@@ -125,3 +125,41 @@ def test_objects_csv_and_json(pages, tmp_path):
         assert obj["doc_id"] == r["doc_id"]
         assert obj["page_number"] == r["page_number"]
         assert all(c["object_type"] == "char" for c in obj["chars"])
+
+
+def test_heading_underlines_are_lines_and_invisible(ray_session):
+    import ray.data as rd
+
+    from pdfplumber_ray.sources.synth_corpus import make_doc_spans
+    from pdfplumber_ray.stages.layout import layout_doc
+    from pdfplumber_ray.stages.flatten import extract_doc_spans
+
+    # find a doc with a heading
+    for i in range(50):
+        spans = make_doc_spans(i, seed=42)
+        if any(s["kind"] == "heading" for s in spans):
+            break
+    pages = layout_doc(spans)
+    n_lines = sum(p["lines"]["x0"].shape[0] for p in pages)
+    n_headings = sum(1 for s in spans if s["kind"] == "heading")
+    assert n_lines == n_headings > 0
+    # underline objects never perturb the extracted span sequence
+    out = extract_doc_spans(pages)
+    assert [(s["kind"], s["text"]) for s in out] == [
+        (s["kind"], s["text"]) for s in spans
+    ]
+
+
+def test_curves_to_edges_kernel():
+    import numpy as np
+
+    from pdfplumber_ray.functions.geometry import curves_to_edges, filter_edges_mask
+
+    pts = [[(0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (13.0, 9.0)]]
+    e = curves_to_edges(pts)
+    assert list(e["orientation"]) == ["h", "v", ""]
+    assert e["x0"].tolist() == [0.0, 10.0, 10.0]
+    assert e["bottom"].tolist() == [0.0, 5.0, 9.0]
+    # oblique segments are dropped by the orientation filters
+    assert filter_edges_mask(e, orientation="h").sum() == 1
+    assert filter_edges_mask(e, orientation="v").sum() == 1

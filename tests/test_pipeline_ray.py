@@ -130,3 +130,22 @@ def test_operator_datasets_consistent(corpus_dir, expected_spans):
         for spans in expected_spans.values()
     )
     assert got_cells == want_cells
+
+
+def test_skew_aware_extract_same_results(ray_session):
+    import ray.data as rd
+
+    from pdfplumber_ray.pipelines.extract import extract_spans_skew_aware
+
+    t = make_docs_table(30, seed=4, pathological_rate=0.15)
+    base = {r["doc_id"]: span_key(r["spans"])
+            for r in extract_spans_ds(rd.from_arrow(t), PipelineConfig(batch_size=8)).take_all()}
+    skew = {r["doc_id"]: span_key(r["spans"])
+            for r in extract_spans_skew_aware(
+                rd.from_arrow(t), PipelineConfig(batch_size=8), span_threshold=200
+            ).take_all()}
+    assert skew == base
+    # the threshold actually split the corpus (pathological docs exist)
+    import pyarrow.compute as pc
+    n = pc.list_value_length(t.column("spans"))
+    assert pc.max(n).as_py() > 200 > pc.min(n).as_py()
