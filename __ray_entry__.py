@@ -423,6 +423,98 @@ def q_frame_sample(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_lineitem_agg(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-shaped wide aggregate with the combiner pattern: per-batch
+    pyarrow group_by pre-aggregates before the distributed groupby, so the
+    shuffle moves one row per (flag, status) per block. Money sums are in
+    integer cents for bit-exact oracle equality."""
+    import pyarrow.compute as pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": batch.column("l_quantity"),
+                "cents": cents,
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("cents", "sum"), ("qty", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "p_qty": g.column("qty_sum"),
+                "p_cents": g.column("cents_sum"),
+                "p_n": g.column("qty_count").cast(pa.int64()),
+            }
+        )
+
+    partials = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).sum(["p_qty", "p_cents", "p_n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pa.compute.cast(
+                    pa.compute.round(batch.column("sum(p_qty)")), pa.int64()
+                ),
+                "sum_extprice_cents": batch.column("sum(p_cents)").cast(pa.int64()),
+                "n_rows": batch.column("sum(p_n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_top_customers(sf_dir: str) -> ray.data.Dataset:
+    """Top-k by grouped sum: partial combine -> small groupby -> global
+    sort + limit (the only global sort in the suite; inputs are one row
+    per customer, not per order)."""
+    import pyarrow.compute as pc
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64())
+        t = pa.table({"o_custkey": batch.column("o_custkey"), "cents": cents})
+        g = t.group_by("o_custkey").aggregate([("cents", "sum"), ("cents", "count")])
+        return pa.table(
+            {
+                "o_custkey": g.column("o_custkey"),
+                "p_cents": g.column("cents_sum"),
+                "p_n": g.column("cents_count").cast(pa.int64()),
+            }
+        )
+
+    partials = orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("o_custkey").sum(["p_cents", "p_n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "total_cents": batch.column("sum(p_cents)").cast(pa.int64()),
+                "n_orders": batch.column("sum(p_n)").cast(pa.int64()),
+            }
+        )
+
+    fin = agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return fin.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "roundtrip_text": q_roundtrip_text,
     "word_count": q_word_count,
@@ -442,6 +534,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "frame_sample": q_frame_sample,
     "table_cells_stream": q_table_cells_stream,
     "words_by_lang": q_words_by_lang,
+    "lineitem_agg": q_lineitem_agg,
+    "top_customers": q_top_customers,
     "sessionize": lambda sf_dir: co.sessionize_ds(
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
@@ -553,6 +647,21 @@ ORACLES: Dict[str, str] = {
         "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words "
         "FROM documents GROUP BY lang"
     ),
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_extprice_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+        ORDER BY total_cents DESC, o_custkey LIMIT 10
+    """,
     "sessionize": """
         WITH e AS (
           SELECT user_id, ts,
