@@ -125,6 +125,33 @@ def extract_spans_ds(docs: Dataset, cfg: Optional[PipelineConfig] = None) -> Dat
     )
 
 
+def extract_spans_staged_ds(
+    docs: Dataset,
+    cfg: Optional[PipelineConfig] = None,
+) -> Dataset:
+    """Staged assembly variant of the flagship (SURVEY.md §3 engine
+    shape): decode to page rows -> per-page span extraction -> light
+    ``groupby(doc_id)`` concat ordered by page_number. Same result as the
+    fused path (tested); use when page rows are needed mid-pipeline or
+    when one document's pages must process on different workers (salting
+    for oversized docs — pages are the natural salt)."""
+    from ..stages.decode import PagesToPageSpans, assemble_doc_spans_group
+
+    cfg = cfg or PipelineConfig()
+    pages = decode_pages_ds(docs, cfg)
+    page_spans = stage_map_batches(
+        pages,
+        PagesToPageSpans,
+        {"cfg": cfg},
+        batch_size=cfg.batch_size,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+    return page_spans.groupby("doc_id").map_groups(
+        assemble_doc_spans_group, batch_format="pyarrow"
+    )
+
+
 def extract_spans_skew_aware(
     docs: Dataset,
     cfg: Optional[PipelineConfig] = None,
@@ -215,6 +242,24 @@ def page_text_ds(
         pages,
         PagesToText,
         {"mode": mode, **kwargs},
+        batch_size=cfg.batch_size,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+
+
+def filter_pages_ds(
+    pages: Dataset, predicate, cfg: Optional[PipelineConfig] = None
+) -> Dataset:
+    """User-extension hook: arbitrary predicate over the char arrays
+    (reference Page.filter). ``predicate`` must be picklable."""
+    from ..stages.decode import PagesFilter
+
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        pages,
+        PagesFilter,
+        {"predicate": predicate},
         batch_size=cfg.batch_size,
         use_actors=cfg.use_actors,
         concurrency=cfg.concurrency,

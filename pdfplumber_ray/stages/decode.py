@@ -304,6 +304,85 @@ class PagesToText:
         )
 
 
+class PagesToPageSpans:
+    """Per-page flattening WITHOUT doc assembly: emits one row per page
+    with that page's ordered span structs (offsets unassigned). Feeds the
+    staged assembly path (``groupby(doc_id)`` concat) — blocks never split
+    across pages, so per-page extraction is complete (stages/layout.py)."""
+
+    def __init__(self, cfg: Optional[PipelineConfig] = None):
+        cfg = cfg or PipelineConfig()
+        self.word_cfg = cfg.word
+        self.table_cfg = cfg.table
+        self.synth_cfg = cfg.synth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .flatten import extract_doc_spans
+
+        doc_ids: List[str] = []
+        pns: List[int] = []
+        spans_out: List[List[Dict]] = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            spans = extract_doc_spans(
+                [page], self.word_cfg, self.table_cfg, self.synth_cfg
+            )
+            doc_ids.append(doc_id)
+            pns.append(int(page["page_number"]))
+            spans_out.append(spans)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "page_number": pa.array(pns, pa.int32()),
+                "spans": _spans_column(spans_out),
+            }
+        )
+
+
+def assemble_doc_spans_group(group: pa.Table) -> pa.Table:
+    """One doc's page-span rows -> one OUT_SPANS row: concat ordered by
+    page_number, reassign running offsets (the light per-doc gather of
+    SURVEY.md §4 — inputs are already reduced per page)."""
+    from ..sources.synth_corpus import assign_offsets
+
+    pns = group.column("page_number").to_numpy()
+    order = np.argsort(pns, kind="stable")
+    span_lists = group.column("spans").to_pylist()
+    merged: List[Dict] = []
+    for i in order:
+        merged.extend(span_lists[i])
+    offsets = assign_offsets([s["text"] for s in merged])
+    for s, o in zip(merged, offsets):
+        s["offset"] = o
+    return pa.table(
+        {
+            "doc_id": group.column("doc_id").slice(0, 1),
+            "spans": _spans_column([merged]),
+            "n_pages": pa.array([group.num_rows], pa.int32()),
+            "error": pa.array([None], pa.string()),
+        }
+    )
+
+
+class PagesFilter:
+    """Arbitrary user predicate over the char table (the reference's
+    ``Page.filter``, page.py:545-546 / FilteredPage page.py:689-703):
+    ``predicate(chars: dict[str, np.ndarray]) -> bool mask``."""
+
+    def __init__(self, predicate):
+        self.predicate = predicate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: List[Tuple[str, PageDict]] = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            chars = page["chars"]
+            if chars["x0"].shape[0]:
+                mask = np.asarray(self.predicate(chars), dtype=bool)
+                page = dict(page)
+                page["chars"] = {k: np.asarray(v)[mask] for k, v in chars.items()}
+            rows.append((doc_id, page))
+        return pages_to_arrow(rows)
+
+
 class PagesCrop:
     """Per-page geometric filtering of the object tables — the engine's
     ``Page.crop`` / ``within_bbox`` / ``outside_bbox`` (reference

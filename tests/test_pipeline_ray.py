@@ -149,3 +149,37 @@ def test_skew_aware_extract_same_results(ray_session):
     import pyarrow.compute as pc
     n = pc.list_value_length(t.column("spans"))
     assert pc.max(n).as_py() > 200 > pc.min(n).as_py()
+
+
+def test_staged_assembly_equals_fused(ray_session):
+    import ray.data as rd
+
+    from pdfplumber_ray.pipelines.extract import extract_spans_staged_ds
+
+    t = make_docs_table(25, seed=13, pathological_rate=0.1)
+    fused = {r["doc_id"]: span_key(r["spans"])
+             for r in extract_spans_ds(rd.from_arrow(t), PipelineConfig(batch_size=8)).take_all()}
+    staged = {r["doc_id"]: span_key(r["spans"])
+              for r in extract_spans_staged_ds(rd.from_arrow(t), PipelineConfig(batch_size=8)).take_all()}
+    assert staged == fused
+    # offsets identical too (reassigned after the page concat)
+    fused_off = {r["doc_id"]: [s["offset"] for s in r["spans"]]
+                 for r in extract_spans_ds(rd.from_arrow(t), PipelineConfig(batch_size=8)).take_all()}
+    staged_off = {r["doc_id"]: [s["offset"] for s in r["spans"]]
+                  for r in extract_spans_staged_ds(rd.from_arrow(t), PipelineConfig(batch_size=8)).take_all()}
+    assert staged_off == fused_off
+
+
+def test_filter_pages_predicate(ray_session):
+    import ray.data as rd
+
+    from pdfplumber_ray.pipelines import chars_ds, decode_pages_ds
+    from pdfplumber_ray.pipelines.extract import filter_pages_ds
+
+    t = make_docs_table(10, seed=13)
+    pages = decode_pages_ds(rd.from_arrow(t), PipelineConfig(batch_size=4))
+    big_only = filter_pages_ds(pages, lambda ch: ch["size"] >= 14.0)
+    out = chars_ds(big_only).take_all()
+    n_all = chars_ds(pages).count()
+    assert 0 < len(out) < n_all
+    assert all(r["size"] >= 14.0 for r in out)
