@@ -536,6 +536,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "words_by_lang": q_words_by_lang,
     "lineitem_agg": q_lineitem_agg,
     "top_customers": q_top_customers,
+    "hash_sample": lambda sf_dir: co.hash_sample_ds(
+        _documents(sf_dir).select_columns(["doc_id"])
+    ),
     "sessionize": lambda sf_dir: co.sessionize_ds(
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
@@ -646,6 +649,10 @@ ORACLES: Dict[str, str] = {
     "words_by_lang": (
         "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words "
         "FROM documents GROUP BY lang"
+    ),
+    "hash_sample": (
+        "SELECT doc_id FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
     ),
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,

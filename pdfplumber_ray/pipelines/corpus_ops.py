@@ -345,6 +345,36 @@ def ngram_jaccard_verify_ds(
     return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ---------- deterministic sampling ----------
+
+
+def hash_sample_ds(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    hex_prefixes: Tuple[str, ...] = ("0", "1"),
+) -> Dataset:
+    """Deterministic content-addressed sample: keep rows whose
+    ``md5(str(id))`` starts with one of ``hex_prefixes`` (2 prefixes =
+    1/8 expected rate). Unlike ``ds.random_shuffle``/``random_sample``,
+    the same rows are selected on every run, every cluster size, and in
+    SQL — the reproducibility a training-data pipeline needs."""
+    import hashlib
+
+    prefixes = tuple(hex_prefixes)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array(
+            [
+                hashlib.md5(str(i).encode()).hexdigest().startswith(prefixes)
+                for i in ids
+            ]
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------- broadcast join (small-side lookup, no shuffle) ----------
 
 
