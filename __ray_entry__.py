@@ -273,6 +273,30 @@ def q_crop_first_line(sf_dir: str) -> ray.data.Dataset:
     return txt.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_layout_text(sf_dir: str) -> ray.data.Dataset:
+    """Layout-preserving textmap (reference WordMap.to_textmap,
+    utils/text.py:241-420): newline imputation from vertical gaps turns
+    each one-line block + blank separator into exactly two newlines, so a
+    page's layout text equals its 6-word windows joined by blank lines —
+    reconstructable in SQL including pagination (24 blocks per page)."""
+    from pdfplumber_ray.pipelines import page_text_ds
+
+    pages = decode_pages_ds(_interleaved_docs6(sf_dir))
+    txt = page_text_ds(pages, mode="layout")
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "page_number": batch.column("page_number").cast(pa.int64()),
+                "text": batch.column("text"),
+            }
+        )
+
+    return txt.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dedupe_chars(sf_dir: str) -> ray.data.Dataset:
     """dedupe_chars (reference utils/text.py:784-804): inject a jittered
     duplicate of every char, dedupe, then word counts must equal the
@@ -545,6 +569,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
         )
     ),
     "text_lines": q_text_lines,
+    "layout_text": q_layout_text,
     "crop_first_line": q_crop_first_line,
     "dedupe_chars": q_dedupe_chars,
     "outline": q_outline,
@@ -689,6 +714,18 @@ ORACLES: Dict[str, str] = {
         SELECT doc_id, CAST(i // 6 AS BIGINT) AS line_index,
                string_agg(word, ' ' ORDER BY i) AS text
         FROM w GROUP BY doc_id, i // 6
+    """,
+    "layout_text": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+          FROM documents),
+        l AS (
+          SELECT doc_id, i // 6 AS li, string_agg(word, ' ' ORDER BY i) AS line
+          FROM w GROUP BY doc_id, i // 6)
+        SELECT doc_id, CAST(li // 24 + 1 AS BIGINT) AS page_number,
+               string_agg(line, chr(10) || chr(10) ORDER BY li) AS text
+        FROM l GROUP BY doc_id, li // 24
     """,
     "crop_first_line": (
         "SELECT doc_id, array_to_string(string_split(text, ' ')[1:6], ' ') AS text "
