@@ -243,6 +243,8 @@ class SynthLayoutConfig:
     media_width: float = 100.0
     body_font: str = "SynthMono"
     heading_font: str = "SynthMono-Bold"
+    rotate_short_headings: bool = True  # short headings render vertically
+    rotated_advance: float = 12.0       # per-glyph vertical advance
 
     @property
     def para_gap_threshold(self) -> float:

@@ -137,6 +137,49 @@ def page_tables(
     return out
 
 
+def rotated_text_blocks(
+    sub: Dict[str, np.ndarray],
+    word_cfg: WordConfig,
+    synth_cfg: SynthLayoutConfig,
+) -> List[Tuple[float, str, str]]:
+    """upright=False char runs -> [(doctop, kind, text)] blocks.
+
+    Rotated text stacks glyphs vertically at a fixed x (the reference's
+    rotated line/char direction swap, utils/text.py:55-75): columns come
+    from clustering x0, blocks within a column from vertical-gap breaks
+    (> per-glyph advance), and word assembly inside a block uses the same
+    kernel — its rotated direction resolution orders chars top-to-bottom."""
+    heading_cut = (synth_cfg.body_size + synth_cfg.heading_size) / 2.0
+    blocks: List[Tuple[float, str, str]] = []
+    col_ids = cluster_ids(sub["x0"], float(word_cfg.x_tolerance))
+    order = np.lexsort((sub["top"], col_ids))
+    # between-word gap in a rotated run is 2*advance (skipped space slot);
+    # between-block gap is >= 2*advance + line_height + glyph size — cut in
+    # the dead zone between them
+    gap_cut = 2.0 * synth_cfg.rotated_advance + synth_cfg.line_height / 2.0
+    cid_s = col_ids[order]
+    top_s = sub["top"][order]
+    brk = np.ones(order.shape[0], dtype=bool)
+    if order.shape[0] > 1:
+        brk[1:] = (cid_s[1:] != cid_s[:-1]) | (
+            (top_s[1:] - top_s[:-1]) > gap_cut
+        )
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], order.shape[0])
+    for s, e in zip(starts, ends):
+        idx = order[s:e]
+        block = {k: np.asarray(v)[idx] for k, v in sub.items()}
+        words = extract_words_page(block, word_cfg)
+        if words["text"].shape[0] == 0:
+            continue
+        text = " ".join(words["text"].tolist())
+        heading = float(block["size"][0]) >= heading_cut
+        blocks.append(
+            (float(block["doctop"].min()), "heading" if heading else "text", text)
+        )
+    return blocks
+
+
 def page_text_blocks(
     page: PageDict,
     table_bboxes: Sequence[Tuple[float, float, float, float]],
@@ -156,10 +199,21 @@ def page_text_blocks(
     if not keep.any():
         return []
     sub = {k: np.asarray(v)[keep] for k, v in chars.items()}
+
+    rotated_blocks: List[Tuple[float, str, str]] = []
+    upright_mask = np.asarray(sub["upright"], dtype=bool)
+    if not upright_mask.all():
+        rot = {k: np.asarray(v)[~upright_mask] for k, v in sub.items()}
+        rotated_blocks = rotated_text_blocks(rot, word_cfg, synth_cfg)
+        if upright_mask.any():
+            sub = {k: np.asarray(v)[upright_mask] for k, v in sub.items()}
+        else:
+            return rotated_blocks
+
     words = extract_words_page(sub, word_cfg)
     nw = words["text"].shape[0]
     if nw == 0:
-        return []
+        return rotated_blocks
 
     line_ids = cluster_ids(words["top"], float(word_cfg.y_tolerance))
     order = np.lexsort((words["x0"], line_ids))
@@ -196,7 +250,7 @@ def page_text_blocks(
         blocks.append(
             (float(doctops[b]), "heading" if headings[b] else "text", text)
         )
-    return blocks
+    return blocks + rotated_blocks
 
 
 def extract_doc_spans(

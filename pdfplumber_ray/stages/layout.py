@@ -68,6 +68,7 @@ class _PageBuilder:
         self.g_top: List[float] = []
         self.g_size: List[float] = []
         self.g_font: List[str] = []
+        self.g_upright: List[bool] = []
         self.r_x0: List[float] = []
         self.r_x1: List[float] = []
         self.r_top: List[float] = []
@@ -89,6 +90,26 @@ class _PageBuilder:
             self.g_top.append(line_top)
             self.g_size.append(size)
             self.g_font.append(fontname)
+            self.g_upright.append(True)
+
+    def emit_rotated_chars(
+        self, text: str, block_top: float, size: float, fontname: str,
+        x_left: float, advance: float,
+    ) -> None:
+        """Vertical (rotated, upright=False) char run: glyphs stack
+        top-to-bottom at a fixed x; spaces advance the cursor but emit no
+        glyph — the rotated word-break semantics of the reference's
+        char_dir_rotated path (utils/text.py:55-75)."""
+        for j, ch in enumerate(text):
+            if ch == " ":
+                continue
+            self.g_text.append(ch)
+            self.g_k.append(0)
+            self.g_xleft.append(x_left)
+            self.g_top.append(block_top + j * advance)
+            self.g_size.append(size)
+            self.g_font.append(fontname)
+            self.g_upright.append(False)
 
     def emit_rect(self, x0: float, top: float, x1: float, bottom: float) -> None:
         self.r_x0.append(x0)
@@ -125,7 +146,7 @@ class _PageBuilder:
                 "doctop": top + self.initial_doctop,
                 "size": size,
                 "fontname": np.asarray(self.g_font, dtype=object),
-                "upright": np.ones(n, dtype=bool),
+                "upright": np.asarray(self.g_upright, dtype=bool),
             }
         else:
             chars = _empty_chars()
@@ -197,6 +218,18 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
         nonlocal li
         size = cfg.heading_size if heading else cfg.body_size
         font = cfg.heading_font if heading else cfg.body_font
+        if heading and cfg.rotate_short_headings and len(text) <= 24 and len(text) % 2 == 0:
+            # deterministic content rule; extraction never needs it — it
+            # reconstructs the block from upright=False geometry alone
+            adv = cfg.rotated_advance
+            import math as _math
+            n_slots = max(1, _math.ceil((len(text) * adv + size) / cfg.line_height))
+            ensure_lines(n_slots)
+            builder.emit_rotated_chars(
+                text, line_top(li), size, font, cfg.margin_left, adv
+            )
+            li += n_slots + 1
+            return
         lines = wrap_words(text, cfg.max_line_chars)
         ensure_lines(len(lines))
         first_w = len(lines[0]) * cfg.char_advance

@@ -134,15 +134,23 @@ def test_heading_underlines_are_lines_and_invisible(ray_session):
     from pdfplumber_ray.stages.layout import layout_doc
     from pdfplumber_ray.stages.flatten import extract_doc_spans
 
-    # find a doc with a heading
-    for i in range(50):
+    # find a doc with a horizontally-rendered heading (short even-length
+    # headings render rotated and carry no underline)
+    def horizontal_headings(spans):
+        return sum(
+            1
+            for s in spans
+            if s["kind"] == "heading"
+            and (len(s["text"]) > 24 or len(s["text"]) % 2 == 1)
+        )
+
+    for i in range(80):
         spans = make_doc_spans(i, seed=42)
-        if any(s["kind"] == "heading" for s in spans):
+        if horizontal_headings(spans):
             break
     pages = layout_doc(spans)
     n_lines = sum(p["lines"]["x0"].shape[0] for p in pages)
-    n_headings = sum(1 for s in spans if s["kind"] == "heading")
-    assert n_lines == n_headings > 0
+    assert n_lines == horizontal_headings(spans) > 0
     # underline objects never perturb the extracted span sequence
     out = extract_doc_spans(pages)
     assert [(s["kind"], s["text"]) for s in out] == [

@@ -73,3 +73,22 @@ def test_layout_blocks_never_split_pages():
         if chars["top"].shape[0]:
             assert chars["top"].min() >= cfg.margin_top - 1e-9
             assert chars["bottom"].max() <= cfg.page_height
+
+
+def test_rotated_headings_roundtrip():
+    # short even-length headings render as vertical (upright=False) runs;
+    # extraction must reassemble them via the rotated word-direction path
+    found_rotated = 0
+    for i in range(120):
+        spans = make_doc_spans(i, seed=42)
+        pages = layout_doc(spans)
+        n_rot = sum(
+            int((~p["chars"]["upright"]).sum())
+            for p in pages
+            if p["chars"]["upright"].shape[0]
+        )
+        if n_rot:
+            found_rotated += 1
+            out = extract_doc_spans(pages)
+            assert span_key(out) == span_key(spans), f"doc {i}"
+    assert found_rotated > 10
