@@ -183,3 +183,29 @@ def test_filter_pages_predicate(ray_session):
     n_all = chars_ds(pages).count()
     assert 0 < len(out) < n_all
     assert all(r["size"] >= 14.0 for r in out)
+
+
+def test_empty_and_degenerate_inputs(ray_session):
+    import ray.data as rd
+
+    from pdfplumber_ray.schemas import DOCS, SPAN
+
+    # zero-doc dataset flows through without error
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.string()), "spans": pa.array([], pa.list_(SPAN))}
+    )
+    assert extract_spans_ds(rd.from_arrow(empty)).count() == 0
+
+    # a doc with zero spans and a doc with an empty-text span
+    degenerate = pa.table(
+        {
+            "doc_id": pa.array(["no-spans", "blank"]),
+            "spans": pa.array(
+                [[], [{"kind": "text", "text": "x", "media_ref": "", "offset": 0}]],
+                pa.list_(SPAN),
+            ),
+        }
+    )
+    out = {r["doc_id"]: r for r in extract_spans_ds(rd.from_arrow(degenerate)).take_all()}
+    assert out["no-spans"]["spans"] == [] and out["no-spans"]["error"] is None
+    assert [s["text"] for s in out["blank"]["spans"]] == ["x"]
