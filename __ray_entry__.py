@@ -273,6 +273,29 @@ def q_crop_first_line(sf_dir: str) -> ray.data.Dataset:
     return txt.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_mcid_text(sf_dir: str) -> ray.data.Dataset:
+    """Marked-content-id text assembly (the reference's only true join
+    path, cli.py:72-91): chars grouped by stamped mcid reproduce each
+    source span's text (space glyphs are never emitted, so the concat is
+    the window text with spaces removed)."""
+    from pdfplumber_ray.pipelines.extract import mcid_text_ds
+
+    pages = decode_pages_ds(_interleaved_docs(sf_dir))
+    mt = mcid_text_ds(pages)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "mcid": batch.column("mcid"),
+                "text": batch.column("text"),
+            }
+        )
+
+    return mt.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_layout_text(sf_dir: str) -> ray.data.Dataset:
     """Layout-preserving textmap (reference WordMap.to_textmap,
     utils/text.py:241-420): newline imputation from vertical gaps turns
@@ -570,6 +593,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     ),
     "text_lines": q_text_lines,
     "layout_text": q_layout_text,
+    "mcid_text": q_mcid_text,
     "crop_first_line": q_crop_first_line,
     "dedupe_chars": q_dedupe_chars,
     "outline": q_outline,
@@ -714,6 +738,15 @@ ORACLES: Dict[str, str] = {
         SELECT doc_id, CAST(i // 6 AS BIGINT) AS line_index,
                string_agg(word, ' ' ORDER BY i) AS text
         FROM w GROUP BY doc_id, i // 6
+    """,
+    "mcid_text": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+          FROM documents)
+        SELECT doc_id, CAST(i // 12 AS BIGINT) AS mcid,
+               string_agg(word, '' ORDER BY i) AS text
+        FROM w GROUP BY doc_id, i // 12
     """,
     "layout_text": """
         WITH w AS (

@@ -14,3 +14,11 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .config import (  # noqa: E402,F401
+    LayoutConfig,
+    PipelineConfig,
+    SynthLayoutConfig,
+    TableConfig,
+    WordConfig,
+)

@@ -248,6 +248,23 @@ def page_text_ds(
     )
 
 
+def mcid_text_ds(pages: Dataset, cfg: Optional[PipelineConfig] = None) -> Dataset:
+    """Marked-content text per (doc, mcid) — reference MCID stamping
+    (page.py:128-176) + the CLI structure-text groupby-concat
+    (cli.py:72-91). Join against outline elements with broadcast_join_ds."""
+    from ..stages.decode import PagesToMcidText
+
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        pages,
+        PagesToMcidText,
+        {},
+        batch_size=cfg.batch_size,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+
+
 def filter_pages_ds(
     pages: Dataset, predicate, cfg: Optional[PipelineConfig] = None
 ) -> Dataset:

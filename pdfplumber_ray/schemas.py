@@ -33,6 +33,7 @@ CHAR = pa.struct(
         ("size", pa.float64()),
         ("fontname", pa.string()),
         ("upright", pa.bool_()),
+        ("mcid", pa.int32()),  # marked-content id = source span ordinal; -1 when absent
     ]
 )
 
@@ -89,6 +90,7 @@ CHARS_FLAT = pa.schema(
         ("size", pa.float64()),
         ("fontname", pa.string()),
         ("upright", pa.bool_()),
+        ("mcid", pa.int32()),  # marked-content id = source span ordinal; -1 when absent
     ]
 )
 

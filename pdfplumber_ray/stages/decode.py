@@ -26,7 +26,7 @@ from ..schemas import CHAR, IMAGE, LINE, RECT, SPAN
 from .flatten import extract_doc_spans, page_tables
 from .layout import LayoutError, PageDict, layout_doc
 
-_CHAR_FIELDS = ("text", "x0", "x1", "top", "bottom", "doctop", "size", "fontname", "upright")
+_CHAR_FIELDS = ("text", "x0", "x1", "top", "bottom", "doctop", "size", "fontname", "upright", "mcid")
 _RECT_FIELDS = ("x0", "x1", "top", "bottom", "doctop")
 
 
@@ -299,6 +299,43 @@ class PagesToText:
             {
                 "doc_id": pa.array(doc_ids, pa.string()),
                 "page_number": pa.array(pns, pa.int32()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+
+class PagesToMcidText:
+    """Marked-content text assembly — the reference's MCID machinery
+    (page.py:128-176 stamping + cli.py:72-91 structure-text join): chars
+    are grouped by their marked-content id within a page (an mcid never
+    spans pages) and concatenated in reading order, yielding one text row
+    per (doc, mcid) ready to join against structure/outline elements."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids: List[str] = []
+        mcids: List[int] = []
+        texts: List[str] = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            chars = page["chars"]
+            n = chars["x0"].shape[0]
+            if n == 0:
+                continue
+            mc = np.asarray(chars["mcid"], dtype=np.int64)
+            order = np.lexsort((chars["x0"], chars["doctop"], mc))
+            mc_s = mc[order]
+            txt_s = np.asarray(chars["text"], dtype=object)[order]
+            starts = np.flatnonzero(np.r_[True, mc_s[1:] != mc_s[:-1]])
+            ends = np.append(starts[1:], mc_s.shape[0])
+            for st, en in zip(starts, ends):
+                if mc_s[st] < 0:
+                    continue
+                doc_ids.append(doc_id)
+                mcids.append(int(mc_s[st]))
+                texts.append("".join(txt_s[st:en].tolist()))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "mcid": pa.array(mcids, pa.int64()),
                 "text": pa.array(texts, pa.string()),
             }
         )

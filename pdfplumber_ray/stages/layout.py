@@ -69,6 +69,7 @@ class _PageBuilder:
         self.g_size: List[float] = []
         self.g_font: List[str] = []
         self.g_upright: List[bool] = []
+        self.g_mcid: List[int] = []
         self.r_x0: List[float] = []
         self.r_x1: List[float] = []
         self.r_top: List[float] = []
@@ -79,7 +80,8 @@ class _PageBuilder:
         self.images: List[Dict[str, object]] = []
 
     def emit_line_chars(
-        self, line: str, line_top: float, size: float, fontname: str, x_left: float
+        self, line: str, line_top: float, size: float, fontname: str,
+        x_left: float, mcid: int = -1,
     ) -> None:
         for k, ch in enumerate(line):
             if ch == " ":
@@ -91,10 +93,11 @@ class _PageBuilder:
             self.g_size.append(size)
             self.g_font.append(fontname)
             self.g_upright.append(True)
+            self.g_mcid.append(mcid)
 
     def emit_rotated_chars(
         self, text: str, block_top: float, size: float, fontname: str,
-        x_left: float, advance: float,
+        x_left: float, advance: float, mcid: int = -1,
     ) -> None:
         """Vertical (rotated, upright=False) char run: glyphs stack
         top-to-bottom at a fixed x; spaces advance the cursor but emit no
@@ -110,6 +113,7 @@ class _PageBuilder:
             self.g_size.append(size)
             self.g_font.append(fontname)
             self.g_upright.append(False)
+            self.g_mcid.append(mcid)
 
     def emit_rect(self, x0: float, top: float, x1: float, bottom: float) -> None:
         self.r_x0.append(x0)
@@ -147,6 +151,7 @@ class _PageBuilder:
                 "size": size,
                 "fontname": np.asarray(self.g_font, dtype=object),
                 "upright": np.asarray(self.g_upright, dtype=bool),
+                "mcid": np.asarray(self.g_mcid, dtype=np.int32),
             }
         else:
             chars = _empty_chars()
@@ -186,6 +191,7 @@ def _empty_chars() -> Dict[str, np.ndarray]:
     out["text"] = np.empty(0, dtype=object)
     out["fontname"] = np.empty(0, dtype=object)
     out["upright"] = np.empty(0, dtype=bool)
+    out["mcid"] = np.empty(0, dtype=np.int32)
     return out
 
 
@@ -214,7 +220,7 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
         if li + n > cfg.lines_per_page and li > 0:
             new_page()
 
-    def emit_text_block(text: str, heading: bool) -> None:
+    def emit_text_block(text: str, heading: bool, mcid: int = -1) -> None:
         nonlocal li
         size = cfg.heading_size if heading else cfg.body_size
         font = cfg.heading_font if heading else cfg.body_font
@@ -226,7 +232,7 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
             n_slots = max(1, _math.ceil((len(text) * adv + size) / cfg.line_height))
             ensure_lines(n_slots)
             builder.emit_rotated_chars(
-                text, line_top(li), size, font, cfg.margin_left, adv
+                text, line_top(li), size, font, cfg.margin_left, adv, mcid
             )
             li += n_slots + 1
             return
@@ -234,7 +240,7 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
         ensure_lines(len(lines))
         first_w = len(lines[0]) * cfg.char_advance
         for line in lines:
-            builder.emit_line_chars(line, line_top(li), size, font, cfg.margin_left)
+            builder.emit_line_chars(line, line_top(li), size, font, cfg.margin_left, mcid)
             li += 1
         if heading and first_w > 0:
             # decorative underline: a zero-height line object in the blank
@@ -245,7 +251,7 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
             )
         li += 1  # blank separator line -> paragraph gap
 
-    def emit_table_run(cells: List[str]) -> None:
+    def emit_table_run(cells: List[str], mcids: List[int]) -> None:
         nonlocal li
         ncols = max(2, min(cfg.table_cols, len(cells)))
         width_chars = max(len(c) for c in cells) + 2 * cfg.cell_pad_chars
@@ -255,6 +261,7 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
         i = 0
         while i < len(cells):
             chunk = cells[i : i + rows_per_page * ncols]
+            chunk_mcids = mcids[i : i + rows_per_page * ncols]
             i += len(chunk)
             nrows = math.ceil(len(chunk) / ncols)
             ensure_lines(nrows * cfg.cell_height_lines)
@@ -267,7 +274,8 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
                 pad = cfg.cell_pad_chars * cfg.char_advance
                 text_top = ctop + (cell_h - cfg.body_size) / 2.0
                 builder.emit_line_chars(
-                    cell_text, text_top, cfg.body_size, cfg.body_font, cx0 + pad
+                    cell_text, text_top, cfg.body_size, cfg.body_font,
+                    cx0 + pad, chunk_mcids[j],
                 )
             li += nrows * cfg.cell_height_lines + 1
 
@@ -291,16 +299,18 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
         kind = span["kind"]
         if kind == "table_cell":
             run = [span["text"]]
+            run_mcids = [i]
             while i + 1 < n and spans[i + 1]["kind"] == "table_cell":
                 i += 1
                 run.append(spans[i]["text"])
-            emit_table_run(run)
+                run_mcids.append(i)
+            emit_table_run(run, run_mcids)
         elif kind == "media_ref":
             emit_media(span["media_ref"])
         elif kind == "heading":
-            emit_text_block(span["text"], heading=True)
+            emit_text_block(span["text"], heading=True, mcid=i)
         else:  # text (default)
-            emit_text_block(span["text"], heading=False)
+            emit_text_block(span["text"], heading=False, mcid=i)
         i += 1
 
     pages.append(builder.finish())

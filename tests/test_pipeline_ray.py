@@ -209,3 +209,24 @@ def test_empty_and_degenerate_inputs(ray_session):
     out = {r["doc_id"]: r for r in extract_spans_ds(rd.from_arrow(degenerate)).take_all()}
     assert out["no-spans"]["spans"] == [] and out["no-spans"]["error"] is None
     assert [s["text"] for s in out["blank"]["spans"]] == ["x"]
+
+
+def test_mcid_text_matches_source_spans(ray_session):
+    import ray.data as rd
+
+    from pdfplumber_ray.pipelines.extract import mcid_text_ds
+
+    t = make_docs_table(20, seed=21)
+    pages = decode_pages_ds(rd.from_arrow(t), PipelineConfig(batch_size=8))
+    got = {}
+    for r in mcid_text_ds(pages).take_all():
+        got[(r["doc_id"], r["mcid"])] = r["text"]
+    n_checked = 0
+    for did, spans in zip(t.column("doc_id").to_pylist(), t.column("spans").to_pylist()):
+        for i, s in enumerate(spans):
+            if s["kind"] == "media_ref":
+                assert (did, i) not in got  # images carry no chars
+                continue
+            assert got[(did, i)] == s["text"].replace(" ", ""), (did, i)
+            n_checked += 1
+    assert n_checked > 100
