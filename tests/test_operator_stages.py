@@ -171,3 +171,20 @@ def test_curves_to_edges_kernel():
     # oblique segments are dropped by the orientation filters
     assert filter_edges_mask(e, orientation="h").sum() == 1
     assert filter_edges_mask(e, orientation="v").sum() == 1
+
+
+def test_write_objects_csv_file(pages, tmp_path):
+    import csv
+    import glob
+
+    from pdfplumber_ray.sinks import write_objects_csv
+
+    out = str(tmp_path / "chars_csv")
+    write_objects_csv(chars_ds(pages), out, "char", precision=2)
+    files = glob.glob(out + "/*")
+    assert files
+    with open(files[0]) as f:
+        rows = list(csv.reader(f))
+    assert rows[0][0] == "object_type"
+    assert rows[1][0] == "char"
+    assert len(rows) > 1
