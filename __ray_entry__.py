@@ -184,6 +184,22 @@ def q_near_dup_verified(sf_dir: str) -> ray.data.Dataset:
     return co.ngram_jaccard_verify_ds(cands, docs, threshold=0.5)
 
 
+def q_near_dup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Oracle-exact near-dup: 64 one-row LSH bands make a j>=0.5 pair a
+    candidate with probability 1-2^-64, then exact shingle Jaccard
+    verification — the result equals an all-pairs SQL Jaccard join (both
+    sides compute the identical rational, so even the float column
+    hash-matches)."""
+    docs = _documents(sf_dir)
+    cands = co.minhash_pairs_ds(docs, num_perm=64, bands=64, threshold=0.0)
+    verified = co.ngram_jaccard_verify_ds(cands, docs, threshold=0.5)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_a", "doc_b", "jaccard"])
+
+    return verified.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _sim_e3(ds: ray.data.Dataset) -> ray.data.Dataset:
     def fix(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -575,6 +591,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "near_dup_verified": q_near_dup_verified,
+    "near_dup_exact": q_near_dup_exact,
     "ann_brute": q_ann_brute,
     "ann_ivf": q_ann_ivf,
     "media_decode": q_media_decode,
@@ -699,6 +716,19 @@ ORACLES: Dict[str, str] = {
         "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words "
         "FROM documents GROUP BY lang"
     ),
+    "near_dup_exact": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        s AS (SELECT doc_id,
+          CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+               ELSE list_distinct([array_to_string(l[i:i+4], ' ') for i in range(1, len(l)-3)])
+          END AS sh FROM t),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) + len(b.sh) AS tot
+              FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, inter * 1.0 / (tot - inter) AS jaccard
+        FROM p WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
     "hash_sample": (
         "SELECT doc_id FROM documents "
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')"
