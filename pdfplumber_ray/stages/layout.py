@@ -62,6 +62,10 @@ class _PageBuilder:
         self.page_number = page_number
         self.cfg = cfg
         self.initial_doctop = (page_number - 1) * cfg.page_height
+        # upright text: one record per LINE, expanded vectorized in finish()
+        # (per-glyph list appends were the layout hot spot)
+        self.lines_rec: List[tuple] = []  # (text, x_left, top, size, font, mcid)
+        # rotated glyphs are rare; kept per-char
         self.g_text: List[str] = []
         self.g_k: List[int] = []      # char index within its line
         self.g_xleft: List[float] = []
@@ -83,17 +87,8 @@ class _PageBuilder:
         self, line: str, line_top: float, size: float, fontname: str,
         x_left: float, mcid: int = -1,
     ) -> None:
-        for k, ch in enumerate(line):
-            if ch == " ":
-                continue
-            self.g_text.append(ch)
-            self.g_k.append(k)
-            self.g_xleft.append(x_left)
-            self.g_top.append(line_top)
-            self.g_size.append(size)
-            self.g_font.append(fontname)
-            self.g_upright.append(True)
-            self.g_mcid.append(mcid)
+        if line:
+            self.lines_rec.append((line, x_left, line_top, size, fontname, mcid))
 
     def emit_rotated_chars(
         self, text: str, block_top: float, size: float, fontname: str,
@@ -131,8 +126,43 @@ class _PageBuilder:
             {"x0": x0, "top": top, "x1": x1, "bottom": bottom, "media_ref": ref}
         )
 
+    def _expand_lines(self) -> Dict[str, np.ndarray]:
+        """Vectorized per-line -> per-glyph expansion for upright text."""
+        recs = self.lines_rec
+        cfg = self.cfg
+        all_text = "".join(r[0] for r in recs)
+        glyphs = np.array(list(all_text), dtype=object) if all_text else np.empty(0, object)
+        lens = np.fromiter((len(r[0]) for r in recs), dtype=np.int64, count=len(recs))
+        line_idx = np.repeat(np.arange(len(recs)), lens)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(recs) else np.empty(0, np.int64)
+        k = np.arange(glyphs.shape[0]) - starts[line_idx] if glyphs.shape[0] else np.empty(0, np.int64)
+        keep = glyphs != " "
+        li = line_idx[keep]
+        kk = k[keep]
+        xl = np.fromiter((r[1] for r in recs), dtype=np.float64, count=len(recs))[li]
+        tp = np.fromiter((r[2] for r in recs), dtype=np.float64, count=len(recs))[li]
+        sz = np.fromiter((r[3] for r in recs), dtype=np.float64, count=len(recs))[li]
+        fonts = np.array([r[4] for r in recs], dtype=object)[li]
+        mcids = np.fromiter((r[5] for r in recs), dtype=np.int32, count=len(recs))[li]
+        x0 = xl + kk * cfg.char_advance
+        return {
+            "text": glyphs[keep],
+            "x0": x0,
+            "x1": x0 + cfg.char_width,
+            "top": tp,
+            "bottom": tp + sz,
+            "doctop": tp + self.initial_doctop,
+            "size": sz,
+            "fontname": fonts,
+            "upright": np.ones(li.shape[0], dtype=bool),
+            "mcid": mcids,
+        }
+
     def finish(self) -> PageDict:
         cfg = self.cfg
+        parts = []
+        if self.lines_rec:
+            parts.append(self._expand_lines())
         n = len(self.g_text)
         if n:
             x0 = (
@@ -141,7 +171,7 @@ class _PageBuilder:
             )
             top = np.asarray(self.g_top, dtype=np.float64)
             size = np.asarray(self.g_size, dtype=np.float64)
-            chars: Dict[str, np.ndarray] = {
+            parts.append({
                 "text": np.asarray(self.g_text, dtype=object),
                 "x0": x0,
                 "x1": x0 + cfg.char_width,
@@ -152,7 +182,11 @@ class _PageBuilder:
                 "fontname": np.asarray(self.g_font, dtype=object),
                 "upright": np.asarray(self.g_upright, dtype=bool),
                 "mcid": np.asarray(self.g_mcid, dtype=np.int32),
-            }
+            })
+        if len(parts) == 1:
+            chars = parts[0]
+        elif parts:
+            chars = {key: np.concatenate([p[key] for p in parts]) for key in parts[0]}
         else:
             chars = _empty_chars()
         chars["width"] = chars["x1"] - chars["x0"]
