@@ -17,6 +17,17 @@ Dataset = ray.data.Dataset
 
 MEDIA_BATCH_SIZE = 128  # large binary rows -> smaller batches than text
 
+# Media stages default to a bounded ACTOR pool: a real decoder loads codec
+# state (models, ffmpeg contexts) too heavy to rebuild on worker churn —
+# exactly the case PipelineConfig.use_actors exists for.
+_MEDIA_CFG_DEFAULT = None
+
+
+def _media_cfg(cfg):
+    from ..config import PipelineConfig
+
+    return cfg or PipelineConfig(use_actors=True, concurrency=(2, 16))
+
 
 def with_payloads(docs: Dataset, id_col: str = "doc_id") -> Dataset:
     def fn(batch):
@@ -28,7 +39,7 @@ def with_payloads(docs: Dataset, id_col: str = "doc_id") -> Dataset:
 def media_decode_ds(
     docs: Dataset, cfg: Optional[PipelineConfig] = None, id_col: str = "doc_id"
 ) -> Dataset:
-    cfg = cfg or PipelineConfig()
+    cfg = _media_cfg(cfg)
     return stage_map_batches(
         with_payloads(docs, id_col),
         MediaDecode,
@@ -46,7 +57,7 @@ def media_resize_ds(
     cfg: Optional[PipelineConfig] = None,
     id_col: str = "doc_id",
 ) -> Dataset:
-    cfg = cfg or PipelineConfig()
+    cfg = _media_cfg(cfg)
     return stage_map_batches(
         with_payloads(docs, id_col),
         MediaResize,
@@ -63,7 +74,7 @@ def frame_sample_ds(
     cfg: Optional[PipelineConfig] = None,
     id_col: str = "doc_id",
 ) -> Dataset:
-    cfg = cfg or PipelineConfig()
+    cfg = _media_cfg(cfg)
     return stage_map_batches(
         with_payloads(docs, id_col),
         FrameSample,
