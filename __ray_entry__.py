@@ -200,6 +200,20 @@ def q_near_dup_exact(sf_dir: str) -> ray.data.Dataset:
     return verified.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _sim_e3_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    def fix(batch: pa.Table) -> pa.Table:
+        sims = batch.column("sim").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_a": batch.column("vec_a"),
+                "vec_b": batch.column("vec_b"),
+                "sim_e3": pa.array(np.round(sims * 1000).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _sim_e3(ds: ray.data.Dataset) -> ray.data.Dataset:
     def fix(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -592,6 +606,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "simhash_pairs": q_simhash_pairs,
     "near_dup_verified": q_near_dup_verified,
     "near_dup_exact": q_near_dup_exact,
+    "embedding_near_dup": lambda sf_dir: _sim_e3_pairs(
+        co.embedding_near_dup_ds(_embeddings(sf_dir), threshold=0.45)
+    ),
     "ann_brute": q_ann_brute,
     "ann_ivf": q_ann_ivf,
     "media_decode": q_media_decode,
@@ -716,6 +733,13 @@ ORACLES: Dict[str, str] = {
         "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words "
         "FROM documents GROUP BY lang"
     ),
+    "embedding_near_dup": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(round(round(list_cosine_similarity(a.embedding, b.embedding), 6) * 1000)
+                    AS BIGINT) AS sim_e3
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.45
+    """,
     "near_dup_exact": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         s AS (SELECT doc_id,

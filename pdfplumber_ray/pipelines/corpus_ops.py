@@ -345,6 +345,62 @@ def ngram_jaccard_verify_ds(
     return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def embedding_near_dup_ds(
+    embeddings: Dataset,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> Dataset:
+    """Embedding-cosine near-duplicate pairs: every batch computes its
+    rows' cosine against the broadcast full matrix (small side via
+    ``ray.put``) and emits pairs (a < b, sim >= threshold). This is the
+    exact baseline; at 10^12-vector scale swap the broadcast for
+    random-hyperplane bucketing (sign-pattern groupby — the SimHash
+    machinery above) and scan within buckets."""
+    rows = []
+    ids_all: List[int] = []
+    for b in embeddings.select_columns([id_col, vec_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        m = _as_matrix(b.column(vec_col))
+        rows.append(m)
+        ids_all.extend(b.column(id_col).to_pylist())
+    full = np.vstack(rows)
+    norms = np.linalg.norm(full, axis=1)
+    norms[norms == 0] = 1.0
+    full_n = full / norms[:, None]
+    ids_arr = np.asarray(ids_all)
+    ref = ray.put((full_n, ids_arr))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        fn, fids = ray.get(ref)
+        m = _as_matrix(batch.column(vec_col))
+        bn = np.linalg.norm(m, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (m / bn[:, None]) @ fn.T
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        a_out: List[int] = []
+        b_out: List[int] = []
+        s_out: List[float] = []
+        hit_r, hit_c = np.nonzero(np.round(sims, round_digits) >= threshold)
+        for r, c in zip(hit_r, hit_c):
+            a, b = int(bids[r]), int(fids[c])
+            if a < b:  # each unordered pair emitted exactly once
+                a_out.append(a)
+                b_out.append(b)
+                s_out.append(float(np.round(sims[r, c], round_digits)))
+        return pa.table(
+            {
+                "vec_a": pa.array(a_out, pa.int64()),
+                "vec_b": pa.array(b_out, pa.int64()),
+                "sim": pa.array(s_out, pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------- deterministic sampling ----------
 
 
