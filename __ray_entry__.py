@@ -326,6 +326,48 @@ def q_mcid_text(sf_dir: str) -> ray.data.Dataset:
     return mt.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _annot_docs(sf_dir: str) -> ray.data.Dataset:
+    from pdfplumber_ray.sources.synth_corpus import docs_with_annots_batch
+
+    return _documents(sf_dir).map_batches(
+        docs_with_annots_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_annots(sf_dir: str) -> ray.data.Dataset:
+    """Annotation objects (reference page.py:280-319): each doc's heading
+    block yields a contents annotation and its media span a uri (link)
+    annotation, both flattened from the decoded page rows."""
+    from pdfplumber_ray.pipelines import annots_ds
+
+    ann = annots_ds(decode_pages_ds(_annot_docs(sf_dir)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "uri": batch.column("uri"),
+                "contents": batch.column("contents"),
+            }
+        )
+
+    return ann.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
+    """Hyperlink filter over annots (reference page.py:321-323)."""
+    from pdfplumber_ray.pipelines import hyperlinks_ds
+
+    links = hyperlinks_ds(decode_pages_ds(_annot_docs(sf_dir)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table({"doc_id": ids, "uri": batch.column("uri")})
+
+    return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_layout_text(sf_dir: str) -> ray.data.Dataset:
     """Layout-preserving textmap (reference WordMap.to_textmap,
     utils/text.py:241-420): newline imputation from vertical gaps turns
@@ -631,6 +673,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "crop_first_line": q_crop_first_line,
     "dedupe_chars": q_dedupe_chars,
     "outline": q_outline,
+    "annots": q_annots,
+    "hyperlinks": q_hyperlinks,
 }
 
 
@@ -831,6 +875,20 @@ ORACLES: Dict[str, str] = {
                string_agg(word, ' ' ORDER BY i) AS text
         FROM w GROUP BY doc_id, i // 12
     """,
+    "annots": """
+        SELECT doc_id, '' AS uri,
+               array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS contents
+        FROM documents WHERE text <> ''
+        UNION ALL
+        SELECT doc_id,
+               'media://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0' AS uri,
+               '' AS contents
+        FROM documents
+    """,
+    "hyperlinks": (
+        "SELECT doc_id, 'media://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') "
+        "|| '/0' AS uri FROM documents"
+    ),
 }
 
 

@@ -3,6 +3,8 @@ from .extract import (  # noqa: F401
     extract_spans_ds,
     decode_pages_ds,
     chars_ds,
+    annots_ds,
+    hyperlinks_ds,
     words_ds,
     page_text_ds,
     search_ds,

@@ -38,7 +38,9 @@ from ..stages.decode import (
     PagesToTextLines,
     PagesToWords,
     SynthDecodePages,
+    pages_batch_to_annots,
     pages_batch_to_chars,
+    pages_batch_to_hyperlinks,
 )
 
 Dataset = ray.data.Dataset
@@ -212,6 +214,20 @@ def decode_pages_ds(docs: Dataset, cfg: Optional[PipelineConfig] = None) -> Data
 def chars_ds(pages: Dataset) -> Dataset:
     return pages.map_batches(
         pages_batch_to_chars, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def annots_ds(pages: Dataset) -> Dataset:
+    """Flat annotation table (reference page.py:280-319)."""
+    return pages.map_batches(
+        pages_batch_to_annots, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def hyperlinks_ds(pages: Dataset) -> Dataset:
+    """Annots with a uri (reference page.py:321-323, pdf.py:163-166)."""
+    return pages.map_batches(
+        pages_batch_to_hyperlinks, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

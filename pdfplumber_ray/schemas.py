@@ -60,6 +60,21 @@ IMAGE = pa.struct(
     ]
 )
 
+# annotation objects (reference page.py:280-319 parsed /Annots records:
+# uri/title/contents + top-left bbox; hyperlinks = annots with a uri,
+# reference page.py:321-323)
+ANNOT = pa.struct(
+    [
+        ("x0", pa.float64()),
+        ("x1", pa.float64()),
+        ("top", pa.float64()),
+        ("bottom", pa.float64()),
+        ("doctop", pa.float64()),
+        ("uri", pa.string()),
+        ("contents", pa.string()),
+    ]
+)
+
 PAGES = pa.schema(
     [
         ("doc_id", pa.string()),
@@ -71,6 +86,7 @@ PAGES = pa.schema(
         ("rects", pa.list_(RECT)),
         ("lines", pa.list_(LINE)),
         ("images", pa.list_(IMAGE)),
+        ("annots", pa.list_(ANNOT)),
     ]
 )
 

@@ -226,3 +226,44 @@ def docs_from_documents_batch(batch: pa.Table, chunk_words: int = 12) -> pa.Tabl
             "spans": pa.array(out_spans, pa.list_(SPAN)),
         }
     )
+
+
+def docs_with_annots_batch(batch: pa.Table, chunk_words: int = 6) -> pa.Table:
+    """Adapter for annotation queries: the first ``chunk_words``-word window
+    of each document becomes a *heading* span (emits a contents annotation),
+    the rest stay text spans, and one trailing ``media_ref`` span is added
+    (emits a uri/link annotation) — all arithmetic the DuckDB oracle can
+    reproduce from ``documents.doc_id``/``text`` alone."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_ids: List[str] = []
+    out_spans: List[List[Dict]] = []
+    for did, text in zip(doc_ids, texts):
+        chunks = [c for c in chunk_text(text or "", chunk_words) if c]
+        offsets = assign_offsets(chunks)
+        key = f"doc-{did:08d}" if isinstance(did, int) else str(did)
+        spans = [
+            {
+                "kind": KIND_HEADING if i == 0 else KIND_TEXT,
+                "text": c,
+                "media_ref": "",
+                "offset": o,
+            }
+            for i, (c, o) in enumerate(zip(chunks, offsets))
+        ]
+        spans.append(
+            {
+                "kind": KIND_MEDIA,
+                "text": "",
+                "media_ref": f"media://{key}/0",
+                "offset": offsets[-1] + len(chunks[-1]) + 1 if chunks else 0,
+            }
+        )
+        out_ids.append(key)
+        out_spans.append(spans)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.string()),
+            "spans": pa.array(out_spans, pa.list_(SPAN)),
+        }
+    )

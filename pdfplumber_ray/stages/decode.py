@@ -22,7 +22,7 @@ import pyarrow as pa
 from ..config import PipelineConfig, SynthLayoutConfig, TableConfig, WordConfig
 from ..functions.words import extract_words_page
 from ..functions.textmap import extract_text_page, extract_text_simple_page
-from ..schemas import CHAR, IMAGE, LINE, RECT, SPAN
+from ..schemas import ANNOT, CHAR, IMAGE, LINE, RECT, SPAN
 from .flatten import extract_doc_spans, page_tables
 from .layout import LayoutError, PageDict, layout_doc
 
@@ -122,6 +122,7 @@ def pages_to_arrow(rows: List[Tuple[str, PageDict]]) -> pa.Table:
     line_flat: Dict[str, List[np.ndarray]] = {k: [] for k in _RECT_FIELDS}
     line_lens: List[int] = []
     images: List[List[Dict]] = []
+    annots: List[List[Dict]] = []
     pn: List[int] = []
     pw: List[float] = []
     ph: List[float] = []
@@ -140,6 +141,7 @@ def pages_to_arrow(rows: List[Tuple[str, PageDict]]) -> pa.Table:
             line_flat[k].append(np.asarray(plines[k], dtype=np.float64))
         line_lens.append(int(np.asarray(plines["x0"]).shape[0]))
         images.append(page["images"])
+        annots.append(page.get("annots") or [])
         pn.append(int(page["page_number"]))
         pw.append(float(page["page_width"]))
         ph.append(float(page["page_height"]))
@@ -171,6 +173,7 @@ def pages_to_arrow(rows: List[Tuple[str, PageDict]]) -> pa.Table:
             "rects": struct_list(rect_flat, rect_lens, RECT),
             "lines": struct_list(line_flat, line_lens, LINE),
             "images": pa.array(images, pa.list_(IMAGE)),
+            "annots": pa.array(annots, pa.list_(ANNOT)),
         }
     )
 
@@ -183,6 +186,11 @@ def arrow_pages_to_dicts(batch: pa.Table) -> List[Tuple[str, PageDict]]:
     rects_col = batch.column("rects").combine_chunks()
     lines_col = batch.column("lines").combine_chunks()
     images = batch.column("images").to_pylist()
+    annots = (
+        batch.column("annots").to_pylist()
+        if "annots" in batch.column_names
+        else [[] for _ in range(batch.num_rows)]
+    )
     pn = batch.column("page_number").to_numpy()
     pw = batch.column("page_width").to_numpy()
     ph = batch.column("page_height").to_numpy()
@@ -216,6 +224,7 @@ def arrow_pages_to_dicts(batch: pa.Table) -> List[Tuple[str, PageDict]]:
             "rects": {k: v[rs:re_] for k, v in rflat.items()},
             "lines": {k: v[int(loffs[i]):int(loffs[i + 1])] for k, v in lflat.items()},
             "images": images[i],
+            "annots": annots[i],
         }
         out.append((doc_id, page))
     return out
@@ -240,6 +249,32 @@ def pages_batch_to_chars(batch: pa.Table) -> pa.Table:
     w = pa.compute.subtract(t.column("x1"), t.column("x0"))
     h = pa.compute.subtract(t.column("bottom"), t.column("top"))
     return t.append_column("width", w).append_column("height", h)
+
+
+def pages_batch_to_annots(batch: pa.Table) -> pa.Table:
+    """Explode page rows into a flat annotations table (one row per annot)
+    — the reference's ``page.annots`` list (page.py:280-319) as a typed
+    dataset. Vectorized: repeats page keys by list length and reuses the
+    flattened struct child arrays (zero-copy)."""
+    col = batch.column("annots").combine_chunks()
+    lens = np.diff(col.offsets.to_numpy())
+    doc_rep = pa.array(
+        np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), lens)
+    )
+    pn_rep = pa.array(np.repeat(batch.column("page_number").to_numpy(), lens), pa.int32())
+    values = col.values
+    cols: Dict[str, pa.Array] = {"doc_id": doc_rep, "page_number": pn_rep}
+    for f in ("x0", "x1", "top", "bottom", "doctop", "uri", "contents"):
+        cols[f] = values.field(f)
+    return pa.table(cols)
+
+
+def pages_batch_to_hyperlinks(batch: pa.Table) -> pa.Table:
+    """Annots with a non-empty uri (reference page.py:321-323)."""
+    import pyarrow.compute as pc
+
+    annots = pages_batch_to_annots(batch)
+    return annots.filter(pc.not_equal(annots.column("uri"), ""))
 
 
 class PagesToWords:

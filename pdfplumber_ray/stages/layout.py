@@ -82,6 +82,7 @@ class _PageBuilder:
         self.l_x1: List[float] = []
         self.l_top: List[float] = []
         self.images: List[Dict[str, object]] = []
+        self.annots: List[Dict[str, object]] = []
 
     def emit_line_chars(
         self, line: str, line_top: float, size: float, fontname: str,
@@ -124,6 +125,23 @@ class _PageBuilder:
     def emit_image(self, x0: float, top: float, x1: float, bottom: float, ref: str) -> None:
         self.images.append(
             {"x0": x0, "top": top, "x1": x1, "bottom": bottom, "media_ref": ref}
+        )
+
+    def emit_annot(
+        self, x0: float, top: float, x1: float, bottom: float,
+        uri: str = "", contents: str = "",
+    ) -> None:
+        """Annotation record (reference page.py:280-319: resolved /Annots
+        entries with uri/contents and a top-left-origin bbox). The synthetic
+        rule: headings carry a contents annotation, media a uri (link)
+        annotation — so hyperlinks = annots with non-empty uri, mirroring
+        reference page.py:321-323."""
+        self.annots.append(
+            {
+                "x0": x0, "top": top, "x1": x1, "bottom": bottom,
+                "doctop": top + self.initial_doctop,
+                "uri": uri, "contents": contents,
+            }
         )
 
     def _expand_lines(self) -> Dict[str, np.ndarray]:
@@ -214,6 +232,7 @@ class _PageBuilder:
             "rects": rects,
             "lines": lines,
             "images": self.images,
+            "annots": self.annots,
         }
 
 
@@ -268,10 +287,20 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
             builder.emit_rotated_chars(
                 text, line_top(li), size, font, cfg.margin_left, adv, mcid
             )
+            builder.emit_annot(
+                cfg.margin_left, line_top(li), cfg.margin_left + cfg.char_width,
+                line_top(li) + len(text) * adv, contents=text,
+            )
             li += n_slots + 1
             return
         lines = wrap_words(text, cfg.max_line_chars)
         ensure_lines(len(lines))
+        if heading:
+            block_w = max(len(ln) for ln in lines) * cfg.char_advance
+            builder.emit_annot(
+                cfg.margin_left, line_top(li), cfg.margin_left + block_w,
+                line_top(li + len(lines) - 1) + size, contents=text,
+            )
         first_w = len(lines[0]) * cfg.char_advance
         for line in lines:
             builder.emit_line_chars(line, line_top(li), size, font, cfg.margin_left, mcid)
@@ -317,12 +346,12 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
         nonlocal li
         ensure_lines(cfg.media_height_lines)
         top = line_top(li)
+        bottom = top + cfg.media_height_lines * cfg.line_height
         builder.emit_image(
-            cfg.margin_left,
-            top,
-            cfg.margin_left + cfg.media_width,
-            top + cfg.media_height_lines * cfg.line_height,
-            ref,
+            cfg.margin_left, top, cfg.margin_left + cfg.media_width, bottom, ref
+        )
+        builder.emit_annot(
+            cfg.margin_left, top, cfg.margin_left + cfg.media_width, bottom, uri=ref
         )
         li += cfg.media_height_lines + 1
 

@@ -188,3 +188,67 @@ def test_write_objects_csv_file(pages, tmp_path):
     assert rows[0][0] == "object_type"
     assert rows[1][0] == "char"
     assert len(rows) > 1
+
+
+def test_annots_and_hyperlinks(pages):
+    """Headings emit contents annotations; media spans emit uri (link)
+    annotations; hyperlinks = uri-bearing subset (reference
+    page.py:280-323)."""
+    from pdfplumber_ray.pipelines import annots_ds, hyperlinks_ds
+    from pdfplumber_ray.sources.synth_corpus import (
+        KIND_HEADING,
+        KIND_MEDIA,
+        make_docs_table,
+    )
+
+    ann = annots_ds(pages).to_pandas()
+    links = hyperlinks_ds(pages).to_pandas()
+    docs = make_docs_table(25, seed=9)
+    n_heading = n_media = 0
+    media_refs = set()
+    heading_texts = set()
+    for spans in docs.column("spans").to_pylist():
+        for s in spans:
+            if s["kind"] == KIND_HEADING:
+                n_heading += 1
+                heading_texts.add(s["text"])
+            elif s["kind"] == KIND_MEDIA:
+                n_media += 1
+                media_refs.add(s["media_ref"])
+    assert len(ann) == n_heading + n_media
+    got_links = ann[ann.uri != ""]
+    assert len(got_links) == n_media
+    assert set(got_links.uri) == media_refs
+    assert set(ann[ann.uri == ""].contents) == heading_texts
+    # hyperlinks == the uri-bearing annots, geometry intact
+    assert len(links) == n_media
+    assert (links.x1 > links.x0).all() and (links.bottom > links.top).all()
+    assert (links.doctop >= links.top).all()
+
+
+def test_annot_bbox_covers_heading_chars(ray_session):
+    """A heading's annot bbox must envelope its glyphs (both upright
+    wrapped blocks and rotated short headings)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdfplumber_ray.pipelines import annots_ds, chars_ds
+    from pdfplumber_ray.schemas import SPAN
+
+    spans = [
+        {"kind": "heading", "text": "Short Head", "media_ref": "", "offset": 0},
+        {"kind": "heading", "text": "a much longer heading block that wraps " * 3,
+         "media_ref": "", "offset": 11},
+    ]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(["d1"]), "spans": pa.array([spans], pa.list_(SPAN))})
+    )
+    pages = decode_pages_ds(docs, PipelineConfig(batch_size=4))
+    ann = annots_ds(pages).to_pandas().sort_values("top").reset_index(drop=True)
+    ch = chars_ds(pages).to_pandas()
+    assert len(ann) == 2
+    for _, a in ann.iterrows():
+        inside = ch[(ch.top >= a.top - 1e-9) & (ch.bottom <= a.bottom + 1e-9)]
+        assert len(inside) > 0
+        assert inside.x0.min() >= a.x0 - 1e-9
+        assert inside.x1.max() <= a.x1 + 1e-9
