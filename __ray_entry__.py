@@ -368,6 +368,62 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_struct_bbox(sf_dir: str) -> ray.data.Dataset:
+    """Structure-element bbox join (reference structure.py:464-509): chars
+    grouped by stamped mcid -> distributed envelope + member count. The
+    oracle checks the join cardinality and char membership (spaces are
+    never emitted as glyphs); bbox geometry is asserted in pytest."""
+    from pdfplumber_ray.pipelines import element_bbox_ds
+
+    eb = element_bbox_ds(decode_pages_ds(_interleaved_docs(sf_dir)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "mcid": batch.column("mcid"),
+                "n_chars": batch.column("n_chars"),
+            }
+        )
+
+    return eb.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ctm(sf_dir: str) -> ray.data.Dataset:
+    """CTM decomposition (reference ctm.py:8-38): deterministic
+    integer-derived matrices per doc, decomposed by the vectorized kernel
+    into scale/skew/translation. Integer-quantized outputs (sqrt on exact
+    integer inputs is IEEE-correctly-rounded, so the DuckDB twin is
+    bit-stable)."""
+    from pdfplumber_ray.functions.ctm import decompose_ctm
+
+    ds = _documents(sf_dir).select_columns(["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.column("doc_id").to_numpy().astype(np.int64)
+        a = (n % 7 - 3).astype(np.float64)
+        b = (n % 5 - 2).astype(np.float64)
+        c = (n % 9 - 4).astype(np.float64)
+        d = (n % 11 - 5).astype(np.float64)
+        e = (n % 100).astype(np.float64)
+        f = (n % 50).astype(np.float64)
+        out = decompose_ctm(a, b, c, d, e, f)
+        return pa.table(
+            {
+                "doc_id": pa.array(n, pa.int64()),
+                "scale_x_e6": pa.array(np.round(out["scale_x"] * 1e6).astype(np.int64)),
+                "scale_y_e6": pa.array(np.round(out["scale_y"] * 1e6).astype(np.int64)),
+                "skew_x_e3": pa.array(np.round(out["skew_x"] * 1e3).astype(np.int64)),
+                "skew_y_e3": pa.array(np.round(out["skew_y"] * 1e3).astype(np.int64)),
+                "tx": pa.array(out["translation_x"].astype(np.int64)),
+                "ty": pa.array(out["translation_y"].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_layout_text(sf_dir: str) -> ray.data.Dataset:
     """Layout-preserving textmap (reference WordMap.to_textmap,
     utils/text.py:241-420): newline imputation from vertical gaps turns
@@ -675,6 +731,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "outline": q_outline,
     "annots": q_annots,
     "hyperlinks": q_hyperlinks,
+    "ctm": q_ctm,
+    "struct_bbox": q_struct_bbox,
 }
 
 
@@ -889,6 +947,32 @@ ORACLES: Dict[str, str] = {
         "SELECT doc_id, 'media://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') "
         "|| '/0' AS uri FROM documents"
     ),
+    "ctm": """
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(doc_id % 7 AS DOUBLE) - 3 AS a,
+                 CAST(doc_id % 5 AS DOUBLE) - 2 AS b,
+                 CAST(doc_id % 9 AS DOUBLE) - 4 AS c,
+                 CAST(doc_id % 11 AS DOUBLE) - 5 AS d,
+                 doc_id % 100 AS e, doc_id % 50 AS f
+          FROM documents)
+        SELECT doc_id,
+               CAST(round(sqrt(a*a + b*b) * 1e6) AS BIGINT) AS scale_x_e6,
+               CAST(round(sqrt(c*c + d*d) * 1e6) AS BIGINT) AS scale_y_e6,
+               CAST(round((degrees(atan2(d, c)) - 90) * 1e3) AS BIGINT) AS skew_x_e3,
+               CAST(round(degrees(atan2(b, a)) * 1e3) AS BIGINT) AS skew_y_e3,
+               CAST(e AS BIGINT) AS tx, CAST(f AS BIGINT) AS ty
+        FROM m
+    """,
+    "struct_bbox": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+          FROM documents)
+        SELECT doc_id, CAST(i // 12 AS BIGINT) AS mcid,
+               CAST(sum(length(word)) AS BIGINT) AS n_chars
+        FROM w GROUP BY doc_id, i // 12
+    """,
 }
 
 

@@ -15,6 +15,7 @@ from .extract import (  # noqa: F401
     duplicate_chars_ds,
     text_lines_ds,
     outline_ds,
+    element_bbox_ds,
 )
 from . import corpus_ops  # noqa: F401
 from . import media  # noqa: F401

@@ -355,6 +355,61 @@ def text_lines_ds(
     )
 
 
+def element_bbox_ds(pages: Dataset) -> Dataset:
+    """Per-structure-element bbox — the reference's ``element_bbox``
+    (structure.py:464-509): the envelope of all member-mcid objects, plus
+    the member char count. Scale shape: a vectorized per-batch partial
+    envelope (pyarrow group_by) so the distributed ``groupby(doc_id, mcid)``
+    only moves one row per (doc, element) per block."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    chars = chars_ds(pages)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("mcid"), 0))
+        g = pa.TableGroupBy(
+            t.select(["doc_id", "mcid", "x0", "top", "x1", "bottom"]),
+            ["doc_id", "mcid"],
+        ).aggregate(
+            [("x0", "min"), ("top", "min"), ("x1", "max"), ("bottom", "max"), ("mcid", "count")]
+        )
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "mcid": g.column("mcid"),
+                "p_x0": g.column("x0_min"),
+                "p_top": g.column("top_min"),
+                "p_x1": g.column("x1_max"),
+                "p_bottom": g.column("bottom_max"),
+                "p_n": g.column("mcid_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        chars.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_id", "mcid"])
+        .aggregate(
+            Min("p_x0"), Min("p_top"), Max("p_x1"), Max("p_bottom"), Sum("p_n")
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "mcid": batch.column("mcid").cast(pa.int64()),
+                "x0": batch.column("min(p_x0)"),
+                "top": batch.column("min(p_top)"),
+                "x1": batch.column("max(p_x1)"),
+                "bottom": batch.column("max(p_bottom)"),
+                "n_chars": batch.column("sum(p_n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def outline_ds(out_spans: Dataset) -> Dataset:
     """Document outline from extracted spans — the engine-side analogue of
     the reference's logical structure tree (reference structure.py:151-459):

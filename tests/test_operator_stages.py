@@ -252,3 +252,34 @@ def test_annot_bbox_covers_heading_chars(ray_session):
         assert len(inside) > 0
         assert inside.x0.min() >= a.x0 - 1e-9
         assert inside.x1.max() <= a.x1 + 1e-9
+
+
+def test_element_bbox_matches_pandas_envelope(pages):
+    """element_bbox_ds (reference structure.py:464-509) must equal a
+    driver-side pandas groupby envelope over the same chars."""
+    from pdfplumber_ray.pipelines import element_bbox_ds
+
+    got = (
+        element_bbox_ds(pages)
+        .to_pandas()
+        .sort_values(["doc_id", "mcid"])
+        .reset_index(drop=True)
+    )
+    ch = chars_ds(pages).to_pandas()
+    ch = ch[ch.mcid >= 0]
+    want = (
+        ch.groupby(["doc_id", "mcid"])
+        .agg(
+            x0=("x0", "min"), top=("top", "min"),
+            x1=("x1", "max"), bottom=("bottom", "max"),
+            n_chars=("x0", "size"),
+        )
+        .reset_index()
+        .sort_values(["doc_id", "mcid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got.mcid.values == want.mcid.values).all()
+    for col in ("x0", "top", "x1", "bottom"):
+        assert np.allclose(got[col].values, want[col].values)
+    assert (got.n_chars.values == want.n_chars.values).all()
