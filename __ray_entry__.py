@@ -368,6 +368,31 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_main_content(sf_dir: str) -> ray.data.Dataset:
+    """Boilerplate strip / main-content extraction (the north rule's HTML
+    boilerplate clause): docs wrapped with a per-doc nav bar (shallow
+    separator-density rule) and a site-wide footer (cross-document
+    template-frequency rule, partial-combine groupby + ray.put broadcast).
+    Stripping must recover exactly the original document text."""
+    from pdfplumber_ray.pipelines.main_content import (
+        main_content_text_ds,
+        strip_boilerplate_ds,
+    )
+    from pdfplumber_ray.sources.synth_corpus import docs_with_boilerplate_batch
+
+    docs = _documents(sf_dir).map_batches(
+        docs_with_boilerplate_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    stripped = strip_boilerplate_ds(docs)
+    txt = main_content_text_ds(stripped)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table({"doc_id": ids, "text": batch.column("text")})
+
+    return txt.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_struct_bbox(sf_dir: str) -> ray.data.Dataset:
     """Structure-element bbox join (reference structure.py:464-509): chars
     grouped by stamped mcid -> distributed envelope + member count. The
@@ -733,6 +758,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "hyperlinks": q_hyperlinks,
     "ctm": q_ctm,
     "struct_bbox": q_struct_bbox,
+    "main_content": q_main_content,
 }
 
 
@@ -973,6 +999,7 @@ ORACLES: Dict[str, str] = {
                CAST(sum(length(word)) AS BIGINT) AS n_chars
         FROM w GROUP BY doc_id, i // 12
     """,
+    "main_content": "SELECT doc_id, text FROM documents",
 }
 
 

@@ -1,0 +1,194 @@
+"""Main-content extraction: boilerplate strip over interleaved documents.
+
+The engine's analogue of HTML boilerplate removal / DOM main-content
+heuristics, built from the published shallow-text-feature + template-
+frequency approach (Kohlschütter et al., "Boilerplate Detection using
+Shallow Text Features", WSDM 2010; Readability-style link-density rules):
+
+1. **NAV rule** (per-span, vectorized, no shuffle): short separator-dense
+   spans — high non-alphanumeric character ratio and few words — are
+   navigation chrome ("| Home | About |").
+2. **TEMPLATE rule** (cross-document): spans whose normalized-text
+   fingerprint occurs in at least ``min_df_fraction`` of all documents are
+   site template (shared headers/footers/cookie banners).
+
+Scale shape: document frequency is a term-count aggregation — a per-batch
+partial combine (one row per distinct fingerprint per batch) feeds the
+distributed ``groupby(fp).sum``; only the *frequent* survivors (site
+templates — a tiny set by construction) are collected and broadcast via
+``ray.put`` into the final filter stage, so the strip itself is an
+embarrassingly parallel ``map_batches`` with a shared read-only lookup.
+The input dataset is consumed twice (once for counting, once for
+stripping); both passes stream.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.textstats import rolling_fingerprint
+from ..schemas import SPAN
+
+Dataset = ray.data.Dataset
+
+# non-alphanumeric, non-space characters (menu separators, link decoration)
+_NAV_CHAR_RE = r"[^a-zA-Z0-9\s]"
+
+
+def _flat_spans(batch: pa.Table):
+    """spans list-column -> (flat struct values, per-doc lengths)."""
+    col = batch.column("spans").combine_chunks()
+    lens = np.diff(col.offsets.to_numpy())
+    return col.values, lens
+
+
+def nav_mask(texts: pa.Array, max_punct_ratio: float, max_words: int) -> np.ndarray:
+    """Shallow-feature navigation rule: separator-dense AND short."""
+    n = pc.count_substring_regex(texts, _NAV_CHAR_RE).to_numpy(zero_copy_only=False)
+    length = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+    words = pc.count_substring(texts, " ").to_numpy(zero_copy_only=False) + 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(length > 0, n / np.maximum(length, 1), 0.0)
+    return (ratio > max_punct_ratio) & (words <= max_words)
+
+
+def partial_doc_frequency(batch: pa.Table) -> pa.Table:
+    """One row per distinct text-span fingerprint per document, pre-summed
+    within the batch — the combiner half of the df count."""
+    values, lens = _flat_spans(batch)
+    kinds = values.field("kind").to_numpy(zero_copy_only=False)
+    texts = values.field("text").to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    is_text = (kinds == "text") | (kinds == "heading")
+    fps = rolling_fingerprint([t or "" for t in texts[is_text]])
+    di = doc_idx[is_text]
+    # distinct (doc, fp): a span repeated within one doc counts once
+    pairs = np.unique(np.stack([di.astype(np.int64), fps.astype(np.int64)]), axis=1)
+    t = pa.table({"fp": pairs[1]})
+    g = pa.TableGroupBy(t, ["fp"]).aggregate([("fp", "count")])
+    return pa.table(
+        {"fp": g.column("fp"), "n": g.column("fp_count").cast(pa.int64())}
+    )
+
+
+def frequent_span_fps(docs: Dataset, min_count: int) -> np.ndarray:
+    """Fingerprints occurring in >= min_count documents (sorted array).
+    The aggregate shuffles one row per distinct fingerprint per block; the
+    returned frequent set is tiny (site templates), safe to collect."""
+    agg = (
+        docs.map_batches(
+            partial_doc_frequency, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("fp")
+        .sum("n")
+    )
+    def keep_frequent(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("sum(n)"), pa.scalar(int(min_count)))
+        return batch.filter(m).select(["fp"])
+
+    freq = agg.map_batches(keep_frequent, batch_format="pyarrow", zero_copy_batch=True)
+    fps = [row["fp"] for row in freq.take_all()]
+    return np.sort(np.asarray(fps, dtype=np.int64))
+
+
+class StripBoilerplate:
+    """Final filter stage: drops nav spans and template spans, preserving
+    span order and non-text kinds. The frequent-fingerprint set arrives as
+    an object-store reference (ray.put once, shared by every task)."""
+
+    def __init__(
+        self,
+        template_fps_ref,
+        max_punct_ratio: float = 0.05,
+        max_nav_words: int = 16,
+    ):
+        self.template_fps = (
+            ray.get(template_fps_ref)
+            if isinstance(template_fps_ref, ray.ObjectRef)
+            else np.asarray(template_fps_ref, dtype=np.int64)
+        )
+        self.max_punct_ratio = max_punct_ratio
+        self.max_nav_words = max_nav_words
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        values, lens = _flat_spans(batch)
+        kinds = values.field("kind").to_numpy(zero_copy_only=False)
+        texts_arr = values.field("text")
+        texts = texts_arr.to_numpy(zero_copy_only=False)
+        is_text = (kinds == "text") | (kinds == "heading")
+        drop = np.zeros(len(kinds), dtype=bool)
+        if is_text.any():
+            nav = nav_mask(
+                pa.array(texts[is_text].tolist(), pa.string()),
+                self.max_punct_ratio,
+                self.max_nav_words,
+            )
+            fps = rolling_fingerprint([t or "" for t in texts[is_text]])
+            if self.template_fps.size:
+                pos = np.searchsorted(self.template_fps, fps)
+                pos = np.clip(pos, 0, self.template_fps.size - 1)
+                templ = self.template_fps[pos] == fps
+            else:
+                templ = np.zeros(fps.shape[0], dtype=bool)
+            drop[is_text] = nav | templ
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        keep = ~drop
+        spans_py = values.to_pylist()
+        out_spans: List[List[Dict]] = [[] for _ in range(len(lens))]
+        for i in np.flatnonzero(keep):
+            out_spans[doc_idx[i]].append(spans_py[i])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "spans": pa.array(out_spans, pa.list_(SPAN)),
+            }
+        )
+
+
+def strip_boilerplate_ds(
+    docs: Dataset,
+    *,
+    min_df_fraction: float = 0.3,
+    max_punct_ratio: float = 0.05,
+    max_nav_words: int = 16,
+    n_docs: Optional[int] = None,
+) -> Dataset:
+    """docs (DOCS schema) -> docs with boilerplate spans removed."""
+    if n_docs is None:
+        n_docs = docs.count()
+    min_count = max(2, int(np.ceil(min_df_fraction * n_docs)))
+    fps = frequent_span_fps(docs, min_count)
+    ref = ray.put(fps)
+    return docs.map_batches(
+        StripBoilerplate,
+        fn_constructor_kwargs={
+            "template_fps_ref": ref,
+            "max_punct_ratio": max_punct_ratio,
+            "max_nav_words": max_nav_words,
+        },
+        concurrency=(2, 16),
+        batch_size=256,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def main_content_text_ds(stripped: Dataset) -> Dataset:
+    """Surviving span texts joined per document -> (doc_id, text)."""
+
+    def rejoin(batch: pa.Table) -> pa.Table:
+        texts = [
+            " ".join(s["text"] for s in spans if s["text"])
+            for spans in batch.column("spans").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(texts, pa.string())}
+        )
+
+    return stripped.map_batches(rejoin, batch_format="pyarrow", zero_copy_batch=True)

@@ -228,6 +228,46 @@ def docs_from_documents_batch(batch: pa.Table, chunk_words: int = 12) -> pa.Tabl
     )
 
 
+NAV_BAR = "| Home | About | Products | Contact | Login |"
+# punctuation-free and long on purpose: invisible to the shallow nav rule,
+# removable only by the cross-document template-frequency rule
+FOOTER = (
+    "this site is operated by example corp and all rights are reserved "
+    "worldwide including text and data mining twenty twenty six"
+)
+
+
+def docs_with_boilerplate_batch(batch: pa.Table, chunk_words: int = 12) -> pa.Table:
+    """Adapter for the main-content (boilerplate-strip) pipeline: wraps each
+    document's body chunks with (a) a doc-specific separator-dense nav bar
+    (caught by the shallow-feature rule alone — its fingerprint is unique
+    per doc) and (b) a site-wide footer shared by every doc (caught by the
+    cross-document template-frequency rule). Stripping must recover exactly
+    the original body text."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_ids: List[str] = []
+    out_spans: List[List[Dict]] = []
+    for did, text in zip(doc_ids, texts):
+        chunks = [c for c in chunk_text(text or "", chunk_words) if c]
+        key = f"doc-{did:08d}" if isinstance(did, int) else str(did)
+        nav = f"| Home | Page {did if isinstance(did, int) else 0} | Back |"
+        spans = [{"kind": KIND_TEXT, "text": nav, "media_ref": "", "offset": 0}]
+        off = len(nav) + 1
+        for c in chunks:
+            spans.append({"kind": KIND_TEXT, "text": c, "media_ref": "", "offset": off})
+            off += len(c) + 1
+        spans.append({"kind": KIND_TEXT, "text": FOOTER, "media_ref": "", "offset": off})
+        out_ids.append(key)
+        out_spans.append(spans)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, pa.string()),
+            "spans": pa.array(out_spans, pa.list_(SPAN)),
+        }
+    )
+
+
 def docs_with_annots_batch(batch: pa.Table, chunk_words: int = 6) -> pa.Table:
     """Adapter for annotation queries: the first ``chunk_words``-word window
     of each document becomes a *heading* span (emits a contents annotation),
