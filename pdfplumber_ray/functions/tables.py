@@ -495,6 +495,20 @@ def find_tables_page(
     words_provider: Optional[Callable[[], Dict[str, np.ndarray]]] = None,
 ) -> List[PageTable]:
     """Full TableFinder chain (table.py:566-578)."""
+    # fast path: a pure lattice strategy needs BOTH orientations to form any
+    # intersection (table.py:207-231) — pages carrying only decorative
+    # h-lines (e.g. heading underlines) skip snap/join/merge entirely.
+    if (
+        cfg.vertical_strategy in ("lines", "lines_strict")
+        and cfg.horizontal_strategy in ("lines", "lines_strict")
+        and not cfg.explicit_vertical_lines
+        and not cfg.explicit_horizontal_lines
+    ):
+        if (
+            not filter_edges_mask(page_edges, "v").any()
+            or not filter_edges_mask(page_edges, "h").any()
+        ):
+            return []
     edges = get_table_edges(page_edges, cfg, page_bbox, words_provider)
     intersections = edges_to_intersections_arrays(
         edges,

@@ -22,7 +22,7 @@ char's ``size``.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -125,6 +125,64 @@ def _gap_breaks(
     return breaks
 
 
+# lookup tables over the BMP prefix that contains every isspace codepoint
+# (the last is U+3000); codepoints past the table are classified scalar-wise
+_LUT_SIZE = 0x3001
+_SPACE_LUT: Optional[np.ndarray] = None
+_PUNCT_LUTS: Dict[str, np.ndarray] = {}
+
+
+def _space_lut() -> np.ndarray:
+    global _SPACE_LUT
+    if _SPACE_LUT is None:
+        _SPACE_LUT = np.zeros(_LUT_SIZE, dtype=bool)
+        for c in range(_LUT_SIZE):
+            if chr(c).isspace():
+                _SPACE_LUT[c] = True
+    return _SPACE_LUT
+
+
+def _punct_lut(punct: str) -> np.ndarray:
+    lut = _PUNCT_LUTS.get(punct)
+    if lut is None:
+        lut = np.zeros(_LUT_SIZE, dtype=bool)
+        for ch in punct:
+            if ord(ch) < _LUT_SIZE:
+                lut[ord(ch)] = True
+        _PUNCT_LUTS[punct] = lut
+    return lut
+
+
+def _classify_chars(
+    texts: np.ndarray, n: int, punct: str
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized isspace / in-punct-set masks: one C-level join + utf-32
+    decode + table gather instead of a per-char Python loop (the hot path
+    at ~450k glyphs per 512-doc batch). Falls back when a char cell holds a
+    multi-glyph string (e.g. pdfminer '(cid:x)' texts)."""
+    joined = "".join(texts.tolist())
+    if len(joined) == n:
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        small = codes < _LUT_SIZE
+        idx = np.where(small, codes, 0)
+        is_space = _space_lut()[idx] & small
+        if punct:
+            is_punct = _punct_lut(punct)[idx] & small
+            big_punct = set(ord(c) for c in punct if ord(c) >= _LUT_SIZE)
+            if big_punct and not small.all():
+                for i in np.flatnonzero(~small):
+                    is_punct[i] = codes[i] in big_punct
+        else:
+            is_punct = np.zeros(n, dtype=bool)
+        return is_space, is_punct
+    is_space = np.fromiter((t.isspace() for t in texts), dtype=bool, count=n)
+    if punct:
+        is_punct = np.fromiter((t in punct for t in texts), dtype=bool, count=n)
+    else:
+        is_punct = np.zeros(n, dtype=bool)
+    return is_space, is_punct
+
+
 def extract_words_page(chars: CharTable, cfg: WordConfig) -> Dict[str, np.ndarray]:
     """chars (one page) -> words with provenance. Word order matches the
     reference generator order: input runs, then line position, then reading
@@ -146,11 +204,7 @@ def extract_words_page(chars: CharTable, cfg: WordConfig) -> Dict[str, np.ndarra
 
     punct = cfg.punct_set
     expansions = cfg.expansions
-    is_space = np.fromiter((t.isspace() for t in texts), dtype=bool, count=n)
-    if punct:
-        is_punct = np.fromiter((t in punct for t in texts), dtype=bool, count=n)
-    else:
-        is_punct = np.zeros(n, dtype=bool)
+    is_space, is_punct = _classify_chars(texts, n, punct)
 
     words_parts: List[Dict[str, np.ndarray]] = []
 
