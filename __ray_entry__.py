@@ -368,6 +368,48 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_repair_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Repair + dead-letter stage (reference repair.py:8-54 analogue):
+    deterministically corrupted docs (scrambled span order / zeroed
+    offsets) must be repaired, then extract back to the original text."""
+    from pdfplumber_ray.pipelines.repair import repair_docs_ds, repaired_ds
+    from pdfplumber_ray.sources.synth_corpus import docs_corrupted_batch
+
+    docs = _documents(sf_dir).map_batches(
+        docs_corrupted_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    healthy = repaired_ds(repair_docs_ds(docs))
+    out = extract_spans_ds(healthy)
+
+    def rejoin(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        texts = [
+            " ".join(s["text"] for s in spans)
+            for spans in batch.column("spans").to_pylist()
+        ]
+        return pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+
+    return out.map_batches(rejoin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_distinct_modes(sf_dir: str) -> ray.data.Dataset:
+    """Distributed DISTINCT with per-block combiner (unique as a wide op;
+    shuffle moves one row per distinct key per block)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+    )
+    return co.distinct_ds(li, ["l_returnflag", "l_linestatus"])
+
+
+def q_event_ranks(sf_dir: str) -> ray.data.Dataset:
+    """Windowed aggregate (ROW_NUMBER per key ordered by ts) as
+    groupby(key).map_groups with a vectorized per-group argsort."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return co.window_rank_ds(ev)
+
+
 def q_main_content(sf_dir: str) -> ray.data.Dataset:
     """Boilerplate strip / main-content extraction (the north rule's HTML
     boilerplate clause): docs wrapped with a per-doc nav bar (shallow
@@ -759,6 +801,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ctm": q_ctm,
     "struct_bbox": q_struct_bbox,
     "main_content": q_main_content,
+    "distinct_modes": q_distinct_modes,
+    "event_ranks": q_event_ranks,
+    "repair_roundtrip": q_repair_roundtrip,
 }
 
 
@@ -1000,6 +1045,12 @@ ORACLES: Dict[str, str] = {
         FROM w GROUP BY doc_id, i // 12
     """,
     "main_content": "SELECT doc_id, text FROM documents",
+    "distinct_modes": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "event_ranks": (
+        "SELECT user_id, event_id, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn FROM events"
+    ),
+    "repair_roundtrip": "SELECT doc_id, text FROM documents",
 }
 
 

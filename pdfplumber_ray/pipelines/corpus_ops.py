@@ -509,6 +509,53 @@ def sessionize_ds(
     return events.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
 
 
+def distinct_ds(ds: Dataset, cols: List[str]) -> Dataset:
+    """Distributed DISTINCT with a per-batch combiner: each block first
+    reduces to its local distinct rows (pyarrow group_by — typically a
+    large reduction), so the wide ``groupby`` only shuffles one row per
+    distinct key per block."""
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(batch.select(cols), cols).aggregate([])
+
+    pre = ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pre.groupby(cols).count()
+
+    def drop_count(batch: pa.Table) -> pa.Table:
+        return batch.select(cols)
+
+    return agg.map_batches(drop_count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def window_rank_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> Dataset:
+    """Windowed rank: ROW_NUMBER() per key ordered by (ts, order_col) —
+    the windowed-aggregate shape Ray Data lacks natively, expressed as
+    ``groupby(key).map_groups`` with a vectorized argsort per group.
+    Partitioning assumption: one key's rows co-locate via the groupby
+    shuffle (salt heavy keys upstream if a single key exceeds a block)."""
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).to_numpy()
+        oid = group.column(order_col).to_numpy()
+        order = np.lexsort((oid, ts))
+        rank = np.empty(order.shape[0], dtype=np.int64)
+        rank[order] = np.arange(1, order.shape[0] + 1)
+        return pa.table(
+            {
+                key_col: group.column(key_col),
+                order_col: group.column(order_col),
+                "rn": pa.array(rank),
+            }
+        )
+
+    return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
 # ---------- similarity search ----------
 
 

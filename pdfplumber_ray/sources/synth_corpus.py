@@ -268,6 +268,29 @@ def docs_with_boilerplate_batch(batch: pa.Table, chunk_words: int = 12) -> pa.Ta
     )
 
 
+def docs_corrupted_batch(batch: pa.Table, chunk_words: int = 12) -> pa.Table:
+    """Adapter for the repair pipeline: deterministically corrupts each
+    document's span list (doc_id % 3 == 0: scrambled order, offsets
+    intact; == 1: offsets zeroed, order intact; == 2: untouched) so
+    ``repair_docs_ds`` must restore every doc before extraction."""
+    base = docs_from_documents_batch(batch, chunk_words=chunk_words)
+    ids = base.column("doc_id").to_pylist()
+    out_spans: List[List[Dict]] = []
+    for key, spans in zip(ids, base.column("spans").to_pylist()):
+        n = int(key.rsplit("-", 1)[1])
+        if n % 3 == 0:
+            spans = spans[::-1]
+        elif n % 3 == 1:
+            spans = [{**s, "offset": 0} for s in spans]
+        out_spans.append(spans)
+    return pa.table(
+        {
+            "doc_id": base.column("doc_id"),
+            "spans": pa.array(out_spans, pa.list_(SPAN)),
+        }
+    )
+
+
 def docs_with_annots_batch(batch: pa.Table, chunk_words: int = 6) -> pa.Table:
     """Adapter for annotation queries: the first ``chunk_words``-word window
     of each document becomes a *heading* span (emits a contents annotation),
