@@ -368,6 +368,27 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_metadata(sf_dir: str) -> ray.data.Dataset:
+    """Doc metadata extraction (reference pdf.py:47-63): Title = first
+    heading, plus a typed span census, over the annot adapter docs."""
+    from pdfplumber_ray.pipelines import doc_metadata_ds
+
+    md = doc_metadata_ds(_annot_docs(sf_dir))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "title": batch.column("title"),
+                "n_spans": batch.column("n_spans"),
+                "n_media": batch.column("n_media"),
+            }
+        )
+
+    return md.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_repair_roundtrip(sf_dir: str) -> ray.data.Dataset:
     """Repair + dead-letter stage (reference repair.py:8-54 analogue):
     deterministically corrupted docs (scrambled span order / zeroed
@@ -804,6 +825,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "distinct_modes": q_distinct_modes,
     "event_ranks": q_event_ranks,
     "repair_roundtrip": q_repair_roundtrip,
+    "metadata": q_metadata,
 }
 
 
@@ -1051,6 +1073,13 @@ ORACLES: Dict[str, str] = {
         "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn FROM events"
     ),
     "repair_roundtrip": "SELECT doc_id, text FROM documents",
+    "metadata": """
+        SELECT doc_id,
+               array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS title,
+               CAST(ceil(len(string_split(text, ' ')) / 6.0) + 1 AS BIGINT) AS n_spans,
+               CAST(1 AS BIGINT) AS n_media
+        FROM documents
+    """,
 }
 
 

@@ -16,6 +16,7 @@ from .extract import (  # noqa: F401
     text_lines_ds,
     outline_ds,
     element_bbox_ds,
+    doc_metadata_ds,
 )
 from . import corpus_ops  # noqa: F401
 from . import media  # noqa: F401

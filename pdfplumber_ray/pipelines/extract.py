@@ -355,6 +355,52 @@ def text_lines_ds(
     )
 
 
+def doc_metadata_ds(docs: Dataset) -> Dataset:
+    """Document metadata (the reference's resolved/decoded info dict,
+    pdf.py:47-63, utils/pdfinternals.py:19-34): in the interleaved-doc
+    model the source of truth is the span sequence — Title = first
+    heading's text, plus typed span-census columns. Vectorized over the
+    flattened span struct arrays (no per-span Python loop)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column("spans").combine_chunks()
+        import numpy as np
+
+        lens = np.diff(col.offsets.to_numpy())
+        values = col.values
+        kinds = values.field("kind").to_numpy(zero_copy_only=False)
+        texts = values.field("text").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n = len(lens)
+
+        def census(mask: np.ndarray) -> np.ndarray:
+            return np.bincount(doc_idx[mask], minlength=n).astype(np.int64)
+
+        is_head = kinds == "heading"
+        titles = np.full(n, "", dtype=object)
+        # first heading per doc: reversed scatter keeps the earliest
+        hi = np.flatnonzero(is_head)[::-1]
+        titles[doc_idx[hi]] = texts[hi]
+        text_lens = np.fromiter(
+            (len(t or "") for t in texts), dtype=np.int64, count=len(texts)
+        )
+        n_chars = np.bincount(doc_idx, weights=text_lens, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "title": pa.array(titles.tolist(), pa.string()),
+                "n_spans": pa.array(lens.astype(np.int64)),
+                "n_headings": pa.array(census(is_head)),
+                "n_media": pa.array(census(kinds == "media_ref")),
+                "n_cells": pa.array(census(kinds == "table_cell")),
+                "n_chars": pa.array(n_chars),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def element_bbox_ds(pages: Dataset) -> Dataset:
     """Per-structure-element bbox — the reference's ``element_bbox``
     (structure.py:464-509): the envelope of all member-mcid objects, plus

@@ -283,3 +283,37 @@ def test_element_bbox_matches_pandas_envelope(pages):
     for col in ("x0", "top", "x1", "bottom"):
         assert np.allclose(got[col].values, want[col].values)
     assert (got.n_chars.values == want.n_chars.values).all()
+
+
+def test_doc_metadata(ray_session):
+    """doc_metadata_ds (reference pdf.py:47-63): Title = first heading,
+    typed span census, total char count."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdfplumber_ray.pipelines import doc_metadata_ds
+    from pdfplumber_ray.schemas import SPAN
+
+    spans = [
+        {"kind": "text", "text": "intro", "media_ref": "", "offset": 0},
+        {"kind": "heading", "text": "The Title", "media_ref": "", "offset": 6},
+        {"kind": "heading", "text": "Second", "media_ref": "", "offset": 16},
+        {"kind": "media_ref", "text": "", "media_ref": "media://x/0", "offset": 23},
+        {"kind": "table_cell", "text": "c1", "media_ref": "", "offset": 24},
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["d1", "d2"]),
+                "spans": pa.array([spans, []], pa.list_(SPAN)),
+            }
+        )
+    )
+    md = doc_metadata_ds(docs).to_pandas().set_index("doc_id")
+    assert md.loc["d1"].title == "The Title"
+    assert md.loc["d1"].n_headings == 2
+    assert md.loc["d1"].n_media == 1
+    assert md.loc["d1"].n_cells == 1
+    assert md.loc["d1"].n_spans == 5
+    assert md.loc["d1"].n_chars == len("intro") + len("The Title") + len("Second") + len("c1")
+    assert md.loc["d2"].title == "" and md.loc["d2"].n_spans == 0
