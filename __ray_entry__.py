@@ -368,6 +368,20 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_media_features(sf_dir: str) -> ray.data.Dataset:
+    """Batched feature extraction over binary media payloads (actor-pool
+    model-inference shape); the deterministic 'model' reads header fields
+    and a body checksum the oracle reproduces arithmetically."""
+    from pdfplumber_ray.pipelines.media import media_features_ds
+
+    ds = media_features_ds(_documents(sf_dir).select_columns(["doc_id"]))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "checksum", "f0_e6", "f1_e6", "f2_e6"])
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_metadata(sf_dir: str) -> ray.data.Dataset:
     """Doc metadata extraction (reference pdf.py:47-63): Title = first
     heading, plus a typed span census, over the annot adapter docs."""
@@ -826,6 +840,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "event_ranks": q_event_ranks,
     "repair_roundtrip": q_repair_roundtrip,
     "metadata": q_metadata,
+    "media_features": q_media_features,
 }
 
 
@@ -1079,6 +1094,28 @@ ORACLES: Dict[str, str] = {
                CAST(ceil(len(string_split(text, ' ')) / 6.0) + 1 AS BIGINT) AS n_spans,
                CAST(1 AS BIGINT) AS n_media
         FROM documents
+    """,
+    # body[i] = (i*31 + w + h) % 256 cycles through all 256 residues per
+    # 256-block (gcd(31,256)=1): checksum = full_cycles*32640 + partial sum
+    "media_features": """
+        WITH m AS (
+          SELECT doc_id,
+                 64 + doc_id % 1024 AS w,
+                 64 + (doc_id * 7) % 1024 AS h,
+                 1 + doc_id % 30 AS nf,
+                 (64 + doc_id % 1024) * (64 + (doc_id * 7) % 1024) // 64 AS L
+          FROM documents),
+        i AS (SELECT unnest(range(256)) AS i)
+        SELECT m.doc_id,
+               CAST(((L // 256) * 32640 +
+                     sum(CASE WHEN i.i < L % 256
+                              THEN (i.i * 31 + w + h) % 256 ELSE 0 END)
+                    ) % 65536 AS BIGINT) AS checksum,
+               CAST(w * 1000000 // 1024 AS BIGINT) AS f0_e6,
+               CAST(h * 1000000 // 1024 AS BIGINT) AS f1_e6,
+               CAST(nf * 1000000 // 30 AS BIGINT) AS f2_e6
+        FROM m CROSS JOIN i
+        GROUP BY m.doc_id, w, h, nf, L
     """,
 }
 

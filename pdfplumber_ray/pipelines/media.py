@@ -10,7 +10,13 @@ from typing import Optional
 import ray.data
 
 from ..config import PipelineConfig
-from ..stages.multimodal import FrameSample, MediaDecode, MediaResize, attach_payloads
+from ..stages.multimodal import (
+    FrameSample,
+    MediaDecode,
+    MediaFeatures,
+    MediaResize,
+    attach_payloads,
+)
 from .extract import stage_map_batches
 
 Dataset = ray.data.Dataset
@@ -79,6 +85,22 @@ def frame_sample_ds(
         with_payloads(docs, id_col),
         FrameSample,
         {"stride": stride, "id_col": id_col},
+        batch_size=MEDIA_BATCH_SIZE,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+
+
+def media_features_ds(
+    docs: Dataset, cfg: Optional[PipelineConfig] = None, id_col: str = "doc_id"
+) -> Dataset:
+    """Batched feature extraction over the binary media column (the
+    model-inference shape: weights loaded once per actor in __init__)."""
+    cfg = _media_cfg(cfg)
+    return stage_map_batches(
+        with_payloads(docs, id_col),
+        MediaFeatures,
+        {"id_col": id_col},
         batch_size=MEDIA_BATCH_SIZE,
         use_actors=cfg.use_actors,
         concurrency=cfg.concurrency,

@@ -103,6 +103,44 @@ class MediaDecode:
         )
 
 
+class MediaFeatures:
+    """Actor-pool feature-extraction stage — the batched-model-inference
+    shape: a real extractor would load its model weights in ``__init__``
+    (once per actor) and run a batched forward pass per ``__call__``. Here
+    the "model" is a deterministic function of the payload (header fields
+    + a body checksum) so a SQL oracle can verify the plumbing end to end.
+    Emits a quantized feature vector as typed columns."""
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+        self.header = _HEADER  # model/codec state resolved once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        checksums: List[int] = []
+        f0: List[int] = []
+        f1: List[int] = []
+        f2: List[int] = []
+        for p in payloads:
+            meta = _decode_payload(p)
+            body = np.frombuffer(p, dtype=np.uint8, offset=_HEADER.size)
+            checksums.append(int(body.sum(dtype=np.int64)) % 65536)
+            # pure integer quantization: floor division avoids the
+            # round-half-even vs round-half-away divergence on exact .5s
+            f0.append(meta["width"] * 1_000_000 // 1024)
+            f1.append(meta["height"] * 1_000_000 // 1024)
+            f2.append(meta["n_frames"] * 1_000_000 // 30)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "checksum": pa.array(checksums, pa.int64()),
+                "f0_e6": pa.array(f0, pa.int64()),
+                "f1_e6": pa.array(f1, pa.int64()),
+                "f2_e6": pa.array(f2, pa.int64()),
+            }
+        )
+
+
 class MediaResize:
     """Actor-pool stage: deterministic 'resize' — header rewritten to the
     target size, body resampled by stride (stands in for a real kernel)."""

@@ -54,3 +54,27 @@ def test_frame_sample_pipeline(ids_ds):
         by_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
     assert sorted(by_doc[42]) == list(range(0, 1 + 42 % 30, 5))
     assert sorted(by_doc[0]) == [0]
+
+
+def test_media_features(ray_session):
+    """Feature-extraction stage: header-derived dims + body checksum."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdfplumber_ray.pipelines.media import media_features_ds
+    from pdfplumber_ray.stages.multimodal import _HEADER, payloads_for_doc_ids
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 7, 1023], pa.int64())})
+    )
+    out = media_features_ds(docs).to_pandas().set_index("doc_id")
+    for did in (0, 7, 1023):
+        p = payloads_for_doc_ids([did])[0]
+        body = np.frombuffer(p, dtype=np.uint8, offset=_HEADER.size)
+        w, h, nf = 64 + did % 1024, 64 + (did * 7) % 1024, 1 + did % 30
+        row = out.loc[did]
+        assert row.checksum == int(body.sum()) % 65536
+        assert row.f0_e6 == w * 1_000_000 // 1024
+        assert row.f1_e6 == h * 1_000_000 // 1024
+        assert row.f2_e6 == nf * 1_000_000 // 30
