@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray.data
 
-from pdfplumber_ray.config import PipelineConfig
+from pdfplumber_ray.config import PipelineConfig, WordConfig
 from pdfplumber_ray.functions.textstats import BPE_TOKEN_RE, STOPWORDS
 from pdfplumber_ray.pipelines import (
     corpus_ops as co,
@@ -366,6 +366,45 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"doc_id": ids, "uri": batch.column("uri")})
 
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_words_by_font(sf_dir: str) -> ray.data.Dataset:
+    """extra_attrs word grouping (reference text.py:467,511-512): words
+    carry their fontname; heading words (first 6-word chunk, bold font —
+    upright or rotated) vs body words, counted per (doc, font) with a
+    per-batch combiner before the groupby."""
+    pages = decode_pages_ds(_annot_docs(sf_dir))
+    w = words_ds(pages, WordConfig(extra_attrs=("fontname",)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            batch.select(["doc_id", "fontname"]), ["doc_id", "fontname"]
+        ).aggregate([("fontname", "count")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "fontname": g.column("fontname"),
+                "p_n": g.column("fontname_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        w.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_id", "fontname"])
+        .sum("p_n")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "fontname": batch.column("fontname"),
+                "n_words": batch.column("sum(p_n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_media_features(sf_dir: str) -> ray.data.Dataset:
@@ -841,6 +880,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "repair_roundtrip": q_repair_roundtrip,
     "metadata": q_metadata,
     "media_features": q_media_features,
+    "words_by_font": q_words_by_font,
 }
 
 
@@ -1116,6 +1156,18 @@ ORACLES: Dict[str, str] = {
                CAST(nf * 1000000 // 30 AS BIGINT) AS f2_e6
         FROM m CROSS JOIN i
         GROUP BY m.doc_id, w, h, nf, L
+    """,
+    "words_by_font": """
+        WITH c AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS nw
+          FROM documents WHERE text <> '')
+        SELECT doc_id, 'SynthMono-Bold' AS fontname,
+               CAST(LEAST(nw, 6) AS BIGINT) AS n_words
+        FROM c
+        UNION ALL
+        SELECT doc_id, 'SynthMono' AS fontname,
+               CAST(nw - 6 AS BIGINT) AS n_words
+        FROM c WHERE nw > 6
     """,
 }
 

@@ -285,20 +285,19 @@ class PagesToWords:
         self.word_cfg = word_cfg or WordConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        word_keys = (
+            "text", "x0", "x1", "top", "bottom", "doctop", "width",
+            "height", "upright", "direction", *self.word_cfg.extra_attrs,
+        )
         out: Dict[str, List[Any]] = {
-            k: []
-            for k in (
-                "doc_id", "page_number", "text", "x0", "x1", "top", "bottom",
-                "doctop", "width", "height", "upright", "direction",
-            )
+            k: [] for k in ("doc_id", "page_number", *word_keys)
         }
         for doc_id, page in arrow_pages_to_dicts(batch):
             words = extract_words_page(page["chars"], self.word_cfg)
             n = words["text"].shape[0]
             out["doc_id"].append(np.full(n, doc_id, dtype=object))
             out["page_number"].append(np.full(n, page["page_number"], dtype=np.int32))
-            for k in ("text", "x0", "x1", "top", "bottom", "doctop", "width",
-                      "height", "upright", "direction"):
+            for k in word_keys:
                 out[k].append(words[k])
         cols = {}
         for k, parts in out.items():
