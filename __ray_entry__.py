@@ -368,6 +368,21 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_text_boxes(sf_dir: str) -> ray.data.Dataset:
+    """laparams-analogue layout containers (reference page.py:402-414):
+    each 12-word window adapter span is one paragraph box; box text must
+    reproduce the window."""
+    from pdfplumber_ray.pipelines import text_boxes_ds
+
+    tb = text_boxes_ds(decode_pages_ds(_interleaved_docs(sf_dir)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table({"doc_id": ids, "text": batch.column("text")})
+
+    return tb.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_words_by_font(sf_dir: str) -> ray.data.Dataset:
     """extra_attrs word grouping (reference text.py:467,511-512): words
     carry their fontname; heading words (first 6-word chunk, bold font —
@@ -496,10 +511,13 @@ def q_main_content(sf_dir: str) -> ray.data.Dataset:
     )
     from pdfplumber_ray.sources.synth_corpus import docs_with_boilerplate_batch
 
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     docs = _documents(sf_dir).map_batches(
         docs_with_boilerplate_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    stripped = strip_boilerplate_ds(docs)
+    stripped = strip_boilerplate_ds(docs, n_docs=n_docs)
     txt = main_content_text_ds(stripped)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -881,6 +899,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "metadata": q_metadata,
     "media_features": q_media_features,
     "words_by_font": q_words_by_font,
+    "text_boxes": q_text_boxes,
 }
 
 
@@ -1168,6 +1187,14 @@ ORACLES: Dict[str, str] = {
         SELECT doc_id, 'SynthMono' AS fontname,
                CAST(nw - 6 AS BIGINT) AS n_words
         FROM c WHERE nw > 6
+    """,
+    "text_boxes": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+          FROM documents)
+        SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text
+        FROM w GROUP BY doc_id, i // 12
     """,
 }
 

@@ -110,6 +110,40 @@ def run_benchmarks(
             queries["words"] = round(wall, 3)
             extras["words_total"] = int(nw)
 
+        # q4: main-content boilerplate strip (north-rule HTML clause):
+        # template-frequency count + broadcast filter over wrapped docs
+        if only in (None, "main_content"):
+            from pdfplumber_ray.pipelines.main_content import (
+                main_content_text_ds,
+                strip_boilerplate_ds,
+            )
+            from pdfplumber_ray.sources.synth_corpus import (
+                docs_with_boilerplate_batch,
+            )
+
+            def boiler_docs():
+                ds = ray.data.read_parquet(
+                    os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"],
+                )
+                return ds.map_batches(
+                    docs_with_boilerplate_batch,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+
+            import pyarrow.parquet as _pq
+
+            n_raw = _pq.ParquetFile(
+                os.path.join(sf_dir, "documents.parquet")
+            ).metadata.num_rows
+            t0 = time.perf_counter()
+            stripped = strip_boilerplate_ds(boiler_docs(), n_docs=n_raw)
+            nmc = main_content_text_ds(stripped).count()
+            wall = time.perf_counter() - t0
+            queries["main_content"] = round(wall, 3)
+            extras["main_content_docs_per_sec"] = round(nmc / wall, 1)
+
         return {
             "metric": "end-to-end interleaved-doc extraction (docs/sec) + operator pipelines",
             "value": round(sum(queries.values()), 3),

@@ -17,6 +17,7 @@ from .extract import (  # noqa: F401
     outline_ds,
     element_bbox_ds,
     doc_metadata_ds,
+    text_boxes_ds,
 )
 from . import corpus_ops  # noqa: F401
 from . import media  # noqa: F401

@@ -35,6 +35,7 @@ from ..stages.decode import (
     PagesSearch,
     PagesToTables,
     PagesToText,
+    PagesToTextBoxes,
     PagesToTextLines,
     PagesToWords,
     SynthDecodePages,
@@ -349,6 +350,23 @@ def text_lines_ds(
         pages,
         PagesToTextLines,
         {"strip": strip},
+        batch_size=cfg.batch_size,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+
+
+def text_boxes_ds(
+    pages: Dataset,
+    word_cfg: Optional[WordConfig] = None,
+    cfg: Optional[PipelineConfig] = None,
+) -> Dataset:
+    """Layout-container (laparams-analogue) text boxes per page."""
+    cfg = cfg or PipelineConfig()
+    return stage_map_batches(
+        pages,
+        PagesToTextBoxes,
+        {"word_cfg": word_cfg},
         batch_size=cfg.batch_size,
         use_actors=cfg.use_actors,
         concurrency=cfg.concurrency,

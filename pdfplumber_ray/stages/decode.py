@@ -251,6 +251,90 @@ def pages_batch_to_chars(batch: pa.Table) -> pa.Table:
     return t.append_column("width", w).append_column("height", h)
 
 
+class PagesToTextBoxes:
+    """Layout-container objects — the engine analogue of pdfminer's
+    ``LTTextBox`` rows that appear when ``laparams`` is passed (reference
+    page.py:402-414, tests/test_laparams.py:24-32): upright words are
+    clustered into lines (y-tolerance) and lines into paragraph boxes
+    (vertical-gap threshold); each box row carries its envelope bbox and
+    space-joined text."""
+
+    def __init__(self, word_cfg: Optional[WordConfig] = None):
+        self.word_cfg = word_cfg or WordConfig()
+        from ..config import SynthLayoutConfig
+
+        self.synth_cfg = SynthLayoutConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.clustering import cluster_ids
+
+        doc_ids: List[str] = []
+        pns: List[int] = []
+        bidx: List[int] = []
+        x0s: List[float] = []
+        tops: List[float] = []
+        x1s: List[float] = []
+        bottoms: List[float] = []
+        texts_out: List[str] = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            chars = page["chars"]
+            up = np.asarray(chars["upright"], dtype=bool)
+            if not up.all():
+                chars = {k: np.asarray(v)[up] for k, v in chars.items()}
+            words = extract_words_page(chars, self.word_cfg)
+            nw = words["text"].shape[0]
+            if nw == 0:
+                continue
+            lids = cluster_ids(words["top"], float(self.word_cfg.y_tolerance))
+            order = np.lexsort((words["x0"], lids))
+            lid_s = lids[order]
+            top_s = words["top"][order]
+            line_start = np.empty(nw, dtype=bool)
+            line_start[0] = True
+            line_start[1:] = lid_s[1:] != lid_s[:-1]
+            ls = np.flatnonzero(line_start)
+            le = np.append(ls[1:], nw)
+            line_tops = top_s[ls]
+            block_start = np.empty(ls.shape[0], dtype=bool)
+            block_start[0] = True
+            block_start[1:] = (
+                line_tops[1:] - line_tops[:-1]
+            ) > self.synth_cfg.para_gap_threshold
+            bs = np.flatnonzero(block_start)
+            be = np.append(bs[1:], ls.shape[0])
+            tl = words["text"][order].tolist()
+            wx0 = words["x0"][order]
+            wx1 = words["x1"][order]
+            wtop = top_s
+            wbot = words["bottom"][order]
+            for b, (lb, leb) in enumerate(zip(bs, be)):
+                sl = slice(ls[lb], le[leb - 1])
+                doc_ids.append(doc_id)
+                pns.append(int(page["page_number"]))
+                bidx.append(b)
+                x0s.append(float(wx0[sl].min()))
+                tops.append(float(wtop[sl].min()))
+                x1s.append(float(wx1[sl].max()))
+                bottoms.append(float(wbot[sl].max()))
+                texts_out.append(
+                    " ".join(
+                        " ".join(tl[ls[li] : le[li]]) for li in range(lb, leb)
+                    )
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "page_number": pa.array(pns, pa.int32()),
+                "box_index": pa.array(bidx, pa.int32()),
+                "x0": pa.array(x0s, pa.float64()),
+                "top": pa.array(tops, pa.float64()),
+                "x1": pa.array(x1s, pa.float64()),
+                "bottom": pa.array(bottoms, pa.float64()),
+                "text": pa.array(texts_out, pa.string()),
+            }
+        )
+
+
 def pages_batch_to_annots(batch: pa.Table) -> pa.Table:
     """Explode page rows into a flat annotations table (one row per annot)
     — the reference's ``page.annots`` list (page.py:280-319) as a typed

@@ -317,3 +317,29 @@ def test_doc_metadata(ray_session):
     assert md.loc["d1"].n_spans == 5
     assert md.loc["d1"].n_chars == len("intro") + len("The Title") + len("Second") + len("c1")
     assert md.loc["d2"].title == "" and md.loc["d2"].n_spans == 0
+
+
+def test_text_boxes_geometry_and_text(pages):
+    """PagesToTextBoxes (laparams analogue, reference page.py:402-414):
+    every box's bbox envelopes its words and box texts equal the
+    paragraph blocks from simple extraction."""
+    from pdfplumber_ray.pipelines import text_boxes_ds, words_ds
+
+    tb = text_boxes_ds(pages).to_pandas()
+    assert len(tb) > 0
+    assert (tb.x1 > tb.x0).all() and (tb.bottom > tb.top).all()
+    w = words_ds(pages).to_pandas()
+    w = w[w.upright]
+    for (did, pn), grp in tb.groupby(["doc_id", "page_number"]):
+        pw = w[(w.doc_id == did) & (w.page_number == pn)]
+        for _, box in grp.iterrows():
+            inside = pw[
+                (pw.top >= box.top - 1e-9) & (pw.bottom <= box.bottom + 1e-9)
+            ]
+            assert len(inside) > 0
+            got_words = " ".join(
+                inside.sort_values(["top", "x0"]).text.tolist()
+            )
+            assert got_words.split() == box.text.split()
+        # box indexes are 0..n-1 in top order per page
+        assert sorted(grp.box_index) == list(range(len(grp)))
