@@ -368,6 +368,50 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_char_colors(sf_dir: str) -> ray.data.Dataset:
+    """Normalized color attributes (reference page.py:98-118): chars carry
+    a fill color from the (synthetic) graphics state; counted per (doc,
+    color) with a per-batch combiner. Heading glyphs (first 6-word chunk)
+    are dark blue, body black; spaces are never glyphs."""
+    from pdfplumber_ray.pipelines import chars_with_colors_ds
+
+    ch = chars_with_colors_ds(decode_pages_ds(_annot_docs(sf_dir)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        color = pa.array(
+            [",".join(f"{v:g}" for v in c) for c in
+             batch.column("non_stroking_color").to_pylist()],
+            pa.string(),
+        )
+        t = pa.table({"doc_id": batch.column("doc_id"), "color": color})
+        g = pa.TableGroupBy(t, ["doc_id", "color"]).aggregate([("color", "count")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "color": g.column("color"),
+                "p_n": g.column("color_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ch.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["doc_id", "color"])
+        .sum("p_n")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "color": batch.column("color"),
+                "n_chars": batch.column("sum(p_n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_text_boxes(sf_dir: str) -> ray.data.Dataset:
     """laparams-analogue layout containers (reference page.py:402-414):
     each 12-word window adapter span is one paragraph box; box text must
@@ -900,6 +944,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "media_features": q_media_features,
     "words_by_font": q_words_by_font,
     "text_boxes": q_text_boxes,
+    "char_colors": q_char_colors,
 }
 
 
@@ -1195,6 +1240,19 @@ ORACLES: Dict[str, str] = {
           FROM documents)
         SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text
         FROM w GROUP BY doc_id, i // 12
+    """,
+    "char_colors": """
+        WITH c AS (
+          SELECT doc_id,
+                 length(replace(array_to_string(
+                     list_slice(string_split(text, ' '), 1, 6), ' '), ' ', '')) AS head_chars,
+                 length(replace(text, ' ', '')) AS all_chars
+          FROM documents WHERE text <> '')
+        SELECT doc_id, '0,0,0.5' AS color, CAST(head_chars AS BIGINT) AS n_chars
+        FROM c WHERE head_chars > 0
+        UNION ALL
+        SELECT doc_id, '0,0,0' AS color, CAST(all_chars - head_chars AS BIGINT) AS n_chars
+        FROM c WHERE all_chars > head_chars
     """,
 }
 

@@ -5,6 +5,7 @@ from .extract import (  # noqa: F401
     chars_ds,
     annots_ds,
     hyperlinks_ds,
+    chars_with_colors_ds,
     words_ds,
     page_text_ds,
     search_ds,

@@ -218,6 +218,15 @@ def chars_ds(pages: Dataset) -> Dataset:
     )
 
 
+def chars_with_colors_ds(pages: Dataset) -> Dataset:
+    """Flat chars + normalized color columns (reference page.py:98-118)."""
+    from ..stages.decode import chars_batch_normalize_colors
+
+    return chars_ds(pages).map_batches(
+        chars_batch_normalize_colors, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def annots_ds(pages: Dataset) -> Dataset:
     """Flat annotation table (reference page.py:280-319)."""
     return pages.map_batches(

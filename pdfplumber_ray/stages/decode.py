@@ -335,6 +335,36 @@ class PagesToTextBoxes:
         )
 
 
+# deterministic font -> fill color table: the synthetic stand-in for the
+# content-stream graphics state (the reference normalizes pdfminer's
+# PSLiteral/tuple color soup into plain tuples + a pattern side channel,
+# page.py:98-118)
+_FONT_COLORS: Dict[str, Tuple[float, ...]] = {
+    "SynthMono": (0.0, 0.0, 0.0),
+    "SynthMono-Bold": (0.0, 0.0, 0.5),
+}
+
+
+def chars_batch_normalize_colors(batch: pa.Table) -> pa.Table:
+    """Flat chars table -> + stroking_color / non_stroking_color
+    (list<float64>) and nullable *_pattern columns (reference
+    page.py:98-118 normalize_color). Vectorized: one dictionary lookup per
+    distinct fontname, broadcast by take."""
+    fonts = batch.column("fontname")
+    enc = fonts.combine_chunks().dictionary_encode()
+    dict_vals = enc.dictionary.to_pylist()
+    colors = [list(_FONT_COLORS.get(f, (0.0, 0.0, 0.0))) for f in dict_vals]
+    nsc = pa.array(colors, pa.list_(pa.float64())).take(enc.indices)
+    none_str = pa.nulls(batch.num_rows, pa.string())
+    black = pa.array([[0.0, 0.0, 0.0]] * batch.num_rows, pa.list_(pa.float64()))
+    return (
+        batch.append_column("stroking_color", black)
+        .append_column("non_stroking_color", nsc)
+        .append_column("stroking_pattern", none_str)
+        .append_column("non_stroking_pattern", none_str)
+    )
+
+
 def pages_batch_to_annots(batch: pa.Table) -> pa.Table:
     """Explode page rows into a flat annotations table (one row per annot)
     — the reference's ``page.annots`` list (page.py:280-319) as a typed

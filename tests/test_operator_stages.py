@@ -343,3 +343,19 @@ def test_text_boxes_geometry_and_text(pages):
             assert got_words.split() == box.text.split()
         # box indexes are 0..n-1 in top order per page
         assert sorted(grp.box_index) == list(range(len(grp)))
+
+
+def test_char_color_normalization(pages):
+    """chars_with_colors_ds (reference page.py:98-118): typed color lists +
+    nullable pattern columns; heading font maps to the non-black fill."""
+    from pdfplumber_ray.pipelines import chars_with_colors_ds
+
+    ch = chars_with_colors_ds(pages).to_pandas()
+    assert {"stroking_color", "non_stroking_color", "stroking_pattern",
+            "non_stroking_pattern"} <= set(ch.columns)
+    assert ch.non_stroking_pattern.isna().all()
+    bold = ch[ch.fontname == "SynthMono-Bold"]
+    body = ch[ch.fontname == "SynthMono"]
+    assert len(bold) > 0 and len(body) > 0
+    assert all(list(c) == [0.0, 0.0, 0.5] for c in bold.non_stroking_color)
+    assert all(list(c) == [0.0, 0.0, 0.0] for c in body.non_stroking_color)
