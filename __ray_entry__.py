@@ -368,6 +368,30 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_search_groups(sf_dir: str) -> ray.data.Dataset:
+    """Regex search with capture groups (reference match_to_dict,
+    utils/text.py:145-170): the first group of each match crosses the
+    stage boundary as a typed list column."""
+    out = search_ds(
+        decode_pages_ds(_interleaved_docs(sf_dir)), r"qu([a-z]+)"
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        g1 = [
+            (g[0] if g else None) for g in batch.column("groups").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": batch.column("text"),
+                "g1": pa.array(g1, pa.string()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_char_colors(sf_dir: str) -> ray.data.Dataset:
     """Normalized color attributes (reference page.py:98-118): chars carry
     a fill color from the (synthetic) graphics state; counted per (doc,
@@ -945,6 +969,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "words_by_font": q_words_by_font,
     "text_boxes": q_text_boxes,
     "char_colors": q_char_colors,
+    "search_groups": q_search_groups,
 }
 
 
@@ -1253,6 +1278,12 @@ ORACLES: Dict[str, str] = {
         UNION ALL
         SELECT doc_id, '0,0,0' AS color, CAST(all_chars - head_chars AS BIGINT) AS n_chars
         FROM c WHERE all_chars > head_chars
+    """,
+    "search_groups": """
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, 'qu([a-z]+)')) AS text,
+               unnest(regexp_extract_all(text, 'qu([a-z]+)', 1)) AS g1
+        FROM documents
     """,
 }
 

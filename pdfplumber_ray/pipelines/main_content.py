@@ -139,15 +139,14 @@ class StripBoilerplate:
             drop[is_text] = nav | templ
         doc_idx = np.repeat(np.arange(len(lens)), lens)
         keep = ~drop
-        spans_py = values.to_pylist()
-        out_spans: List[List[Dict]] = [[] for _ in range(len(lens))]
-        for i in np.flatnonzero(keep):
-            out_spans[doc_idx[i]].append(spans_py[i])
+        # vectorized rebuild: take surviving struct rows once, recompute
+        # per-doc list offsets from the kept-count histogram (no row loop)
+        kept_values = values.take(pa.array(np.flatnonzero(keep)))
+        kept_per_doc = np.bincount(doc_idx[keep], minlength=len(lens))
+        offsets = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+        spans_col = pa.ListArray.from_arrays(pa.array(offsets), kept_values)
         return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "spans": pa.array(out_spans, pa.list_(SPAN)),
-            }
+            {"doc_id": batch.column("doc_id"), "spans": spans_col}
         )
 
 

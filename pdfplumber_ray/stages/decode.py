@@ -725,6 +725,7 @@ class PagesSearch:
         doc_ids: List[str] = []
         pns: List[int] = []
         texts: List[str] = []
+        groups: List[List[Optional[str]]] = []
         x0s: List[Optional[float]] = []
         tops: List[Optional[float]] = []
         x1s: List[Optional[float]] = []
@@ -734,6 +735,7 @@ class PagesSearch:
                 doc_ids.append(doc_id)
                 pns.append(page["page_number"])
                 texts.append(m["text"])
+                groups.append(list(m.get("groups") or ()))
                 x0s.append(m["x0"])
                 tops.append(m["top"])
                 x1s.append(m["x1"])
@@ -743,6 +745,7 @@ class PagesSearch:
                 "doc_id": pa.array(doc_ids, pa.string()),
                 "page_number": pa.array(pns, pa.int32()),
                 "text": pa.array(texts, pa.string()),
+                "groups": pa.array(groups, pa.list_(pa.string())),
                 "x0": pa.array(x0s, pa.float64()),
                 "top": pa.array(tops, pa.float64()),
                 "x1": pa.array(x1s, pa.float64()),
