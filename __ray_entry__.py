@@ -368,6 +368,42 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_word_geometry(sf_dir: str) -> ray.data.Dataset:
+    """Exact glyph geometry vs pure SQL: with 6-word spans every span is
+    one monospace line, so each word's x0/x1/top/doctop is closed-form
+    arithmetic on word lengths (margin 72, advance 7.25, ink width 6,
+    line height 13, 24 blocks/page, page height 792). The strongest
+    geometry statement an external oracle can check."""
+    w = words_ds(decode_pages_ds(_interleaved_docs6(sf_dir)))
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        x0 = group.column("x0").to_numpy()
+        x1 = group.column("x1").to_numpy()
+        top = group.column("top").to_numpy()
+        doctop = group.column("doctop").to_numpy()
+        order = np.lexsort((x0, doctop))
+        did = int(group.column("doc_id")[0].as_py().rsplit("-", 1)[1])
+        n = len(order)
+        return pa.table(
+            {
+                "doc_id": pa.array([did] * n, pa.int64()),
+                "word_index": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(
+                    np.asarray(group.column("text").to_pylist(), dtype=object)[
+                        order
+                    ].tolist(),
+                    pa.string(),
+                ),
+                "x0_e6": pa.array(np.round(x0[order] * 1e6).astype(np.int64)),
+                "x1_e6": pa.array(np.round(x1[order] * 1e6).astype(np.int64)),
+                "top_e6": pa.array(np.round(top[order] * 1e6).astype(np.int64)),
+                "doctop_e6": pa.array(np.round(doctop[order] * 1e6).astype(np.int64)),
+            }
+        )
+
+    return w.groupby("doc_id").map_groups(per_doc, batch_format="pyarrow")
+
+
 def q_search_groups(sf_dir: str) -> ray.data.Dataset:
     """Regex search with capture groups (reference match_to_dict,
     utils/text.py:145-170): the first group of each match crosses the
@@ -970,6 +1006,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "text_boxes": q_text_boxes,
     "char_colors": q_char_colors,
     "search_groups": q_search_groups,
+    "word_geometry": q_word_geometry,
 }
 
 
@@ -1284,6 +1321,26 @@ ORACLES: Dict[str, str] = {
                unnest(regexp_extract_all(text, 'qu([a-z]+)')) AS text,
                unnest(regexp_extract_all(text, 'qu([a-z]+)', 1)) AS g1
         FROM documents
+    """,
+    "word_geometry": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+          FROM documents),
+        g AS (
+          SELECT doc_id, word, i, i // 6 AS c, i % 6 AS k,
+                 COALESCE(sum(length(word)) OVER (
+                     PARTITION BY doc_id, i // 6 ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+          FROM w)
+        SELECT doc_id, CAST(i AS BIGINT) AS word_index, word AS text,
+               CAST(round((72 + (prev + k) * 7.25) * 1e6) AS BIGINT) AS x0_e6,
+               CAST(round((72 + (prev + k + length(word) - 1) * 7.25 + 6) * 1e6)
+                    AS BIGINT) AS x1_e6,
+               CAST(round((72 + 2 * (c % 24) * 13) * 1e6) AS BIGINT) AS top_e6,
+               CAST(round(((c // 24) * 792 + 72 + 2 * (c % 24) * 13) * 1e6)
+                    AS BIGINT) AS doctop_e6
+        FROM g
     """,
 }
 
