@@ -540,6 +540,24 @@ def q_media_features(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_media_resize(sf_dir: str) -> ray.data.Dataset:
+    """Resize stage plumbing: payloads rewritten to 64x48 then re-decoded;
+    the oracle predicts the new header and byte count."""
+    from pdfplumber_ray.pipelines.media import media_resize_ds
+    from pdfplumber_ray.stages.multimodal import MediaDecode
+
+    resized = media_resize_ds(_documents(sf_dir).select_columns(["doc_id"]), 64, 48)
+    dec = resized.map_batches(
+        MediaDecode, concurrency=(1, 8), batch_size=256,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "width", "height", "n_frames", "n_bytes"])
+
+    return dec.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_metadata(sf_dir: str) -> ray.data.Dataset:
     """Doc metadata extraction (reference pdf.py:47-63): Title = first
     heading, plus a typed span census, over the annot adapter docs."""
@@ -1007,6 +1025,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "char_colors": q_char_colors,
     "search_groups": q_search_groups,
     "word_geometry": q_word_geometry,
+    "media_resize": q_media_resize,
 }
 
 
@@ -1341,6 +1360,15 @@ ORACLES: Dict[str, str] = {
                CAST(round(((c // 24) * 792 + 72 + 2 * (c % 24) * 13) * 1e6)
                     AS BIGINT) AS doctop_e6
         FROM g
+    """,
+    # resized container: 11-byte header + (64*48)//64 = 48 body bytes
+    "media_resize": """
+        SELECT doc_id,
+               CAST(64 AS BIGINT) AS width,
+               CAST(48 AS BIGINT) AS height,
+               CAST(1 + doc_id % 30 AS BIGINT) AS n_frames,
+               CAST(59 AS BIGINT) AS n_bytes
+        FROM documents
     """,
 }
 
