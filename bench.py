@@ -86,13 +86,22 @@ def run_benchmarks(
             warm = extract_spans_ds(read_docs(corpus_dir).limit(32 * cfg.batch_size), cfg)
             warm.select_columns(["n_pages"]).sum("n_pages")
 
-            t0 = time.perf_counter()
-            ds = extract_spans_ds(read_docs(corpus_dir, override_num_blocks=nb), cfg)
-            total_pages = ds.select_columns(["n_pages"]).sum("n_pages")
-            wall = time.perf_counter() - t0
+            # best-of-2: this shared VM shows up to 2x wall-clock noise from
+            # host neighbors (see BASELINE.md); best-of-N measures the
+            # pipeline, not the neighbor's load
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                ds = extract_spans_ds(
+                    read_docs(corpus_dir, override_num_blocks=nb), cfg
+                )
+                total_pages = ds.select_columns(["n_pages"]).sum("n_pages")
+                walls.append(time.perf_counter() - t0)
+            wall = min(walls)
             queries["extract_synth"] = round(wall, 3)
             extras["extract_synth_docs_per_sec"] = round(n_docs / wall, 1)
             extras["extract_synth_pages"] = int(total_pages)
+            extras["extract_synth_runs"] = [round(w, 3) for w in walls]
 
         # q2: flagship extraction over the documents.parquet adapter corpus
         if only in (None, "extract_docs"):
