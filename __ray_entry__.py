@@ -368,6 +368,39 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_table_geometry(sf_dir: str) -> ray.data.Dataset:
+    """Exact lattice-table geometry vs closed-form SQL: every lineitem-doc
+    cell is 1 char wide, so the snapped/merged/intersected table bbox per
+    page is pure arithmetic (margin 72, col width 21.75, row height 26,
+    23 grid rows per page). Verifies the full edge->intersection->cell->
+    table chain's geometry, not just its cell contents."""
+    from pdfplumber_ray.pipelines import tables_ds
+
+    tb = tables_ds(decode_pages_ds(docs_from_lineitem(sf_dir)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys = [
+            int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()
+        ]
+        n_rows = [len(r) for r in batch.column("rows").to_pylist()]
+        to_e6 = lambda col: pa.array(
+            np.round(batch.column(col).to_numpy() * 1e6).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_key": pa.array(keys, pa.int64()),
+                "page_number": batch.column("page_number").cast(pa.int64()),
+                "x0_e6": to_e6("x0"),
+                "top_e6": to_e6("top"),
+                "x1_e6": to_e6("x1"),
+                "bottom_e6": to_e6("bottom"),
+                "n_grid_rows": pa.array(n_rows, pa.int64()),
+            }
+        )
+
+    return tb.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_word_geometry(sf_dir: str) -> ray.data.Dataset:
     """Exact glyph geometry vs pure SQL: with 6-word spans every span is
     one monospace line, so each word's x0/x1/top/doctop is closed-form
@@ -1026,6 +1059,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "search_groups": q_search_groups,
     "word_geometry": q_word_geometry,
     "media_resize": q_media_resize,
+    "table_geometry": q_table_geometry,
 }
 
 
@@ -1360,6 +1394,22 @@ ORACLES: Dict[str, str] = {
                CAST(round(((c // 24) * 792 + 72 + 2 * (c % 24) * 13) * 1e6)
                     AS BIGINT) AS doctop_e6
         FROM g
+    """,
+    "table_geometry": """
+        WITH n AS (
+          SELECT l_orderkey, count(*) AS nr FROM lineitem GROUP BY l_orderkey),
+        p AS (
+          SELECT l_orderkey, nr,
+                 unnest(range(CAST(ceil(nr / 23.0) AS BIGINT))) AS pg
+          FROM n)
+        SELECT l_orderkey AS doc_key,
+               CAST(pg + 1 AS BIGINT) AS page_number,
+               CAST(72000000 AS BIGINT) AS x0_e6,
+               CAST(72000000 AS BIGINT) AS top_e6,
+               CAST(137250000 AS BIGINT) AS x1_e6,
+               CAST((72 + LEAST(nr - pg * 23, 23) * 26) * 1000000 AS BIGINT) AS bottom_e6,
+               CAST(LEAST(nr - pg * 23, 23) AS BIGINT) AS n_grid_rows
+        FROM p
     """,
     # resized container: 11-byte header + (64*48)//64 = 48 body bytes
     "media_resize": """
