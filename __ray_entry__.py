@@ -3,9 +3,11 @@
 ``entry()`` runs the flagship extraction pipeline at sf0.001;
 ``queries()``/``oracle_sql()`` expose each implemented operator with a
 DuckDB-checkable SQL twin where the semantics are SQL-expressible
-(column names match on both sides). Ops that SQL cannot express
-(MinHash/SimHash LSH, fingerprints, candidate-pair verification) have no
-oracle entry — the driver records a rows-only check for those.
+(column names match on both sides). Only the LSH banding ops
+(MinHash/SimHash candidate pairs and their verified variant) have no
+oracle entry — the driver records a rows-only check for those; the
+`near_dup_exact` query covers the same pipeline with a bit-exact SQL
+all-pairs Jaccard oracle.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -1394,6 +1396,20 @@ ORACLES: Dict[str, str] = {
                CAST(round(((c // 24) * 792 + 72 + 2 * (c % 24) * 13) * 1e6)
                     AS BIGINT) AS doctop_e6
         FROM g
+    """,
+    # the polynomial rolling hash (h*257+byte mod 2^61-1) folded in SQL via
+    # list_reduce with HUGEINT intermediates; documents are pure ASCII so
+    # codepoints == utf-8 bytes
+    "fingerprint": """
+        SELECT doc_id,
+               printf('%016x', list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(regexp_split_to_array(text, ''),
+                                      c -> CAST(ord(c) AS BIGINT))),
+                   (a, b) -> CAST((CAST(a AS HUGEINT) * 257 + b)
+                                  % 2305843009213693951 AS BIGINT)
+               )) AS fingerprint
+        FROM documents WHERE text <> ''
     """,
     "table_geometry": """
         WITH n AS (
