@@ -307,6 +307,9 @@ def _assemble_words(
         kept_texts = np.array(
             [expansions.get(t, t) for t in kept_texts], dtype=object
         )
+    # per-word join stays a Python loop on purpose: an Arrow
+    # binary_join over a list view was measured ~1.6x SLOWER here (the
+    # np->Arrow conversion per call dominates at this granularity)
     joined = np.empty(starts.shape[0], dtype=object)
     kt = kept_texts.tolist()
     for w, (s, e) in enumerate(zip(starts, ends)):
