@@ -50,6 +50,21 @@ RECT = pa.struct(
 # zero-height/width stroked line objects (reference 'line' kind)
 LINE = RECT
 
+# curve objects: bbox + ordered points (reference page.py:386-393 converts
+# pdfminer pts/path to top-left coords; curves decompose to point-pair
+# edge segments in the table stage, geometry.py:189-204)
+CURVE_PT = pa.struct([("x", pa.float64()), ("top", pa.float64())])
+CURVE = pa.struct(
+    [
+        ("x0", pa.float64()),
+        ("x1", pa.float64()),
+        ("top", pa.float64()),
+        ("bottom", pa.float64()),
+        ("doctop", pa.float64()),
+        ("pts", pa.list_(CURVE_PT)),
+    ]
+)
+
 IMAGE = pa.struct(
     [
         ("x0", pa.float64()),
@@ -87,6 +102,7 @@ PAGES = pa.schema(
         ("lines", pa.list_(LINE)),
         ("images", pa.list_(IMAGE)),
         ("annots", pa.list_(ANNOT)),
+        ("curves", pa.list_(CURVE)),
     ]
 )
 

@@ -22,7 +22,7 @@ import pyarrow as pa
 from ..config import PipelineConfig, SynthLayoutConfig, TableConfig, WordConfig
 from ..functions.words import extract_words_page
 from ..functions.textmap import extract_text_page, extract_text_simple_page
-from ..schemas import ANNOT, CHAR, IMAGE, LINE, RECT, SPAN
+from ..schemas import ANNOT, CHAR, CURVE, IMAGE, LINE, RECT, SPAN
 from .flatten import extract_doc_spans, page_tables
 from .layout import LayoutError, PageDict, layout_doc
 
@@ -123,6 +123,7 @@ def pages_to_arrow(rows: List[Tuple[str, PageDict]]) -> pa.Table:
     line_lens: List[int] = []
     images: List[List[Dict]] = []
     annots: List[List[Dict]] = []
+    curves: List[List[Dict]] = []
     pn: List[int] = []
     pw: List[float] = []
     ph: List[float] = []
@@ -142,6 +143,7 @@ def pages_to_arrow(rows: List[Tuple[str, PageDict]]) -> pa.Table:
         line_lens.append(int(np.asarray(plines["x0"]).shape[0]))
         images.append(page["images"])
         annots.append(page.get("annots") or [])
+        curves.append(page.get("curves") or [])
         pn.append(int(page["page_number"]))
         pw.append(float(page["page_width"]))
         ph.append(float(page["page_height"]))
@@ -174,6 +176,7 @@ def pages_to_arrow(rows: List[Tuple[str, PageDict]]) -> pa.Table:
             "lines": struct_list(line_flat, line_lens, LINE),
             "images": pa.array(images, pa.list_(IMAGE)),
             "annots": pa.array(annots, pa.list_(ANNOT)),
+            "curves": pa.array(curves, pa.list_(CURVE)),
         }
     )
 
@@ -189,6 +192,11 @@ def arrow_pages_to_dicts(batch: pa.Table) -> List[Tuple[str, PageDict]]:
     annots = (
         batch.column("annots").to_pylist()
         if "annots" in batch.column_names
+        else [[] for _ in range(batch.num_rows)]
+    )
+    curves = (
+        batch.column("curves").to_pylist()
+        if "curves" in batch.column_names
         else [[] for _ in range(batch.num_rows)]
     )
     pn = batch.column("page_number").to_numpy()
@@ -225,6 +233,7 @@ def arrow_pages_to_dicts(batch: pa.Table) -> List[Tuple[str, PageDict]]:
             "lines": {k: v[int(loffs[i]):int(loffs[i + 1])] for k, v in lflat.items()},
             "images": images[i],
             "annots": annots[i],
+            "curves": curves[i],
         }
         out.append((doc_id, page))
     return out

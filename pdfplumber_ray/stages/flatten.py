@@ -26,7 +26,13 @@ import numpy as np
 
 from ..config import SynthLayoutConfig, TableConfig, WordConfig
 from ..functions.clustering import cluster_ids
-from ..functions.geometry import concat_edges, lines_to_edges, midpoint_in_bbox_mask, rects_to_edges
+from ..functions.geometry import (
+    concat_edges,
+    curves_to_edges,
+    lines_to_edges,
+    midpoint_in_bbox_mask,
+    rects_to_edges,
+)
 from ..functions.tables import find_tables_page
 from ..functions.words import extract_words_page
 from ..sources.synth_corpus import assign_offsets
@@ -112,12 +118,23 @@ def page_tables(
     """Detected tables on one page -> [(bbox, row-major cell texts)]."""
     rects = page["rects"]
     plines = page.get("lines")
+    pcurves = page.get("curves") or []
     has_lines = plines is not None and np.asarray(plines["x0"]).shape[0] > 0
-    if rects["x0"].shape[0] == 0 and not has_lines:
+    if rects["x0"].shape[0] == 0 and not has_lines and not pcurves:
         return []
-    edges = concat_edges(
-        [rects_to_edges(rects)] + ([lines_to_edges(plines)] if has_lines else [])
-    )
+    # edge union mirrors the reference container (container.py:84-90):
+    # rect edges + line edges + curve point-pair segments (diagonal curve
+    # segments are dropped later by the orientation filter)
+    parts = [rects_to_edges(rects)]
+    if has_lines:
+        parts.append(lines_to_edges(plines))
+    if pcurves:
+        parts.append(
+            curves_to_edges(
+                [(p["x"], p["top"]) for p in c["pts"]] for c in pcurves
+            )
+        )
+    edges = concat_edges(parts)
     bbox = (0.0, 0.0, page["page_width"], page["page_height"])
     chars = page["chars"]
     tables = find_tables_page(

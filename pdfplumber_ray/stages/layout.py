@@ -83,6 +83,7 @@ class _PageBuilder:
         self.l_top: List[float] = []
         self.images: List[Dict[str, object]] = []
         self.annots: List[Dict[str, object]] = []
+        self.curves: List[Dict[str, object]] = []
 
     def emit_line_chars(
         self, line: str, line_top: float, size: float, fontname: str,
@@ -125,6 +126,22 @@ class _PageBuilder:
     def emit_image(self, x0: float, top: float, x1: float, bottom: float, ref: str) -> None:
         self.images.append(
             {"x0": x0, "top": top, "x1": x1, "bottom": bottom, "media_ref": ref}
+        )
+
+    def emit_curve(self, pts: List[tuple]) -> None:
+        """Curve object from ordered (x, top) points (reference
+        page.py:386-393). Diagonal point-pair segments are dropped by the
+        table stage's orientation filter, so decorative curves never form
+        spurious lattice cells."""
+        xs = [p[0] for p in pts]
+        tops = [p[1] for p in pts]
+        top = min(tops)
+        self.curves.append(
+            {
+                "x0": min(xs), "x1": max(xs), "top": top, "bottom": max(tops),
+                "doctop": top + self.initial_doctop,
+                "pts": [{"x": x, "top": t} for x, t in pts],
+            }
         )
 
     def emit_annot(
@@ -233,6 +250,7 @@ class _PageBuilder:
             "lines": lines,
             "images": self.images,
             "annots": self.annots,
+            "curves": self.curves,
         }
 
 
@@ -352,6 +370,18 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
         )
         builder.emit_annot(
             cfg.margin_left, top, cfg.margin_left + cfg.media_width, bottom, uri=ref
+        )
+        # decorative zigzag under the image: a real curve object (5 pts, 4
+        # diagonal segments)
+        w = cfg.media_width
+        builder.emit_curve(
+            [
+                (cfg.margin_left, bottom + 2.0),
+                (cfg.margin_left + w / 4, bottom + 4.0),
+                (cfg.margin_left + w / 2, bottom + 2.0),
+                (cfg.margin_left + 3 * w / 4, bottom + 4.0),
+                (cfg.margin_left + w, bottom + 2.0),
+            ]
         )
         li += cfg.media_height_lines + 1
 

@@ -359,3 +359,37 @@ def test_char_color_normalization(pages):
     assert len(bold) > 0 and len(body) > 0
     assert all(list(c) == [0.0, 0.0, 0.5] for c in bold.non_stroking_color)
     assert all(list(c) == [0.0, 0.0, 0.0] for c in body.non_stroking_color)
+
+
+def test_curve_objects_flow_without_spurious_tables(ray_session):
+    """Curve objects (reference page.py:386-393) cross the Arrow page
+    boundary; their diagonal point-pair segments are orientation-filtered
+    so decorative curves never produce lattice cells."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdfplumber_ray.pipelines import extract_spans_ds
+    from pdfplumber_ray.schemas import SPAN
+    from pdfplumber_ray.stages.decode import SynthDecodePages, arrow_pages_to_dicts
+
+    spans = [
+        {"kind": "media_ref", "text": "", "media_ref": "media://d/0", "offset": 0},
+        {"kind": "table_cell", "text": "a", "media_ref": "", "offset": 1},
+        {"kind": "table_cell", "text": "b", "media_ref": "", "offset": 2},
+        {"kind": "table_cell", "text": "c", "media_ref": "", "offset": 3},
+        {"kind": "table_cell", "text": "d", "media_ref": "", "offset": 4},
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(["d1"]), "spans": pa.array([spans], pa.list_(SPAN))}
+    )
+    pages_tbl = SynthDecodePages()(t)
+    pages = arrow_pages_to_dicts(pages_tbl)
+    curves = [c for _, p in pages for c in p["curves"]]
+    assert len(curves) == 1
+    assert len(curves[0]["pts"]) == 5
+    assert curves[0]["bottom"] > curves[0]["top"]
+    # extraction recovers the span sequence exactly (no extra table cells)
+    out = extract_spans_ds(ray.data.from_arrow(t)).take_all()[0]
+    got = [(s["kind"], s["text"], s["media_ref"]) for s in out["spans"]]
+    want = [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+    assert got == want
