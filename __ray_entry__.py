@@ -370,6 +370,25 @@ def q_hyperlinks(sf_dir: str) -> ray.data.Dataset:
     return links.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_curves(sf_dir: str) -> ray.data.Dataset:
+    """Curve objects (reference page.py:386-393): one decorative 5-point
+    zigzag per media span, flattened from the decoded page rows."""
+    from pdfplumber_ray.pipelines import curves_ds
+
+    cur = curves_ds(decode_pages_ds(_annot_docs(sf_dir)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        n_pts = pa.compute.list_value_length(batch.column("pts")).cast(pa.int64())
+        width = pa.compute.subtract(batch.column("x1"), batch.column("x0"))
+        w_e6 = pa.array(
+            np.round(width.to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        )
+        return pa.table({"doc_id": ids, "n_pts": n_pts, "width_e6": w_e6})
+
+    return cur.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_table_geometry(sf_dir: str) -> ray.data.Dataset:
     """Exact lattice-table geometry vs closed-form SQL: every lineitem-doc
     cell is 1 char wide, so the snapped/merged/intersected table bbox per
@@ -1062,6 +1081,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "word_geometry": q_word_geometry,
     "media_resize": q_media_resize,
     "table_geometry": q_table_geometry,
+    "curves": q_curves,
 }
 
 
@@ -1411,6 +1431,10 @@ ORACLES: Dict[str, str] = {
                )) AS fingerprint
         FROM documents WHERE text <> ''
     """,
+    "curves": (
+        "SELECT doc_id, CAST(5 AS BIGINT) AS n_pts, "
+        "CAST(100000000 AS BIGINT) AS width_e6 FROM documents"
+    ),
     "table_geometry": """
         WITH n AS (
           SELECT l_orderkey, count(*) AS nr FROM lineitem GROUP BY l_orderkey),

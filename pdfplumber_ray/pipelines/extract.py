@@ -41,6 +41,7 @@ from ..stages.decode import (
     SynthDecodePages,
     pages_batch_to_annots,
     pages_batch_to_chars,
+    pages_batch_to_curves,
     pages_batch_to_hyperlinks,
 )
 
@@ -231,6 +232,13 @@ def annots_ds(pages: Dataset) -> Dataset:
     """Flat annotation table (reference page.py:280-319)."""
     return pages.map_batches(
         pages_batch_to_annots, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def curves_ds(pages: Dataset) -> Dataset:
+    """Flat curve-object table (reference page.curves)."""
+    return pages.map_batches(
+        pages_batch_to_curves, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -392,6 +392,22 @@ def pages_batch_to_annots(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def pages_batch_to_curves(batch: pa.Table) -> pa.Table:
+    """Explode page rows into a flat curves table (one row per curve,
+    pts kept as a list column) — reference ``page.curves``."""
+    col = batch.column("curves").combine_chunks()
+    lens = np.diff(col.offsets.to_numpy())
+    doc_rep = pa.array(
+        np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), lens)
+    )
+    pn_rep = pa.array(np.repeat(batch.column("page_number").to_numpy(), lens), pa.int32())
+    values = col.values
+    cols: Dict[str, pa.Array] = {"doc_id": doc_rep, "page_number": pn_rep}
+    for f in ("x0", "x1", "top", "bottom", "doctop", "pts"):
+        cols[f] = values.field(f)
+    return pa.table(cols)
+
+
 def pages_batch_to_hyperlinks(batch: pa.Table) -> pa.Table:
     """Annots with a non-empty uri (reference page.py:321-323)."""
     import pyarrow.compute as pc
