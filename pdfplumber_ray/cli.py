@@ -1,0 +1,116 @@
+"""Command-line interface — the engine's analogue of the reference CLI
+(reference cli.py:20-120): dump decoded objects as CSV or nested page
+JSON, or the structure text join, from an interleaved-doc corpus.
+
+    python -m pdfplumber_ray.cli INPUT_DIR --format csv --types char word \
+        [--pages 1 2] [--precision 3] [--output OUT_DIR]
+
+With ``--output`` the dump is a distributed ``write_csv``/``write_json``
+(one file per block — the scale path). Without it, results are collected
+to stdout like the reference — a debugging convenience for small inputs
+only. Owns its Ray session only when run as a script (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+
+TYPE_CHOICES = ("char", "word", "annot", "curve", "text_box")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pdfplumber_ray.cli")
+    p.add_argument("input", help="dir of DOCS-schema parquet shards")
+    p.add_argument(
+        "--format", choices=("csv", "json", "structure-text"), default="csv"
+    )
+    p.add_argument(
+        "--types", nargs="+", choices=TYPE_CHOICES, default=["char"],
+        help="object types for --format csv (reference cli.py --types)",
+    )
+    p.add_argument("--pages", nargs="+", type=int, default=None)
+    p.add_argument(
+        "--precision", type=int, default=None,
+        help="float rounding (reference Serializer precision)",
+    )
+    p.add_argument("--output", default=None, help="output dir (distributed write)")
+    return p
+
+
+def _pages_ds(args):
+    from .pipelines import decode_pages_ds, read_docs
+
+    pages = decode_pages_ds(read_docs(args.input))
+    if args.pages:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        wanted = pa.array(list(args.pages), pa.int32())
+
+        def keep(batch: "pa.Table") -> "pa.Table":
+            return batch.filter(
+                pc.is_in(batch.column("page_number"), value_set=wanted)
+            )
+
+        pages = pages.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return pages
+
+
+def _objects_ds(pages, typ: str):
+    from .pipelines import annots_ds, chars_ds, curves_ds, text_boxes_ds, words_ds
+
+    if typ == "char":
+        return chars_ds(pages)
+    if typ == "word":
+        return words_ds(pages)
+    if typ == "annot":
+        return annots_ds(pages)
+    if typ == "curve":
+        # pts nested list is not CSV-serializable; dump the bbox columns
+        return curves_ds(pages).drop_columns(["pts"])
+    return text_boxes_ds(pages)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .sinks import objects_csv_ds, pages_json_ds
+
+    pages = _pages_ds(args)
+    if args.format == "csv":
+        for typ in args.types:
+            ds = objects_csv_ds(_objects_ds(pages, typ), typ, precision=args.precision)
+            if args.output:
+                ds.write_csv(f"{args.output}/{typ}")
+            else:
+                ds.to_pandas().to_csv(sys.stdout, index=False)
+    elif args.format == "json":
+        ds = pages_json_ds(pages, precision=args.precision)
+        if args.output:
+            ds.write_json(args.output)
+        else:
+            for row in ds.take_all():
+                sys.stdout.write(row["json"] + "\n")
+    else:  # structure-text (reference cli.py:72-91)
+        from .pipelines.extract import mcid_text_ds
+
+        ds = mcid_text_ds(pages)
+        if args.output:
+            ds.write_csv(args.output)
+        else:
+            ds.to_pandas().to_csv(sys.stdout, index=False)
+    return 0
+
+
+if __name__ == "__main__":
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        raise SystemExit(main())
+    finally:
+        ray.shutdown()

@@ -1,0 +1,69 @@
+"""CLI (pdfplumber_ray/cli.py) — the reference cli.py analogue: csv /
+json / structure-text dumps with --types, --pages, --precision."""
+
+import csv
+import io
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(ray_session, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from pdfplumber_ray.sources.synth_corpus import make_docs_table
+
+    d = tmp_path_factory.mktemp("cli_corpus")
+    pq.write_table(make_docs_table(12, seed=3), str(d / "docs.parquet"))
+    return str(d)
+
+
+def _run_cli(argv, capsys):
+    from pdfplumber_ray.cli import main
+
+    assert main(argv) == 0
+    return capsys.readouterr().out
+
+
+def test_cli_csv_stdout(corpus_dir, capsys):
+    out = _run_cli([corpus_dir, "--format", "csv", "--types", "char"], capsys)
+    rows = list(csv.DictReader(io.StringIO(out)))
+    assert len(rows) > 0
+    assert rows[0]["object_type"] == "char"
+    # reference column contract: object_type first, then geometry prepends
+    header = out.splitlines()[0].split(",")
+    assert header[0] == "object_type"
+    assert header.index("x0") < header.index("fontname")
+
+
+def test_cli_csv_output_dir_and_types(corpus_dir, tmp_path, capsys):
+    outdir = str(tmp_path / "dump")
+    _run_cli(
+        [corpus_dir, "--format", "csv", "--types", "word", "annot",
+         "--output", outdir],
+        capsys,
+    )
+    assert os.listdir(f"{outdir}/word")
+    assert os.listdir(f"{outdir}/annot")
+
+
+def test_cli_json_precision_and_pages(corpus_dir, capsys):
+    out = _run_cli(
+        [corpus_dir, "--format", "json", "--precision", "2", "--pages", "1"],
+        capsys,
+    )
+    pages = [json.loads(line) for line in out.splitlines()]
+    assert len(pages) > 0
+    assert all(p["page_number"] == 1 for p in pages)
+    for p in pages[:3]:
+        for c in p["chars"][:5]:
+            assert round(c["x0"], 2) == c["x0"]
+
+
+def test_cli_structure_text(corpus_dir, capsys):
+    out = _run_cli([corpus_dir, "--format", "structure-text"], capsys)
+    rows = list(csv.DictReader(io.StringIO(out)))
+    assert len(rows) > 0
+    assert {"doc_id", "mcid", "text"} <= set(rows[0])
