@@ -657,6 +657,44 @@ def q_repair_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(rejoin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_grouped_topk(sf_dir: str) -> ray.data.Dataset:
+    """Grouped top-k without a global sort: top-3 lineitems per order by
+    extended price (integer cents for bit-exact compare)."""
+    import pyarrow.compute as pc
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "cents": cents,
+            }
+        )
+
+    ds = li.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    top = co.grouped_topk_ds(ds, "l_orderkey", "cents", 3, tie_col="l_linenumber")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber").cast(pa.int64()),
+                "cents": batch.column("cents"),
+                "rank_in_group": batch.column("rank_in_group"),
+            }
+        )
+
+    return top.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_distinct_modes(sf_dir: str) -> ray.data.Dataset:
     """Distributed DISTINCT with per-block combiner (unique as a wide op;
     shuffle moves one row per distinct key per block)."""
@@ -1082,6 +1120,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "media_resize": q_media_resize,
     "table_geometry": q_table_geometry,
     "curves": q_curves,
+    "grouped_topk": q_grouped_topk,
 }
 
 
@@ -1435,6 +1474,17 @@ ORACLES: Dict[str, str] = {
         "SELECT doc_id, CAST(5 AS BIGINT) AS n_pts, "
         "CAST(100000000 AS BIGINT) AS width_e6 FROM documents"
     ),
+    "grouped_topk": """
+        WITH r AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                     ORDER BY round(l_extendedprice * 100) DESC, l_linenumber) AS rk
+          FROM lineitem)
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, cents,
+               CAST(rk AS BIGINT) AS rank_in_group
+        FROM r WHERE rk <= 3
+    """,
     "table_geometry": """
         WITH n AS (
           SELECT l_orderkey, count(*) AS nr FROM lineitem GROUP BY l_orderkey),

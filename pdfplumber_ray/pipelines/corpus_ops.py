@@ -509,6 +509,34 @@ def sessionize_ds(
     return events.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
 
 
+def grouped_topk_ds(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    k: int,
+    tie_col: Optional[str] = None,
+) -> Dataset:
+    """Top-k rows per key by ``value_col`` (desc; ties broken ascending on
+    ``tie_col``) — grouped top-k WITHOUT a global sort: the groupby
+    shuffle co-locates each key, then a vectorized argsort+slice per
+    group. The k*|keys| result is small by construction."""
+
+    def per_key(group: pa.Table) -> pa.Table:
+        v = group.column(value_col).to_numpy()
+        if tie_col is not None:
+            t = group.column(tie_col).to_numpy()
+            order = np.lexsort((t, -v))
+        else:
+            order = np.argsort(-v, kind="stable")
+        take = order[:k]
+        out = group.take(pa.array(take))
+        return out.append_column(
+            "rank_in_group", pa.array(np.arange(1, len(take) + 1, dtype=np.int64))
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
 def distinct_ds(ds: Dataset, cols: List[str]) -> Dataset:
     """Distributed DISTINCT with a per-batch combiner: each block first
     reduces to its local distinct rows (pyarrow group_by — typically a
