@@ -90,25 +90,37 @@ def merge_edges_arrays(
     sp = pos[order]
     group_break[1:] = (sv[1:] != sv[:-1]) | (sp[1:] != sp[:-1])
     starts = np.flatnonzero(group_break)
-    ends = np.append(starts[1:], n)
-    out_rows: List[Dict[str, Any]] = []
+    ends = np.append(starts, n)[1:]
+    lo_s = lo[order]
+    hi_s = hi[order]
+    keep_idx_parts: List[np.ndarray] = []
+    new_max_parts: List[np.ndarray] = []
+    is_v_parts: List[bool] = []
     for s, e in zip(starts, ends):
-        gidx = order[s:e]
         g_v = bool(sv[s])
         tol = join_y_tolerance if g_v else join_x_tolerance
-        cur = dict_row(edges, gidx[0])
-        min_k, max_k = ("top", "bottom") if g_v else ("x0", "x1")
-        for i in gidx[1:]:
-            row = dict_row(edges, i)
-            if row[min_k] <= cur[max_k] + tol:
-                if row[max_k] > cur[max_k]:
-                    cur[max_k] = row[max_k]
-            else:
-                out_rows.append(cur)
-                cur = row
-        out_rows.append(cur)
+        lo_g = lo_s[s:e]
+        hi_g = hi_s[s:e]
+        # vectorized sweep: a run continues while its start is within tol
+        # of the running max extent (reference table.py:39-65)
+        cummax = np.maximum.accumulate(hi_g)
+        brk = np.empty(lo_g.shape[0], dtype=bool)
+        brk[0] = True
+        brk[1:] = lo_g[1:] > cummax[:-1] + tol
+        rs = np.flatnonzero(brk)
+        keep_idx_parts.append(order[s:e][rs])
+        new_max_parts.append(np.maximum.reduceat(hi_g, rs))
+        is_v_parts.extend([g_v] * rs.shape[0])
     _ = keep_parts
-    return rows_to_edges(out_rows)
+    keep_idx = np.concatenate(keep_idx_parts)
+    new_max = np.concatenate(new_max_parts)
+    out = _take(edges, keep_idx)
+    vmask = np.asarray(is_v_parts, dtype=bool)
+    out["bottom"] = np.where(vmask, new_max, out["bottom"])
+    out["x1"] = np.where(~vmask, new_max, out["x1"])
+    out["width"] = out["x1"] - out["x0"]
+    out["height"] = out["bottom"] - out["top"]
+    return out
 
 
 def dict_row(edges: ObjArrays, i: int) -> Dict[str, Any]:
