@@ -155,11 +155,13 @@ def _punct_lut(punct: str) -> np.ndarray:
 
 def _classify_chars(
     texts: np.ndarray, n: int, punct: str
-) -> Tuple[np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, Optional[str]]:
     """Vectorized isspace / in-punct-set masks: one C-level join + utf-32
     decode + table gather instead of a per-char Python loop (the hot path
     at ~450k glyphs per 512-doc batch). Falls back when a char cell holds a
-    multi-glyph string (e.g. pdfminer '(cid:x)' texts)."""
+    multi-glyph string (e.g. pdfminer '(cid:x)' texts). Also returns the
+    joined page text (None in the fallback) so callers can cheaply probe
+    for ligatures."""
     joined = "".join(texts.tolist())
     if len(joined) == n:
         codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
@@ -174,13 +176,13 @@ def _classify_chars(
                     is_punct[i] = codes[i] in big_punct
         else:
             is_punct = np.zeros(n, dtype=bool)
-        return is_space, is_punct
+        return is_space, is_punct, joined
     is_space = np.fromiter((t.isspace() for t in texts), dtype=bool, count=n)
     if punct:
         is_punct = np.fromiter((t in punct for t in texts), dtype=bool, count=n)
     else:
         is_punct = np.zeros(n, dtype=bool)
-    return is_space, is_punct
+    return is_space, is_punct, None
 
 
 def extract_words_page(chars: CharTable, cfg: WordConfig) -> Dict[str, np.ndarray]:
@@ -204,7 +206,12 @@ def extract_words_page(chars: CharTable, cfg: WordConfig) -> Dict[str, np.ndarra
 
     punct = cfg.punct_set
     expansions = cfg.expansions
-    is_space, is_punct = _classify_chars(texts, n, punct)
+    is_space, is_punct, joined_page = _classify_chars(texts, n, punct)
+    if expansions and joined_page is not None:
+        # skip the per-char expansion lookup entirely on ligature-free
+        # pages (7 C-level substring probes over the page text)
+        if not any(ch in joined_page for ch in expansions):
+            expansions = {}
 
     words_parts: List[Dict[str, np.ndarray]] = []
 
