@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Driver-mimic: run every __ray_entry__ query and compare against its
 DuckDB oracle (row count + sorted-column value equality), like the
-per-round CORRECTNESS check. Usage: python scripts/check_oracles.py [sf_dir]
+per-round CORRECTNESS check.
+
+Usage: python scripts/check_oracles.py [sf_dir] [--only name1,name2]
 """
 
 import os
@@ -16,7 +18,13 @@ TABLES = (
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:]]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import duckdb
     import ray
 
@@ -35,6 +43,8 @@ def main() -> int:
     oracles = E.oracle_sql()
     failures = 0
     for name, fn in E.queries().items():
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             got = fn(sf_dir)
