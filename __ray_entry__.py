@@ -422,6 +422,47 @@ def q_table_geometry(sf_dir: str) -> ray.data.Dataset:
     return tb.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_edge_census(sf_dir: str) -> ray.data.Dataset:
+    """Numeric invariants along the TableFinder chain (the reference
+    suite's exact edge/intersection counts, tests/test_ca_warn_report
+    .py:79-141): per page of each lineitem grid doc, raw edges 12r,
+    merged v 4 / h r+1, intersections 4(r+1), cells 3r."""
+    from pdfplumber_ray.config import TableConfig
+    from pdfplumber_ray.functions.tables import table_debug_page
+    from pdfplumber_ray.stages.decode import arrow_pages_to_dicts
+    from pdfplumber_ray.stages.flatten import page_edge_union
+
+    pages = decode_pages_ds(docs_from_lineitem(sf_dir))
+    cfg = TableConfig()
+
+    def census(batch: pa.Table) -> pa.Table:
+        keys: List[int] = []
+        pns: List[int] = []
+        counts: Dict[str, List[int]] = {
+            k: [] for k in ("n_edges_raw", "n_merged_v", "n_merged_h",
+                            "n_intersections", "n_cells")
+        }
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            edges = page_edge_union(page)
+            if edges is None:
+                continue
+            bbox = (0.0, 0.0, page["page_width"], page["page_height"])
+            d = table_debug_page(edges, cfg, bbox)
+            keys.append(int(doc_id.rsplit("-", 1)[1]))
+            pns.append(int(page["page_number"]))
+            for k in counts:
+                counts[k].append(d[k])
+        cols: Dict[str, Any] = {
+            "doc_key": pa.array(keys, pa.int64()),
+            "page_number": pa.array(pns, pa.int64()),
+        }
+        for k, v in counts.items():
+            cols[k] = pa.array(v, pa.int64())
+        return pa.table(cols)
+
+    return pages.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_word_geometry(sf_dir: str) -> ray.data.Dataset:
     """Exact glyph geometry vs pure SQL: with 6-word spans every span is
     one monospace line, so each word's x0/x1/top/doctop is closed-form
@@ -1121,6 +1162,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "table_geometry": q_table_geometry,
     "curves": q_curves,
     "grouped_topk": q_grouped_topk,
+    "edge_census": q_edge_census,
 }
 
 
@@ -1484,6 +1526,24 @@ ORACLES: Dict[str, str] = {
         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, cents,
                CAST(rk AS BIGINT) AS rank_in_group
         FROM r WHERE rk <= 3
+    """,
+    "edge_census": """
+        WITH n AS (
+          SELECT l_orderkey, count(*) AS nr FROM lineitem GROUP BY l_orderkey),
+        p AS (
+          SELECT l_orderkey, nr,
+                 unnest(range(CAST(ceil(nr / 23.0) AS BIGINT))) AS pg
+          FROM n),
+        r AS (
+          SELECT l_orderkey, pg, LEAST(nr - pg * 23, 23) AS rows_on_page FROM p)
+        SELECT l_orderkey AS doc_key,
+               CAST(pg + 1 AS BIGINT) AS page_number,
+               CAST(12 * rows_on_page AS BIGINT) AS n_edges_raw,
+               CAST(4 AS BIGINT) AS n_merged_v,
+               CAST(rows_on_page + 1 AS BIGINT) AS n_merged_h,
+               CAST(4 * (rows_on_page + 1) AS BIGINT) AS n_intersections,
+               CAST(3 * rows_on_page AS BIGINT) AS n_cells
+        FROM r
     """,
     "table_geometry": """
         WITH n AS (

@@ -500,6 +500,34 @@ def get_table_edges(
     return _take(edges, np.flatnonzero(filter_edges_mask(edges, min_length=cfg.edge_min_length)))
 
 
+def table_debug_page(
+    page_edges: ObjArrays,
+    cfg: TableConfig,
+    page_bbox: Bbox,
+    words_provider: Optional[Callable[[], Dict[str, np.ndarray]]] = None,
+) -> Dict[str, int]:
+    """Counts along the TableFinder chain — the engine's
+    ``debug_tablefinder`` analogue (reference page.py:463-471), mirroring
+    the reference suite's numeric invariants (tests/test_ca_warn_report
+    .py:79-141: raw edge count -> merged count -> intersection count)."""
+    raw = int(page_edges["x0"].shape[0])
+    edges = get_table_edges(page_edges, cfg, page_bbox, words_provider)
+    is_v = edges["orientation"] == "v"
+    inter = edges_to_intersections_arrays(
+        edges,
+        cfg.resolved("intersection_x_tolerance"),
+        cfg.resolved("intersection_y_tolerance"),
+    )
+    cells = intersections_to_cells(inter)
+    return {
+        "n_edges_raw": raw,
+        "n_merged_v": int(is_v.sum()),
+        "n_merged_h": int((~is_v).sum()),
+        "n_intersections": len(inter),
+        "n_cells": len(cells),
+    }
+
+
 def find_tables_page(
     page_edges: ObjArrays,
     cfg: TableConfig,

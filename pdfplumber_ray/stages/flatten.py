@@ -112,19 +112,17 @@ def _cells_texts_fast(
     return out
 
 
-def page_tables(
-    page: PageDict, table_cfg: TableConfig
-) -> List[Tuple[Tuple[float, float, float, float], List[str]]]:
-    """Detected tables on one page -> [(bbox, row-major cell texts)]."""
+def page_edge_union(page: PageDict):
+    """Edge union for one page, mirroring the reference container
+    (container.py:84-90): rect edges + line edges + curve point-pair
+    segments (diagonal curve segments are dropped later by the
+    orientation filter). Returns None when the page has no edge source."""
     rects = page["rects"]
     plines = page.get("lines")
     pcurves = page.get("curves") or []
     has_lines = plines is not None and np.asarray(plines["x0"]).shape[0] > 0
     if rects["x0"].shape[0] == 0 and not has_lines and not pcurves:
-        return []
-    # edge union mirrors the reference container (container.py:84-90):
-    # rect edges + line edges + curve point-pair segments (diagonal curve
-    # segments are dropped later by the orientation filter)
+        return None
     parts = [rects_to_edges(rects)]
     if has_lines:
         parts.append(lines_to_edges(plines))
@@ -134,7 +132,16 @@ def page_tables(
                 [(p["x"], p["top"]) for p in c["pts"]] for c in pcurves
             )
         )
-    edges = concat_edges(parts)
+    return concat_edges(parts)
+
+
+def page_tables(
+    page: PageDict, table_cfg: TableConfig
+) -> List[Tuple[Tuple[float, float, float, float], List[str]]]:
+    """Detected tables on one page -> [(bbox, row-major cell texts)]."""
+    edges = page_edge_union(page)
+    if edges is None:
+        return []
     bbox = (0.0, 0.0, page["page_width"], page["page_height"])
     chars = page["chars"]
     tables = find_tables_page(
