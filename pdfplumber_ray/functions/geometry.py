@@ -101,6 +101,90 @@ def midpoint_in_bbox_mask(
 # of 'v'/'h' codes (object dtype).
 
 
+def get_bbox_overlap(a: Bbox, b: Bbox) -> Optional[Bbox]:
+    """Intersection rectangle or None (reference geometry.py:53-65 —
+    including its degenerate rule: touching edges/corners with zero area
+    count as overlap only when width+height > 0)."""
+    o_left = max(a[0], b[0])
+    o_top = max(a[1], b[1])
+    o_right = min(a[2], b[2])
+    o_bottom = min(a[3], b[3])
+    o_w = o_right - o_left
+    o_h = o_bottom - o_top
+    if o_h >= 0 and o_w >= 0 and o_h + o_w > 0:
+        return (o_left, o_top, o_right, o_bottom)
+    return None
+
+
+def calculate_area(bbox: Bbox) -> float:
+    """(reference geometry.py:68-72)"""
+    left, top, right, bottom = bbox
+    if left > right or top > bottom:
+        raise ValueError(f"{bbox} has a negative width or height.")
+    return (right - left) * (bottom - top)
+
+
+def move_objects(objs: ObjArrays, axis: str, value) -> ObjArrays:
+    """Vectorized move_object (reference geometry.py:128-147): shift every
+    record along one axis; ``value`` may be a scalar or a per-row array."""
+    if axis not in ("h", "v"):
+        raise ValueError(f"axis must be 'h' or 'v', not {axis!r}")
+    out = dict(objs)
+    if axis == "h":
+        out["x0"] = objs["x0"] + value
+        out["x1"] = objs["x1"] + value
+    else:
+        out["top"] = objs["top"] + value
+        out["bottom"] = objs["bottom"] + value
+        if "doctop" in objs:
+            out["doctop"] = objs["doctop"] + value
+        if "y0" in objs:
+            out["y0"] = objs["y0"] - value
+            out["y1"] = objs["y1"] - value
+    return out
+
+
+def snap_objects_arrays(objs: ObjArrays, attr: str, tolerance: float) -> ObjArrays:
+    """Vectorized snap_objects (reference geometry.py:150-159): cluster on
+    ``attr``, move every member to its cluster mean along the implied axis."""
+    axis = {"x0": "h", "x1": "h", "top": "v", "bottom": "v"}[attr]
+    delta = snap_positions(objs[attr], tolerance) - objs[attr]
+    return move_objects(objs, axis, delta)
+
+
+def resize_objects(objs: ObjArrays, key: str, value) -> ObjArrays:
+    """Vectorized resize_object (reference geometry.py:162-186): set one
+    side, maintaining width/height/doctop (and y0/y1 when present)."""
+    if key not in ("x0", "x1", "top", "bottom"):
+        raise ValueError(f"invalid resize key: {key!r}")
+    value = np.broadcast_to(np.asarray(value, dtype=np.float64), objs[key].shape)
+    diff = value - objs[key]
+    out = dict(objs)
+    out[key] = value
+    if key == "x0":
+        if not (value <= objs["x1"]).all():
+            raise ValueError("x0 must stay <= x1")
+        out["width"] = objs["x1"] - value
+    elif key == "x1":
+        if not (value >= objs["x0"]).all():
+            raise ValueError("x1 must stay >= x0")
+        out["width"] = value - objs["x0"]
+    elif key == "top":
+        if not (value <= objs["bottom"]).all():
+            raise ValueError("top must stay <= bottom")
+        out["doctop"] = objs["doctop"] + diff
+        out["height"] = objs["height"] - diff
+        if "y1" in objs:
+            out["y1"] = objs["y1"] - diff
+    else:  # bottom
+        if not (value >= objs["top"]).all():
+            raise ValueError("bottom must stay >= top")
+        out["height"] = objs["height"] + diff
+        if "y0" in objs:
+            out["y0"] = objs["y0"] - diff
+    return out
+
+
 def rects_to_edges(rects: ObjArrays) -> ObjArrays:
     """4 zero-thickness edges per rect (geometry.py:207-244)."""
     n = rects["x0"].shape[0]

@@ -145,3 +145,63 @@ def test_dedupe_chars_parity():
     assert [(c["text"], c["x0"], c["doctop"]) for c in kept] == [
         (c["text"], c["x0"], c["doctop"]) for c in ref
     ]
+
+
+def test_move_snap_resize_parity_vs_reference():
+    """move_objects / snap_objects_arrays / resize_objects vs the actual
+    reference functions (geometry.py:128-186) loaded via ref_oracle."""
+    import numpy as np
+
+    from ref_oracle import load_reference
+
+    from pdfplumber_ray.functions.geometry import (
+        calculate_area,
+        get_bbox_overlap,
+        move_objects,
+        resize_objects,
+        snap_objects_arrays,
+    )
+
+    _, rgeo, _, _ = load_reference()
+    rng = np.random.default_rng(7)
+    n = 40
+    x0 = rng.uniform(0, 500, n)
+    w = rng.uniform(1, 50, n)
+    top = rng.uniform(0, 700, n)
+    h = rng.uniform(1, 30, n)
+    objs = {
+        "x0": x0, "x1": x0 + w, "top": top, "bottom": top + h,
+        "doctop": top + 792.0, "width": w, "height": h,
+    }
+    dicts = [
+        {k: float(v[i]) for k, v in objs.items()} for i in range(n)
+    ]
+
+    moved = move_objects(objs, "v", 11.5)
+    ref_moved = [rgeo.move_object(d, "v", 11.5) for d in dicts]
+    for k in ("top", "bottom", "doctop"):
+        assert np.allclose(moved[k], [d[k] for d in ref_moved])
+
+    snapped = snap_objects_arrays(objs, "x0", 25.0)
+    ref_snapped = rgeo.snap_objects(dicts, "x0", 25.0)
+    # reference reorders into cluster order; compare as sorted multisets
+    assert np.allclose(
+        np.sort(snapped["x0"]), np.sort([d["x0"] for d in ref_snapped])
+    )
+    assert np.allclose(
+        np.sort(snapped["x1"]), np.sort([d["x1"] for d in ref_snapped])
+    )
+
+    resized = resize_objects(objs, "top", objs["top"] - 3.0)
+    ref_resized = [rgeo.resize_object(d, "top", d["top"] - 3.0) for d in dicts]
+    for k in ("top", "doctop", "height"):
+        assert np.allclose(resized[k], [d[k] for d in ref_resized])
+
+    for a, b in [
+        ((0, 0, 10, 10), (5, 5, 20, 20)),
+        ((0, 0, 10, 10), (10, 10, 20, 20)),   # corner touch: zero area both dims
+        ((0, 0, 10, 10), (10, 0, 20, 10)),    # edge touch: zero width only
+        ((0, 0, 10, 10), (11, 11, 20, 20)),   # disjoint
+    ]:
+        assert get_bbox_overlap(a, b) == rgeo.get_bbox_overlap(a, b)
+    assert calculate_area((0, 0, 4, 5)) == rgeo.calculate_area((0, 0, 4, 5))
