@@ -698,6 +698,104 @@ def q_repair_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(rejoin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_revenue_by_region(sf_dir: str) -> ray.data.Dataset:
+    """Multi-hop broadcast star join (no shuffle join): the supplier ->
+    nation -> region dimension chain is composed driver-side into ONE
+    suppkey -> region_name lookup (dimensions are tiny by construction),
+    broadcast via ray.put, applied inside map_batches with a per-batch
+    combiner before the 5-row groupby."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    nk_to_rk = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()))
+    rk_to_name = dict(zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()))
+    lut = {
+        sk: rk_to_name[nk_to_rk[nk]]
+        for sk, nk in zip(sup.column("s_suppkey").to_pylist(), sup.column("s_nationkey").to_pylist())
+    }
+    lut_ref = ray.put(lut)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lut_ref)
+        names = pa.array(
+            [lookup[s] for s in batch.column("l_suppkey").to_pylist()], pa.string()
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100)), pa.int64()
+        )
+        t = pa.table({"r_name": names, "cents": cents})
+        g = pa.TableGroupBy(t, ["r_name"]).aggregate([("cents", "sum")])
+        return pa.table(
+            {"r_name": g.column("r_name"), "p_cents": g.column("cents_sum")}
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("r_name")
+        .sum("p_cents")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": batch.column("r_name"),
+                "revenue_cents": batch.column("sum(p_cents)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast dimension join lineitem -> part, counted per brand."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    lut = dict(
+        zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist())
+    )
+    lut_ref = ray.put(lut)
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lut_ref)
+        brands = pa.array(
+            [lookup[p] for p in batch.column("l_partkey").to_pylist()], pa.string()
+        )
+        t = pa.table({"p_brand": brands})
+        g = pa.TableGroupBy(t, ["p_brand"]).aggregate([("p_brand", "count")])
+        return pa.table(
+            {
+                "p_brand": g.column("p_brand"),
+                "p_n": g.column("p_brand_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .sum("p_n")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "n_items": batch.column("sum(p_n)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_grouped_topk(sf_dir: str) -> ray.data.Dataset:
     """Grouped top-k without a global sort: top-3 lineitems per order by
     extended price (integer cents for bit-exact compare)."""
@@ -1163,6 +1261,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "curves": q_curves,
     "grouped_topk": q_grouped_topk,
     "edge_census": q_edge_census,
+    "revenue_by_region": q_revenue_by_region,
+    "parts_by_brand": q_parts_by_brand,
 }
 
 
@@ -1526,6 +1626,21 @@ ORACLES: Dict[str, str] = {
         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, cents,
                CAST(rk AS BIGINT) AS rank_in_group
         FROM r WHERE rk <= 3
+    """,
+    "revenue_by_region": """
+        SELECT r_name,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "parts_by_brand": """
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
     """,
     "edge_census": """
         WITH n AS (
