@@ -24,7 +24,7 @@ from ..functions.words import extract_words_page
 from ..functions.textmap import extract_text_page, extract_text_simple_page
 from ..schemas import ANNOT, CHAR, CURVE, IMAGE, LINE, RECT, SPAN
 from .flatten import extract_doc_spans, page_tables
-from .layout import LayoutError, PageDict, layout_doc
+from .layout import LayoutError, PageDict, layout_doc, layout_doc_fields
 
 _CHAR_FIELDS = ("text", "x0", "x1", "top", "bottom", "doctop", "size", "fontname", "upright", "mcid")
 _RECT_FIELDS = ("x0", "x1", "top", "bottom", "doctop")
@@ -38,6 +38,21 @@ def docs_batch_rows(batch: pa.Table) -> Iterable[Tuple[str, List[Dict]]]:
     doc_ids = batch.column("doc_id").to_pylist()
     spans = batch.column("spans").to_pylist()
     return zip(doc_ids, spans)
+
+
+def docs_batch_fields(batch: pa.Table):
+    """Hot-path iterator: (doc_id, kinds, texts, medias) numpy slices per
+    doc, sliced straight out of the Arrow span struct children — no
+    per-span dict is ever built (docs_batch_rows kept for cold paths)."""
+    col = batch.column("spans").combine_chunks()
+    offs = col.offsets.to_numpy()
+    values = col.values
+    kinds = values.field("kind").to_numpy(zero_copy_only=False)
+    texts = values.field("text").to_numpy(zero_copy_only=False)
+    medias = values.field("media_ref").to_numpy(zero_copy_only=False)
+    for i, doc_id in enumerate(batch.column("doc_id").to_pylist()):
+        s, e = int(offs[i]), int(offs[i + 1])
+        yield doc_id, kinds[s:e], texts[s:e], medias[s:e]
 
 
 class ExtractSpans:
@@ -62,9 +77,9 @@ class ExtractSpans:
         out_spans: List[List[Dict]] = []
         out_err: List[Optional[str]] = []
         n_pages: List[int] = []
-        for doc_id, spans in docs_batch_rows(batch):
+        for doc_id, kinds, texts, medias in docs_batch_fields(batch):
             try:
-                pages = layout_doc(spans, self.synth_cfg)
+                pages = layout_doc_fields(kinds, texts, medias, self.synth_cfg)
                 result = extract_doc_spans(
                     pages, self.word_cfg, self.table_cfg, self.synth_cfg
                 )
@@ -101,9 +116,9 @@ class SynthDecodePages:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: List[Tuple[str, PageDict]] = []
-        for doc_id, spans in docs_batch_rows(batch):
+        for doc_id, kinds, texts, medias in docs_batch_fields(batch):
             try:
-                for page in layout_doc(spans, self.synth_cfg):
+                for page in layout_doc_fields(kinds, texts, medias, self.synth_cfg):
                     rows.append((doc_id, page))
             except Exception:
                 if not self.quarantine:

@@ -267,7 +267,25 @@ def _empty_chars() -> Dict[str, np.ndarray]:
 
 
 def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -> List[PageDict]:
-    """Lay a document's span sequence onto pages. Returns page dicts."""
+    """Lay a document's span sequence (list of span dicts) onto pages."""
+    return layout_doc_fields(
+        [s["kind"] for s in spans],
+        [s["text"] for s in spans],
+        [s["media_ref"] for s in spans],
+        cfg,
+    )
+
+
+def layout_doc_fields(
+    kinds: Sequence[str],
+    texts: Sequence[str],
+    medias: Sequence[str],
+    cfg: Optional[SynthLayoutConfig] = None,
+) -> List[PageDict]:
+    """Array-of-fields layout entry (the hot path): the decode stage slices
+    these directly out of the Arrow span struct children, so no per-span
+    Python dicts are ever materialized. ``offset`` is not consumed — the
+    layout re-derives geometry from text alone."""
     cfg = cfg or SynthLayoutConfig()
     pages: List[PageDict] = []
     builder = _PageBuilder(1, cfg)
@@ -386,24 +404,23 @@ def layout_doc(spans: Sequence[Dict], cfg: Optional[SynthLayoutConfig] = None) -
         li += cfg.media_height_lines + 1
 
     i = 0
-    n = len(spans)
+    n = len(kinds)
     while i < n:
-        span = spans[i]
-        kind = span["kind"]
+        kind = kinds[i]
         if kind == "table_cell":
-            run = [span["text"]]
+            run = [texts[i]]
             run_mcids = [i]
-            while i + 1 < n and spans[i + 1]["kind"] == "table_cell":
+            while i + 1 < n and kinds[i + 1] == "table_cell":
                 i += 1
-                run.append(spans[i]["text"])
+                run.append(texts[i])
                 run_mcids.append(i)
             emit_table_run(run, run_mcids)
         elif kind == "media_ref":
-            emit_media(span["media_ref"])
+            emit_media(medias[i])
         elif kind == "heading":
-            emit_text_block(span["text"], heading=True, mcid=i)
+            emit_text_block(texts[i], heading=True, mcid=i)
         else:  # text (default)
-            emit_text_block(span["text"], heading=False, mcid=i)
+            emit_text_block(texts[i], heading=False, mcid=i)
         i += 1
 
     pages.append(builder.finish())
