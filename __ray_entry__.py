@@ -698,6 +698,15 @@ def q_repair_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(rejoin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic stratified sampling: 5 docs per language by smallest
+    md5(doc_id) — reproducible across runs and parallelism levels."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return co.stratified_sample_ds(docs, "lang", "doc_id", 5)
+
+
 def q_revenue_by_region(sf_dir: str) -> ray.data.Dataset:
     """Multi-hop broadcast star join (no shuffle join): the supplier ->
     nation -> region dimension chain is composed driver-side into ONE
@@ -1263,6 +1272,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "edge_census": q_edge_census,
     "revenue_by_region": q_revenue_by_region,
     "parts_by_brand": q_parts_by_brand,
+    "stratified_sample": q_stratified_sample,
 }
 
 
@@ -1626,6 +1636,14 @@ ORACLES: Dict[str, str] = {
         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, cents,
                CAST(rk AS BIGINT) AS rank_in_group
         FROM r WHERE rk <= 3
+    """,
+    "stratified_sample": """
+        WITH r AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+          FROM documents)
+        SELECT doc_id, lang FROM r WHERE rk <= 5
     """,
     "revenue_by_region": """
         SELECT r_name,

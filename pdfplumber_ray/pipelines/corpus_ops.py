@@ -537,6 +537,30 @@ def grouped_topk_ds(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+def stratified_sample_ds(
+    ds: Dataset,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+) -> Dataset:
+    """Deterministic stratified sampling: keep the ``n_per_group`` rows
+    with the smallest md5(id) per group — reproducible across runs and
+    cluster sizes (rank is data-derived, never execution-order-derived).
+    Same shape as grouped top-k: groupby co-locates each stratum, then a
+    vectorized partial sort per group."""
+    import hashlib
+
+    def per_group(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        digests = np.array(
+            [hashlib.md5(str(v).encode()).hexdigest() for v in ids], dtype=object
+        )
+        order = np.argsort(digests, kind="stable")[:n_per_group]
+        return group.take(pa.array(order))
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
 def distinct_ds(ds: Dataset, cols: List[str]) -> Dataset:
     """Distributed DISTINCT with a per-batch combiner: each block first
     reduces to its local distinct rows (pyarrow group_by — typically a
