@@ -698,6 +698,18 @@ def q_repair_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(rejoin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
+    """Unicode/text normalization (control strip + whitespace collapse +
+    NFC) over docs wrapped with deterministic dirt; the oracle applies the
+    identical chain with DuckDB's regexp_replace + nfc_normalize."""
+    from pdfplumber_ray.sources.synth_corpus import documents_with_unicode_batch
+
+    dirty = _documents(sf_dir).map_batches(
+        documents_with_unicode_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return co.normalize_text_ds(dirty)
+
+
 def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
     """Deterministic stratified sampling: 5 docs per language by smallest
     md5(doc_id) — reproducible across runs and parallelism levels."""
@@ -1273,6 +1285,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "revenue_by_region": q_revenue_by_region,
     "parts_by_brand": q_parts_by_brand,
     "stratified_sample": q_stratified_sample,
+    "normalize_text": q_normalize_text,
 }
 
 
@@ -1636,6 +1649,18 @@ ORACLES: Dict[str, str] = {
         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, cents,
                CAST(rk AS BIGINT) AS rank_in_group
         FROM r WHERE rk <= 3
+    """,
+    "normalize_text": """
+        WITH d AS (
+          SELECT doc_id,
+                 chr(9) || ' ' || text || chr(7) || '  caf' || 'e' || chr(769) || ' '
+                     AS raw
+          FROM documents)
+        SELECT doc_id,
+               nfc_normalize(trim(regexp_replace(
+                   regexp_replace(raw, '[\\x00-\\x1F\\x7F]', '', 'g'),
+                   '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')) AS text_norm
+        FROM d
     """,
     "stratified_sample": """
         WITH r AS (

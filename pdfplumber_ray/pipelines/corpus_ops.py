@@ -537,6 +537,39 @@ def grouped_topk_ds(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+_CTRL_RE = None
+_WS_RE = None
+
+
+def normalize_text_ds(
+    docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Unicode/text normalization for training corpora: strip control
+    chars, collapse ASCII whitespace runs, trim, then NFC-normalize —
+    each step chosen to have an exact DuckDB twin (RE2 ``\\s`` is
+    ASCII-only, so the whitespace class is spelled out explicitly)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import re
+        import unicodedata
+
+        global _CTRL_RE, _WS_RE
+        if _CTRL_RE is None:
+            _CTRL_RE = re.compile(r"[\x00-\x1F\x7F]")
+            _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+        out = [
+            unicodedata.normalize(
+                "NFC", _WS_RE.sub(" ", _CTRL_RE.sub("", t or "")).strip(" ")
+            )
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {id_col: batch.column(id_col), "text_norm": pa.array(out, pa.string())}
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def stratified_sample_ds(
     ds: Dataset,
     group_col: str,

@@ -268,6 +268,21 @@ def docs_with_boilerplate_batch(batch: pa.Table, chunk_words: int = 12) -> pa.Ta
     )
 
 
+def documents_with_unicode_batch(batch: pa.Table) -> pa.Table:
+    """Adapter for the text-normalization op: wraps each document text
+    with deterministic dirt (tab runs, a control char, a decomposed
+    e + combining acute) that the oracle reconstructs with chr() in SQL."""
+    texts = [
+        f"\t {t}\x07  caf{'e'}́ " for t in batch.column("text").to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
 def docs_corrupted_batch(batch: pa.Table, chunk_words: int = 12) -> pa.Table:
     """Adapter for the repair pipeline: deterministically corrupts each
     document's span list (doc_id % 3 == 0: scrambled order, offsets
