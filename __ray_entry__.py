@@ -698,6 +698,26 @@ def q_repair_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(rejoin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Sequence packing: docs -> token-budget bins per hash bucket (the
+    pretraining data-prep shape); exclusive window cumsum in the oracle."""
+    return co.pack_sequences_ds(
+        _documents(sf_dir), bin_tokens=512, n_buckets=16
+    )
+
+
+def q_redact_pii(sf_dir: str) -> ray.data.Dataset:
+    """PII scrubbing (email/number/URL -> typed placeholders) over docs
+    wrapped with deterministic PII; RE2-compatible patterns give an exact
+    DuckDB twin applying the identical replace chain."""
+    from pdfplumber_ray.sources.synth_corpus import documents_with_pii_batch
+
+    dirty = _documents(sf_dir).map_batches(
+        documents_with_pii_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return co.redact_pii_ds(dirty)
+
+
 def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
     """Unicode/text normalization (control strip + whitespace collapse +
     NFC) over docs wrapped with deterministic dirt; the oracle applies the
@@ -1286,6 +1306,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "parts_by_brand": q_parts_by_brand,
     "stratified_sample": q_stratified_sample,
     "normalize_text": q_normalize_text,
+    "redact_pii": q_redact_pii,
+    "pack_sequences": q_pack_sequences,
 }
 
 
@@ -1649,6 +1671,33 @@ ORACLES: Dict[str, str] = {
         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, cents,
                CAST(rk AS BIGINT) AS rank_in_group
         FROM r WHERE rk <= 3
+    """,
+    "pack_sequences": """
+        WITH t AS (
+          SELECT doc_id, doc_id % 16 AS bucket,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT doc_id, bucket, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 512 AS BIGINT) AS bin_id
+        FROM t
+    """,
+    "redact_pii": """
+        WITH d AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com or call 555'
+                      || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+                      || ' see https://example.com/doc/' || doc_id || '?ref=x' AS raw
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(raw, 'https?://[^\\s]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b[0-9]{7,}\\b', '<NUM>', 'g') AS text_clean
+        FROM d
     """,
     "normalize_text": """
         WITH d AS (

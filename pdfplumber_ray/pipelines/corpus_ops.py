@@ -537,6 +537,84 @@ def grouped_topk_ds(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+def pack_sequences_ds(
+    docs: Dataset,
+    bin_tokens: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Sequence packing for pretraining: assign each doc to a token-budget
+    bin via an exclusive running token count. Packing is inherently
+    sequential, so parallelism comes from hash buckets (doc_id % buckets):
+    each bucket packs independently in ``groupby(bucket).map_groups``;
+    within a bucket the order is doc_id — data-derived, never
+    execution-order-derived, so results are stable at any cluster size."""
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(batch.column(text_col), " "), 1)
+        bucket = pc.cast(
+            pc.bit_wise_and(batch.column(id_col), n_buckets - 1)
+            if (n_buckets & (n_buckets - 1)) == 0
+            else pc.subtract(
+                batch.column(id_col),
+                pc.multiply(
+                    pc.divide(batch.column(id_col), n_buckets), n_buckets
+                ),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "bucket": bucket,
+                "n_tokens": n.cast(pa.int64()),
+            }
+        )
+
+    tok = docs.map_batches(tokenize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pack(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        nt = group.column("n_tokens").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        cum_excl = np.concatenate([[0], np.cumsum(nt[order])[:-1]])
+        bins = (cum_excl // bin_tokens).astype(np.int64)
+        out_bin = np.empty(len(order), dtype=np.int64)
+        out_bin[order] = bins
+        return group.append_column("bin_id", pa.array(out_bin))
+
+    return tok.groupby("bucket").map_groups(pack, batch_format="pyarrow")
+
+
+def redact_pii_ds(
+    docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """PII scrubbing for training corpora: redact email addresses, long
+    digit runs (phone/account numbers), and URLs with typed placeholder
+    tokens. Patterns are RE2-compatible so the DuckDB twin is exact;
+    compiled once per worker process."""
+    import re
+
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    url = re.compile(r"https?://[^\s]+")
+    digits = re.compile(r"\b[0-9]{7,}\b")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            t = t or ""
+            t = url.sub("<URL>", t)
+            t = email.sub("<EMAIL>", t)
+            t = digits.sub("<NUM>", t)
+            out.append(t)
+        return pa.table(
+            {id_col: batch.column(id_col), "text_clean": pa.array(out, pa.string())}
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _CTRL_RE = None
 _WS_RE = None
 

@@ -283,6 +283,20 @@ def documents_with_unicode_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def documents_with_pii_batch(batch: pa.Table) -> pa.Table:
+    """Adapter for the PII-redaction op: appends a deterministic email /
+    long number / URL per doc that the oracle reconstructs in SQL."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = [
+        f"{t} contact user{d}@example.com or call 555{d:07d} see "
+        f"https://example.com/doc/{d}?ref=x"
+        for d, t in zip(ids, batch.column("text").to_pylist())
+    ]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "text": pa.array(texts, pa.string())}
+    )
+
+
 def docs_corrupted_batch(batch: pa.Table, chunk_words: int = 12) -> pa.Table:
     """Adapter for the repair pipeline: deterministically corrupts each
     document's span list (doc_id % 3 == 0: scrambled order, offsets
