@@ -698,6 +698,43 @@ def q_repair_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(rejoin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_curation_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Composed curation pipeline: quality scoring -> threshold filter
+    (30 <= words <= 90 and at least one English stopword) -> broadcast
+    lang join -> per-lang survivor counts. Demonstrates operator chaining
+    with the combiner/broadcast shapes intact end to end."""
+    import pyarrow.compute as pc
+
+    q = co.quality_ds(_documents(sf_dir))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("n_words"), 30),
+                pc.less_equal(batch.column("n_words"), 90),
+            ),
+            pc.greater_equal(batch.column("n_stopwords_en"), 1),
+        )
+        return batch.filter(m).select(["doc_id"])
+
+    kept = q.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    lookup = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    joined = co.broadcast_join_ds(kept, lookup, "doc_id", ["lang"])
+    agg = joined.groupby("lang").count()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
     """Sequence packing: docs -> token-budget bins per hash bucket (the
     pretraining data-prep shape); exclusive window cumsum in the oracle."""
@@ -1308,6 +1345,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
     "pack_sequences": q_pack_sequences,
+    "curation_funnel": q_curation_funnel,
 }
 
 
@@ -1671,6 +1709,17 @@ ORACLES: Dict[str, str] = {
         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, cents,
                CAST(rk AS BIGINT) AS rank_in_group
         FROM r WHERE rk <= 3
+    """,
+    "curation_funnel": f"""
+        WITH q AS (
+          SELECT doc_id, lang,
+                 len(string_split(text, ' ')) AS n_words,
+                 len(list_filter(string_split(text, ' '),
+                                 w -> w IN ({_sw_list('en')}))) AS n_sw
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM q WHERE n_words BETWEEN 30 AND 90 AND n_sw >= 1
+        GROUP BY lang
     """,
     "pack_sequences": """
         WITH t AS (
