@@ -83,7 +83,6 @@ def merge_edges_arrays(
     # 'h' < 'v' so h groups come first, as in the reference's tuple sort
     order = np.lexsort((lo, pos, is_v))
 
-    keep_parts: List[ObjArrays] = []
     group_break = np.zeros(n, dtype=bool)
     group_break[0] = True
     sv = is_v[order]
@@ -111,7 +110,6 @@ def merge_edges_arrays(
         keep_idx_parts.append(order[s:e][rs])
         new_max_parts.append(np.maximum.reduceat(hi_g, rs))
         is_v_parts.extend([g_v] * rs.shape[0])
-    _ = keep_parts
     keep_idx = np.concatenate(keep_idx_parts)
     new_max = np.concatenate(new_max_parts)
     out = _take(edges, keep_idx)
