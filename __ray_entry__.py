@@ -698,6 +698,15 @@ def q_repair_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(rejoin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_dedup_resolution(sf_dir: str) -> ray.data.Dataset:
+    """Duplicate-cluster resolution: verified near-dup pairs -> connected
+    components -> every doc labeled with its canonical (minimum) id."""
+    docs = _documents(sf_dir)
+    cands = co.minhash_pairs_ds(docs, num_perm=64, bands=64, threshold=0.0)
+    pairs = co.ngram_jaccard_verify_ds(cands, docs, threshold=0.5)
+    return co.dedup_resolution_ds(pairs, docs.select_columns(["doc_id"]))
+
+
 def q_curation_funnel(sf_dir: str) -> ray.data.Dataset:
     """Composed curation pipeline: quality scoring -> threshold filter
     (30 <= words <= 90 and at least one English stopword) -> broadcast
@@ -1346,6 +1355,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "redact_pii": q_redact_pii,
     "pack_sequences": q_pack_sequences,
     "curation_funnel": q_curation_funnel,
+    "dedup_resolution": q_dedup_resolution,
 }
 
 
@@ -1709,6 +1719,31 @@ ORACLES: Dict[str, str] = {
         SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, cents,
                CAST(rk AS BIGINT) AS rank_in_group
         FROM r WHERE rk <= 3
+    """,
+    "dedup_resolution": """
+        WITH RECURSIVE t AS (
+          SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        s AS (SELECT doc_id,
+          CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+               ELSE list_distinct([array_to_string(l[i:i+4], ' ') for i in range(1, len(l)-3)])
+          END AS sh FROM t),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) + len(b.sh) AS tot
+              FROM s a JOIN s b ON a.doc_id < b.doc_id),
+        e0 AS (SELECT doc_a AS a, doc_b AS b FROM p
+               WHERE inter * 1.0 / (tot - inter) >= 0.5),
+        edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+          WHERE e.b <> r.a),
+        canon AS (
+          SELECT a AS doc_id, LEAST(a, min(b)) AS canonical_id
+          FROM reach GROUP BY a)
+        SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN canon c USING (doc_id)
     """,
     "curation_funnel": f"""
         WITH q AS (

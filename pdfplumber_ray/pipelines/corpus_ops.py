@@ -587,6 +587,62 @@ def pack_sequences_ds(
     return tok.groupby("bucket").map_groups(pack, batch_format="pyarrow")
 
 
+def dedup_resolution_ds(
+    pairs: Dataset,
+    docs: Dataset,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Resolve verified duplicate pairs into canonical clusters: every doc
+    maps to the smallest id in its connected component (itself when it has
+    no duplicate). The pair set is tiny relative to the corpus (it already
+    passed LSH + verification), so union-find runs driver-side and the
+    label map broadcasts via ray.put; at 10^12-doc scale the same labels
+    come from iterative min-label propagation (groupby-min to fixpoint),
+    which this output contract is compatible with."""
+    parent: Dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for row in pairs.select_columns([a_col, b_col]).take_all():
+        ra, rb = find(row[a_col]), find(row[b_col])
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+    labels = {x: find(x) for x in list(parent)}
+    # normalize to the component minimum
+    comp: Dict = {}
+    for x, r in labels.items():
+        root = find(r)
+        comp.setdefault(root, []).append(x)
+    canon = {}
+    for root, members in comp.items():
+        m = min(members + [root])
+        for x in members + [root]:
+            canon[x] = m
+    ref = ray.put(canon)
+
+    def label(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        ids = batch.column(id_col).to_pylist()
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "canonical_id": pa.array(
+                    [lookup.get(i, i) for i in ids],
+                    batch.column(id_col).type,
+                ),
+            }
+        )
+
+    return docs.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def redact_pii_ds(
     docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> Dataset:
