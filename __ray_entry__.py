@@ -422,6 +422,29 @@ def q_table_geometry(sf_dir: str) -> ray.data.Dataset:
     return tb.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_rect_mcids(sf_dir: str) -> ray.data.Dataset:
+    """Marked-content stamping on non-char objects (reference 0.10.3):
+    every lattice cell rect carries its source span ordinal as mcid and
+    the 'TD' tag — verified against a ROW_NUMBER reconstruction."""
+    from pdfplumber_ray.pipelines import rects_ds
+
+    r = rects_ds(decode_pages_ds(docs_from_lineitem(sf_dir)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys = [
+            int(d.rsplit("-", 1)[1]) for d in batch.column("doc_id").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_key": pa.array(keys, pa.int64()),
+                "mcid": batch.column("mcid").cast(pa.int64()),
+                "tag": batch.column("tag"),
+            }
+        )
+
+    return r.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_edge_census(sf_dir: str) -> ray.data.Dataset:
     """Numeric invariants along the TableFinder chain (the reference
     suite's exact edge/intersection counts, tests/test_ca_warn_report
@@ -1356,6 +1379,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pack_sequences": q_pack_sequences,
     "curation_funnel": q_curation_funnel,
     "dedup_resolution": q_dedup_resolution,
+    "rect_mcids": q_rect_mcids,
 }
 
 
@@ -1817,6 +1841,18 @@ ORACLES: Dict[str, str] = {
         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
+    """,
+    "rect_mcids": """
+        WITH b AS (
+          SELECT l_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_returnflag, l_linestatus) AS rn
+          FROM lineitem),
+        c AS (SELECT l_orderkey, rn, unnest([0, 1, 2]) AS k FROM b)
+        SELECT l_orderkey AS doc_key,
+               CAST((rn - 1) * 3 + k AS BIGINT) AS mcid,
+               'TD' AS tag
+        FROM c
     """,
     "edge_census": """
         WITH n AS (

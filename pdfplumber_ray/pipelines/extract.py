@@ -43,6 +43,7 @@ from ..stages.decode import (
     pages_batch_to_chars,
     pages_batch_to_curves,
     pages_batch_to_hyperlinks,
+    pages_batch_to_rects,
 )
 
 Dataset = ray.data.Dataset
@@ -239,6 +240,13 @@ def curves_ds(pages: Dataset) -> Dataset:
     """Flat curve-object table (reference page.curves)."""
     return pages.map_batches(
         pages_batch_to_curves, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def rects_ds(pages: Dataset) -> Dataset:
+    """Flat rect-object table with stamped mcid/tag (reference page.rects)."""
+    return pages.map_batches(
+        pages_batch_to_rects, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

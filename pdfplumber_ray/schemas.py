@@ -34,9 +34,12 @@ CHAR = pa.struct(
         ("fontname", pa.string()),
         ("upright", pa.bool_()),
         ("mcid", pa.int32()),  # marked-content id = source span ordinal; -1 when absent
+        ("tag", pa.string()),  # marked-content tag ('P'/'H'/'TD'...; reference page.py:128-176)
     ]
 )
 
+# mcid/tag are stamped on rect/line/image objects too (reference 0.10.3:
+# marked-content sequences on char/rect/line/curve/image)
 RECT = pa.struct(
     [
         ("x0", pa.float64()),
@@ -44,6 +47,8 @@ RECT = pa.struct(
         ("top", pa.float64()),
         ("bottom", pa.float64()),
         ("doctop", pa.float64()),
+        ("mcid", pa.int32()),
+        ("tag", pa.string()),
     ]
 )
 
@@ -72,6 +77,8 @@ IMAGE = pa.struct(
         ("top", pa.float64()),
         ("bottom", pa.float64()),
         ("media_ref", pa.string()),
+        ("mcid", pa.int32()),
+        ("tag", pa.string()),
     ]
 )
 
@@ -123,6 +130,7 @@ CHARS_FLAT = pa.schema(
         ("fontname", pa.string()),
         ("upright", pa.bool_()),
         ("mcid", pa.int32()),  # marked-content id = source span ordinal; -1 when absent
+        ("tag", pa.string()),
     ]
 )
 

@@ -26,8 +26,8 @@ from ..schemas import ANNOT, CHAR, CURVE, IMAGE, LINE, RECT, SPAN
 from .flatten import extract_doc_spans, page_tables
 from .layout import LayoutError, PageDict, layout_doc, layout_doc_fields
 
-_CHAR_FIELDS = ("text", "x0", "x1", "top", "bottom", "doctop", "size", "fontname", "upright", "mcid")
-_RECT_FIELDS = ("x0", "x1", "top", "bottom", "doctop")
+_CHAR_FIELDS = ("text", "x0", "x1", "top", "bottom", "doctop", "size", "fontname", "upright", "mcid", "tag")
+_RECT_FIELDS = ("x0", "x1", "top", "bottom", "doctop", "mcid", "tag")
 
 
 def _spans_column(span_lists: List[List[Dict]]) -> pa.Array:
@@ -152,9 +152,15 @@ def pages_to_arrow(rows: List[Tuple[str, PageDict]]) -> pa.Table:
         for k in _RECT_FIELDS:
             rect_flat[k].append(np.asarray(rects[k]))
         rect_lens.append(int(rects["x0"].shape[0]))
-        plines = page.get("lines") or {k: np.empty(0) for k in _RECT_FIELDS}
+        plines = page.get("lines") or {
+            k: (np.empty(0, dtype=object) if k == "tag" else np.empty(0))
+            for k in _RECT_FIELDS
+        }
         for k in _RECT_FIELDS:
-            line_flat[k].append(np.asarray(plines[k], dtype=np.float64))
+            arr = np.asarray(plines[k])
+            if k not in ("mcid", "tag"):
+                arr = arr.astype(np.float64, copy=False)
+            line_flat[k].append(arr)
         line_lens.append(int(np.asarray(plines["x0"]).shape[0]))
         images.append(page["images"])
         annots.append(page.get("annots") or [])
@@ -273,6 +279,22 @@ def pages_batch_to_chars(batch: pa.Table) -> pa.Table:
     w = pa.compute.subtract(t.column("x1"), t.column("x0"))
     h = pa.compute.subtract(t.column("bottom"), t.column("top"))
     return t.append_column("width", w).append_column("height", h)
+
+
+def pages_batch_to_rects(batch: pa.Table) -> pa.Table:
+    """Explode page rows into a flat rects table (one row per rect, with
+    stamped mcid/tag — reference 0.10.3 marked-content sequences)."""
+    col = batch.column("rects").combine_chunks()
+    lens = np.diff(col.offsets.to_numpy())
+    doc_rep = pa.array(
+        np.repeat(batch.column("doc_id").to_numpy(zero_copy_only=False), lens)
+    )
+    pn_rep = pa.array(np.repeat(batch.column("page_number").to_numpy(), lens), pa.int32())
+    values = col.values
+    cols: Dict[str, pa.Array] = {"doc_id": doc_rep, "page_number": pn_rep}
+    for f in _RECT_FIELDS:
+        cols[f] = values.field(f)
+    return pa.table(cols)
 
 
 class PagesToTextBoxes:

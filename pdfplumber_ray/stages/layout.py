@@ -64,7 +64,7 @@ class _PageBuilder:
         self.initial_doctop = (page_number - 1) * cfg.page_height
         # upright text: one record per LINE, expanded vectorized in finish()
         # (per-glyph list appends were the layout hot spot)
-        self.lines_rec: List[tuple] = []  # (text, x_left, top, size, font, mcid)
+        self.lines_rec: List[tuple] = []  # (text, x_left, top, size, font, mcid, tag)
         # rotated glyphs are rare; kept per-char
         self.g_text: List[str] = []
         self.g_k: List[int] = []      # char index within its line
@@ -74,10 +74,13 @@ class _PageBuilder:
         self.g_font: List[str] = []
         self.g_upright: List[bool] = []
         self.g_mcid: List[int] = []
+        self.g_tag: List[str] = []
         self.r_x0: List[float] = []
         self.r_x1: List[float] = []
         self.r_top: List[float] = []
         self.r_bottom: List[float] = []
+        self.r_mcid: List[int] = []
+        self.r_tag: List[str] = []
         self.l_x0: List[float] = []
         self.l_x1: List[float] = []
         self.l_top: List[float] = []
@@ -87,14 +90,14 @@ class _PageBuilder:
 
     def emit_line_chars(
         self, line: str, line_top: float, size: float, fontname: str,
-        x_left: float, mcid: int = -1,
+        x_left: float, mcid: int = -1, tag: str = "P",
     ) -> None:
         if line:
-            self.lines_rec.append((line, x_left, line_top, size, fontname, mcid))
+            self.lines_rec.append((line, x_left, line_top, size, fontname, mcid, tag))
 
     def emit_rotated_chars(
         self, text: str, block_top: float, size: float, fontname: str,
-        x_left: float, advance: float, mcid: int = -1,
+        x_left: float, advance: float, mcid: int = -1, tag: str = "H",
     ) -> None:
         """Vertical (rotated, upright=False) char run: glyphs stack
         top-to-bottom at a fixed x; spaces advance the cursor but emit no
@@ -111,21 +114,31 @@ class _PageBuilder:
             self.g_font.append(fontname)
             self.g_upright.append(False)
             self.g_mcid.append(mcid)
+            self.g_tag.append(tag)
 
-    def emit_rect(self, x0: float, top: float, x1: float, bottom: float) -> None:
+    def emit_rect(
+        self, x0: float, top: float, x1: float, bottom: float,
+        mcid: int = -1, tag: str = "TD",
+    ) -> None:
         self.r_x0.append(x0)
         self.r_x1.append(x1)
         self.r_top.append(top)
         self.r_bottom.append(bottom)
+        self.r_mcid.append(mcid)
+        self.r_tag.append(tag)
 
     def emit_line_obj(self, x0: float, x1: float, top: float) -> None:
         self.l_x0.append(x0)
         self.l_x1.append(x1)
         self.l_top.append(top)
 
-    def emit_image(self, x0: float, top: float, x1: float, bottom: float, ref: str) -> None:
+    def emit_image(
+        self, x0: float, top: float, x1: float, bottom: float, ref: str,
+        mcid: int = -1,
+    ) -> None:
         self.images.append(
-            {"x0": x0, "top": top, "x1": x1, "bottom": bottom, "media_ref": ref}
+            {"x0": x0, "top": top, "x1": x1, "bottom": bottom,
+             "media_ref": ref, "mcid": mcid, "tag": "Figure"}
         )
 
     def emit_curve(self, pts: List[tuple]) -> None:
@@ -179,6 +192,7 @@ class _PageBuilder:
         sz = np.fromiter((r[3] for r in recs), dtype=np.float64, count=len(recs))[li]
         fonts = np.array([r[4] for r in recs], dtype=object)[li]
         mcids = np.fromiter((r[5] for r in recs), dtype=np.int32, count=len(recs))[li]
+        tags = np.array([r[6] for r in recs], dtype=object)[li]
         x0 = xl + kk * cfg.char_advance
         return {
             "text": glyphs[keep],
@@ -191,6 +205,7 @@ class _PageBuilder:
             "fontname": fonts,
             "upright": np.ones(li.shape[0], dtype=bool),
             "mcid": mcids,
+            "tag": tags,
         }
 
     def finish(self) -> PageDict:
@@ -217,6 +232,7 @@ class _PageBuilder:
                 "fontname": np.asarray(self.g_font, dtype=object),
                 "upright": np.asarray(self.g_upright, dtype=bool),
                 "mcid": np.asarray(self.g_mcid, dtype=np.int32),
+                "tag": np.asarray(self.g_tag, dtype=object),
             })
         if len(parts) == 1:
             chars = parts[0]
@@ -231,12 +247,17 @@ class _PageBuilder:
             "x1": np.asarray(self.r_x1, dtype=np.float64),
             "top": np.asarray(self.r_top, dtype=np.float64),
             "bottom": np.asarray(self.r_bottom, dtype=np.float64),
+            "mcid": np.asarray(self.r_mcid, dtype=np.int32),
+            "tag": np.asarray(self.r_tag, dtype=object),
         }
         rects["doctop"] = rects["top"] + self.initial_doctop
+        n_l = len(self.l_x0)
         lines = {
             "x0": np.asarray(self.l_x0, dtype=np.float64),
             "x1": np.asarray(self.l_x1, dtype=np.float64),
             "top": np.asarray(self.l_top, dtype=np.float64),
+            "mcid": np.full(n_l, -1, dtype=np.int32),
+            "tag": np.full(n_l, "Artifact", dtype=object),
         }
         lines["bottom"] = lines["top"].copy()
         lines["doctop"] = lines["top"] + self.initial_doctop
@@ -263,6 +284,7 @@ def _empty_chars() -> Dict[str, np.ndarray]:
     out["fontname"] = np.empty(0, dtype=object)
     out["upright"] = np.empty(0, dtype=bool)
     out["mcid"] = np.empty(0, dtype=np.int32)
+    out["tag"] = np.empty(0, dtype=object)
     return out
 
 
@@ -329,6 +351,7 @@ def layout_doc_fields(
             )
             li += n_slots + 1
             return
+        tag = "H" if heading else "P"
         lines = wrap_words(text, cfg.max_line_chars)
         ensure_lines(len(lines))
         if heading:
@@ -339,7 +362,9 @@ def layout_doc_fields(
             )
         first_w = len(lines[0]) * cfg.char_advance
         for line in lines:
-            builder.emit_line_chars(line, line_top(li), size, font, cfg.margin_left, mcid)
+            builder.emit_line_chars(
+                line, line_top(li), size, font, cfg.margin_left, mcid, tag
+            )
             li += 1
         if heading and first_w > 0:
             # decorative underline: a zero-height line object in the blank
@@ -369,22 +394,25 @@ def layout_doc_fields(
                 r, c = divmod(j, ncols)
                 cx0 = cfg.margin_left + c * col_w
                 ctop = grid_top + r * cell_h
-                builder.emit_rect(cx0, ctop, cx0 + col_w, ctop + cell_h)
+                builder.emit_rect(
+                    cx0, ctop, cx0 + col_w, ctop + cell_h, chunk_mcids[j], "TD"
+                )
                 pad = cfg.cell_pad_chars * cfg.char_advance
                 text_top = ctop + (cell_h - cfg.body_size) / 2.0
                 builder.emit_line_chars(
                     cell_text, text_top, cfg.body_size, cfg.body_font,
-                    cx0 + pad, chunk_mcids[j],
+                    cx0 + pad, chunk_mcids[j], "TD",
                 )
             li += nrows * cfg.cell_height_lines + 1
 
-    def emit_media(ref: str) -> None:
+    def emit_media(ref: str, mcid: int = -1) -> None:
         nonlocal li
         ensure_lines(cfg.media_height_lines)
         top = line_top(li)
         bottom = top + cfg.media_height_lines * cfg.line_height
         builder.emit_image(
-            cfg.margin_left, top, cfg.margin_left + cfg.media_width, bottom, ref
+            cfg.margin_left, top, cfg.margin_left + cfg.media_width, bottom, ref,
+            mcid,
         )
         builder.emit_annot(
             cfg.margin_left, top, cfg.margin_left + cfg.media_width, bottom, uri=ref
@@ -416,7 +444,7 @@ def layout_doc_fields(
                 run_mcids.append(i)
             emit_table_run(run, run_mcids)
         elif kind == "media_ref":
-            emit_media(medias[i])
+            emit_media(medias[i], i)
         elif kind == "heading":
             emit_text_block(texts[i], heading=True, mcid=i)
         else:  # text (default)

@@ -393,3 +393,39 @@ def test_curve_objects_flow_without_spurious_tables(ray_session):
     got = [(s["kind"], s["text"], s["media_ref"]) for s in out["spans"]]
     want = [(s["kind"], s["text"], s["media_ref"]) for s in spans]
     assert got == want
+
+
+def test_mcid_tag_stamped_on_all_object_kinds(ray_session):
+    """Marked-content stamping breadth (reference 0.10.3: mcid/tag on
+    char/rect/line/image): chars carry kind tags, cell rects TD + span
+    ordinal, images Figure + span ordinal, decorative lines Artifact."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdfplumber_ray.pipelines import rects_ds
+    from pdfplumber_ray.schemas import SPAN
+    from pdfplumber_ray.stages.decode import SynthDecodePages, arrow_pages_to_dicts
+
+    spans = [
+        {"kind": "heading", "text": "Big Heads", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "body words here", "media_ref": "", "offset": 10},
+        {"kind": "table_cell", "text": "a", "media_ref": "", "offset": 26},
+        {"kind": "table_cell", "text": "b", "media_ref": "", "offset": 27},
+        {"kind": "media_ref", "text": "", "media_ref": "media://d/0", "offset": 28},
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(["d1"]), "spans": pa.array([spans], pa.list_(SPAN))}
+    )
+    pages_tbl = SynthDecodePages()(t)
+    pages = arrow_pages_to_dicts(pages_tbl)
+    ch = {k: np.concatenate([np.asarray(p["chars"][k]) for _, p in pages])
+          for k in ("tag", "mcid")}
+    assert set(ch["tag"]) == {"H", "P", "TD"}
+    assert (ch["mcid"][ch["tag"] == "H"] == 0).all()
+    images = [img for _, p in pages for img in p["images"]]
+    assert images[0]["tag"] == "Figure" and images[0]["mcid"] == 4
+    lines = [p["lines"] for _, p in pages if len(p["lines"]["x0"])]
+    assert all((l["tag"] == "Artifact").all() for l in lines)
+    rects = rects_ds(ray.data.from_arrow(pages_tbl)).to_pandas()
+    assert set(rects.tag) == {"TD"}
+    assert sorted(rects.mcid) == [2, 3]
