@@ -59,6 +59,12 @@ LINE = RECT
 # pdfminer pts/path to top-left coords; curves decompose to point-pair
 # edge segments in the table stage, geometry.py:189-204)
 CURVE_PT = pa.struct([("x", pa.float64()), ("top", pa.float64())])
+# path = drawing commands ('m' moveto / 'l' lineto per point) and dash =
+# stroke pattern, mirroring reference 0.11.0's curve["path"] / curve["dash"]
+CURVE_PATH_STEP = pa.struct(
+    [("cmd", pa.string()), ("x", pa.float64()), ("top", pa.float64())]
+)
+CURVE_DASH = pa.struct([("array", pa.list_(pa.float64())), ("phase", pa.float64())])
 CURVE = pa.struct(
     [
         ("x0", pa.float64()),
@@ -67,6 +73,8 @@ CURVE = pa.struct(
         ("bottom", pa.float64()),
         ("doctop", pa.float64()),
         ("pts", pa.list_(CURVE_PT)),
+        ("path", pa.list_(CURVE_PATH_STEP)),
+        ("dash", CURVE_DASH),
     ]
 )
 

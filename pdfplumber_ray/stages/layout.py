@@ -154,6 +154,13 @@ class _PageBuilder:
                 "x0": min(xs), "x1": max(xs), "top": top, "bottom": max(tops),
                 "doctop": top + self.initial_doctop,
                 "pts": [{"x": x, "top": t} for x, t in pts],
+                # drawing commands + dash pattern (reference 0.11.0
+                # curve["path"] / curve["dash"])
+                "path": [
+                    {"cmd": "m" if j == 0 else "l", "x": x, "top": t}
+                    for j, (x, t) in enumerate(pts)
+                ],
+                "dash": {"array": [2.0, 1.0], "phase": 0.0},
             }
         )
 

@@ -429,3 +429,25 @@ def test_mcid_tag_stamped_on_all_object_kinds(ray_session):
     rects = rects_ds(ray.data.from_arrow(pages_tbl)).to_pandas()
     assert set(rects.tag) == {"TD"}
     assert sorted(rects.mcid) == [2, 3]
+
+
+def test_curve_path_and_dash(ray_session):
+    """curve["path"] / curve["dash"] (reference 0.11.0): drawing commands
+    parallel the pts and the dash pattern survives the Arrow boundary."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdfplumber_ray.pipelines import curves_ds, decode_pages_ds
+    from pdfplumber_ray.schemas import SPAN
+
+    spans = [{"kind": "media_ref", "text": "", "media_ref": "media://d/0", "offset": 0}]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(["d"]), "spans": pa.array([spans], pa.list_(SPAN))})
+    )
+    cur = curves_ds(decode_pages_ds(docs)).take_all()
+    assert len(cur) == 1
+    c = cur[0]
+    cmds = [s["cmd"] for s in c["path"]]
+    assert cmds == ["m", "l", "l", "l", "l"]
+    assert [s["x"] for s in c["path"]] == [p["x"] for p in c["pts"]]
+    assert list(c["dash"]["array"]) == [2.0, 1.0] and c["dash"]["phase"] == 0.0
