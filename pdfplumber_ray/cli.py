@@ -69,8 +69,8 @@ def _objects_ds(pages, typ: str):
     if typ == "annot":
         return annots_ds(pages)
     if typ == "curve":
-        # pts nested list is not CSV-serializable; dump the bbox columns
-        return curves_ds(pages).drop_columns(["pts"])
+        # nested pts/path/dash are not CSV-serializable; dump scalar columns
+        return curves_ds(pages).drop_columns(["pts", "path", "dash"])
     return text_boxes_ds(pages)
 
 

@@ -67,3 +67,11 @@ def test_cli_structure_text(corpus_dir, capsys):
     rows = list(csv.DictReader(io.StringIO(out)))
     assert len(rows) > 0
     assert {"doc_id", "mcid", "text"} <= set(rows[0])
+
+
+def test_cli_csv_curves(corpus_dir, capsys):
+    out = _run_cli([corpus_dir, "--format", "csv", "--types", "curve"], capsys)
+    rows = list(csv.DictReader(io.StringIO(out)))
+    assert len(rows) > 0
+    assert rows[0]["object_type"] == "curve"
+    assert "pts" not in rows[0] and "path" not in rows[0] and "dash" not in rows[0]
