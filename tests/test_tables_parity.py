@@ -259,3 +259,63 @@ def test_explicit_lines():
     tables = find_tables_page(concat_edges([]), cfg, (0, 0, 612, 792))
     assert len(tables) == 1
     assert len(tables[0].cells) == 4
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_edges_full_chain_fuzz(seed):
+    """Fuzz parity: random h/v segments (random positions/extents, many
+    near-tolerance gaps and overlaps) through the full
+    merge -> intersections -> cells -> tables chain must match the
+    reference bit-for-bit at 1e-6 rounding."""
+    rng = np.random.default_rng(1000 + seed)
+    dict_edges = []
+    for _ in range(rng.integers(8, 40)):
+        if rng.random() < 0.5:  # horizontal
+            x0 = float(rng.uniform(0, 500))
+            x1 = x0 + float(rng.uniform(5, 200))
+            y = float(rng.choice([100, 124, 148, 172]) + rng.uniform(-2, 2))
+            d = {"x0": x0, "x1": x1, "top": y, "bottom": y, "orientation": "h"}
+        else:  # vertical
+            x = float(rng.choice([72, 132, 192, 252]) + rng.uniform(-2, 2))
+            t = float(rng.uniform(80, 160))
+            b = t + float(rng.uniform(5, 120))
+            d = {"x0": x, "x1": x, "top": t, "bottom": b, "orientation": "v"}
+        d.update(
+            width=d["x1"] - d["x0"], height=d["bottom"] - d["top"],
+            object_type="line", doctop=d["top"],
+        )
+        dict_edges.append(d)
+    arrays = {
+        k: np.array(
+            [d[k] for d in dict_edges],
+            dtype=object if k in ("orientation", "object_type") else np.float64,
+        )
+        for k in ("x0", "x1", "top", "bottom", "width", "height",
+                  "orientation", "object_type")
+    }
+
+    ref_merged = RTABLE.merge_edges(
+        dict_edges, snap_x_tolerance=3, snap_y_tolerance=3,
+        join_x_tolerance=3, join_y_tolerance=3,
+    )
+    mine_merged = merge_edges_arrays(arrays, 3, 3, 3, 3)
+    ref_set = sorted(
+        (round(e["x0"], 6), round(e["top"], 6), round(e["x1"], 6), round(e["bottom"], 6))
+        for e in ref_merged
+    )
+    mine_set = sorted(
+        (round(mine_merged["x0"][i], 6), round(mine_merged["top"][i], 6),
+         round(mine_merged["x1"][i], 6), round(mine_merged["bottom"][i], 6))
+        for i in range(mine_merged["x0"].shape[0])
+    )
+    assert ref_set == mine_set, f"merged mismatch at seed {seed}"
+
+    ref_int = RTABLE.edges_to_intersections(ref_merged, 3, 3)
+    mine_int = edges_to_intersections_arrays(mine_merged, 3, 3)
+    assert sorted(ref_int.keys()) == sorted(mine_int.keys()), f"seed {seed}"
+    ref_cells = RTABLE.intersections_to_cells(ref_int)
+    mine_cells = intersections_to_cells(mine_int)
+    assert sorted(ref_cells) == sorted(mine_cells), f"seed {seed}"
+    ref_tables = RTABLE.cells_to_tables(ref_cells)
+    mine_tables = cells_to_tables(mine_cells)
+    assert [sorted(t) for t in ref_tables] == [sorted(t) for t in mine_tables]

@@ -167,3 +167,25 @@ def test_empty_chars():
     assert extract_text_simple_page(empty) == ""
     words = extract_words_page(empty, WordConfig())
     assert words["text"].shape[0] == 0
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_words_fuzz_parity(seed):
+    """Fuzz parity: random page shapes (line counts, jitter up to the
+    tolerance boundary, rotation mix) x a rotating config sample, vs the
+    reference WordExtractor."""
+    rng = np.random.default_rng(9000 + seed)
+    chars = make_chars(
+        seed=seed,
+        n_lines=int(rng.integers(1, 10)),
+        words_per_line=int(rng.integers(1, 8)),
+        rotated_lines=int(rng.integers(0, 3)),
+        jitter=float(rng.uniform(0, 1.4)),
+        blanks=bool(rng.integers(0, 2)),
+    )
+    cfg_kwargs = CONFIGS[seed % len(CONFIGS)]
+    ref = ref_words(chars, **cfg_kwargs)
+    mine = extract_words_page(to_arrays(chars), WordConfig.from_kwargs(**cfg_kwargs))
+    assert_words_equal(mine, ref, extra=cfg_kwargs.get("extra_attrs", ()))
+    # text extraction parity on the same fuzzed page (default settings)
+    assert extract_text_page(to_arrays(chars)) == RTEXT.extract_text(chars)
