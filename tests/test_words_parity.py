@@ -189,3 +189,30 @@ def test_words_fuzz_parity(seed):
     assert_words_equal(mine, ref, extra=cfg_kwargs.get("extra_attrs", ()))
     # text extraction parity on the same fuzzed page (default settings)
     assert extract_text_page(to_arrays(chars)) == RTEXT.extract_text(chars)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_layout_text_fuzz_parity(seed):
+    """Fuzz the layout textmap — the byte-exactness-hardest invariant
+    (newline imputation, space density, terminal padding) — on random
+    page shapes and random layout params vs the reference."""
+    rng = np.random.default_rng(4200 + seed)
+    chars = make_chars(
+        seed=seed,
+        n_lines=int(rng.integers(1, 9)),
+        words_per_line=int(rng.integers(1, 7)),
+        rotated_lines=0,
+        jitter=float(rng.uniform(0, 1.0)),
+        blanks=bool(rng.integers(0, 2)),
+    )
+    kwargs = {
+        "layout": True,
+        "layout_width": float(rng.choice([300, 400, 612])),
+        "layout_height": float(rng.choice([200, 400, 792])),
+        "x_density": float(rng.choice([7.25, 9, 12])),
+        "y_density": float(rng.choice([10, 13, 15])),
+        "x_shift": float(rng.choice([0, 36, 72])),
+    }
+    ref = RTEXT.extract_text(chars, **kwargs)
+    mine = extract_text_page(to_arrays(chars), **kwargs)
+    assert mine == ref, f"layout mismatch at seed {seed} kwargs {kwargs}"
