@@ -1329,6 +1329,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "embedding_near_dup": lambda sf_dir: _sim_e3_pairs(
         co.embedding_near_dup_ds(_embeddings(sf_dir), threshold=0.45)
     ),
+    "embedding_near_dup_lsh": lambda sf_dir: _sim_e3_pairs(
+        co.embedding_near_dup_lsh_ds(_embeddings(sf_dir), threshold=0.45, n_bits=6, n_tables=8)
+    ),
     "ann_brute": q_ann_brute,
     "ann_ivf": q_ann_ivf,
     "media_decode": q_media_decode,
@@ -1489,6 +1492,136 @@ ORACLES: Dict[str, str] = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.45
     """,
+    # MinHash/SimHash LSH twins: every hash in the engine is md5-derived
+    # (textstats.md5_u64), so DuckDB reproduces signatures, band keys and
+    # bucket membership bit-exactly — these are full value oracles for the
+    # banding paths, not just the verified subsets.
+    "minhash_pairs": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents WHERE text <> ''),
+        g AS (SELECT doc_id,
+                CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                     ELSE list_distinct([array_to_string(l[i:i+4], ' ')
+                                         for i in range(1, len(l)-3)])
+                END AS sh FROM t),
+        x AS (SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(s), 1, 16))::UBIGINT AS x
+              FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+        p AS (SELECT j,
+                (('0x' || substr(md5('a1:' || j), 1, 16))::UBIGINT
+                   % 2305843009213693950) + 1 AS a,
+                ('0x' || substr(md5('b1:' || j), 1, 16))::UBIGINT
+                   % 2305843009213693951 AS b
+              FROM range(64) r(j)),
+        s AS (SELECT doc_id, j,
+                min((a::HUGEINT * x + b) % 2305843009213693951) AS v
+              FROM x CROSS JOIN p GROUP BY doc_id, j),
+        bk AS (SELECT doc_id,
+                 substr(md5('band:' || (j // 4) || ':'
+                            || string_agg(v::VARCHAR, '-' ORDER BY j)), 1, 16)
+                   AS band_key
+               FROM s GROUP BY doc_id, (j // 4)),
+        c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bk a JOIN bk b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        e AS (SELECT c.doc_a, c.doc_b,
+                avg(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS est_jaccard
+              FROM c JOIN s sa ON sa.doc_id = c.doc_a
+                    JOIN s sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+              GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b, est_jaccard FROM e WHERE est_jaccard >= 0.5
+    """,
+    "simhash_pairs": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents WHERE text <> ''),
+        h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv
+              FROM (SELECT doc_id, unnest(l) AS w FROM t)),
+        bits AS (SELECT doc_id, i,
+                   sum(((hv >> i) & 1)::BIGINT) AS ones, count(*) AS n
+                 FROM h, range(64) r(i) GROUP BY doc_id, i),
+        sig AS (SELECT doc_id,
+                  sum(CASE WHEN 2 * ones - n > 0
+                           THEN (1::UBIGINT << i)::HUGEINT ELSE 0 END)::UBIGINT AS v
+                FROM bits GROUP BY doc_id),
+        bkt AS (SELECT doc_id, v, c, ((v >> (16 * c)) & 65535) AS chunk
+                FROM sig, range(4) r(c)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.v AS va,
+                                 b.doc_id AS doc_b, b.v AS vb
+                 FROM bkt a JOIN bkt b
+                   ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(va, vb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(va, vb)) <= 3
+    """,
+    "near_dup_verified": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents WHERE text <> ''),
+        g AS (SELECT doc_id,
+                CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                     ELSE list_distinct([array_to_string(l[i:i+4], ' ')
+                                         for i in range(1, len(l)-3)])
+                END AS sh FROM t),
+        x AS (SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(s), 1, 16))::UBIGINT AS x
+              FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+        p AS (SELECT j,
+                (('0x' || substr(md5('a1:' || j), 1, 16))::UBIGINT
+                   % 2305843009213693950) + 1 AS a,
+                ('0x' || substr(md5('b1:' || j), 1, 16))::UBIGINT
+                   % 2305843009213693951 AS b
+              FROM range(64) r(j)),
+        s AS (SELECT doc_id, j,
+                min((a::HUGEINT * x + b) % 2305843009213693951) AS v
+              FROM x CROSS JOIN p GROUP BY doc_id, j),
+        bk AS (SELECT doc_id,
+                 substr(md5('band:' || (j // 4) || ':'
+                            || string_agg(v::VARCHAR, '-' ORDER BY j)), 1, 16)
+                   AS band_key
+               FROM s GROUP BY doc_id, (j // 4)),
+        c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bk a JOIN bk b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        e AS (SELECT c.doc_a, c.doc_b,
+                avg(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS est_jaccard
+              FROM c JOIN s sa ON sa.doc_id = c.doc_a
+                    JOIN s sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+              GROUP BY c.doc_a, c.doc_b),
+        cand AS (SELECT doc_a, doc_b, est_jaccard FROM e
+                 WHERE est_jaccard >= 0.35),
+        jac AS (SELECT cand.doc_a, cand.doc_b, cand.est_jaccard,
+                       len(list_intersect(ga.sh, gb.sh)) AS inter,
+                       len(ga.sh) + len(gb.sh) AS tot
+                FROM cand JOIN g ga ON ga.doc_id = cand.doc_a
+                          JOIN g gb ON gb.doc_id = cand.doc_b)
+        SELECT doc_a, doc_b, est_jaccard,
+               inter * 1.0 / (tot - inter) AS jaccard
+        FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "embedding_near_dup_lsh": """
+        WITH d AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+        w AS (SELECT t, j, k,
+                ((('0x' || substr(md5('hp:' || t || ':' || j || ':' || k), 1, 16))::UBIGINT
+                   % 2001)::BIGINT - 1000) AS wv
+              FROM range(8) tt(t), range(6) jj(j),
+                   (SELECT unnest(range(0, dim)) AS k FROM d) kk),
+        q AS (SELECT vec_id, k,
+                CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000000.0 + 0.5)
+                     AS BIGINT) AS qv
+              FROM embeddings, (SELECT unnest(range(0, dim)) AS k FROM d) kk),
+        dots AS (SELECT q.vec_id, w.t, w.j, sum(q.qv * w.wv) AS dot
+                 FROM q JOIN w ON w.k = q.k GROUP BY q.vec_id, w.t, w.j),
+        keys AS (SELECT vec_id, t,
+                   sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bkey
+                 FROM dots GROUP BY vec_id, t),
+        cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                 FROM keys a JOIN keys b
+                   ON a.t = b.t AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+        SELECT va AS vec_a, vb AS vec_b,
+               CAST(round(round(list_cosine_similarity(ea.embedding, eb.embedding), 6)
+                          * 1000) AS BIGINT) AS sim_e3
+        FROM cand JOIN embeddings ea ON ea.vec_id = va
+                  JOIN embeddings eb ON eb.vec_id = vb
+        WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 6) >= 0.45
+    """,
     "near_dup_exact": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         s AS (SELECT doc_id,
@@ -1630,7 +1763,11 @@ ORACLES: Dict[str, str] = {
     "metadata": """
         SELECT doc_id,
                array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS title,
-               CAST(ceil(len(string_split(text, ' ')) / 6.0) + 1 AS BIGINT) AS n_spans,
+               -- empty text produces only the media span (string_split('')
+               -- would predict a phantom text span)
+               CAST(CASE WHEN text = '' THEN 1
+                         ELSE ceil(len(string_split(text, ' ')) / 6.0) + 1
+                    END AS BIGINT) AS n_spans,
                CAST(1 AS BIGINT) AS n_media
         FROM documents
     """,

@@ -90,6 +90,12 @@ def md5_hex(texts: Sequence[str]) -> np.ndarray:
     )
 
 
+def md5_u64(s: str) -> int:
+    """First 8 bytes of md5 as uint64 — the one hash primitive shared with
+    the DuckDB oracles: ``('0x' || substr(md5(s), 1, 16))::UBIGINT``."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+
+
 _FP_MOD = (1 << 61) - 1
 _FP_BASE = 257
 
@@ -119,10 +125,7 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     if not grams:
         return np.empty(0, dtype=np.uint64)
     out = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-            for g in grams
-        ),
+        (int(hashlib.md5(g.encode()).hexdigest()[:16], 16) for g in grams),
         dtype=np.uint64,
         count=len(grams),
     )
@@ -133,9 +136,16 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(num_perm: int, seed: int = 1) -> Tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    """Deterministic MinHash permutation coefficients, derived from md5 so a
+    SQL oracle can regenerate them verbatim:
+    ``a_j = (u64(md5('a<seed>:<j>')) % (p-1)) + 1``, ``b_j = u64(md5('b<seed>:<j>')) % p``."""
+    a = np.array(
+        [(md5_u64(f"a{seed}:{j}") % (_MERSENNE - 1)) + 1 for j in range(num_perm)],
+        dtype=np.uint64,
+    )
+    b = np.array(
+        [md5_u64(f"b{seed}:{j}") % _MERSENNE for j in range(num_perm)], dtype=np.uint64
+    )
     return a, b
 
 
@@ -151,20 +161,24 @@ class MinHasher:
         sh = shingle_hashes(text, self.shingle_k)
         if sh.shape[0] == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        return self.signature_from_hashes(sh)
+
+    def signature_from_hashes(self, sh: np.ndarray) -> np.ndarray:
         # (num_perm, n_shingles) in python-int space to avoid overflow
         x = sh.astype(object)[None, :]
         vals = (self.a.astype(object)[:, None] * x + self.b.astype(object)[:, None]) % _MERSENNE
         return np.array([min(row) for row in vals], dtype=np.uint64)
 
-    def band_keys(self, sig: np.ndarray, bands: int) -> List[int]:
-        """LSH bucket keys: hash of each band of the signature."""
+    def band_keys(self, sig: np.ndarray, bands: int) -> List[str]:
+        """LSH bucket keys: md5 of each band's decimal-joined values, so the
+        SQL oracle can compute the identical key with
+        ``substr(md5('band:' || band || ':' || string_agg(v, '-' ORDER BY j)), 1, 16)``."""
         r = self.num_perm // bands
         keys = []
         for band in range(bands):
             chunk = sig[band * r : (band + 1) * r]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8, person=b"band")
-            h.update(band.to_bytes(2, "big"))
-            keys.append(int.from_bytes(h.digest(), "big") >> 1)
+            s = f"band:{band}:" + "-".join(str(int(v)) for v in chunk)
+            keys.append(hashlib.md5(s.encode()).hexdigest()[:16])
         return keys
 
 
@@ -189,17 +203,16 @@ def simhash64(texts: Sequence[str]) -> np.ndarray:
             out[i] = 0
             continue
         hs = np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-                for w in toks
-            ),
+            (int(hashlib.md5(w.encode()).hexdigest()[:16], 16) for w in toks),
             dtype=np.uint64,
             count=len(toks),
         )
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
         counts = bits.sum(axis=0)
         vote = counts * 2 - len(toks)
-        out[i] = np.packbits((vote > 0)[::-1]).view(">u8")[0]
+        # bit i of the output = majority vote of bit i of the token hashes —
+        # SQL twin: sum(CASE WHEN vote > 0 THEN 1::UBIGINT << i END)
+        out[i] = ((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
     return out
 
 

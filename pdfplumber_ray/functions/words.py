@@ -163,7 +163,10 @@ def _classify_chars(
     joined page text (None in the fallback) so callers can cheaply probe
     for ligatures."""
     joined = "".join(texts.tolist())
-    if len(joined) == n:
+    # fast path requires every cell to be EXACTLY one codepoint: total
+    # length n plus no empty cells implies it (an empty cell would force
+    # some other cell to hold >=2 codepoints and silently misalign masks)
+    if len(joined) == n and not (texts == "").any():
         codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
         small = codes < _LUT_SIZE
         idx = np.where(small, codes, 0)

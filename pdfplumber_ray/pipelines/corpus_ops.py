@@ -142,8 +142,14 @@ def exact_dedup_ds(docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
-class _MinHashStage:
-    """Per-worker MinHasher: signatures + LSH band keys per doc."""
+class _MinHashBandStage:
+    """Per-worker MinHasher: emits one ``(band_key, doc_id)`` row per band.
+
+    The full signature is deliberately NOT carried into the band rows — that
+    would multiply shuffle bytes by the band count (16 bands x 512-byte
+    signature ~ 8 KB/doc). Signatures are recomputed for the tiny candidate
+    set in the verification pass instead. Docs with no shingles (empty text)
+    emit nothing: a shingle-less doc cannot be a near-duplicate."""
 
     def __init__(self, num_perm: int, bands: int, shingle_k: int, text_col: str, id_col: str):
         self.mh = ts.MinHasher(num_perm=num_perm, shingle_k=shingle_k)
@@ -154,23 +160,60 @@ class _MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        out_band: List[int] = []
+        out_band: List[str] = []
         out_id: List = []
-        out_sig: List[bytes] = []
         for i, t in zip(ids, texts):
-            sig = self.mh.signature(t or "")
-            sb = sig.tobytes()
+            sh = ts.shingle_hashes(t or "", self.mh.shingle_k)
+            if sh.shape[0] == 0:
+                continue
+            sig = self.mh.signature_from_hashes(sh)
             for key in self.mh.band_keys(sig, self.bands):
                 out_band.append(key)
                 out_id.append(i)
-                out_sig.append(sb)
         return pa.table(
             {
-                "band_key": pa.array(out_band, pa.int64()),
+                "band_key": pa.array(out_band, pa.string()),
                 "doc_id": pa.array(out_id),
-                "sig": pa.array(out_sig, pa.binary()),
             }
         )
+
+
+def _semi_join_collect(
+    ds: Dataset, id_col: str, wanted: frozenset, value_fn
+) -> Dict:
+    """One streaming pass over ``ds``: rows whose ``id_col`` is in the
+    broadcast ``wanted`` set are reduced via ``value_fn(batch) -> column
+    values`` and collected into a driver dict. Driver memory is bounded by
+    ``len(wanted)``, never by the dataset size."""
+    wanted_ref = ray.put(wanted)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        mask = pa.array(
+            [i in w for i in batch.column(id_col).to_pylist()], pa.bool_()
+        )
+        return batch.filter(mask)
+
+    out: Dict = {}
+    for b in ds.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        ids = b.column(id_col).to_pylist()
+        vals = value_fn(b)
+        for i, v in zip(ids, vals):
+            out[i] = v
+    return out
+
+
+def _pair_ids(pairs: Dataset) -> frozenset:
+    """Distinct ids appearing in a (tiny-by-construction) pair dataset."""
+    ids: set = set()
+    for b in pairs.select_columns(["doc_a", "doc_b"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        ids.update(b.column("doc_a").to_pylist())
+        ids.update(b.column("doc_b").to_pylist())
+    return frozenset(ids)
 
 
 def minhash_pairs_ds(
@@ -182,14 +225,25 @@ def minhash_pairs_ds(
     shingle_k: int = 5,
     threshold: float = 0.7,
 ) -> Dataset:
-    """Near-duplicate candidate pairs via MinHash + LSH banding.
+    """Near-duplicate pairs via MinHash + LSH banding.
 
     Emits (doc_a, doc_b, est_jaccard) with doc_a < doc_b and estimated
-    Jaccard (signature agreement) >= threshold. The only shuffle is the
-    band-key groupby; groups are bucket-sized, so the pair loop inside a
-    group is bounded."""
+    Jaccard (signature agreement) >= threshold. Scale shape:
+
+    1. Banding pass — streaming ``map_batches``; the only shuffle moves
+       ``(band_key: 16-char md5, doc_id)`` rows (no signatures).
+    2. Bucket groupby emits candidate id pairs; a pair sharing several
+       bands is deduped by a groupby over the (tiny) pair set.
+    3. Verification pass — signatures are recomputed ONLY for candidate
+       docs (semi-join against the broadcast candidate id set), collected
+       (bounded by the candidate count), and the pair estimate is a
+       ``map_batches`` over the pair set.
+
+    All hashing is md5-derived (see ``textstats``) so a DuckDB oracle can
+    reproduce the pipeline bit-exactly."""
+    mh = ts.MinHasher(num_perm=num_perm, shingle_k=shingle_k)
     banded = docs.map_batches(
-        _MinHashStage,
+        _MinHashBandStage,
         fn_constructor_kwargs=dict(
             num_perm=num_perm, bands=bands, shingle_k=shingle_k,
             text_col=text_col, id_col=id_col,
@@ -200,44 +254,63 @@ def minhash_pairs_ds(
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group.column("sig").to_pylist()]
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        n = len(ids)
         a_out: List = []
         b_out: List = []
-        j_out: List[float] = []
-        n = len(ids)
         for i in range(n):
             for j in range(i + 1, n):
-                if ids[i] == ids[j]:
-                    continue
-                est = float(np.mean(sigs[i] == sigs[j]))
-                if est >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    a_out.append(a)
-                    b_out.append(b)
-                    j_out.append(est)
-        return pa.table(
-            {
-                "doc_a": pa.array(a_out),
-                "doc_b": pa.array(b_out),
-                "est_jaccard": pa.array(j_out, pa.float64()),
-            }
-        )
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table({"doc_a": pa.array(a_out), "doc_b": pa.array(b_out)})
 
-    pairs = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
-    # a pair found in multiple bands appears multiple times -> keep one
-    dedup = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("est_jaccard"))
+    cand = (
+        banded.groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()  # tiny by construction; reused for ids + estimates
+    )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    cand_ids = _pair_ids(cand)
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.string()),
+            "doc_b": pa.array([], pa.string()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if not cand_ids:
+        return ray.data.from_arrow(empty)
+
+    def sig_of(batch: pa.Table) -> List[np.ndarray]:
+        return [
+            mh.signature(t or "") for t in batch.column(text_col).to_pylist()
+        ]
+
+    sig_map = _semi_join_collect(
+        docs.select_columns([id_col, text_col]), id_col, cand_ids, sig_of
+    )
+    sig_ref = ray.put(sig_map)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        sigs = ray.get(sig_ref)
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        est = [
+            float(np.mean(sigs[a] == sigs[b])) for a, b in zip(a_ids, b_ids)
+        ]
+        t = pa.table(
             {
                 "doc_a": batch.column("doc_a"),
                 "doc_b": batch.column("doc_b"),
-                "est_jaccard": batch.column("min(est_jaccard)"),
+                "est_jaccard": pa.array(est, pa.float64()),
             }
         )
+        return t.filter(pc.greater_equal(t.column("est_jaccard"), threshold))
 
-    return dedup.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return cand.map_batches(estimate, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def simhash_pairs_ds(
@@ -258,6 +331,8 @@ def simhash_pairs_ds(
         out_id: List = []
         out_sig: List[int] = []
         for idx, i in enumerate(ids):
+            if not texts[idx]:
+                continue  # token-less docs can't be near-dups (SQL twin filters text <> '')
             v = int(sh[idx])
             for c in range(4):
                 chunk = (v >> (16 * c)) & 0xFFFF
@@ -323,12 +398,19 @@ def ngram_jaccard_verify_ds(
 ) -> Dataset:
     """Exact n-gram Jaccard verification of candidate pairs.
 
-    The doc texts are broadcast once via ``ray.put`` (small side of the
-    join); each verify task reads the map from the object store."""
-    lookup: Dict = {}
-    for b in docs.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
-        for i, t in zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()):
-            lookup[i] = t
+    The PAIRS are the small side of this join, not the docs: the candidate
+    id set is collected first (tiny by construction), docs are semi-joined
+    down to those ids in one streaming pass, and only the surviving texts
+    are broadcast via ``ray.put``. The full corpus never materializes on
+    the driver."""
+    pairs = pairs.materialize()  # tiny; reused for the id set and the verify map
+    cand_ids = _pair_ids(pairs)
+    lookup = _semi_join_collect(
+        docs.select_columns([id_col, text_col]),
+        id_col,
+        cand_ids,
+        lambda b: b.column(text_col).to_pylist(),
+    )
     ref = ray.put(lookup)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -352,44 +434,57 @@ def embedding_near_dup_ds(
     vec_col: str = "embedding",
     round_digits: int = 6,
 ) -> Dataset:
-    """Embedding-cosine near-duplicate pairs: every batch computes its
-    rows' cosine against the broadcast full matrix (small side via
-    ``ray.put``) and emits pairs (a < b, sim >= threshold). This is the
-    exact baseline; at 10^12-vector scale swap the broadcast for
-    random-hyperplane bucketing (sign-pattern groupby — the SimHash
-    machinery above) and scan within buckets."""
-    rows = []
-    ids_all: List[int] = []
-    for b in embeddings.select_columns([id_col, vec_col]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        m = _as_matrix(b.column(vec_col))
-        rows.append(m)
-        ids_all.extend(b.column(id_col).to_pylist())
-    full = np.vstack(rows)
-    norms = np.linalg.norm(full, axis=1)
-    norms[norms == 0] = 1.0
-    full_n = full / norms[:, None]
-    ids_arr = np.asarray(ids_all)
-    ref = ray.put((full_n, ids_arr))
+    """EXACT all-pairs embedding-cosine near-dup pairs (a < b, sim >=
+    threshold) — the small-N oracle path; ``embedding_near_dup_lsh_ds`` is
+    the 100 TB path.
+
+    Exactness requires every task to see every vector, but the normalized
+    matrix is staged in the OBJECT STORE (``to_arrow_refs`` block refs),
+    never materialized on the driver: driver memory is O(#blocks), and
+    workers read the Arrow blocks zero-copy from plasma (one copy per
+    node, shared by all workers — the per-worker cache below holds numpy
+    VIEWS over plasma buffers, not copies). Compute is inherently O(N^2):
+    that is the semantics of 'exact'."""
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(vec_col))
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        mn = np.ascontiguousarray(m / n[:, None])
+        flat = pa.array(mn.reshape(-1), pa.float64())
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "_nvec": pa.FixedSizeListArray.from_arrays(flat, mn.shape[1]),
+            }
+        )
+
+    refs = (
+        embeddings.select_columns([id_col, vec_col])
+        .map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    refs_key = tuple(r.hex() for r in refs)
 
     def pairs(batch: pa.Table) -> pa.Table:
-        fn, fids = ray.get(ref)
+        blocks = _emb_blocks(refs_key, refs, id_col)
         m = _as_matrix(batch.column(vec_col))
         bn = np.linalg.norm(m, axis=1)
         bn[bn == 0] = 1.0
-        sims = (m / bn[:, None]) @ fn.T
+        mn = m / bn[:, None]
         bids = batch.column(id_col).to_numpy(zero_copy_only=False)
         a_out: List[int] = []
         b_out: List[int] = []
         s_out: List[float] = []
-        hit_r, hit_c = np.nonzero(np.round(sims, round_digits) >= threshold)
-        for r, c in zip(hit_r, hit_c):
-            a, b = int(bids[r]), int(fids[c])
-            if a < b:  # each unordered pair emitted exactly once
-                a_out.append(a)
-                b_out.append(b)
-                s_out.append(float(np.round(sims[r, c], round_digits)))
+        for fids, fmat in blocks:
+            sims = mn @ fmat.T
+            hit_r, hit_c = np.nonzero(np.round(sims, round_digits) >= threshold)
+            for r, c in zip(hit_r, hit_c):
+                a, b = int(bids[r]), int(fids[c])
+                if a < b:  # each unordered pair emitted exactly once
+                    a_out.append(a)
+                    b_out.append(b)
+                    s_out.append(float(np.round(sims[r, c], round_digits)))
         return pa.table(
             {
                 "vec_a": pa.array(a_out, pa.int64()),
@@ -399,6 +494,138 @@ def embedding_near_dup_ds(
         )
 
     return embeddings.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# per-worker-process cache of zero-copy views over plasma-resident blocks;
+# keyed by the block-ref tuple so stale pipelines don't leak
+_EMB_BLOCK_CACHE: Dict = {}
+
+
+def _emb_blocks(refs_key, refs, id_col: str):
+    cached = _EMB_BLOCK_CACHE.get(refs_key)
+    if cached is None:
+        _EMB_BLOCK_CACHE.clear()
+        blocks = []
+        for t in ray.get(list(refs)):
+            col = t.column("_nvec").combine_chunks()
+            mat = col.values.to_numpy(zero_copy_only=True).reshape(len(col), -1)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            blocks.append((ids, mat))
+        cached = blocks
+        _EMB_BLOCK_CACHE[refs_key] = cached
+    return cached
+
+
+_HYPERPLANE_CACHE: Dict = {}
+
+
+def _hyperplanes(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """(n_tables*n_bits, dim) int64 hyperplanes in [-1000, 1000], derived
+    from md5 so the DuckDB oracle regenerates them verbatim:
+    ``w = (u64(md5('hp:<t>:<j>:<k>')) % 2001) - 1000``."""
+    key = (n_tables, n_bits, dim)
+    w = _HYPERPLANE_CACHE.get(key)
+    if w is None:
+        w = np.array(
+            [
+                [(ts.md5_u64(f"hp:{t}:{j}:{k}") % 2001) - 1000 for k in range(dim)]
+                for t in range(n_tables)
+                for j in range(n_bits)
+            ],
+            dtype=np.int64,
+        )
+        _HYPERPLANE_CACHE[key] = w
+    return w
+
+
+def embedding_near_dup_lsh_ds(
+    embeddings: Dataset,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    round_digits: int = 6,
+) -> Dataset:
+    """Random-hyperplane LSH embedding near-dup — the scale path: bucket
+    vectors by the sign pattern of ``n_bits`` hyperplane dot products
+    (``n_tables`` independent tables for recall), then compute exact cosine
+    only WITHIN buckets. Output is a subset of the exact all-pairs result;
+    no stage sees more than one bucket at a time.
+
+    Determinism for the SQL oracle: vectors are quantized to e6 integers
+    (``floor(x*1e6 + 0.5)``) and hyperplanes are md5-derived integers, so
+    the bucket assignment is integer-exact on both sides — no float-order
+    sign flips."""
+
+    def keys_stage(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(vec_col))
+        q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+        w = _hyperplanes(n_tables, n_bits, q.shape[1])
+        bits = (q @ w.T > 0).astype(np.int64)  # (n, n_tables*n_bits)
+        shifts = np.tile(1 << np.arange(n_bits, dtype=np.int64), n_tables)
+        per_table = (bits * shifts[None, :]).reshape(len(q), n_tables, n_bits).sum(axis=2)
+        table_idx = np.arange(n_tables, dtype=np.int64) << n_bits
+        buckets = (per_table + table_idx[None, :]).reshape(-1)
+        n = len(q)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int64()),
+                id_col: pc.take(
+                    batch.column(id_col),
+                    pa.array(np.repeat(np.arange(n), n_tables)),
+                ),
+                vec_col: pc.take(
+                    batch.column(vec_col),
+                    pa.array(np.repeat(np.arange(n), n_tables)),
+                ),
+            }
+        )
+
+    bucketed = embeddings.select_columns([id_col, vec_col]).map_batches(
+        keys_stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _as_matrix(group.column(vec_col))[order]
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        mn = m / n[:, None]
+        sims = mn @ mn.T
+        hit_r, hit_c = np.nonzero(np.round(sims, round_digits) >= threshold)
+        a_out: List[int] = []
+        b_out: List[int] = []
+        s_out: List[float] = []
+        for r, c in zip(hit_r, hit_c):
+            if ids[r] < ids[c]:
+                a_out.append(int(ids[r]))
+                b_out.append(int(ids[c]))
+                s_out.append(float(np.round(sims[r, c], round_digits)))
+        return pa.table(
+            {
+                "vec_a": pa.array(a_out, pa.int64()),
+                "vec_b": pa.array(b_out, pa.int64()),
+                "sim": pa.array(s_out, pa.float64()),
+            }
+        )
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    # a pair sharing buckets in several tables appears once per table
+    dedup = pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("sim"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_a": batch.column("vec_a"),
+                "vec_b": batch.column("vec_b"),
+                "sim": batch.column("min(sim)"),
+            }
+        )
+
+    return dedup.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------- deterministic sampling ----------
@@ -439,16 +666,29 @@ def broadcast_join_ds(
     lookup: Dataset,
     key_col: str,
     value_cols: List[str],
+    max_lookup_rows: int = 2_000_000,
 ) -> Dataset:
     """Hash-join against a small dimension table WITHOUT a shuffle: the
     lookup map is built once, put in the object store, and read by every
     map task (the reference's only join — struct-tree MCID to text,
     cli.py:72-91 — has the same small-side shape). Rows with no match get
-    nulls."""
+    nulls.
+
+    ``max_lookup_rows`` guards against misuse: a broadcast join is only
+    valid for a genuinely small dimension side, so exceeding the cap
+    raises instead of silently building an unbounded driver dict (use a
+    shuffle join / bucketed groupby for large sides)."""
     maps: Dict[str, Dict] = {c: {} for c in value_cols}
+    n_rows = 0
     for b in lookup.select_columns([key_col] + value_cols).iter_batches(
         batch_format="pyarrow"
     ):
+        n_rows += b.num_rows
+        if n_rows > max_lookup_rows:
+            raise ValueError(
+                f"broadcast_join_ds: lookup side exceeds max_lookup_rows="
+                f"{max_lookup_rows}; it is not a broadcastable small side"
+            )
         keys = b.column(key_col).to_pylist()
         for c in value_cols:
             vals = b.column(c).to_pylist()

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -55,17 +56,27 @@ _ACTOR_POOL = (4, 32)
 _WORKER_STATE: Dict[Tuple[str, str], Any] = {}
 
 
+def worker_singleton(cls: type, ctor_kwargs: Dict[str, Any]):
+    """Fetch-or-create the per-worker-process singleton instance for
+    ``(cls, ctor_kwargs)`` — the ONE cache shared by ``_stage_callable``
+    and wrapper stages (e.g. checkpoint resume), so the two can't drift."""
+    key = (
+        f"{cls.__module__}.{cls.__qualname__}",
+        repr(sorted(ctor_kwargs.items(), key=lambda kv: kv[0])),
+    )
+    inst = _WORKER_STATE.get(key)
+    if inst is None:
+        inst = cls(**ctor_kwargs)
+        _WORKER_STATE[key] = inst
+    return inst
+
+
 def _stage_callable(cls: type, ctor_kwargs: Dict[str, Any]):
     """A picklable map_batches function that lazily instantiates ``cls``
     once per worker process and reuses it across tasks."""
-    key = (f"{cls.__module__}.{cls.__qualname__}", repr(sorted(ctor_kwargs.items(), key=lambda kv: kv[0])))
 
     def fn(batch: pa.Table) -> pa.Table:
-        inst = _WORKER_STATE.get(key)
-        if inst is None:
-            inst = cls(**ctor_kwargs)
-            _WORKER_STATE[key] = inst
-        return inst(batch)
+        return worker_singleton(cls, ctor_kwargs)(batch)
 
     fn.__name__ = cls.__name__
     return fn
@@ -506,41 +517,58 @@ def outline_ds(out_spans: Dataset) -> Dataset:
     table_cell runs collapse to one 'Table' element, media to 'Figure'."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        doc_ids: list = []
-        idxs: list = []
-        types: list = []
-        texts: list = []
-        for did, spans in zip(
-            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
-        ):
-            ei = 0
-            i = 0
-            while i < len(spans):
-                s = spans[i]
-                if s["kind"] == "table_cell":
-                    ncells = 0
-                    while i < len(spans) and spans[i]["kind"] == "table_cell":
-                        ncells += 1
-                        i += 1
-                    doc_ids.append(did)
-                    idxs.append(ei)
-                    types.append("Table")
-                    texts.append(f"[{ncells} cells]")
-                else:
-                    kind = s["kind"]
-                    doc_ids.append(did)
-                    idxs.append(ei)
-                    types.append(
-                        "H" if kind == "heading" else "Figure" if kind == "media_ref" else "P"
-                    )
-                    texts.append(s["text"] if kind != "media_ref" else s["media_ref"])
-                    i += 1
-                ei += 1
+        # vectorized run-length encode over the flat span struct arrays —
+        # consecutive table_cell spans within a doc collapse to one element
+        col = batch.column("spans").combine_chunks()
+        lens = np.diff(col.offsets.to_numpy())
+        values = col.values
+        kinds = values.field("kind").to_numpy(zero_copy_only=False)
+        span_texts = values.field("text").to_numpy(zero_copy_only=False)
+        media = values.field("media_ref").to_numpy(zero_copy_only=False)
+        n = len(kinds)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "element_index": pa.array([], pa.int64()),
+                    "type": pa.array([], pa.string()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        is_cell = kinds == "table_cell"
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = (
+            (doc_idx[1:] != doc_idx[:-1]) | ~(is_cell[1:] & is_cell[:-1])
+        )
+        start_pos = np.flatnonzero(starts)
+        run_len = np.diff(np.append(start_pos, n))
+        e_doc = doc_idx[start_pos]
+        # element_index = per-doc running count of starts
+        first_of_doc = np.ones(len(start_pos), dtype=bool)
+        first_of_doc[1:] = e_doc[1:] != e_doc[:-1]
+        seq = np.arange(len(start_pos))
+        e_idx = seq - np.maximum.accumulate(np.where(first_of_doc, seq, 0))
+        e_kind = kinds[start_pos]
+        types = np.where(
+            is_cell[start_pos],
+            "Table",
+            np.where(
+                e_kind == "heading", "H", np.where(e_kind == "media_ref", "Figure", "P")
+            ),
+        )
+        texts = np.where(
+            e_kind == "media_ref", media[start_pos], span_texts[start_pos]
+        ).astype(object)
+        cell_elems = np.flatnonzero(is_cell[start_pos])
+        for ce in cell_elems:  # bounded by element count, not span count
+            texts[ce] = f"[{run_len[ce]} cells]"
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[e_doc]
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.string()),
-                "element_index": pa.array(idxs, pa.int64()),
-                "type": pa.array(types, pa.string()),
+                "element_index": pa.array(e_idx, pa.int64()),
+                "type": pa.array(types.astype(object), pa.string()),
                 "text": pa.array(texts, pa.string()),
             }
         )

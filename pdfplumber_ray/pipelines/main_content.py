@@ -48,14 +48,24 @@ def _flat_spans(batch: pa.Table):
     return col.values, lens
 
 
-def nav_mask(texts: pa.Array, max_punct_ratio: float, max_words: int) -> np.ndarray:
-    """Shallow-feature navigation rule: separator-dense AND short."""
+def nav_mask(
+    texts: pa.Array,
+    max_punct_ratio: float,
+    max_words: int,
+    min_separators: int = 2,
+) -> np.ndarray:
+    """Shallow-feature navigation rule: separator-dense AND short AND
+    containing at least ``min_separators`` explicit menu separators ('|').
+    The separator floor keeps ordinary short body chunks with incidental
+    punctuation (URLs, hyphens, quotes) from ever matching — only
+    menu-shaped chrome can."""
     n = pc.count_substring_regex(texts, _NAV_CHAR_RE).to_numpy(zero_copy_only=False)
     length = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
     words = pc.count_substring(texts, " ").to_numpy(zero_copy_only=False) + 1
+    seps = pc.count_substring(texts, "|").to_numpy(zero_copy_only=False)
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(length > 0, n / np.maximum(length, 1), 0.0)
-    return (ratio > max_punct_ratio) & (words <= max_words)
+    return (ratio > max_punct_ratio) & (words <= max_words) & (seps >= min_separators)
 
 
 def partial_doc_frequency(batch: pa.Table) -> pa.Table:
@@ -104,17 +114,18 @@ class StripBoilerplate:
 
     def __init__(
         self,
-        template_fps_ref,
+        template_fps,
         max_punct_ratio: float = 0.05,
         max_nav_words: int = 16,
+        min_nav_separators: int = 2,
     ):
-        self.template_fps = (
-            ray.get(template_fps_ref)
-            if isinstance(template_fps_ref, ray.ObjectRef)
-            else np.asarray(template_fps_ref, dtype=np.int64)
-        )
+        # the frequent set is tiny (site templates) — passed BY VALUE so an
+        # actor restart never depends on an evicted object-store ref
+        # (ray#53727); a huge frequent set would itself be a design bug.
+        self.template_fps = np.asarray(template_fps, dtype=np.int64)
         self.max_punct_ratio = max_punct_ratio
         self.max_nav_words = max_nav_words
+        self.min_nav_separators = min_nav_separators
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         values, lens = _flat_spans(batch)
@@ -128,6 +139,7 @@ class StripBoilerplate:
                 pa.array(texts[is_text].tolist(), pa.string()),
                 self.max_punct_ratio,
                 self.max_nav_words,
+                self.min_nav_separators,
             )
             fps = rolling_fingerprint([t or "" for t in texts[is_text]])
             if self.template_fps.size:
@@ -157,17 +169,27 @@ def strip_boilerplate_ds(
     max_punct_ratio: float = 0.05,
     max_nav_words: int = 16,
     n_docs: Optional[int] = None,
+    cache_input: bool = True,
 ) -> Dataset:
-    """docs (DOCS schema) -> docs with boilerplate spans removed."""
+    """docs (DOCS schema) -> docs with boilerplate spans removed.
+
+    The template-frequency count and the strip stage both consume ``docs``.
+    With ``cache_input=True`` (default) the input is materialized into the
+    object store once so an expensive upstream (e.g. a decode stage) is not
+    re-executed for the second pass — the right trade on a cluster whose
+    object store can hold (or spill) the corpus. Set it False to favor
+    recompute over storage when the upstream is cheap or the corpus is
+    far larger than cluster storage."""
+    if cache_input:
+        docs = docs.materialize()
     if n_docs is None:
         n_docs = docs.count()
     min_count = max(2, int(np.ceil(min_df_fraction * n_docs)))
     fps = frequent_span_fps(docs, min_count)
-    ref = ray.put(fps)
     return docs.map_batches(
         StripBoilerplate,
         fn_constructor_kwargs={
-            "template_fps_ref": ref,
+            "template_fps": fps,
             "max_punct_ratio": max_punct_ratio,
             "max_nav_words": max_nav_words,
         },

@@ -62,6 +62,53 @@ def csv_column_order(
     return [c for c in cols if c in fields or c in CSV_COLS_REQUIRED]
 
 
+# decode fallback chain for byte values, mirroring the reference
+# (convert.py:8-13 ENCODINGS_TO_TRY + convert.py:118-127 do_bytes)
+ENCODINGS_TO_TRY = ["utf-8", "latin-1", "utf-16", "utf-16le"]
+
+
+def bytes_to_text(data: bytes) -> Optional[str]:
+    """Reference ``Serializer.do_bytes``: try each encoding in order; the
+    reference returns None from inside the loop on the first failure —
+    and latin-1 never fails — so in practice this is utf-8-else-latin-1."""
+    for e in ENCODINGS_TO_TRY:
+        try:
+            return data.decode(e)
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def stream_to_b64(rawdata: bytes) -> dict:
+    """Reference ``Serializer.do_PDFStream`` (convert.py:112-113): binary
+    stream payloads serialize as ``{"rawdata": <base64>}``."""
+    import base64
+
+    return {"rawdata": base64.b64encode(rawdata).decode("ascii")}
+
+
+def serialize_scalar(v: Any, precision: Optional[int] = None) -> Any:
+    """Scalar serialization matching the reference ``Serializer.serialize``
+    type dispatch (convert.py:75-127): None/int/str pass through, floats
+    round to ``precision``, bools become ints, bytes decode with the
+    fallback chain, and anything else falls back to ``str``."""
+    if v is None or isinstance(v, str):
+        return v
+    if isinstance(v, bool):  # must precede int (bool is an int subclass)
+        return int(v)
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return round(v, precision) if precision is not None else v
+    if isinstance(v, bytes):
+        return bytes_to_text(v)
+    if isinstance(v, (list, tuple)):
+        return [serialize_scalar(x, precision) for x in v]
+    if isinstance(v, dict):
+        return {k: serialize_scalar(x, precision) for k, x in v.items()}
+    return str(v)
+
+
 def objects_csv_ds(
     objects: Dataset,
     object_type: str,
@@ -103,10 +150,16 @@ def write_objects_csv(
     objects_csv_ds(objects, object_type, **kwargs).write_csv(path)
 
 
-def pages_json_ds(pages: Dataset, precision: Optional[int] = None) -> Dataset:
+def pages_json_ds(
+    pages: Dataset,
+    precision: Optional[int] = None,
+    media_payloads: Optional[dict] = None,
+) -> Dataset:
     """Nested per-page JSON documents mirroring ``Container.to_json``
     (container.py:106-128): one row per page with doc metadata and nested
-    object lists, serialized to a JSON string column."""
+    object lists, serialized to a JSON string column. ``media_payloads``
+    optionally maps media_ref -> raw bytes; matching image objects gain a
+    ``stream: {rawdata: <b64>}`` entry (reference convert.py:112-113)."""
     import json
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -173,6 +226,12 @@ def pages_json_ds(pages: Dataset, precision: Optional[int] = None) -> Dataset:
                         "bottom": f(img["bottom"]),
                         "media_ref": img["media_ref"],
                         "object_type": "image",
+                        # reference do_PDFStream: binary payloads -> b64
+                        **(
+                            {"stream": stream_to_b64(media_payloads[img["media_ref"]])}
+                            if media_payloads and img["media_ref"] in media_payloads
+                            else {}
+                        ),
                     }
                     for img in page["images"]
                 ],

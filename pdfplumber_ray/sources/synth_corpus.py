@@ -228,7 +228,6 @@ def docs_from_documents_batch(batch: pa.Table, chunk_words: int = 12) -> pa.Tabl
     )
 
 
-NAV_BAR = "| Home | About | Products | Contact | Login |"
 # punctuation-free and long on purpose: invisible to the shallow nav rule,
 # removable only by the cross-document template-frequency rule
 FOOTER = (

@@ -139,13 +139,9 @@ def run_resumable_extract(
     from ..stages.decode import ExtractSpans
 
     def extract_keep_path(batch: pa.Table) -> pa.Table:
-        from ..pipelines.extract import _WORKER_STATE
+        from ..pipelines.extract import worker_singleton
 
-        key = ("resumable.ExtractSpans", repr(cfg))
-        inst = _WORKER_STATE.get(key)
-        if inst is None:
-            inst = ExtractSpans(cfg)
-            _WORKER_STATE[key] = inst
+        inst = worker_singleton(ExtractSpans, {"cfg": cfg})
         out = inst(batch.drop_columns(["_input_path"]))
         return out.append_column("_input_path", batch.column("_input_path"))
 

@@ -165,3 +165,52 @@ def test_planted_near_dups_found(ray_session):
     spairs = co.simhash_pairs_ds(ds, max_hamming=3).to_pandas()
     sfound = {(int(a), int(b)) for a, b in zip(spairs.doc_a, spairs.doc_b)}
     assert sfound == truth
+
+
+def test_broadcast_join_size_guard(ray_session):
+    big = ray.data.range(1000).map_batches(
+        lambda b: pa.table({"k": b["id"], "v": b["id"]}), batch_format="pyarrow"
+    )
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="max_lookup_rows"):
+        co.broadcast_join_ds(ds, big, "k", ["v"], max_lookup_rows=10)
+
+
+def test_embedding_lsh_subset_of_exact(ray_session):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    near = base[:10] + rng.normal(scale=0.01, size=(10, 16))
+    mat = np.vstack([base, near]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    exact = co.embedding_near_dup_ds(ds, threshold=0.9).to_pandas()
+    lsh = co.embedding_near_dup_lsh_ds(
+        ds, threshold=0.9, n_bits=6, n_tables=8
+    ).to_pandas()
+    epairs = {(a, b) for a, b in zip(exact.vec_a, exact.vec_b)}
+    lpairs = {(a, b) for a, b in zip(lsh.vec_a, lsh.vec_b)}
+    assert lpairs <= epairs
+    # planted near-dups are recalled (cos ~ 0.9999 agrees on every bit)
+    assert {(i, 40 + i) for i in range(10)} <= lpairs
+
+
+def test_serialize_scalar_reference_semantics():
+    from pdfplumber_ray.sinks.serialize import (
+        bytes_to_text,
+        serialize_scalar,
+        stream_to_b64,
+    )
+
+    assert serialize_scalar(True) == 1 and serialize_scalar(False) == 0
+    assert serialize_scalar(1.23456, precision=3) == 1.235
+    assert serialize_scalar(b"plain ascii") == "plain ascii"
+    # invalid utf-8: the reference's loop returns None on first failure
+    assert bytes_to_text(b"\xff\xfeX\x00") is None
+    assert stream_to_b64(b"\x00\x01") == {"rawdata": "AAE="}
+    assert serialize_scalar((1, True, b"a")) == [1, 1, "a"]

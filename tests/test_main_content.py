@@ -26,11 +26,13 @@ def test_nav_mask_rule():
             "a perfectly ordinary sentence of body text",  # body
             FOOTER,                                 # punct-free footer: NOT nav
             "a" * 50,                               # long, no punct
-            "- - - -",                              # dense separators, short
+            "- - - -",                              # dense but no menu separator
+            "see https://x.io/a-b, then act",       # punct-dense body: NOT nav
+            "Home | Products | Contact",            # menu without leading pipe
         ]
     )
     m = nav_mask(texts, max_punct_ratio=0.05, max_words=16)
-    assert m.tolist() == [True, False, False, False, True]
+    assert m.tolist() == [True, False, False, False, False, False, True]
 
 
 def _docs_table(n=40):
