@@ -15,6 +15,7 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any, Dict, List
 
@@ -1312,8 +1313,82 @@ def q_top_customers(sf_dir: str) -> ray.data.Dataset:
     return fin.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
 
 
+# ---- real-PDF byte-decode queries (SURVEY §7 step 7) ----
+#
+# Inputs are real PDFs from the reference's own test corpus (read-only);
+# expected outputs are checked-in goldens generated by the byte-exact
+# decode chain (tests/test_real_pdf.py pins scotus layout text to the
+# reference's comparisons/ fixture byte-for-byte, ca-warn/nics to its
+# numeric invariants). Independent of sf_dir by construction.
+
+_REAL_PDF_DIR = "/root/reference/tests/pdfs"
+_REAL_PDF_SET = [
+    "scotus-transcript-p1.pdf",
+    "pdffill-demo.pdf",
+    "la-precinct-bulletin-2014-p1.pdf",
+    "issue-33-lorem-ipsum.pdf",
+    "senate-expenditures.pdf",
+    "WARN-Report-for-7-1-2015-to-03-25-2016.pdf",
+]
+_REAL_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "goldens")
+
+
+def _real_pdf_pages(_sf_dir: str) -> ray.data.Dataset:
+    from pdfplumber_ray.pdfio import read_pdf_corpus
+
+    paths = [f"{_REAL_PDF_DIR}/{n}" for n in _REAL_PDF_SET]
+    pages = read_pdf_corpus(paths)
+    return pages.drop_columns(["error"])
+
+
+def q_real_layout_text(sf_dir: str) -> ray.data.Dataset:
+    """Layout-preserving text of every page of the real-PDF set, through
+    the full Ray pipeline (binary read -> decode_pdf_batch -> PagesToText
+    layout mode with per-page dimensions)."""
+    from pdfplumber_ray.stages.decode import PagesToText
+
+    pages = _real_pdf_pages(sf_dir)
+    return pages.map_batches(
+        PagesToText,
+        fn_constructor_kwargs={"mode": "layout", "page_box": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def q_real_objects(sf_dir: str) -> ray.data.Dataset:
+    """Per-page object census of the real-PDF set — chars/rects/lines/
+    curves/images/annots counts through the Ray decode stage."""
+    pages = _real_pdf_pages(sf_dir)
+
+    def census(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        def counts(col: str) -> pa.Array:
+            c = batch.column(col).combine_chunks()
+            return pa.array(np.diff(c.offsets.to_numpy()).astype("int64"))
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "page_number": batch.column("page_number"),
+                "n_chars": counts("chars"),
+                "n_rects": counts("rects"),
+                "n_lines": counts("lines"),
+                "n_curves": counts("curves"),
+                "n_images": counts("images"),
+                "n_annots": counts("annots"),
+            }
+        )
+
+    return pages.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "roundtrip_text": q_roundtrip_text,
+    "real_layout_text": q_real_layout_text,
+    "real_objects": q_real_objects,
     "word_count": q_word_count,
     "search": q_search,
     "table_cells_lineitem": q_table_cells_lineitem,
@@ -1406,6 +1481,18 @@ LIMIT 10
 
 ORACLES: Dict[str, str] = {
     "roundtrip_text": "SELECT doc_id, text FROM documents",
+    # real-PDF goldens: generated by scripts/gen_real_goldens.py from the
+    # byte-exact decode chain (pinned to reference fixtures in
+    # tests/test_real_pdf.py); independent of sf_dir
+    "real_layout_text": (
+        "SELECT doc_id, page_number, text FROM "
+        f"read_parquet('{_REAL_GOLDEN_DIR}/real_layout_text.parquet')"
+    ),
+    "real_objects": (
+        "SELECT doc_id, page_number, n_chars, n_rects, n_lines, n_curves, "
+        "n_images, n_annots FROM "
+        f"read_parquet('{_REAL_GOLDEN_DIR}/real_objects.parquet')"
+    ),
     "word_count": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "
         "FROM documents"

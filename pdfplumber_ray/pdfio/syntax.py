@@ -1,0 +1,328 @@
+"""PDF object syntax: lexer + parser (ISO 32000-1 §7.2-7.3).
+
+Parses the COS object model out of raw bytes: numbers, booleans, null,
+names (with #xx escapes), literal strings (nested parens, octal and
+character escapes), hex strings, arrays, dictionaries and indirect
+references. Used both for document objects and content streams.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, List, Optional, Tuple
+
+WHITESPACE = b"\x00\t\n\x0c\r "
+DELIMITERS = b"()<>[]{}/%"
+
+_TOKEN_RE = re.compile(
+    rb"(?P<ws>[\x00\t\n\x0c\r ]+)"
+    rb"|(?P<comment>%[^\r\n]*)"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<number>[+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    rb"|(?P<dict_open><<)"
+    rb"|(?P<dict_close>>>)"
+    rb"|(?P<hex_open><)"
+    rb"|(?P<arr_open>\[)"
+    rb"|(?P<arr_close>\])"
+    rb"|(?P<str_open>\()"
+    rb"|(?P<brace>[{}])"
+    rb"|(?P<keyword>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb"|(?P<gt>>)"
+)
+
+_NAME_ESC_RE = re.compile(rb"#([0-9A-Fa-f]{2})")
+
+_STR_ESC = {
+    ord("n"): b"\n",
+    ord("r"): b"\r",
+    ord("t"): b"\t",
+    ord("b"): b"\b",
+    ord("f"): b"\x0c",
+    ord("("): b"(",
+    ord(")"): b")",
+    ord("\\"): b"\\",
+}
+
+
+class PSKeyword:
+    """Bare keyword token (operators, obj/endobj/stream/R/true/false...)."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"KW({self.name})"
+
+    def __eq__(self, other: Any) -> bool:
+        return isinstance(other, PSKeyword) and self.name == other.name
+
+    def __hash__(self) -> int:
+        return hash(("kw", self.name))
+
+
+class PDFRef:
+    """Indirect reference ``num gen R``."""
+
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Ref({self.num},{self.gen})"
+
+    def __eq__(self, other: Any) -> bool:
+        return isinstance(other, PDFRef) and (self.num, self.gen) == (
+            other.num,
+            other.gen,
+        )
+
+    def __hash__(self) -> int:
+        return hash(("ref", self.num, self.gen))
+
+
+class PDFStream:
+    """Stream object: dict + raw (still encoded) data."""
+
+    __slots__ = ("dict", "rawdata", "_decoded")
+
+    def __init__(self, d: dict, rawdata: bytes):
+        self.dict = d
+        self.rawdata = rawdata
+        self._decoded: Optional[bytes] = None
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Stream({self.dict}, {len(self.rawdata)}b)"
+
+
+def decode_name(raw: bytes) -> str:
+    """/Name token bytes (without the slash) -> str, resolving #xx."""
+    return _NAME_ESC_RE.sub(
+        lambda m: bytes([int(m.group(1), 16)]), raw
+    ).decode("latin-1")
+
+
+def parse_literal_string(data: bytes, pos: int) -> Tuple[bytes, int]:
+    """Parse after the opening '('; returns (bytes, pos after ')')."""
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = data[pos]
+            if e in _STR_ESC:
+                out += _STR_ESC[e]
+                pos += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = bytearray()
+                while pos < n and len(oct_digits) < 3 and 0x30 <= data[pos] <= 0x37:
+                    oct_digits.append(data[pos])
+                    pos += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+            elif e == 0x0D:  # line continuation \CR[LF]
+                pos += 1
+                if pos < n and data[pos] == 0x0A:
+                    pos += 1
+            elif e == 0x0A:
+                pos += 1
+            else:  # unknown escape: emit the char itself
+                out.append(e)
+                pos += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return bytes(out), pos + 1
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    return bytes(out), pos
+
+
+_HEX_CLEAN = re.compile(rb"[^0-9A-Fa-f]")
+
+
+def parse_hex_string(data: bytes, pos: int) -> Tuple[bytes, int]:
+    """Parse after the opening '<'; returns (bytes, pos after '>')."""
+    end = data.find(b">", pos)
+    if end < 0:
+        end = len(data)
+    hx = _HEX_CLEAN.sub(b"", data[pos:end])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")), end + 1
+
+
+class Lexer:
+    """Token stream over a byte buffer with pushback."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self._pushback: List[Any] = []
+
+    def push(self, tok: Any) -> None:
+        self._pushback.append(tok)
+
+    def next_token(self) -> Optional[Any]:
+        """Returns int/float, bytes (string), str (name, prefixed '/'
+        stripped -> returned as ('name', s)), PSKeyword, or one of the
+        structural markers '[' ']' '<<' '>>'. None at EOF."""
+        if self._pushback:
+            return self._pushback.pop()
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            m = _TOKEN_RE.match(data, self.pos)
+            if m is None:
+                self.pos += 1  # skip stray byte
+                continue
+            kind = m.lastgroup
+            self.pos = m.end()
+            if kind in ("ws", "comment"):
+                continue
+            if kind == "number":
+                txt = m.group("number")
+                if b"." in txt:
+                    return float(txt)
+                return int(txt)
+            if kind == "name":
+                return ("name", decode_name(m.group("name")[1:]))
+            if kind == "dict_open":
+                return "<<"
+            if kind == "dict_close":
+                return ">>"
+            if kind == "arr_open":
+                return "["
+            if kind == "arr_close":
+                return "]"
+            if kind == "str_open":
+                s, self.pos = parse_literal_string(data, self.pos)
+                return s
+            if kind == "hex_open":
+                s, self.pos = parse_hex_string(data, self.pos)
+                return s
+            if kind == "keyword":
+                return PSKeyword(m.group("keyword").decode("latin-1"))
+            if kind == "gt":
+                continue  # stray '>' (malformed); skip
+            if kind == "brace":
+                continue  # type-4 function braces; not objects
+        return None
+
+
+KW_R = PSKeyword("R")
+KW_OBJ = PSKeyword("obj")
+KW_TRUE = PSKeyword("true")
+KW_FALSE = PSKeyword("false")
+KW_NULL = PSKeyword("null")
+KW_STREAM = PSKeyword("stream")
+KW_ENDOBJ = PSKeyword("endobj")
+
+
+class Parser:
+    """Object parser over a Lexer; understands R-references and streams."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.lexer = Lexer(data, pos)
+
+    def parse_object(self, tok: Any = None) -> Any:
+        """Parse one object. ``tok`` is an optional already-read first
+        token."""
+        if tok is None:
+            tok = self.lexer.next_token()
+        if tok is None:
+            return None
+        if isinstance(tok, (int, float)):
+            # might be "num gen R"
+            if isinstance(tok, int):
+                t2 = self.lexer.next_token()
+                if isinstance(t2, int):
+                    t3 = self.lexer.next_token()
+                    if t3 == KW_R:
+                        return PDFRef(tok, t2)
+                    self.lexer.push(t3)
+                    self.lexer.push(t2)
+                    return tok
+                self.lexer.push(t2)
+            return tok
+        if isinstance(tok, bytes):
+            return tok
+        if isinstance(tok, tuple) and tok[0] == "name":
+            return tok[1]
+        if tok == "[":
+            out = []
+            while True:
+                t = self.lexer.next_token()
+                if t == "]" or t is None:
+                    return out
+                out.append(self.parse_object(t))
+        if tok == "<<":
+            d = {}
+            while True:
+                t = self.lexer.next_token()
+                if t == ">>" or t is None:
+                    break
+                if isinstance(t, tuple) and t[0] == "name":
+                    key = t[1]
+                    d[key] = self.parse_object()
+                # non-name key: skip (malformed)
+            # check for stream
+            t = self.lexer.next_token()
+            if t == KW_STREAM:
+                data = self.lexer.data
+                pos = self.lexer.pos
+                # EOL after 'stream': CRLF or LF
+                if data[pos : pos + 2] == b"\r\n":
+                    pos += 2
+                elif data[pos : pos + 1] in (b"\n", b"\r"):
+                    pos += 1
+                length = d.get("Length")
+                raw: Optional[bytes] = None
+                if isinstance(length, int):
+                    cand = data[pos : pos + length]
+                    tail = data[pos + length : pos + length + 20]
+                    if re.match(rb"[\x00\t\n\x0c\r ]*endstream", tail):
+                        raw = cand
+                if raw is None:  # Length wrong/indirect: scan for endstream
+                    end = data.find(b"endstream", pos)
+                    if end < 0:
+                        end = len(data)
+                    raw = data[pos:end]
+                    if raw.endswith(b"\r\n"):
+                        raw = raw[:-2]
+                    elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                        raw = raw[:-1]
+                    self.lexer.pos = end
+                else:
+                    self.lexer.pos = pos + len(raw)
+                    end = data.find(b"endstream", self.lexer.pos)
+                    if end >= 0:
+                        self.lexer.pos = end
+                # consume 'endstream'
+                t2 = self.lexer.next_token()
+                if t2 != PSKeyword("endstream"):  # tolerate malformed
+                    if t2 is not None:
+                        self.lexer.push(t2)
+                return PDFStream(d, raw)
+            if t is not None:
+                self.lexer.push(t)
+            return d
+        if tok == KW_TRUE:
+            return True
+        if tok == KW_FALSE:
+            return False
+        if tok == KW_NULL:
+            return None
+        return tok  # PSKeyword or marker — caller decides

@@ -487,8 +487,13 @@ class PagesToText:
     "layout"} (reference extract_text_simple / extract_text / layout=True,
     utils/text.py:713-781)."""
 
-    def __init__(self, mode: str = "default", **kwargs: Any):
+    def __init__(self, mode: str = "default", page_box: bool = False, **kwargs: Any):
+        # page_box=True: layout dimensions come from each page row
+        # (reference Page.extract_text defaults layout_width/height to the
+        # page's own size, page.py:473-482) — required for real-PDF pages
+        # whose sizes vary; False keeps the chars-bbox default.
         self.mode = mode
+        self.page_box = page_box
         self.kwargs = kwargs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -496,12 +501,22 @@ class PagesToText:
         pns: List[int] = []
         texts: List[str] = []
         for doc_id, page in arrow_pages_to_dicts(batch):
+            kwargs = self.kwargs
+            if self.page_box and self.mode == "layout":
+                w = float(page["page_width"])
+                h = float(page["page_height"])
+                kwargs = {
+                    "layout_width": w,
+                    "layout_height": h,
+                    "layout_bbox": (0.0, 0.0, w, h),
+                    **self.kwargs,
+                }
             if self.mode == "simple":
-                txt = extract_text_simple_page(page["chars"], **self.kwargs)
+                txt = extract_text_simple_page(page["chars"], **kwargs)
             elif self.mode == "layout":
-                txt = extract_text_page(page["chars"], layout=True, **self.kwargs)
+                txt = extract_text_page(page["chars"], layout=True, **kwargs)
             else:
-                txt = extract_text_page(page["chars"], **self.kwargs)
+                txt = extract_text_page(page["chars"], **kwargs)
             doc_ids.append(doc_id)
             pns.append(page["page_number"])
             texts.append(txt)

@@ -112,6 +112,45 @@ def _cells_texts_fast(
     return out
 
 
+def cells_texts_extract(
+    chars,
+    rows_grid: Sequence[Sequence[Optional[Tuple[float, float, float, float]]]],
+    x_tol: float,
+    y_tol: float,
+) -> List[Optional[str]]:
+    """Reference-exact per-cell extraction (table.py:399-435): chars
+    assigned by midpoint containment, then full ``extract_text`` per cell
+    (word assembly drops standalone space glyphs — real-PDF layouts carry
+    them; the monospace fast path above does not need to). Returns the
+    row-major flat list with ``None`` for absent cells and '' for empty
+    ones, exactly like ``Table.extract``."""
+    from ..functions.textmap import extract_text_page
+
+    h_mid = (np.asarray(chars["x0"]) + np.asarray(chars["x1"])) / 2
+    v_mid = (np.asarray(chars["top"]) + np.asarray(chars["bottom"])) / 2
+    keys = list(chars.keys())
+    out: List[Optional[str]] = []
+    for row in rows_grid:
+        for cell in row:
+            if cell is None:
+                out.append(None)
+                continue
+            m = (
+                (h_mid >= cell[0])
+                & (h_mid < cell[2])
+                & (v_mid >= cell[1])
+                & (v_mid < cell[3])
+            )
+            if not m.any():
+                out.append("")
+                continue
+            sub = {k: np.asarray(chars[k])[m] for k in keys}
+            out.append(
+                extract_text_page(sub, x_tolerance=x_tol, y_tolerance=y_tol)
+            )
+    return out
+
+
 def page_edge_union(page: PageDict):
     """Edge union for one page, mirroring the reference container
     (container.py:84-90): rect edges + line edges + curve point-pair

@@ -1,0 +1,295 @@
+"""Real-PDF decode parity against the reference's own golden fixtures.
+
+The reference corpus (read-only at /root/reference/tests) provides the
+inputs AND the expected outputs; nothing is copied into this repo. These
+are the reference's strongest end-to-end claims, reproduced through the
+engine's pure-Python PDF decoder + the existing Ray kernels:
+
+- scotus transcript: layout text byte-for-byte vs
+  tests/comparisons/scotus-transcript-p1.txt (reference
+  test_utils.py:357-373) + the cropped variant (test_utils.py:374-384)
+- pdffill-demo: exact extract_text / extract_text_simple goal strings
+  (reference test_utils.py:327-352)
+- CA WARN report: 364 raw edges -> 46/52/94/174 merged, 304 (=38x8)
+  intersections (reference test_ca_warn_report.py:79-141), and the
+  explicit-lines table parse rows (test_ca_warn_report.py:43-78)
+- NICS report: 700 vertical / 508 horizontal edges, "November - 2015"
+  within-bbox extraction (reference test_nics_report.py:54-56,86-88)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pdfplumber_ray.config import TableConfig, WordConfig
+from pdfplumber_ray.functions.geometry import clip_to_bbox, within_bbox_mask
+from pdfplumber_ray.functions.tables import (
+    edges_to_intersections_arrays,
+    find_tables_page,
+    merge_edges_arrays,
+)
+from pdfplumber_ray.functions.textmap import extract_text_page, extract_text_simple_page
+from pdfplumber_ray.functions.words import extract_words_page
+from pdfplumber_ray.functions.clustering import cluster_groups
+from pdfplumber_ray.pdfio import PDFDocument, decode_pdf_doc
+from pdfplumber_ray.pdfio.interp import PageInterpreter
+from pdfplumber_ray.stages.flatten import page_edge_union, cells_texts_extract
+
+REF = "/root/reference/tests"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference corpus not available"
+)
+
+
+def _page_objects(pdf_name: str, page_index: int = 0):
+    data = open(f"{REF}/pdfs/{pdf_name}", "rb").read()
+    doc = PDFDocument(data)
+    page = doc.pages()[page_index]
+    it = PageInterpreter(doc, page)
+    it.run()
+    return it
+
+
+def _char_table(chars):
+    return {
+        "text": np.array([c["text"] for c in chars], dtype=object),
+        "x0": np.array([c["x0"] for c in chars]),
+        "x1": np.array([c["x1"] for c in chars]),
+        "top": np.array([c["top"] for c in chars]),
+        "bottom": np.array([c["bottom"] for c in chars]),
+        "doctop": np.array([c["doctop"] for c in chars]),
+        "size": np.array([c["size"] for c in chars]),
+        "upright": np.array([c["upright"] for c in chars]),
+        "fontname": np.array([c["fontname"] for c in chars], dtype=object),
+    }
+
+
+def _page_dict(it):
+    def arrs(objs):
+        return {
+            k: np.array([o[k] for o in objs], dtype=np.float64)
+            for k in ("x0", "x1", "top", "bottom")
+        }
+
+    return {
+        "rects": arrs(it.rects),
+        "lines": arrs(it.lines),
+        "curves": [
+            {"pts": [{"x": x, "top": t} for (x, t) in c["pts"]]}
+            for c in it.curves
+        ],
+    }
+
+
+# ---- scotus transcript: byte-exact layout text ----
+
+
+def test_scotus_layout_text_byte_exact():
+    it = _page_objects("scotus-transcript-p1.pdf")
+    ct = _char_table(it.chars)
+    text = extract_text_page(
+        ct,
+        layout=True,
+        layout_width=it.width,
+        layout_height=it.height,
+        layout_bbox=(0.0, 0.0, it.width, it.height),
+    )
+    target = (
+        open(f"{REF}/comparisons/scotus-transcript-p1.txt").read().strip("\n")
+    )
+    assert text == target
+
+
+def test_scotus_layout_text_cropped_byte_exact():
+    it = _page_objects("scotus-transcript-p1.pdf")
+    ct = _char_table(it.chars)
+    bbox = (90.0, 70.0, it.width, 300.0)
+    clipped, _kept = clip_to_bbox(ct, bbox)
+    # reference Page._get_textmap (page.py:473-482): the crop origin comes
+    # from layout_bbox alone; x_shift/y_shift stay 0
+    text = extract_text_page(
+        clipped,
+        layout=True,
+        layout_width=bbox[2] - bbox[0],
+        layout_height=bbox[3] - bbox[1],
+        layout_bbox=bbox,
+    )
+    target = (
+        open(f"{REF}/comparisons/scotus-transcript-p1-cropped.txt")
+        .read()
+        .strip("\n")
+    )
+    assert text == target
+
+
+# ---- pdffill-demo: exact plain-text goals ----
+
+PDFFILL_GOAL = "\n".join(
+    [
+        "First Page Previous Page Next Page Last Page",
+        "Print",
+        "PDFill: PDF Drawing",
+        "You can open a PDF or create a blank PDF by PDFill.",
+        "Online Help",
+        "Here are the PDF drawings created by PDFill",
+        "Please save into a new PDF to see the effect!",
+        "Goto Page 2: Line Tool",
+        "Goto Page 3: Arrow Tool",
+        "Goto Page 4: Tool for Rectangle, Square and Rounded Corner",
+        "Goto Page 5: Tool for Circle, Ellipse, Arc, Pie",
+        "Goto Page 6: Tool for Basic Shapes",
+        "Goto Page 7: Tool for Curves",
+        "Here are the tools to change line width, style, arrow style and colors",
+    ]
+)
+
+
+def test_pdffill_extract_text_exact():
+    it = _page_objects("pdffill-demo.pdf")
+    ct = _char_table(it.chars)
+    assert extract_text_page(ct) == PDFFILL_GOAL
+    assert extract_text_simple_page(ct) == PDFFILL_GOAL
+    # crop to a 1x1 corner -> empty (reference test_utils.py:350-352)
+    clipped, _ = clip_to_bbox(ct, (0.0, 0.0, 1.0, 1.0))
+    assert extract_text_page(clipped) == ""
+
+
+def test_pdffill_annots_hyperlinks():
+    data = open(f"{REF}/pdfs/pdffill-demo.pdf", "rb").read()
+    rows, err = decode_pdf_doc("pdffill-demo.pdf", data)
+    assert err is None
+    assert len(rows) == 7
+    annots = [a for r in rows for a in r["annots"]]
+    assert annots, "pdffill-demo has Link/Text annotations"
+    uris = [a["uri"] for a in annots if a["uri"]]
+    assert all(u.startswith("http") for u in uris)
+
+
+# ---- CA WARN report: edge/intersection invariants + table parse ----
+
+
+@pytest.fixture(scope="module")
+def warn_doc():
+    data = open(
+        f"{REF}/pdfs/WARN-Report-for-7-1-2015-to-03-25-2016.pdf", "rb"
+    ).read()
+    return PDFDocument(data)
+
+
+def _interp(doc, i):
+    page = doc.pages()[i]
+    it = PageInterpreter(doc, page)
+    it.run()
+    return it
+
+
+def test_ca_warn_edge_merging(warn_doc):
+    it = _interp(warn_doc, 0)
+    edges = page_edge_union(_page_dict(it))
+    assert edges["x0"].shape[0] == 364
+    assert merge_edges_arrays(edges, 3, 3, 3, 3)["x0"].shape[0] == 46
+    assert merge_edges_arrays(edges, 3, 3, 3, 0)["x0"].shape[0] == 52
+    assert merge_edges_arrays(edges, 0, 3, 3, 3)["x0"].shape[0] == 94
+    assert merge_edges_arrays(edges, 3, 0, 3, 3)["x0"].shape[0] == 174
+
+
+def test_ca_warn_intersections(warn_doc):
+    it = _interp(warn_doc, 0)
+    edges = page_edge_union(_page_dict(it))
+    merged = merge_edges_arrays(edges, 3, 3, 3, 3)
+    ixs = edges_to_intersections_arrays(merged, 3, 3)
+    assert len(ixs) == 304  # 38 x 8
+
+
+def _fix_row_spaces(row):
+    return [(x or "").replace(" ", "") for x in row[:3]] + row[3:]
+
+
+def test_ca_warn_explicit_lines_table(warn_doc):
+    # reference test_ca_warn_report.py:43-78: v-lines from page 2's rect
+    # x0 clusters drive an explicit-vertical-strategy parse of page 1
+    it1 = _interp(warn_doc, 1)
+    x0s = np.array(sorted(r["x0"] for r in it1.rects))
+    groups = cluster_groups(x0s, 3.0)
+    v_lines = [float(x0s[g].min()) for g in groups]
+
+    it0 = _interp(warn_doc, 0)
+    edges = page_edge_union(_page_dict(it0))
+    cfg = TableConfig(
+        vertical_strategy="explicit", explicit_vertical_lines=v_lines
+    )
+    chars = _char_table(it0.chars)
+    tables = find_tables_page(
+        edges,
+        cfg,
+        (0.0, 0.0, it0.width, it0.height),
+        words_provider=lambda: extract_words_page(chars, WordConfig()),
+    )
+    assert tables
+    t = tables[0]
+    texts = cells_texts_extract(chars, t.rows, 3.0, 3.0)
+    ncols = len(t.rows[0])
+    rows = [texts[i : i + ncols] for i in range(0, len(texts), ncols)]
+    assert _fix_row_spaces(rows[0]) == [
+        "NoticeDate", "Effective", "Received", "Company", "City",
+        "No. Of", "Layoff/Closure",
+    ]
+    assert _fix_row_spaces(rows[1]) == [
+        "06/22/2015", "03/25/2016", "07/01/2015",
+        "Maxim Integrated Product", "San Jose",
+        "150", "Closure Permanent",
+    ]
+
+
+# ---- NICS report: edge counts + within-bbox extraction ----
+
+
+def test_nics_edges_and_month():
+    it = _page_objects("nics-background-checks-2015-11.pdf")
+    edges = page_edge_union(_page_dict(it))
+    is_v = edges["orientation"] == "v"
+    assert int(is_v.sum()) == 700
+    assert int((~is_v).sum()) == 508
+
+    ct = _char_table(it.chars)
+    mask = within_bbox_mask(ct, (0.0, 35.0, it.width, 65.0))
+    sub = {k: v[mask] for k, v in ct.items()}
+    assert extract_text_page(sub) == "November - 2015"
+
+
+# ---- decoder robustness over the wider reference corpus ----
+
+
+def test_corpus_decode_robustness():
+    """Every non-password PDF in the reference corpus either decodes or
+    quarantines cleanly — the reader never raises."""
+    pdf_dir = f"{REF}/pdfs"
+    decoded = 0
+    quarantined = []
+    for name in sorted(os.listdir(pdf_dir)):
+        if not name.endswith(".pdf"):
+            continue
+        data = open(os.path.join(pdf_dir, name), "rb").read()
+        rows, err = decode_pdf_doc(name, data)
+        if err is None and rows:
+            decoded += 1
+        else:
+            quarantined.append(name)
+    # the corpus has ~50 PDFs incl. deliberately broken/encrypted ones;
+    # the decoder must handle the overwhelming majority
+    assert decoded >= 45, f"only {decoded} decoded; quarantined: {quarantined}"
+
+
+def test_password_protected_pdf():
+    """RC4 standard security handler (reference test_basics.py:154-199:
+    password-example opens with password='test')."""
+    data = open(f"{REF}/pdfs/password-example.pdf", "rb").read()
+    rows, err = decode_pdf_doc("pw", data)
+    assert err is not None and "assword" in err  # quarantined, not raised
+    rows, err = decode_pdf_doc("pw", data, password="test")
+    assert err is None
+    assert sum(len(r["chars"]) for r in rows) > 1000
