@@ -1385,10 +1385,58 @@ def q_real_objects(sf_dir: str) -> ray.data.Dataset:
     return pages.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_real_structure(sf_dir: str) -> ray.data.Dataset:
+    """Flattened nested structure trees (reference structure.py:151-459
+    via the pdfio twin) of the real-PDF set, through the Ray pipeline:
+    binary read -> per-doc tree parse -> preorder rows."""
+    from pdfplumber_ray.pdfio.document import PDFDocument
+    from pdfplumber_ray.pdfio.structure import structure_flat_rows
+
+    paths = [f"{_REAL_PDF_DIR}/{n}" for n in _REAL_PDF_SET]
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        rows: List[dict] = []
+        for path, data in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            doc_id = os.path.basename(path)
+            try:
+                doc = PDFDocument(data)
+                rows.extend(structure_flat_rows(doc, doc_id))
+            except Exception:
+                pass
+        return pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+                "elem_index": pa.array([r["elem_index"] for r in rows], pa.int64()),
+                "parent_index": pa.array(
+                    [r["parent_index"] for r in rows], pa.int64()
+                ),
+                "depth": pa.array([r["depth"] for r in rows], pa.int64()),
+                "type": pa.array([r["type"] for r in rows], pa.string()),
+                "page_number": pa.array(
+                    [r["page_number"] for r in rows], pa.int64()
+                ),
+                "n_mcids": pa.array(
+                    [len(r["mcids"]) for r in rows], pa.int64()
+                ),
+                "mcids_csv": pa.array(
+                    [",".join(map(str, r["mcids"])) for r in rows], pa.string()
+                ),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+                "title": pa.array([r["title"] for r in rows], pa.string()),
+            }
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "roundtrip_text": q_roundtrip_text,
     "real_layout_text": q_real_layout_text,
     "real_objects": q_real_objects,
+    "real_structure": q_real_structure,
     "word_count": q_word_count,
     "search": q_search,
     "table_cells_lineitem": q_table_cells_lineitem,
@@ -1492,6 +1540,11 @@ ORACLES: Dict[str, str] = {
         "SELECT doc_id, page_number, n_chars, n_rects, n_lines, n_curves, "
         "n_images, n_annots FROM "
         f"read_parquet('{_REAL_GOLDEN_DIR}/real_objects.parquet')"
+    ),
+    "real_structure": (
+        "SELECT doc_id, elem_index, parent_index, depth, type, page_number, "
+        "n_mcids, mcids_csv, lang, title FROM "
+        f"read_parquet('{_REAL_GOLDEN_DIR}/real_structure.parquet')"
     ),
     "word_count": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "

@@ -23,14 +23,18 @@ class PDFSyntaxError(Exception):
 
 
 class PDFPage:
-    """One resolved page: attrs with inheritance applied."""
+    """One resolved page: attrs with inheritance applied. ``objnum`` is
+    the page object's number (the identity /Pg references point at)."""
 
-    __slots__ = ("doc", "page_number", "attrs")
+    __slots__ = ("doc", "page_number", "attrs", "objnum")
 
-    def __init__(self, doc: "PDFDocument", page_number: int, attrs: dict):
+    def __init__(
+        self, doc: "PDFDocument", page_number: int, attrs: dict, objnum: int = -1
+    ):
         self.doc = doc
         self.page_number = page_number
         self.attrs = attrs
+        self.objnum = objnum
 
     @property
     def mediabox(self) -> List[float]:
@@ -340,13 +344,14 @@ class PDFDocument:
             for num in sorted(self.xref):
                 obj = self.resolve(self.get_object(num))
                 if isinstance(obj, dict) and obj.get("Type") == "Page":
-                    out.append(PDFPage(self, len(out) + 1, obj))
+                    out.append(PDFPage(self, len(out) + 1, obj, num))
             return out
-        stack: List[Tuple[Any, dict]] = [(root, {})]
+        stack: List[Tuple[Any, dict]] = [(self.catalog.get("Pages"), {})]
         seen = set()
         while stack:
-            node, inherited = stack.pop()
-            node = self.resolve(node)
+            ref, inherited = stack.pop()
+            objnum = ref.num if isinstance(ref, PDFRef) else -1
+            node = self.resolve(ref)
             if not isinstance(node, dict) or id(node) in seen:
                 continue
             seen.add(id(node))
@@ -357,7 +362,7 @@ class PDFDocument:
             if node.get("Type") == "Page":
                 attrs = dict(inh)
                 attrs.update(node)
-                out.append(PDFPage(self, len(out) + 1, attrs))
+                out.append(PDFPage(self, len(out) + 1, attrs, objnum))
             else:
                 kids = self.resolve(node.get("Kids")) or []
                 for kid in reversed(kids):
