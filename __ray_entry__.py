@@ -1432,11 +1432,73 @@ def q_real_structure(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# the reference's 8-way rotation matrix (test_utils.py:102-170): page i of
+# issue-848 carries the same text rendered at rotation i; extracting with
+# the matching (char_dir, line_dir) config must reproduce page 0's text
+_ROTATION_DIRS = [
+    ("ltr", "ttb"), ("rtl", "ttb"), ("rtl", "btt"), ("ltr", "btt"),
+    ("ttb", "rtl"), ("btt", "rtl"), ("btt", "ltr"), ("ttb", "ltr"),
+]
+
+
+def q_real_rotation_text(sf_dir: str) -> ray.data.Dataset:
+    """8-way rotated text recovery on a real PDF through the Ray
+    pipeline; every page's output must equal the unrotated page's text
+    (verified in tests/test_real_pdf.py; the oracle pins the values)."""
+    from pdfplumber_ray.pdfio import decode_pdf_batch
+    from pdfplumber_ray.stages.decode import arrow_pages_to_dicts
+    from pdfplumber_ray.functions.textmap import extract_text_page
+
+    ds = ray.data.read_binary_files(f"{_REAL_PDF_DIR}/issue-848.pdf", include_paths=True)
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        names = [os.path.basename(p) for p in batch.column("path").to_pylist()]
+        return pa.table(
+            {"doc_id": pa.array(names, pa.string()), "pdf_bytes": batch.column("bytes")}
+        )
+
+    pages = ds.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        decode_pdf_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).drop_columns(["error"])
+
+    def rotated_text(batch: pa.Table) -> pa.Table:
+        pns: List[int] = []
+        texts: List[str] = []
+        for _doc_id, page in arrow_pages_to_dicts(batch):
+            i = int(page["page_number"]) - 1
+            char_dir, line_dir = _ROTATION_DIRS[i % len(_ROTATION_DIRS)]
+            chars = page["chars"]
+            keep = chars["text"] != " "  # reference test filters space glyphs
+            ct = {k: v[keep] for k, v in chars.items()}
+            txt = extract_text_page(
+                ct,
+                x_tolerance=2,
+                y_tolerance=2,
+                char_dir=char_dir,
+                line_dir=line_dir,
+                char_dir_rotated=char_dir,
+                line_dir_rotated=line_dir,
+                char_dir_render="ltr",
+                line_dir_render="ttb",
+            )
+            pns.append(i + 1)
+            texts.append(txt)
+        return pa.table(
+            {
+                "page_number": pa.array(pns, pa.int32()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return pages.map_batches(rotated_text, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "roundtrip_text": q_roundtrip_text,
     "real_layout_text": q_real_layout_text,
     "real_objects": q_real_objects,
     "real_structure": q_real_structure,
+    "real_rotation_text": q_real_rotation_text,
     "word_count": q_word_count,
     "search": q_search,
     "table_cells_lineitem": q_table_cells_lineitem,
@@ -1545,6 +1607,10 @@ ORACLES: Dict[str, str] = {
         "SELECT doc_id, elem_index, parent_index, depth, type, page_number, "
         "n_mcids, mcids_csv, lang, title FROM "
         f"read_parquet('{_REAL_GOLDEN_DIR}/real_structure.parquet')"
+    ),
+    "real_rotation_text": (
+        "SELECT page_number, text FROM "
+        f"read_parquet('{_REAL_GOLDEN_DIR}/real_rotation_text.parquet')"
     ),
     "word_count": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "

@@ -42,6 +42,12 @@ def _char_rows(chars: List[Dict]) -> List[Dict]:
             "upright": c["upright"],
             "mcid": -1 if c["mcid"] is None else int(c["mcid"]),
             "tag": c["tag"] or "",
+            "mat_a": c["matrix"][0],
+            "mat_b": c["matrix"][1],
+            "mat_c": c["matrix"][2],
+            "mat_d": c["matrix"][3],
+            "mat_e": c["matrix"][4],
+            "mat_f": c["matrix"][5],
         }
         for c in chars
     ]

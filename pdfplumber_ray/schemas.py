@@ -35,6 +35,15 @@ CHAR = pa.struct(
         ("upright", pa.bool_()),
         ("mcid", pa.int32()),  # marked-content id = source span ordinal; -1 when absent
         ("tag", pa.string()),  # marked-content tag ('P'/'H'/'TD'...; reference page.py:128-176)
+        # per-char text matrix — the reference's 6-tuple (page.py:367-384)
+        # stored as six flat float64 columns (columnar, zero-copy);
+        # `upright` derives from it via the reference's LTChar rule
+        ("mat_a", pa.float64()),
+        ("mat_b", pa.float64()),
+        ("mat_c", pa.float64()),
+        ("mat_d", pa.float64()),
+        ("mat_e", pa.float64()),
+        ("mat_f", pa.float64()),
     ]
 )
 

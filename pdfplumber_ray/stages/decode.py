@@ -26,7 +26,11 @@ from ..schemas import ANNOT, CHAR, CURVE, IMAGE, LINE, RECT, SPAN
 from .flatten import extract_doc_spans, page_tables
 from .layout import LayoutError, PageDict, layout_doc, layout_doc_fields
 
-_CHAR_FIELDS = ("text", "x0", "x1", "top", "bottom", "doctop", "size", "fontname", "upright", "mcid", "tag")
+_CHAR_FIELDS = (
+    "text", "x0", "x1", "top", "bottom", "doctop", "size", "fontname",
+    "upright", "mcid", "tag", "mat_a", "mat_b", "mat_c", "mat_d", "mat_e",
+    "mat_f",
+)
 _RECT_FIELDS = ("x0", "x1", "top", "bottom", "doctop", "mcid", "tag")
 
 

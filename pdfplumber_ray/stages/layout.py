@@ -72,7 +72,6 @@ class _PageBuilder:
         self.g_top: List[float] = []
         self.g_size: List[float] = []
         self.g_font: List[str] = []
-        self.g_upright: List[bool] = []
         self.g_mcid: List[int] = []
         self.g_tag: List[str] = []
         self.r_x0: List[float] = []
@@ -112,7 +111,6 @@ class _PageBuilder:
             self.g_top.append(block_top + j * advance)
             self.g_size.append(size)
             self.g_font.append(fontname)
-            self.g_upright.append(False)
             self.g_mcid.append(mcid)
             self.g_tag.append(tag)
 
@@ -201,6 +199,10 @@ class _PageBuilder:
         mcids = np.fromiter((r[5] for r in recs), dtype=np.int32, count=len(recs))[li]
         tags = np.array([r[6] for r in recs], dtype=object)[li]
         x0 = xl + kk * cfg.char_advance
+        # per-char text matrix (reference page.py:367-384 stamps pdfminer's
+        # 6-tuple; columnar engine stores the six components flat):
+        # upright glyphs render with (size, 0, 0, size, x0, y_baseline)
+        y_pdf = cfg.page_height - (tp + sz)
         return {
             "text": glyphs[keep],
             "x0": x0,
@@ -210,9 +212,17 @@ class _PageBuilder:
             "doctop": tp + self.initial_doctop,
             "size": sz,
             "fontname": fonts,
-            "upright": np.ones(li.shape[0], dtype=bool),
+            # upright derived from the matrix exactly as the reference
+            # does (layout.py LTChar: 0 < a*d*scaling and b*c <= 0)
+            "upright": _upright_from_matrix(sz, np.zeros_like(sz), np.zeros_like(sz), sz),
             "mcid": mcids,
             "tag": tags,
+            "mat_a": sz,
+            "mat_b": np.zeros_like(sz),
+            "mat_c": np.zeros_like(sz),
+            "mat_d": sz,
+            "mat_e": x0,
+            "mat_f": y_pdf,
         }
 
     def finish(self) -> PageDict:
@@ -228,6 +238,10 @@ class _PageBuilder:
             )
             top = np.asarray(self.g_top, dtype=np.float64)
             size = np.asarray(self.g_size, dtype=np.float64)
+            # rotated (90 deg) glyph runs: matrix (0, size, -size, 0, x, y);
+            # the reference upright formula then yields a*d = 0 -> False
+            zero = np.zeros_like(size)
+            y_pdf = cfg.page_height - (top + size)
             parts.append({
                 "text": np.asarray(self.g_text, dtype=object),
                 "x0": x0,
@@ -237,9 +251,15 @@ class _PageBuilder:
                 "doctop": top + self.initial_doctop,
                 "size": size,
                 "fontname": np.asarray(self.g_font, dtype=object),
-                "upright": np.asarray(self.g_upright, dtype=bool),
+                "upright": _upright_from_matrix(zero, size, -size, zero),
                 "mcid": np.asarray(self.g_mcid, dtype=np.int32),
                 "tag": np.asarray(self.g_tag, dtype=object),
+                "mat_a": zero,
+                "mat_b": size,
+                "mat_c": -size,
+                "mat_d": zero,
+                "mat_e": x0,
+                "mat_f": y_pdf,
             })
         if len(parts) == 1:
             chars = parts[0]
@@ -282,10 +302,21 @@ class _PageBuilder:
         }
 
 
+def _upright_from_matrix(
+    a: np.ndarray, b: np.ndarray, c: np.ndarray, d: np.ndarray
+) -> np.ndarray:
+    """Reference LTChar upright rule: ``0 < a*d*scaling and b*c <= 0``
+    (pdfminer layout model; scaling is positive here)."""
+    return (a * d > 0) & (b * c <= 0)
+
+
 def _empty_chars() -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {
         k: np.empty(0, dtype=np.float64)
-        for k in ("x0", "x1", "top", "bottom", "doctop", "size")
+        for k in (
+            "x0", "x1", "top", "bottom", "doctop", "size",
+            "mat_a", "mat_b", "mat_c", "mat_d", "mat_e", "mat_f",
+        )
     }
     out["text"] = np.empty(0, dtype=object)
     out["fontname"] = np.empty(0, dtype=object)

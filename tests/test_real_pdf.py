@@ -293,3 +293,81 @@ def test_password_protected_pdf():
     rows, err = decode_pdf_doc("pw", data, password="test")
     assert err is None
     assert sum(len(r["chars"]) for r in rows) > 1000
+
+
+def test_rotation_8way_parity():
+    """Reference test_utils.py:102-132 test_text_rotation: each of the 8
+    rotated renderings of issue-848 recovers the unrotated page's text
+    with the matching (char_dir, line_dir) configuration."""
+    rotations = [
+        ("ltr", "ttb"), ("rtl", "ttb"), ("rtl", "btt"), ("ltr", "btt"),
+        ("ttb", "rtl"), ("btt", "rtl"), ("btt", "ltr"), ("ttb", "ltr"),
+    ]
+    doc = _doc_848 = PDFDocument(open(f"{REF}/pdfs/issue-848.pdf", "rb").read())
+    pages = doc.pages()
+    it0 = PageInterpreter(doc, pages[0])
+    it0.run()
+    expected = extract_text_page(_char_table(it0.chars))
+    assert "opens with a news report" in expected
+    for i, (char_dir, line_dir) in enumerate(rotations):
+        if i == 0:
+            continue
+        it = PageInterpreter(doc, pages[i])
+        it.run()
+        ct = _char_table([c for c in it.chars if c["text"] != " "])
+        out = extract_text_page(
+            ct,
+            x_tolerance=2, y_tolerance=2,
+            char_dir=char_dir, line_dir=line_dir,
+            char_dir_rotated=char_dir, line_dir_rotated=line_dir,
+            char_dir_render="ltr", line_dir_render="ttb",
+        )
+        assert out == expected, f"rotation page {i+1} diverged"
+
+
+def test_render_directions_real_pdf():
+    """Reference test_utils.py:172-190: 4x4 render-direction matrix with
+    exact expected strings on line-char-render-example.pdf."""
+    it = _page_objects("line-char-render-example.pdf")
+    ct = _char_table(it.chars)
+    targets = {
+        ("ttb", "ltr"): "first line\nsecond line\nthird line",
+        ("ttb", "rtl"): "enil tsrif\nenil dnoces\nenil driht",
+        ("btt", "ltr"): "third line\nsecond line\nfirst line",
+        ("btt", "rtl"): "enil driht\nenil dnoces\nenil tsrif",
+        ("ltr", "ttb"): "fst\nieh\nrci\nsor\ntnd\n d \nl l\nili\nnin\nene\n e ",
+        ("ltr", "btt"): " s \nfet\nich\nroi\nsnr\ntdd\n   \nlll\niii\nnnn\neee",
+        ("rtl", "ttb"): "tsf\nhei\nicr\nros\ndnt\n d \nl l\nili\nnin\nene\n e ",
+        ("rtl", "btt"): " s \ntef\nhci\nior\nrns\nddt\n   \nlll\niii\nnnn\neee",
+    }
+    for (line_dir, char_dir), target in targets.items():
+        assert (
+            extract_text_page(ct, line_dir_render=line_dir, char_dir_render=char_dir)
+            == target
+        )
+
+
+def test_char_matrix_upright_rule():
+    """The per-char matrix is stamped on both decode paths and `upright`
+    follows the reference LTChar rule (0 < a*d and b*c <= 0)."""
+    # real path: rotated page of issue-848 has non-upright chars
+    doc = PDFDocument(open(f"{REF}/pdfs/issue-848.pdf", "rb").read())
+    it = PageInterpreter(doc, doc.pages()[4])  # 90-degree page
+    it.run()
+    assert any(not c["upright"] for c in it.chars)
+    for c in it.chars[:200]:
+        a, b, mc, d = c["matrix"][:4]
+        assert c["upright"] == ((a * d > 0) and (b * mc <= 0))
+    # synth path: mat_* columns present, same rule
+    from pdfplumber_ray.stages.layout import layout_doc
+
+    pages = layout_doc(
+        [
+            {"kind": "heading", "text": "Rot Head", "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "hello world", "media_ref": "", "offset": 0},
+        ]
+    )
+    ch = pages[0]["chars"]
+    derived = (ch["mat_a"] * ch["mat_d"] > 0) & (ch["mat_b"] * ch["mat_c"] <= 0)
+    assert (derived == ch["upright"]).all()
+    assert (~ch["upright"]).any() and ch["upright"].any()
