@@ -23,7 +23,14 @@ TYPE_CHOICES = ("char", "word", "annot", "curve", "text_box")
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pdfplumber_ray.cli")
-    p.add_argument("input", help="dir of DOCS-schema parquet shards")
+    p.add_argument(
+        "input",
+        help="dir of DOCS-schema parquet shards, or a PDF file / dir of "
+        "PDFs (detected by extension — the reference CLI's input mode)",
+    )
+    p.add_argument(
+        "--password", default="", help="password for encrypted PDF inputs"
+    )
     p.add_argument(
         "--format", choices=("csv", "json", "structure-text"), default="csv"
     )
@@ -40,10 +47,32 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _is_pdf_input(path: str) -> bool:
+    import os
+
+    if path.lower().endswith(".pdf"):
+        return True
+    if os.path.isdir(path):
+        try:
+            entries = os.listdir(path)
+        except OSError:
+            return False
+        return bool(entries) and all(
+            e.lower().endswith(".pdf") for e in entries if not e.startswith(".")
+        )
+    return False
+
+
 def _pages_ds(args):
     from .pipelines import decode_pages_ds, read_docs
 
-    pages = decode_pages_ds(read_docs(args.input))
+    if _is_pdf_input(args.input):
+        # real-PDF front door (reference cli.py takes a PDF path)
+        from .pdfio import read_pdf_corpus
+
+        pages = read_pdf_corpus(args.input, password=args.password).drop_columns(["error"])
+    else:
+        pages = decode_pages_ds(read_docs(args.input))
     if args.pages:
         import pyarrow as pa
         import pyarrow.compute as pc

@@ -152,6 +152,26 @@ def glyph_to_unicode(name: str) -> Optional[str]:
     return None
 
 
+# PDFDocEncoding (ISO 32000-1 Annex D.2): latin-1 base with accent marks
+# at 0x18-0x1F, typographic punctuation at 0x80-0x9F, Euro at 0xA0
+_PDFDOC = [chr(i) for i in range(256)]
+for _i, _u in {
+    0x18: 0x02D8, 0x19: 0x02C7, 0x1A: 0x02C6, 0x1B: 0x02D9,
+    0x1C: 0x02DD, 0x1D: 0x02DB, 0x1E: 0x02DA, 0x1F: 0x02DC,
+    0x80: 0x2022, 0x81: 0x2020, 0x82: 0x2021, 0x83: 0x2026,
+    0x84: 0x2014, 0x85: 0x2013, 0x86: 0x0192, 0x87: 0x2044,
+    0x88: 0x2039, 0x89: 0x203A, 0x8A: 0x2212, 0x8B: 0x2030,
+    0x8C: 0x201E, 0x8D: 0x201C, 0x8E: 0x201D, 0x8F: 0x2018,
+    0x90: 0x2019, 0x91: 0x201A, 0x92: 0x2122, 0x93: 0xFB01,
+    0x94: 0xFB02, 0x95: 0x0141, 0x96: 0x0152, 0x97: 0x0160,
+    0x98: 0x0178, 0x99: 0x017D, 0x9A: 0x0131, 0x9B: 0x0142,
+    0x9C: 0x0153, 0x9D: 0x0161, 0x9E: 0x017E, 0xA0: 0x20AC,
+}.items():
+    _PDFDOC[_i] = chr(_u)
+PDFDOC_ENCODING = "".join(_PDFDOC)
+del _PDFDOC
+
+
 def decode_pdf_text(data: bytes) -> str:
     """Text-string decode: UTF-16BE with BOM else PDFDocEncoding
     (reference utils/pdfinternals.py:19-34 ``decode_text``)."""
@@ -160,7 +180,7 @@ def decode_pdf_text(data: bytes) -> str:
             return data[2:].decode("utf-16-be", "ignore")
         except UnicodeDecodeError:  # pragma: no cover
             return data[2:].decode("latin-1")
-    return data.decode("latin-1")
+    return "".join(PDFDOC_ENCODING[b] for b in data)
 
 
 # ---- ToUnicode CMap ----

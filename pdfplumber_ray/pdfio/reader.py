@@ -121,6 +121,18 @@ def _annot_rows(doc: PDFDocument, page, height: float, doctop: float) -> List[Di
         if isinstance(contents, bytes):
             contents = decode_pdf_text(contents)
         top = height - y1
+        # full raw dict fidelity (reference page.py:315 "data"): deep
+        # resolve + reference Serializer scalar semantics, as JSON
+        import json
+
+        from ..sinks.serialize import serialize_scalar
+
+        try:
+            data_json = json.dumps(
+                serialize_scalar(doc.resolve_all(a)), sort_keys=True, default=str
+            )
+        except Exception:
+            data_json = "{}"
         out.append(
             {
                 "x0": x0,
@@ -130,6 +142,7 @@ def _annot_rows(doc: PDFDocument, page, height: float, doctop: float) -> List[Di
                 "doctop": doctop + top,
                 "uri": uri or "",
                 "contents": contents or "",
+                "data": data_json,
             }
         )
     return out
@@ -168,7 +181,7 @@ def decode_pdf_doc(
         return [], f"{type(e).__name__}: {e}"
 
 
-def decode_pdf_batch(batch: pa.Table) -> pa.Table:
+def decode_pdf_batch(batch: pa.Table, password: str = "") -> pa.Table:
     """(doc_id: string, pdf_bytes: binary) -> PAGES rows + error column.
 
     Failed documents emit one row with empty object lists and the error
@@ -178,7 +191,7 @@ def decode_pdf_batch(batch: pa.Table) -> pa.Table:
     rows: List[Dict] = []
     errors: List[Optional[str]] = []
     for did, data in zip(doc_ids, blobs):
-        prows, err = decode_pdf_doc(did, data or b"")
+        prows, err = decode_pdf_doc(did, data or b"", password=password)
         if err is not None or not prows:
             rows.append(
                 {
@@ -225,7 +238,7 @@ def decode_pdf_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_pdf_corpus(paths: Any, **kwargs: Any) -> Dataset:
+def read_pdf_corpus(paths: Any, password: str = "", **kwargs: Any) -> Dataset:
     """Binary PDF files -> pages Dataset (PAGES schema + error column).
 
     ``paths`` may be a directory, file, or list. At 100 TB the input is a
@@ -246,5 +259,8 @@ def read_pdf_corpus(paths: Any, **kwargs: Any) -> Dataset:
 
     docs = ds.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True)
     return docs.map_batches(
-        decode_pdf_batch, batch_format="pyarrow", zero_copy_batch=True
+        decode_pdf_batch,
+        fn_kwargs={"password": password},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )

@@ -111,6 +111,9 @@ ANNOT = pa.struct(
         ("doctop", pa.float64()),
         ("uri", pa.string()),
         ("contents", pa.string()),
+        # full resolved annotation dict as JSON (reference page.py:315
+        # keeps the raw pdfminer dict under "data"); null on the synth path
+        ("data", pa.string()),
     ]
 )
 

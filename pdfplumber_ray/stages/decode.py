@@ -428,7 +428,7 @@ def pages_batch_to_annots(batch: pa.Table) -> pa.Table:
     pn_rep = pa.array(np.repeat(batch.column("page_number").to_numpy(), lens), pa.int32())
     values = col.values
     cols: Dict[str, pa.Array] = {"doc_id": doc_rep, "page_number": pn_rep}
-    for f in ("x0", "x1", "top", "bottom", "doctop", "uri", "contents"):
+    for f in ("x0", "x1", "top", "bottom", "doctop", "uri", "contents", "data"):
         cols[f] = values.field(f)
     return pa.table(cols)
 

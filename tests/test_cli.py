@@ -75,3 +75,21 @@ def test_cli_csv_curves(corpus_dir, capsys):
     assert len(rows) > 0
     assert rows[0]["object_type"] == "curve"
     assert "pts" not in rows[0] and "path" not in rows[0] and "dash" not in rows[0]
+
+
+def test_cli_real_pdf_input(ray_session, capsys):
+    """The reference CLI's input mode: a real PDF path straight in
+    (reference cli.py takes a PDF file; here it streams through the
+    pdfio decode stage into the same dump pipeline)."""
+    pdf = "/root/reference/tests/pdfs/pdffill-demo.pdf"
+    if not os.path.exists(pdf):
+        pytest.skip("reference corpus not available")
+    out = _run_cli([pdf, "--format", "csv", "--types", "char", "--pages", "1"], capsys)
+    rows = list(csv.DictReader(io.StringIO(out)))
+    assert rows and rows[0]["object_type"] == "char"
+    text = "".join(r["text"] for r in rows)
+    assert "PDFill" in text
+    # json mode over the same PDF
+    out = _run_cli([pdf, "--format", "json", "--pages", "1"], capsys)
+    page = json.loads(out.splitlines()[0])
+    assert page["page_number"] == 1 and len(page["chars"]) > 100
