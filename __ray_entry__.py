@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -1333,10 +1333,21 @@ _REAL_PDF_SET = [
 _REAL_GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "goldens")
 
 
-def _real_pdf_pages(_sf_dir: str) -> ray.data.Dataset:
+def _real_pdf_all() -> List[str]:
+    """Every PDF in the reference corpus (sorted; encrypted/broken ones
+    quarantine deterministically and pin their zero-count rows too)."""
+    try:
+        return sorted(
+            n for n in os.listdir(_REAL_PDF_DIR) if n.endswith(".pdf")
+        )
+    except OSError:
+        return list(_REAL_PDF_SET)
+
+
+def _real_pdf_pages(_sf_dir: str, names: Optional[List[str]] = None) -> ray.data.Dataset:
     from pdfplumber_ray.pdfio import read_pdf_corpus
 
-    paths = [f"{_REAL_PDF_DIR}/{n}" for n in _REAL_PDF_SET]
+    paths = [f"{_REAL_PDF_DIR}/{n}" for n in (names or _REAL_PDF_SET)]
     pages = read_pdf_corpus(paths)
     return pages.drop_columns(["error"])
 
@@ -1358,9 +1369,10 @@ def q_real_layout_text(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_real_objects(sf_dir: str) -> ray.data.Dataset:
-    """Per-page object census of the real-PDF set — chars/rects/lines/
-    curves/images/annots counts through the Ray decode stage."""
-    pages = _real_pdf_pages(sf_dir)
+    """Per-page object census of the ENTIRE reference corpus (51 PDFs)
+    — chars/rects/lines/curves/images/annots counts through the Ray
+    decode stage; encrypted/broken inputs pin their quarantine rows."""
+    pages = _real_pdf_pages(sf_dir, _real_pdf_all())
 
     def census(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -1392,7 +1404,7 @@ def q_real_structure(sf_dir: str) -> ray.data.Dataset:
     from pdfplumber_ray.pdfio.document import PDFDocument
     from pdfplumber_ray.pdfio.structure import structure_flat_rows
 
-    paths = [f"{_REAL_PDF_DIR}/{n}" for n in _REAL_PDF_SET]
+    paths = [f"{_REAL_PDF_DIR}/{n}" for n in _real_pdf_all()]
     ds = ray.data.read_binary_files(paths, include_paths=True)
 
     def flatten(batch: pa.Table) -> pa.Table:

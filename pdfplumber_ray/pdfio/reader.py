@@ -101,6 +101,40 @@ def _curve_rows(objs: List[Dict]) -> List[Dict]:
     ]
 
 
+def _annot_data_json(doc: PDFDocument, annot: Any) -> str:
+    """Resolved annotation dict as JSON (reference page.py:315 keeps the
+    raw dict under "data"). Resolution is DEPTH-BOUNDED and skips the /P
+    page backref (the reference replaces it with the live Page object) —
+    an unbounded resolve_all walks the whole document graph through
+    Parent/Dest chains, which is both a blow-up and meaningless output."""
+    import base64
+    import json
+
+    from .document import PDFStream
+    from ..sinks.serialize import serialize_scalar
+
+    def bounded(obj: Any, depth: int) -> Any:
+        obj = doc.resolve(obj)
+        if isinstance(obj, PDFStream):
+            raw = obj.rawdata or b""
+            return {"rawdata": base64.b64encode(raw[:1 << 16]).decode("ascii")}
+        if isinstance(obj, dict):
+            if depth <= 0:
+                return "<...>"
+            return {
+                k: bounded(v, depth - 1)
+                for k, v in obj.items()
+                if k != "P"  # page backref: carried as page_number instead
+            }
+        if isinstance(obj, list):
+            if depth <= 0:
+                return "<...>"
+            return [bounded(v, depth - 1) for v in obj]
+        return serialize_scalar(obj)
+
+    return json.dumps(bounded(annot, 6), sort_keys=True, default=str)
+
+
 def _annot_rows(doc: PDFDocument, page, height: float, doctop: float) -> List[Dict]:
     """Resolved /Annots -> ANNOT rows (reference page.py:280-319)."""
     out: List[Dict] = []
@@ -121,16 +155,8 @@ def _annot_rows(doc: PDFDocument, page, height: float, doctop: float) -> List[Di
         if isinstance(contents, bytes):
             contents = decode_pdf_text(contents)
         top = height - y1
-        # full raw dict fidelity (reference page.py:315 "data"): deep
-        # resolve + reference Serializer scalar semantics, as JSON
-        import json
-
-        from ..sinks.serialize import serialize_scalar
-
         try:
-            data_json = json.dumps(
-                serialize_scalar(doc.resolve_all(a)), sort_keys=True, default=str
-            )
+            data_json = _annot_data_json(doc, a)
         except Exception:
             data_json = "{}"
         out.append(
