@@ -153,6 +153,49 @@ def run_benchmarks(
             queries["main_content"] = round(wall, 3)
             extras["main_content_docs_per_sec"] = round(nmc / wall, 1)
 
+        if only in (None, "real_pdf"):
+            # real-PDF byte-decode throughput over the reference corpus
+            # (pages/sec through the pdfio decoder + pipeline stages).
+            # Replicated 4x so the run amortizes Ray startup.
+            ref_dir = "/root/reference/tests/pdfs"
+            if os.path.isdir(ref_dir):
+                import pyarrow as _pa
+
+                from pdfplumber_ray.pdfio import decode_pdf_batch
+
+                names = sorted(
+                    n for n in os.listdir(ref_dir) if n.endswith(".pdf")
+                )
+                blobs = [open(os.path.join(ref_dir, n), "rb").read() for n in names]
+                reps = 4
+                t = _pa.table(
+                    {
+                        "doc_id": _pa.array(
+                            [f"{r}:{n}" for r in range(reps) for n in names]
+                        ),
+                        "pdf_bytes": _pa.array(
+                            [b for _ in range(reps) for b in blobs],
+                            _pa.binary(),
+                        ),
+                    }
+                )
+                # one doc per block: decode cost is wildly skewed across
+                # PDFs, so heavy docs must not share a task with others
+                ds = ray.data.from_arrow(t).repartition(t.num_rows)
+                t0 = time.perf_counter()
+                pages = ds.map_batches(
+                    decode_pdf_batch,
+                    batch_size=1,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                n_pages = pages.count()
+                wall = time.perf_counter() - t0
+                queries["real_pdf_decode"] = round(wall, 3)
+                extras["real_pdf_pages"] = int(n_pages)
+                extras["real_pdf_pages_per_sec"] = round(n_pages / wall, 1)
+                extras["real_pdf_docs_per_sec"] = round(len(names) * reps / wall, 1)
+
         return {
             "metric": "end-to-end interleaved-doc extraction (docs/sec) + operator pipelines",
             "value": round(sum(queries.values()), 3),

@@ -202,7 +202,7 @@ def extract_words_page(chars: CharTable, cfg: WordConfig) -> Dict[str, np.ndarra
     # --- consecutive-run grouping by (upright, *extra_attrs) (text.py:667-668)
     change = np.zeros(n, dtype=bool)
     change[0] = True
-    for col in (upright, *(np.asarray(chars[a], dtype=object) for a in cfg.extra_attrs)):
+    for col in (upright, *(_attr_column(chars[a], n) for a in cfg.extra_attrs)):
         change[1:] |= col[1:] != col[:-1]
     run_starts = np.flatnonzero(change)
     run_ends = np.append(run_starts[1:], n)
@@ -341,6 +341,18 @@ def _assemble_words(
         "char_offsets": np.concatenate([starts, [kp.shape[0]]]).astype(np.int64),
     }
     for a in cfg.extra_attrs:
-        out[a] = np.asarray(chars[a], dtype=object)[first]
+        out[a] = _attr_column(chars[a], len(chars[a]))[first]
     _ = word_ids  # word ids are implicit in offsets
     return out
+
+
+def _attr_column(vals, n: int) -> np.ndarray:
+    """1-D object array of attribute values. Sequence-valued attributes
+    (e.g. color tuples) would auto-broadcast to a 2-D array under
+    ``np.asarray``; keep each value an opaque scalar instead."""
+    arr = np.asarray(vals, dtype=object)
+    if arr.ndim > 1:
+        flat = np.empty(len(vals), dtype=object)
+        flat[:] = [tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v for v in vals]
+        return flat
+    return arr

@@ -1,0 +1,153 @@
+"""Reference issue-regression parity on real PDFs through the engine's
+kernels: CID/Type0 fonts + dedupe (issue-71), punctuation splitting
+(test-punkt), extra_attrs word grouping (extra-attrs-example) — the
+reference's own regression assertions reproduced byte-for-byte."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pdfplumber_ray.config import TableConfig, WordConfig
+from pdfplumber_ray.functions.dedupe import dedupe_chars_mask
+from pdfplumber_ray.functions.tables import find_tables_page
+from pdfplumber_ray.functions.textmap import extract_text_page
+from pdfplumber_ray.functions.words import extract_words_page
+from pdfplumber_ray.pdfio import PDFDocument
+from pdfplumber_ray.pdfio.interp import PageInterpreter
+from pdfplumber_ray.stages.flatten import cells_texts_extract, page_edge_union
+
+REF = "/root/reference/tests"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference corpus not available"
+)
+
+
+def _interp(pdf_name: str, page_index: int = 0):
+    doc = PDFDocument(open(f"{REF}/pdfs/{pdf_name}", "rb").read())
+    it = PageInterpreter(doc, doc.pages()[page_index])
+    it.run()
+    return it
+
+
+def _char_table(chars, extra=()):
+    ct = {
+        "text": np.array([c["text"] for c in chars], dtype=object),
+        "x0": np.array([c["x0"] for c in chars]),
+        "x1": np.array([c["x1"] for c in chars]),
+        "top": np.array([c["top"] for c in chars]),
+        "bottom": np.array([c["bottom"] for c in chars]),
+        "doctop": np.array([c["doctop"] for c in chars]),
+        "size": np.array([c["size"] for c in chars]),
+        "upright": np.array([c["upright"] for c in chars]),
+        "fontname": np.array([c["fontname"] for c in chars], dtype=object),
+    }
+    for a in extra:
+        ct[a] = np.array([c.get(a) for c in chars], dtype=object)
+    return ct
+
+
+def _first_table_rows(it, chars, table_cfg=None):
+    edges = page_edge_union(
+        {
+            "rects": {
+                k: np.array([o[k] for o in it.rects]) for k in ("x0", "x1", "top", "bottom")
+            },
+            "lines": {
+                k: np.array([o[k] for o in it.lines]) for k in ("x0", "x1", "top", "bottom")
+            },
+            "curves": [
+                {"pts": [{"x": x, "top": t} for (x, t) in c["pts"]]} for c in it.curves
+            ],
+        }
+    )
+    cfg = table_cfg or TableConfig()
+    tables = find_tables_page(
+        edges,
+        cfg,
+        (0.0, 0.0, it.width, it.height),
+        words_provider=lambda: extract_words_page(chars, WordConfig()),
+    )
+    assert tables
+    t = tables[0]
+    texts = cells_texts_extract(chars, t.rows, 3.0, 3.0)
+    ncols = len(t.rows[0])
+    return [texts[i : i + ncols] for i in range(0, len(texts), ncols)]
+
+
+def test_issue_71_cid_font_dedupe_table():
+    """Reference tests/test_dedupe_chars.py: faux-bold double-rendered CID
+    chars (Chinese Type0 font) duplicate every glyph; dedupe_chars
+    restores the single-rendered text in the extracted table."""
+    it = _interp("issue-71-duplicate-chars.pdf")
+    ct = _char_table(it.chars)
+    rows = _first_table_rows(it, ct)
+    last_line = (rows[1][1] or "").split("\n")[-1]
+    assert last_line == "微微软软 培培训训课课程程：： 名名模模意意义义一一些些有有意意义义一一些些"
+
+    keep = dedupe_chars_mask(ct)
+    deduped = {k: v[keep] for k, v in ct.items()}
+    rows_d = _first_table_rows(it, deduped)
+    last_line_d = (rows_d[1][1] or "").split("\n")[-1]
+    assert last_line_d == "微软 培训课程： 名模意义一些有意义一些"
+
+
+def test_punctuation_splitting_real_pdf():
+    """Reference test_utils.py:231-277 on test-punkt.pdf."""
+    custom = r"!\"&'()*+,.:;<=>?@[]^`{|}~"
+    pages = {}
+    for i in range(4):
+        it = _interp("test-punkt.pdf", i)
+        pages[i] = _char_table(it.chars)
+
+    def words(i, split):
+        cfg = WordConfig(split_at_punctuation=split)
+        return extract_words_page(pages[i], cfg)["text"]
+
+    assert words(0, True)[0] == "https"
+    assert words(0, False)[0] == "https://dell-research-harvard.github.io/HJDataset/"
+    assert words(0, custom)[2] == "//dell-research-harvard"
+
+    assert len(words(1, True)) == 4
+    assert len(words(1, False)) == 2
+    assert len(words(1, custom)) == 2
+
+    assert words(2, True)[1] == "["
+    assert words(2, False)[1] == "[2,"
+    assert words(2, custom)[1] == "["
+
+    assert words(3, True)[2] == "al"
+    assert words(3, False)[2] == "al."
+    assert words(3, custom)[2] == "al"
+
+    # extract_text with punctuation splitting in layout mode
+    text = extract_text_page(
+        pages[0],
+        layout=True,
+        split_at_punctuation=True,
+        layout_width=612,
+        layout_height=792,
+        layout_bbox=(0.0, 0.0, 612.0, 792.0),
+    )
+    assert "https " in text
+
+
+def test_extra_attrs_real_pdf():
+    """Reference test_utils.py:210-229 on extra-attrs-example.pdf: word
+    grouping splits on non_stroking_color and fontname."""
+    it = _interp("extra-attrs-example.pdf")
+    ct = _char_table(it.chars, extra=("non_stroking_color",))
+
+    assert extract_text_page(ct) == "BlackRedArial"
+    assert (
+        extract_text_page(ct, extra_attrs=["non_stroking_color"])
+        == "Black RedArial"
+    )
+    assert extract_text_page(ct, extra_attrs=["fontname"]) == "BlackRed Arial"
+    assert (
+        extract_text_page(ct, extra_attrs=["non_stroking_color", "fontname"])
+        == "Black Red Arial"
+    )
