@@ -1505,9 +1505,61 @@ def q_real_rotation_text(sf_dir: str) -> ray.data.Dataset:
     return pages.map_batches(rotated_text, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_real_tables(sf_dir: str) -> ray.data.Dataset:
+    """Table detection + extraction over real table-bearing PDFs through
+    the Ray PagesToTables stage (lattice default settings), flattened to
+    one row per cell. Pinned by a golden parquet; the underlying chain is
+    reference-anchored by tests/test_real_pdf.py (ca-warn) and
+    tests/test_real_pdf_regressions.py (issue-140 lines_strict)."""
+    from pdfplumber_ray.stages.decode import PagesToTables
+
+    pages = _real_pdf_pages(
+        sf_dir,
+        [
+            "WARN-Report-for-7-1-2015-to-03-25-2016.pdf",
+            "issue-140-example.pdf",
+            "nics-background-checks-2015-11.pdf",
+        ],
+    )
+    tables = pages.map_batches(
+        PagesToTables, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def flatten_cells(batch: pa.Table) -> pa.Table:
+        out = {
+            "doc_id": [], "page_number": [], "table_index": [],
+            "row_index": [], "col_index": [], "cell": [],
+        }
+        for r in batch.to_pylist():
+            for ri, row in enumerate(r["rows"]):
+                for ci, cell in enumerate(row):
+                    out["doc_id"].append(r["doc_id"])
+                    out["page_number"].append(r["page_number"])
+                    out["table_index"].append(r["table_index"])
+                    out["row_index"].append(ri)
+                    out["col_index"].append(ci)
+                    out["cell"].append("" if cell is None else cell)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "page_number": pa.array(out["page_number"], pa.int32()),
+                "table_index": pa.array(out["table_index"], pa.int32()),
+                "row_index": pa.array(out["row_index"], pa.int64()),
+                "col_index": pa.array(out["col_index"], pa.int64()),
+                "cell": pa.array(out["cell"], pa.string()),
+            }
+        )
+
+    return tables.map_batches(
+        flatten_cells, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "roundtrip_text": q_roundtrip_text,
     "real_layout_text": q_real_layout_text,
+    "real_tables": q_real_tables,
     "real_objects": q_real_objects,
     "real_structure": q_real_structure,
     "real_rotation_text": q_real_rotation_text,
@@ -1623,6 +1675,10 @@ ORACLES: Dict[str, str] = {
     "real_rotation_text": (
         "SELECT page_number, text FROM "
         f"read_parquet('{_REAL_GOLDEN_DIR}/real_rotation_text.parquet')"
+    ),
+    "real_tables": (
+        "SELECT doc_id, page_number, table_index, row_index, col_index, cell "
+        f"FROM read_parquet('{_REAL_GOLDEN_DIR}/real_tables.parquet')"
     ),
     "word_count": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "

@@ -872,15 +872,22 @@ class PagesToTables:
 
 def page_tables_full(page: PageDict, table_cfg: TableConfig):
     """Like flatten.page_tables but keeps the row/col structure."""
-    from ..functions.geometry import concat_edges, rects_to_edges
+    from ..functions.geometry import concat_edges
     from ..functions.tables import find_tables_page
+    from .flatten import page_edge_union
 
-    rects = page["rects"]
-    if rects["x0"].shape[0] == 0 and "text" not in (
-        table_cfg.vertical_strategy, table_cfg.horizontal_strategy
-    ):
-        return []
-    edges = concat_edges([rects_to_edges(rects)]) if rects["x0"].shape[0] else concat_edges([])
+    # full edge source (rects + lines + curve segments), same as the
+    # fused path (container.py:84-90 union) — real-PDF tables are often
+    # drawn with stroked lines, not rects
+    edges = page_edge_union(page)
+    if edges is None:
+        if "text" not in (
+            table_cfg.vertical_strategy, table_cfg.horizontal_strategy
+        ) and not (
+            table_cfg.explicit_vertical_lines or table_cfg.explicit_horizontal_lines
+        ):
+            return []
+        edges = concat_edges([])
     bbox = (0.0, 0.0, page["page_width"], page["page_height"])
     chars = page["chars"]
     tables = find_tables_page(

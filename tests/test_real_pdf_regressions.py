@@ -50,7 +50,13 @@ def _char_table(chars, extra=()):
     return ct
 
 
-def _first_table_rows(it, chars, table_cfg=None):
+def _largest_table_rows(it, chars, table_cfg=None):
+    """Reference extract_table semantics: the largest table by cell count
+    (page.py:439-454 find_table top-1)."""
+    return _first_table_rows(it, chars, table_cfg, pick_largest=True)
+
+
+def _first_table_rows(it, chars, table_cfg=None, pick_largest=False):
     edges = page_edge_union(
         {
             "rects": {
@@ -72,7 +78,10 @@ def _first_table_rows(it, chars, table_cfg=None):
         words_provider=lambda: extract_words_page(chars, WordConfig()),
     )
     assert tables
-    t = tables[0]
+    if pick_largest:
+        t = max(tables, key=lambda tb: sum(c is not None for r in tb.rows for c in r))
+    else:
+        t = tables[0]
     texts = cells_texts_extract(chars, t.rows, 3.0, 3.0)
     ncols = len(t.rows[0])
     return [texts[i : i + ncols] for i in range(0, len(texts), ncols)]
@@ -151,3 +160,59 @@ def test_extra_attrs_real_pdf():
         extract_text_page(ct, extra_attrs=["non_stroking_color", "fontname"])
         == "Black Red Arial"
     )
+
+
+def test_lines_strict_strategy_issue_140():
+    """Reference test_table.py:54-74: lines_strict on issue-140 — edges
+    from true line objects only (rect edges excluded)."""
+    it = _interp("issue-140-example.pdf")
+    ct = _char_table(it.chars)
+    cfg = TableConfig(
+        vertical_strategy="lines_strict", horizontal_strategy="lines_strict"
+    )
+    rows = _largest_table_rows(it, ct, cfg)
+    assert rows[-1] == [
+        "", "0085648100300", "CENTRAL KMA", "LILYS 55% DARK CHOC BAR",
+        "415", "$ 0.61", "$ 253.15", "0.0000", "",
+    ]
+
+
+def test_text_strategy_tolerance_senate():
+    """Reference test_table.py:91-134: cropped senate-expenditures with
+    the text strategy on both axes; text_x_tolerance=1 splits the packed
+    'CITIBANK-TRAVELCBACARD' cell into spaced words."""
+    from pdfplumber_ray.functions.geometry import clip_to_bbox
+
+    it = _interp("senate-expenditures.pdf")
+    bbox = (70.332, 130.986, 420.0, 509.106)
+    cct, _ = clip_to_bbox(_char_table(it.chars), bbox)
+    empty_edges = {
+        "x0": np.empty(0), "x1": np.empty(0), "top": np.empty(0),
+        "bottom": np.empty(0), "width": np.empty(0), "height": np.empty(0),
+        "orientation": np.empty(0, object), "object_type": np.empty(0, object),
+    }
+
+    def run(tol):
+        cfg = TableConfig(
+            vertical_strategy="text", horizontal_strategy="text",
+            min_words_vertical=20, text_settings={"x_tolerance": tol},
+        )
+        tables = find_tables_page(
+            empty_edges, cfg, bbox,
+            words_provider=lambda: extract_words_page(
+                cct, WordConfig(x_tolerance=tol)
+            ),
+        )
+        t = max(tables, key=lambda tb: sum(c is not None for r in tb.rows for c in r))
+        texts = cells_texts_extract(cct, t.rows, tol, 3.0)
+        ncols = len(t.rows[0])
+        return [texts[i : i + ncols] for i in range(0, len(texts), ncols)]
+
+    assert run(3.0)[-1] == [
+        "DHAW20190070", "09/09/2019", "CITIBANK-TRAVELCBACARD",
+        "08/12/2019", "08/14/2019",
+    ]
+    assert run(1.0)[-1] == [
+        "DHAW20190070", "09/09/2019", "CITIBANK - TRAVEL CBA CARD",
+        "08/12/2019", "08/14/2019",
+    ]
