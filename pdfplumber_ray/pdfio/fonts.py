@@ -317,6 +317,11 @@ class SimpleFont(PDFFontBase):
         elif _strip_subset(str(base)) in _COURIER:
             self.widths = {c: 600.0 for c in range(256)}
             self.descent = self.descent or -194.0
+        elif not self.default_width:
+            # no /Widths, no metrics table, no /MissingWidth: a zero
+            # default would collapse every glyph onto one point — use a
+            # plausible average width so layout stays usable
+            self.default_width = 500.0
 
         # encoding: base table + Differences
         enc_obj = r(spec.get("Encoding"))
