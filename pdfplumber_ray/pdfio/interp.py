@@ -209,6 +209,30 @@ class PageInterpreter:
     ) -> Point:
         x, y = pos
         needcharspace = False
+
+        # constants for the whole string: the text matrix's a..d never
+        # change within one show operation, only the (x, y) translation.
+        # Float-op ORDER matches translate_matrix/apply_matrix_pt exactly
+        # so coordinates stay bit-identical to the generic path.
+        (a, b, c, d, e0, f0) = matrix
+        dy = font.get_descent() * fontsize + rise
+        dy2 = dy + fontsize
+        c_dy = c * dy
+        d_dy = d * dy
+        c_dy2 = c * dy2
+        d_dy2 = d * dy2
+        upright = (0 < a * d * scaling) and (b * c <= 0)
+        initial_doctop = self.initial_doctop
+        height = self.height
+        widths = font.widths
+        default_width = font.default_width
+        to_unichr = font.to_unichr
+        fontname = font.fontname
+        chars_out = self.chars
+        mcid = self.cur_mcid
+        tag = self.cur_tag
+        gs = self.gs
+
         for obj in seq:
             if isinstance(obj, (int, float)):
                 x -= obj * dxscale
@@ -217,10 +241,48 @@ class PageInterpreter:
                 for cid in font.decode(obj):
                     if needcharspace:
                         x += charspace
-                    x += self._render_char(
-                        translate_matrix(matrix, (x, y)),
-                        font, fontsize, scaling, rise, cid,
+                    try:
+                        text = to_unichr(cid)
+                    except KeyError:
+                        text = f"(cid:{cid})"
+                    w = widths.get(cid)
+                    if w is None:
+                        w = default_width
+                    # same float-op order as char_width()*fontsize*scaling
+                    adv = w * 0.001 * fontsize * scaling
+                    # char matrix translation (translate_matrix order)
+                    e = x * a + y * c + e0
+                    f = x * b + y * d + f0
+                    ll_x = 0.0 * a + c_dy + e
+                    ll_y = 0.0 * b + d_dy + f
+                    ur_x = a * adv + c_dy2 + e
+                    ur_y = b * adv + d_dy2 + f
+                    if ur_x < ll_x:
+                        ll_x, ur_x = ur_x, ll_x
+                    if ur_y < ll_y:
+                        ll_y, ur_y = ur_y, ll_y
+                    top = height - ur_y
+                    chars_out.append(
+                        {
+                            "text": text,
+                            "x0": ll_x,
+                            "x1": ur_x,
+                            "top": top,
+                            "bottom": height - ll_y,
+                            "doctop": initial_doctop + top,
+                            "size": ur_y - ll_y,
+                            "adv": adv,
+                            "fontname": fontname,
+                            "upright": upright,
+                            "matrix": (a, b, c, d, e, f),
+                            "mcid": mcid,
+                            "tag": tag,
+                            "ncs": gs.ncs,
+                            "stroking_color": gs.scolor,
+                            "non_stroking_color": gs.ncolor,
+                        }
                     )
+                    x += adv
                     if cid == 32 and wordspace:
                         x += wordspace
                     needcharspace = True

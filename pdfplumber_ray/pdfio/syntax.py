@@ -165,6 +165,10 @@ def parse_hex_string(data: bytes, pos: int) -> Tuple[bytes, int]:
     return bytes.fromhex(hx.decode("ascii")), end + 1
 
 
+# interned operator/keyword tokens (tiny closed set in practice)
+_KW_CACHE: dict = {}
+
+
 class Lexer:
     """Token stream over a byte buffer with pushback."""
 
@@ -176,49 +180,61 @@ class Lexer:
     def push(self, tok: Any) -> None:
         self._pushback.append(tok)
 
+    # group indices in _TOKEN_RE, in declaration order
+    _G_WS, _G_COMMENT, _G_NAME, _G_NUMBER = 1, 2, 3, 4
+    _G_DICT_OPEN, _G_DICT_CLOSE, _G_HEX_OPEN = 5, 6, 7
+    _G_ARR_OPEN, _G_ARR_CLOSE, _G_STR_OPEN = 8, 9, 10
+    _G_BRACE, _G_KEYWORD, _G_GT = 11, 12, 13
+
     def next_token(self) -> Optional[Any]:
         """Returns int/float, bytes (string), str (name, prefixed '/'
         stripped -> returned as ('name', s)), PSKeyword, or one of the
-        structural markers '[' ']' '<<' '>>'. None at EOF."""
+        structural markers '[' ']' '<<' '>>'. None at EOF.
+
+        Dispatches on the integer ``lastindex`` (hot loop: content
+        streams are millions of tokens)."""
         if self._pushback:
             return self._pushback.pop()
         data, n = self.data, len(self.data)
+        match = _TOKEN_RE.match
         while self.pos < n:
-            m = _TOKEN_RE.match(data, self.pos)
+            m = match(data, self.pos)
             if m is None:
                 self.pos += 1  # skip stray byte
                 continue
-            kind = m.lastgroup
+            kind = m.lastindex
             self.pos = m.end()
-            if kind in ("ws", "comment"):
-                continue
-            if kind == "number":
-                txt = m.group("number")
+            if kind == 4:  # number (most frequent in content streams)
+                txt = m.group(4)
                 if b"." in txt:
                     return float(txt)
                 return int(txt)
-            if kind == "name":
-                return ("name", decode_name(m.group("name")[1:]))
-            if kind == "dict_open":
-                return "<<"
-            if kind == "dict_close":
-                return ">>"
-            if kind == "arr_open":
-                return "["
-            if kind == "arr_close":
-                return "]"
-            if kind == "str_open":
+            if kind == 12:  # keyword / operator
+                raw = m.group(12)
+                kw = _KW_CACHE.get(raw)
+                if kw is None:
+                    kw = PSKeyword(raw.decode("latin-1"))
+                    _KW_CACHE[raw] = kw
+                return kw
+            if kind == 1 or kind == 2:  # whitespace / comment
+                continue
+            if kind == 3:  # name
+                return ("name", decode_name(m.group(3)[1:]))
+            if kind == 10:  # literal string
                 s, self.pos = parse_literal_string(data, self.pos)
                 return s
-            if kind == "hex_open":
+            if kind == 8:
+                return "["
+            if kind == 9:
+                return "]"
+            if kind == 5:
+                return "<<"
+            if kind == 6:
+                return ">>"
+            if kind == 7:  # hex string
                 s, self.pos = parse_hex_string(data, self.pos)
                 return s
-            if kind == "keyword":
-                return PSKeyword(m.group("keyword").decode("latin-1"))
-            if kind == "gt":
-                continue  # stray '>' (malformed); skip
-            if kind == "brace":
-                continue  # type-4 function braces; not objects
+            # 11 (type-4 function braces) and 13 (stray '>') skip
         return None
 
 
