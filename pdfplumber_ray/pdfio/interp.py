@@ -149,6 +149,7 @@ class PageInterpreter:
         self._font_cache: Dict[int, PDFFontBase] = {}
         self.cur_mcid: Optional[int] = None
         self.cur_tag: Optional[str] = None
+        self._form_depth = 0  # >0 while executing a Form XObject
 
     # ---- entry ----
 
@@ -231,6 +232,7 @@ class PageInterpreter:
         chars_out = self.chars
         mcid = self.cur_mcid
         tag = self.cur_tag
+        in_figure = self._form_depth > 0
         gs = self.gs
 
         for obj in seq:
@@ -280,6 +282,7 @@ class PageInterpreter:
                             "ncs": gs.ncs,
                             "stroking_color": gs.scolor,
                             "non_stroking_color": gs.ncolor,
+                            "in_figure": in_figure,
                         }
                     )
                     x += adv
@@ -711,9 +714,11 @@ class PageInterpreter:
             self.ts = _TState()
             self.gstack = []
             self.curpath = []
+            self._form_depth += 1
             try:
                 self.execute(self.doc.stream_data(xobj), xres, depth + 1)
             finally:
+                self._form_depth -= 1
                 self.gs = saved_gs
                 self.ts = saved_ts
                 self.gstack = saved_stack

