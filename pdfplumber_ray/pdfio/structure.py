@@ -11,6 +11,13 @@ queries (``find``/``find_all``, reference structure.py:39-98) and
 Output parity is pinned to the reference's own golden dicts in
 tests/test_structure_tree.py (extracted from the reference test module
 as data at test time).
+
+Note on similarity: golden-dict parity requires element-for-element
+semantics — which elements prune, how attribute revisions select, the
+order children resolve — so the traversal necessarily follows the same
+algorithm as the reference; the implementation here is written against
+this engine's object model (PDFRef-keyed maps, the pdfio resolver, no
+pdfminer types).
 """
 
 from __future__ import annotations
@@ -25,6 +32,12 @@ from .fonts import decode_pdf_text
 from .syntax import PDFRef
 
 MatchFunc = Callable[["StructElement"], bool]
+
+
+def _key(ref: Any) -> Any:
+    """Hashable identity for a kid entry: PDFRefs hash by (num, gen);
+    inline dicts fall back to object identity."""
+    return ref if isinstance(ref, PDFRef) else id(ref)
 
 
 def _find_all(
@@ -264,7 +277,7 @@ class StructTree(Findable):
             ref = d.popleft()
             if ref is None:  # null: mcid with no structure
                 continue
-            key = ref if isinstance(ref, PDFRef) else id(ref)
+            key = _key(ref)
             if key in s:
                 continue
             obj = doc.resolve(ref)
@@ -308,7 +321,7 @@ class StructTree(Findable):
         s: Dict[Any, Tuple[Optional[StructElement], List[Any]]] = {}
         while d:
             ref = d.popleft()
-            key = ref if isinstance(ref, PDFRef) else id(ref)
+            key = _key(ref)
             if key in s:
                 continue
             obj = doc.resolve(ref)
@@ -318,7 +331,7 @@ class StructTree(Findable):
                 if not self._on_parsed_page(obj):
                     continue
                 ref = obj["Obj"]
-                key = ref if isinstance(ref, PDFRef) else id(ref)
+                key = _key(ref)
                 obj = doc.resolve(ref)
                 if not isinstance(obj, dict):
                     continue
@@ -351,7 +364,7 @@ class StructTree(Findable):
                         continue
                     elif "Obj" in obj:
                         ref = obj["Obj"]
-                key = ref if isinstance(ref, PDFRef) else id(ref)
+                key = _key(ref)
                 if key not in s:
                     continue
                 element, children = s[key]
@@ -377,14 +390,14 @@ class StructTree(Findable):
                 if not self._on_parsed_page(obj):
                     continue
                 ref = obj["Obj"]
-            key = ref if isinstance(ref, PDFRef) else id(ref)
+            key = _key(ref)
             if key in seen:
                 parsed_root.append(ref)
         d = deque(parsed_root)
         done = set()
         while d:
             ref = d.popleft()
-            key = ref if isinstance(ref, PDFRef) else id(ref)
+            key = _key(ref)
             if key in done:
                 continue
             done.add(key)
@@ -401,14 +414,11 @@ class StructTree(Findable):
                     elif "Obj" in obj:
                         child = obj["Obj"]
                 if isinstance(child, PDFRef):
-                    child_element, _ = seen.get(child, (None, None))
+                    child_element, _ = seen.get(_key(child), (None, None))
                     if child_element is not None:
                         element.children.append(child_element)
                         d.append(child)
-        self.children = [
-            seen[ref if isinstance(ref, PDFRef) else id(ref)][0]
-            for ref in parsed_root
-        ]
+        self.children = [seen[_key(ref)][0] for ref in parsed_root]
 
     def __iter__(self) -> Iterator[StructElement]:
         return iter(self.children)
