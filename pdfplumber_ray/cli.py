@@ -68,9 +68,24 @@ def _pages_ds(args):
 
     if _is_pdf_input(args.input):
         # real-PDF front door (reference cli.py takes a PDF path)
+        import pyarrow.compute as pc
+
         from .pdfio import read_pdf_corpus
 
-        pages = read_pdf_corpus(args.input, password=args.password).drop_columns(["error"])
+        def drop_quarantined(batch):
+            # surface dead-lettered docs (encrypted/broken) on stderr instead
+            # of emitting them as empty zero-size page rows
+            err = batch.column("error")
+            bad = batch.filter(pc.is_valid(err))
+            for did, msg in zip(
+                bad.column("doc_id").to_pylist(), bad.column("error").to_pylist()
+            ):
+                print(f"pdfplumber-ray: skipping {did}: {msg}", file=sys.stderr)
+            return batch.filter(pc.is_null(err)).drop_columns(["error"])
+
+        pages = read_pdf_corpus(args.input, password=args.password).map_batches(
+            drop_quarantined, batch_format="pyarrow", zero_copy_batch=True
+        )
     else:
         pages = decode_pages_ds(read_docs(args.input))
     if args.pages:

@@ -71,7 +71,9 @@ class StandardSecurityHandler:
         encrypt_metadata = bool(enc.get("EncryptMetadata", True))
 
         pw = (password.encode("latin-1", "ignore") + _PAD)[:32]
-        h = md5(pw + o[:32] + struct.pack("<i", p) + id0)
+        # /P is a signed 32-bit value but some producers store it unsigned
+        # (e.g. 4294963392); mask to 32 bits and pack unsigned to accept both.
+        h = md5(pw + o[:32] + struct.pack("<L", p & 0xFFFFFFFF) + id0)
         if self.r >= 4 and not encrypt_metadata:
             h.update(b"\xff\xff\xff\xff")
         key = h.digest()

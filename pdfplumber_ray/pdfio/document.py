@@ -82,6 +82,7 @@ class PDFDocument:
         self.trailer: Dict[str, Any] = {}
         self._cache: Dict[int, Any] = {}
         self._objstm_cache: Dict[int, Dict[int, Any]] = {}
+        self._loading: set = set()  # cycle guard for indirect-/Length resolution
         self._crypt = None
         try:
             self._load_xrefs()
@@ -172,7 +173,7 @@ class PDFDocument:
         )
         if not m:
             raise PDFSyntaxError(f"no xref stream at {offset}")
-        p = Parser(data, m.end())
+        p = Parser(data, m.end(), resolve=self.resolve)
         obj = p.parse_object()
         if not isinstance(obj, PDFStream):
             raise PDFSyntaxError("xref object is not a stream")
@@ -236,6 +237,8 @@ class PDFDocument:
     def get_object(self, num: int) -> Any:
         if num in self._cache:
             return self._cache[num]
+        if num in self._loading:
+            return None  # /Length cycle: treat as unresolvable
         ent = self.xref.get(num)
         obj: Any = None
         if ent is not None:
@@ -244,11 +247,15 @@ class PDFDocument:
                 m = _OBJ_AT_RE.match(self.data, a) or _OBJ_AT_RE.search(
                     self.data, a, a + 64
                 )
-                if m and int(m.group(1)) == num:
-                    obj = Parser(self.data, m.end()).parse_object()
-                elif m:
-                    # offset off-by-some: trust the scan index
-                    obj = Parser(self.data, m.end()).parse_object()
+                if m:
+                    # even when group(1) != num the scan index is trusted
+                    self._loading.add(num)
+                    try:
+                        obj = Parser(
+                            self.data, m.end(), resolve=self.resolve
+                        ).parse_object()
+                    finally:
+                        self._loading.discard(num)
             elif t == 2:
                 obj = self._load_from_objstm(a, b)
         if isinstance(obj, PSKeyword):

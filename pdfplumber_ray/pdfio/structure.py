@@ -349,6 +349,8 @@ class StructTree(Findable):
                 if isinstance(child, PDFRef):
                     d.append(child)
 
+        visiting: set = set()  # keys on the current recursion path (cycle guard)
+
         def prune(elements: List[Any]) -> List[Any]:
             next_elements = []
             for ref in elements:
@@ -365,10 +367,14 @@ class StructTree(Findable):
                     elif "Obj" in obj:
                         ref = obj["Obj"]
                 key = _key(ref)
-                if key not in s:
+                if key not in s or key in visiting:
                     continue
-                element, children = s[key]
-                children = prune(children)
+                visiting.add(key)
+                try:
+                    element, children = s[key]
+                    children = prune(children)
+                finally:
+                    visiting.discard(key)
                 if element is None or not children:
                     del s[key]
                 else:
@@ -449,6 +455,10 @@ def structure_flat_rows(doc: PDFDocument, doc_id: str) -> List[Dict[str, Any]]:
     try:
         tree = StructTree(doc)
     except StructTreeMissing:
+        return rows
+    except Exception:
+        # malformed tagged PDFs (cyclic /K, bad ParentTree): no structure
+        # rather than a crash, matching structure_tree()'s behavior
         return rows
     stack: List[Tuple[StructElement, int, int]] = [
         (el, -1, 0) for el in reversed(tree.children)

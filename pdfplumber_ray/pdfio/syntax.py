@@ -250,8 +250,13 @@ KW_ENDOBJ = PSKeyword("endobj")
 class Parser:
     """Object parser over a Lexer; understands R-references and streams."""
 
-    def __init__(self, data: bytes, pos: int = 0):
+    def __init__(self, data: bytes, pos: int = 0, resolve=None):
         self.lexer = Lexer(data, pos)
+        # optional callback to resolve indirect /Length refs (set by
+        # PDFDocument) — without it streams whose /Length is indirect fall
+        # back to scanning for 'endstream', which truncates compressed
+        # payloads that contain that byte sequence
+        self.resolve = resolve
 
     def parse_object(self, tok: Any = None) -> Any:
         """Parse one object. ``tok`` is an optional already-read first
@@ -305,6 +310,13 @@ class Parser:
                 elif data[pos : pos + 1] in (b"\n", b"\r"):
                     pos += 1
                 length = d.get("Length")
+                if isinstance(length, PDFRef) and self.resolve is not None:
+                    try:
+                        lr = self.resolve(length)
+                        if isinstance(lr, (int, float)):
+                            length = int(lr)
+                    except Exception:
+                        pass  # fall through to the endstream scan
                 raw: Optional[bytes] = None
                 if isinstance(length, int):
                     cand = data[pos : pos + length]
