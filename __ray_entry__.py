@@ -981,7 +981,9 @@ def q_main_content(sf_dir: str) -> ray.data.Dataset:
     docs = _documents(sf_dir).map_batches(
         docs_with_boilerplate_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    stripped = strip_boilerplate_ds(docs, n_docs=n_docs)
+    # cache_input: test-scale corpus fits in the object store; the default
+    # (False) streams both passes, the scale-safe choice at 100 TB
+    stripped = strip_boilerplate_ds(docs, n_docs=n_docs, cache_input=True)
     txt = main_content_text_ds(stripped)
 
     def project(batch: pa.Table) -> pa.Table:

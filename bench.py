@@ -147,7 +147,9 @@ def run_benchmarks(
                 os.path.join(sf_dir, "documents.parquet")
             ).metadata.num_rows
             t0 = time.perf_counter()
-            stripped = strip_boilerplate_ds(boiler_docs(), n_docs=n_raw)
+            stripped = strip_boilerplate_ds(
+                boiler_docs(), n_docs=n_raw, cache_input=True
+            )
             nmc = main_content_text_ds(stripped).count()
             wall = time.perf_counter() - t0
             queries["main_content"] = round(wall, 3)

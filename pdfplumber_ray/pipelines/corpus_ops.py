@@ -21,6 +21,7 @@ Scale design notes:
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -33,6 +34,26 @@ from ray.data.aggregate import Min, Sum
 from ..functions import textstats as ts
 
 Dataset = ray.data.Dataset
+
+_LOG = logging.getLogger(__name__)
+
+# LSH bucket-size guard: a hot bucket (mass-duplicated boilerplate) makes
+# quadratic pair emission blow up; past this size a bucket degrades to STAR
+# pairs around its minimum id — linear in bucket size, preserving the
+# connected component (what dedup-cluster resolution consumes) while
+# sacrificing direct pair edges between non-representative members. Never
+# a silent cap: each degraded bucket logs its size and the pair reduction.
+DEFAULT_MAX_BUCKET = 256
+
+
+def _log_star_fallback(kind: str, n: int, max_bucket: int) -> None:
+    _LOG.warning(
+        "%s bucket with %d ids exceeds max_bucket=%d: emitting %d star "
+        "pairs around the minimum id instead of %d quadratic pairs "
+        "(component connectivity preserved; run exact-dedup upstream to "
+        "collapse identical documents)",
+        kind, n, max_bucket, n - 1, n * (n - 1) // 2,
+    )
 
 
 # ---------- text analysis ----------
@@ -224,6 +245,7 @@ def minhash_pairs_ds(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> Dataset:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -256,6 +278,11 @@ def minhash_pairs_ds(
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group.column("doc_id").to_pylist()))
         n = len(ids)
+        if n > max_bucket:  # hot bucket: star pairs, not quadratic
+            _log_star_fallback("minhash band", n, max_bucket)
+            return pa.table(
+                {"doc_a": pa.array([ids[0]] * (n - 1)), "doc_b": pa.array(ids[1:])}
+            )
         a_out: List = []
         b_out: List = []
         for i in range(n):
@@ -318,6 +345,7 @@ def simhash_pairs_ds(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> Dataset:
     """SimHash near-dup pairs: 64-bit fingerprints, bucketing by each of 4
     16-bit chunks (pigeonhole: any pair within Hamming distance 3 shares at
@@ -356,6 +384,23 @@ def simhash_pairs_ds(
         b_out: List = []
         d_out: List[int] = []
         n = len(ids)
+        if n > max_bucket:  # hot bucket: verify only star pairs around min id
+            _log_star_fallback("simhash chunk", n, max_bucket)
+            i0 = int(np.argmin(np.asarray(ids)))
+            d = ts.hamming64(np.full(n, sigs[i0], dtype=np.uint64), sigs)
+            for j, dist in enumerate(d):
+                if j != i0 and ids[j] != ids[i0] and dist <= max_hamming:
+                    a, b = sorted((ids[i0], ids[j]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    d_out.append(int(dist))
+            return pa.table(
+                {
+                    "doc_a": pa.array(a_out),
+                    "doc_b": pa.array(b_out),
+                    "hamming": pa.array(d_out, pa.int64()),
+                }
+            )
         for i in range(n):
             d = ts.hamming64(np.full(n - i - 1, sigs[i], dtype=np.uint64), sigs[i + 1 :])
             for off, dist in enumerate(d):
@@ -546,6 +591,7 @@ def embedding_near_dup_lsh_ds(
     n_bits: int = 8,
     n_tables: int = 4,
     round_digits: int = 6,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> Dataset:
     """Random-hyperplane LSH embedding near-dup — the scale path: bucket
     vectors by the sign pattern of ``n_bits`` hyperplane dot products
@@ -594,6 +640,20 @@ def embedding_near_dup_lsh_ds(
         n = np.linalg.norm(m, axis=1)
         n[n == 0] = 1.0
         mn = m / n[:, None]
+        if len(ids) > max_bucket:  # hot bucket: star cosine, linear not O(n^2)
+            _log_star_fallback("embedding LSH", len(ids), max_bucket)
+            sims_v = mn @ mn[0]  # ids sorted: index 0 is the min id
+            hits = np.nonzero(np.round(sims_v, round_digits) >= threshold)[0]
+            hits = hits[ids[hits] > ids[0]]
+            return pa.table(
+                {
+                    "vec_a": pa.array(np.full(len(hits), ids[0]), pa.int64()),
+                    "vec_b": pa.array(ids[hits], pa.int64()),
+                    "sim": pa.array(
+                        np.round(sims_v[hits], round_digits), pa.float64()
+                    ),
+                }
+            )
         sims = mn @ mn.T
         hit_r, hit_c = np.nonzero(np.round(sims, round_digits) >= threshold)
         a_out: List[int] = []
@@ -827,44 +887,178 @@ def pack_sequences_ds(
     return tok.groupby("bucket").map_groups(pack, batch_format="pyarrow")
 
 
+def _min_label_propagation(
+    pairs: Dataset, a_col: str, b_col: str, max_iters: int = 64
+) -> Dataset:
+    """Distributed connected components over a pair dataset: hash-min label
+    propagation (iterated ``groupby().min()`` to fixpoint). Returns
+    (node, label) with label = the component's minimum id. Nothing ever
+    materializes on the driver — per iteration the shuffle moves one row
+    per directed edge plus one per node; iterations ~ component diameter
+    (near-dup clusters are shallow). Convergence is detected by a checksum
+    aggregate over the label assignment."""
+    import hashlib
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a, b = batch.column(a_col), batch.column(b_col)
+        return pa.concat_tables(
+            [pa.table({"src": a, "dst": b}), pa.table({"src": b, "dst": a})]
+        ).combine_chunks()
+
+    edges = pairs.select_columns([a_col, b_col]).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused every iteration; size = 2x pair count
+
+    # initial label: min over self + neighbors
+    def add_self_loops(batch: pa.Table) -> pa.Table:
+        src, dst = batch.column("src"), batch.column("dst")
+        return pa.concat_tables(
+            [pa.table({"src": src, "dst": dst}), pa.table({"src": src, "dst": src})]
+        ).combine_chunks()
+
+    labels = (
+        edges.map_batches(add_self_loops, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("src")
+        .aggregate(Min("dst"))
+        .map_batches(
+            lambda b: pa.table({"node": b.column("src"), "label": b.column("min(dst)")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    def checksum(lab: Dataset) -> int:
+        def h(batch: pa.Table) -> pa.Table:
+            vals = [
+                int.from_bytes(
+                    hashlib.md5(f"{n}|{l}".encode()).digest()[:8], "big"
+                )
+                for n, l in zip(
+                    batch.column("node").to_pylist(),
+                    batch.column("label").to_pylist(),
+                )
+            ]
+            return pa.table({"h": pa.array(vals, pa.uint64())})
+
+        s = lab.map_batches(h, batch_format="pyarrow", zero_copy_batch=True).sum("h")
+        return int(s) & 0xFFFFFFFFFFFFFFFF
+
+    prev = checksum(labels)
+    for _ in range(max_iters):
+        # one propagation round: each node's label flows to its neighbors,
+        # then every node keeps the minimum candidate (self label included)
+        tagged_labels = labels.map_batches(
+            lambda b: pa.table(
+                {"src": b.column("node"), "dst": b.column("node"), "label": b.column("label")}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        null_label = edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src"),
+                    "dst": b.column("dst"),
+                    "label": pa.nulls(b.num_rows, b.column("src").type),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def send(group: pa.Table) -> pa.Table:
+            lab_col = group.column("label")
+            lab = pc.min(lab_col).as_py()
+            dsts = group.column("dst")
+            return pa.table(
+                {
+                    "node": dsts,
+                    "label": pa.array([lab] * len(dsts), lab_col.type),
+                }
+            )
+
+        msgs = (
+            tagged_labels.union(null_label)
+            .groupby("src")
+            .map_groups(send, batch_format="pyarrow")
+        )
+        new_labels = (
+            msgs.groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b.column("node"), "label": b.column("min(label)")}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        cur = checksum(new_labels)
+        labels = new_labels
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
 def dedup_resolution_ds(
     pairs: Dataset,
     docs: Dataset,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     id_col: str = "doc_id",
+    max_driver_pairs: int = 1_000_000,
+    distributed: Optional[bool] = None,
 ) -> Dataset:
     """Resolve verified duplicate pairs into canonical clusters: every doc
     maps to the smallest id in its connected component (itself when it has
-    no duplicate). The pair set is tiny relative to the corpus (it already
-    passed LSH + verification), so union-find runs driver-side and the
-    label map broadcasts via ray.put; at 10^12-doc scale the same labels
-    come from iterative min-label propagation (groupby-min to fixpoint),
-    which this output contract is compatible with."""
-    parent: Dict = {}
+    no duplicate).
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    Two paths with identical output contracts:
 
-    for row in pairs.select_columns([a_col, b_col]).take_all():
-        ra, rb = find(row[a_col]), find(row[b_col])
-        if ra != rb:
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
-            parent[hi] = lo
-    labels = {x: find(x) for x in list(parent)}
-    # normalize to the component minimum
-    comp: Dict = {}
-    for x, r in labels.items():
-        root = find(r)
-        comp.setdefault(root, []).append(x)
-    canon = {}
-    for root, members in comp.items():
-        m = min(members + [root])
-        for x in members + [root]:
-            canon[x] = m
+    * **driver union-find** (small pair sets): collect the pairs, resolve
+      locally, broadcast the label map via ``ray.put``.
+    * **distributed min-label propagation** (web-scale pair sets, where a
+      30-50% dup rate makes the pair set billions of rows): iterated
+      ``groupby().min()`` to fixpoint — see ``_min_label_propagation``.
+      The driver only ever holds the final (dup-doc -> canonical) map,
+      linear in the number of dup-involved docs, never the pair set.
+
+    ``distributed=None`` picks automatically by counting the pair set
+    against ``max_driver_pairs``."""
+    if distributed is None:
+        distributed = pairs.count() > max_driver_pairs
+    if distributed:
+        labels = _min_label_propagation(pairs, a_col, b_col)
+        # linear in dup-involved docs — the bounded final collect
+        canon = {r["node"]: r["label"] for r in labels.iter_rows()}
+    else:
+        parent: Dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for row in pairs.select_columns([a_col, b_col]).take_all():
+            ra, rb = find(row[a_col]), find(row[b_col])
+            if ra != rb:
+                lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+                parent[hi] = lo
+        labels_d = {x: find(x) for x in list(parent)}
+        # normalize to the component minimum
+        comp: Dict = {}
+        for x, r in labels_d.items():
+            root = find(r)
+            comp.setdefault(root, []).append(x)
+        canon = {}
+        for root, members in comp.items():
+            m = min(members + [root])
+            for x in members + [root]:
+                canon[x] = m
     ref = ray.put(canon)
 
     def label(batch: pa.Table) -> pa.Table:

@@ -169,17 +169,17 @@ def strip_boilerplate_ds(
     max_punct_ratio: float = 0.05,
     max_nav_words: int = 16,
     n_docs: Optional[int] = None,
-    cache_input: bool = True,
+    cache_input: bool = False,
 ) -> Dataset:
     """docs (DOCS schema) -> docs with boilerplate spans removed.
 
-    The template-frequency count and the strip stage both consume ``docs``.
-    With ``cache_input=True`` (default) the input is materialized into the
-    object store once so an expensive upstream (e.g. a decode stage) is not
-    re-executed for the second pass — the right trade on a cluster whose
-    object store can hold (or spill) the corpus. Set it False to favor
-    recompute over storage when the upstream is cheap or the corpus is
-    far larger than cluster storage."""
+    The template-frequency count and the strip stage both consume ``docs``;
+    both passes STREAM by default (``cache_input=False``) — the scale-safe
+    choice: a 100 TB corpus must never be materialized whole into the
+    object store. Set ``cache_input=True`` only when the corpus fits (or
+    comfortably spills) in cluster storage AND the upstream is expensive to
+    recompute (e.g. a decode stage) — then the input is materialized once
+    and the second pass reads blocks instead of re-executing lineage."""
     if cache_input:
         docs = docs.materialize()
     if n_docs is None:
@@ -204,12 +204,23 @@ def main_content_text_ds(stripped: Dataset) -> Dataset:
     """Surviving span texts joined per document -> (doc_id, text)."""
 
     def rejoin(batch: pa.Table) -> pa.Table:
-        texts = [
-            " ".join(s["text"] for s in spans if s["text"])
-            for spans in batch.column("spans").to_pylist()
-        ]
+        # offset-segmented join over the flat span values — no Python row loop
+        values, lens = _flat_spans(batch)
+        text_arr = values.field("text")
+        texts = text_arr.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        keep = pc.and_kleene(
+            pc.is_valid(text_arr), pc.not_equal(text_arr, "")
+        ).to_numpy(zero_copy_only=False)
+        keep = np.asarray(keep, dtype=bool)
+        out = []
+        kept_idx = doc_idx[keep]
+        kept_txt = texts[keep]
+        bounds = np.searchsorted(kept_idx, np.arange(len(lens) + 1))
+        for d in range(len(lens)):
+            out.append(" ".join(kept_txt[bounds[d] : bounds[d + 1]]))
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "text": pa.array(texts, pa.string())}
+            {"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())}
         )
 
     return stripped.map_batches(rejoin, batch_format="pyarrow", zero_copy_batch=True)

@@ -214,3 +214,108 @@ def test_serialize_scalar_reference_semantics():
     assert bytes_to_text(b"\xff\xfeX\x00") is None
     assert stream_to_b64(b"\x00\x01") == {"rawdata": "AAE="}
     assert serialize_scalar((1, True, b"a")) == [1, 1, "a"]
+
+
+def test_dedup_resolution_distributed_matches_driver(ray_session):
+    """The min-label-propagation fixpoint (scale path) and driver
+    union-find (small-N fast path) must produce identical canonical
+    labels — including a multi-hop chain component (a-b, b-c, c-d)."""
+    pairs_t = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 3, 10, 20, 21], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 11, 21, 22], pa.int64()),
+        }
+    )
+    docs_t = pa.table({"doc_id": pa.array(list(range(1, 30)), pa.int64())})
+    pairs = ray.data.from_arrow(pairs_t)
+    docs = ray.data.from_arrow(docs_t)
+    drv = (
+        co.dedup_resolution_ds(pairs, docs, distributed=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dist = (
+        co.dedup_resolution_ds(
+            ray.data.from_arrow(pairs_t), ray.data.from_arrow(docs_t),
+            distributed=True,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert drv.equals(dist)
+    got = dict(zip(drv.doc_id, drv.canonical_id))
+    assert got[4] == 1 and got[3] == 1 and got[2] == 1 and got[1] == 1
+    assert got[11] == 10 and got[22] == 20 and got[5] == 5
+
+
+def test_dedup_resolution_distributed_string_ids(ray_session):
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array(["b", "c"]), "doc_b": pa.array(["c", "a"])})
+    )
+    docs = ray.data.from_arrow(pa.table({"doc_id": pa.array(["a", "b", "c", "z"])}))
+    out = co.dedup_resolution_ds(pairs, docs, distributed=True).to_pandas()
+    got = dict(zip(out.doc_id, out.canonical_id))
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
+def test_hot_bucket_star_fallback(ray_session, caplog):
+    """1k near-identical docs: every LSH band bucket blows past max_bucket;
+    the star fallback must complete with O(n) pairs (not 500k) while
+    keeping the whole clique one connected component."""
+    n = 1000
+    base = " ".join(f"tok{i}" for i in range(80))
+    table = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([base] * n),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="pdfplumber_ray.pipelines.corpus_ops"):
+        pairs = co.minhash_pairs_ds(ds, threshold=0.5, max_bucket=64)
+        pdf = pairs.to_pandas()
+    # star pairs only: n-1 per band, deduped across bands -> exactly n-1
+    assert len(pdf) == n - 1
+    assert (pdf.doc_a == 0).all()
+    assert (pdf.est_jaccard == 1.0).all()
+
+    # connectivity survives for cluster resolution
+    docs = ray.data.from_arrow(table.select(["doc_id"]))
+    res = co.dedup_resolution_ds(pairs, docs, distributed=False).to_pandas()
+    assert (res.canonical_id == 0).all()
+
+
+def test_hot_bucket_star_fallback_simhash(ray_session):
+    n = 300
+    base = " ".join(f"tok{i}" for i in range(80))
+    table = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([base] * n),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    pdf = co.simhash_pairs_ds(ds, max_bucket=64).to_pandas()
+    assert len(pdf) == n - 1
+    assert (pdf.doc_a == 0).all() and (pdf.hamming == 0).all()
+
+
+def test_hot_bucket_star_fallback_embedding(ray_session):
+    n = 300
+    vec = np.ones(8, dtype=np.float64)
+    table = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array([vec.tolist()] * n, pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    pdf = co.embedding_near_dup_lsh_ds(
+        ds, threshold=0.9, n_bits=4, n_tables=2, max_bucket=64
+    ).to_pandas()
+    assert len(pdf) == n - 1
+    assert (pdf.vec_a == 0).all() and (pdf.sim == 1.0).all()
