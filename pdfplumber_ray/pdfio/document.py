@@ -271,11 +271,11 @@ class PDFDocument:
         if depth > 16:
             return obj
         if isinstance(obj, bytes):
-            return self._crypt.decrypt(obj, num, gen)
+            return self._crypt.decrypt(obj, num, gen, stream=False)
         if isinstance(obj, PDFStream):
             return PDFStream(
                 self._decrypt_deep(obj.dict, num, gen, depth + 1),
-                self._crypt.decrypt(obj.rawdata, num, gen),
+                self._crypt.decrypt(obj.rawdata, num, gen, stream=True),
             )
         if isinstance(obj, list):
             return [self._decrypt_deep(v, num, gen, depth + 1) for v in obj]
