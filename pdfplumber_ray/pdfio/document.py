@@ -82,6 +82,11 @@ class PDFDocument:
         self.trailer: Dict[str, Any] = {}
         self._cache: Dict[int, Any] = {}
         self._objstm_cache: Dict[int, Dict[int, Any]] = {}
+        # parsed fonts keyed by resolved-spec identity; shared across
+        # the document's page interpreters (fonts are read-only once
+        # loaded, and font parsing — CMaps, ToUnicode, widths — is a
+        # dominant per-page cost when every page reuses the same fonts)
+        self._font_obj_cache: Dict[int, Any] = {}
         self._loading: set = set()  # cycle guard for indirect-/Length resolution
         self._crypt = None
         try:

@@ -25,7 +25,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 from .document import PDFDocument, PDFPage
 from .fonts import PDFFontBase, load_font
-from .syntax import Lexer, PDFStream, PSKeyword
+from .syntax import KW_EI, PDFStream, PSKeyword, tokenize_content
 
 Matrix = Tuple[float, float, float, float, float, float]
 Point = Tuple[float, float]
@@ -106,6 +106,54 @@ def _num(v: Any, default: float = 0.0) -> float:
     return default
 
 
+def _read_array(toks: List[Any], i: int) -> Tuple[List[Any], int]:
+    """Tokens after '[' -> (array, index after ']')."""
+    out: List[Any] = []
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        i += 1
+        if t == "]":
+            break
+        if t == "[":
+            v, i = _read_array(toks, i)
+            out.append(v)
+        elif t == "<<":
+            v, i = _read_dict(toks, i)
+            out.append(v)
+        elif isinstance(t, tuple):
+            out.append(t[1])
+        elif not isinstance(t, (str, PSKeyword)):
+            out.append(t)
+    return out, i
+
+
+def _read_dict(toks: List[Any], i: int) -> Tuple[Dict[str, Any], int]:
+    """Tokens after '<<' -> (dict, index after '>>')."""
+    d: Dict[str, Any] = {}
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        i += 1
+        if t == ">>":
+            break
+        if isinstance(t, tuple) and i < n:
+            key = t[1]
+            v = toks[i]
+            i += 1
+            if v == "[":
+                d[key], i = _read_array(toks, i)
+            elif v == "<<":
+                d[key], i = _read_dict(toks, i)
+            elif isinstance(v, tuple):
+                d[key] = v[1]
+            elif isinstance(v, PSKeyword):
+                d[key] = {"true": True, "false": False}.get(v.name)
+            else:
+                d[key] = v
+    return d, i
+
+
 class PageInterpreter:
     """Interprets one page; collects flat object dicts per kind."""
 
@@ -140,7 +188,32 @@ class PageInterpreter:
             self.width, self.height = (x1 - x0), (y1 - y0)
         self.base_ctm = base_ctm
 
-        self.chars: List[Dict] = []
+        # chars are struct-of-arrays: 9 per-glyph parallel lists plus one
+        # run record per show operation for the fields that cannot change
+        # within it (font, text-matrix a..d, marked content, colors).
+        # ``chars`` (dict view) materializes lazily for kernel/test use;
+        # the production reader consumes ``char_columns()`` directly.
+        self._c_text: List[str] = []
+        self._c_x0: List[float] = []
+        self._c_x1: List[float] = []
+        self._c_top: List[float] = []
+        self._c_bottom: List[float] = []
+        self._c_size: List[float] = []
+        self._c_adv: List[float] = []
+        self._c_e: List[float] = []
+        self._c_f: List[float] = []
+        # (end_index, fontname, upright, a, b, c, d, mcid, tag, ncs,
+        #  scolor, ncolor, in_figure)
+        self._c_runs: List[tuple] = []
+        self._chars_view: Optional[List[Dict]] = None
+        # bound appenders, unpacked once per show op (the per-call
+        # attribute+method lookups were measurable: strings average
+        # under ten glyphs)
+        self._c_append = (
+            self._c_text.append, self._c_x0.append, self._c_x1.append,
+            self._c_top.append, self._c_bottom.append, self._c_size.append,
+            self._c_adv.append, self._c_e.append, self._c_f.append,
+        )
         self.lines: List[Dict] = []
         self.rects: List[Dict] = []
         self.curves: List[Dict] = []
@@ -166,14 +239,23 @@ class PageInterpreter:
         return self.height - y1
 
     def _get_font(self, resources: dict, name: str) -> PDFFontBase:
+        # two-level cache: (resources identity, name) within this page,
+        # then resolved-spec identity on the document so a font shared
+        # across pages parses once per document, not once per page
+        rkey = (id(resources), name)
+        f = self._font_cache.get(rkey)
+        if f is not None:
+            return f
         fonts = self.doc.resolve(resources.get("Font")) or {}
         spec = fonts.get(name)
         spec_r = self.doc.resolve(spec)
+        doc_cache = self.doc._font_obj_cache
         key = id(spec_r) if spec_r is not None else hash(name)
-        f = self._font_cache.get(key)
+        f = doc_cache.get(key)
         if f is None:
             f = load_font(spec_r if spec_r is not None else {}, self.doc)
-            self._font_cache[key] = f
+            doc_cache[key] = f
+        self._font_cache[rkey] = f
         return f
 
     # ---- text rendering ----
@@ -223,17 +305,16 @@ class PageInterpreter:
         c_dy2 = c * dy2
         d_dy2 = d * dy2
         upright = (0 < a * d * scaling) and (b * c <= 0)
-        initial_doctop = self.initial_doctop
         height = self.height
         widths = font.widths
         default_width = font.default_width
         to_unichr = font.to_unichr
-        fontname = font.fontname
-        chars_out = self.chars
-        mcid = self.cur_mcid
-        tag = self.cur_tag
-        in_figure = self._form_depth > 0
-        gs = self.gs
+
+        start = len(self._c_text)
+        (
+            ap_text, ap_x0, ap_x1, ap_top, ap_bottom, ap_size,
+            ap_adv, ap_e, ap_f,
+        ) = self._c_append
 
         for obj in seq:
             if isinstance(obj, (int, float)):
@@ -263,75 +344,119 @@ class PageInterpreter:
                         ll_x, ur_x = ur_x, ll_x
                     if ur_y < ll_y:
                         ll_y, ur_y = ur_y, ll_y
-                    top = height - ur_y
-                    chars_out.append(
-                        {
-                            "text": text,
-                            "x0": ll_x,
-                            "x1": ur_x,
-                            "top": top,
-                            "bottom": height - ll_y,
-                            "doctop": initial_doctop + top,
-                            "size": ur_y - ll_y,
-                            "adv": adv,
-                            "fontname": fontname,
-                            "upright": upright,
-                            "matrix": (a, b, c, d, e, f),
-                            "mcid": mcid,
-                            "tag": tag,
-                            "ncs": gs.ncs,
-                            "stroking_color": gs.scolor,
-                            "non_stroking_color": gs.ncolor,
-                            "in_figure": in_figure,
-                        }
-                    )
+                    ap_text(text)
+                    ap_x0(ll_x)
+                    ap_x1(ur_x)
+                    ap_top(height - ur_y)
+                    ap_bottom(height - ll_y)
+                    ap_size(ur_y - ll_y)
+                    ap_adv(adv)
+                    ap_e(e)
+                    ap_f(f)
                     x += adv
                     if cid == 32 and wordspace:
                         x += wordspace
                     needcharspace = True
+        if len(self._c_text) > start:
+            gs = self.gs
+            self._c_runs.append(
+                (
+                    len(self._c_text), font.fontname, upright, a, b, c, d,
+                    self.cur_mcid, self.cur_tag, gs.ncs, gs.scolor,
+                    gs.ncolor, self._form_depth > 0,
+                )
+            )
+            self._chars_view = None
         return (x, y)
 
-    def _render_char(
-        self, matrix: Matrix, font: PDFFontBase, fontsize: float,
-        scaling: float, rise: float, cid: int,
-    ) -> float:
-        try:
-            text = font.to_unichr(cid)
-        except KeyError:
-            text = f"(cid:{cid})"
-        textwidth = font.char_width(cid)
-        adv = textwidth * fontsize * scaling
-        descent = font.get_descent() * fontsize
-        (a, b, c, d, e, f) = matrix
-        upright = (0 < a * d * scaling) and (b * c <= 0)
-        (x0, y0) = apply_matrix_pt(matrix, (0, descent + rise))
-        (x1, y1) = apply_matrix_pt(matrix, (adv, descent + rise + fontsize))
-        if x1 < x0:
-            x0, x1 = x1, x0
-        if y1 < y0:
-            y0, y1 = y1, y0
-        top = self._top(y1)
-        self.chars.append(
-            {
-                "text": text,
-                "x0": x0,
-                "x1": x1,
-                "top": top,
-                "bottom": self._top(y0),
-                "doctop": self.initial_doctop + top,
-                "size": (y1 - y0) if not font.vertical else (x1 - x0),
-                "adv": adv,
-                "fontname": font.fontname,
-                "upright": upright,
-                "matrix": matrix,
-                "mcid": self.cur_mcid,
-                "tag": self.cur_tag,
-                "ncs": self.gs.ncs,
-                "stroking_color": self.gs.scolor,
-                "non_stroking_color": self.gs.ncolor,
-            }
-        )
-        return adv
+    @property
+    def chars(self) -> List[Dict]:
+        """Per-glyph dicts (kernel/test view), expanded from the
+        struct-of-arrays store on first access."""
+        if self._chars_view is None:
+            out = []
+            append = out.append
+            initial_doctop = self.initial_doctop
+            texts = self._c_text
+            x0s, x1s = self._c_x0, self._c_x1
+            tops, bottoms = self._c_top, self._c_bottom
+            sizes, advs = self._c_size, self._c_adv
+            es, fs = self._c_e, self._c_f
+            i = 0
+            for (
+                end, fontname, upright, a, b, c, d, mcid, tag, ncs,
+                scolor, ncolor, in_figure,
+            ) in self._c_runs:
+                while i < end:
+                    top = tops[i]
+                    append(
+                        {
+                            "text": texts[i],
+                            "x0": x0s[i],
+                            "x1": x1s[i],
+                            "top": top,
+                            "bottom": bottoms[i],
+                            "doctop": initial_doctop + top,
+                            "size": sizes[i],
+                            "adv": advs[i],
+                            "fontname": fontname,
+                            "upright": upright,
+                            "matrix": (a, b, c, d, es[i], fs[i]),
+                            "mcid": mcid,
+                            "tag": tag,
+                            "ncs": ncs,
+                            "stroking_color": scolor,
+                            "non_stroking_color": ncolor,
+                            "in_figure": in_figure,
+                        }
+                    )
+                    i += 1
+            self._chars_view = out
+        return self._chars_view
+
+    def char_columns(self) -> Dict[str, Any]:
+        """CHAR-schema columns as numpy arrays / lists (production path:
+        feeds pyarrow directly, no per-glyph dicts)."""
+        import numpy as np
+
+        nch = len(self._c_text)
+        runs = self._c_runs
+        ends = np.fromiter((r[0] for r in runs), dtype=np.int64, count=len(runs))
+        counts = np.diff(ends, prepend=0)
+        top = np.asarray(self._c_top, dtype=np.float64)
+
+        def rep(idx: int, dtype) -> Any:
+            vals = np.array([r[idx] for r in runs], dtype=dtype)
+            return np.repeat(vals, counts) if len(runs) else vals
+
+        return {
+            "text": self._c_text,
+            "x0": np.asarray(self._c_x0, dtype=np.float64),
+            "x1": np.asarray(self._c_x1, dtype=np.float64),
+            "top": top,
+            "bottom": np.asarray(self._c_bottom, dtype=np.float64),
+            "doctop": self.initial_doctop + top,
+            "size": np.asarray(self._c_size, dtype=np.float64),
+            "fontname": rep(1, object),
+            "upright": rep(2, bool),
+            "mcid": np.repeat(
+                np.array(
+                    [-1 if r[7] is None else r[7] for r in runs],
+                    dtype=np.int32,
+                ),
+                counts,
+            ) if runs else np.empty(0, np.int32),
+            "tag": np.repeat(
+                np.array([r[8] or "" for r in runs], dtype=object), counts
+            ) if runs else np.empty(0, object),
+            "mat_a": rep(3, np.float64),
+            "mat_b": rep(4, np.float64),
+            "mat_c": rep(5, np.float64),
+            "mat_d": rep(6, np.float64),
+            "mat_e": np.asarray(self._c_e, dtype=np.float64),
+            "mat_f": np.asarray(self._c_f, dtype=np.float64),
+            "n": nch,
+        }
 
     # ---- path painting ----
 
@@ -410,9 +535,9 @@ class PageInterpreter:
     # ---- main execution loop ----
 
     def execute(self, content: bytes, resources: dict, depth: int) -> None:
-        doc = self.doc
-        lex = Lexer(content)
+        toks = tokenize_content(content)
         stack: List[Any] = []
+        append = stack.append
 
         def pop(n: int) -> List[Any]:
             if n == 0:
@@ -423,34 +548,65 @@ class PageInterpreter:
                 vals.insert(0, 0)
             return vals
 
-        while True:
-            tok = lex.next_token()
-            if tok is None:
-                break
-            if isinstance(tok, (int, float, bytes)):
-                stack.append(tok)
+        i = 0
+        n = len(toks)
+        while i < n:
+            tok = toks[i]
+            i += 1
+            t = tok.__class__
+            if t is int or t is float or t is bytes:
+                append(tok)
                 continue
-            if isinstance(tok, tuple) and tok[0] == "name":
-                stack.append(("name", tok[1]))
+            if t is tuple:  # ("name", s)
+                append(tok)
+                continue
+            if t is PSKeyword:
+                op = tok.name
+                try:
+                    if op == "BI":
+                        i = self._inline_image(toks, i)
+                    else:
+                        self._exec_op(op, stack, pop, resources, depth)
+                except Exception:
+                    stack.clear()
                 continue
             if tok == "[":
-                stack.append(self._read_array(lex))
+                arr, i = _read_array(toks, i)
+                append(arr)
                 continue
             if tok == "<<":
-                stack.append(self._read_dict(lex))
-                continue
-            if not isinstance(tok, PSKeyword):
+                d, i = _read_dict(toks, i)
+                append(d)
                 continue
 
-            op = tok.name
-            try:
-                self._exec_op(op, stack, pop, lex, resources, depth)
-            except Exception:
-                stack.clear()
-
-    def _exec_op(self, op, stack, pop, lex, resources, depth) -> None:
+    def _exec_op(self, op, stack, pop, resources, depth) -> None:
+        # branch order follows measured operator frequency over the
+        # reference corpus (Tj/q/Q/re/Tm/BT/ET/Tf/c/l lead by far)
         gs, ts = self.gs, self.ts
-        if op == "BT":
+        if op == "Tj":
+            (s,) = pop(1)
+            if isinstance(s, bytes):
+                self._render_string([s])
+        elif op == "q":
+            self.gstack.append(gs.copy())
+        elif op == "Q":
+            if self.gstack:
+                self.gs = self.gstack.pop()
+        elif op == "re":
+            x, y, w, h = [_num(v) for v in pop(4)]
+            p = self._path()
+            p.append(("m", x, y))
+            p.append(("l", x + w, y))
+            p.append(("l", x + w, y + h))
+            p.append(("l", x, y + h))
+            p.append(("h",))
+        elif op == "Tm":
+            a, b, c, d, e, f = pop(6)
+            ts.matrix = (
+                _num(a), _num(b), _num(c), _num(d), _num(e), _num(f)
+            )
+            ts.linematrix = (0.0, 0.0)
+        elif op == "BT":
             ts.matrix = MATRIX_IDENTITY
             ts.linematrix = (0.0, 0.0)
         elif op == "ET":
@@ -461,44 +617,85 @@ class PageInterpreter:
                 name = name[1]
             ts.font = self._get_font(resources, name)
             ts.fontsize = _num(size)
-        elif op == "Td":
-            tx, ty = pop(2)
-            ts.matrix = translate_matrix(ts.matrix, (_num(tx), _num(ty)))
-            ts.linematrix = (0.0, 0.0)
+        elif op == "m" or op == "l":
+            x, y = pop(2)
+            if not hasattr(self, "curpath"):
+                self.curpath: List[tuple] = []
+            self.curpath.append((op, _num(x), _num(y)))
+        elif op == "c":
+            vals = [_num(v) for v in pop(6)]
+            self._path().append(("c", *vals))
         elif op == "TD":
             tx, ty = pop(2)
             ts.leading = _num(ty)
             ts.matrix = translate_matrix(ts.matrix, (_num(tx), _num(ty)))
             ts.linematrix = (0.0, 0.0)
-        elif op == "Tm":
-            a, b, c, d, e, f = pop(6)
-            ts.matrix = (
-                _num(a), _num(b), _num(c), _num(d), _num(e), _num(f)
-            )
+        elif op == "Td":
+            tx, ty = pop(2)
+            ts.matrix = translate_matrix(ts.matrix, (_num(tx), _num(ty)))
             ts.linematrix = (0.0, 0.0)
+        elif op in ("S", "s", "f", "F", "f*", "B", "B*", "b", "b*", "n"):
+            path = getattr(self, "curpath", [])
+            if op in ("s", "b", "b*") and path:
+                path.append(("h",))
+            if op != "n" and path:
+                stroke = op in ("S", "s", "B", "B*", "b", "b*")
+                fill = op in ("f", "F", "f*", "B", "B*", "b", "b*")
+                evenodd = op in ("f*", "B*", "b*")
+                self._paint_path(stroke, fill, evenodd, path)
+            self.curpath = []
+        elif op == "TJ":
+            (arr,) = pop(1)
+            if isinstance(arr, list):
+                self._render_string(arr)
+        elif op == "cm":
+            a, b, c, d, e, f = pop(6)
+            gs.ctm = mult_matrix(
+                (_num(a), _num(b), _num(c), _num(d), _num(e), _num(f)),
+                gs.ctm,
+            )
+        elif op == "Tc":
+            ts.charspace = _num(pop(1)[0])
+        elif op == "W" or op == "W*":
+            pass  # clipping: layout model ignores it
+        elif op == "EMC":
+            self.cur_mcid = None
+            self.cur_tag = None
+        elif op == "BDC" or op == "BMC":
+            if op == "BDC":
+                tag, props = pop(2)
+            else:
+                (tag,) = pop(1)
+                props = None
+            if isinstance(tag, tuple):
+                tag = tag[1]
+            self.cur_tag = tag if isinstance(tag, str) else None
+            # reference page.py:135-141: MCID only from a direct props dict
+            mcid = None
+            if isinstance(props, dict):
+                m = props.get("MCID")
+                if isinstance(m, (int, float)):
+                    mcid = int(m)
+            self.cur_mcid = mcid
+        elif op == "Tw":
+            ts.wordspace = _num(pop(1)[0])
+        elif op == "g":
+            gs.ncolor = _num(pop(1)[0])
+        elif op == "Tr":
+            ts.render = int(_num(pop(1)[0]))
+        elif op == "G":
+            gs.scolor = _num(pop(1)[0])
+        elif op == "h":
+            self._path().append(("h",))
         elif op == "T*":
             ts.matrix = translate_matrix(ts.matrix, (0, ts.leading))
             ts.linematrix = (0.0, 0.0)
         elif op == "TL":
             ts.leading = -_num(pop(1)[0])
-        elif op == "Tc":
-            ts.charspace = _num(pop(1)[0])
-        elif op == "Tw":
-            ts.wordspace = _num(pop(1)[0])
         elif op == "Tz":
             ts.scaling = _num(pop(1)[0], 100.0)
         elif op == "Ts":
             ts.rise = _num(pop(1)[0])
-        elif op == "Tr":
-            ts.render = int(_num(pop(1)[0]))
-        elif op == "Tj":
-            (s,) = pop(1)
-            if isinstance(s, bytes):
-                self._render_string([s])
-        elif op == "TJ":
-            (arr,) = pop(1)
-            if isinstance(arr, list):
-                self._render_string(arr)
         elif op == "'":
             (s,) = pop(1)
             ts.matrix = translate_matrix(ts.matrix, (0, ts.leading))
@@ -513,17 +710,6 @@ class PageInterpreter:
             ts.linematrix = (0.0, 0.0)
             if isinstance(s, bytes):
                 self._render_string([s])
-        elif op == "q":
-            self.gstack.append(gs.copy())
-        elif op == "Q":
-            if self.gstack:
-                self.gs = self.gstack.pop()
-        elif op == "cm":
-            a, b, c, d, e, f = pop(6)
-            gs.ctm = mult_matrix(
-                (_num(a), _num(b), _num(c), _num(d), _num(e), _num(f)),
-                gs.ctm,
-            )
         elif op == "w":
             gs.linewidth = _num(pop(1)[0])
         elif op == "d":
@@ -542,46 +728,12 @@ class PageInterpreter:
                 if isinstance(fspec, list) and len(fspec) == 2:
                     ts.font = load_font(fspec[0], self.doc)
                     ts.fontsize = _num(self.doc.resolve(fspec[1]))
-        elif op in ("m", "l"):
-            x, y = pop(2)
-            if not hasattr(self, "curpath"):
-                self.curpath: List[tuple] = []
-            self.curpath.append((op, _num(x), _num(y)))
-        elif op == "c":
-            vals = [_num(v) for v in pop(6)]
-            self._path().append(("c", *vals))
         elif op == "v":
             vals = [_num(v) for v in pop(4)]
             self._path().append(("v", *vals))
         elif op == "y":
             vals = [_num(v) for v in pop(4)]
             self._path().append(("y", *vals))
-        elif op == "h":
-            self._path().append(("h",))
-        elif op == "re":
-            x, y, w, h = [_num(v) for v in pop(4)]
-            p = self._path()
-            p.append(("m", x, y))
-            p.append(("l", x + w, y))
-            p.append(("l", x + w, y + h))
-            p.append(("l", x, y + h))
-            p.append(("h",))
-        elif op in ("S", "s", "f", "F", "f*", "B", "B*", "b", "b*", "n"):
-            path = getattr(self, "curpath", [])
-            if op in ("s", "b", "b*") and path:
-                path.append(("h",))
-            if op != "n" and path:
-                stroke = op in ("S", "s", "B", "B*", "b", "b*")
-                fill = op in ("f", "F", "f*", "B", "B*", "b", "b*")
-                evenodd = op in ("f*", "B*", "b*")
-                self._paint_path(stroke, fill, evenodd, path)
-            self.curpath = []
-        elif op in ("W", "W*"):
-            pass  # clipping: layout model ignores it
-        elif op == "G":
-            gs.scolor = _num(pop(1)[0])
-        elif op == "g":
-            gs.ncolor = _num(pop(1)[0])
         elif op == "RG":
             gs.scolor = tuple(_num(v) for v in pop(3))
         elif op == "rg":
@@ -616,25 +768,6 @@ class PageInterpreter:
                 (tuple(float(v) for v in nums) if len(nums) > 1 else
                  (float(nums[0]) if nums else None))
             )
-        elif op in ("BDC", "BMC"):
-            if op == "BDC":
-                tag, props = pop(2)
-            else:
-                (tag,) = pop(1)
-                props = None
-            if isinstance(tag, tuple):
-                tag = tag[1]
-            self.cur_tag = tag if isinstance(tag, str) else None
-            # reference page.py:135-141: MCID only from a direct props dict
-            mcid = None
-            if isinstance(props, dict):
-                m = props.get("MCID")
-                if isinstance(m, (int, float)):
-                    mcid = int(m)
-            self.cur_mcid = mcid
-        elif op == "EMC":
-            self.cur_mcid = None
-            self.cur_tag = None
         elif op in ("MP", "DP"):
             pop(2 if op == "DP" else 1)
         elif op == "Do":
@@ -642,49 +775,12 @@ class PageInterpreter:
             if isinstance(name, tuple):
                 name = name[1]
             self._do_xobject(name, resources, depth)
-        elif op == "BI":
-            self._inline_image(lex)
         elif op == "sh":
             pop(1)
         # unknown operators: operands already consumed lazily by pops of
         # later ops is a risk — clear anything obviously stale
         elif op in ("i", "j", "J", "M", "ri"):
             pop(1)
-
-    def _read_array(self, lex: Lexer) -> List[Any]:
-        out: List[Any] = []
-        while True:
-            t = lex.next_token()
-            if t is None or t == "]":
-                return out
-            if t == "[":
-                out.append(self._read_array(lex))
-            elif t == "<<":
-                out.append(self._read_dict(lex))
-            elif isinstance(t, tuple) and t[0] == "name":
-                out.append(t[1])
-            elif not isinstance(t, (str, PSKeyword)):
-                out.append(t)
-
-    def _read_dict(self, lex: Lexer) -> Dict[str, Any]:
-        d: Dict[str, Any] = {}
-        while True:
-            t = lex.next_token()
-            if t is None or t == ">>":
-                return d
-            if isinstance(t, tuple) and t[0] == "name":
-                key = t[1]
-                v = lex.next_token()
-                if v == "[":
-                    d[key] = self._read_array(lex)
-                elif v == "<<":
-                    d[key] = self._read_dict(lex)
-                elif isinstance(v, tuple) and v[0] == "name":
-                    d[key] = v[1]
-                elif isinstance(v, PSKeyword):
-                    d[key] = {"true": True, "false": False}.get(v.name)
-                else:
-                    d[key] = v
 
     def _path(self) -> List[tuple]:
         if not hasattr(self, "curpath"):
@@ -753,22 +849,24 @@ class PageInterpreter:
             }
         )
 
-    def _inline_image(self, lex: Lexer) -> None:
-        """BI ... ID <binary> EI — parse params, skip data, emit image."""
-        params: Dict[str, Any] = {}
-        while True:
-            t = lex.next_token()
-            if t is None:
-                return
-            if isinstance(t, PSKeyword) and t.name == "ID":
-                break
-            if isinstance(t, tuple) and t[0] == "name":
-                v = lex.next_token()
-                if isinstance(v, tuple) and v[0] == "name":
+    def _inline_image(self, toks: List[Any], i: int) -> int:
+        """BI <params> ID [EI] — the tokenizer already skipped the binary
+        payload; parse params up to ID and emit the image."""
+        n = len(toks)
+        while i < n:
+            t = toks[i]
+            i += 1
+            if isinstance(t, PSKeyword):
+                if t.name == "ID":
+                    if i < n and toks[i] is KW_EI:
+                        i += 1
+                    break
+                if t.name == "EI":
+                    break
+            elif isinstance(t, tuple) and i < n:
+                v = toks[i]
+                i += 1
+                if isinstance(v, tuple):
                     v = v[1]
-                params[t[1]] = v
-        data = lex.data
-        pos = lex.pos + 1 if lex.pos < len(data) and data[lex.pos : lex.pos + 1] in (b" ", b"\n", b"\r") else lex.pos
-        end = data.find(b"EI", pos)
-        lex.pos = (end + 2) if end >= 0 else len(data)
         self._emit_image("inline", None)
+        return i

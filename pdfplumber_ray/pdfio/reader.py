@@ -175,9 +175,14 @@ def _annot_rows(doc: PDFDocument, page, height: float, doctop: float) -> List[Di
 
 
 def decode_pdf_doc(
-    doc_id: str, data: bytes, password: str = ""
+    doc_id: str, data: bytes, password: str = "", columnar: bool = False
 ) -> Tuple[List[Dict], Optional[str]]:
-    """One document's bytes -> list of PAGES row dicts (+ error)."""
+    """One document's bytes -> list of PAGES row dicts (+ error).
+
+    ``columnar=True`` (the production batch path) carries chars as the
+    interpreter's struct-of-arrays columns under ``chars_cols`` instead
+    of per-glyph dicts — the Arrow assembly in ``decode_pdf_batch``
+    consumes them zero-conversion."""
     try:
         doc = PDFDocument(data, password=password)
         pages = doc.pages()
@@ -186,25 +191,76 @@ def decode_pdf_doc(
         for pg in pages:
             it = PageInterpreter(doc, pg, initial_doctop=doctop)
             it.run()
-            rows.append(
-                {
-                    "doc_id": doc_id,
-                    "page_number": pg.page_number,
-                    "page_width": it.width,
-                    "page_height": it.height,
-                    "initial_doctop": doctop,
-                    "chars": _char_rows(it.chars),
-                    "rects": _box_rows(it.rects),
-                    "lines": _box_rows(it.lines),
-                    "images": _image_rows(it.images),
-                    "annots": _annot_rows(doc, pg, it.height, doctop),
-                    "curves": _curve_rows(it.curves),
-                }
-            )
+            row = {
+                "doc_id": doc_id,
+                "page_number": pg.page_number,
+                "page_width": it.width,
+                "page_height": it.height,
+                "initial_doctop": doctop,
+                "rects": _box_rows(it.rects),
+                "lines": _box_rows(it.lines),
+                "images": _image_rows(it.images),
+                "annots": _annot_rows(doc, pg, it.height, doctop),
+                "curves": _curve_rows(it.curves),
+            }
+            if columnar:
+                row["chars_cols"] = it.char_columns()
+            else:
+                row["chars"] = _char_rows(it.chars)
+            rows.append(row)
             doctop += it.height
         return rows, None
     except Exception as e:  # quarantine, never raise (north-rule dead letter)
         return [], f"{type(e).__name__}: {e}"
+
+
+_CHAR_NP_FIELDS = (
+    ("x0", pa.float64()),
+    ("x1", pa.float64()),
+    ("top", pa.float64()),
+    ("bottom", pa.float64()),
+    ("doctop", pa.float64()),
+    ("size", pa.float64()),
+)
+
+
+def _chars_list_array(rows: List[Dict]) -> pa.ListArray:
+    """Per-page ``chars_cols`` dicts -> list<CHAR> array, built from the
+    flat per-field columns (no per-glyph Python objects)."""
+    offsets = [0]
+    total = 0
+    cols: List[Dict] = []
+    for r in rows:
+        cc = r.get("chars_cols")
+        if cc is None:
+            cc = {"n": 0}
+        cols.append(cc)
+        total += cc["n"]
+        offsets.append(total)
+
+    def cat(key: str) -> List:
+        return [c[key] for c in cols if c["n"]]
+
+    if total == 0:
+        struct = pa.array([], CHAR)
+    else:
+        text: List[str] = []
+        for c in cols:
+            if c["n"]:
+                text.extend(c["text"])
+        arrays = [pa.array(text, pa.string())]
+        for key, typ in _CHAR_NP_FIELDS:
+            arrays.append(pa.array(np.concatenate(cat(key)), type=typ))
+        arrays.append(pa.array(np.concatenate(cat("fontname")), pa.string()))
+        arrays.append(pa.array(np.concatenate(cat("upright")), pa.bool_()))
+        arrays.append(pa.array(np.concatenate(cat("mcid")), pa.int32()))
+        arrays.append(pa.array(np.concatenate(cat("tag")), pa.string()))
+        for key in ("mat_a", "mat_b", "mat_c", "mat_d", "mat_e", "mat_f"):
+            arrays.append(pa.array(np.concatenate(cat(key)), pa.float64()))
+        struct = pa.StructArray.from_arrays(
+            arrays, fields=[CHAR.field(i) for i in range(CHAR.num_fields)]
+        )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
 
 
 def decode_pdf_batch(batch: pa.Table, password: str = "") -> pa.Table:
@@ -217,7 +273,9 @@ def decode_pdf_batch(batch: pa.Table, password: str = "") -> pa.Table:
     rows: List[Dict] = []
     errors: List[Optional[str]] = []
     for did, data in zip(doc_ids, blobs):
-        prows, err = decode_pdf_doc(did, data or b"", password=password)
+        prows, err = decode_pdf_doc(
+            did, data or b"", password=password, columnar=True
+        )
         if err is not None or not prows:
             rows.append(
                 {
@@ -226,7 +284,7 @@ def decode_pdf_batch(batch: pa.Table, password: str = "") -> pa.Table:
                     "page_width": 0.0,
                     "page_height": 0.0,
                     "initial_doctop": 0.0,
-                    "chars": [],
+                    "chars_cols": None,
                     "rects": [],
                     "lines": [],
                     "images": [],
@@ -253,7 +311,7 @@ def decode_pdf_batch(batch: pa.Table, password: str = "") -> pa.Table:
             "initial_doctop": pa.array(
                 [r["initial_doctop"] for r in rows], pa.float64()
             ),
-            "chars": pa.array([r["chars"] for r in rows], pa.list_(CHAR)),
+            "chars": _chars_list_array(rows),
             "rects": pa.array([r["rects"] for r in rows], pa.list_(RECT)),
             "lines": pa.array([r["lines"] for r in rows], pa.list_(LINE)),
             "images": pa.array([r["images"] for r in rows], pa.list_(IMAGE)),
