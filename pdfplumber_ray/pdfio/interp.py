@@ -101,7 +101,10 @@ class _TState:
 
 
 def _num(v: Any, default: float = 0.0) -> float:
-    if isinstance(v, (int, float)):
+    c = v.__class__
+    if c is float:
+        return v
+    if c is int or c is bool:
         return float(v)
     return default
 

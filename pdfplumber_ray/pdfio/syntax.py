@@ -107,6 +107,13 @@ def decode_name(raw: bytes) -> str:
 
 def parse_literal_string(data: bytes, pos: int) -> Tuple[bytes, int]:
     """Parse after the opening '('; returns (bytes, pos after ')')."""
+    # fast path: no escapes or nested parens before the closing ')' —
+    # the overwhelming majority of show-text operands
+    end = data.find(b")", pos)
+    if end >= 0:
+        seg = data[pos:end]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg, end + 1
     out = bytearray()
     depth = 1
     n = len(data)
