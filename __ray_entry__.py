@@ -1558,8 +1558,60 @@ def q_real_tables(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_vertical_text(sf_dir: str) -> ray.data.Dataset:
+    """Vertical writing mode (ISO 32000-1 §9.7.4; Identity-V + /W2//DW2):
+    per-glyph geometry of the deterministic CJK fixture through the full
+    Ray decode chain. Pinned by a golden parquet whose generating chain
+    is anchored by hand-computed geometry in
+    tests/test_vertical_writing.py (column descent, position-vector
+    bbox, TJ gap semantics)."""
+    from pdfplumber_ray.pdfio import decode_pdf_batch
+    from pdfplumber_ray.pdfio.fixtures import make_vertical_pdf
+
+    docs = ray.data.from_items(
+        [{"doc_id": "vertical-cjk.pdf", "pdf_bytes": make_vertical_pdf()}]
+    )
+    pages = docs.map_batches(
+        decode_pdf_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def char_rows(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out = {
+            "doc_id": [], "page_number": [], "ordinal": [], "text": [],
+            "x0_e6": [], "top_e6": [], "bottom_e6": [], "size_e6": [],
+            "upright": [],
+        }
+        for row in batch.to_pylist():
+            for i, c in enumerate(row["chars"]):
+                out["doc_id"].append(row["doc_id"])
+                out["page_number"].append(row["page_number"])
+                out["ordinal"].append(i)
+                out["text"].append(c["text"])
+                for k in ("x0", "top", "bottom", "size"):
+                    out[f"{k}_e6"].append(int(np.floor(c[k] * 1e6 + 0.5)))
+                out["upright"].append(c["upright"])
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "page_number": pa.array(out["page_number"], pa.int32()),
+                "ordinal": pa.array(out["ordinal"], pa.int64()),
+                "text": pa.array(out["text"], pa.string()),
+                "x0_e6": pa.array(out["x0_e6"], pa.int64()),
+                "top_e6": pa.array(out["top_e6"], pa.int64()),
+                "bottom_e6": pa.array(out["bottom_e6"], pa.int64()),
+                "size_e6": pa.array(out["size_e6"], pa.int64()),
+                "upright": pa.array(out["upright"], pa.bool_()),
+            }
+        )
+
+    return pages.map_batches(char_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "roundtrip_text": q_roundtrip_text,
+    "vertical_text": q_vertical_text,
     "real_layout_text": q_real_layout_text,
     "real_tables": q_real_tables,
     "real_objects": q_real_objects,
@@ -1681,6 +1733,13 @@ ORACLES: Dict[str, str] = {
     "real_tables": (
         "SELECT doc_id, page_number, table_index, row_index, col_index, cell "
         f"FROM read_parquet('{_REAL_GOLDEN_DIR}/real_tables.parquet')"
+    ),
+    # vertical-writing fixture golden: the generating chain is anchored by
+    # hand-computed geometry asserts in tests/test_vertical_writing.py
+    "vertical_text": (
+        "SELECT doc_id, page_number, ordinal, text, x0_e6, top_e6, "
+        "bottom_e6, size_e6, upright FROM "
+        f"read_parquet('{_REAL_GOLDEN_DIR}/vertical_text.parquet')"
     ),
     "word_count": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "

@@ -387,6 +387,37 @@ def _parse_w_array(w: list, r) -> Dict[int, float]:
     return out
 
 
+def _parse_w2_array(w: list, r) -> tuple:
+    """CID /W2 array -> ({cid: w1y}, {cid: (vx, vy)}).
+
+    Vertical metrics per ISO 32000-1 §9.7.4.3: groups of
+    ``c [w1y vx vy ...]`` or ``c1 c2 w1y vx vy`` (pdfminer
+    get_widths2 semantics; reference inherits them via LTChar)."""
+    widths: Dict[int, float] = {}
+    disps: Dict[int, tuple] = {}
+    run: list = []
+    for v0 in w:
+        v = r(v0)
+        if isinstance(v, list):
+            if run:
+                c1 = int(run[-1])
+                vals = [r(x) for x in v]
+                for i in range(0, len(vals) - len(vals) % 3, 3):
+                    cid = c1 + i // 3
+                    widths[cid] = float(vals[i])
+                    disps[cid] = (float(vals[i + 1]), float(vals[i + 2]))
+                run = []
+        elif isinstance(v, (int, float)):
+            run.append(v)
+            if len(run) == 5:
+                c1, c2, ww, vx, vy = run
+                for cid in range(int(c1), int(c2) + 1):
+                    widths[cid] = float(ww)
+                    disps[cid] = (float(vx), float(vy))
+                run = []
+    return widths, disps
+
+
 class Type0Font(PDFFontBase):
     """Composite font with a CID descendant; Identity-H/V 2-byte codes."""
 
@@ -401,10 +432,23 @@ class Type0Font(PDFFontBase):
         self.fontname = str(r(descriptor.get("FontName")) or base)
         self.descent = float(r(descriptor.get("Descent")) or 0)
         self.ascent = float(r(descriptor.get("Ascent")) or 0)
-        self.default_width = float(r(desc.get("DW")) or 1000)
-        self.widths = _parse_w_array(r(desc.get("W")) or [], r)
         enc = r(spec.get("Encoding"))
         self.vertical = isinstance(enc, str) and enc.endswith("-V")
+        if self.vertical:
+            # vertical writing (ISO 32000-1 §9.7.4.3): widths are the
+            # w1y vertical displacements from /W2; /DW2 = [vy w1y]
+            # defaults to [880 -1000]; position vectors carried in disps
+            dw2 = r(desc.get("DW2"))
+            if not (isinstance(dw2, list) and len(dw2) == 2):
+                dw2 = [880, -1000]
+            self.widths, self.disps = _parse_w2_array(r(desc.get("W2")) or [], r)
+            self.default_width = float(r(dw2[1]))
+            self.default_disp = (None, float(r(dw2[0])))
+        else:
+            self.disps = {}
+            self.default_disp = (None, 880.0)
+            self.default_width = float(r(desc.get("DW")) or 1000)
+            self.widths = _parse_w_array(r(desc.get("W")) or [], r)
         self.unicode_map: Optional[Dict[int, str]] = None
         tu = r(spec.get("ToUnicode"))
         if isinstance(tu, PDFStream):
@@ -412,6 +456,10 @@ class Type0Font(PDFFontBase):
                 self.unicode_map = parse_tounicode(doc.stream_data(tu))
             except Exception:
                 self.unicode_map = None
+
+    def char_disp(self, cid: int) -> tuple:
+        """(vx, vy) position vector in 1000ths; vx None -> w0/2 rule."""
+        return self.disps.get(cid, self.default_disp)
 
     def decode(self, data: bytes) -> List[int]:
         return [

@@ -278,8 +278,7 @@ class PageInterpreter:
             wordspace = 0.0
         dxscale = 0.001 * fontsize * scaling
         if font.vertical:
-            # vertical writing unsupported: advance naively downward
-            ts.linematrix = self._render_horizontal(
+            ts.linematrix = self._render_vertical(
                 seq, matrix, ts.linematrix, font, fontsize, scaling,
                 charspace, wordspace, rise, dxscale,
             )
@@ -288,6 +287,91 @@ class PageInterpreter:
             seq, matrix, ts.linematrix, font, fontsize, scaling,
             charspace, wordspace, rise, dxscale,
         )
+
+    def _render_vertical(
+        self, seq, matrix, pos, font, fontsize, scaling,
+        charspace, wordspace, rise, dxscale,
+    ) -> Point:
+        """Vertical writing mode (ISO 32000-1 §9.7.4; pdfminer
+        render_string_vertical + LTChar vertical-bbox semantics, which
+        the reference inherits): the pen advances along -v by the w1y
+        displacement; the glyph bbox hangs left of the position vector
+        (-vx .. -vx+fontsize) with vy measured down from 1000."""
+        x, y = pos
+        needcharspace = False
+        (a, b, c, d, e0, f0) = matrix
+        upright = (0 < a * d * scaling) and (b * c <= 0)
+        height = self.height
+        widths = font.widths
+        default_width = font.default_width
+        to_unichr = font.to_unichr
+        char_disp = font.char_disp
+        half = fontsize * 0.5
+
+        start = len(self._c_text)
+        (
+            ap_text, ap_x0, ap_x1, ap_top, ap_bottom, ap_size,
+            ap_adv, ap_e, ap_f,
+        ) = self._c_append
+
+        for obj in seq:
+            if isinstance(obj, (int, float)):
+                y -= obj * dxscale
+                needcharspace = True
+            elif isinstance(obj, bytes):
+                for cid in font.decode(obj):
+                    if needcharspace:
+                        y += charspace
+                    try:
+                        text = to_unichr(cid)
+                    except KeyError:
+                        text = f"(cid:{cid})"
+                    w = widths.get(cid)
+                    if w is None:
+                        w = default_width
+                    adv = w * 0.001 * fontsize * scaling
+                    vx, vy = char_disp(cid)
+                    vx = half if vx is None else vx * fontsize * 0.001
+                    vy = (1000 - vy) * fontsize * 0.001
+                    # char matrix translation (translate_matrix order)
+                    e = x * a + y * c + e0
+                    f = x * b + y * d + f0
+                    # LTChar vertical corners: ll=(-vx, vy+rise+adv),
+                    # ur=(-vx+fontsize, vy+rise), then apply_matrix_pt
+                    lx, ly = -vx, vy + rise + adv
+                    ux, uy = -vx + fontsize, vy + rise
+                    ll_x = a * lx + c * ly + e
+                    ll_y = b * lx + d * ly + f
+                    ur_x = a * ux + c * uy + e
+                    ur_y = b * ux + d * uy + f
+                    if ur_x < ll_x:
+                        ll_x, ur_x = ur_x, ll_x
+                    if ur_y < ll_y:
+                        ll_y, ur_y = ur_y, ll_y
+                    ap_text(text)
+                    ap_x0(ll_x)
+                    ap_x1(ur_x)
+                    ap_top(height - ur_y)
+                    ap_bottom(height - ll_y)
+                    ap_size(ur_x - ll_x)  # vertical glyphs size by width
+                    ap_adv(adv)
+                    ap_e(e)
+                    ap_f(f)
+                    y += adv
+                    if cid == 32 and wordspace:
+                        y += wordspace
+                    needcharspace = True
+        if len(self._c_text) > start:
+            gs = self.gs
+            self._c_runs.append(
+                (
+                    len(self._c_text), font.fontname, upright, a, b, c, d,
+                    self.cur_mcid, self.cur_tag, gs.ncs, gs.scolor,
+                    gs.ncolor, self._form_depth > 0,
+                )
+            )
+            self._chars_view = None
+        return (x, y)
 
     def _render_horizontal(
         self, seq, matrix, pos, font, fontsize, scaling,

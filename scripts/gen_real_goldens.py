@@ -32,6 +32,7 @@ def main() -> int:
         ("real_structure", E.q_real_structure),
         ("real_rotation_text", E.q_real_rotation_text),
         ("real_tables", E.q_real_tables),
+        ("vertical_text", E.q_vertical_text),
     ):
         import pyarrow as pa
         refs = ray.get(fn("/root/testdata/sf0.001").to_arrow_refs())
