@@ -262,6 +262,18 @@ class PDFFontBase:
     descent: float = 0.0
     ascent: float = 0.0
 
+    @property
+    def glyph_cache(self) -> Dict[int, tuple]:
+        """Lazy per-font ``cid -> (text, width/1000)`` memo for the
+        show-text hot loop: one dict probe replaces a ``to_unichr``
+        call + widths lookup per glyph. ``width*0.001`` is the same
+        first float op the uncached path performs, so advances stay
+        bit-identical."""
+        cache = self.__dict__.get("_glyph_cache")
+        if cache is None:
+            cache = self.__dict__["_glyph_cache"] = {}
+        return cache
+
     def get_descent(self) -> float:
         return self.descent * 0.001
 

@@ -396,6 +396,8 @@ class PageInterpreter:
         widths = font.widths
         default_width = font.default_width
         to_unichr = font.to_unichr
+        glyph_cache = font.glyph_cache
+        cache_get = glyph_cache.get
 
         start = len(self._c_text)
         (
@@ -403,6 +405,7 @@ class PageInterpreter:
             ap_adv, ap_e, ap_f,
         ) = self._c_append
 
+        fs_sc = fontsize * scaling
         for obj in seq:
             if isinstance(obj, (int, float)):
                 x -= obj * dxscale
@@ -411,15 +414,20 @@ class PageInterpreter:
                 for cid in font.decode(obj):
                     if needcharspace:
                         x += charspace
-                    try:
-                        text = to_unichr(cid)
-                    except KeyError:
-                        text = f"(cid:{cid})"
-                    w = widths.get(cid)
-                    if w is None:
-                        w = default_width
+                    glyph = cache_get(cid)
+                    if glyph is None:
+                        try:
+                            text = to_unichr(cid)
+                        except KeyError:
+                            text = f"(cid:{cid})"
+                        w = widths.get(cid)
+                        if w is None:
+                            w = default_width
+                        glyph = (text, w * 0.001)
+                        glyph_cache[cid] = glyph
+                    text, w001 = glyph
                     # same float-op order as char_width()*fontsize*scaling
-                    adv = w * 0.001 * fontsize * scaling
+                    adv = w001 * fontsize * scaling
                     # char matrix translation (translate_matrix order)
                     e = x * a + y * c + e0
                     f = x * b + y * d + f0

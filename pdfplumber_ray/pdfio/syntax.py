@@ -182,39 +182,35 @@ _NAME_CACHE: dict = {}
 _NAME_CACHE_MAX = 16384
 
 
-# first-byte dispatch classes for the content-stream tokenizer
-_B_WS, _B_NUM, _B_NAME, _B_STR, _B_LT, _B_GT = 0, 1, 2, 3, 4, 5
-_B_ARR_O, _B_ARR_C, _B_PCT, _B_SKIP, _B_KW = 6, 7, 8, 9, 10
-_BYTE_KIND = [_B_KW] * 256
-for _c in b"\x00\t\n\x0c\r ":
-    _BYTE_KIND[_c] = _B_WS
-for _c in b"0123456789+-.":
-    _BYTE_KIND[_c] = _B_NUM
-_BYTE_KIND[0x2F] = _B_NAME  # /
-_BYTE_KIND[0x28] = _B_STR  # (
-_BYTE_KIND[0x3C] = _B_LT  # <
-_BYTE_KIND[0x3E] = _B_GT  # >
-_BYTE_KIND[0x5B] = _B_ARR_O  # [
-_BYTE_KIND[0x5D] = _B_ARR_C  # ]
-_BYTE_KIND[0x25] = _B_PCT  # %
-for _c in b"){}":
-    _BYTE_KIND[_c] = _B_SKIP
-
-_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
-_NAME_RE = re.compile(rb"/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
-_KW_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
-_COMMENT_RE = re.compile(rb"%[^\r\n]*")
+# Master token regex for the content-stream tokenizer: one C-engine
+# scan yields every token; bytes no alternative matches (whitespace,
+# stray ')' '>' '{' '}') are skipped by finditer itself, mirroring the
+# old first-byte-class skip rules. Alternative ORDER is load-bearing:
+# float before int (else "3.14" lexes as 3 + .14), int before keyword
+# (else "12" lexes as a keyword — the keyword class includes digits so
+# "Q12" still lexes whole), "<<" before hex, simple-string before "(".
+_CONTENT_RE = re.compile(
+    rb"([+-]?(?:\d+\.\d*|\.\d+))"  # 1: float
+    rb"|([+-]?\d+)"  # 2: int
+    rb"|(/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"  # 3: name
+    rb"|([^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"  # 4: keyword
+    rb"|(\([^\\()]*\))"  # 5: escape-free literal string (fast path)
+    rb"|(\()"  # 6: literal string needing the manual parser
+    rb"|(\[)|(\])"  # 7, 8: array delimiters
+    rb"|(<<)|(<[^>]*>?)|(>>)"  # 9: dict open, 10: hex string, 11: close
+    rb"|(%[^\r\n]*)"  # 12: comment (dropped)
+)
 
 
 def tokenize_content(data: bytes) -> List[Any]:
     """Bulk-tokenize one content stream into a token list.
 
-    The per-call ``Lexer.next_token`` frame was the decode hot path's
-    single largest cost (content streams are millions of tokens); one
-    tight loop dispatching on a 256-entry first-byte class table with
-    interned name/keyword tokens replaces ~2 alternation re.match calls
-    + one method call per token with one small anchored match and zero
-    Python frames.
+    One ``_CONTENT_RE.finditer`` pass: the C regex engine does the
+    scanning loop and the whitespace/garbage skipping; Python touches
+    each token once to coerce/intern it. The iterator only restarts
+    (``finditer(data, pos)``) for the rare tokens whose extent the
+    regex can't express — literal strings with escapes or nested
+    parens, and inline-image binary payloads.
 
     Inline images (``BI .. ID <binary> EI``) are handled here: the
     binary payload is skipped to ``EI`` exactly as the interpreter's
@@ -222,92 +218,75 @@ def tokenize_content(data: bytes) -> List[Any]:
     """
     out: List[Any] = []
     append = out.append
-    kind_of = _BYTE_KIND
-    num_match = _NUM_RE.match
-    name_match = _NAME_RE.match
-    kw_match = _KW_RE.match
     kw_cache = _KW_CACHE
     name_cache = _NAME_CACHE
+    hex_clean = _HEX_CLEAN.sub
+    finditer = _CONTENT_RE.finditer
     pos = 0
     n = len(data)
     in_bi = False
     while pos < n:
-        kind = kind_of[data[pos]]
-        if kind == _B_WS:
-            pos += 1
-            continue
-        if kind == _B_NUM:
-            m = num_match(data, pos)
-            if m is None:  # lone +/-/. : falls through to keyword rules
-                m = kw_match(data, pos)
-                pos = m.end()
+        restart = False
+        for m in finditer(data, pos):
+            g = m.lastindex
+            if g == 1:
+                append(float(m.group()))
+            elif g == 2:
+                append(int(m.group()))
+            elif g == 3:
+                raw = m.group()
+                tokv = name_cache.get(raw)
+                if tokv is None:
+                    tokv = ("name", decode_name(raw[1:]))
+                    if len(name_cache) < _NAME_CACHE_MAX:
+                        name_cache[raw] = tokv
+                append(tokv)
+            elif g == 4:
                 raw = m.group()
                 kw = kw_cache.get(raw)
                 if kw is None:
                     kw = PSKeyword(raw.decode("latin-1"))
                     kw_cache[raw] = kw
                 append(kw)
-                continue
-            pos = m.end()
-            txt = m.group()
-            append(float(txt) if b"." in txt else int(txt))
-        elif kind == _B_KW:
-            m = kw_match(data, pos)
-            pos = m.end()
-            raw = m.group()
-            kw = kw_cache.get(raw)
-            if kw is None:
-                kw = PSKeyword(raw.decode("latin-1"))
-                kw_cache[raw] = kw
-            append(kw)
-            if in_bi:
-                if kw.name == "ID":
-                    # skip the binary payload to EI (same scan as the
-                    # per-token interpreter path used)
-                    if pos < n and data[pos] in b" \n\r":
-                        pos += 1
-                    end = data.find(b"EI", pos)
-                    pos = (end + 2) if end >= 0 else n
-                    in_bi = False
-                    append(KW_EI)
-            elif kw.name == "BI":
-                in_bi = True
-        elif kind == _B_NAME:
-            m = name_match(data, pos)
-            pos = m.end()
-            raw = m.group()
-            tokv = name_cache.get(raw)
-            if tokv is None:
-                tokv = ("name", decode_name(raw[1:]))
-                if len(name_cache) < _NAME_CACHE_MAX:
-                    name_cache[raw] = tokv
-            append(tokv)
-        elif kind == _B_STR:
-            s, pos = parse_literal_string(data, pos + 1)
-            append(s)
-        elif kind == _B_LT:
-            if data[pos + 1 : pos + 2] == b"<":
-                pos += 2
-                append("<<")
-            else:
-                s, pos = parse_hex_string(data, pos + 1)
+                if in_bi:
+                    if raw == b"ID":
+                        # skip the binary payload to EI (same scan as
+                        # the per-token interpreter path used)
+                        pos = m.end()
+                        if pos < n and data[pos] in b" \n\r":
+                            pos += 1
+                        end = data.find(b"EI", pos)
+                        pos = (end + 2) if end >= 0 else n
+                        in_bi = False
+                        append(KW_EI)
+                        restart = True
+                        break
+                elif raw == b"BI":
+                    in_bi = True
+            elif g == 5:  # escape-free literal string
+                append(m.group()[1:-1])
+            elif g == 6:  # literal string with escapes/nesting
+                s, pos = parse_literal_string(data, m.end())
                 append(s)
-        elif kind == _B_GT:
-            if data[pos + 1 : pos + 2] == b">":
-                pos += 2
+                restart = True
+                break
+            elif g == 7:
+                append("[")
+            elif g == 8:
+                append("]")
+            elif g == 9:
+                append("<<")
+            elif g == 10:
+                raw = m.group()
+                hx = hex_clean(b"", raw)
+                if len(hx) % 2:
+                    hx += b"0"
+                append(bytes.fromhex(hx.decode("ascii")))
+            elif g == 11:
                 append(">>")
-            else:
-                pos += 1  # stray '>'
-        elif kind == _B_ARR_O:
-            pos += 1
-            append("[")
-        elif kind == _B_ARR_C:
-            pos += 1
-            append("]")
-        elif kind == _B_PCT:
-            pos = _COMMENT_RE.match(data, pos).end()
-        else:  # _B_SKIP: ')', '{', '}'
-            pos += 1
+            # g == 12: comment, dropped
+        if not restart:
+            break
     return out
 
 
