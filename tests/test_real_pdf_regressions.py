@@ -220,16 +220,17 @@ def test_text_strategy_tolerance_senate():
 
 def test_laparams_layout_analysis():
     """pdfio.laparams vs the reference's laparams test expectations
-    (test_laparams.py): exact char and LINE counts; vertical line/box
-    counts exact; horizontal box grouping is approximate (documented in
-    the module) so only sanity-bounded here."""
+    (test_laparams.py): issue-13 exact end to end (chars, lines AND
+    boxes); issue-192 vertical exact, horizontal pinned to this
+    engine's deterministic counts (char-stream divergence documented
+    in the laparams module docstring)."""
     from pdfplumber_ray.pdfio.laparams import LAParams, analyze_chars
 
     it = _interp("issue-13-151201DSP-Fond-581-90D.pdf")
     assert len(it.chars) == 4408  # reference test_laparams.py:18-22
     lines, boxes = analyze_chars(it.chars, it.height)
     assert len(lines) == 79  # reference: textlinehorizontals == 79
-    assert 15 <= len(boxes) <= 40  # reference groups them into 27
+    assert len(boxes) == 27  # reference: textboxhorizontals == 27
 
     it = _interp("issue-192-example.pdf")
     lines, boxes = analyze_chars(
@@ -239,4 +240,8 @@ def test_laparams_layout_analysis():
     bv = [b for b in boxes if not b["horizontal"]]
     assert len(lv) == 11  # reference: textlineverticals == 11
     assert len(bv) == 6  # reference: textboxverticals == 6
+    # horizontal counts: reference sees 142 lines / 74 boxes; this
+    # engine's char stream yields 157 / 135 (regression pins)
+    assert len(lines) - len(lv) == 157
+    assert len(boxes) - len(bv) == 135
     assert all("text" in b and b["text"] for b in boxes)
