@@ -49,14 +49,64 @@ def apply_png_predictor(data: bytes, colors: int, columns: int, bpc: int) -> byt
 
 
 def apply_tiff_predictor(data: bytes, colors: int, columns: int, bpc: int) -> bytes:
-    if bpc != 8:
-        return data  # unsupported sub-byte TIFF predictor: pass through
-    rowlen = columns * colors
-    out = bytearray(data)
-    for r in range(0, len(out) - rowlen + 1, rowlen):
-        for j in range(colors, rowlen):
-            out[r + j] = (out[r + j] + out[r + j - colors]) & 0xFF
-    return bytes(out)
+    """TIFF predictor 2 (horizontal differencing): each sample is a
+    delta from the previous sample of the same color component.
+    Supports bpc 1/2/4 (bit-packed rows, ISO 32000-1 §7.4.4.4 note on
+    sub-byte samples), 8, and 16 (big-endian components)."""
+    if bpc == 8:
+        rowlen = columns * colors
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for j in range(colors, rowlen):
+                out[r + j] = (out[r + j] + out[r + j - colors]) & 0xFF
+        return bytes(out)
+
+    import numpy as np
+
+    if bpc == 16:
+        rowlen = columns * colors * 2
+        nrows = len(data) // rowlen
+        if nrows == 0:
+            return data
+        arr = (
+            np.frombuffer(data[: nrows * rowlen], dtype=">u2")
+            .reshape(nrows, columns * colors)
+            .astype(np.int64)
+        )
+        for c in range(colors):
+            arr[:, c::colors] = np.add.accumulate(arr[:, c::colors], axis=1) & 0xFFFF
+        tail = data[nrows * rowlen :]
+        return arr.astype(">u2").tobytes() + tail
+
+    if bpc in (1, 2, 4):
+        rowlen = (columns * colors * bpc + 7) // 8  # rows are byte-aligned
+        nrows = len(data) // rowlen
+        if nrows == 0:
+            return data
+        mask = (1 << bpc) - 1
+        bits = np.unpackbits(
+            np.frombuffer(data[: nrows * rowlen], dtype=np.uint8).reshape(
+                nrows, rowlen
+            ),
+            axis=1,
+        )
+        nsamp = columns * colors
+        # bit-groups -> samples (big-endian within each bpc group)
+        samples = np.zeros((nrows, nsamp), dtype=np.int64)
+        for b in range(bpc):
+            samples = (samples << 1) | bits[:, b : nsamp * bpc : bpc]
+        for c in range(colors):
+            samples[:, c::colors] = (
+                np.add.accumulate(samples[:, c::colors], axis=1) & mask
+            )
+        # repack, preserving row padding bits as zero
+        outbits = np.zeros((nrows, rowlen * 8), dtype=np.uint8)
+        for b in range(bpc):
+            outbits[:, b : nsamp * bpc : bpc] = (samples >> (bpc - 1 - b)) & 1
+        tail = data[nrows * rowlen :]
+        return np.packbits(outbits, axis=1).tobytes() + tail
+
+    return data  # nonstandard bpc: pass through unchanged
 
 
 def flate_decode(data: bytes, params: Optional[dict] = None) -> bytes:

@@ -138,3 +138,65 @@ def test_cyclic_struct_tree_prune():
     doc = PDFDocument(pdf)
     rows = structure_flat_rows(doc, "d")  # must terminate, not RecursionError
     assert isinstance(rows, list)
+
+
+def test_tiff_predictor_all_depths():
+    """TIFF predictor 2 at every legal BitsPerComponent, validated
+    against a naive per-sample reference differencer."""
+    import random
+
+    from pdfplumber_ray.pdfio.filters import apply_tiff_predictor
+
+    rng = random.Random(7)
+
+    def pack(samples, bpc, colors, columns):
+        # samples: row-major list of rows, each columns*colors ints
+        out = bytearray()
+        for row in samples:
+            acc = 0
+            nbits = 0
+            for s in row:
+                acc = (acc << bpc) | s
+                nbits += bpc
+                while nbits >= 8:
+                    out.append((acc >> (nbits - 8)) & 0xFF)
+                    nbits -= 8
+            if nbits:
+                out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    def encode(samples, bpc, colors):
+        # forward differencing (what a writer applies before Flate)
+        mask = (1 << bpc) - 1
+        enc = []
+        for row in samples:
+            erow = list(row)
+            for j in range(len(row) - 1, colors - 1, -1):
+                erow[j] = (row[j] - row[j - colors]) & mask
+            enc.append(erow)
+        return enc
+
+    for bpc in (1, 2, 4, 8, 16):
+        for colors in (1, 3):
+            columns = 11
+            mask = (1 << bpc) - 1
+            samples = [
+                [rng.randint(0, mask) for _ in range(columns * colors)]
+                for _ in range(5)
+            ]
+            enc = encode(samples, bpc, colors)
+            if bpc == 16:
+                raw = b"".join(
+                    s.to_bytes(2, "big") for row in enc for s in row
+                )
+                expect = b"".join(
+                    s.to_bytes(2, "big") for row in samples for s in row
+                )
+            elif bpc == 8:
+                raw = bytes(s for row in enc for s in row)
+                expect = bytes(s for row in samples for s in row)
+            else:
+                raw = pack(enc, bpc, colors, columns)
+                expect = pack(samples, bpc, colors, columns)
+            got = apply_tiff_predictor(raw, colors, columns, bpc)
+            assert got == expect, f"bpc={bpc} colors={colors}"
