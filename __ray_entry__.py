@@ -1197,6 +1197,37 @@ def q_words_by_lang(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_page_images(sf_dir: str) -> ray.data.Dataset:
+    """Page raster debug surface (reference display.py Page.to_image):
+    object-level render of every decoded page to PNG bytes inside
+    ``map_batches``. Rendering is not SQL-expressible, so this entry
+    carries no oracle (rows-only check); PNG integrity is pinned by
+    tests/test_display.py's decoder. Projects dims + payload size;
+    the png bytes stay out of the result."""
+    from pdfplumber_ray.display import page_images_batch
+
+    pages = decode_pages_ds(_interleaved_docs(sf_dir))
+    imgs = pages.map_batches(
+        page_images_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        return pa.table(
+            {
+                "doc_key": pa.array(ids, pa.int64()),
+                "page_number": batch.column("page_number").cast(pa.int64()),
+                "img_width": batch.column("img_width").cast(pa.int64()),
+                "img_height": batch.column("img_height").cast(pa.int64()),
+                "png_bytes": pc.binary_length(batch.column("png")).cast(pa.int64()),
+            }
+        )
+
+    return imgs.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_media_decode(sf_dir: str) -> ray.data.Dataset:
     """Multimodal plumbing: deterministic binary payload per doc ->
     actor-stage decode -> typed metadata; the synthetic container packs
@@ -1625,6 +1656,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "curation_funnel": q_curation_funnel,
     "dedup_resolution": q_dedup_resolution,
     "rect_mcids": q_rect_mcids,
+    "page_images": q_page_images,
     "real_layout_text": q_real_layout_text,
     "real_tables": q_real_tables,
     "real_objects": q_real_objects,
