@@ -405,7 +405,6 @@ class PageInterpreter:
             ap_adv, ap_e, ap_f,
         ) = self._c_append
 
-        fs_sc = fontsize * scaling
         for obj in seq:
             if isinstance(obj, (int, float)):
                 x -= obj * dxscale
@@ -630,7 +629,16 @@ class PageInterpreter:
     # ---- main execution loop ----
 
     def execute(self, content: bytes, resources: dict, depth: int) -> None:
-        toks = tokenize_content(content)
+        # token lists are memoized per document: form XObjects execute
+        # once per referencing page, and re-tokenizing the same decoded
+        # stream dominated repeated-form documents. bytes hashes are
+        # computed once and cached by CPython; the cache dies with the
+        # per-task document object.
+        cache = self.doc.__dict__.setdefault("_token_cache", {})
+        toks = cache.get(content)
+        if toks is None:
+            toks = tokenize_content(content)
+            cache[content] = toks
         stack: List[Any] = []
         append = stack.append
 

@@ -9,6 +9,7 @@ references. Used both for document objects and content streams.
 from __future__ import annotations
 
 import re
+import sys
 from typing import Any, List, Optional, Tuple
 
 WHITESPACE = b"\x00\t\n\x0c\r "
@@ -45,12 +46,16 @@ _STR_ESC = {
 
 
 class PSKeyword:
-    """Bare keyword token (operators, obj/endobj/stream/R/true/false...)."""
+    """Bare keyword token (operators, obj/endobj/stream/R/true/false...).
+
+    Names are interned: the interpreter's operator dispatch compares
+    ``op == "Tj"`` against literals, and interning turns every such
+    comparison into a pointer-identity hit."""
 
     __slots__ = ("name",)
 
     def __init__(self, name: str):
-        self.name = name
+        self.name = sys.intern(name)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"KW({self.name})"
