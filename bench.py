@@ -146,14 +146,20 @@ def run_benchmarks(
             n_raw = _pq.ParquetFile(
                 os.path.join(sf_dir, "documents.parquet")
             ).metadata.num_rows
-            t0 = time.perf_counter()
-            stripped = strip_boilerplate_ds(
-                boiler_docs(), n_docs=n_raw, cache_input=True
-            )
-            nmc = main_content_text_ds(stripped).count()
-            wall = time.perf_counter() - t0
+            # best-of-2 like extract_synth: VM wall-clock noise (see
+            # BASELINE.md) would otherwise dominate the recorded number
+            walls = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                stripped = strip_boilerplate_ds(
+                    boiler_docs(), n_docs=n_raw, cache_input=True
+                )
+                nmc = main_content_text_ds(stripped).count()
+                walls.append(time.perf_counter() - t0)
+            wall = min(walls)
             queries["main_content"] = round(wall, 3)
             extras["main_content_docs_per_sec"] = round(nmc / wall, 1)
+            extras["main_content_runs"] = [round(w, 3) for w in walls]
 
         if only in (None, "real_pdf"):
             # real-PDF byte-decode throughput over the reference corpus
@@ -184,19 +190,24 @@ def run_benchmarks(
                 # one doc per block: decode cost is wildly skewed across
                 # PDFs, so heavy docs must not share a task with others
                 ds = ray.data.from_arrow(t).repartition(t.num_rows)
-                t0 = time.perf_counter()
-                pages = ds.map_batches(
-                    decode_pdf_batch,
-                    batch_size=1,
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                )
-                n_pages = pages.count()
-                wall = time.perf_counter() - t0
+                # best-of-2 (VM noise, see BASELINE.md)
+                walls = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    pages = ds.map_batches(
+                        decode_pdf_batch,
+                        batch_size=1,
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+                    n_pages = pages.count()
+                    walls.append(time.perf_counter() - t0)
+                wall = min(walls)
                 queries["real_pdf_decode"] = round(wall, 3)
                 extras["real_pdf_pages"] = int(n_pages)
                 extras["real_pdf_pages_per_sec"] = round(n_pages / wall, 1)
                 extras["real_pdf_docs_per_sec"] = round(len(names) * reps / wall, 1)
+                extras["real_pdf_runs"] = [round(w, 3) for w in walls]
 
         return {
             "metric": "end-to-end interleaved-doc extraction (docs/sec) + operator pipelines",

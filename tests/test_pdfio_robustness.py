@@ -200,3 +200,81 @@ def test_tiff_predictor_all_depths():
                 expect = pack(samples, bpc, colors, columns)
             got = apply_tiff_predictor(raw, colors, columns, bpc)
             assert got == expect, f"bpc={bpc} colors={colors}"
+
+
+def test_form_xobject_token_memoization():
+    """A form XObject executed by several pages is tokenized once per
+    document, and repeated execution emits identical glyphs each time."""
+    from pdfplumber_ray.pdfio import syntax as syn
+
+    form_body = b"BT /F1 10 Tf 72 700 Td (Form) Tj ET"
+    npages = 3
+    kids = b" ".join(b"%d 0 R" % (10 + i) for i in range(npages))
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % npages),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (
+            4,
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Length %d >>\nstream\n"
+            % len(form_body)
+            + form_body
+            + b"\nendstream",
+        ),
+        (5, b"<< /Length 11 >>\nstream\nq /Fm1 Do Q\nendstream"),
+    ]
+    for i in range(npages):
+        objs.append(
+            (
+                10 + i,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /XObject << /Fm1 4 0 R >> >> /Contents 5 0 R >>",
+            )
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for n, body in objs:
+        offsets[n] = len(out)
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_pos = len(out)
+    maxn = max(offsets) + 1
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % maxn
+    for n in range(1, maxn):
+        out += (
+            (b"%010d 00000 n \n" % offsets[n])
+            if n in offsets
+            else b"0000000000 65535 f \n"
+        )
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (maxn, xref_pos)
+    )
+
+    calls = []
+    orig = syn.tokenize_content
+
+    def counting(data):
+        calls.append(len(data))
+        return orig(data)
+
+    syn.tokenize_content = counting
+    try:
+        import pdfplumber_ray.pdfio.interp as interp_mod
+
+        saved = interp_mod.tokenize_content
+        interp_mod.tokenize_content = counting
+        try:
+            rows, err = decode_pdf_doc("formdoc", bytes(out))
+        finally:
+            interp_mod.tokenize_content = saved
+    finally:
+        syn.tokenize_content = orig
+
+    assert err is None
+    assert len(rows) == npages
+    # each page renders the form's glyphs
+    for r in rows:
+        assert "".join(c["text"] for c in r["chars"]) == "Form"
+    # page content + form each tokenized exactly once despite 3 pages
+    assert len(calls) == 2
