@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--password", default="", help="password for encrypted PDF inputs"
     )
     p.add_argument(
-        "--format", choices=("csv", "json", "structure-text"), default="csv"
+        "--format", choices=("csv", "json", "structure-text", "png"),
+        default="csv",
     )
     p.add_argument(
         "--types", nargs="+", choices=TYPE_CHOICES, default=["char"],
@@ -138,6 +139,47 @@ def main(argv: Optional[List[str]] = None) -> int:
         else:
             for row in ds.take_all():
                 sys.stdout.write(row["json"] + "\n")
+    elif args.format == "png":
+        # page debug rasters (reference Page.to_image + PageImage.save):
+        # one PNG per page under --output, or the first page's bytes to
+        # stdout when no output dir is given
+        from .display import page_images_batch
+
+        imgs = pages.map_batches(
+            page_images_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        if args.output:
+            import os
+
+            os.makedirs(args.output, exist_ok=True)
+
+            def write_pngs(batch):
+                import pyarrow as pa
+
+                for did, pn, png in zip(
+                    batch.column("doc_id").to_pylist(),
+                    batch.column("page_number").to_pylist(),
+                    batch.column("png").to_pylist(),
+                ):
+                    safe = "".join(
+                        c if c.isalnum() or c in "-_." else "_" for c in did
+                    )
+                    with open(
+                        f"{args.output}/{safe}-p{pn}.png", "wb"
+                    ) as f:
+                        f.write(png)
+                return pa.table(
+                    {"n": pa.array([batch.num_rows], pa.int64())}
+                )
+
+            n = imgs.map_batches(
+                write_pngs, batch_format="pyarrow", zero_copy_batch=True
+            ).sum("n")
+            print(f"wrote {n} page images to {args.output}", file=sys.stderr)
+        else:
+            first = imgs.take(1)
+            if first:
+                sys.stdout.buffer.write(first[0]["png"])
     else:  # structure-text (reference cli.py:72-91)
         from .pipelines.extract import mcid_text_ds
 

@@ -93,3 +93,45 @@ def test_cli_real_pdf_input(ray_session, capsys):
     out = _run_cli([pdf, "--format", "json", "--pages", "1"], capsys)
     page = json.loads(out.splitlines()[0])
     assert page["page_number"] == 1 and len(page["chars"]) > 100
+
+
+def test_cli_png_output(corpus_dir, tmp_path, capsys):
+    """--format png: one PNG file per page under --output."""
+    from pdfplumber_ray.cli import main
+
+    out_dir = str(tmp_path / "pngs")
+    assert main([corpus_dir, "--format", "png", "--output", out_dir]) == 0
+    files = sorted(os.listdir(out_dir))
+    assert files and all(f.endswith(".png") for f in files)
+    data = open(os.path.join(out_dir, files[0]), "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_cli_png_stdout(corpus_dir, capsys):
+    """--format png without --output streams the first page's PNG."""
+    import sys as _sys
+
+    from pdfplumber_ray.cli import main
+
+    class _Buf:
+        def __init__(self):
+            self.data = b""
+
+        def write(self, b):
+            self.data += b
+
+    buf = _Buf()
+    real = _sys.stdout
+    # capsys wraps sys.stdout without a usable .buffer; swap in a shim
+    class _Out:
+        buffer = buf
+
+        def write(self, s):
+            return real.write(s)
+
+    _sys.stdout = _Out()
+    try:
+        assert main([corpus_dir, "--format", "png", "--pages", "1"]) == 0
+    finally:
+        _sys.stdout = real
+    assert buf.data[:8] == b"\x89PNG\r\n\x1a\n"
