@@ -1197,6 +1197,16 @@ def q_words_by_lang(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Train/eval decontamination sweep: docs with doc_id % 20 == 0 form
+    the held-out split; every other doc reports how many of its distinct
+    word 5-grams (md5-u64, textstats.shingle_hashes incl. the whole-doc
+    fallback under 5 tokens) appear anywhere in the eval split. Eval
+    hashes broadcast via ray.put; train side probes with searchsorted —
+    no shuffle on the big side."""
+    return co.decontaminate_ds(_documents(sf_dir))
+
+
 def q_page_images(sf_dir: str) -> ray.data.Dataset:
     """Page raster debug surface (reference display.py Page.to_image):
     object-level render of every decoded page to PNG bytes inside
@@ -1657,6 +1667,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_resolution": q_dedup_resolution,
     "rect_mcids": q_rect_mcids,
     "page_images": q_page_images,
+    "decontaminate": q_decontaminate,
     "real_layout_text": q_real_layout_text,
     "real_tables": q_real_tables,
     "real_objects": q_real_objects,
@@ -1867,6 +1878,28 @@ ORACLES: Dict[str, str] = {
     # (textstats.md5_u64), so DuckDB reproduces signatures, band keys and
     # bucket membership bit-exactly — these are full value oracles for the
     # banding paths, not just the verified subsets.
+    "decontaminate": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents WHERE text <> ''),
+        g AS (SELECT doc_id,
+                CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                     ELSE list_distinct([array_to_string(l[i:i+4], ' ')
+                                         for i in range(1, len(l)-3)])
+                END AS sh FROM t),
+        x AS (SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h
+              FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+        e AS (SELECT DISTINCT h FROM x WHERE doc_id % 20 = 0),
+        tr AS (SELECT doc_id, h FROM x WHERE doc_id % 20 <> 0),
+        hits AS (SELECT tr.doc_id, count(*) AS gram_hits
+                 FROM tr JOIN e USING (h) GROUP BY tr.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(h.gram_hits, 0) AS BIGINT) AS gram_hits,
+               CAST(CASE WHEN coalesce(h.gram_hits, 0) > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % 20 <> 0
+    """,
     "minhash_pairs": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
                    FROM documents WHERE text <> ''),

@@ -1310,3 +1310,90 @@ def ann_ivf_topk_ds(
 
     localtk = embeddings.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
     return localtk.sort(["sim", id_col], descending=[True, False]).limit(k)
+
+
+def decontaminate_ds(
+    docs: Dataset,
+    eval_mod: int = 20,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_eval_grams: int = 20_000_000,
+) -> Dataset:
+    """Train/eval decontamination: flag training documents that share any
+    word ``shingle_k``-gram with the held-out split (the classic
+    benchmark-contamination sweep run before LLM training).
+
+    Split rule is deterministic (``doc_id % eval_mod == 0`` -> eval).
+    Scale shape: the eval side is small by construction, so its distinct
+    md5-u64 gram hashes are collected once (``max_eval_grams`` guards the
+    driver against a misconfigured split — use a bloom filter or a
+    shuffle join beyond it), sorted, broadcast via ``ray.put``, and the
+    training side probes them with ``np.searchsorted`` per batch — no
+    shuffle at all on the big side. Gram hashing reuses
+    ``textstats.shingle_hashes`` (md5-derived, whole-doc fallback under
+    ``shingle_k`` tokens) so a DuckDB oracle reproduces it bit-exactly.
+
+    Returns every training row: (doc_id, gram_hits = distinct shared
+    grams, contaminated 0/1).
+    """
+    def is_eval(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        ids = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.array(ids % eval_mod == 0)
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(is_eval(batch.column(id_col)))
+        texts = sub.column(text_col).to_pylist()
+        if texts:
+            hashes = np.unique(
+                np.concatenate(
+                    [ts.shingle_hashes(t or "", shingle_k) for t in texts]
+                    or [np.empty(0, dtype=np.uint64)]
+                )
+            )
+        else:
+            hashes = np.empty(0, dtype=np.uint64)
+        return pa.table({"h": pa.array(hashes, pa.uint64())})
+
+    collected: List[np.ndarray] = []
+    n_grams = 0
+    for b in docs.map_batches(
+        eval_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        arr = b.column("h").to_numpy(zero_copy_only=False)
+        n_grams += arr.shape[0]
+        if n_grams > max_eval_grams:
+            raise ValueError(
+                f"decontaminate_ds: eval split exceeds max_eval_grams="
+                f"{max_eval_grams}; the held-out side is not broadcastable "
+                "— use a bloom filter or a shuffle join"
+            )
+        collected.append(arr)
+    eval_hashes = (
+        np.unique(np.concatenate(collected))
+        if collected
+        else np.empty(0, dtype=np.uint64)
+    )
+    ref = ray.put(eval_hashes)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        grams_sorted = ray.get(ref)
+        keep = pc.invert(is_eval(batch.column(id_col)))
+        sub = batch.filter(keep)
+        ids = sub.column(id_col).to_numpy(zero_copy_only=False)
+        hits = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(sub.column(text_col).to_pylist()):
+            h = ts.shingle_hashes(t or "", shingle_k)
+            if h.shape[0] and grams_sorted.shape[0]:
+                pos = np.searchsorted(grams_sorted, h)
+                pos[pos == grams_sorted.shape[0]] = 0
+                hits[i] = int((grams_sorted[pos] == h).sum())
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "gram_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array((hits > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

@@ -319,3 +319,47 @@ def test_hot_bucket_star_fallback_embedding(ray_session):
     ).to_pandas()
     assert len(pdf) == n - 1
     assert (pdf.vec_a == 0).all() and (pdf.sim == 1.0).all()
+
+
+def test_decontaminate(ray_session):
+    """Eval split = doc_id % 4 == 0; train docs sharing a 3-gram with an
+    eval doc are flagged with the exact distinct-gram hit count."""
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta",        # eval (0)
+                        "alpha beta gamma epsilon",      # train: shares 'alpha beta gamma'
+                        "zeta eta theta iota",           # train: clean
+                        "beta gamma delta kappa",        # train: shares 'beta gamma delta'
+                        "unrelated eval content here",   # eval (4)
+                        "tiny",                          # train: whole-doc fallback, clean
+                    ]
+                ),
+            }
+        )
+    )
+    out = (
+        co.decontaminate_ds(docs, eval_mod=4, shingle_k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [1, 2, 3, 5]
+    assert out.gram_hits.tolist() == [1, 0, 1, 0]
+    assert out.contaminated.tolist() == [1, 0, 1, 0]
+
+
+def test_decontaminate_eval_guard(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 2], pa.int64()),
+                "text": pa.array(["a b c d e f g h", "x y z"]),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="max_eval_grams"):
+        co.decontaminate_ds(docs, eval_mod=2, shingle_k=3, max_eval_grams=2)
