@@ -261,12 +261,17 @@ class PDFFontBase:
     default_width: float = 0.0
     descent: float = 0.0
     ascent: float = 0.0
+    # glyph-space -> text-space scale. 1/1000 for every font except
+    # Type3, whose /FontMatrix defines it (ISO 32000-1 §9.6.5; the
+    # published PDFType3Font hscale/vscale via apply_matrix_norm)
+    wscale: float = 0.001
+    vscale: float = 0.001
 
     @property
     def glyph_cache(self) -> Dict[int, tuple]:
-        """Lazy per-font ``cid -> (text, width/1000)`` memo for the
+        """Lazy per-font ``cid -> (text, width*wscale)`` memo for the
         show-text hot loop: one dict probe replaces a ``to_unichr``
-        call + widths lookup per glyph. ``width*0.001`` is the same
+        call + widths lookup per glyph. ``width*wscale`` is the same
         first float op the uncached path performs, so advances stay
         bit-identical."""
         cache = self.__dict__.get("_glyph_cache")
@@ -275,22 +280,26 @@ class PDFFontBase:
         return cache
 
     def get_descent(self) -> float:
-        return self.descent * 0.001
+        return self.descent * self.vscale
 
     def get_ascent(self) -> float:
-        return self.ascent * 0.001
+        return self.ascent * self.vscale
 
     def char_width(self, cid: int) -> float:
         w = self.widths.get(cid)
         if w is None:
             w = self.default_width
-        return float(w) * 0.001
+        return float(w) * self.wscale
 
     def decode(self, data: bytes) -> List[int]:
         return list(data)
 
     def to_unichr(self, cid: int) -> Optional[str]:
         raise KeyError(cid)
+
+
+def _numv(v) -> float:
+    return float(v) if isinstance(v, (int, float)) else 0.0
 
 
 def _strip_subset(name: str) -> str:
@@ -334,6 +343,23 @@ class SimpleFont(PDFFontBase):
             # default would collapse every glyph onto one point — use a
             # plausible average width so layout stays usable
             self.default_width = 500.0
+
+        if self.subtype == "Type3":
+            # Type3 widths are in GLYPH space: /FontMatrix maps them to
+            # text space (ISO 32000-1 §9.6.5). The published handler's
+            # hscale/vscale = apply_matrix_norm(matrix, (1, 1)), and its
+            # descent/ascent always come from the font bbox.
+            m = r(spec.get("FontMatrix"))
+            if isinstance(m, list) and len(m) == 6:
+                a, b, c, d = (_numv(r(v)) for v in m[:4])
+            else:
+                a, b, c, d = 0.001, 0.0, 0.0, 0.001
+            self.wscale = a + c
+            self.vscale = b + d
+            bbox = r(descriptor.get("FontBBox")) or r(spec.get("FontBBox"))
+            if isinstance(bbox, list) and len(bbox) == 4:
+                self.descent = _numv(r(bbox[1]))
+                self.ascent = _numv(r(bbox[3]))
 
         # encoding: base table + Differences
         enc_obj = r(spec.get("Encoding"))

@@ -398,6 +398,7 @@ class PageInterpreter:
         to_unichr = font.to_unichr
         glyph_cache = font.glyph_cache
         cache_get = glyph_cache.get
+        wscale = font.wscale  # 0.001; Type3 FontMatrix-derived
 
         start = len(self._c_text)
         (
@@ -422,7 +423,7 @@ class PageInterpreter:
                         w = widths.get(cid)
                         if w is None:
                             w = default_width
-                        glyph = (text, w * 0.001)
+                        glyph = (text, w * wscale)
                         glyph_cache[cid] = glyph
                     text, w001 = glyph
                     # same float-op order as char_width()*fontsize*scaling

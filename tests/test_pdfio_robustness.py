@@ -278,3 +278,55 @@ def test_form_xobject_token_memoization():
         assert "".join(c["text"] for c in r["chars"]) == "Form"
     # page content + form each tokenized exactly once despite 3 pages
     assert len(calls) == 2
+
+
+def test_type3_font_matrix_scaling():
+    """Type3 glyph widths live in glyph space: /FontMatrix scales them
+    (ISO 32000-1 §9.6.5). A /FontMatrix [0.02 0 0 0.02 0 0] font with
+    /Widths [300 400] at 10pt must advance 300*0.02*10 = 60pt — treating
+    the widths as thousandths (the pre-fix behavior) would give 3pt."""
+    content = b"BT /F1 10 Tf 72 700 Td (AB) Tj ET"
+    font = (
+        b"<< /Type /Font /Subtype /Type3 /Name /F1 "
+        b"/FontBBox [0 -10 50 40] /FontMatrix [0.02 0 0 0.02 0 0] "
+        b"/FirstChar 65 /LastChar 66 /Widths [300 400] "
+        b"/Encoding << /Type /Encoding /Differences [65 /A /B] >> "
+        b"/CharProcs << >> >>"
+    )
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        ),
+        (4, b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"),
+        (5, font),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for n, body in objs:
+        offsets[n] = len(out)
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_pos = len(out)
+    maxn = max(offsets) + 1
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % maxn
+    for n in range(1, maxn):
+        out += b"%010d 00000 n \n" % offsets[n]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (maxn, xref_pos)
+    )
+
+    rows, err = decode_pdf_doc("t3", bytes(out))
+    assert err is None and len(rows) == 1
+    chars = rows[0]["chars"]
+    assert [c["text"] for c in chars] == ["A", "B"]
+    a, b = chars
+    assert a["x1"] - a["x0"] == pytest.approx(300 * 0.02 * 10)  # 60pt
+    assert b["x1"] - b["x0"] == pytest.approx(400 * 0.02 * 10)  # 80pt
+    assert b["x0"] == pytest.approx(a["x0"] + 60)
+    # descent comes from FontBBox[1] * vscale: bottom = baseline-origin
+    # 700 -> y0 = 700 + (-10 * 0.02 * 10) = 698
+    assert a["bottom"] == pytest.approx(792 - (700 - 2))
