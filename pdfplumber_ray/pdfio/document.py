@@ -384,15 +384,29 @@ class PDFDocument:
         return out
 
     def metadata(self) -> Dict[str, Any]:
-        """Resolved + text-decoded /Info dict (reference pdf.py:47-63)."""
+        """Resolved + text-decoded /Info dict (reference pdf.py:47-63;
+        nested refs resolve recursively like the reference's
+        ``resolve_and_decode`` — issue-316's /Changes is a list of
+        indirect dicts whose values must come back decoded)."""
         from .fonts import decode_pdf_text
+
+        def deep(v, depth: int = 0):
+            if depth > 8:  # cycle/depth guard
+                return v
+            v = self.resolve(v)
+            if isinstance(v, bytes):
+                return decode_pdf_text(v)
+            if isinstance(v, list):
+                return [deep(x, depth + 1) for x in v]
+            if isinstance(v, dict):
+                return {k: deep(x, depth + 1) for k, x in v.items()}
+            if isinstance(v, PDFStream):
+                return deep(dict(v.dict), depth + 1)
+            return v
 
         info = self.resolve(self.trailer.get("Info")) or {}
         out: Dict[str, Any] = {}
         if isinstance(info, dict):
             for k, v in info.items():
-                v = self.resolve(v)
-                if isinstance(v, bytes):
-                    v = decode_pdf_text(v)
-                out[k] = v
+                out[k] = deep(v)
         return out

@@ -302,6 +302,39 @@ def _numv(v) -> float:
     return float(v) if isinstance(v, (int, float)) else 0.0
 
 
+# Byte-encoded CP936 font names -> friendly names (reference
+# page.py:78-95 fix_fontname_bytes; mapping via mupdf pdf-font.c).
+CP936_FONTNAMES = {
+    b"\xcb\xce\xcc\xe5": "SimSun,Regular",
+    b"\xba\xda\xcc\xe5": "SimHei,Regular",
+    b"\xbf\xac\xcc\xe5_GB2312": "SimKai,Regular",
+    b"\xb7\xc2\xcb\xce_GB2312": "SimFang,Regular",
+    b"\xc1\xa5\xca\xe9": "SimLi,Regular",
+}
+
+
+def fix_fontname_bytes(fontname: bytes) -> str:
+    """Reference page.py:87-95, byte-for-byte: split a subset prefix at
+    the first ``+``, map the CP936 suffix to its friendly name, and fall
+    back to the repr-style escape of unknown bytes."""
+    if b"+" in fontname:
+        split_at = fontname.index(b"+") + 1
+        prefix, suffix = fontname[:split_at], fontname[split_at:]
+    else:
+        prefix, suffix = b"", fontname
+    suffix_new = CP936_FONTNAMES.get(suffix, str(suffix)[2:-1])
+    return str(prefix)[2:-1] + suffix_new
+
+
+def fix_fontname(name: str) -> str:
+    """Non-ASCII font names arrive as latin-1-decoded raw bytes; map
+    them through the CP936 table like the reference's process_object
+    (page.py:382-384) does for pdfminer's byte-encoded names."""
+    if name.isascii():
+        return name
+    return fix_fontname_bytes(name.encode("latin-1", "replace"))
+
+
 def _strip_subset(name: str) -> str:
     """'DCLTEC+Helvetica-Bold' -> 'Helvetica-Bold'."""
     if len(name) > 7 and name[6] == "+" and name[:6].isalpha() and name[:6].isupper():
@@ -322,7 +355,7 @@ class SimpleFont(PDFFontBase):
         self.subtype = r(spec.get("Subtype")) or "Type1"
         base = r(spec.get("BaseFont")) or r(spec.get("Name")) or "unknown"
         descriptor = r(spec.get("FontDescriptor")) or {}
-        self.fontname = str(r(descriptor.get("FontName")) or base)
+        self.fontname = fix_fontname(str(r(descriptor.get("FontName")) or base))
         self.descent = float(r(descriptor.get("Descent")) or 0)
         self.ascent = float(r(descriptor.get("Ascent")) or 0)
         self.default_width = float(r(descriptor.get("MissingWidth")) or 0)
@@ -467,7 +500,7 @@ class Type0Font(PDFFontBase):
         desc_list = r(spec.get("DescendantFonts")) or []
         desc = r(desc_list[0]) if desc_list else {}
         descriptor = r(desc.get("FontDescriptor")) or {}
-        self.fontname = str(r(descriptor.get("FontName")) or base)
+        self.fontname = fix_fontname(str(r(descriptor.get("FontName")) or base))
         self.descent = float(r(descriptor.get("Descent")) or 0)
         self.ascent = float(r(descriptor.get("Ascent")) or 0)
         enc = r(spec.get("Encoding"))
