@@ -172,3 +172,44 @@ def test_issue_982_use_text_flow():
         extract_words_page(ct, WordConfig(use_text_flow=True))["text"].tolist()
     )
     assert text[0:100] == words[0:100]
+
+
+def test_dedupe_chars_reference_values():
+    """Reference tests/test_dedupe_chars.py: OCR'd CJK doc with doubled
+    glyphs — exact coordinates and strings before/after dedupe."""
+    from pdfplumber_ray.functions.dedupe import dedupe_chars_mask
+
+    _, it = _interp("issue-71-duplicate-chars.pdf")
+    ct = _char_table(it.chars)
+
+    w = extract_words_page(ct, WordConfig())
+    assert w["text"][-1] == "名名模模意意义义一一些些有有意意义义一一些些"
+    assert round(float(w["x0"][-1]), 3) == 440.143
+    assert round(float(w["x1"][-1]), 3) == 534.992
+    assert round(float(w["top"][-1]), 3) in (791.849, 794.357)
+    assert round(float(w["bottom"][-1]), 3) == 802.961
+    assert bool(w["upright"][-1])
+
+    mask = dedupe_chars_mask(ct)
+    ct2 = {k: np.asarray(v)[mask] for k, v in ct.items()}
+    w2 = extract_words_page(ct2, WordConfig())
+    assert w2["text"][-1] == "名模意义一些有意义一些"
+    assert round(float(w2["x0"][-1]), 3) == 440.143
+    assert round(float(w2["x1"][-1]), 3) == 534.719
+
+    assert (
+        extract_text_page(ct).split("\n")[-1]
+        == "微微软软 培培训训课课程程：： 名名模模意意义义一一些些有有意意义义一一些些"
+    )
+    assert (
+        extract_text_page(ct2).split("\n")[-1]
+        == "微软 培训课程： 名模意义一些有意义一些"
+    )
+
+    _, it2 = _interp("issue-71-duplicate-chars-2.pdf")
+    ctb = _char_table(it2.chars)
+    ctb2 = {k: np.asarray(v)[dedupe_chars_mask(ctb)] for k, v in ctb.items()}
+    assert (
+        extract_text_page(ctb2, y_tolerance=6).splitlines()[4]
+        == "UE 8. Circulation - Métabolismes"
+    )
