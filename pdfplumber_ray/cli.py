@@ -44,6 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--precision", type=int, default=None,
         help="float rounding (reference Serializer precision)",
     )
+    p.add_argument(
+        "--include-attrs", nargs="+", default=None,
+        help="only these columns in csv output (reference cli.py)",
+    )
+    p.add_argument(
+        "--exclude-attrs", nargs="+", default=None,
+        help="drop these columns from csv output (reference cli.py)",
+    )
     p.add_argument("--output", default=None, help="output dir (distributed write)")
     return p
 
@@ -127,7 +135,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     pages = _pages_ds(args)
     if args.format == "csv":
         for typ in args.types:
-            ds = objects_csv_ds(_objects_ds(pages, typ), typ, precision=args.precision)
+            ds = objects_csv_ds(
+                _objects_ds(pages, typ), typ, precision=args.precision,
+                include_attrs=args.include_attrs,
+                exclude_attrs=args.exclude_attrs,
+            )
             if args.output:
                 ds.write_csv(f"{args.output}/{typ}")
             else:

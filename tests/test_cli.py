@@ -135,3 +135,21 @@ def test_cli_png_stdout(corpus_dir, capsys):
     finally:
         _sys.stdout = real
     assert buf.data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_cli_include_exclude_attrs(corpus_dir, capsys):
+    """Reference cli.py --include-attrs/--exclude-attrs."""
+    out = _run_cli(
+        [corpus_dir, "--format", "csv", "--types", "char",
+         "--include-attrs", "page_number"],
+        capsys,
+    )
+    rows = list(csv.DictReader(io.StringIO(out)))
+    assert set(rows[0].keys()) == {"object_type", "page_number"}
+    out = _run_cli(
+        [corpus_dir, "--format", "csv", "--types", "char",
+         "--exclude-attrs", "text"],
+        capsys,
+    )
+    rows = list(csv.DictReader(io.StringIO(out)))
+    assert "text" not in rows[0]
