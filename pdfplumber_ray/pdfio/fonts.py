@@ -418,6 +418,20 @@ class SimpleFont(PDFFontBase):
                     code += 1
         self.cid2unicode = table
 
+        if wl is None and not self.widths:
+            # widthless standard-14 font: resolve metrics through the
+            # AFM-equivalent table (std14.py), keyed by unicode so any
+            # encoding works; remaining glyphs keep default_width
+            from .std14 import STD14_WIDTHS
+
+            metrics = STD14_WIDTHS.get(_strip_subset(str(base)))
+            if metrics:
+                self.widths = {
+                    code: metrics[u]
+                    for code, u in table.items()
+                    if u in metrics
+                }
+
         self.unicode_map: Optional[Dict[int, str]] = None
         tu = r(spec.get("ToUnicode"))
         if isinstance(tu, PDFStream):
