@@ -1197,6 +1197,17 @@ def q_words_by_lang(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_length_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-language length quantiles without a global sort:
+    value-count combiner -> (lang, value) groupby -> per-group
+    cumulative pick. Shuffle volume = distinct (lang, n_chars) pairs,
+    independent of corpus size."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return co.grouped_quantiles_ds(docs, value_col="n_chars", group_col="lang")
+
+
 def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     """Train/eval decontamination sweep: docs with doc_id % 20 == 0 form
     the held-out split; every other doc reports how many of its distinct
@@ -1668,6 +1679,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "rect_mcids": q_rect_mcids,
     "page_images": q_page_images,
     "decontaminate": q_decontaminate,
+    "length_quantiles": q_length_quantiles,
     "real_layout_text": q_real_layout_text,
     "real_tables": q_real_tables,
     "real_objects": q_real_objects,
@@ -1878,6 +1890,22 @@ ORACLES: Dict[str, str] = {
     # (textstats.md5_u64), so DuckDB reproduces signatures, band keys and
     # bucket membership bit-exactly — these are full value oracles for the
     # banding paths, not just the verified subsets.
+    "length_quantiles": """
+        WITH counts AS (SELECT lang, n_chars AS v, count(*) AS n
+                        FROM documents GROUP BY 1, 2),
+        tot AS (SELECT lang, sum(n) AS N FROM counts GROUP BY 1),
+        cum AS (SELECT lang, v,
+                  sum(n) OVER (PARTITION BY lang ORDER BY v) AS c
+                FROM counts),
+        qs(q_e2) AS (VALUES (25), (50), (75), (95)),
+        pick AS (SELECT c.lang, q.q_e2, min(c.v) AS value
+                 FROM cum c JOIN tot t USING (lang) CROSS JOIN qs q
+                 WHERE c.c >= CAST(ceil(q.q_e2 / 100.0 * t.N) AS BIGINT)
+                 GROUP BY c.lang, q.q_e2)
+        SELECT lang, CAST(q_e2 AS BIGINT) AS q_e2,
+               CAST(value AS BIGINT) AS value
+        FROM pick
+    """,
     "decontaminate": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
                    FROM documents WHERE text <> ''),

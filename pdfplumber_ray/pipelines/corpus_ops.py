@@ -1397,3 +1397,68 @@ def decontaminate_ds(
         )
 
     return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_quantiles_ds(
+    docs: Dataset,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    qs: Tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> Dataset:
+    """Exact per-group quantiles of an integer column WITHOUT a global
+    sort: per-batch value-count combiner -> ``groupby(group, value)``
+    sum -> per-group cumulative pick inside ``map_groups``. The shuffle
+    moves one row per distinct (group, value) pair — for bounded-domain
+    columns (lengths, counts, scores) that is thousands of rows
+    regardless of corpus size, where a sort-based quantile would move
+    all of it.
+
+    Quantile definition (mirrored exactly by the SQL oracle): the
+    smallest value whose cumulative count reaches ``ceil(q * N)``.
+    Returns (group, q_e2 = int(q*100), value).
+    """
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame({"g": g, "v": v})
+        cnt = df.groupby(["g", "v"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                group_col: pa.array(cnt["g"]),
+                "v": pa.array(cnt["v"], pa.int64()),
+                "n": pa.array(cnt["n"], pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.select_columns([group_col, value_col])
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "v"])
+        .sum("n")
+    )
+
+    def pick(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        n = group.column("sum(n)").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, n = v[order], n[order]
+        c = np.cumsum(n)
+        total = int(c[-1])
+        gname = group.column(group_col)[0].as_py()
+        out_q, out_v = [], []
+        for q in qs:
+            rank = int(np.ceil(q * total))
+            idx = int(np.searchsorted(c, max(rank, 1)))
+            out_q.append(int(round(q * 100)))
+            out_v.append(int(v[min(idx, len(v) - 1)]))
+        return pa.table(
+            {
+                group_col: pa.array([gname] * len(qs)),
+                "q_e2": pa.array(out_q, pa.int64()),
+                "value": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return counts.groupby(group_col).map_groups(pick, batch_format="pyarrow")

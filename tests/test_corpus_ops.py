@@ -363,3 +363,33 @@ def test_decontaminate_eval_guard(ray_session):
     )
     with pytest.raises(ValueError, match="max_eval_grams"):
         co.decontaminate_ds(docs, eval_mod=2, shingle_k=3, max_eval_grams=2)
+
+
+def test_grouped_quantiles(ray_session):
+    """Exact quantile definition: smallest value whose cumulative count
+    reaches ceil(q*N)."""
+    import pandas as pd
+
+    vals = {"a": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10], "b": [5, 5, 5, 7]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array([g for g, _ in rows]),
+                "n_chars": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+    )
+    out = (
+        co.grouped_quantiles_ds(docs)
+        .to_pandas()
+        .sort_values(["lang", "q_e2"])
+        .reset_index(drop=True)
+    )
+    got = {(r.lang, r.q_e2): r.value for r in out.itertuples()}
+    # a: N=10 -> ranks ceil(2.5)=3, 5, ceil(7.5)=8, ceil(9.5)=10
+    assert got[("a", 25)] == 3 and got[("a", 50)] == 5
+    assert got[("a", 75)] == 8 and got[("a", 95)] == 10
+    # b: N=4 -> ranks 1, 2, 3, 4 over [5,5,5,7]
+    assert got[("b", 25)] == 5 and got[("b", 50)] == 5
+    assert got[("b", 75)] == 5 and got[("b", 95)] == 7
