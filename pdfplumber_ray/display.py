@@ -527,6 +527,9 @@ class PageImage:
 def _as_obj_list(objs: Any) -> List[Any]:
     if isinstance(objs, dict) and "x0" in objs:
         return list(_obj_arrays_iter(objs))
+    if hasattr(objs, "to_dict") and hasattr(objs, "columns"):
+        # pandas DataFrame (reference utils.to_list, display.py draw_*)
+        return objs.to_dict("records")
     return list(objs)
 
 

@@ -218,3 +218,14 @@ def test_page_images_batch_real_pdf():
     assert arr.shape[1] == out.column("img_width")[0].as_py()
     # a rendered page is not blank
     assert (arr < 250).any()
+
+
+def test_draw_rects_accepts_dataframe():
+    import pandas as pd
+
+    img = PageImage(_page(), render_base=False)
+    df = pd.DataFrame(
+        [{"x0": 100.0, "top": 100.0, "x1": 150.0, "bottom": 130.0}]
+    )
+    img.draw_rects(df)
+    assert (img.annotated.img[115, 125] != 255).any()
