@@ -124,6 +124,26 @@ def calculate_area(bbox: Bbox) -> float:
     return (right - left) * (bottom - top)
 
 
+def test_proposed_bbox(bbox: Bbox, parent_bbox: Bbox) -> None:
+    """Crop-bbox validation (reference page.py:627-644
+    ``test_proposed_bbox``): zero-area, fully-outside, and
+    partially-outside boxes raise ValueError."""
+    bbox_area = calculate_area(bbox)
+    if bbox_area == 0:
+        raise ValueError(f"Bounding box {bbox} has an area of zero.")
+    overlap = get_bbox_overlap(bbox, parent_bbox)
+    if overlap is None:
+        raise ValueError(
+            f"Bounding box {bbox} is entirely outside "
+            f"parent page bounding box {parent_bbox}"
+        )
+    if calculate_area(overlap) < bbox_area:
+        raise ValueError(
+            f"Bounding box {bbox} is not fully within "
+            f"parent page bounding box {parent_bbox}"
+        )
+
+
 def move_objects(objs: ObjArrays, axis: str, value) -> ObjArrays:
     """Vectorized move_object (reference geometry.py:128-147): shift every
     record along one axis; ``value`` may be a scalar or a per-row array."""

@@ -341,13 +341,19 @@ def crop_ds(
     bbox,
     mode: str = "crop",
     cfg: Optional[PipelineConfig] = None,
+    strict: bool = True,
 ) -> Dataset:
-    """Geometric crop / within_bbox / outside_bbox over page rows."""
+    """Geometric crop / within_bbox / outside_bbox over page rows.
+
+    ``strict=True`` (the reference's default) validates the bbox against
+    every page's bounds inside the stage — zero-area, inverted, or
+    out-of-page boxes fail the task with ValueError; ``strict=False``
+    clips silently (reference page.py:520-543, 627-644)."""
     cfg = cfg or PipelineConfig()
     return stage_map_batches(
         pages,
         PagesCrop,
-        {"bbox": tuple(bbox), "mode": mode},
+        {"bbox": tuple(bbox), "mode": mode, "strict": strict},
         batch_size=cfg.batch_size,
         use_actors=cfg.use_actors,
         concurrency=cfg.concurrency,

@@ -657,11 +657,17 @@ class PagesCrop:
     mode: "crop" clips object geometry to the bbox; "within" keeps fully
     contained objects; "outside" keeps disjoint ones."""
 
-    def __init__(self, bbox: Tuple[float, float, float, float], mode: str = "crop"):
+    def __init__(
+        self,
+        bbox: Tuple[float, float, float, float],
+        mode: str = "crop",
+        strict: bool = True,
+    ):
         if mode not in ("crop", "within", "outside"):
             raise ValueError(f"invalid crop mode: {mode}")
         self.bbox = tuple(float(v) for v in bbox)
         self.mode = mode
+        self.strict = strict
 
     def _apply(self, objs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         from ..functions.geometry import (
@@ -685,6 +691,14 @@ class PagesCrop:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: List[Tuple[str, PageDict]] = []
         for doc_id, page in arrow_pages_to_dicts(batch):
+            if self.strict:
+                # reference page.py:627-644 via CroppedPage(strict=True)
+                from ..functions.geometry import test_proposed_bbox
+
+                test_proposed_bbox(
+                    self.bbox,
+                    (0.0, 0.0, page["page_width"], page["page_height"]),
+                )
             page = dict(page)
             page["chars"] = self._apply(page["chars"])
             page["rects"] = self._apply(page["rects"])

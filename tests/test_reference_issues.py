@@ -213,3 +213,24 @@ def test_dedupe_chars_reference_values():
         extract_text_page(ctb2, y_tolerance=6).splitlines()[4]
         == "UE 8. Circulation - Métabolismes"
     )
+
+
+def test_invalid_crops_reference_semantics():
+    """Reference test_basics.py:113-141: zero-area, inverted,
+    out-of-page, and partially-outside crop boxes raise ValueError;
+    strict=False accepts an oversized box."""
+    from pdfplumber_ray.functions.geometry import test_proposed_bbox
+
+    page_bbox = (0.0, 0.0, 612.0, 792.0)
+    for bad in (
+        (0, 0, 0, 0),
+        (0, 0, 10000, 10),
+        (-10, 0, 10, 10),
+        (100, 0, 0, 100),
+        (0, 100, 100, 0),
+        (0, 0, 622, 802),
+    ):
+        with pytest.raises(ValueError):
+            test_proposed_bbox(tuple(float(v) for v in bad), page_bbox)
+    # valid box passes
+    test_proposed_bbox((0.0, 0.0, 100.0, 100.0), page_bbox)
