@@ -107,3 +107,44 @@ def dead_letters_ds(repaired: Dataset) -> Dataset:
         return batch.filter(m).select(["doc_id", "repair_status"])
 
     return repaired.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repair_pdf_batch(batch: pa.Table, password: str = "") -> pa.Table:
+    """Raw PDF bytes -> structurally rewritten bytes (the gs-repair
+    analogue, pdfio/rewrite.py): broken xrefs healed, encryption
+    stripped, supported filter chains decoded. Unloadable documents
+    dead-letter with the error string instead of failing the block."""
+    from ..pdfio.rewrite import rewrite_pdf
+
+    ids = batch.column("doc_id")
+    out: List[bytes] = []
+    statuses: List[str] = []
+    errors: List = []
+    for blob in batch.column("pdf_bytes").to_pylist():
+        try:
+            out.append(rewrite_pdf(blob, password=password))
+            statuses.append("rewritten")
+            errors.append(None)
+        except Exception as e:
+            out.append(b"")
+            statuses.append(STATUS_QUARANTINED)
+            errors.append(f"{type(e).__name__}: {e}")
+    return pa.table(
+        {
+            "doc_id": ids,
+            "pdf_bytes": pa.array(out, pa.binary()),
+            "repair_status": pa.array(statuses, pa.string()),
+            "error": pa.array(errors, pa.string()),
+        }
+    )
+
+
+def repair_pdf_docs_ds(docs: Dataset, password: str = "") -> Dataset:
+    """(doc_id, pdf_bytes) -> rewritten docs + status/error columns."""
+    import functools
+
+    return docs.map_batches(
+        functools.partial(repair_pdf_batch, password=password),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

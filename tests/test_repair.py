@@ -89,3 +89,82 @@ def test_corrupted_adapter_roundtrip(ray_session):
     out = out.sort_values("key").reset_index(drop=True)
     texts = [" ".join(s["text"] for s in spans) for spans in out.spans]
     assert texts == raw.column("text").to_pylist()
+
+
+def test_rewrite_pdf_heals_broken_xref():
+    """pdfio/rewrite.py: a PDF with a scrambled xref/startxref decodes
+    via scan recovery; the rewritten output has EXACT offsets (strict
+    check: every xref entry points at 'N 0 obj') and decodes to the
+    same text."""
+    import re
+
+    from pdfplumber_ray.pdfio.reader import decode_pdf_doc
+    from pdfplumber_ray.pdfio.rewrite import rewrite_pdf
+
+    path = "/root/reference/tests/pdfs/pdffill-demo.pdf"
+    data = open(path, "rb").read()
+    # corrupt: point startxref at garbage and stomp the first xref entry
+    broken = re.sub(rb"startxref\s+\d+", b"startxref\n999999999", data)
+    rows_orig, err = decode_pdf_doc("d", data)
+    assert err is None
+    rows_broken, err_b = decode_pdf_doc("d", broken)
+    assert err_b is None  # scan recovery already handles it
+
+    fixed = rewrite_pdf(broken)
+    rows_fixed, err_f = decode_pdf_doc("d", fixed)
+    assert err_f is None
+    t = lambda rows: ["".join(c["text"] for c in r["chars"]) for r in rows]
+    assert t(rows_fixed) == t(rows_orig)
+
+    # strict structural check on the rewritten file: xref offsets exact
+    m = re.search(rb"xref\n0 (\d+)\n", fixed)
+    assert m
+    nobjs = int(m.group(1))
+    table_at = m.end()
+    for i in range(nobjs):
+        entry = fixed[table_at + i * 20 : table_at + (i + 1) * 20]
+        off, gen, kind = entry.split()
+        if kind == b"n":
+            assert fixed[int(off) :].startswith(b"%d 0 obj" % i)
+
+
+def test_rewrite_pdf_strips_encryption(ray_session):
+    """An RC4-encrypted document rewrites to an unencrypted file that
+    opens with NO password and yields the same chars."""
+    from pdfplumber_ray.pdfio.reader import decode_pdf_doc
+    from pdfplumber_ray.pdfio.rewrite import rewrite_pdf
+
+    path = "/root/reference/tests/pdfs/password-example.pdf"
+    data = open(path, "rb").read()
+    rows_orig, err = decode_pdf_doc("d", data, password="test")
+    assert err is None
+    fixed = rewrite_pdf(data, password="test")
+    assert b"/Encrypt" not in fixed
+    rows_fixed, err_f = decode_pdf_doc("d", fixed)  # no password
+    assert err_f is None
+    t = lambda rows: ["".join(c["text"] for c in r["chars"]) for r in rows]
+    assert t(rows_fixed) == t(rows_orig)
+
+
+def test_repair_pdf_docs_ds(ray_session):
+    """The distributed repair stage: good docs rewrite, garbage docs
+    dead-letter without failing the block."""
+    import pyarrow as pa
+    import ray
+
+    from pdfplumber_ray.pipelines.repair import repair_pdf_docs_ds
+
+    good = open("/root/reference/tests/pdfs/pdffill-demo.pdf", "rb").read()
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["good", "garbage"]),
+                "pdf_bytes": pa.array([good, b"not a pdf at all"], pa.binary()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in repair_pdf_docs_ds(docs).take_all()}
+    assert out["good"]["repair_status"] == "rewritten"
+    assert out["good"]["pdf_bytes"][:5] == b"%PDF-"
+    assert out["garbage"]["repair_status"] == "quarantined"
+    assert out["garbage"]["error"]
