@@ -1197,6 +1197,65 @@ def q_words_by_lang(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_real_repair(sf_dir: str) -> ray.data.Dataset:
+    """Structural repair over the real corpus (gs-repair analogue,
+    pdfio/rewrite.py): every PDF is deterministically corrupted
+    (startxref pointed at garbage), rewritten by the repair stage, and
+    decoded — output pins per-doc page and char counts plus the repair
+    status. Quarantined docs (encrypted-without-password, empty) pin
+    their dead-letter rows too. Not SQL-expressible (rows-only)."""
+    import re as _re
+
+    from pdfplumber_ray.pdfio.reader import decode_pdf_doc
+    from pdfplumber_ray.pipelines.repair import repair_pdf_batch
+
+    paths = [f"{_REAL_PDF_DIR}/{n}" for n in _real_pdf_all()]
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def corrupt_repair_decode(batch: pa.Table) -> pa.Table:
+        names, pages_n, chars_n, statuses = [], [], [], []
+        for path, data in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            doc_id = os.path.basename(path)
+            broken = _re.sub(rb"startxref\s+\d+", b"startxref\n999999999", data)
+            rep = repair_pdf_batch(
+                pa.table(
+                    {
+                        "doc_id": pa.array([doc_id]),
+                        "pdf_bytes": pa.array([broken], pa.binary()),
+                    }
+                )
+            )
+            status = rep.column("repair_status")[0].as_py()
+            n_pages = n_chars = 0
+            if status == "rewritten":
+                rows, err = decode_pdf_doc(
+                    doc_id, rep.column("pdf_bytes")[0].as_py()
+                )
+                if err is None:
+                    n_pages = len(rows)
+                    n_chars = sum(len(r["chars"]) for r in rows)
+                else:
+                    status = "decode_error"
+            names.append(doc_id)
+            pages_n.append(n_pages)
+            chars_n.append(n_chars)
+            statuses.append(status)
+        return pa.table(
+            {
+                "doc_id": pa.array(names, pa.string()),
+                "n_pages": pa.array(pages_n, pa.int64()),
+                "n_chars": pa.array(chars_n, pa.int64()),
+                "repair_status": pa.array(statuses, pa.string()),
+            }
+        )
+
+    return ds.map_batches(
+        corrupt_repair_decode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_length_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact per-language length quantiles without a global sort:
     value-count combiner -> (lang, value) groupby -> per-group
@@ -1680,6 +1739,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "page_images": q_page_images,
     "decontaminate": q_decontaminate,
     "length_quantiles": q_length_quantiles,
+    "real_repair": q_real_repair,
     "real_layout_text": q_real_layout_text,
     "real_tables": q_real_tables,
     "real_objects": q_real_objects,

@@ -93,8 +93,10 @@ class PDFDocument:
             self._load_xrefs()
         except Exception:
             self.xref = {}
+        used_scan = False
         if not self.xref or "Root" not in self.trailer:
             self._scan_objects()
+            used_scan = True
         if self.trailer.get("Encrypt") is not None:
             from .crypt import StandardSecurityHandler
 
@@ -106,7 +108,14 @@ class PDFDocument:
             self._crypt = StandardSecurityHandler(
                 enc if isinstance(enc, dict) else {}, id0, password
             )
+            # drop anything parsed pre-decryption (scan recovery may
+            # have touched object streams and cached ciphertext)
             self._cache.clear()
+            self._objstm_cache.clear()
+            if used_scan:
+                # the pre-decryption scan expanded object streams over
+                # ciphertext; redo it now that streams decrypt
+                self._expand_objstms()
 
     # ---- xref loading ----
 
@@ -214,15 +223,68 @@ class PDFDocument:
                     self.xref[num] = (t, f2, f3)
         return int(self.resolve(d.get("Prev", 0)) or 0)
 
+    def _expand_objstms(self) -> List[Tuple[int, dict]]:
+        """Register type-2 xref entries for every object-stream member
+        reachable from the scan index; returns the (position, dict) of
+        each XRef stream found (pure xref-stream files keep /Root and
+        /Encrypt there, not in a ``trailer`` block)."""
+        xref_stream_dicts: List[Tuple[int, dict]] = []
+        for num in list(self.xref):
+            if self.xref[num][0] != 1:
+                continue
+            try:
+                obj = self.get_object(num)
+            except Exception:
+                continue
+            if not isinstance(obj, PDFStream):
+                continue
+            typ = self.resolve(obj.dict.get("Type"))
+            if typ == "XRef":
+                xref_stream_dicts.append((self.xref[num][1], obj.dict))
+                continue
+            if typ != "ObjStm":
+                continue
+            try:
+                raw = self.stream_data(obj)
+                n = int(self.resolve(obj.dict.get("N", 0)))
+                hp = Parser(raw, 0)
+                for idx in range(n):
+                    onum = hp.parse_object()
+                    hp.parse_object()  # member offset, unused here
+                    if isinstance(onum, int):
+                        self.xref.setdefault(onum, (2, num, idx))
+            except Exception:
+                continue
+        return xref_stream_dicts
+
     def _scan_objects(self) -> None:
         """Malformed-xref recovery: index every ``N G obj`` in the file
         (last definition wins, matching incremental-update semantics)."""
         for m in _OBJ_AT_RE.finditer(self.data):
             self.xref[int(m.group(1))] = (1, m.start(), int(m.group(2)))
-        tpos = self.data.rfind(b"trailer")
-        if tpos >= 0:
-            p = Parser(self.data, tpos + 7)
-            t = p.parse_object()
+        # expand object streams: compressed objects leave no ``N G obj``
+        # marker, so docs whose Catalog lives in an ObjStm (standard for
+        # xref-stream files) would otherwise stay unrecoverable
+        xref_stream_dicts = self._expand_objstms()
+        for _, d in sorted(xref_stream_dicts, key=lambda t: -t[0]):
+            for k, v in d.items():
+                if k not in (
+                    "Length", "Filter", "DecodeParms", "DP", "W", "Index",
+                    "Type", "Size", "Prev",
+                ):
+                    self.trailer.setdefault(k, v)
+        # merge EVERY trailer dict, newest (last in file) first — the
+        # final trailer of an incrementally-updated file may omit keys
+        # like /Encrypt that an earlier one carries, and missing /Encrypt
+        # silently yields ciphertext streams instead of content
+        tpositions = [
+            m.start() for m in re.finditer(rb"trailer", self.data)
+        ]
+        for tpos in reversed(tpositions):
+            try:
+                t = Parser(self.data, tpos + 7).parse_object()
+            except Exception:
+                continue
             if isinstance(t, dict):
                 for k, v in t.items():
                     self.trailer.setdefault(k, v)

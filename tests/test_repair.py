@@ -168,3 +168,21 @@ def test_repair_pdf_docs_ds(ray_session):
     assert out["good"]["pdf_bytes"][:5] == b"%PDF-"
     assert out["garbage"]["repair_status"] == "quarantined"
     assert out["garbage"]["error"]
+
+
+def test_scan_recovery_encrypted_xref_stream_doc():
+    """pr-138 is an encrypted pure-xref-stream file: with startxref
+    corrupted, scan recovery must find /Encrypt in the XRef stream dict
+    and re-expand object streams post-decryption — full char parity."""
+    import re
+
+    from pdfplumber_ray.pdfio.reader import decode_pdf_doc
+
+    data = open("/root/reference/tests/pdfs/pr-138-example.pdf", "rb").read()
+    broken = re.sub(rb"startxref\s+\d+", b"startxref\n999999999", data)
+    rows1, err1 = decode_pdf_doc("d", data)
+    rows2, err2 = decode_pdf_doc("d", broken)
+    assert err1 is None and err2 is None
+    assert sum(len(r["chars"]) for r in rows1) == 10635
+    t = lambda rows: ["".join(c["text"] for c in r["chars"]) for r in rows]
+    assert t(rows1) == t(rows2)
