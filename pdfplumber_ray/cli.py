@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="drop these columns from csv output (reference cli.py)",
     )
     p.add_argument("--output", default=None, help="output dir (distributed write)")
+    p.add_argument(
+        "--repair", action="store_true",
+        help="structurally rewrite PDF inputs (gs-repair analogue) into "
+        "--output instead of dumping objects",
+    )
     return p
 
 
@@ -131,6 +136,62 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
     from .sinks import objects_csv_ds, pages_json_ds
+
+    if args.repair:
+        if not _is_pdf_input(args.input):
+            print("--repair needs a PDF file or directory input", file=sys.stderr)
+            return 2
+        if not args.output:
+            print("--repair needs --output", file=sys.stderr)
+            return 2
+        import os
+
+        import ray.data
+
+        from .pipelines.repair import repair_pdf_docs_ds
+
+        paths = (
+            [args.input]
+            if args.input.lower().endswith(".pdf")
+            else [
+                os.path.join(args.input, n)
+                for n in sorted(os.listdir(args.input))
+                if n.lower().endswith(".pdf")
+            ]
+        )
+        docs = ray.data.read_binary_files(paths, include_paths=True)
+
+        def to_docs(batch):
+            import pyarrow as pa
+
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        [os.path.basename(p) for p in batch.column("path").to_pylist()]
+                    ),
+                    "pdf_bytes": batch.column("bytes"),
+                }
+            )
+
+        repaired = repair_pdf_docs_ds(
+            docs.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True),
+            password=args.password,
+        )
+        os.makedirs(args.output, exist_ok=True)
+        n_ok = n_bad = 0
+        for row in repaired.iter_rows():
+            if row["repair_status"] == "rewritten":
+                with open(os.path.join(args.output, row["doc_id"]), "wb") as f:
+                    f.write(row["pdf_bytes"])
+                n_ok += 1
+            else:
+                print(
+                    f"pdfplumber-ray: quarantined {row['doc_id']}: {row['error']}",
+                    file=sys.stderr,
+                )
+                n_bad += 1
+        print(f"repaired {n_ok}, quarantined {n_bad}", file=sys.stderr)
+        return 0
 
     pages = _pages_ds(args)
     if args.format == "csv":

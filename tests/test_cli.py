@@ -153,3 +153,16 @@ def test_cli_include_exclude_attrs(corpus_dir, capsys):
     )
     rows = list(csv.DictReader(io.StringIO(out)))
     assert "text" not in rows[0]
+
+
+def test_cli_repair(tmp_path, capsys):
+    from pdfplumber_ray.cli import main
+
+    out_dir = str(tmp_path / "repaired")
+    rc = main(
+        ["/root/reference/tests/pdfs/pdffill-demo.pdf", "--repair",
+         "--output", out_dir]
+    )
+    assert rc == 0
+    data = open(os.path.join(out_dir, "pdffill-demo.pdf"), "rb").read()
+    assert data[:5] == b"%PDF-"
