@@ -50,6 +50,10 @@ def _ser_num(v: float) -> bytes:
     if isinstance(v, int):
         return b"%d" % v
     s = f"{v:.12g}"
+    if "e" in s or "E" in s:
+        # PDF reals have NO exponent form (ISO 32000-1 §7.3.3): expand
+        # to plain decimal; sub-precision magnitudes round to 0
+        s = f"{v:.12f}".rstrip("0").rstrip(".") or "0"
     return s.encode("ascii")
 
 

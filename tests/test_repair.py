@@ -186,3 +186,75 @@ def test_scan_recovery_encrypted_xref_stream_doc():
     assert sum(len(r["chars"]) for r in rows1) == 10635
     t = lambda rows: ["".join(c["text"] for c in r["chars"]) for r in rows]
     assert t(rows1) == t(rows2)
+
+
+def test_serialize_object_roundtrip_property():
+    """Property: serialize_object output re-parses to an equal value for
+    arbitrary COS object graphs (names, numbers, strings, refs, nested
+    arrays/dicts)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdfplumber_ray.pdfio.rewrite import serialize_object
+    from pdfplumber_ray.pdfio.syntax import Parser, PDFRef
+
+    names = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=8,
+    )
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-2**31, max_value=2**31),
+        st.floats(
+            allow_nan=False, allow_infinity=False, width=32,
+            min_value=-1e10, max_value=1e10,
+        ),
+        st.binary(max_size=16),
+        names,
+        st.builds(
+            PDFRef,
+            st.integers(min_value=1, max_value=99999),
+            st.integers(min_value=0, max_value=99),
+        ),
+    )
+    objects = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=4),
+            st.dictionaries(names, inner, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    def eq(a, b):
+        if isinstance(a, PDFRef):
+            return isinstance(b, PDFRef) and (a.num, a.gen) == (b.num, b.gen)
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            # PDF reals carry no exponent form; compare at the writer's
+            # 12-significant-digit decimal precision
+            return fa == fb or abs(fa - fb) <= 1e-11 * max(abs(fa), abs(fb), 1.0)
+        if isinstance(a, list):
+            return (
+                isinstance(b, list)
+                and len(a) == len(b)
+                and all(eq(x, y) for x, y in zip(a, b))
+            )
+        if isinstance(a, dict):
+            return (
+                isinstance(b, dict)
+                and a.keys() == b.keys()
+                and all(eq(a[k], b[k]) for k in a)
+            )
+        return a == b
+
+    @settings(max_examples=200, deadline=None)
+    @given(objects)
+    def check(obj):
+        data = serialize_object(obj)
+        parsed = Parser(data, 0).parse_object()
+        assert eq(obj, parsed), (obj, data, parsed)
+
+    check()
