@@ -1494,6 +1494,25 @@ def q_real_objects(sf_dir: str) -> ray.data.Dataset:
             c = batch.column(col).combine_chunks()
             return pa.array(np.diff(c.offsets.to_numpy()).astype("int64"))
 
+        # quantized per-page char-geometry checksum: pins glyph bboxes
+        # (font metrics, matrix math) corpus-wide, not just counts
+        c = batch.column("chars").combine_chunks()
+        offs = c.offsets.to_numpy()
+        vals = c.values
+        per = np.zeros(len(vals), dtype=np.int64)
+        for f in ("x0", "x1", "top", "bottom"):
+            per += np.floor(
+                vals.field(f).to_numpy(zero_copy_only=False) * 1000.0
+            ).astype(np.int64)
+        lens = np.diff(offs)
+        if len(vals):
+            # reduceat quirks: an index == len(per) raises, and empty
+            # segments copy the next element — clip then mask
+            idx = np.minimum(offs[:-1], len(per) - 1)
+            seg = np.add.reduceat(per, idx)
+            geom = np.where(lens > 0, seg[: len(lens)], 0)
+        else:
+            geom = np.zeros(len(lens), dtype=np.int64)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -1504,6 +1523,7 @@ def q_real_objects(sf_dir: str) -> ray.data.Dataset:
                 "n_curves": counts("curves"),
                 "n_images": counts("images"),
                 "n_annots": counts("annots"),
+                "char_geom_e3": pa.array(geom, pa.int64()),
             }
         )
 
@@ -1837,7 +1857,7 @@ ORACLES: Dict[str, str] = {
     ),
     "real_objects": (
         "SELECT doc_id, page_number, n_chars, n_rects, n_lines, n_curves, "
-        "n_images, n_annots FROM "
+        "n_images, n_annots, char_geom_e3 FROM "
         f"read_parquet('{_REAL_GOLDEN_DIR}/real_objects.parquet')"
     ),
     "real_structure": (
