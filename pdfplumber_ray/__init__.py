@@ -22,3 +22,21 @@ from .config import (  # noqa: E402,F401
     TableConfig,
     WordConfig,
 )
+
+# user-facing conveniences (heavier imports stay lazy inside submodules)
+from .display import PageImage  # noqa: E402,F401
+
+
+def open_corpus(paths, password: str = "", **kwargs):
+    """Raw-PDF corpus -> PAGES Dataset (the engine's ``pdfplumber.open``
+    front door for many documents at once)."""
+    from .pdfio import read_pdf_corpus
+
+    return read_pdf_corpus(paths, password=password, **kwargs)
+
+
+def repair(data: bytes, password: str = "") -> bytes:
+    """Structurally rewrite one PDF's bytes (gs-repair analogue)."""
+    from .pdfio.rewrite import rewrite_pdf
+
+    return rewrite_pdf(data, password=password)
