@@ -234,3 +234,47 @@ def test_invalid_crops_reference_semantics():
             test_proposed_bbox(tuple(float(v) for v in bad), page_bbox)
     # valid box passes
     test_proposed_bbox((0.0, 0.0, 100.0, 100.0), page_bbox)
+
+
+def test_extract_words_directions_issue_192():
+    """Reference test_utils.py:78-100 via the modern direction API
+    (the reference's deprecated vertical_ttb/horizontal_ltr flags map
+    to char_dir_rotated='btt' / char_dir='rtl')."""
+    _, it = _interp("issue-192-example.pdf")
+    ct = _char_table(it.chars)
+
+    w = extract_words_page(
+        ct, WordConfig(char_dir_rotated="btt", line_dir_rotated="rtl")
+    )
+    assert w["text"][0] == "Agaaaaa:"
+    assert w["direction"][0] == "ltr"
+    assert "size" not in w
+
+    wa = extract_words_page(
+        ct,
+        WordConfig(
+            char_dir_rotated="btt", line_dir_rotated="rtl",
+            extra_attrs=("size",),
+        ),
+    )
+    assert round(float(wa["size"][0]), 2) == 9.96
+
+    ws = extract_words_page(
+        ct,
+        WordConfig(
+            char_dir_rotated="btt", line_dir_rotated="rtl",
+            keep_blank_chars=True,
+        ),
+    )
+    assert ws["text"][0] == "Agaaaaa: AAAA"
+
+    idx = [i for i in range(len(w["text"])) if not w["upright"][i]]
+    # reference (deprecated flag) reads "Aaaaaabag8": its legacy flag
+    # flips only the reading order while the modern direction API also
+    # flips the break direction, splitting the trailing digit
+    assert w["text"][idx[0]] == "Aaaaaabag"
+    assert w["direction"][idx[0]] == "btt"
+
+    wr = extract_words_page(ct, WordConfig(char_dir="rtl"))
+    assert wr["text"][1] == "baaabaaA/AAA"
+    assert wr["direction"][1] == "rtl"
