@@ -239,12 +239,13 @@ def test_invalid_crops_reference_semantics():
 def test_extract_words_directions_issue_192():
     """Reference test_utils.py:78-100 via the modern direction API
     (the reference's deprecated vertical_ttb/horizontal_ltr flags map
-    to char_dir_rotated='btt' / char_dir='rtl')."""
+    to char_dir_rotated='btt' with the default rotated line_dir 'ltr' /
+    char_dir='rtl'). Every pinned value reference-exact."""
     _, it = _interp("issue-192-example.pdf")
     ct = _char_table(it.chars)
 
     w = extract_words_page(
-        ct, WordConfig(char_dir_rotated="btt", line_dir_rotated="rtl")
+        ct, WordConfig(char_dir_rotated="btt", line_dir_rotated="ltr")
     )
     assert w["text"][0] == "Agaaaaa:"
     assert w["direction"][0] == "ltr"
@@ -253,7 +254,7 @@ def test_extract_words_directions_issue_192():
     wa = extract_words_page(
         ct,
         WordConfig(
-            char_dir_rotated="btt", line_dir_rotated="rtl",
+            char_dir_rotated="btt", line_dir_rotated="ltr",
             extra_attrs=("size",),
         ),
     )
@@ -262,17 +263,14 @@ def test_extract_words_directions_issue_192():
     ws = extract_words_page(
         ct,
         WordConfig(
-            char_dir_rotated="btt", line_dir_rotated="rtl",
+            char_dir_rotated="btt", line_dir_rotated="ltr",
             keep_blank_chars=True,
         ),
     )
     assert ws["text"][0] == "Agaaaaa: AAAA"
 
     idx = [i for i in range(len(w["text"])) if not w["upright"][i]]
-    # reference (deprecated flag) reads "Aaaaaabag8": its legacy flag
-    # flips only the reading order while the modern direction API also
-    # flips the break direction, splitting the trailing digit
-    assert w["text"][idx[0]] == "Aaaaaabag"
+    assert w["text"][idx[0]] == "Aaaaaabag8"
     assert w["direction"][idx[0]] == "btt"
 
     wr = extract_words_page(ct, WordConfig(char_dir="rtl"))
