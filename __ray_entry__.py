@@ -174,16 +174,19 @@ def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    return co.minhash_pairs_ds(_documents(sf_dir), threshold=0.5)
+    # max_bucket=None: oracle-backed entry — the SQL twin enumerates full
+    # quadratic pairs, so the hot-bucket star fallback must never engage at
+    # oracle-checked scales (the capped default is the production path)
+    return co.minhash_pairs_ds(_documents(sf_dir), threshold=0.5, max_bucket=None)
 
 
 def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    return co.simhash_pairs_ds(_documents(sf_dir), max_hamming=3)
+    return co.simhash_pairs_ds(_documents(sf_dir), max_hamming=3, max_bucket=None)
 
 
 def q_near_dup_verified(sf_dir: str) -> ray.data.Dataset:
     docs = _documents(sf_dir)
-    cands = co.minhash_pairs_ds(docs, threshold=0.35)
+    cands = co.minhash_pairs_ds(docs, threshold=0.35, max_bucket=None)
     return co.ngram_jaccard_verify_ds(cands, docs, threshold=0.5)
 
 
@@ -194,7 +197,7 @@ def q_near_dup_exact(sf_dir: str) -> ray.data.Dataset:
     sides compute the identical rational, so even the float column
     hash-matches)."""
     docs = _documents(sf_dir)
-    cands = co.minhash_pairs_ds(docs, num_perm=64, bands=64, threshold=0.0)
+    cands = co.minhash_pairs_ds(docs, num_perm=64, bands=64, threshold=0.0, max_bucket=None)
     verified = co.ngram_jaccard_verify_ds(cands, docs, threshold=0.5)
 
     def project(batch: pa.Table) -> pa.Table:
@@ -726,7 +729,7 @@ def q_dedup_resolution(sf_dir: str) -> ray.data.Dataset:
     """Duplicate-cluster resolution: verified near-dup pairs -> connected
     components -> every doc labeled with its canonical (minimum) id."""
     docs = _documents(sf_dir)
-    cands = co.minhash_pairs_ds(docs, num_perm=64, bands=64, threshold=0.0)
+    cands = co.minhash_pairs_ds(docs, num_perm=64, bands=64, threshold=0.0, max_bucket=None)
     pairs = co.ngram_jaccard_verify_ds(cands, docs, threshold=0.5)
     return co.dedup_resolution_ds(pairs, docs.select_columns(["doc_id"]))
 
@@ -1781,7 +1784,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
         co.embedding_near_dup_ds(_embeddings(sf_dir), threshold=0.45)
     ),
     "embedding_near_dup_lsh": lambda sf_dir: _sim_e3_pairs(
-        co.embedding_near_dup_lsh_ds(_embeddings(sf_dir), threshold=0.45, n_bits=6, n_tables=8)
+        co.embedding_near_dup_lsh_ds(
+            _embeddings(sf_dir), threshold=0.45, n_bits=6, n_tables=8, max_bucket=None
+        )
     ),
     "ann_brute": q_ann_brute,
     "ann_ivf": q_ann_ivf,

@@ -237,6 +237,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                     safe = "".join(
                         c if c.isalnum() or c in "-_." else "_" for c in did
                     )
+                    if safe != did:
+                        # sanitization is lossy ('a/b' and 'a:b' both map
+                        # to 'a_b') — disambiguate with a content hash of
+                        # the ORIGINAL id; deterministic across workers
+                        import hashlib
+
+                        safe += "-" + hashlib.md5(did.encode()).hexdigest()[:8]
                     with open(
                         f"{args.output}/{safe}-p{pn}.png", "wb"
                     ) as f:

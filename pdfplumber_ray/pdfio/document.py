@@ -114,8 +114,9 @@ class PDFDocument:
             self._objstm_cache.clear()
             if used_scan:
                 # the pre-decryption scan expanded object streams over
-                # ciphertext; redo it now that streams decrypt
-                self._expand_objstms()
+                # ciphertext; redo it now that streams decrypt, replacing
+                # any type-2 member indices parsed from ciphertext
+                self._expand_objstms(overwrite_type2=True)
 
     # ---- xref loading ----
 
@@ -223,11 +224,16 @@ class PDFDocument:
                     self.xref[num] = (t, f2, f3)
         return int(self.resolve(d.get("Prev", 0)) or 0)
 
-    def _expand_objstms(self) -> List[Tuple[int, dict]]:
+    def _expand_objstms(self, overwrite_type2: bool = False) -> List[Tuple[int, dict]]:
         """Register type-2 xref entries for every object-stream member
         reachable from the scan index; returns the (position, dict) of
         each XRef stream found (pure xref-stream files keep /Root and
-        /Encrypt there, not in a ``trailer`` block)."""
+        /Encrypt there, not in a ``trailer`` block).
+
+        ``overwrite_type2`` is used by the post-decryption re-expansion:
+        member indices parsed from ciphertext in the pre-decryption pass
+        may be wrong, so existing type-2 entries are REPLACED (type-1 scan
+        entries still win — the raw ``N G obj`` position is authoritative)."""
         xref_stream_dicts: List[Tuple[int, dict]] = []
         for num in list(self.xref):
             if self.xref[num][0] != 1:
@@ -252,7 +258,9 @@ class PDFDocument:
                     onum = hp.parse_object()
                     hp.parse_object()  # member offset, unused here
                     if isinstance(onum, int):
-                        self.xref.setdefault(onum, (2, num, idx))
+                        cur = self.xref.get(onum)
+                        if cur is None or (overwrite_type2 and cur[0] == 2):
+                            self.xref[onum] = (2, num, idx)
             except Exception:
                 continue
         return xref_stream_dicts

@@ -206,13 +206,11 @@ def _semi_join_collect(
     broadcast ``wanted`` set are reduced via ``value_fn(batch) -> column
     values`` and collected into a driver dict. Driver memory is bounded by
     ``len(wanted)``, never by the dataset size."""
-    wanted_ref = ray.put(wanted)
+    wanted_ref = ray.put(pa.array(sorted(wanted)))
 
     def pick(batch: pa.Table) -> pa.Table:
         w = ray.get(wanted_ref)
-        mask = pa.array(
-            [i in w for i in batch.column(id_col).to_pylist()], pa.bool_()
-        )
+        mask = pc.is_in(batch.column(id_col), value_set=w)
         return batch.filter(mask)
 
     out: Dict = {}
@@ -245,7 +243,7 @@ def minhash_pairs_ds(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
-    max_bucket: int = DEFAULT_MAX_BUCKET,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
 ) -> Dataset:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -278,7 +276,7 @@ def minhash_pairs_ds(
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(set(group.column("doc_id").to_pylist()))
         n = len(ids)
-        if n > max_bucket:  # hot bucket: star pairs, not quadratic
+        if max_bucket is not None and n > max_bucket:  # hot bucket: star pairs
             _log_star_fallback("minhash band", n, max_bucket)
             return pa.table(
                 {"doc_a": pa.array([ids[0]] * (n - 1)), "doc_b": pa.array(ids[1:])}
@@ -345,7 +343,7 @@ def simhash_pairs_ds(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket: int = DEFAULT_MAX_BUCKET,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
 ) -> Dataset:
     """SimHash near-dup pairs: 64-bit fingerprints, bucketing by each of 4
     16-bit chunks (pigeonhole: any pair within Hamming distance 3 shares at
@@ -384,7 +382,7 @@ def simhash_pairs_ds(
         b_out: List = []
         d_out: List[int] = []
         n = len(ids)
-        if n > max_bucket:  # hot bucket: verify only star pairs around min id
+        if max_bucket is not None and n > max_bucket:  # hot bucket: star pairs
             _log_star_fallback("simhash chunk", n, max_bucket)
             i0 = int(np.argmin(np.asarray(ids)))
             d = ts.hamming64(np.full(n, sigs[i0], dtype=np.uint64), sigs)
@@ -591,7 +589,7 @@ def embedding_near_dup_lsh_ds(
     n_bits: int = 8,
     n_tables: int = 4,
     round_digits: int = 6,
-    max_bucket: int = DEFAULT_MAX_BUCKET,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
 ) -> Dataset:
     """Random-hyperplane LSH embedding near-dup — the scale path: bucket
     vectors by the sign pattern of ``n_bits`` hyperplane dot products
@@ -640,7 +638,7 @@ def embedding_near_dup_lsh_ds(
         n = np.linalg.norm(m, axis=1)
         n[n == 0] = 1.0
         mn = m / n[:, None]
-        if len(ids) > max_bucket:  # hot bucket: star cosine, linear not O(n^2)
+        if max_bucket is not None and len(ids) > max_bucket:  # hot bucket: star cosine
             _log_star_fallback("embedding LSH", len(ids), max_bucket)
             sims_v = mn @ mn[0]  # ids sorted: index 0 is the min id
             hits = np.nonzero(np.round(sims_v, round_digits) >= threshold)[0]
@@ -887,16 +885,63 @@ def pack_sequences_ds(
     return tok.groupby("bucket").map_groups(pack, batch_format="pyarrow")
 
 
+def _label_shortcut(labels: Dataset) -> Dataset:
+    """Pointer-doubling step: label[node] <- label[label[node]]. One
+    groupby shuffle over (node count + node count) rows. Every label value
+    is itself a node (hash-min with self-loops guarantees it), so each
+    group carries exactly one definition row."""
+
+    def refs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("label"),
+                "node": b.column("node"),
+                "lab": pa.nulls(b.num_rows, b.column("label").type),
+            }
+        )
+
+    def defs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("node"),
+                "node": pa.nulls(b.num_rows, b.column("node").type),
+                "lab": b.column("label"),
+            }
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        lab_col = group.column("lab")
+        lab = pc.min(lab_col).as_py()
+        nodes = group.column("node").filter(pc.is_valid(group.column("node")))
+        if lab is None:  # defensive: key with no definition keeps itself
+            lab = group.column("key")[0].as_py()
+        return pa.table(
+            {"node": nodes, "label": pa.array([lab] * len(nodes), lab_col.type)}
+        )
+
+    a = labels.map_batches(refs, batch_format="pyarrow", zero_copy_batch=True)
+    b = labels.map_batches(defs, batch_format="pyarrow", zero_copy_batch=True)
+    return a.union(b).groupby("key").map_groups(resolve, batch_format="pyarrow")
+
+
 def _min_label_propagation(
-    pairs: Dataset, a_col: str, b_col: str, max_iters: int = 64
+    pairs: Dataset,
+    a_col: str,
+    b_col: str,
+    max_iters: int = 64,
+    stats: Optional[Dict] = None,
 ) -> Dataset:
     """Distributed connected components over a pair dataset: hash-min label
-    propagation (iterated ``groupby().min()`` to fixpoint). Returns
+    propagation (iterated ``groupby().min()`` to fixpoint) with a
+    pointer-doubling shortcut each round, so rounds are bounded by
+    O(log(component diameter)) rather than the diameter itself. Returns
     (node, label) with label = the component's minimum id. Nothing ever
     materializes on the driver — per iteration the shuffle moves one row
-    per directed edge plus one per node; iterations ~ component diameter
-    (near-dup clusters are shallow). Convergence is detected by a checksum
-    aggregate over the label assignment."""
+    per directed edge plus one per node. Convergence is detected by a
+    checksum aggregate over the label assignment; exiting via the
+    iteration cap without converging logs a warning and records
+    ``stats['converged']=False`` (pass a ``stats`` dict to observe
+    iteration count / convergence)."""
     import hashlib
 
     def to_edges(batch: pa.Table) -> pa.Table:
@@ -945,6 +990,8 @@ def _min_label_propagation(
         return int(s) & 0xFFFFFFFFFFFFFFFF
 
     prev = checksum(labels)
+    iters = 0
+    converged = False
     for _ in range(max_iters):
         # one propagation round: each node's label flows to its neighbors,
         # then every node keeps the minimum candidate (self label included)
@@ -983,23 +1030,33 @@ def _min_label_propagation(
             .groupby("src")
             .map_groups(send, batch_format="pyarrow")
         )
-        new_labels = (
-            msgs.groupby("node")
-            .aggregate(Min("label"))
-            .map_batches(
-                lambda b: pa.table(
-                    {"node": b.column("node"), "label": b.column("min(label)")}
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .materialize()
+        propagated = msgs.groupby("node").aggregate(Min("label")).map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "label": b.column("min(label)")}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
+        # pointer doubling: jump each node straight to its label's label —
+        # halves the remaining distance to the component minimum per round
+        new_labels = _label_shortcut(propagated).materialize()
+        iters += 1
         cur = checksum(new_labels)
         labels = new_labels
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        _LOG.warning(
+            "min-label propagation exited via the %d-iteration cap without "
+            "reaching the checksum fixpoint — canonical ids may be wrong for "
+            "components with very large diameter; raise max_iters",
+            max_iters,
+        )
+    if stats is not None:
+        stats["iterations"] = iters
+        stats["converged"] = converged
     return labels
 
 
@@ -1027,8 +1084,11 @@ def dedup_resolution_ds(
       linear in the number of dup-involved docs, never the pair set.
 
     ``distributed=None`` picks automatically by counting the pair set
-    against ``max_driver_pairs``."""
+    against ``max_driver_pairs``; the pair set is materialized ONCE first
+    so the chosen path reads blocks instead of re-executing the (possibly
+    expensive) upstream lineage a second time."""
     if distributed is None:
+        pairs = pairs.materialize()
         distributed = pairs.count() > max_driver_pairs
     if distributed:
         labels = _min_label_propagation(pairs, a_col, b_col)

@@ -24,7 +24,7 @@ stripping); both passes stream.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -68,9 +68,18 @@ def nav_mask(
     return (ratio > max_punct_ratio) & (words <= max_words) & (seps >= min_separators)
 
 
+# Sentinel fingerprint carrying the per-block document count through the
+# same df aggregate (fold the corpus doc count into one pass). Real
+# fingerprints are polynomial hashes mod 2^61-1, so they are always >= 0
+# and can never collide with -1.
+_DOC_COUNT_FP = -1
+
+
 def partial_doc_frequency(batch: pa.Table) -> pa.Table:
     """One row per distinct text-span fingerprint per document, pre-summed
-    within the batch — the combiner half of the df count."""
+    within the batch — the combiner half of the df count. Also emits one
+    ``(fp=_DOC_COUNT_FP, n=block_doc_count)`` sentinel row so a single
+    aggregate yields both the df counts AND the corpus document count."""
     values, lens = _flat_spans(batch)
     kinds = values.field("kind").to_numpy(zero_copy_only=False)
     texts = values.field("text").to_numpy(zero_copy_only=False)
@@ -82,29 +91,84 @@ def partial_doc_frequency(batch: pa.Table) -> pa.Table:
     pairs = np.unique(np.stack([di.astype(np.int64), fps.astype(np.int64)]), axis=1)
     t = pa.table({"fp": pairs[1]})
     g = pa.TableGroupBy(t, ["fp"]).aggregate([("fp", "count")])
+    fp_out = np.concatenate(
+        [
+            g.column("fp").to_numpy(zero_copy_only=False).astype(np.int64),
+            [_DOC_COUNT_FP],
+        ]
+    )
+    n_out = np.concatenate(
+        [
+            g.column("fp_count").to_numpy(zero_copy_only=False).astype(np.int64),
+            [len(lens)],
+        ]
+    )
     return pa.table(
-        {"fp": g.column("fp"), "n": g.column("fp_count").cast(pa.int64())}
+        {"fp": pa.array(fp_out, pa.int64()), "n": pa.array(n_out, pa.int64())}
     )
 
 
-def frequent_span_fps(docs: Dataset, min_count: int) -> np.ndarray:
-    """Fingerprints occurring in >= min_count documents (sorted array).
-    The aggregate shuffles one row per distinct fingerprint per block; the
-    returned frequent set is tiny (site templates), safe to collect."""
-    agg = (
+def _df_aggregate(docs: Dataset) -> Dataset:
+    """(fp, sum(n)) over the corpus; includes the _DOC_COUNT_FP sentinel row
+    whose sum is the total document count."""
+    return (
         docs.map_batches(
             partial_doc_frequency, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("fp")
         .sum("n")
     )
+
+
+def _keep_frequent_fn(min_count: int):
     def keep_frequent(batch: pa.Table) -> pa.Table:
-        m = pc.greater_equal(batch.column("sum(n)"), pa.scalar(int(min_count)))
+        m = pc.and_(
+            pc.greater_equal(batch.column("sum(n)"), pa.scalar(int(min_count))),
+            pc.not_equal(batch.column("fp"), pa.scalar(_DOC_COUNT_FP, pa.int64())),
+        )
         return batch.filter(m).select(["fp"])
 
-    freq = agg.map_batches(keep_frequent, batch_format="pyarrow", zero_copy_batch=True)
+    return keep_frequent
+
+
+def frequent_span_fps(docs: Dataset, min_count: int) -> np.ndarray:
+    """Fingerprints occurring in >= min_count documents (sorted array).
+    The aggregate shuffles one row per distinct fingerprint per block; the
+    returned frequent set is tiny (site templates), safe to collect."""
+    freq = _df_aggregate(docs).map_batches(
+        _keep_frequent_fn(min_count), batch_format="pyarrow", zero_copy_batch=True
+    )
     fps = [row["fp"] for row in freq.take_all()]
     return np.sort(np.asarray(fps, dtype=np.int64))
+
+
+def frequent_span_fps_auto(
+    docs: Dataset, min_df_fraction: float
+) -> Tuple[np.ndarray, int]:
+    """Like :func:`frequent_span_fps` but with the doc count folded into the
+    SAME pass via the sentinel row — ONE streaming pass over ``docs`` yields
+    both the corpus document count and the frequent-fingerprint set. Only
+    the df aggregate (one row per distinct fingerprint, far smaller than the
+    corpus) is materialized so it is consumed twice without re-executing the
+    upstream lineage."""
+    agg = _df_aggregate(docs).materialize()
+
+    def pick_sentinel(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch.column("fp"), pa.scalar(_DOC_COUNT_FP, pa.int64()))
+        )
+
+    n_docs = 0
+    for row in agg.map_batches(
+        pick_sentinel, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
+        n_docs += int(row["sum(n)"])
+    min_count = max(2, int(np.ceil(min_df_fraction * n_docs)))
+    freq = agg.map_batches(
+        _keep_frequent_fn(min_count), batch_format="pyarrow", zero_copy_batch=True
+    )
+    fps = [row["fp"] for row in freq.take_all()]
+    return np.sort(np.asarray(fps, dtype=np.int64)), n_docs
 
 
 class StripBoilerplate:
@@ -183,9 +247,12 @@ def strip_boilerplate_ds(
     if cache_input:
         docs = docs.materialize()
     if n_docs is None:
-        n_docs = docs.count()
-    min_count = max(2, int(np.ceil(min_df_fraction * n_docs)))
-    fps = frequent_span_fps(docs, min_count)
+        # doc count folded into the frequency pass (sentinel row) — one
+        # streaming pass over docs instead of a separate count() pass
+        fps, _ = frequent_span_fps_auto(docs, min_df_fraction)
+    else:
+        min_count = max(2, int(np.ceil(min_df_fraction * n_docs)))
+        fps = frequent_span_fps(docs, min_count)
     return docs.map_batches(
         StripBoilerplate,
         fn_constructor_kwargs={

@@ -260,6 +260,28 @@ def test_dedup_resolution_distributed_string_ids(ray_session):
     assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
 
 
+def test_min_label_long_chain_log_rounds(ray_session):
+    """Worst-case propagation depth: a single chain component of n nodes
+    (diameter n-1). Pointer doubling must reach the fixpoint in
+    O(log2(diameter)) rounds — a plain hash-min walk would need n-1 and
+    previously exited the 64-iteration cap SILENTLY wrong (ADVICE r3)."""
+    n = 300
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+                "doc_b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+    )
+    stats = {}
+    labels = co._min_label_propagation(pairs, "doc_a", "doc_b", stats=stats).to_pandas()
+    assert stats["converged"]
+    assert stats["iterations"] <= int(np.ceil(np.log2(n))) + 3
+    assert len(labels) == n
+    assert (labels.label == 0).all()
+
+
 def test_hot_bucket_star_fallback(ray_session, caplog):
     """1k near-identical docs: every LSH band bucket blows past max_bucket;
     the star fallback must complete with O(n) pairs (not 500k) while

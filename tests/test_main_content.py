@@ -69,6 +69,29 @@ def test_template_frequency_finds_footer(ray_session):
     assert fps.size == 1
 
 
+def test_auto_doc_count_single_pass(ray_session):
+    """n_docs=None folds the corpus doc count into the frequency aggregate
+    (sentinel fp row) — result identical to the explicit-count path."""
+    import ray.data
+
+    from pdfplumber_ray.pipelines.main_content import frequent_span_fps_auto
+
+    raw = _docs_table()
+    docs = ray.data.from_arrow(docs_with_boilerplate_batch(raw))
+    fps_auto, n_docs = frequent_span_fps_auto(docs, min_df_fraction=0.3)
+    assert n_docs == raw.num_rows
+    fps_explicit = frequent_span_fps(
+        docs, min_count=max(2, int(np.ceil(0.3 * raw.num_rows)))
+    )
+    assert np.array_equal(fps_auto, fps_explicit)
+    # end to end: the auto path strips identically to the explicit path
+    stripped = strip_boilerplate_ds(docs)  # n_docs unset -> auto
+    out = main_content_text_ds(stripped).to_pandas()
+    out["key"] = out.doc_id.str.rsplit("-", n=1).str[1].astype(int)
+    out = out.sort_values("key").reset_index(drop=True)
+    assert (out.text.values == raw.column("text").to_numpy(zero_copy_only=False)).all()
+
+
 def test_non_text_spans_survive(ray_session):
     import ray.data
 
