@@ -1282,29 +1282,39 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
 
 def q_page_images(sf_dir: str) -> ray.data.Dataset:
     """Page raster debug surface (reference display.py Page.to_image):
-    object-level render of every decoded page to PNG bytes inside
-    ``map_batches``. Rendering is not SQL-expressible, so this entry
-    carries no oracle (rows-only check); PNG integrity is pinned by
-    tests/test_display.py's decoder. Projects dims + payload size;
-    the png bytes stay out of the result."""
+    glyph-bitmap render of every REAL corpus page to PNG bytes inside
+    ``map_batches``. The projection (dims + payload size + a pixel
+    checksum of the raster) is deterministic, so it pins against a golden
+    parquet (scripts/gen_real_goldens.py) — the raster is sf-independent
+    like the other real_* goldens; PNG integrity is separately pinned by
+    tests/test_display.py's decoder. Synthetic-page rendering is covered
+    there too. The png bytes stay out of the result."""
     from pdfplumber_ray.display import page_images_batch
 
-    pages = decode_pages_ds(_interleaved_docs(sf_dir))
+    pages = _real_pdf_pages(sf_dir, _real_pdf_all())
     imgs = pages.map_batches(
         page_images_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def project(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+        import zlib as _zlib
 
-        ids = _doc_id_to_int(batch.column("doc_id").to_pylist())
+        pix = pa.array(
+            [
+                _zlib.crc32(png) & 0xFFFFFFFF
+                for png in batch.column("png").to_pylist()
+            ],
+            pa.int64(),
+        )
         return pa.table(
             {
-                "doc_key": pa.array(ids, pa.int64()),
+                "doc_id": batch.column("doc_id"),
                 "page_number": batch.column("page_number").cast(pa.int64()),
                 "img_width": batch.column("img_width").cast(pa.int64()),
                 "img_height": batch.column("img_height").cast(pa.int64()),
                 "png_bytes": pc.binary_length(batch.column("png")).cast(pa.int64()),
+                "png_crc32": pix,
             }
         )
 
@@ -1884,6 +1894,18 @@ ORACLES: Dict[str, str] = {
         "SELECT doc_id, page_number, ordinal, text, x0_e6, top_e6, "
         "bottom_e6, size_e6, upright FROM "
         f"read_parquet('{_REAL_GOLDEN_DIR}/vertical_text.parquet')"
+    ),
+    # raster + repair goldens: deterministic projections of the real-PDF
+    # corpus (render pixels crc-pinned; repair pins page/char counts and
+    # status per doc), generated by the same scripts/gen_real_goldens.py
+    "page_images": (
+        "SELECT doc_id, page_number, img_width, img_height, png_bytes, "
+        "png_crc32 FROM "
+        f"read_parquet('{_REAL_GOLDEN_DIR}/page_images.parquet')"
+    ),
+    "real_repair": (
+        "SELECT doc_id, n_pages, n_chars, repair_status FROM "
+        f"read_parquet('{_REAL_GOLDEN_DIR}/real_repair.parquet')"
     ),
     "word_count": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "

@@ -9,9 +9,12 @@ numpy RGB canvas, and the overlay API (``draw_rect(s)``, ``draw_line(s)``,
 ``draw_vline(s)/draw_hline(s)``, ``draw_circle(s)``, ``outline_words``,
 ``outline_chars``, ``debug_tablefinder``, ``save``, ``_repr_png_``)
 mirrors the reference's signatures and default colors exactly
-(display.py:20-33 COLORS / DEFAULT_*). Glyph-accurate text rendering
-would need a font rasterizer; char cells are drawn as translucent boxes,
-which is what the debug overlays are used for in practice.
+(display.py:20-33 COLORS / DEFAULT_*). Text is rendered glyph-by-glyph
+from a built-in 5x7 bitmap font scaled into each char's decoded bbox
+(readable pages with zero native deps); glyphs outside the font's ASCII
+range — or cells too small to carry pixels — fall back to shading the
+char box by the glyph's estimated ink coverage, so dense and sparse
+text remain visually distinct.
 
 PNG output is encoded directly (zlib + struct, filter 0 rows) — no
 imaging dependency.
@@ -59,8 +62,139 @@ _RECT_STROKE = (120, 120, 120, 255)
 _RECT_FILL = (200, 200, 200, 120)
 _LINE_STROKE = (90, 90, 90, 255)
 _CHAR_FILL = (60, 60, 60, 110)
+_GLYPH_INK = (35, 35, 35, 235)
 _IMAGE_FILL = (170, 190, 220, 160)
 _IMAGE_STROKE = (100, 120, 160, 255)
+
+# Built-in 5x7 bitmap font (printable ASCII). Each glyph is 7 rows, top to
+# bottom, 5 bits wide (bit 4 = leftmost pixel). Hand-authored dot-matrix
+# shapes — no external font data. Used by the base raster to draw readable
+# text into decoded char bboxes; popcount/35 doubles as the glyph's ink
+# coverage for the small-cell shading fallback.
+_FONT_5X7: Dict[str, Tuple[int, ...]] = {
+    " ": (0, 0, 0, 0, 0, 0, 0),
+    "!": (0x04, 0x04, 0x04, 0x04, 0x04, 0x00, 0x04),
+    '"': (0x0A, 0x0A, 0x0A, 0x00, 0x00, 0x00, 0x00),
+    "#": (0x0A, 0x0A, 0x1F, 0x0A, 0x1F, 0x0A, 0x0A),
+    "$": (0x04, 0x0F, 0x14, 0x0E, 0x05, 0x1E, 0x04),
+    "%": (0x18, 0x19, 0x02, 0x04, 0x08, 0x13, 0x03),
+    "&": (0x0C, 0x12, 0x14, 0x08, 0x15, 0x12, 0x0D),
+    "'": (0x0C, 0x04, 0x08, 0x00, 0x00, 0x00, 0x00),
+    "(": (0x02, 0x04, 0x08, 0x08, 0x08, 0x04, 0x02),
+    ")": (0x08, 0x04, 0x02, 0x02, 0x02, 0x04, 0x08),
+    "*": (0x00, 0x04, 0x15, 0x0E, 0x15, 0x04, 0x00),
+    "+": (0x00, 0x04, 0x04, 0x1F, 0x04, 0x04, 0x00),
+    ",": (0x00, 0x00, 0x00, 0x00, 0x0C, 0x04, 0x08),
+    "-": (0x00, 0x00, 0x00, 0x1F, 0x00, 0x00, 0x00),
+    ".": (0x00, 0x00, 0x00, 0x00, 0x00, 0x0C, 0x0C),
+    "/": (0x00, 0x01, 0x02, 0x04, 0x08, 0x10, 0x00),
+    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
+    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
+    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+    ":": (0x00, 0x0C, 0x0C, 0x00, 0x0C, 0x0C, 0x00),
+    ";": (0x00, 0x0C, 0x0C, 0x00, 0x0C, 0x04, 0x08),
+    "<": (0x02, 0x04, 0x08, 0x10, 0x08, 0x04, 0x02),
+    "=": (0x00, 0x00, 0x1F, 0x00, 0x1F, 0x00, 0x00),
+    ">": (0x08, 0x04, 0x02, 0x01, 0x02, 0x04, 0x08),
+    "?": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x00, 0x04),
+    "@": (0x0E, 0x11, 0x01, 0x0D, 0x15, 0x15, 0x0E),
+    "A": (0x0E, 0x11, 0x11, 0x11, 0x1F, 0x11, 0x11),
+    "B": (0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    "C": (0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    "D": (0x1C, 0x12, 0x11, 0x11, 0x11, 0x12, 0x1C),
+    "E": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    "F": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    "G": (0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F),
+    "H": (0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "I": (0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "J": (0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    "K": (0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    "L": (0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    "M": (0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    "N": (0x11, 0x11, 0x19, 0x15, 0x13, 0x11, 0x11),
+    "O": (0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "P": (0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    "Q": (0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    "R": (0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    "S": (0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    "T": (0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "U": (0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "V": (0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "W": (0x11, 0x11, 0x11, 0x15, 0x15, 0x15, 0x0A),
+    "X": (0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    "Y": (0x11, 0x11, 0x11, 0x0A, 0x04, 0x04, 0x04),
+    "Z": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+    "[": (0x0E, 0x08, 0x08, 0x08, 0x08, 0x08, 0x0E),
+    "\\": (0x00, 0x10, 0x08, 0x04, 0x02, 0x01, 0x00),
+    "]": (0x0E, 0x02, 0x02, 0x02, 0x02, 0x02, 0x0E),
+    "^": (0x04, 0x0A, 0x11, 0x00, 0x00, 0x00, 0x00),
+    "_": (0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x1F),
+    "`": (0x08, 0x04, 0x02, 0x00, 0x00, 0x00, 0x00),
+    "a": (0x00, 0x00, 0x0E, 0x01, 0x0F, 0x11, 0x0F),
+    "b": (0x10, 0x10, 0x16, 0x19, 0x11, 0x11, 0x1E),
+    "c": (0x00, 0x00, 0x0E, 0x10, 0x10, 0x11, 0x0E),
+    "d": (0x01, 0x01, 0x0D, 0x13, 0x11, 0x11, 0x0F),
+    "e": (0x00, 0x00, 0x0E, 0x11, 0x1F, 0x10, 0x0E),
+    "f": (0x06, 0x09, 0x08, 0x1C, 0x08, 0x08, 0x08),
+    "g": (0x00, 0x0F, 0x11, 0x11, 0x0F, 0x01, 0x0E),
+    "h": (0x10, 0x10, 0x16, 0x19, 0x11, 0x11, 0x11),
+    "i": (0x04, 0x00, 0x0C, 0x04, 0x04, 0x04, 0x0E),
+    "j": (0x02, 0x00, 0x06, 0x02, 0x02, 0x12, 0x0C),
+    "k": (0x10, 0x10, 0x12, 0x14, 0x18, 0x14, 0x12),
+    "l": (0x0C, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "m": (0x00, 0x00, 0x1A, 0x15, 0x15, 0x11, 0x11),
+    "n": (0x00, 0x00, 0x16, 0x19, 0x11, 0x11, 0x11),
+    "o": (0x00, 0x00, 0x0E, 0x11, 0x11, 0x11, 0x0E),
+    "p": (0x00, 0x00, 0x1E, 0x11, 0x1E, 0x10, 0x10),
+    "q": (0x00, 0x00, 0x0D, 0x13, 0x0F, 0x01, 0x01),
+    "r": (0x00, 0x00, 0x16, 0x19, 0x10, 0x10, 0x10),
+    "s": (0x00, 0x00, 0x0E, 0x10, 0x0E, 0x01, 0x1E),
+    "t": (0x08, 0x08, 0x1C, 0x08, 0x08, 0x09, 0x06),
+    "u": (0x00, 0x00, 0x11, 0x11, 0x11, 0x13, 0x0D),
+    "v": (0x00, 0x00, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "w": (0x00, 0x00, 0x11, 0x11, 0x15, 0x15, 0x0A),
+    "x": (0x00, 0x00, 0x11, 0x0A, 0x04, 0x0A, 0x11),
+    "y": (0x00, 0x11, 0x11, 0x11, 0x0F, 0x01, 0x0E),
+    "z": (0x00, 0x00, 0x1F, 0x02, 0x04, 0x08, 0x1F),
+    "{": (0x02, 0x04, 0x04, 0x08, 0x04, 0x04, 0x02),
+    "|": (0x04, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "}": (0x08, 0x04, 0x04, 0x02, 0x04, 0x04, 0x08),
+    "~": (0x00, 0x00, 0x08, 0x15, 0x02, 0x00, 0x00),
+}
+
+_BITMAP_CACHE: Dict[str, np.ndarray] = {}
+_COVERAGE_CACHE: Dict[str, float] = {}
+
+
+def _glyph_bitmap(ch: str) -> Optional[np.ndarray]:
+    bm = _BITMAP_CACHE.get(ch)
+    if bm is None:
+        rows = _FONT_5X7.get(ch)
+        if rows is None:
+            return None
+        bm = np.array(
+            [[(r >> (4 - c)) & 1 for c in range(5)] for r in rows], dtype=bool
+        )
+        _BITMAP_CACHE[ch] = bm
+    return bm
+
+
+def _glyph_coverage(ch: str) -> float:
+    """Estimated ink fraction of the glyph cell (popcount / 35); unknown
+    (non-ASCII) glyphs get a mid density so they stay visible."""
+    cov = _COVERAGE_CACHE.get(ch)
+    if cov is None:
+        rows = _FONT_5X7.get(ch)
+        cov = 0.4 if rows is None else sum(bin(r).count("1") for r in rows) / 35.0
+        _COVERAGE_CACHE[ch] = cov
+    return cov
 
 
 def _rgba(color: Any) -> Tuple[int, int, int, int]:
@@ -147,6 +281,29 @@ class _Canvas:
                     mask[yi[keep], xi[keep]] = True
         self._blend_mask(mask, rgba)
 
+    def glyph(self, x0: int, y0: int, x1: int, y1: int, bitmap: np.ndarray, rgba) -> None:
+        """Scale a 7x5 bool bitmap into the pixel rect by nearest-neighbor
+        sampling and blend its set pixels."""
+        rgba = _rgba(rgba)
+        if rgba[3] == 0:
+            return
+        x0c, x1c = max(0, x0), min(self.w, x1)
+        y0c, y1c = max(0, y0), min(self.h, y1)
+        if x1c <= x0c or y1c <= y0c:
+            return
+        w = max(x1 - x0, 1)
+        h = max(y1 - y0, 1)
+        xs = np.clip((np.arange(x0c, x1c) - x0) * 5 // w, 0, 4)
+        ys = np.clip((np.arange(y0c, y1c) - y0) * 7 // h, 0, 6)
+        sub = bitmap[np.ix_(ys, xs)]
+        if not sub.any():
+            return
+        a = rgba[3] / 255.0
+        rgb = np.array(rgba[:3], dtype=np.float64)
+        region = self.img[y0c:y1c, x0c:x1c].astype(np.float64)
+        region[sub] = region[sub] * (1.0 - a) + rgb * a
+        self.img[y0c:y1c, x0c:x1c] = region.astype(np.uint8)
+
     def ellipse(self, x0: float, y0: float, x1: float, y1: float, fill, stroke) -> None:
         fill = _rgba(fill)
         stroke = _rgba(stroke)
@@ -188,6 +345,30 @@ def _obj_arrays_iter(objs: Any) -> Iterable[Tuple[float, float, float, float]]:
     else:
         for o in objs:
             yield float(o["x0"]), float(o["top"]), float(o["x1"]), float(o["bottom"])
+
+
+def _char_iter(objs: Any) -> Iterable[Tuple[float, float, float, float, str]]:
+    """Like _obj_arrays_iter but also yields each char's text (first
+    codepoint drives the glyph bitmap)."""
+    if objs is None:
+        return
+    if isinstance(objs, dict):
+        x0 = np.asarray(objs.get("x0", ()))
+        if x0.shape[0] == 0:
+            return
+        top = np.asarray(objs["top"])
+        x1 = np.asarray(objs["x1"])
+        bottom = np.asarray(objs["bottom"])
+        text = objs.get("text")
+        for i in range(x0.shape[0]):
+            t = text[i] if text is not None else ""
+            yield float(x0[i]), float(top[i]), float(x1[i]), float(bottom[i]), (t or "")
+    else:
+        for o in objs:
+            yield (
+                float(o["x0"]), float(o["top"]), float(o["x1"]),
+                float(o["bottom"]), o.get("text") or "",
+            )
 
 
 class PageImage:
@@ -265,9 +446,23 @@ class PageImage:
                 _IMAGE_STROKE,
             )
             canvas.polyline([(x0, y0), (x1, y1)], _IMAGE_STROKE)
-        for bb in _obj_arrays_iter(page.get("chars")):
-            x0, y0, x1, y1 = self._reproject_bbox(bb)
-            canvas.fill_rect(x0, y0, x1, y1, _CHAR_FILL)
+        for cx0, ctop, cx1, cbottom, text in _char_iter(page.get("chars")):
+            x0, y0, x1, y1 = self._reproject_bbox((cx0, ctop, cx1, cbottom))
+            ch = text[0] if text else ""
+            if ch in (" ", " ", ""):
+                continue
+            bm = _glyph_bitmap(ch)
+            if bm is not None and (x1 - x0) >= 3 and (y1 - y0) >= 5:
+                canvas.glyph(x0, y0, x1, y1, bm, _GLYPH_INK)
+            else:
+                # too small for pixels / outside the built-in font: shade
+                # the cell by the glyph's ink coverage so text density
+                # still reads at a glance
+                cov = _glyph_coverage(ch)
+                alpha = int(40 + 180 * cov)
+                canvas.fill_rect(
+                    x0, y0, x1, y1, _GLYPH_INK[:3] + (alpha,)
+                )
         return canvas.img
 
     # -- lifecycle --------------------------------------------------------

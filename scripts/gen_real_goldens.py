@@ -33,6 +33,8 @@ def main() -> int:
         ("real_rotation_text", E.q_real_rotation_text),
         ("real_tables", E.q_real_tables),
         ("vertical_text", E.q_vertical_text),
+        ("page_images", E.q_page_images),
+        ("real_repair", E.q_real_repair),
     ):
         import pyarrow as pa
         refs = ray.get(fn("/root/testdata/sf0.001").to_arrow_refs())

@@ -121,6 +121,39 @@ def test_base_render_shows_objects():
     assert (img.annotated.img[10, 10] == 255).all()
 
 
+def test_glyph_bitmap_render_differentiates_chars():
+    """The base raster draws actual 5x7 glyph pixels scaled into each char
+    bbox: an 'M' cell must carry more ink than a '.' cell, and both must
+    stay inside their bboxes (readable pages without a native renderer)."""
+    x0 = np.array([72.0, 100.0])
+    chars = {
+        "text": np.array(["M", "."], dtype=object),
+        "x0": x0,
+        "x1": x0 + 10.0,
+        "top": np.array([100.0, 100.0]),
+        "bottom": np.array([113.0, 113.0]),
+    }
+    page = {
+        "page_number": 1, "page_width": 200.0, "page_height": 200.0,
+        "chars": chars, "rects": None, "lines": None, "curves": [], "images": None,
+    }
+    img = PageImage(page, resolution=144).original
+    scale = 144 / 72.0
+
+    def ink(px0):
+        cell = img[
+            int(100 * scale) : int(113 * scale),
+            int(px0 * scale) : int((px0 + 10) * scale),
+        ]
+        return int((cell < 128).all(axis=2).sum())
+
+    m_ink, dot_ink = ink(72.0), ink(100.0)
+    assert m_ink > dot_ink > 0
+    assert m_ink > 3 * dot_ink
+    # nothing outside the char cells
+    assert (img[:, : int(71 * scale)] == 255).all()
+
+
 def test_draw_rect_and_reset():
     img = PageImage(_page(), render_base=False)
     before = img.annotated.img.copy()
