@@ -171,6 +171,8 @@ _FONT_5X7: Dict[str, Tuple[int, ...]] = {
 
 _BITMAP_CACHE: Dict[str, np.ndarray] = {}
 _COVERAGE_CACHE: Dict[str, float] = {}
+# (bitmap id, cell dims, clip) -> scaled boolean stamp; bounded
+_SCALED_GLYPH_CACHE: Dict[tuple, np.ndarray] = {}
 
 
 def _glyph_bitmap(ch: str) -> Optional[np.ndarray]:
@@ -239,13 +241,23 @@ class _Canvas:
         self.img = np.empty((self.h, self.w, 3), dtype=np.uint8)
         self.img[:] = bg
 
-    def _blend_mask(self, mask: np.ndarray, rgba: Tuple[int, int, int, int]) -> None:
+    def _blend_mask(
+        self,
+        mask: np.ndarray,
+        rgba: Tuple[int, int, int, int],
+        origin: Tuple[int, int] = (0, 0),
+    ) -> None:
+        """Blend ``rgba`` into the pixels of ``mask``; ``mask`` may be a
+        sub-window whose top-left sits at ``origin`` (avoids allocating
+        full-canvas masks for small primitives)."""
         a = rgba[3] / 255.0
         if a <= 0 or not mask.any():
             return
+        oy, ox = origin
+        window = self.img[oy : oy + mask.shape[0], ox : ox + mask.shape[1]]
         rgb = np.array(rgba[:3], dtype=np.float64)
-        region = self.img[mask].astype(np.float64)
-        self.img[mask] = (region * (1.0 - a) + rgb * a).astype(np.uint8)
+        region = window[mask].astype(np.float64)
+        window[mask] = (region * (1.0 - a) + rgb * a).astype(np.uint8)
 
     def fill_rect(self, x0: int, y0: int, x1: int, y1: int, rgba) -> None:
         rgba = _rgba(rgba)
@@ -266,20 +278,32 @@ class _Canvas:
         rgba = _rgba(rgba)
         if rgba[3] == 0 or len(points) < 2 or width <= 0:
             return
-        mask = np.zeros((self.h, self.w), dtype=bool)
         half_lo = (width - 1) // 2
         half_hi = width // 2
+        # localize the mask to the polyline's bounding box — a table grid
+        # stroke must not pay a full-canvas boolean scan per segment
+        bx0 = max(0, min(p[0] for p in points) - half_lo - 1)
+        by0 = max(0, min(p[1] for p in points) - half_lo - 1)
+        bx1 = min(self.w, max(p[0] for p in points) + half_hi + 2)
+        by1 = min(self.h, max(p[1] for p in points) + half_hi + 2)
+        if bx1 <= bx0 or by1 <= by0:
+            return
+        mw, mh = bx1 - bx0, by1 - by0
+        mask = np.zeros((mh, mw), dtype=bool)
         for (ax, ay), (bx, by) in zip(points, points[1:]):
             n = int(max(abs(bx - ax), abs(by - ay))) + 1
-            xs = np.rint(np.linspace(ax, bx, n)).astype(np.int64)
-            ys = np.rint(np.linspace(ay, by, n)).astype(np.int64)
+            # round in ABSOLUTE coordinates, then shift by the integer
+            # window origin — rint's half-even rule must see the same
+            # values as the unlocalized path did (pixel-exact goldens)
+            xs = np.rint(np.linspace(ax, bx, n)).astype(np.int64) - bx0
+            ys = np.rint(np.linspace(ay, by, n)).astype(np.int64) - by0
             for dy in range(-half_lo, half_hi + 1):
                 for dx in range(-half_lo, half_hi + 1):
                     xi = xs + dx
                     yi = ys + dy
-                    keep = (xi >= 0) & (xi < self.w) & (yi >= 0) & (yi < self.h)
+                    keep = (xi >= 0) & (xi < mw) & (yi >= 0) & (yi < mh)
                     mask[yi[keep], xi[keep]] = True
-        self._blend_mask(mask, rgba)
+        self._blend_mask(mask, rgba, origin=(by0, bx0))
 
     def glyph(self, x0: int, y0: int, x1: int, y1: int, bitmap: np.ndarray, rgba) -> None:
         """Scale a 7x5 bool bitmap into the pixel rect by nearest-neighbor
@@ -293,9 +317,16 @@ class _Canvas:
             return
         w = max(x1 - x0, 1)
         h = max(y1 - y0, 1)
-        xs = np.clip((np.arange(x0c, x1c) - x0) * 5 // w, 0, 4)
-        ys = np.clip((np.arange(y0c, y1c) - y0) * 7 // h, 0, 6)
-        sub = bitmap[np.ix_(ys, xs)]
+        # monospace text repeats identical (glyph, cell, clip) shapes all
+        # over a page — memoize the scaled boolean stamp
+        key = (id(bitmap), w, h, x0c - x0, x1c - x0, y0c - y0, y1c - y0)
+        sub = _SCALED_GLYPH_CACHE.get(key)
+        if sub is None:
+            xs = np.clip((np.arange(x0c, x1c) - x0) * 5 // w, 0, 4)
+            ys = np.clip((np.arange(y0c, y1c) - y0) * 7 // h, 0, 6)
+            sub = bitmap[ys[:, None], xs]
+            if len(_SCALED_GLYPH_CACHE) < 65536:
+                _SCALED_GLYPH_CACHE[key] = sub
         if not sub.any():
             return
         a = rgba[3] / 255.0
@@ -318,14 +349,12 @@ class _Canvas:
         yy, xx = np.mgrid[gy0:gy1, gx0:gx1]
         d = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2
         if fill[3] > 0:
-            m = np.zeros((self.h, self.w), dtype=bool)
-            m[gy0:gy1, gx0:gx1] = d <= 1.0
-            self._blend_mask(m, fill)
+            self._blend_mask(d <= 1.0, fill, origin=(gy0, gx0))
         if stroke[3] > 0:
             rim = max(1.0 / max(rx, ry), 0.25)
-            m = np.zeros((self.h, self.w), dtype=bool)
-            m[gy0:gy1, gx0:gx1] = (d <= 1.0) & (d >= (1.0 - rim) ** 2)
-            self._blend_mask(m, stroke)
+            self._blend_mask(
+                (d <= 1.0) & (d >= (1.0 - rim) ** 2), stroke, origin=(gy0, gx0)
+            )
 
 
 def _obj_arrays_iter(objs: Any) -> Iterable[Tuple[float, float, float, float]]:

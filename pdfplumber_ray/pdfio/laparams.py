@@ -21,6 +21,15 @@ installable here to pin which glyphs it drops), and the line chainer
 is order-sensitive. Grouping itself is the published
 connected-component closure over ``find_neighbors``.
 
+Ruled out experimentally (r4, issue-192): dropping whitespace/overprint
+/zero-width chars, upright-compatibility gating in the chainer, figure
+exclusion, out-of-mediabox clipping, and duplicate-bbox dedup — none
+move the horizontal counts toward 142/74 (the vertical counts are exact
+under all variants). The doc's OCR layer positions every fragment with
+its own ``Tm`` (per-glyph anisotropic scaling), so the residual gap is
+in per-glyph advance/bbox math for that one scan class, not in the
+grouping rules.
+
 Internal math runs in PDF bottom-left y coordinates (y0 = height -
 bottom) so the comparisons mirror the published algorithm verbatim.
 """

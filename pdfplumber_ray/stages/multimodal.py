@@ -1,14 +1,20 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-Real decode libraries (PIL/ffmpeg/torchaudio) are not in this container,
-so the *codec* is stubbed with a deterministic synthetic container format
-(``SYNM`` header, struct-packed fields) while everything Ray-side — binary
-column schema, actor-pool stage shape, batch sizing for large payloads,
-output layout — is real and tested. Swapping in a real decoder means
-replacing ``_decode_payload`` only; a non-synthetic payload raises
-``NotImplementedError`` with a clear message rather than garbage.
+Codec selection is feature-flagged at import:
 
-Payload layout (big-endian):
+* ``SYNM`` synthetic containers (the sandbox default) always decode —
+  deterministic struct-packed fields so SQL oracles predict every value.
+* Real **PNG** and **JPEG** payloads decode their metadata (dims, kind)
+  with ZERO native deps — PNG via the IHDR chunk (stdlib zlib world),
+  JPEG via an SOF-marker scan. When **PIL** is importable
+  (``HAVE_PIL``), pixel-level ops (resize) use it; without PIL,
+  metadata decode still works and pixel ops raise a clear
+  ``NotImplementedError`` instead of producing garbage.
+
+Everything Ray-side — binary column schema, actor-pool stage shape, batch
+sizing for large payloads, output layout — is identical across codecs.
+
+SYNM payload layout (big-endian):
     0:4   magic  b"SYNM"
     4:5   kind   (1=image, 2=audio, 3=video)
     5:7   width  uint16
@@ -25,9 +31,59 @@ from typing import Dict, List, Optional
 import numpy as np
 import pyarrow as pa
 
+try:  # feature flag: real pixel codecs when the imaging lib exists
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAVE_PIL = True
+except Exception:  # pragma: no cover - sandbox default
+    _PILImage = None
+    HAVE_PIL = False
+
 MAGIC = b"SYNM"
 KIND_IMAGE, KIND_AUDIO, KIND_VIDEO = 1, 2, 3
 _HEADER = struct.Struct(">4sBHHH")
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8"
+# JPEG SOF markers that carry frame dimensions (all SOFn except DHT/DAC/RST)
+_JPEG_SOF = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def _decode_png_meta(payload: bytes) -> Dict[str, int]:
+    """PNG dims from the IHDR chunk (always first, RFC 2083 §3) — no
+    imaging dep needed for metadata."""
+    if len(payload) < 24 or payload[12:16] != b"IHDR":
+        raise NotImplementedError("malformed PNG: missing IHDR")
+    w, h = struct.unpack(">II", payload[16:24])
+    return {
+        "kind": KIND_IMAGE, "width": w, "height": h,
+        "n_frames": 1, "n_bytes": len(payload),
+    }
+
+
+def _decode_jpeg_meta(payload: bytes) -> Dict[str, int]:
+    """JPEG dims from the first SOFn marker segment — pure byte scan."""
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if marker in _JPEG_SOF and pos + 9 <= n:
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return {
+                "kind": KIND_IMAGE, "width": w, "height": h,
+                "n_frames": 1, "n_bytes": len(payload),
+            }
+        pos += 2 + seglen
+    raise NotImplementedError("malformed JPEG: no SOF marker found")
 
 
 def pack_payload(kind: int, width: int, height: int, n_frames: int) -> bytes:
@@ -37,19 +93,40 @@ def pack_payload(kind: int, width: int, height: int, n_frames: int) -> bytes:
 
 
 def _decode_payload(payload: bytes) -> Dict[str, int]:
-    if payload[:4] != MAGIC:
-        raise NotImplementedError(
-            "real image/audio decode requires PIL/ffmpeg (not available in "
-            "this environment); only the SYNM synthetic container is supported"
-        )
-    magic, kind, width, height, n_frames = _HEADER.unpack_from(payload)
-    return {
-        "kind": kind,
-        "width": width,
-        "height": height,
-        "n_frames": n_frames,
-        "n_bytes": len(payload),
-    }
+    if payload[:4] == MAGIC:
+        magic, kind, width, height, n_frames = _HEADER.unpack_from(payload)
+        return {
+            "kind": kind,
+            "width": width,
+            "height": height,
+            "n_frames": n_frames,
+            "n_bytes": len(payload),
+        }
+    if payload[:8] == _PNG_MAGIC:
+        if HAVE_PIL:  # pragma: no cover - PIL absent in sandbox
+            import io
+
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return {
+                    "kind": KIND_IMAGE, "width": im.width, "height": im.height,
+                    "n_frames": getattr(im, "n_frames", 1),
+                    "n_bytes": len(payload),
+                }
+        return _decode_png_meta(payload)
+    if payload[:2] == _JPEG_MAGIC:
+        if HAVE_PIL:  # pragma: no cover - PIL absent in sandbox
+            import io
+
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return {
+                    "kind": KIND_IMAGE, "width": im.width, "height": im.height,
+                    "n_frames": 1, "n_bytes": len(payload),
+                }
+        return _decode_jpeg_meta(payload)
+    raise NotImplementedError(
+        "unrecognized media container (supported: SYNM synthetic, PNG, "
+        "JPEG; audio/video codecs require ffmpeg, not available here)"
+    )
 
 
 def payloads_for_doc_ids(doc_ids: List[int], kind: int = KIND_VIDEO) -> List[bytes]:
@@ -153,6 +230,19 @@ class MediaResize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out: List[bytes] = []
         for p in batch.column("payload").to_pylist():
+            if p[:8] == _PNG_MAGIC or p[:2] == _JPEG_MAGIC:
+                if not HAVE_PIL:
+                    raise NotImplementedError(
+                        "pixel-level resize of real images requires PIL "
+                        "(metadata decode works without it)"
+                    )
+                import io  # pragma: no cover - PIL absent in sandbox
+
+                with _PILImage.open(io.BytesIO(p)) as im:
+                    buf = io.BytesIO()
+                    im.resize((self.tw, self.th)).save(buf, format=im.format)
+                    out.append(buf.getvalue())
+                continue
             meta = _decode_payload(p)
             body = p[_HEADER.size :]
             tgt_len = (self.tw * self.th) // 64

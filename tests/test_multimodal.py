@@ -18,9 +18,61 @@ def test_payload_roundtrip():
     assert meta["n_bytes"] == 11 + (320 * 200) // 64
 
 
-def test_non_synthetic_payload_raises():
+def test_unknown_container_raises():
     with pytest.raises(NotImplementedError):
-        mm._decode_payload(b"\x89PNG\r\n\x1a\n....")
+        mm._decode_payload(b"RIFFxxxxWAVE....")  # audio: no codec here
+
+
+def test_real_png_metadata_decodes():
+    """Real-codec path (PNG): dims from IHDR, no imaging dep. The PNG is
+    produced by the repo's own encoder, so the bytes are a real image."""
+    from pdfplumber_ray.display import encode_png
+
+    png = encode_png(np.zeros((48, 64, 3), dtype=np.uint8))
+    meta = mm._decode_payload(png)
+    assert (meta["width"], meta["height"], meta["kind"]) == (64, 48, mm.KIND_IMAGE)
+    assert meta["n_frames"] == 1 and meta["n_bytes"] == len(png)
+    # the decode stage consumes it like any other payload
+    out = mm.MediaDecode()(
+        pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "media_ref": pa.array(["media://real/0"]),
+                "payload": pa.array([png], pa.binary()),
+            }
+        )
+    )
+    assert out.column("width").to_pylist() == [64]
+    assert out.column("height").to_pylist() == [48]
+
+
+def test_real_jpeg_metadata_decodes():
+    """Real-codec path (JPEG): dims from the SOF0 marker scan."""
+    sof0 = b"\xff\xc0" + (8 + 3).to_bytes(2, "big") + bytes([8]) + (
+        (120).to_bytes(2, "big") + (200).to_bytes(2, "big") + bytes([3])
+    ) + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    jpeg = b"\xff\xd8" + b"\xff\xe0\x00\x04\x4a\x46" + sof0 + b"\xff\xd9"
+    meta = mm._decode_payload(jpeg)
+    assert (meta["width"], meta["height"]) == (200, 120)
+
+
+def test_real_image_resize_requires_pil():
+    from pdfplumber_ray.display import encode_png
+
+    png = encode_png(np.zeros((8, 8, 3), dtype=np.uint8))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "media_ref": pa.array(["media://real/0"]),
+            "payload": pa.array([png], pa.binary()),
+        }
+    )
+    if mm.HAVE_PIL:  # pragma: no cover - PIL absent in sandbox
+        out = mm.MediaResize(4, 4)(t)
+        assert mm._decode_payload(out.column("payload")[0].as_py())["width"] == 4
+    else:
+        with pytest.raises(NotImplementedError):
+            mm.MediaResize(4, 4)(t)
 
 
 @pytest.fixture(scope="module")
