@@ -146,28 +146,34 @@ def frequent_span_fps_auto(
     docs: Dataset, min_df_fraction: float
 ) -> Tuple[np.ndarray, int]:
     """Like :func:`frequent_span_fps` but with the doc count folded into the
-    SAME pass via the sentinel row — ONE streaming pass over ``docs`` yields
-    both the corpus document count and the frequent-fingerprint set. Only
-    the df aggregate (one row per distinct fingerprint, far smaller than the
-    corpus) is materialized so it is consumed twice without re-executing the
-    upstream lineage."""
-    agg = _df_aggregate(docs).materialize()
+    SAME pass via the sentinel row — ONE streaming pass over ``docs`` and
+    ONE streamed consumption of the df aggregate yield both the corpus
+    document count and the frequent-fingerprint set. Because
+    ``min_count = max(2, ceil(fraction * n_docs))`` is always >= 2, the
+    distributed filter keeps only fingerprints seen in >= 2 documents (the
+    repeated-content candidates — tiny next to the distinct-fp set) plus
+    the sentinel; the exact threshold is applied driver-side once the
+    sentinel has been read. No materialize, no second aggregate pass."""
+    two = pa.scalar(2, pa.int64())
+    sent = pa.scalar(_DOC_COUNT_FP, pa.int64())
 
-    def pick_sentinel(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.equal(batch.column("fp"), pa.scalar(_DOC_COUNT_FP, pa.int64()))
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.greater_equal(batch.column("sum(n)"), two),
+            pc.equal(batch.column("fp"), sent),
         )
+        return batch.filter(m)
 
-    n_docs = 0
-    for row in agg.map_batches(
-        pick_sentinel, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all():
-        n_docs += int(row["sum(n)"])
+    rows = _df_aggregate(docs).map_batches(
+        keep_candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n_docs = sum(int(r["sum(n)"]) for r in rows if r["fp"] == _DOC_COUNT_FP)
     min_count = max(2, int(np.ceil(min_df_fraction * n_docs)))
-    freq = agg.map_batches(
-        _keep_frequent_fn(min_count), batch_format="pyarrow", zero_copy_batch=True
-    )
-    fps = [row["fp"] for row in freq.take_all()]
+    fps = [
+        r["fp"]
+        for r in rows
+        if r["fp"] != _DOC_COUNT_FP and r["sum(n)"] >= min_count
+    ]
     return np.sort(np.asarray(fps, dtype=np.int64)), n_docs
 
 
