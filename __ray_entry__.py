@@ -169,6 +169,30 @@ def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     return co.lang_id_ds(_documents(sf_dir))
 
 
+def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition metrics (duplicate-content quality filter
+    inputs): per-doc word/distinct-word/bigram counts and the max bigram
+    multiplicity — factorize + segment reductions, all integers."""
+    return co.repetition_stats_ds(_documents(sf_dir))
+
+
+def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
+    """Training-sequence chunking: sliding 64-token windows (stride 48)
+    per document; window text assembled via one pc.binary_join over an
+    index-built list array."""
+    return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
+
+
+def q_source_mix(sf_dir: str) -> ray.data.Dataset:
+    """Curriculum-mixing weights: per (source, lang) doc/token totals and
+    proportional-sampling weight in ppm (combiner before the stratum
+    groupby; only the tiny stratum table materializes)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
+    )
+    return co.source_mix_ds(docs)
+
+
 def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return co.fingerprint_ds(_documents(sf_dir))
 
@@ -1786,6 +1810,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "repetition_stats": q_repetition_stats,
+    "chunk_windows": q_chunk_windows,
+    "source_mix": q_source_mix,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "near_dup_verified": q_near_dup_verified,
@@ -2394,6 +2421,61 @@ ORACLES: Dict[str, str] = {
     # the polynomial rolling hash (h*257+byte mod 2^61-1) folded in SQL via
     # list_reduce with HUGEINT intermediates; documents are pure ASCII so
     # codepoints == utf-8 bytes
+    "repetition_stats": """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), w AS (
+          SELECT doc_id, count(DISTINCT x) AS n_distinct_words
+          FROM (SELECT doc_id, unnest(t) AS x FROM toks) GROUP BY doc_id
+        ), bc AS (
+          SELECT doc_id, x, count(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || chr(31) || t[i+1])) AS x
+            FROM toks WHERE len(t) > 1
+          ) GROUP BY doc_id, x
+        ), bt AS (
+          SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY doc_id
+        )
+        SELECT toks.doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CAST(w.n_distinct_words AS BIGINT) AS n_distinct_words,
+               CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(bt.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+        FROM toks JOIN w USING (doc_id) LEFT JOIN bt USING (doc_id)
+    """,
+    "chunk_windows": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ), c AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0,
+                     CASE WHEN n > 64 THEN (n - 64 + 47) // 48 ELSE 0 END)) AS i
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_index,
+               CAST(least(i * 48 + 64, n) - i * 48 AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(toks, i * 48 + 1,
+                                          least(i * 48 + 64, n)), ' ')
+                   AS chunk_text
+        FROM c
+    """,
+    "source_mix": """
+        WITH g AS (
+          SELECT source, lang, count(*) AS n_docs,
+                 SUM(len(string_split(text, ' '))) AS n_words
+          FROM documents GROUP BY source, lang
+        )
+        SELECT source, lang,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_docs * 1000000 // (SELECT SUM(n_docs) FROM g)
+                    AS BIGINT) AS weight_e6
+        FROM g
+    """,
     "fingerprint": """
         SELECT doc_id,
                printf('%016x', list_reduce(

@@ -124,6 +124,169 @@ def fingerprint_ds(docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def repetition_stats_ds(
+    docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Gopher-style repetition signals per document: word count, distinct
+    word count, bigram count, and the multiplicity of the most repeated
+    word bigram — the inputs to duplicate-content quality filters. All
+    integers (bit-exact SQL twin). Fully vectorized: one factorize over
+    the batch's flattened tokens, segment reductions per doc."""
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = len(texts)
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks]
+        ) if n else np.empty(0, dtype=object)
+        codes, _ = pd.factorize(flat)
+        codes = codes.astype(np.int64)
+        doc_idx = np.repeat(np.arange(n), lens)
+        # distinct words per doc
+        if len(codes):
+            pairs = np.unique(np.stack([doc_idx, codes]), axis=1)
+            n_distinct = np.bincount(pairs[0], minlength=n)
+        else:
+            n_distinct = np.zeros(n, dtype=np.int64)
+        # bigrams restricted to within-doc adjacency
+        top = np.zeros(n, dtype=np.int64)
+        if len(codes) > 1:
+            same = doc_idx[:-1] == doc_idx[1:]
+            k = int(codes.max()) + 1
+            bg_doc = doc_idx[:-1][same]
+            bg_key = codes[:-1][same] * k + codes[1:][same]
+            if bg_doc.size:
+                order = np.lexsort((bg_key, bg_doc))
+                d_s, v_s = bg_doc[order], bg_key[order]
+                new = np.ones(d_s.size, dtype=bool)
+                new[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+                grp = np.cumsum(new) - 1
+                cnt = np.bincount(grp)
+                np.maximum.at(top, d_s[new], cnt)
+        n_bigrams = np.maximum(lens - 1, 0)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_words": pa.array(lens),
+                "n_distinct_words": pa.array(n_distinct.astype(np.int64)),
+                "n_bigrams": pa.array(n_bigrams),
+                "top_bigram_n": pa.array(top),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_windows_ds(
+    docs: Dataset,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Sliding fixed-size token windows per document (training-sequence
+    chunking with overlap): one output row per window with its token count
+    and re-joined text. Pure map_batches expansion — no shuffle; window
+    assembly is a single ``pc.binary_join`` over an index-built list array
+    (no per-window Python join)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col)
+        n = len(texts)
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks]
+        ) if n else np.empty(0, dtype=object)
+        base = np.concatenate([[0], np.cumsum(lens)[:-1]]) if n else np.empty(0, np.int64)
+        n_chunks = 1 + np.maximum(lens - window + stride - 1, 0) // stride
+        doc_of_chunk = np.repeat(np.arange(n), n_chunks)
+        # chunk index within its doc
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        ci = np.arange(int(n_chunks.sum())) - np.repeat(first, n_chunks)
+        starts = ci * stride
+        stops = np.minimum(starts + window, lens[doc_of_chunk])
+        wlens = stops - starts
+        # values indices: for each chunk, base[doc]+start .. +wlen
+        offs = np.concatenate([[0], np.cumsum(wlens)]).astype(np.int64)
+        idx = np.repeat(base[doc_of_chunk] + starts, wlens) + (
+            np.arange(offs[-1]) - np.repeat(offs[:-1], wlens)
+        )
+        values = pa.array(flat[idx] if len(idx) else [], pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), values)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of_chunk)),
+                "chunk_index": pa.array(ci.astype(np.int64)),
+                "n_tokens": pa.array(wlens.astype(np.int64)),
+                "chunk_text": pc.binary_join(lists, " "),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_mix_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    group_cols: Tuple[str, str] = ("source", "lang"),
+) -> Dataset:
+    """Curriculum-mixing summary: per (source, lang) document and token
+    totals plus the mixing weight each stratum would get under
+    proportional sampling (integer ppm, floor semantics on both sides).
+    Combiner-before-groupby: the shuffle moves one row per stratum per
+    block; the aggregate result is tiny (strata count), so the final
+    weight normalization materializes only that."""
+    ga, gb = group_cols
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        nw = pc.add(pc.count_substring(texts, " "), 1).cast(pa.int64())
+        t = pa.table(
+            {
+                ga: batch.column(ga),
+                gb: batch.column(gb),
+                "d": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "w": nw,
+            }
+        )
+        g = t.group_by([ga, gb]).aggregate([("d", "sum"), ("w", "sum")])
+        return pa.table(
+            {
+                ga: g.column(ga),
+                gb: g.column(gb),
+                "d": g.column("d_sum"),
+                "w": g.column("w_sum"),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([ga, gb])
+        .aggregate(Sum("d"), Sum("w"))
+        .materialize()  # tiny: one row per stratum
+    )
+    total = int(agg.sum("sum(d)") or 0)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch.column("sum(d)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                ga: batch.column(ga),
+                gb: batch.column(gb),
+                "n_docs": pa.array(nd),
+                "n_words": batch.column("sum(w)").cast(pa.int64()),
+                "weight_e6": pa.array(nd * 1_000_000 // max(total, 1)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------- deduplication ----------
 
 

@@ -415,3 +415,60 @@ def test_grouped_quantiles(ray_session):
     # b: N=4 -> ranks 1, 2, 3, 4 over [5,5,5,7]
     assert got[("b", 25)] == 5 and got[("b", 50)] == 5
     assert got[("b", 75)] == 5 and got[("b", 95)] == 7
+
+
+def test_repetition_stats_kernel(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["a b a b c", "x", ""], pa.string()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in co.repetition_stats_ds(docs).take_all()}
+    # "a b a b c": 5 words, 3 distinct, 4 bigrams, "a b" twice
+    assert out[1]["n_words"] == 5 and out[1]["n_distinct_words"] == 3
+    assert out[1]["n_bigrams"] == 4 and out[1]["top_bigram_n"] == 2
+    # single token: no bigrams
+    assert out[2]["n_words"] == 1 and out[2]["top_bigram_n"] == 0
+    # empty text splits to one empty token (matches SQL string_split)
+    assert out[3]["n_words"] == 1 and out[3]["n_distinct_words"] == 1
+
+
+def test_chunk_windows_kernel(ray_session):
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([text, "only three words"], pa.string()),
+            }
+        )
+    )
+    rows = co.chunk_windows_ds(docs, window=4, stride=3).take_all()
+    d1 = sorted((r for r in rows if r["doc_id"] == 1), key=lambda r: r["chunk_index"])
+    # 10 tokens, w=4 s=3 -> chunks at 0,3,6 cover t0..t9 -> 1+ceil(6/3)=3
+    assert [r["chunk_text"] for r in d1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    assert [r["n_tokens"] for r in d1] == [4, 4, 4]
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "only three words"
+    assert d2[0]["n_tokens"] == 3
+
+
+def test_source_mix_weights(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["w", "w", "b"], pa.string()),
+                "lang": pa.array(["en", "en", "de"], pa.string()),
+                "text": pa.array(["a b", "c", "d e f"], pa.string()),
+            }
+        )
+    )
+    out = {(r["source"], r["lang"]): r for r in co.source_mix_ds(docs).take_all()}
+    assert out[("w", "en")]["n_docs"] == 2 and out[("w", "en")]["n_words"] == 3
+    assert out[("w", "en")]["weight_e6"] == 2_000_000 // 3
+    assert out[("b", "de")]["weight_e6"] == 1_000_000 // 3
