@@ -1820,6 +1820,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "embedding_near_dup": lambda sf_dir: _sim_e3_pairs(
         co.embedding_near_dup_ds(_embeddings(sf_dir), threshold=0.45)
     ),
+    "semantic_dedup": lambda sf_dir: _sim_e3_pairs(
+        co.semantic_dedup_pairs_ds(
+            _embeddings(sf_dir), n_clusters=8, threshold=0.45, max_bucket=None
+        )
+    ),
     "embedding_near_dup_lsh": lambda sf_dir: _sim_e3_pairs(
         co.embedding_near_dup_lsh_ds(
             _embeddings(sf_dir), threshold=0.45, n_bits=6, n_tables=8, max_bucket=None
@@ -2161,6 +2166,26 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "semantic_dedup": """
+        WITH c AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                 embedding AS ce
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+        ), a AS (
+          SELECT vec_id, embedding,
+                 (SELECT cid FROM c
+                  ORDER BY round(list_cosine_similarity(embedding, ce), 6)
+                           DESC, cid
+                  LIMIT 1) AS cid
+          FROM embeddings
+        )
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+               CAST(round(round(list_cosine_similarity(x.embedding,
+                    y.embedding), 6) * 1000) AS BIGINT) AS sim_e3
+        FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE round(list_cosine_similarity(x.embedding, y.embedding), 6)
+              >= 0.45
     """,
     "embedding_near_dup_lsh": """
         WITH d AS (SELECT max(len(embedding)) AS dim FROM embeddings),

@@ -1494,6 +1494,109 @@ def build_ivf_centroids(
     return cent
 
 
+def semantic_dedup_pairs_ds(
+    embeddings: Dataset,
+    n_clusters: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+) -> Dataset:
+    """SemDeDup-shaped semantic near-dup: assign every vector to its
+    nearest centroid (broadcast centroid matrix, one streaming pass),
+    then emit exact cosine pairs >= threshold WITHIN each cluster — the
+    published cluster-then-dedup pattern that replaces the O(N^2) global
+    scan with K cluster-local quadratic scans over a single
+    hash-by-cluster shuffle.
+
+    Centroids here are the ``n_clusters`` vectors with the smallest ids
+    (deterministic, so the DuckDB twin is exact by construction); at
+    scale swap in :func:`build_ivf_centroids` — the dataflow (broadcast
+    assign -> cluster groupby -> local pairs) is identical. Assignment
+    ties break toward the smaller centroid index on round-6 cosine
+    (numpy argmax first-max == SQL ORDER BY sim DESC, cid LIMIT 1).
+    Hot clusters degrade to star pairs past ``max_bucket`` (logged)."""
+    # bounded collect: k smallest ids per block, then the global k
+    def local_mink(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:n_clusters]
+        return batch.take(pa.array(order))
+
+    cand_ids: List[int] = []
+    cand_vecs: List[np.ndarray] = []
+    for b in embeddings.select_columns([id_col, vec_col]).map_batches(
+        local_mink, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        cand_ids.extend(b.column(id_col).to_pylist())
+        cand_vecs.extend(_as_matrix(b.column(vec_col)))
+    order = np.argsort(np.asarray(cand_ids), kind="stable")[:n_clusters]
+    cent = np.stack([cand_vecs[i] for i in order])
+    cn = np.linalg.norm(cent, axis=1)
+    cn[cn == 0] = 1.0
+    cent_ref = ray.put(np.ascontiguousarray(cent / cn[:, None]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        centn = ray.get(cent_ref)
+        m = _as_matrix(batch.column(vec_col))
+        bn = np.linalg.norm(m, axis=1)
+        bn[bn == 0] = 1.0
+        sims = np.round((m / bn[:, None]) @ centn.T, round_digits)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+                "cid": pa.array(sims.argmax(axis=1).astype(np.int64)),
+            }
+        )
+
+    assigned = embeddings.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def cluster_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _as_matrix(group.column(vec_col))[order]
+        bn = np.linalg.norm(m, axis=1)
+        bn[bn == 0] = 1.0
+        mn = m / bn[:, None]
+        n = len(ids)
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        if max_bucket is not None and n > max_bucket:
+            _log_star_fallback("semantic-dedup cluster", n, max_bucket)
+            sims = np.round(mn[1:] @ mn[0], round_digits)
+            keep = sims >= threshold
+            return pa.table(
+                {
+                    "vec_a": pa.array(np.full(int(keep.sum()), ids[0], np.int64)),
+                    "vec_b": pa.array(ids[1:][keep].astype(np.int64)),
+                    "sim": pa.array(sims[keep], pa.float64()),
+                }
+            )
+        sims = np.round(mn @ mn.T, round_digits)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sims[iu, ju] >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[iu[keep]].astype(np.int64)),
+                "vec_b": pa.array(ids[ju[keep]].astype(np.int64)),
+                "sim": pa.array(sims[iu, ju][keep], pa.float64()),
+            }
+        )
+
+    return assigned.groupby("cid").map_groups(cluster_pairs, batch_format="pyarrow")
+
+
 def ann_ivf_topk_ds(
     embeddings: Dataset,
     query_vec: np.ndarray,

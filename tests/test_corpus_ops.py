@@ -515,3 +515,36 @@ def test_dedup_resolution_auto_single_upstream_execution(ray_session):
     assert got[3] == 1 and got[11] == 10 and got[5] == 5
     # the tagged stage ran exactly once (one block in this tiny input)
     assert _ray.get(counter.get.remote()) == 1
+
+
+def test_semantic_dedup_recalls_planted_pairs(ray_session):
+    """Cluster-then-dedup (SemDeDup shape): planted near-identical vectors
+    land in the same centroid bucket and their pair is emitted; vectors in
+    different clusters are never compared (pair set is a subset of the
+    global exact scan)."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 12))
+    near = base[:6] + rng.normal(scale=0.005, size=(6, 12))
+    mat = np.vstack([base, near]).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = co.semantic_dedup_pairs_ds(
+        ds, n_clusters=4, threshold=0.95, max_bucket=None
+    ).to_pandas()
+    pairs = {(a, b) for a, b in zip(got.vec_a, got.vec_b)}
+    assert {(i, 30 + i) for i in range(6)} <= pairs
+    exact = co.embedding_near_dup_ds(ds, threshold=0.95).to_pandas()
+    epairs = {(a, b) for a, b in zip(exact.vec_a, exact.vec_b)}
+    assert pairs <= epairs
+    # hot-cluster star fallback bounds pair emission
+    capped = co.semantic_dedup_pairs_ds(
+        ds, n_clusters=1, threshold=-1.0, max_bucket=8
+    ).to_pandas()
+    assert len(capped) == len(mat) - 1  # star around the minimum id
