@@ -1567,6 +1567,112 @@ def q_real_objects(sf_dir: str) -> ray.data.Dataset:
     return pages.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_real_laparams(sf_dir: str) -> ray.data.Dataset:
+    """Layout analysis (laparams) census over the REAL corpus: per page,
+    horizontal/vertical line and box counts under the default LAParams
+    with detect_vertical=True — pins the published line-chaining / box-
+    grouping algorithm corpus-wide (the per-issue regressions pin two
+    docs; this pins all 52). Golden-parquet oracle."""
+    from pdfplumber_ray.pdfio.laparams import LAParams, analyze_chars
+    from pdfplumber_ray.pdfio.reader import decode_pdf_doc
+
+    paths = [f"{_REAL_PDF_DIR}/{n}" for n in _real_pdf_all()]
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def census(batch: pa.Table) -> pa.Table:
+        lp = LAParams(detect_vertical=True)
+        out = {k: [] for k in (
+            "doc_id", "page_number", "h_lines", "v_lines", "h_boxes", "v_boxes",
+        )}
+        for path, data in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            doc_id = os.path.basename(path)
+            rows, err = decode_pdf_doc(doc_id, data or b"")
+            for r in rows:
+                lines, boxes = analyze_chars(r["chars"], r["page_height"], lp)
+                out["doc_id"].append(doc_id)
+                out["page_number"].append(int(r["page_number"]))
+                out["h_lines"].append(sum(1 for x in lines if x["horizontal"]))
+                out["v_lines"].append(sum(1 for x in lines if not x["horizontal"]))
+                out["h_boxes"].append(sum(1 for x in boxes if x["horizontal"]))
+                out["v_boxes"].append(sum(1 for x in boxes if not x["horizontal"]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "page_number": pa.array(out["page_number"], pa.int64()),
+                "h_lines": pa.array(out["h_lines"], pa.int64()),
+                "v_lines": pa.array(out["v_lines"], pa.int64()),
+                "h_boxes": pa.array(out["h_boxes"], pa.int64()),
+                "v_boxes": pa.array(out["v_boxes"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_real_words(sf_dir: str) -> ray.data.Dataset:
+    """Word-extraction census over the REAL corpus: per page, the word
+    count, first/last word, and a quantized coordinate checksum under the
+    default WordExtractor settings — pins the x/y-tolerance clustering on
+    real char streams corpus-wide. Golden-parquet oracle."""
+    import numpy as np
+
+    from pdfplumber_ray.config import WordConfig
+    from pdfplumber_ray.functions.words import extract_words_page
+    from pdfplumber_ray.pdfio.reader import decode_pdf_doc
+
+    paths = [f"{_REAL_PDF_DIR}/{n}" for n in _real_pdf_all()]
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def census(batch: pa.Table) -> pa.Table:
+        cfg = WordConfig()
+        out = {k: [] for k in (
+            "doc_id", "page_number", "n_words", "first_word", "last_word",
+            "geom_e3",
+        )}
+        for path, data in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            doc_id = os.path.basename(path)
+            rows, err = decode_pdf_doc(doc_id, data or b"")
+            for r in rows:
+                chars = r["chars"]
+                cols = {
+                    k: np.array([c[k] for c in chars], dtype=object if k in ("text",) else np.float64)
+                    if k != "upright"
+                    else np.array([c[k] for c in chars], dtype=bool)
+                    for k in ("text", "x0", "x1", "top", "bottom", "upright")
+                }
+                cols["doctop"] = np.array([c["doctop"] for c in chars], np.float64)
+                cols["size"] = np.array([c["size"] for c in chars], np.float64)
+                cols["fontname"] = np.array([c["fontname"] for c in chars], object)
+                w = extract_words_page(cols, cfg)
+                n = int(w["text"].shape[0])
+                geom = 0
+                if n:
+                    for f in ("x0", "x1", "top", "bottom"):
+                        geom += int(np.floor(np.asarray(w[f], np.float64) * 1000.0).sum())
+                out["doc_id"].append(doc_id)
+                out["page_number"].append(int(r["page_number"]))
+                out["n_words"].append(n)
+                out["first_word"].append(str(w["text"][0]) if n else "")
+                out["last_word"].append(str(w["text"][n - 1]) if n else "")
+                out["geom_e3"].append(geom)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "page_number": pa.array(out["page_number"], pa.int64()),
+                "n_words": pa.array(out["n_words"], pa.int64()),
+                "first_word": pa.array(out["first_word"], pa.string()),
+                "last_word": pa.array(out["last_word"], pa.string()),
+                "geom_e3": pa.array(out["geom_e3"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(census, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_real_structure(sf_dir: str) -> ray.data.Dataset:
     """Flattened nested structure trees (reference structure.py:151-459
     via the pdfio twin) of the real-PDF set, through the Ray pipeline:
@@ -1797,6 +1903,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "decontaminate": q_decontaminate,
     "length_quantiles": q_length_quantiles,
     "real_repair": q_real_repair,
+    "real_laparams": q_real_laparams,
+    "real_words": q_real_words,
     "real_layout_text": q_real_layout_text,
     "real_tables": q_real_tables,
     "real_objects": q_real_objects,
@@ -1938,6 +2046,15 @@ ORACLES: Dict[str, str] = {
     "real_repair": (
         "SELECT doc_id, n_pages, n_chars, repair_status FROM "
         f"read_parquet('{_REAL_GOLDEN_DIR}/real_repair.parquet')"
+    ),
+    "real_laparams": (
+        "SELECT doc_id, page_number, h_lines, v_lines, h_boxes, v_boxes "
+        f"FROM read_parquet('{_REAL_GOLDEN_DIR}/real_laparams.parquet')"
+    ),
+    "real_words": (
+        "SELECT doc_id, page_number, n_words, first_word, last_word, "
+        "geom_e3 FROM "
+        f"read_parquet('{_REAL_GOLDEN_DIR}/real_words.parquet')"
     ),
     "word_count": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words "

@@ -35,6 +35,8 @@ def main() -> int:
         ("vertical_text", E.q_vertical_text),
         ("page_images", E.q_page_images),
         ("real_repair", E.q_real_repair),
+        ("real_laparams", E.q_real_laparams),
+        ("real_words", E.q_real_words),
     ):
         import pyarrow as pa
         refs = ray.get(fn("/root/testdata/sf0.001").to_arrow_refs())
