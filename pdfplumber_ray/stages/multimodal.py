@@ -4,9 +4,9 @@ Codec selection is feature-flagged at import:
 
 * ``SYNM`` synthetic containers (the sandbox default) always decode —
   deterministic struct-packed fields so SQL oracles predict every value.
-* Real **PNG** and **JPEG** payloads decode their metadata (dims, kind)
-  with ZERO native deps — PNG via the IHDR chunk (stdlib zlib world),
-  JPEG via an SOF-marker scan. When **PIL** is importable
+* Real **PNG**, **JPEG**, and **WAV** payloads decode their metadata
+  with ZERO native deps — PNG via the IHDR chunk, JPEG via an SOF-marker
+  scan, WAV via the RIFF fmt/data chunks (rate/channels/sample frames). When **PIL** is importable
   (``HAVE_PIL``), pixel-level ops (resize) use it; without PIL,
   metadata decode still works and pixel ops raise a clear
   ``NotImplementedError`` instead of producing garbage.
@@ -63,6 +63,37 @@ def _decode_png_meta(payload: bytes) -> Dict[str, int]:
     }
 
 
+def _decode_wav_meta(payload: bytes) -> Dict[str, int]:
+    """WAV (RIFF/WAVE) metadata from the fmt/data chunks — pure byte scan.
+    Field mapping for the typed-metadata schema: ``width`` = sample rate,
+    ``height`` = channel count, ``n_frames`` = sample frames (documented
+    reuse of the image-oriented columns for audio payloads)."""
+    pos = 12  # past RIFF<size>WAVE
+    n = len(payload)
+    rate = channels = block_align = None
+    data_len = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data_len is None or not block_align:
+        raise NotImplementedError("malformed WAV: missing fmt/data chunk")
+    return {
+        "kind": KIND_AUDIO,
+        "width": rate,
+        "height": channels or 0,
+        "n_frames": data_len // block_align,
+        "n_bytes": len(payload),
+    }
+
+
 def _decode_jpeg_meta(payload: bytes) -> Dict[str, int]:
     """JPEG dims from the first SOFn marker segment — pure byte scan."""
     pos = 2
@@ -113,6 +144,8 @@ def _decode_payload(payload: bytes) -> Dict[str, int]:
                     "n_bytes": len(payload),
                 }
         return _decode_png_meta(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav_meta(payload)
     if payload[:2] == _JPEG_MAGIC:
         if HAVE_PIL:  # pragma: no cover - PIL absent in sandbox
             import io
@@ -125,7 +158,8 @@ def _decode_payload(payload: bytes) -> Dict[str, int]:
         return _decode_jpeg_meta(payload)
     raise NotImplementedError(
         "unrecognized media container (supported: SYNM synthetic, PNG, "
-        "JPEG; audio/video codecs require ffmpeg, not available here)"
+        "JPEG, WAV; compressed audio/video codecs require ffmpeg, not "
+        "available here)"
     )
 
 

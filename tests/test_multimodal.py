@@ -130,3 +130,23 @@ def test_media_features(ray_session):
         assert row.f0_e6 == w * 1_000_000 // 1024
         assert row.f1_e6 == h * 1_000_000 // 1024
         assert row.f2_e6 == nf * 1_000_000 // 30
+
+
+def test_real_wav_metadata_decodes():
+    """Real-codec path (WAV): rate/channels/frames from RIFF chunks. The
+    bytes come from the stdlib wave writer, so they are a real file."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 2 * 123)  # 123 stereo frames
+    payload = buf.getvalue()
+    meta = mm._decode_payload(payload)
+    assert meta["kind"] == mm.KIND_AUDIO
+    assert meta["width"] == 16000      # sample rate
+    assert meta["height"] == 2         # channels
+    assert meta["n_frames"] == 123
