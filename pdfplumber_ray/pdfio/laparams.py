@@ -284,6 +284,135 @@ def group_lines_to_boxes(
     return list(groups.values())
 
 
+class _BoxNode:
+    """A textbox or a group-of-boxes node in the flow-grouping tree."""
+
+    __slots__ = ("x0", "y0", "x1", "y1", "vertical", "children", "box_i")
+
+    def __init__(self, x0, y0, x1, y1, vertical, children=None, box_i=None):
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.vertical = vertical  # TBRL group / vertical box
+        self.children = children  # None for a leaf textbox
+        self.box_i = box_i
+
+    @property
+    def width(self):
+        return self.x1 - self.x0
+
+    @property
+    def height(self):
+        return self.y1 - self.y0
+
+
+def flow_order(boxes: List[dict], page_height: float, laparams: LAParams) -> List[int]:
+    """Reading-order indices for textboxes under ``boxes_flow`` — the
+    published flow model: hierarchically merge the two closest boxes
+    (distance = merged-bbox area minus member areas, deferring merges
+    whose merged bbox would swallow an unrelated box), then order each
+    group's children by the boxes_flow-weighted key (LRTB for horizontal
+    groups, TBRL when either member is vertical) and emit leaf indices in
+    depth-first order. ``boxes_flow=None`` skips grouping and sorts
+    top-to-bottom / left-to-right (vertical boxes right-to-left first).
+    Returns ``order`` such that ``order[i]`` is box i's reading index."""
+    import heapq
+
+    n = len(boxes)
+    if n == 0:
+        return []
+    nodes: List[_BoxNode] = [
+        _BoxNode(
+            b["x0"], page_height - b["bottom"], b["x1"], page_height - b["top"],
+            not b["horizontal"], box_i=i,
+        )
+        for i, b in enumerate(boxes)
+    ]
+    flow = laparams.boxes_flow
+    if flow is None:
+        def key(nd: _BoxNode):
+            if nd.vertical:
+                return (0, -nd.x1, -nd.y0)
+            return (1, -nd.y0, nd.x0)
+
+        order = [0] * n
+        for rank, nd in enumerate(sorted(nodes, key=key)):
+            order[nd.box_i] = rank
+        return order
+
+    def dist(a: _BoxNode, b: _BoxNode) -> float:
+        x0 = min(a.x0, b.x0); y0 = min(a.y0, b.y0)
+        x1 = max(a.x1, b.x1); y1 = max(a.y1, b.y1)
+        return (x1 - x0) * (y1 - y0) - a.width * a.height - b.width * b.height
+
+    live = set(range(n))
+    all_nodes = list(nodes)
+
+    def isany(i: int, j: int) -> bool:
+        a, b = all_nodes[i], all_nodes[j]
+        x0 = min(a.x0, b.x0); y0 = min(a.y0, b.y0)
+        x1 = max(a.x1, b.x1); y1 = max(a.y1, b.y1)
+        for k in live:
+            if k == i or k == j:
+                continue
+            o = all_nodes[k]
+            if o.x1 <= x0 or x1 <= o.x0 or o.y1 <= y0 or y1 <= o.y0:
+                continue
+            return True
+        return False
+
+    heap: List[tuple] = []
+    seq = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            heap.append((False, dist(all_nodes[i], all_nodes[j]), i, j))
+    heapq.heapify(heap)
+    while heap and len(live) > 1:
+        skip_isany, d, i, j = heapq.heappop(heap)
+        if i not in live or j not in live:
+            continue
+        if not skip_isany and isany(i, j):
+            # an unrelated box sits inside the merged bbox: defer (the
+            # published code merges a deferred pair unconditionally when
+            # it is popped again)
+            heapq.heappush(heap, (True, d, i, j))
+            continue
+        a, b = all_nodes[i], all_nodes[j]
+        node = _BoxNode(
+            min(a.x0, b.x0), min(a.y0, b.y0), max(a.x1, b.x1), max(a.y1, b.y1),
+            a.vertical or b.vertical, children=[a, b],
+        )
+        live.discard(i); live.discard(j)
+        k = len(all_nodes)
+        all_nodes.append(node)
+        for m in list(live):
+            heapq.heappush(heap, (False, dist(all_nodes[m], node), min(m, k), max(m, k)))
+        live.add(k)
+
+    def sort_key_lrtb(nd: _BoxNode):
+        return (1 - flow) * nd.x0 - (1 + flow) * (nd.y0 + nd.y1)
+
+    def sort_key_tbrl(nd: _BoxNode):
+        return -(1 + flow) * (nd.x0 + nd.x1) - (1 - flow) * nd.y1
+
+    order = [0] * n
+    counter = [0]
+
+    def walk(nd: _BoxNode) -> None:
+        if nd.children is None:
+            order[nd.box_i] = counter[0]
+            counter[0] += 1
+            return
+        kids = sorted(
+            nd.children,
+            key=sort_key_tbrl if nd.vertical else sort_key_lrtb,
+        )
+        for c in kids:
+            walk(c)
+
+    for k in sorted(live):
+        walk(all_nodes[k])
+    return order
+
+
 def analyze_chars(
     chars: List[dict], page_height: float, laparams: Optional[LAParams] = None
 ) -> Tuple[List[dict], List[dict]]:
@@ -340,4 +469,8 @@ def analyze_chars(
                 "text": "".join(ln.text() for ln in ordered),
             }
         )
+    # reading-order index per the boxes_flow model (page.textboxes are
+    # exposed sorted by this index in the reference surface)
+    for i, rank in enumerate(flow_order(out_boxes, page_height, laparams)):
+        out_boxes[i]["flow_index"] = rank
     return out_lines, out_boxes

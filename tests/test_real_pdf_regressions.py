@@ -245,3 +245,41 @@ def test_laparams_layout_analysis():
     assert len(lines) - len(lv) == 157
     assert len(boxes) - len(bv) == 135
     assert all("text" in b and b["text"] for b in boxes)
+
+
+def test_boxes_flow_two_column_reading_order():
+    """boxes_flow=0.5: tightly-stacked columns group first, so reading
+    order is column-major (col1 top->bottom, then col2); boxes_flow=None
+    skips grouping and orders strictly top-down."""
+    from pdfplumber_ray.pdfio.laparams import LAParams, flow_order
+
+    H = 400.0
+
+    def box(x0, top, x1, bottom):
+        return {"horizontal": True, "x0": x0, "x1": x1, "top": top, "bottom": bottom}
+
+    boxes = [
+        box(400, 40, 500, 150),   # col2 para1
+        box(40, 40, 140, 150),    # col1 para1
+        box(40, 160, 140, 270),   # col1 para2 (10pt below para1)
+        box(400, 160, 500, 270),  # col2 para2
+    ]
+    order = flow_order(boxes, H, LAParams(boxes_flow=0.5))
+    # ranks: col1p1=0, col1p2=1, col2p1=2, col2p2=3
+    assert order == [2, 0, 1, 3]
+    order_none = flow_order(boxes, H, LAParams(boxes_flow=None))
+    # top-down, then left-to-right: col1p1, col2p1, col1p2, col2p2
+    assert order_none == [1, 0, 2, 3]
+
+
+def test_boxes_flow_vertical_boxes_rtl():
+    """Vertical (TBRL) boxes order right-to-left under flow grouping."""
+    from pdfplumber_ray.pdfio.laparams import LAParams, flow_order
+
+    H = 300.0
+    boxes = [
+        {"horizontal": False, "x0": 50, "x1": 70, "top": 40, "bottom": 260},
+        {"horizontal": False, "x0": 90, "x1": 110, "top": 40, "bottom": 260},
+    ]
+    order = flow_order(boxes, H, LAParams(boxes_flow=0.5, detect_vertical=True))
+    assert order == [1, 0]  # rightmost column reads first
