@@ -18,7 +18,9 @@ import sys
 from typing import List, Optional
 
 
-TYPE_CHOICES = ("char", "word", "annot", "curve", "text_box")
+TYPE_CHOICES = (
+    "char", "word", "annot", "curve", "text_box", "textline", "textbox"
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -43,6 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--precision", type=int, default=None,
         help="float rounding (reference Serializer precision)",
+    )
+    p.add_argument(
+        "--laparams", type=None, default=None,
+        help="JSON LAParams dict (reference cli.py --laparams); enables "
+        "the 'textline'/'textbox' layout-analysis types on PDF inputs",
+    )
+    p.add_argument(
+        "--indent", type=int, default=None,
+        help="indent level for JSON pretty-printing (reference cli.py)",
     )
     p.add_argument(
         "--include-attrs", nargs="+", default=None,
@@ -117,9 +128,64 @@ def _pages_ds(args):
     return pages
 
 
-def _objects_ds(pages, typ: str):
+def _laparams_objects_ds(pages, typ: str, la: dict):
+    """textline/textbox rows via the published layout analysis over the
+    decoded char stream (reference: laparams adds LT* container objects
+    to page.objects)."""
+    import pyarrow as pa
+
+    from .pdfio.laparams import LAParams, analyze_chars
+    from .stages.decode import arrow_pages_to_dicts
+
+    lp = LAParams(**la)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, page in arrow_pages_to_dicts(batch):
+            chars = page.get("chars") or []
+            if isinstance(chars, dict):
+                keys = list(chars.keys())
+                chars = [
+                    {k: chars[k][i] for k in keys}
+                    for i in range(len(chars["text"]))
+                ]
+            lines, boxes = analyze_chars(chars, page["page_height"], lp)
+            recs = lines if typ == "textline" else boxes
+            for r in recs:
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "page_number": int(page["page_number"]),
+                        "horizontal": bool(r["horizontal"]),
+                        "x0": float(r["x0"]),
+                        "x1": float(r["x1"]),
+                        "top": float(r["top"]),
+                        "bottom": float(r["bottom"]),
+                        "text": r["text"],
+                        "flow_index": int(r.get("flow_index", -1)),
+                    }
+                )
+        return pa.table(
+            {
+                k: pa.array([r[k] for r in rows], t)
+                for k, t in (
+                    ("doc_id", pa.string()), ("page_number", pa.int64()),
+                    ("horizontal", pa.bool_()), ("x0", pa.float64()),
+                    ("x1", pa.float64()), ("top", pa.float64()),
+                    ("bottom", pa.float64()), ("text", pa.string()),
+                    ("flow_index", pa.int64()),
+                )
+            }
+        )
+
+    return pages.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _objects_ds(pages, typ: str, laparams=None):
     from .pipelines import annots_ds, chars_ds, curves_ds, text_boxes_ds, words_ds
 
+    if typ in ("textline", "textbox"):
+        return _laparams_objects_ds(pages, typ, laparams or {})
     if typ == "char":
         return chars_ds(pages)
     if typ == "word":
@@ -134,6 +200,17 @@ def _objects_ds(pages, typ: str):
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.laparams is not None:
+        import json as _json
+
+        args.laparams = _json.loads(args.laparams)
+    if any(t in ("textline", "textbox") for t in args.types) and args.laparams is None:
+        print(
+            "types textline/textbox require --laparams (layout objects "
+            "exist only under layout analysis, as in the reference)",
+            file=sys.stderr,
+        )
+        return 2
 
     from .sinks import objects_csv_ds, pages_json_ds
 
@@ -197,7 +274,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.format == "csv":
         for typ in args.types:
             ds = objects_csv_ds(
-                _objects_ds(pages, typ), typ, precision=args.precision,
+                _objects_ds(pages, typ, args.laparams), typ,
+                precision=args.precision,
                 include_attrs=args.include_attrs,
                 exclude_attrs=args.exclude_attrs,
             )
@@ -206,7 +284,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             else:
                 ds.to_pandas().to_csv(sys.stdout, index=False)
     elif args.format == "json":
-        ds = pages_json_ds(pages, precision=args.precision)
+        ds = pages_json_ds(pages, precision=args.precision, indent=args.indent)
         if args.output:
             ds.write_json(args.output)
         else:

@@ -154,6 +154,7 @@ def pages_json_ds(
     pages: Dataset,
     precision: Optional[int] = None,
     media_payloads: Optional[dict] = None,
+    indent: Optional[int] = None,
 ) -> Dataset:
     """Nested per-page JSON documents mirroring ``Container.to_json``
     (container.py:106-128): one row per page with doc metadata and nested
@@ -238,7 +239,7 @@ def pages_json_ds(
             }
             doc_ids.append(doc_id)
             pns.append(int(page["page_number"]))
-            payloads.append(json.dumps(obj, sort_keys=True))
+            payloads.append(json.dumps(obj, sort_keys=True, indent=indent))
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.string()),

@@ -166,3 +166,24 @@ def test_cli_repair(tmp_path, capsys):
     assert rc == 0
     data = open(os.path.join(out_dir, "pdffill-demo.pdf"), "rb").read()
     assert data[:5] == b"%PDF-"
+
+
+def test_cli_laparams_textbox_and_json_indent(ray_session, tmp_path, capsys):
+    from pdfplumber_ray import cli
+
+    pdf = "/root/reference/tests/pdfs/issue-13-151201DSP-Fond-581-90D.pdf"
+    rc = cli.main([pdf, "--format", "csv", "--types", "textbox", "--laparams", "{}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    header = out.splitlines()[0]
+    assert "flow_index" in header and "text" in header
+    # reading order starts at the page title (flow_index 0 exists)
+    assert ",0,True," in out or ",0,False," in out
+    # textbox without --laparams is rejected (layout objects need laparams)
+    rc = cli.main([pdf, "--format", "csv", "--types", "textbox"])
+    assert rc == 2
+    # --indent pretty-prints the JSON dump
+    rc = cli.main([pdf, "--format", "json", "--indent", "2", "--pages", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("{\n  ")
