@@ -327,6 +327,16 @@ def flow_order(boxes: List[dict], page_height: float, laparams: LAParams) -> Lis
         for i, b in enumerate(boxes)
     ]
     flow = laparams.boxes_flow
+    if flow is not None and n > 1000:
+        # O(n^2) pair heap: a pathological page (thousands of boxes) falls
+        # back to the strict sort rather than stalling the worker
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "flow_order: %d boxes exceeds the 1000-box grouping cap; "
+            "falling back to strict top-down ordering for this page", n,
+        )
+        flow = None
     if flow is None:
         def key(nd: _BoxNode):
             if nd.vertical:
