@@ -1918,6 +1918,19 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "tumbling_window": lambda sf_dir: co.tumbling_window_ds(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        ),
+        width_s=3600,
+    ),
+    "asof_join": lambda sf_dir: co.asof_join_ds(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        ),
+        mark_type="click",
+    ),
     "repetition_stats": q_repetition_stats,
     "chunk_windows": q_chunk_windows,
     "source_mix": q_source_mix,
@@ -2361,6 +2374,24 @@ ORACLES: Dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_orders
         FROM orders GROUP BY o_custkey
         ORDER BY total_cents DESC, o_custkey LIMIT 10
+    """,
+    "tumbling_window": """
+        SELECT event_type,
+               CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT)
+                   AS window_start_s,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+                   AS value_sum_e6
+        FROM events GROUP BY 1, 2
+    """,
+    "asof_join": """
+        WITH m AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT e.event_id, e.user_id,
+               CAST(COALESCE(epoch_us(m.ts), -1) AS BIGINT) AS asof_ts_us
+        FROM events e ASOF LEFT JOIN m
+          ON e.user_id = m.user_id AND e.ts >= m.ts
     """,
     "sessionize": """
         WITH e AS (

@@ -930,6 +930,106 @@ def broadcast_join_ds(
     return ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def tumbling_window_ds(
+    events: Dataset,
+    width_s: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> Dataset:
+    """Tumbling time-window aggregate: (key, window_start_epoch_s) ->
+    event count + integer-quantized value sum. The window assignment is a
+    vectorized epoch floor inside ``map_batches``; per-batch combiner
+    pre-sums before the global groupby (the shuffle moves one row per
+    distinct (key, window) per block). Values are quantized to e6 BEFORE
+    summing so Ray and SQL sums are the same integers regardless of float
+    addition order."""
+    width_us = int(width_s) * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // width_us) * int(width_s)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        v_e6 = np.floor(vals * 1e6).astype(np.int64)
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "window_start_s": pa.array(win),
+                "n": pa.array(np.ones(len(ts), np.int64)),
+                "v": pa.array(v_e6),
+            }
+        )
+        g = t.group_by([key_col, "window_start_s"]).aggregate(
+            [("n", "sum"), ("v", "sum")]
+        )
+        return pa.table(
+            {
+                key_col: g.column(key_col),
+                "window_start_s": g.column("window_start_s"),
+                "n": g.column("n_sum"),
+                "v": g.column("v_sum"),
+            }
+        )
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "window_start_s"])
+        .aggregate(Sum("n"), Sum("v"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "window_start_s": batch.column("window_start_s").cast(pa.int64()),
+                "n_events": batch.column("sum(n)").cast(pa.int64()),
+                "value_sum_e6": batch.column("sum(v)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def asof_join_ds(
+    events: Dataset,
+    mark_type: str = "click",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> Dataset:
+    """Per-key AS-OF self-join: every event gains the timestamp of the
+    same user's latest ``mark_type`` event at-or-before it (an as-of /
+    merge-asof join — one of the operators Ray Data lacks natively).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    both sides co-locate on the join key, so ONE hash-by-key shuffle
+    (``groupby(key).map_groups``) suffices; within a group the marks are
+    sorted once and every event probes with ``searchsorted`` — no sort of
+    the full event stream, no per-row Python loop. At 10^12 rows a salted
+    key or time-bucketed sub-split handles pathological single-key skew;
+    here groups are user-sized."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = group.column(type_col).to_numpy(zero_copy_only=False)
+        mark_ts = np.sort(ts[types == mark_type], kind="stable")
+        if mark_ts.size == 0:
+            asof = np.full(len(ts), -1, dtype=np.int64)
+        else:
+            idx = np.searchsorted(mark_ts, ts, side="right") - 1
+            asof = np.where(idx >= 0, mark_ts[np.maximum(idx, 0)], np.int64(-1))
+        return pa.table(
+            {
+                id_col: group.column(id_col),
+                key_col: group.column(key_col),
+                "asof_ts_us": pa.array(asof.astype(np.int64)),
+            }
+        )
+
+    return events.groupby(key_col).map_groups(per_user, batch_format="pyarrow")
+
+
 # ---------- windowed / sessionized aggregates ----------
 
 

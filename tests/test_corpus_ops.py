@@ -548,3 +548,57 @@ def test_semantic_dedup_recalls_planted_pairs(ray_session):
         ds, n_clusters=1, threshold=-1.0, max_bucket=8
     ).to_pandas()
     assert len(capped) == len(mat) - 1  # star around the minimum id
+
+
+def test_asof_join_semantics(ray_session):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view@0, click@10, view@20, click@30, view@40
+        (1, 1, 0, "view"), (2, 1, 10, "click"), (3, 1, 20, "view"),
+        (4, 1, 30, "click"), (5, 1, 40, "view"),
+        # user 2: never clicks
+        (6, 2, 5, "view"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    out = co.asof_join_ds(ray.data.from_arrow(t), mark_type="click").to_pandas()
+    got = dict(zip(out.event_id, out.asof_ts_us))
+    epoch = int(base.timestamp()) * 1_000_000
+    assert got[1] == -1                      # before any click
+    assert got[2] == epoch + 10_000_000      # a click matches itself (<=)
+    assert got[3] == epoch + 10_000_000
+    assert got[5] == epoch + 30_000_000      # latest preceding click
+    assert got[6] == -1                      # user with no marks
+
+
+def test_tumbling_window_quantized_sums(ray_session):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [base, base + dt.timedelta(seconds=3599),
+                 base + dt.timedelta(seconds=3600)],
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["a", "a", "a"], pa.string()),
+            "value": pa.array([1.25, 2.5, 4.0], pa.float64()),
+        }
+    )
+    out = co.tumbling_window_ds(ray.data.from_arrow(t), width_s=3600).to_pandas()
+    out = out.sort_values("window_start_s").reset_index(drop=True)
+    assert out.n_events.tolist() == [2, 1]
+    assert out.value_sum_e6.tolist() == [3_750_000, 4_000_000]
+    assert out.window_start_s[1] - out.window_start_s[0] == 3600
