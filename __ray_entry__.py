@@ -1307,10 +1307,11 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
 def q_page_images(sf_dir: str) -> ray.data.Dataset:
     """Page raster debug surface (reference display.py Page.to_image):
     glyph-bitmap render of every REAL corpus page to PNG bytes inside
-    ``map_batches``. The projection (dims + payload size + a pixel
-    checksum of the raster) is deterministic, so it pins against a golden
-    parquet (scripts/gen_real_goldens.py) — the raster is sf-independent
-    like the other real_* goldens; PNG integrity is separately pinned by
+    ``map_batches``. The projection (dims + a crc32 of the RAW raster
+    buffer — not of the zlib-encoded PNG, whose bytes vary across zlib
+    builds) is deterministic, so it pins against a golden parquet
+    (scripts/gen_real_goldens.py) — the raster is sf-independent like the
+    other real_* goldens; PNG integrity is separately pinned by
     tests/test_display.py's decoder. Synthetic-page rendering is covered
     there too. The png bytes stay out of the result."""
     from pdfplumber_ray.display import page_images_batch
@@ -1321,24 +1322,13 @@ def q_page_images(sf_dir: str) -> ray.data.Dataset:
     )
 
     def project(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        import zlib as _zlib
-
-        pix = pa.array(
-            [
-                _zlib.crc32(png) & 0xFFFFFFFF
-                for png in batch.column("png").to_pylist()
-            ],
-            pa.int64(),
-        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "page_number": batch.column("page_number").cast(pa.int64()),
                 "img_width": batch.column("img_width").cast(pa.int64()),
                 "img_height": batch.column("img_height").cast(pa.int64()),
-                "png_bytes": pc.binary_length(batch.column("png")).cast(pa.int64()),
-                "png_crc32": pix,
+                "raster_crc32": batch.column("raster_crc32"),
             }
         )
 
@@ -2052,8 +2042,8 @@ ORACLES: Dict[str, str] = {
     # corpus (render pixels crc-pinned; repair pins page/char counts and
     # status per doc), generated by the same scripts/gen_real_goldens.py
     "page_images": (
-        "SELECT doc_id, page_number, img_width, img_height, png_bytes, "
-        "png_crc32 FROM "
+        "SELECT doc_id, page_number, img_width, img_height, "
+        "raster_crc32 FROM "
         f"read_parquet('{_REAL_GOLDEN_DIR}/page_images.parquet')"
     ),
     "real_repair": (

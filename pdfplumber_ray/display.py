@@ -815,11 +815,14 @@ def page_images_batch(batch, resolution: Union[int, float] = DEFAULT_RESOLUTION)
 
     from .stages.decode import arrow_pages_to_dicts
 
+    import zlib
+
     doc_ids: List[str] = []
     page_numbers: List[int] = []
     widths: List[int] = []
     heights: List[int] = []
     pngs: List[bytes] = []
+    raster_crcs: List[int] = []
     for doc_id, page in arrow_pages_to_dicts(batch):
         img = PageImage(page, resolution=resolution)
         doc_ids.append(doc_id)
@@ -827,6 +830,12 @@ def page_images_batch(batch, resolution: Union[int, float] = DEFAULT_RESOLUTION)
         widths.append(img.annotated.img.shape[1])
         heights.append(img.annotated.img.shape[0])
         pngs.append(img.to_png_bytes())
+        # checksum the RAW raster, not the encoded PNG: different zlib
+        # builds (zlib vs zlib-ng) emit different streams at the same
+        # level, so a PNG-byte crc would pin goldens to the zlib build.
+        raster_crcs.append(
+            zlib.crc32(img.annotated.img.tobytes()) & 0xFFFFFFFF
+        )
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.string()),
@@ -834,5 +843,6 @@ def page_images_batch(batch, resolution: Union[int, float] = DEFAULT_RESOLUTION)
             "img_width": pa.array(widths, pa.int32()),
             "img_height": pa.array(heights, pa.int32()),
             "png": pa.array(pngs, pa.binary()),
+            "raster_crc32": pa.array(raster_crcs, pa.int64()),
         }
     )

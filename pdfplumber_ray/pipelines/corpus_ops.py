@@ -197,6 +197,15 @@ def chunk_windows_ds(
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col)
         n = len(texts)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: ids,
+                    "chunk_index": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
         toks = [(t or "").split(" ") for t in texts]
         lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
         flat = np.concatenate(
@@ -369,6 +378,10 @@ def _semi_join_collect(
     broadcast ``wanted`` set are reduced via ``value_fn(batch) -> column
     values`` and collected into a driver dict. Driver memory is bounded by
     ``len(wanted)``, never by the dataset size."""
+    if not wanted:
+        # pa.array([]) is null-typed and pc.is_in would raise on every
+        # batch ('string vs null'); an empty wanted set selects nothing.
+        return {}
     wanted_ref = ray.put(pa.array(sorted(wanted)))
 
     def pick(batch: pa.Table) -> pa.Table:

@@ -103,6 +103,9 @@ def _decode_jpeg_meta(payload: bytes) -> Dict[str, int]:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # legal fill byte between segments
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -277,6 +280,14 @@ class MediaResize:
                     im.resize((self.tw, self.th)).save(buf, format=im.format)
                     out.append(buf.getvalue())
                 continue
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                # resampling real audio needs a DSP kernel; falling through
+                # to the SYNM branch would slice/repack the RIFF bytes into
+                # garbage under a SYNM header.
+                raise NotImplementedError(
+                    "resize/resample of real WAV audio is not implemented "
+                    "(metadata decode works; see MediaFeatures)"
+                )
             meta = _decode_payload(p)
             body = p[_HEADER.size :]
             tgt_len = (self.tw * self.th) // 64

@@ -602,3 +602,40 @@ def test_tumbling_window_quantized_sums(ray_session):
     assert out.n_events.tolist() == [2, 1]
     assert out.value_sum_e6.tolist() == [3_750_000, 4_000_000]
     assert out.window_start_s[1] - out.window_start_s[0] == 3600
+
+
+def test_ngram_verify_empty_candidates(ray_session):
+    """Zero candidate pairs must yield an empty result, not an ArrowTypeError
+    from pc.is_in over a null-typed empty value set."""
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["alpha beta", "gamma delta", "epsilon zeta"]),
+            }
+        )
+    )
+    pairs = co.minhash_pairs_ds(docs, threshold=0.99)  # nothing is near-dup
+    assert pairs.count() == 0
+    verified = co.ngram_jaccard_verify_ds(pairs, docs, threshold=0.5)
+    assert verified.count() == 0
+
+
+def test_semi_join_collect_empty_wanted(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"])})
+    )
+    assert co._semi_join_collect(docs, "doc_id", frozenset(), lambda b: []) == {}
+
+
+def test_chunk_windows_empty_batch(ray_session):
+    """An all-filtered (zero-row) block must pass through the chunk kernel."""
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["keep me here", "also kept"]),
+            }
+        )
+    ).filter(lambda r: False)
+    assert co.chunk_windows_ds(docs, window=4, stride=3).count() == 0

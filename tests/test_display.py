@@ -244,6 +244,7 @@ def test_page_images_batch_real_pdf():
     assert out.num_rows == pages.num_rows > 0
     assert out.column_names == [
         "doc_id", "page_number", "img_width", "img_height", "png",
+        "raster_crc32",
     ]
     png0 = out.column("png")[0].as_py()
     arr = decode_png(png0)

@@ -150,3 +150,38 @@ def test_real_wav_metadata_decodes():
     assert meta["width"] == 16000      # sample rate
     assert meta["height"] == 2         # channels
     assert meta["n_frames"] == 123
+
+
+def test_media_resize_rejects_wav():
+    """A RIFF/WAVE payload must be rejected, not silently repacked under a
+    SYNM header (which would be garbage output)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 16)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "media_ref": pa.array(["media://real/wav"]),
+            "payload": pa.array([buf.getvalue()], pa.binary()),
+        }
+    )
+    with pytest.raises(NotImplementedError, match="WAV"):
+        mm.MediaResize(32, 32)(t)
+
+
+def test_jpeg_meta_skips_fill_bytes():
+    """0xFF fill bytes between JPEG segments are legal padding; the marker
+    scan must not read a segment length out of the marker byte."""
+    sof0 = b"\xff\xc0" + (8 + 3).to_bytes(2, "big") + bytes([8]) + (
+        (120).to_bytes(2, "big") + (200).to_bytes(2, "big") + bytes([3])
+    ) + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    # APP0, then three fill bytes before the SOF0 marker
+    jpeg = b"\xff\xd8" + b"\xff\xe0\x00\x04\x4a\x46" + b"\xff\xff\xff" + sof0[1:] + b"\xff\xd9"
+    meta = mm._decode_jpeg_meta(jpeg)
+    assert (meta["width"], meta["height"]) == (200, 120)
