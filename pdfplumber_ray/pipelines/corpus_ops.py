@@ -1218,7 +1218,6 @@ def _min_label_propagation(
     iteration cap without converging logs a warning and records
     ``stats['converged']=False`` (pass a ``stats`` dict to observe
     iteration count / convergence)."""
-    import hashlib
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a, b = batch.column(a_col), batch.column(b_col)
@@ -1250,20 +1249,43 @@ def _min_label_propagation(
     )
 
     def checksum(lab: Dataset) -> int:
-        def h(batch: pa.Table) -> pa.Table:
-            vals = [
-                int.from_bytes(
-                    hashlib.md5(f"{n}|{l}".encode()).digest()[:8], "big"
-                )
-                for n, l in zip(
-                    batch.column("node").to_pylist(),
-                    batch.column("label").to_pylist(),
-                )
-            ]
-            return pa.table({"h": pa.array(vals, pa.uint64())})
+        """Order-independent fixpoint detector over the (node, label)
+        assignment. Integer ids (the scale path) use a vectorized
+        splitmix64-style mix summed per batch with uint64 wraparound —
+        no per-row Python in the propagation loop; non-integer ids fall
+        back to per-row md5 (small-corpus path only). Each batch reduces
+        to ONE partial row, so the driver sums O(#blocks) values."""
+        import hashlib
 
-        s = lab.map_batches(h, batch_format="pyarrow", zero_copy_batch=True).sum("h")
-        return int(s) & 0xFFFFFFFFFFFFFFFF
+        def h(batch: pa.Table) -> pa.Table:
+            node_col, lab_col = batch.column("node"), batch.column("label")
+            if pa.types.is_integer(node_col.type):
+                n = node_col.to_numpy(zero_copy_only=False).astype(np.uint64)
+                l = lab_col.to_numpy(zero_copy_only=False).astype(np.uint64)
+                with np.errstate(over="ignore"):
+                    x = n * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
+                    x ^= l * np.uint64(0xD1B54A32D192ED03)
+                    x ^= x >> np.uint64(30)
+                    x *= np.uint64(0xBF58476D1CE4E5B9)
+                    x ^= x >> np.uint64(27)
+                    x *= np.uint64(0x94D049BB133111EB)
+                    x ^= x >> np.uint64(31)
+                    part = int(x.sum(dtype=np.uint64))
+            else:
+                part = 0
+                for nd, lb in zip(node_col.to_pylist(), lab_col.to_pylist()):
+                    part = (
+                        part
+                        + int.from_bytes(
+                            hashlib.md5(f"{nd}|{lb}".encode()).digest()[:8], "big"
+                        )
+                    ) & 0xFFFFFFFFFFFFFFFF
+            return pa.table({"h": pa.array([part], pa.uint64())})
+
+        parts = lab.map_batches(
+            h, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # one row per block — O(#blocks), not O(#nodes)
+        return sum(int(r["h"]) for r in parts) & 0xFFFFFFFFFFFFFFFF
 
     prev = checksum(labels)
     iters = 0

@@ -146,34 +146,40 @@ def frequent_span_fps_auto(
     docs: Dataset, min_df_fraction: float
 ) -> Tuple[np.ndarray, int]:
     """Like :func:`frequent_span_fps` but with the doc count folded into the
-    SAME pass via the sentinel row — ONE streaming pass over ``docs`` and
-    ONE streamed consumption of the df aggregate yield both the corpus
-    document count and the frequent-fingerprint set. Because
-    ``min_count = max(2, ceil(fraction * n_docs))`` is always >= 2, the
-    distributed filter keeps only fingerprints seen in >= 2 documents (the
-    repeated-content candidates — tiny next to the distinct-fp set) plus
-    the sentinel; the exact threshold is applied driver-side once the
-    sentinel has been read. No materialize, no second aggregate pass."""
-    two = pa.scalar(2, pa.int64())
+    SAME pass via the sentinel row — ONE streaming pass over ``docs``
+    (the expensive side) yields both the corpus document count and the
+    frequent-fingerprint set, and the driver collect is bounded by the TRUE
+    frequent set, never by the df>=2 candidate set:
+
+    1. The df aggregate (one row per distinct fingerprint, distributed) is
+       materialized in the OBJECT STORE — blocks, not driver memory. On a
+       high-duplication web corpus "any span repeated in >= 2 docs" is a
+       large fraction of distinct fingerprints (quotes, bylines, shared
+       paragraphs), so collecting that candidate set driver-side — the
+       pre-r5 shape — does not survive 100 TB.
+    2. The sentinel row is read back alone (a one-row filter over the
+       materialized blocks) to learn ``n_docs``.
+    3. ``min_count = max(2, ceil(fraction * n_docs))`` is applied as a
+       DISTRIBUTED filter over the same materialized blocks; only true
+       site-template fingerprints (df >= fraction*N — tiny by construction)
+       ever reach the driver.
+
+    Both re-reads stream plasma blocks; nothing over ``docs`` runs twice."""
     sent = pa.scalar(_DOC_COUNT_FP, pa.int64())
+    agg = _df_aggregate(docs).materialize()
 
-    def keep_candidates(batch: pa.Table) -> pa.Table:
-        m = pc.or_(
-            pc.greater_equal(batch.column("sum(n)"), two),
-            pc.equal(batch.column("fp"), sent),
-        )
-        return batch.filter(m)
+    def keep_sentinel(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("fp"), sent))
 
-    rows = _df_aggregate(docs).map_batches(
-        keep_candidates, batch_format="pyarrow", zero_copy_batch=True
+    sent_rows = agg.map_batches(
+        keep_sentinel, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
-    n_docs = sum(int(r["sum(n)"]) for r in rows if r["fp"] == _DOC_COUNT_FP)
+    n_docs = sum(int(r["sum(n)"]) for r in sent_rows)
     min_count = max(2, int(np.ceil(min_df_fraction * n_docs)))
-    fps = [
-        r["fp"]
-        for r in rows
-        if r["fp"] != _DOC_COUNT_FP and r["sum(n)"] >= min_count
-    ]
+    freq = agg.map_batches(
+        _keep_frequent_fn(min_count), batch_format="pyarrow", zero_copy_batch=True
+    )
+    fps = [row["fp"] for row in freq.take_all()]
     return np.sort(np.asarray(fps, dtype=np.int64)), n_docs
 
 

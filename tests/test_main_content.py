@@ -112,3 +112,40 @@ def test_non_text_spans_survive(ray_session):
     # (the shallow rule applies only to text/heading spans)
     assert kinds == ["media_ref", "table_cell", "text"]
     assert out[-1]["text"] == "real body content here"
+
+
+def test_auto_collect_bounded_by_true_frequent_set(ray_session):
+    """High-duplication corpus (every doc shares one span with a neighbor,
+    so ~50% of distinct fingerprints have df>=2): the driver-side collect
+    must be bounded by the TRUE frequent set (df >= fraction*N), not by the
+    df>=2 candidate set — the pre-r5 shape that dies on a web corpus."""
+    import ray.data
+
+    from pdfplumber_ray.functions.textstats import rolling_fingerprint
+    from pdfplumber_ray.pipelines import main_content as mc
+
+    n = 40
+    template = "(c) 2026 SharedSite Inc - all rights reserved etc etc"
+    rows_id, rows_spans = [], []
+    for i in range(n):
+        spans = [
+            {"kind": "text", "text": f"unique body {i} " + "z " * 10},
+            # pairwise-shared span: docs (2k, 2k+1) share it -> df == 2
+            {"kind": "text", "text": f"shared pair {i // 2} quote text"},
+            {"kind": "text", "text": template},  # df == n
+        ]
+        rows_id.append(f"doc-{i}")
+        rows_spans.append(spans)
+    t = pa.table(
+        {
+            "doc_id": pa.array(rows_id, pa.string()),
+            "spans": pa.array(rows_spans, pa.list_(SPAN)),
+        }
+    )
+    docs = ray.data.from_arrow(t)
+    fps, n_docs = mc.frequent_span_fps_auto(docs, min_df_fraction=0.3)
+    assert n_docs == n
+    # df>=2 candidates: n/2 pair spans + template = 21 fingerprints; the
+    # true frequent set (df >= 12) is ONLY the template
+    assert fps.size == 1
+    assert fps[0] == rolling_fingerprint([template])[0]
