@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 from ..functions import textstats as ts
 
@@ -1010,6 +1010,7 @@ def asof_join_ds(
     key_col: str = "user_id",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    time_bucket_us: Optional[int] = None,
 ) -> Dataset:
     """Per-key AS-OF self-join: every event gains the timestamp of the
     same user's latest ``mark_type`` event at-or-before it (an as-of /
@@ -1019,28 +1020,134 @@ def asof_join_ds(
     both sides co-locate on the join key, so ONE hash-by-key shuffle
     (``groupby(key).map_groups``) suffices; within a group the marks are
     sorted once and every event probes with ``searchsorted`` — no sort of
-    the full event stream, no per-row Python loop. At 10^12 rows a salted
-    key or time-bucketed sub-split handles pathological single-key skew;
-    here groups are user-sized."""
+    the full event stream, no per-row Python loop.
 
-    def per_user(group: pa.Table) -> pa.Table:
-        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        types = group.column(type_col).to_numpy(zero_copy_only=False)
-        mark_ts = np.sort(ts[types == mark_type], kind="stable")
-        if mark_ts.size == 0:
-            asof = np.full(len(ts), -1, dtype=np.int64)
-        else:
-            idx = np.searchsorted(mark_ts, ts, side="right") - 1
-            asof = np.where(idx >= 0, mark_ts[np.maximum(idx, 0)], np.int64(-1))
+    **Skew fallback** (``time_bucket_us``): a viral key would otherwise
+    deliver one unbounded group to a single worker. With a bucket width
+    set, the group key becomes ``(key, ts // time_bucket_us)`` so no group
+    exceeds one key's events per time bucket; the as-of answer for events
+    whose bucket holds no earlier mark comes from a per-(key, bucket)
+    carry-in boundary — the strictly-earlier prefix max of per-bucket
+    mark maxima, computed from a tiny (key, bucket) summary table (one
+    row per bucket per key) and co-grouped back with the events in the
+    SAME composite-key shuffle. Identical output to the unbucketed path."""
+    if time_bucket_us is None:
+        def per_user(group: pa.Table) -> pa.Table:
+            ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            types = group.column(type_col).to_numpy(zero_copy_only=False)
+            mark_ts = np.sort(ts[types == mark_type], kind="stable")
+            if mark_ts.size == 0:
+                asof = np.full(len(ts), -1, dtype=np.int64)
+            else:
+                idx = np.searchsorted(mark_ts, ts, side="right") - 1
+                asof = np.where(idx >= 0, mark_ts[np.maximum(idx, 0)], np.int64(-1))
+            return pa.table(
+                {
+                    id_col: group.column(id_col),
+                    key_col: group.column(key_col),
+                    "asof_ts_us": pa.array(asof.astype(np.int64)),
+                }
+            )
+
+        return events.groupby(key_col).map_groups(per_user, batch_format="pyarrow")
+
+    width = np.int64(time_bucket_us)
+    sch = events.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                id_col: group.column(id_col),
-                key_col: group.column(key_col),
+                key_col: batch.column(key_col),
+                "bucket": pa.array(ts // width),
+                ts_col: pa.array(ts),
+                type_col: batch.column(type_col),
+                id_col: batch.column(id_col),
+                "carry": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "is_event": pa.array(np.ones(batch.num_rows, dtype=bool)),
+            }
+        )
+
+    def bucket_mark_max(batch: pa.Table) -> pa.Table:
+        # per-batch combiner: one row per (key, bucket) — max mark ts
+        # (-1 when the bucket holds no mark), so the global summary
+        # aggregate shuffles a tiny table, never the event stream
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_mark = pc.equal(batch.column(type_col), pa.scalar(mark_type))
+        mts = np.where(
+            is_mark.to_numpy(zero_copy_only=False), ts, np.int64(-1)
+        )
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "bucket": pa.array(ts // width),
+                "mts": pa.array(mts),
+            }
+        )
+        return t.group_by([key_col, "bucket"]).aggregate([("mts", "max")])
+
+    summary = (
+        events.map_batches(
+            bucket_mark_max, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby([key_col, "bucket"])
+        .aggregate(Max("mts_max"))
+    )
+
+    def carry_rows(group: pa.Table) -> pa.Table:
+        # strictly-earlier prefix max over this key's buckets (sorted)
+        b = group.column("bucket").to_numpy(zero_copy_only=False)
+        m = group.column("max(mts_max)").to_numpy(zero_copy_only=False)
+        order = np.argsort(b, kind="stable")
+        b, m = b[order], m[order]
+        carry = np.concatenate(([np.int64(-1)], np.maximum.accumulate(m)[:-1]))
+        n = len(b)
+        return pa.table(
+            {
+                key_col: pa.array([group.column(key_col)[0].as_py()] * n,
+                                  group.column(key_col).type),
+                "bucket": pa.array(b),
+                ts_col: pa.array(np.full(n, -1, dtype=np.int64)),
+                type_col: pa.array([""] * n, pa.string()),
+                id_col: pa.nulls(n, id_type),
+                "carry": pa.array(carry),
+                "is_event": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    carries = summary.groupby(key_col).map_groups(
+        carry_rows, batch_format="pyarrow"
+    )
+    tagged = events.map_batches(
+        with_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).union(carries)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        is_ev = group.column("is_event").to_numpy(zero_copy_only=False)
+        ts_all = group.column(ts_col).to_numpy(zero_copy_only=False)
+        carry_vals = group.column("carry").to_numpy(zero_copy_only=False)
+        carry = np.int64(carry_vals[~is_ev].max()) if (~is_ev).any() else np.int64(-1)
+        ev = group.filter(pa.array(is_ev))
+        ts = ts_all[is_ev]
+        types = ev.column(type_col).to_numpy(zero_copy_only=False)
+        mark_ts = np.sort(ts[types == mark_type], kind="stable")
+        if mark_ts.size == 0:
+            asof = np.full(len(ts), carry, dtype=np.int64)
+        else:
+            idx = np.searchsorted(mark_ts, ts, side="right") - 1
+            asof = np.where(idx >= 0, mark_ts[np.maximum(idx, 0)], carry)
+        return pa.table(
+            {
+                id_col: ev.column(id_col),
+                key_col: ev.column(key_col),
                 "asof_ts_us": pa.array(asof.astype(np.int64)),
             }
         )
 
-    return events.groupby(key_col).map_groups(per_user, batch_format="pyarrow")
+    return tagged.groupby([key_col, "bucket"]).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
 
 
 # ---------- windowed / sessionized aggregates ----------
@@ -1358,6 +1465,69 @@ def _min_label_propagation(
     return labels
 
 
+def _attach_labels_cogroup(
+    docs: Dataset, labels: Dataset, id_col: str
+) -> Dataset:
+    """Attach canonical ids to ``docs`` from a ``(node, label)`` dataset by
+    ONE hash-by-id co-group — the web-scale path where the label set
+    (linear in dup-involved docs, i.e. billions of rows at a 30-50% dup
+    rate) must never collect into a driver dict. Docs rows and label rows
+    union on a shared ``node`` key; within each group the canonical id is
+    the (single) label row's label, or the doc's own id when the doc has
+    no duplicate. Emits one output row per doc-side row, preserving the
+    driver-dict path's contract exactly."""
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        return pa.table(
+            {
+                "node": ids,
+                "label": pa.nulls(batch.num_rows, ids.type),
+                "n_doc": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    def label_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "label": batch.column("label"),
+                "n_doc": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    both = docs.select_columns([id_col]).map_batches(
+        doc_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        labels.map_batches(
+            label_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        n_doc = int(pc.sum(group.column("n_doc")).as_py() or 0)
+        node_t = group.column("node").type
+        if n_doc == 0:  # label row for an id absent from docs
+            return pa.table(
+                {id_col: pa.array([], node_t), "canonical_id": pa.array([], node_t)}
+            )
+        node = group.column("node")[0].as_py()
+        lab = pc.min(group.column("label")).as_py()  # null-skipping
+        canonical = node if lab is None else lab
+        return pa.table(
+            {
+                id_col: pa.array([node] * n_doc, node_t),
+                "canonical_id": pa.array([canonical] * n_doc, node_t),
+            }
+        )
+
+    return both.groupby("node").map_groups(resolve, batch_format="pyarrow")
+
+
 def dedup_resolution_ds(
     pairs: Dataset,
     docs: Dataset,
@@ -1365,6 +1535,7 @@ def dedup_resolution_ds(
     b_col: str = "doc_b",
     id_col: str = "doc_id",
     max_driver_pairs: int = 1_000_000,
+    max_driver_labels: int = 1_000_000,
     distributed: Optional[bool] = None,
 ) -> Dataset:
     """Resolve verified duplicate pairs into canonical clusters: every doc
@@ -1378,8 +1549,11 @@ def dedup_resolution_ds(
     * **distributed min-label propagation** (web-scale pair sets, where a
       30-50% dup rate makes the pair set billions of rows): iterated
       ``groupby().min()`` to fixpoint — see ``_min_label_propagation``.
-      The driver only ever holds the final (dup-doc -> canonical) map,
-      linear in the number of dup-involved docs, never the pair set.
+      The final (dup-doc -> canonical) label set is then attached to docs
+      either via a broadcast dict (small label sets,
+      ``<= max_driver_labels``) or via a hash-by-id co-group
+      (:func:`_attach_labels_cogroup`) so the driver never holds the
+      label set at web scale.
 
     ``distributed=None`` picks automatically by counting the pair set
     against ``max_driver_pairs``; the pair set is materialized ONCE first
@@ -1390,7 +1564,10 @@ def dedup_resolution_ds(
         distributed = pairs.count() > max_driver_pairs
     if distributed:
         labels = _min_label_propagation(pairs, a_col, b_col)
-        # linear in dup-involved docs — the bounded final collect
+        if labels.count() > max_driver_labels:
+            # web scale: never collect the label set driver-side
+            return _attach_labels_cogroup(docs, labels, id_col)
+        # small label set — bounded final collect
         canon = {r["node"]: r["label"] for r in labels.iter_rows()}
     else:
         parent: Dict = {}

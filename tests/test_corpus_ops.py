@@ -250,6 +250,51 @@ def test_dedup_resolution_distributed_matches_driver(ray_session):
     assert got[11] == 10 and got[22] == 20 and got[5] == 5
 
 
+def test_dedup_resolution_cogroup_label_attach(ray_session):
+    """With max_driver_labels=0 the distributed path must attach canonical
+    ids via the hash-by-id co-group (driver never holds a label dict) and
+    produce output identical to the driver union-find path — including
+    docs with no duplicates and chain components."""
+    pairs_t = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 3, 10, 20, 21], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 11, 21, 22], pa.int64()),
+        }
+    )
+    docs_t = pa.table({"doc_id": pa.array(list(range(1, 30)), pa.int64())})
+    drv = (
+        co.dedup_resolution_ds(
+            ray.data.from_arrow(pairs_t), ray.data.from_arrow(docs_t),
+            distributed=False,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cg = (
+        co.dedup_resolution_ds(
+            ray.data.from_arrow(pairs_t), ray.data.from_arrow(docs_t),
+            distributed=True, max_driver_labels=0,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert drv.equals(cg)
+
+
+def test_dedup_resolution_cogroup_string_ids(ray_session):
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array(["b", "c"]), "doc_b": pa.array(["c", "a"])})
+    )
+    docs = ray.data.from_arrow(pa.table({"doc_id": pa.array(["a", "b", "c", "z"])}))
+    out = co.dedup_resolution_ds(
+        pairs, docs, distributed=True, max_driver_labels=0
+    ).to_pandas()
+    got = dict(zip(out.doc_id, out.canonical_id))
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
 def test_dedup_resolution_distributed_string_ids(ray_session):
     pairs = ray.data.from_arrow(
         pa.table({"doc_a": pa.array(["b", "c"]), "doc_b": pa.array(["c", "a"])})
@@ -580,6 +625,44 @@ def test_asof_join_semantics(ray_session):
     assert got[3] == epoch + 10_000_000
     assert got[5] == epoch + 30_000_000      # latest preceding click
     assert got[6] == -1                      # user with no marks
+
+
+def test_asof_join_skew_bucketed_matches_unbucketed(ray_session):
+    """One viral key holding 100k events: the time-bucketed fallback must
+    (a) bound every (key, bucket) sub-group well below the key's total and
+    (b) produce output identical to the unbucketed per-key path — carry-in
+    boundaries included (events in buckets with no mark must reach back to
+    the latest mark in any earlier bucket)."""
+    rng = np.random.default_rng(7)
+    n = 100_000
+    ts = np.sort(rng.integers(0, 10_000_000, size=n)).astype(np.int64)
+    # sparse marks: ~1 in 500, so many buckets hold no mark at all
+    types = np.where(rng.random(n) < 0.002, "click", "view")
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(np.full(n, 42, dtype=np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(types.tolist(), pa.string()),
+        }
+    )
+    width = 100_000  # ~100 buckets over the 10^7us span
+    buckets = ts // width
+    per_bucket = np.bincount((buckets - buckets.min()).astype(np.int64))
+    assert per_bucket.max() < n // 10  # sub-split genuinely bounds groups
+    plain = (
+        co.asof_join_ds(ray.data.from_arrow(t), mark_type="click")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    bucketed = (
+        co.asof_join_ds(
+            ray.data.from_arrow(t), mark_type="click", time_bucket_us=width
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert plain.equals(bucketed)
+    # sanity: the pre-first-mark region really is exercised
+    assert (plain.asof_ts_us == -1).any()
 
 
 def test_tumbling_window_quantized_sums(ray_session):
