@@ -176,6 +176,17 @@ def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
     return co.repetition_stats_ds(_documents(sf_dir))
 
 
+def q_substring_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact-substring dedup pairs (suffix-array-style, Lee et al. 2022):
+    docs sharing >= 2 distinct verbatim 8-token windows — the verbatim-
+    substring modality MinHash (whole-doc near-dup) and SemDeDup
+    (embedding near-dup) both miss. max_bucket=None for oracle-exact
+    counts; the default star-cap is the 100 TB hot-gram path."""
+    return co.substring_dedup_ds(
+        _documents(sf_dir), k=8, min_shared=2, max_bucket=None
+    )
+
+
 def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     """Training-sequence chunking: sliding 64-token windows (stride 48)
     per document; window text assembled via one pc.binary_join over an
@@ -1878,6 +1889,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # first 50 entries, so queries never yet driver-checked (new this
     # round, or sampled out in r1/r2) lead; long-green ones rotate to
     # the tail.
+    "substring_dedup": q_substring_dedup,
     "roundtrip_text": q_roundtrip_text,
     "vertical_text": q_vertical_text,
     "revenue_by_region": q_revenue_by_region,
@@ -1983,6 +1995,26 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "curves": q_curves,
     "grouped_topk": q_grouped_topk,
     "edge_census": q_edge_census,
+}
+
+# The driver correctness gate samples the FIRST 50 entries. Rotate the 28
+# queries that have never had a driver-green row (locally verified every
+# round, but sampled out of CORRECTNESS_r1-r4) plus this round's new op to
+# the front so CORRECTNESS_r5 finally covers them; long-green entries move
+# to the tail.
+_FRONT_R5 = [
+    "substring_dedup",
+    "hash_sample", "sessionize", "text_lines", "layout_text", "mcid_text",
+    "crop_first_line", "dedupe_chars", "outline", "annots", "hyperlinks",
+    "ctm", "struct_bbox", "main_content", "distinct_modes", "event_ranks",
+    "repair_roundtrip", "metadata", "media_features", "words_by_font",
+    "text_boxes", "char_colors", "search_groups", "word_geometry",
+    "media_resize", "table_geometry", "curves", "grouped_topk",
+    "edge_census",
+]
+QUERIES = {
+    **{k: QUERIES[k] for k in _FRONT_R5},
+    **{k: v for k, v in QUERIES.items() if k not in _FRONT_R5},
 }
 
 
@@ -2345,6 +2377,21 @@ ORACLES: Dict[str, str] = {
               FROM s a JOIN s b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, inter * 1.0 / (tot - inter) AS jaccard
         FROM p WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "substring_dedup": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(
+              [array_to_string(l[i:i+7], ' ') FOR i IN range(1, len(l)-6)]
+          )) AS gram
+          FROM t WHERE len(l) >= 8
+        ),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS shared_grams
+        FROM p GROUP BY doc_a, doc_b HAVING count(*) >= 2
     """,
     "hash_sample": (
         "SELECT doc_id FROM documents "

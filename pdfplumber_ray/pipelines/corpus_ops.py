@@ -646,6 +646,131 @@ def ngram_jaccard_verify_ds(
     return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def substring_dedup_ds(
+    docs: Dataset,
+    k: int = 8,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+) -> Dataset:
+    """Exact-substring duplicate pairs (suffix-array-style dedup after Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): doc pairs sharing >= ``min_shared`` DISTINCT verbatim
+    ``k``-token windows — the dup modality MinHash (near-dup *documents*)
+    and SemDeDup (near-dup *embeddings*) both miss: long verbatim
+    substrings inside otherwise-distinct docs.
+
+    Emits ``(doc_a, doc_b, shared_grams)`` with doc_a < doc_b. Scale shape:
+
+    1. Gram pass — streaming ``map_batches``: sliding k-token windows are
+       index-built and joined with ONE ``pc.binary_join`` per batch (no
+       per-window Python join), then deduped per doc by an Arrow C++
+       ``group_by``. The only shuffle moves ``(gram, doc_id)`` rows —
+       linear in the corpus, same order as the suffix-array input itself.
+       Grouping on the gram STRING keeps the op hash-collision-free and
+       bit-reproducible by a SQL oracle; at 100 TB a 128-bit gram hash key
+       would shrink shuffle bytes ~3x at negligible collision risk.
+    2. Gram-bucket groupby emits co-occurrence pairs; hot grams (site
+       boilerplate shared by thousands of docs) fall back to star pairs
+       above ``max_bucket`` with a logged warning — the same cap machinery
+       as the LSH paths (counts become approximate for capped grams; pass
+       ``max_bucket=None`` for exact oracle semantics).
+    3. Pair counts — ``groupby(doc_a, doc_b).count()`` over the (tiny by
+       construction) pair stream, thresholded at ``min_shared``."""
+
+    def gram_stage(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch.column(id_col).type),
+                "gram": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col)
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+        n_grams = np.maximum(lens - k + 1, 0)
+        total = int(n_grams.sum())
+        if total == 0:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc_of_gram = np.repeat(np.arange(len(toks)), n_grams)
+        first = np.concatenate(([0], np.cumsum(n_grams)[:-1]))
+        starts = np.arange(total) - np.repeat(first, n_grams)
+        # every window is exactly k tokens: broadcast-build value indices
+        idx = np.repeat(base[doc_of_gram] + starts, k) + np.tile(
+            np.arange(k, dtype=np.int64), total
+        )
+        values = pa.array(flat[idx], pa.string())
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(total + 1, dtype=np.int64) * k, pa.int32()),
+            values,
+        )
+        t = pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of_gram)),
+                "gram": pc.binary_join(lists, " "),
+            }
+        )
+        return t.group_by([id_col, "gram"]).aggregate([])  # per-doc distinct
+
+    grams = docs.select_columns([id_col, text_col]).map_batches(
+        gram_stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def gram_pairs(group: pa.Table) -> pa.Table:
+        id_type = group.column(id_col).type
+        ids = sorted(set(group.column(id_col).to_pylist()))
+        n = len(ids)
+        if n < 2:
+            return pa.table(
+                {"doc_a": pa.array([], id_type), "doc_b": pa.array([], id_type)}
+            )
+        if max_bucket is not None and n > max_bucket:  # hot gram: star pairs
+            _log_star_fallback("substring gram", n, max_bucket)
+            return pa.table(
+                {
+                    "doc_a": pa.array([ids[0]] * (n - 1), id_type),
+                    "doc_b": pa.array(ids[1:], id_type),
+                }
+            )
+        a_out: List = []
+        b_out: List = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(a_out, id_type), "doc_b": pa.array(b_out, id_type)}
+        )
+
+    counted = (
+        grams.groupby("gram")
+        .map_groups(gram_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        shared = batch.column("count()").cast(pa.int64())
+        t = pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "shared_grams": shared,
+            }
+        )
+        return t.filter(
+            pc.greater_equal(t.column("shared_grams"), pa.scalar(min_shared, pa.int64()))
+        )
+
+    return counted.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def embedding_near_dup_ds(
     embeddings: Dataset,
     threshold: float = 0.8,

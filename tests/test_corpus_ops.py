@@ -627,6 +627,53 @@ def test_asof_join_semantics(ray_session):
     assert got[6] == -1                      # user with no marks
 
 
+def test_substring_dedup_planted_runs(ray_session):
+    """Docs 0/1 share a verbatim 10-token run (3 distinct 8-grams); docs
+    2/3 share only a 8-token run (1 gram, below min_shared=2); doc 4 is
+    clean. Only (0,1) must surface, with shared_grams == 3."""
+    run10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    run8 = "one two three four five six seven eight"
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    f"intro x {run10} outro y",
+                    f"different lead {run10} tail z q",
+                    f"aa bb {run8} cc",
+                    f"dd {run8} ee ff",
+                    "nothing shared here at all in this doc text body",
+                ]
+            ),
+        }
+    )
+    out = co.substring_dedup_ds(
+        ray.data.from_arrow(t), k=8, min_shared=2, max_bucket=None
+    ).to_pandas()
+    assert len(out) == 1
+    assert (out.doc_a[0], out.doc_b[0], out.shared_grams[0]) == (0, 1, 3)
+
+
+def test_substring_dedup_hot_gram_star_cap(ray_session, caplog):
+    """A gram shared by many docs falls back to star pairs above
+    max_bucket (logged), mirroring the LSH hot-bucket machinery."""
+    import logging
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "text": pa.array([f"doc{i} unique lead {shared}" for i in range(10)]),
+        }
+    )
+    with caplog.at_level(logging.WARNING):
+        out = co.substring_dedup_ds(
+            ray.data.from_arrow(t), k=8, min_shared=1, max_bucket=4
+        ).to_pandas()
+    # star: doc 0 paired with each other doc, no quadratic blowup
+    assert set(zip(out.doc_a, out.doc_b)) == {(0, i) for i in range(1, 10)}
+
+
 def test_asof_join_skew_bucketed_matches_unbucketed(ray_session):
     """One viral key holding 100k events: the time-bucketed fallback must
     (a) bound every (key, bucket) sub-group well below the key's total and
