@@ -11,10 +11,12 @@ numpy RGB canvas, and the overlay API (``draw_rect(s)``, ``draw_line(s)``,
 mirrors the reference's signatures and default colors exactly
 (display.py:20-33 COLORS / DEFAULT_*). Text is rendered glyph-by-glyph
 from a built-in 5x7 bitmap font scaled into each char's decoded bbox
-(readable pages with zero native deps); glyphs outside the font's ASCII
-range — or cells too small to carry pixels — fall back to shading the
-char box by the glyph's estimated ink coverage, so dense and sparse
-text remain visually distinct.
+(readable pages with zero native deps); accented Latin glyphs compose
+from their NFD base + a combining-mark bitmap (5x9 cell), Latin-1
+specials (ß æ ø ð þ ¡ ¿ « » ...) are hand-authored, and glyphs outside
+that repertoire — or cells too small to carry pixels — fall back to
+shading the char box by the glyph's estimated ink coverage, so dense
+and sparse text remain visually distinct.
 
 PNG output is encoded directly (zlib + struct, filter 0 rows) — no
 imaging dependency.
@@ -169,10 +171,90 @@ _FONT_5X7: Dict[str, Tuple[int, ...]] = {
     "~": (0x00, 0x00, 0x08, 0x15, 0x02, 0x00, 0x00),
 }
 
+# Latin-1 / Latin-Extended glyphs compose from their NFD decomposition:
+# base ASCII bitmap + a 2-row combining-mark bitmap stamped above (or
+# below, for cedilla/ogonek) in a 5x9 cell, so European-language corpora
+# render as readable text instead of coverage-shaded boxes. CJK and other
+# non-composable scripts keep the coverage fallback.
+_MARKS_ABOVE: Dict[str, Tuple[int, int]] = {
+    "̀": (0x08, 0x04),  # grave
+    "́": (0x02, 0x04),  # acute
+    "̂": (0x04, 0x0A),  # circumflex
+    "̃": (0x0D, 0x16),  # tilde
+    "̄": (0x00, 0x1F),  # macron
+    "̆": (0x11, 0x0E),  # breve
+    "̇": (0x00, 0x04),  # dot above
+    "̈": (0x0A, 0x00),  # diaeresis
+    "̊": (0x0E, 0x0A),  # ring above
+    "̋": (0x09, 0x12),  # double acute
+    "̌": (0x0A, 0x04),  # caron
+}
+_MARKS_BELOW: Dict[str, Tuple[int, int]] = {
+    "̧": (0x04, 0x0C),  # cedilla
+    "̨": (0x04, 0x06),  # ogonek
+}
+
+# Latin-1 specials with no NFD decomposition — hand-authored 5x7 shapes.
+_FONT_5X7.update(
+    {
+        "ß": (0x0C, 0x12, 0x12, 0x16, 0x11, 0x11, 0x16),  # ß
+        "æ": (0x00, 0x00, 0x1A, 0x05, 0x1F, 0x14, 0x0F),  # æ
+        "Æ": (0x0F, 0x14, 0x14, 0x1F, 0x14, 0x14, 0x17),  # Æ
+        "ø": (0x00, 0x01, 0x0E, 0x13, 0x15, 0x19, 0x1E),  # ø
+        "Ø": (0x0F, 0x11, 0x13, 0x15, 0x19, 0x11, 0x1E),  # Ø
+        "ð": (0x08, 0x06, 0x0A, 0x0F, 0x11, 0x11, 0x0E),  # ð
+        "Ð": (0x1C, 0x12, 0x11, 0x19, 0x11, 0x12, 0x1C),  # Ð
+        "þ": (0x10, 0x10, 0x1E, 0x11, 0x1E, 0x10, 0x10),  # þ
+        "Þ": (0x10, 0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10),  # Þ
+        "¡": (0x04, 0x00, 0x04, 0x04, 0x04, 0x04, 0x04),  # ¡
+        "¿": (0x04, 0x00, 0x04, 0x08, 0x10, 0x11, 0x0E),  # ¿
+        "°": (0x0C, 0x12, 0x12, 0x0C, 0x00, 0x00, 0x00),  # °
+        "·": (0x00, 0x00, 0x00, 0x0C, 0x0C, 0x00, 0x00),  # ·
+        "«": (0x00, 0x05, 0x0A, 0x14, 0x0A, 0x05, 0x00),  # «
+        "»": (0x00, 0x14, 0x0A, 0x05, 0x0A, 0x14, 0x00),  # »
+        "×": (0x00, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x00),  # ×
+        "÷": (0x00, 0x04, 0x00, 0x1F, 0x00, 0x04, 0x00),  # ÷
+    }
+)
+
 _BITMAP_CACHE: Dict[str, np.ndarray] = {}
+_COMPOSE_FAILED: set = set()
 _COVERAGE_CACHE: Dict[str, float] = {}
 # (bitmap id, cell dims, clip) -> scaled boolean stamp; bounded
 _SCALED_GLYPH_CACHE: Dict[tuple, np.ndarray] = {}
+
+
+def _rows_to_bits(rows: Sequence[int]) -> np.ndarray:
+    return np.array(
+        [[(r >> (4 - c)) & 1 for c in range(5)] for r in rows], dtype=bool
+    )
+
+
+def _compose_glyph(ch: str) -> Optional[np.ndarray]:
+    """Compose an accented Latin glyph from its NFD base + combining
+    marks: 5x9 cell with the 2-row mark above (or below for cedilla /
+    ogonek) the 5x7 base bitmap. Returns None when the base or any mark
+    is outside the built-in repertoire (mixed above+below included)."""
+    import unicodedata
+
+    d = unicodedata.normalize("NFD", ch)
+    if len(d) < 2:
+        return None
+    base_rows = _FONT_5X7.get(d[0])
+    if base_rows is None:
+        return None
+    marks = d[1:]
+    if all(m in _MARKS_ABOVE for m in marks):
+        acc = np.zeros((2, 5), dtype=bool)
+        for m in marks:
+            acc |= _rows_to_bits(_MARKS_ABOVE[m])
+        return np.vstack([acc, _rows_to_bits(base_rows)])
+    if all(m in _MARKS_BELOW for m in marks):
+        acc = np.zeros((2, 5), dtype=bool)
+        for m in marks:
+            acc |= _rows_to_bits(_MARKS_BELOW[m])
+        return np.vstack([_rows_to_bits(base_rows), acc])
+    return None
 
 
 def _glyph_bitmap(ch: str) -> Optional[np.ndarray]:
@@ -180,21 +262,26 @@ def _glyph_bitmap(ch: str) -> Optional[np.ndarray]:
     if bm is None:
         rows = _FONT_5X7.get(ch)
         if rows is None:
-            return None
-        bm = np.array(
-            [[(r >> (4 - c)) & 1 for c in range(5)] for r in rows], dtype=bool
-        )
+            if ch in _COMPOSE_FAILED:
+                return None
+            bm = _compose_glyph(ch)
+            if bm is None:
+                _COMPOSE_FAILED.add(ch)
+                return None
+        else:
+            bm = _rows_to_bits(rows)
         _BITMAP_CACHE[ch] = bm
     return bm
 
 
 def _glyph_coverage(ch: str) -> float:
-    """Estimated ink fraction of the glyph cell (popcount / 35); unknown
-    (non-ASCII) glyphs get a mid density so they stay visible."""
+    """Estimated ink fraction of the glyph cell (popcount / cell size);
+    unknown (non-composable) glyphs get a mid density so they stay
+    visible."""
     cov = _COVERAGE_CACHE.get(ch)
     if cov is None:
-        rows = _FONT_5X7.get(ch)
-        cov = 0.4 if rows is None else sum(bin(r).count("1") for r in rows) / 35.0
+        bm = _glyph_bitmap(ch)
+        cov = 0.4 if bm is None else float(bm.mean())
         _COVERAGE_CACHE[ch] = cov
     return cov
 
@@ -306,8 +393,9 @@ class _Canvas:
         self._blend_mask(mask, rgba, origin=(by0, bx0))
 
     def glyph(self, x0: int, y0: int, x1: int, y1: int, bitmap: np.ndarray, rgba) -> None:
-        """Scale a 7x5 bool bitmap into the pixel rect by nearest-neighbor
-        sampling and blend its set pixels."""
+        """Scale a bool bitmap (7x5 base glyphs, 9x5 accent-composed) into
+        the pixel rect by nearest-neighbor sampling and blend its set
+        pixels."""
         rgba = _rgba(rgba)
         if rgba[3] == 0:
             return
@@ -317,13 +405,14 @@ class _Canvas:
             return
         w = max(x1 - x0, 1)
         h = max(y1 - y0, 1)
+        bh, bw = bitmap.shape
         # monospace text repeats identical (glyph, cell, clip) shapes all
         # over a page — memoize the scaled boolean stamp
         key = (id(bitmap), w, h, x0c - x0, x1c - x0, y0c - y0, y1c - y0)
         sub = _SCALED_GLYPH_CACHE.get(key)
         if sub is None:
-            xs = np.clip((np.arange(x0c, x1c) - x0) * 5 // w, 0, 4)
-            ys = np.clip((np.arange(y0c, y1c) - y0) * 7 // h, 0, 6)
+            xs = np.clip((np.arange(x0c, x1c) - x0) * bw // w, 0, bw - 1)
+            ys = np.clip((np.arange(y0c, y1c) - y0) * bh // h, 0, bh - 1)
             sub = bitmap[ys[:, None], xs]
             if len(_SCALED_GLYPH_CACHE) < 65536:
                 _SCALED_GLYPH_CACHE[key] = sub

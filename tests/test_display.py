@@ -263,3 +263,39 @@ def test_draw_rects_accepts_dataframe():
     )
     img.draw_rects(df)
     assert (img.annotated.img[115, 125] != 255).any()
+
+
+def test_composed_accent_glyphs():
+    """Latin-1 letters render as composed glyphs (NFD base + accent in a
+    5x9 cell), not coverage shading: é decomposes, the acute mark sits in
+    the top rows, the base 'e' below; ß is a hand-authored special; a CJK
+    char stays non-composable (coverage fallback)."""
+    from pdfplumber_ray.display import _compose_glyph, _glyph_bitmap
+
+    bm = _glyph_bitmap("é")  # é
+    assert bm is not None and bm.shape == (9, 5)
+    assert bm[:2].any()           # accent rows carry ink
+    assert np.array_equal(bm[2:], _glyph_bitmap("e"))
+    # cedilla composes BELOW the base
+    cb = _glyph_bitmap("ç")  # ç
+    assert cb is not None and cb.shape == (9, 5)
+    assert np.array_equal(cb[:7], _glyph_bitmap("c")) and cb[7:].any()
+    # non-decomposable Latin-1 special has a hand-drawn 5x7 shape
+    assert _glyph_bitmap("ß").shape == (7, 5)  # ß
+    # outside the repertoire -> coverage fallback path
+    assert _glyph_bitmap("中") is None
+    assert _compose_glyph("中") is None
+
+
+def test_composed_glyph_renders_distinct_pixels():
+    """An accent-composed glyph stamped into a cell must differ from its
+    unaccented base (the accent is visible) and from coverage shading."""
+    from pdfplumber_ray.display import _Canvas, _glyph_bitmap
+
+    def stamp(ch):
+        c = _Canvas(20, 30, (255, 255, 255))
+        c.glyph(2, 2, 18, 28, _glyph_bitmap(ch), (0, 0, 0, 255))
+        return c.img.copy()
+
+    assert (stamp("é") != stamp("e")).any()
+    assert (stamp("è") != stamp("é")).any()  # è vs é differ

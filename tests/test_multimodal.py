@@ -185,3 +185,82 @@ def test_jpeg_meta_skips_fill_bytes():
     jpeg = b"\xff\xd8" + b"\xff\xe0\x00\x04\x4a\x46" + b"\xff\xff\xff" + sof0[1:] + b"\xff\xd9"
     meta = mm._decode_jpeg_meta(jpeg)
     assert (meta["width"], meta["height"]) == (200, 120)
+
+
+class _FakePILModule:
+    """Stand-in for PIL.Image (absent in this sandbox): parses the real
+    container's header for dims, resizes by re-encoding a blank canvas at
+    the target size via the repo's own PNG encoder — so the PIL branch in
+    MediaDecode/MediaResize runs against payloads that survive a real
+    round-trip through _decode_payload."""
+
+    class _Im:
+        def __init__(self, payload):
+            meta = (
+                mm._decode_png_meta(payload)
+                if payload[:8] == mm._PNG_MAGIC
+                else mm._decode_jpeg_meta(payload)
+            )
+            self.width = meta["width"]
+            self.height = meta["height"]
+            self.n_frames = meta["n_frames"]
+            self.format = "PNG" if payload[:8] == mm._PNG_MAGIC else "JPEG"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def resize(self, wh):
+            self._target = wh
+            return self
+
+        def save(self, buf, format=None):
+            from pdfplumber_ray.display import encode_png
+
+            w, h = self._target
+            buf.write(encode_png(np.zeros((h, w, 3), dtype=np.uint8)))
+
+    @staticmethod
+    def open(fp):
+        return _FakePILModule._Im(fp.read())
+
+
+def test_pil_branch_decode_and_resize(monkeypatch):
+    """With an imaging lib present (stubbed here — the sandbox has none),
+    MediaDecode reads dims through PIL and MediaResize produces a REAL
+    re-encoded image at the target size; the output payload must decode
+    back through _decode_payload with the new dims."""
+    from pdfplumber_ray.display import encode_png
+
+    monkeypatch.setattr(mm, "HAVE_PIL", True)
+    monkeypatch.setattr(mm, "_PILImage", _FakePILModule)
+    png = encode_png(np.zeros((48, 64, 3), dtype=np.uint8))
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "media_ref": pa.array(["media://real/0"]),
+            "payload": pa.array([png], pa.binary()),
+        }
+    )
+    dec = mm.MediaDecode()(batch)
+    assert dec.column("width").to_pylist() == [64]
+    assert dec.column("height").to_pylist() == [48]
+    res = mm.MediaResize(target_w=32, target_h=16)(batch)
+    out_payload = res.column("payload")[0].as_py()
+    meta = mm._decode_payload(out_payload)
+    assert (meta["width"], meta["height"]) == (32, 16)
+    # synthetic containers still take the SYNM path under the flag
+    synm = pa.table(
+        {
+            "doc_id": pa.array([2], pa.int64()),
+            "media_ref": pa.array(["media://synm/0"]),
+            "payload": pa.array(
+                [mm.pack_payload(mm.KIND_IMAGE, 320, 200, 1)], pa.binary()
+            ),
+        }
+    )
+    res2 = mm.MediaResize(target_w=32, target_h=16)(synm)
+    m2 = mm._decode_payload(res2.column("payload")[0].as_py())
+    assert (m2["width"], m2["height"]) == (32, 16)
