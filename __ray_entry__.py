@@ -176,6 +176,13 @@ def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
     return co.repetition_stats_ds(_documents(sf_dir))
 
 
+def q_tfidf_topk(sf_dir: str) -> ray.data.Dataset:
+    """Top-5 discriminative terms per doc, integer-exact tf-idf ordering
+    (tf DESC, df ASC, term ASC — monotone in the float score, no float in
+    the output so the oracle compare is bit-exact)."""
+    return co.tfidf_topk_ds(_documents(sf_dir), k=5)
+
+
 def q_substring_dedup(sf_dir: str) -> ray.data.Dataset:
     """Exact-substring dedup pairs (suffix-array-style, Lee et al. 2022):
     docs sharing >= 2 distinct verbatim 8-token windows — the verbatim-
@@ -1890,6 +1897,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # round, or sampled out in r1/r2) lead; long-green ones rotate to
     # the tail.
     "substring_dedup": q_substring_dedup,
+    "tfidf_topk": q_tfidf_topk,
     "roundtrip_text": q_roundtrip_text,
     "vertical_text": q_vertical_text,
     "revenue_by_region": q_revenue_by_region,
@@ -2004,6 +2012,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     "substring_dedup",
+    "tfidf_topk",
     "hash_sample", "sessionize", "text_lines", "layout_text", "mcid_text",
     "crop_first_line", "dedupe_chars", "outline", "annots", "hyperlinks",
     "ctm", "struct_bbox", "main_content", "distinct_modes", "event_ranks",
@@ -2377,6 +2386,24 @@ ORACLES: Dict[str, str] = {
               FROM s a JOIN s b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, inter * 1.0 / (tot - inter) AS jaccard
         FROM p WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "tfidf_topk": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        r AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+                 ) AS rnk
+          FROM tf JOIN df USING (term)
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 5
     """,
     "substring_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -299,6 +299,157 @@ def source_mix_ds(
 # ---------- deduplication ----------
 
 
+def tfidf_topk_ds(
+    docs: Dataset,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Top-``k`` most discriminative terms per document, ranked by
+    ``tf DESC, df ASC, term ASC`` — the classic tf-idf curation signal
+    kept INTEGER-EXACT (no float idf, so a SQL oracle reproduces every
+    row bit-for-bit; the float score is monotone in (tf, 1/df) per doc,
+    making this ordering the tf-idf ordering up to deterministic ties).
+
+    Scale shape — no per-doc shuffle anywhere:
+
+    1. TF pass — streaming ``map_batches``; per-batch ``(doc, term)``
+       counts via one Arrow C++ ``group_by``, re-listified to ONE ROW PER
+       DOC (``terms: list<string>, tfs: list<int64>``). Row atomicity
+       guarantees a doc's terms can never split across downstream blocks
+       — the hazard that would otherwise force a ``groupby(doc_id)``
+       shuffle before the top-k.
+    2. DF — per-batch partial term counts (terms are already distinct
+       per doc) -> ``groupby(term).sum`` over the vocab-sized partials;
+       collected and broadcast via ``ray.put`` under a
+       ``max_vocab_broadcast`` guard (natural-language vocab grows
+       ~O(sqrt(corpus)) [Heaps' law], so a few million entries cover
+       web scale; raise the guard or shard the vocab map if exceeded).
+    3. Top-k — streaming ``map_batches`` over the per-doc rows: flatten,
+       ``searchsorted`` df lookup, ONE ``np.lexsort`` per batch
+       (doc, -tf, df, term) + segment cumcount -> rank filter. No
+       per-doc Python."""
+
+    def tf_stage(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.column(id_col).type),
+                    "terms": pa.array([], pa.list_(pa.string())),
+                    "tfs": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=n)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        di = np.repeat(np.arange(n, dtype=np.int64), lens)
+        g = (
+            pa.table({"di": pa.array(di), "term": pa.array(flat, pa.string())})
+            .group_by(["di", "term"])
+            .aggregate([("term", "count")])
+        )
+        gdi = g.column("di").to_numpy(zero_copy_only=False)
+        order = np.argsort(gdi, kind="stable")
+        gdi = gdi[order]
+        terms = g.column("term").take(pa.array(order))
+        tfs = g.column("term_count").take(pa.array(order)).cast(pa.int64())
+        counts = np.bincount(gdi, minlength=n)
+        offs = pa.array(
+            np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "terms": pa.ListArray.from_arrays(offs, terms.combine_chunks()),
+                "tfs": pa.ListArray.from_arrays(offs, tfs.combine_chunks()),
+            }
+        )
+
+    tf = docs.select_columns([id_col, text_col]).map_batches(
+        tf_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused: df aggregate + top-k pass read blocks
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(batch.column("terms"))
+        g = (
+            pa.table({"term": flat})
+            .group_by("term")
+            .aggregate([("term", "count")])
+        )
+        return pa.table(
+            {
+                "term": g.column("term"),
+                "df_partial": g.column("term_count").cast(pa.int64()),
+            }
+        )
+
+    df_rows = (
+        tf.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df_partial"))
+    )
+    n_vocab = df_rows.count()
+    if n_vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary ({n_vocab} terms) exceeds max_vocab_broadcast="
+            f"{max_vocab_broadcast}; raise the guard or shard the vocab map"
+        )
+    collected = df_rows.take_all()
+    vocab = np.asarray([r["term"] for r in collected], dtype=object)
+    dfs = np.asarray([int(r["sum(df_partial)"]) for r in collected], dtype=np.int64)
+    vorder = np.argsort(vocab.astype(str), kind="stable")
+    vocab_sorted = vocab[vorder].astype(str)
+    dfs_sorted = dfs[vorder]
+    df_ref = ray.put((vocab_sorted, dfs_sorted))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch.column(id_col).type),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        vocab_s, dfs_s = ray.get(df_ref)
+        terms_l = batch.column("terms")
+        counts = pc.list_value_length(terms_l).to_numpy(zero_copy_only=False)
+        if int(counts.sum()) == 0:
+            return empty
+        flat_terms = pc.list_flatten(terms_l).to_numpy(zero_copy_only=False).astype(str)
+        flat_tf = pc.list_flatten(batch.column("tfs")).to_numpy(zero_copy_only=False)
+        di = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+        pos = np.searchsorted(vocab_s, flat_terms)
+        flat_df = dfs_s[pos]
+        # codes sorted lexicographically == term ASC tie-break
+        uniq, codes = np.unique(flat_terms, return_inverse=True)
+        order = np.lexsort((codes, flat_df, -flat_tf, di))
+        di_s = di[order]
+        # rank within doc segment (order is doc-major)
+        first = np.concatenate(([True], di_s[1:] != di_s[:-1]))
+        idx = np.arange(len(di_s), dtype=np.int64)
+        rnk = idx - np.maximum.accumulate(np.where(first, idx, 0)) + 1
+        keep = rnk <= k
+        sel = order[keep]
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(di[sel])),
+                "term": pa.array(flat_terms[sel], pa.string()),
+                "tf": pa.array(flat_tf[sel], pa.int64()),
+                "df": pa.array(flat_df[sel], pa.int64()),
+                "rnk": pa.array(rnk[keep], pa.int64()),
+            }
+        )
+
+    return tf.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def exact_dedup_ds(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """Exact dedup groups: md5(text) -> (keep_doc_id = min id, n_docs).
 

@@ -627,6 +627,49 @@ def test_asof_join_semantics(ray_session):
     assert got[6] == -1                      # user with no marks
 
 
+def test_tfidf_topk_rank_semantics(ray_session):
+    """Hand-computable fixture: ranking is tf DESC, then df ASC (rarer
+    term wins the tie), then term ASC; every doc emits <= k rows."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            # doc1: 'apple' tf=2; 'rare' tf=1 df=1; 'common' tf=1 df=3
+            "text": pa.array(
+                [
+                    "apple apple rare common",
+                    "apple common zed",
+                    "common zed zed",
+                ]
+            ),
+        }
+    )
+    out = (
+        co.tfidf_topk_ds(ray.data.from_arrow(t), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    assert list(d1.term) == ["apple", "rare"]  # tf=2 first; df=1 beats df=3
+    assert list(d1.tf) == [2, 1] and list(d1.df) == [2, 1]
+    d3 = out[out.doc_id == 3]
+    assert list(d3.term) == ["zed", "common"]  # tf=2 first
+    assert (out.groupby("doc_id").size() <= 2).all()
+
+
+def test_tfidf_vocab_guard(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["a b c d e f g h"]),
+        }
+    )
+    with pytest.raises(ValueError, match="max_vocab_broadcast"):
+        co.tfidf_topk_ds(
+            ray.data.from_arrow(t), k=2, max_vocab_broadcast=3
+        ).to_pandas()
+
+
 def test_substring_dedup_planted_runs(ray_session):
     """Docs 0/1 share a verbatim 10-token run (3 distinct 8-grams); docs
     2/3 share only a 8-token run (1 gram, below min_shared=2); doc 4 is
