@@ -151,12 +151,15 @@ def frequent_span_fps_auto(
     frequent-fingerprint set, and the driver collect is bounded by the TRUE
     frequent set, never by the df>=2 candidate set:
 
-    1. The df aggregate (one row per distinct fingerprint, distributed) is
-       materialized in the OBJECT STORE — blocks, not driver memory. On a
+    1. The df aggregate is pre-filtered to the df>=2 candidate rows (plus
+       the sentinel) INSIDE its consumption, and only that candidate set
+       is materialized — in the OBJECT STORE (blocks, not driver memory),
+       and strictly smaller than the all-distinct-fingerprint table. On a
        high-duplication web corpus "any span repeated in >= 2 docs" is a
        large fraction of distinct fingerprints (quotes, bylines, shared
        paragraphs), so collecting that candidate set driver-side — the
-       pre-r5 shape — does not survive 100 TB.
+       pre-r5 shape — does not survive 100 TB; holding it as spillable
+       blocks does.
     2. The sentinel row is read back alone (a one-row filter over the
        materialized blocks) to learn ``n_docs``.
     3. ``min_count = max(2, ceil(fraction * n_docs))`` is applied as a
@@ -166,7 +169,20 @@ def frequent_span_fps_auto(
 
     Both re-reads stream plasma blocks; nothing over ``docs`` runs twice."""
     sent = pa.scalar(_DOC_COUNT_FP, pa.int64())
-    agg = _df_aggregate(docs).materialize()
+    two = pa.scalar(2, pa.int64())
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.greater_equal(batch.column("sum(n)"), two),
+            pc.equal(batch.column("fp"), sent),
+        )
+        return batch.filter(m)
+
+    agg = (
+        _df_aggregate(docs)
+        .map_batches(keep_candidates, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
 
     def keep_sentinel(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch.column("fp"), sent))
