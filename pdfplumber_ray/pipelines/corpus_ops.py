@@ -804,6 +804,7 @@ def substring_dedup_ds(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+    n_hash_buckets: int = 1024,
 ) -> Dataset:
     """Exact-substring duplicate pairs (suffix-array-style dedup after Lee
     et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -822,11 +823,17 @@ def substring_dedup_ds(
        Grouping on the gram STRING keeps the op hash-collision-free and
        bit-reproducible by a SQL oracle; at 100 TB a 128-bit gram hash key
        would shrink shuffle bytes ~3x at negligible collision risk.
-    2. Gram-bucket groupby emits co-occurrence pairs; hot grams (site
+    2. Pair generation shuffles by ``hash(gram) % n_hash_buckets`` — a
+       BOUNDED number of groups — never by the gram itself: one
+       ``map_groups`` call per distinct gram (millions of near-singleton
+       groups) would drown in per-group Python overhead. Within a bucket
+       the grams segment via one ``np.unique`` + lexsort; singleton grams
+       (the overwhelming majority) drop vectorized before any pair loop,
+       so Python touches only genuinely-shared grams. Hot grams (site
        boilerplate shared by thousands of docs) fall back to star pairs
-       above ``max_bucket`` with a logged warning — the same cap machinery
-       as the LSH paths (counts become approximate for capped grams; pass
-       ``max_bucket=None`` for exact oracle semantics).
+       above ``max_bucket`` with a logged warning — the same cap
+       machinery as the LSH paths (counts become approximate for capped
+       grams; pass ``max_bucket=None`` for exact oracle semantics).
     3. Pair counts — ``groupby(doc_a, doc_b).count()`` over the (tiny by
        construction) pair stream, thresholded at ``min_shared``."""
 
@@ -867,41 +874,57 @@ def substring_dedup_ds(
                 "gram": pc.binary_join(lists, " "),
             }
         )
-        return t.group_by([id_col, "gram"]).aggregate([])  # per-doc distinct
+        t = t.group_by([id_col, "gram"]).aggregate([])  # per-doc distinct
+        # bucket id must agree for the same gram across ALL workers:
+        # md5-derived (Python's hash() is per-process-salted)
+        gl = t.column("gram").to_pylist()
+        h = np.fromiter((ts.md5_u64(g) for g in gl), np.uint64, count=len(gl))
+        return t.append_column(
+            "bkt", pa.array((h % np.uint64(n_hash_buckets)).astype(np.int64))
+        )
 
     grams = docs.select_columns([id_col, text_col]).map_batches(
         gram_stage, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def gram_pairs(group: pa.Table) -> pa.Table:
+    def bucket_pairs(group: pa.Table) -> pa.Table:
         id_type = group.column(id_col).type
-        ids = sorted(set(group.column(id_col).to_pylist()))
-        n = len(ids)
-        if n < 2:
-            return pa.table(
-                {"doc_a": pa.array([], id_type), "doc_b": pa.array([], id_type)}
-            )
-        if max_bucket is not None and n > max_bucket:  # hot gram: star pairs
-            _log_star_fallback("substring gram", n, max_bucket)
-            return pa.table(
-                {
-                    "doc_a": pa.array([ids[0]] * (n - 1), id_type),
-                    "doc_b": pa.array(ids[1:], id_type),
-                }
-            )
+        empty = pa.table(
+            {"doc_a": pa.array([], id_type), "doc_b": pa.array([], id_type)}
+        )
+        g = group.column("gram").to_numpy(zero_copy_only=False)
+        if len(g) < 2:
+            return empty
+        ids_np = group.column(id_col).to_numpy(zero_copy_only=False)
+        codes = np.unique(g, return_inverse=True)[1]
+        order = np.lexsort((ids_np, codes))
+        codes_s, ids_s = codes[order], ids_np[order]
+        first = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        seg_start = np.flatnonzero(first)
+        seg_len = np.diff(np.concatenate((seg_start, [len(codes_s)])))
+        shared = seg_len >= 2  # singleton grams (the vast majority) drop here
+        if not shared.any():
+            return empty
         a_out: List = []
         b_out: List = []
-        for i in range(n):
-            for j in range(i + 1, n):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        for s, n in zip(seg_start[shared], seg_len[shared]):
+            ids_g = ids_s[s : s + n]
+            if max_bucket is not None and n > max_bucket:  # hot gram: star
+                _log_star_fallback("substring gram", int(n), max_bucket)
+                a_out.extend([ids_g[0]] * (int(n) - 1))
+                b_out.extend(ids_g[1:].tolist())
+                continue
+            for i in range(int(n)):
+                for j in range(i + 1, int(n)):
+                    a_out.append(ids_g[i])
+                    b_out.append(ids_g[j])
         return pa.table(
             {"doc_a": pa.array(a_out, id_type), "doc_b": pa.array(b_out, id_type)}
         )
 
     counted = (
-        grams.groupby("gram")
-        .map_groups(gram_pairs, batch_format="pyarrow")
+        grams.groupby("bkt")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .count()
     )
