@@ -776,6 +776,37 @@ def q_dedup_resolution(sf_dir: str) -> ray.data.Dataset:
     return co.dedup_resolution_ds(pairs, docs.select_columns(["doc_id"]))
 
 
+def q_dedup_resolution_cogroup(sf_dir: str) -> ray.data.Dataset:
+    """Same contract as dedup_resolution but FORCED down the 100 TB path:
+    distributed min-label propagation + hash-by-id co-group label attach
+    (max_driver_labels=0 — the driver never holds a label dict). Shares
+    the recursive-CTE oracle; identical output proves both paths."""
+    docs = _documents(sf_dir)
+    cands = co.minhash_pairs_ds(
+        docs, num_perm=64, bands=64, threshold=0.0, max_bucket=None
+    )
+    pairs = co.ngram_jaccard_verify_ds(cands, docs, threshold=0.5)
+    return co.dedup_resolution_ds(
+        pairs, docs.select_columns(["doc_id"]),
+        distributed=True, max_driver_labels=0,
+    )
+
+
+def q_asof_join_bucketed(sf_dir: str) -> ray.data.Dataset:
+    """Same contract as asof_join but through the skew fallback: groups
+    are (user, 1h time bucket) with carry-in mark boundaries, so no
+    single viral key can deliver an unbounded group. Shares the native
+    ASOF JOIN oracle; identical output proves the sub-split."""
+    return co.asof_join_ds(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        ),
+        mark_type="click",
+        time_bucket_us=3_600_000_000,
+    )
+
+
 def q_curation_funnel(sf_dir: str) -> ray.data.Dataset:
     """Composed curation pipeline: quality scoring -> threshold filter
     (30 <= words <= 90 and at least one English stopword) -> broadcast
@@ -1898,6 +1929,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # the tail.
     "substring_dedup": q_substring_dedup,
     "tfidf_topk": q_tfidf_topk,
+    "dedup_resolution_cogroup": q_dedup_resolution_cogroup,
+    "asof_join_bucketed": q_asof_join_bucketed,
     "roundtrip_text": q_roundtrip_text,
     "vertical_text": q_vertical_text,
     "revenue_by_region": q_revenue_by_region,
@@ -2013,6 +2046,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 _FRONT_R5 = [
     "substring_dedup",
     "tfidf_topk",
+    "dedup_resolution_cogroup",
+    "asof_join_bucketed",
     "hash_sample", "sessionize", "text_lines", "layout_text", "mcid_text",
     "crop_first_line", "dedupe_chars", "outline", "annots", "hyperlinks",
     "ctm", "struct_bbox", "main_content", "distinct_modes", "event_ranks",
@@ -2893,6 +2928,11 @@ ORACLES: Dict[str, str] = {
         FROM documents
     """,
 }
+
+# Scale-path twins: identical output contract, different engine path —
+# the driver gate proves the 100 TB paths against the same oracles.
+ORACLES["dedup_resolution_cogroup"] = ORACLES["dedup_resolution"]
+ORACLES["asof_join_bucketed"] = ORACLES["asof_join"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
