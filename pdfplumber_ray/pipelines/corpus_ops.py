@@ -390,6 +390,9 @@ def tfidf_topk_ds(
         tf.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term")
         .aggregate(Sum("df_partial"))
+        .materialize()  # one execution: count() reads metadata, the
+        # collect below reads blocks — and the guard fires BEFORE any
+        # driver-side vocab materialization
     )
     n_vocab = df_rows.count()
     if n_vocab > max_vocab_broadcast:
