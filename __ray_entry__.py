@@ -194,6 +194,15 @@ def q_substring_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_substring_runs(sf_dir: str) -> ray.data.Dataset:
+    """Longest shared verbatim token run per doc pair (full Lee et al.
+    2022 semantics — substring_dedup counts shared windows, this measures
+    the run): pairs with a common run >= 15 tokens."""
+    return co.substring_runs_ds(
+        _documents(sf_dir), k=8, min_run_tokens=15, max_bucket=None
+    )
+
+
 def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     """Training-sequence chunking: sliding 64-token windows (stride 48)
     per document; window text assembled via one pc.binary_join over an
@@ -1928,6 +1937,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # round, or sampled out in r1/r2) lead; long-green ones rotate to
     # the tail.
     "substring_dedup": q_substring_dedup,
+    "substring_runs": q_substring_runs,
     "tfidf_topk": q_tfidf_topk,
     "dedup_resolution_cogroup": q_dedup_resolution_cogroup,
     "asof_join_bucketed": q_asof_join_bucketed,
@@ -2045,6 +2055,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     "substring_dedup",
+    "substring_runs",
     "tfidf_topk",
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
@@ -2421,6 +2432,35 @@ ORACLES: Dict[str, str] = {
               FROM s a JOIN s b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, inter * 1.0 / (tot - inter) AS jaccard
         FROM p WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "substring_runs": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        g AS (
+          SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+            SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(l[i:i+7], ' ')}
+                                   FOR i IN range(1, len(l)-6)]) AS u
+            FROM t WHERE len(l) >= 8
+          )
+        ),
+        m AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+                 a.pos - b.pos AS delta
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ),
+        i AS (
+          SELECT doc_a, doc_b, delta, pa,
+                 pa - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, delta ORDER BY pa
+                 ) AS grp
+          FROM (SELECT DISTINCT doc_a, doc_b, delta, pa FROM m)
+        ),
+        r AS (
+          SELECT doc_a, doc_b, count(*) AS run_grams
+          FROM i GROUP BY doc_a, doc_b, delta, grp
+        )
+        SELECT doc_a, doc_b, CAST(max(run_grams) + 7 AS BIGINT) AS max_run_tokens
+        FROM r GROUP BY doc_a, doc_b
+        HAVING max(run_grams) + 7 >= 15
     """,
     "tfidf_topk": """
         WITH toks AS (

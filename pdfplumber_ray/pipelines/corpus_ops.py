@@ -948,6 +948,171 @@ def substring_dedup_ds(
     return counted.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def substring_runs_ds(
+    docs: Dataset,
+    k: int = 8,
+    min_run_tokens: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+    n_hash_buckets: int = 1024,
+) -> Dataset:
+    """Longest shared verbatim token run per doc pair (the full Lee et
+    al. 2022 exact-substring semantics — :func:`substring_dedup_ds`
+    counts shared windows; this one measures the RUN): emits
+    ``(doc_a, doc_b, max_run_tokens)`` for pairs whose longest common
+    consecutive token run reaches ``min_run_tokens``.
+
+    Scale shape mirrors ``substring_dedup_ds`` — positional k-gram rows
+    ``(gram, doc, pos)``, ONE shuffle by ``md5(gram) % n_hash_buckets``
+    (bounded group count), vectorized in-bucket match emission (singleton
+    grams drop before any Python loop, hot grams capped + logged) — plus
+    one ``groupby(doc_a, doc_b)`` over the match stream, where each
+    pair's run is a vectorized gaps-and-islands pass: matched positions
+    group by alignment offset ``delta = pos_a - pos_b``; within a delta,
+    consecutive ``pos_a`` values chain into islands; the longest island
+    of g grams is a run of ``g + k - 1`` tokens."""
+
+    def gram_stage(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch.column(id_col).type),
+                "pos": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+                "bkt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col)
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+        n_grams = np.maximum(lens - k + 1, 0)
+        total = int(n_grams.sum())
+        if total == 0:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc_of_gram = np.repeat(np.arange(len(toks)), n_grams)
+        first = np.concatenate(([0], np.cumsum(n_grams)[:-1]))
+        starts = np.arange(total) - np.repeat(first, n_grams)
+        idx = np.repeat(base[doc_of_gram] + starts, k) + np.tile(
+            np.arange(k, dtype=np.int64), total
+        )
+        values = pa.array(flat[idx], pa.string())
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(total + 1, dtype=np.int64) * k, pa.int32()),
+            values,
+        )
+        grams = pc.binary_join(lists, " ")
+        gl = grams.to_pylist()
+        h = np.fromiter((ts.md5_u64(g) for g in gl), np.uint64, count=len(gl))
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of_gram)),
+                "pos": pa.array(starts + 1),  # 1-based, matches the SQL twin
+                "gram": grams,
+                "bkt": pa.array(
+                    (h % np.uint64(n_hash_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    grams = docs.select_columns([id_col, text_col]).map_batches(
+        gram_stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_matches(group: pa.Table) -> pa.Table:
+        id_type = group.column(id_col).type
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], id_type),
+                "doc_b": pa.array([], id_type),
+                "pa_pos": pa.array([], pa.int64()),
+                "delta": pa.array([], pa.int64()),
+            }
+        )
+        g = group.column("gram").to_numpy(zero_copy_only=False)
+        if len(g) < 2:
+            return empty
+        ids_np = group.column(id_col).to_numpy(zero_copy_only=False)
+        pos_np = group.column("pos").to_numpy(zero_copy_only=False)
+        codes = np.unique(g, return_inverse=True)[1]
+        order = np.lexsort((pos_np, ids_np, codes))
+        codes_s = codes[order]
+        ids_s, pos_s = ids_np[order], pos_np[order]
+        first = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        seg_start = np.flatnonzero(first)
+        seg_len = np.diff(np.concatenate((seg_start, [len(codes_s)])))
+        a_out: List = []
+        b_out: List = []
+        pa_out: List[int] = []
+        d_out: List[int] = []
+        for s, n in zip(seg_start, seg_len):
+            if n < 2:
+                continue
+            ids_g = ids_s[s : s + n]
+            if ids_g[0] == ids_g[-1]:  # single doc repeats the gram
+                continue
+            if max_bucket is not None and n > max_bucket:
+                _log_star_fallback("substring-run gram", int(n), max_bucket)
+                ids_g = ids_g[:max_bucket]
+            pos_g = pos_s[s : s + len(ids_g)]
+            for i in range(len(ids_g)):
+                for j in range(i + 1, len(ids_g)):
+                    if ids_g[i] == ids_g[j]:
+                        continue
+                    a_out.append(ids_g[i])
+                    b_out.append(ids_g[j])
+                    pa_out.append(int(pos_g[i]))
+                    d_out.append(int(pos_g[i]) - int(pos_g[j]))
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, id_type),
+                "doc_b": pa.array(b_out, id_type),
+                "pa_pos": pa.array(pa_out, pa.int64()),
+                "delta": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    def per_pair(group: pa.Table) -> pa.Table:
+        id_type = group.column("doc_a").type
+        d = group.column("delta").to_numpy(zero_copy_only=False)
+        p = group.column("pa_pos").to_numpy(zero_copy_only=False)
+        # distinct (delta, pa), gaps-and-islands per delta
+        dp = np.unique(np.stack([d, p], axis=1), axis=0)
+        d_s, p_s = dp[:, 0], dp[:, 1]
+        new_island = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (p_s[1:] != p_s[:-1] + 1))
+        )
+        island_id = np.cumsum(new_island)
+        run_grams = np.bincount(island_id).max()
+        max_run = int(run_grams) + k - 1
+        if max_run < min_run_tokens:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], id_type),
+                    "doc_b": pa.array([], id_type),
+                    "max_run_tokens": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": group.column("doc_a").slice(0, 1),
+                "doc_b": group.column("doc_b").slice(0, 1),
+                "max_run_tokens": pa.array([max_run], pa.int64()),
+            }
+        )
+
+    return (
+        grams.groupby("bkt")
+        .map_groups(bucket_matches, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(per_pair, batch_format="pyarrow")
+    )
+
+
 def embedding_near_dup_ds(
     embeddings: Dataset,
     threshold: float = 0.8,

@@ -717,6 +717,32 @@ def test_substring_dedup_hot_gram_star_cap(ray_session, caplog):
     assert set(zip(out.doc_a, out.doc_b)) == {(0, i) for i in range(1, 10)}
 
 
+def test_substring_runs_measures_longest_run(ray_session):
+    """Docs 0/1 share a verbatim 20-token run (and nothing else): the
+    reported max_run_tokens must be exactly 20. Docs 2/3 share a
+    12-token run — below min_run_tokens=15, no row."""
+    run20 = " ".join(f"w{i}" for i in range(20))
+    run12 = " ".join(f"v{i}" for i in range(12))
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"aa bb cc {run20} dd ee",
+                    f"xx {run20} yy zz qq",
+                    f"k1 k2 {run12} k3",
+                    f"m1 {run12} m2 m3",
+                ]
+            ),
+        }
+    )
+    out = co.substring_runs_ds(
+        ray.data.from_arrow(t), k=8, min_run_tokens=15, max_bucket=None
+    ).to_pandas()
+    assert len(out) == 1
+    assert (out.doc_a[0], out.doc_b[0], out.max_run_tokens[0]) == (0, 1, 20)
+
+
 def test_asof_join_skew_bucketed_matches_unbucketed(ray_session):
     """One viral key holding 100k events: the time-bucketed fallback must
     (a) bound every (key, bucket) sub-group well below the key's total and
