@@ -194,6 +194,14 @@ def q_substring_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_substring_strip(sf_dir: str) -> ray.data.Dataset:
+    """Duplicate-text removal (the Lee et al. strip step): every token
+    covered by an occurrence of an 8-gram shared across >= 2 docs is
+    dropped; one output row per doc with the cleaned text and the
+    removed-token count."""
+    return co.substring_strip_ds(_documents(sf_dir), k=8, min_df=2)
+
+
 def q_substring_runs(sf_dir: str) -> ray.data.Dataset:
     """Longest shared verbatim token run per doc pair (full Lee et al.
     2022 semantics — substring_dedup counts shared windows, this measures
@@ -1938,6 +1946,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # the tail.
     "substring_dedup": q_substring_dedup,
     "substring_runs": q_substring_runs,
+    "substring_strip": q_substring_strip,
     "tfidf_topk": q_tfidf_topk,
     "dedup_resolution_cogroup": q_dedup_resolution_cogroup,
     "asof_join_bucketed": q_asof_join_bucketed,
@@ -2056,6 +2065,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 _FRONT_R5 = [
     "substring_dedup",
     "substring_runs",
+    "substring_strip",
     "tfidf_topk",
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
@@ -2432,6 +2442,42 @@ ORACLES: Dict[str, str] = {
               FROM s a JOIN s b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, inter * 1.0 / (tot - inter) AS jaccard
         FROM p WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "substring_strip": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        g AS (
+          SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+            SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(l[i:i+7], ' ')}
+                                   FOR i IN range(1, len(l)-6)]) AS u
+            FROM t WHERE len(l) >= 8
+          )
+        ),
+        df AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+        cov AS (
+          SELECT DISTINCT g.doc_id, u.p
+          FROM g JOIN df USING (gram), unnest(range(g.pos, g.pos + 8)) AS u(p)
+          WHERE df.df >= 2
+        ),
+        tok AS (
+          SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+            SELECT doc_id,
+                   unnest([{'p': i, 'tok': l[i]} FOR i IN range(1, len(l) + 1)]) AS u
+            FROM t
+          )
+        ),
+        keep AS (
+          SELECT tok.doc_id, tok.p, tok.tok
+          FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+          WHERE cov.p IS NULL
+        )
+        SELECT t.doc_id,
+               COALESCE(k.clean_text, '') AS clean_text,
+               CAST(len(t.l) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_removed
+        FROM t LEFT JOIN (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                 count(*) AS n_kept
+          FROM keep GROUP BY doc_id
+        ) k USING (doc_id)
     """,
     "substring_runs": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

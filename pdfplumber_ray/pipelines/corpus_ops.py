@@ -948,6 +948,162 @@ def substring_dedup_ds(
     return counted.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def substring_strip_ds(
+    docs: Dataset,
+    k: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_frequent_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Remove duplicated verbatim windows from the corpus (the Lee et al.
+    2022 *removal* step — :func:`substring_dedup_ds` detects shared
+    windows, :func:`substring_runs_ds` measures them, this one strips
+    them): every token covered by any occurrence of a k-token gram that
+    appears in >= ``min_df`` documents is dropped; emits
+    ``(doc_id, clean_text, n_tokens_removed)`` for every doc.
+
+    Scale shape: per-doc-distinct grams pre-count per batch (combiner)
+    -> ONE ``groupby(gram).sum`` (the df aggregate) -> the frequent set
+    (df >= min_df) collects under ``max_frequent_broadcast`` and
+    broadcasts via ``ray.put`` as a SORTED string array; the strip pass
+    is a streaming ``map_batches`` — positional grams probe the set with
+    ``searchsorted``, coverage intervals resolve with a +1/-1 cumsum
+    sweep, and surviving tokens re-join with ONE ``pc.binary_join`` per
+    batch. At a 30-50%-duplication web scale the frequent-gram set is
+    large; raise the guard (it is object-store-shared, one copy per
+    node) or swap the broadcast for a gram-bucket semi-join."""
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids_idx = np.arange(len(texts), dtype=np.int64)
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+        n_grams = np.maximum(lens - k + 1, 0)
+        total = int(n_grams.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "df_partial": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc_of_gram = np.repeat(ids_idx, n_grams)
+        first = np.concatenate(([0], np.cumsum(n_grams)[:-1]))
+        starts = np.arange(total) - np.repeat(first, n_grams)
+        idx = np.repeat(base[doc_of_gram] + starts, k) + np.tile(
+            np.arange(k, dtype=np.int64), total
+        )
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(total + 1, dtype=np.int64) * k, pa.int32()),
+            pa.array(flat[idx], pa.string()),
+        )
+        t = pa.table(
+            {"di": pa.array(doc_of_gram), "gram": pc.binary_join(lists, " ")}
+        )
+        d = t.group_by(["di", "gram"]).aggregate([])  # per-doc distinct
+        g = d.group_by("gram").aggregate([("di", "count")])
+        return pa.table(
+            {
+                "gram": g.column("gram"),
+                "df_partial": g.column("di_count").cast(pa.int64()),
+            }
+        )
+
+    freq_rows = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .aggregate(Sum("df_partial"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(
+                    b.column("sum(df_partial)"), pa.scalar(min_df, pa.int64())
+                )
+            ).select(["gram"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    n_freq = freq_rows.count()
+    if n_freq > max_frequent_broadcast:
+        raise ValueError(
+            f"frequent-gram set ({n_freq}) exceeds max_frequent_broadcast="
+            f"{max_frequent_broadcast}; raise the guard or use a semi-join"
+        )
+    freq_sorted = np.sort(
+        np.asarray([r["gram"] for r in freq_rows.take_all()], dtype=str)
+    )
+    freq_ref = ray.put(freq_sorted)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: ids,
+                    "clean_text": pa.array([], pa.string()),
+                    "n_tokens_removed": pa.array([], pa.int64()),
+                }
+            )
+        fs = ray.get(freq_ref)
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # +1/-1 sweep over flat token index space; doc boundaries are safe
+        # because a gram never crosses a doc (windows stay within lens)
+        delta = np.zeros(len(flat) + 1, dtype=np.int64)
+        n_grams = np.maximum(lens - k + 1, 0)
+        total = int(n_grams.sum())
+        if total and len(fs):
+            doc_of_gram = np.repeat(np.arange(len(toks)), n_grams)
+            first = np.concatenate(([0], np.cumsum(n_grams)[:-1]))
+            starts = np.arange(total) - np.repeat(first, n_grams)
+            gidx = np.repeat(base[doc_of_gram] + starts, k) + np.tile(
+                np.arange(k, dtype=np.int64), total
+            )
+            lists = pa.ListArray.from_arrays(
+                pa.array(np.arange(total + 1, dtype=np.int64) * k, pa.int32()),
+                pa.array(flat[gidx], pa.string()),
+            )
+            grams = (
+                pc.binary_join(lists, " ").to_numpy(zero_copy_only=False).astype(str)
+            )
+            pos = np.searchsorted(fs, grams)
+            pos = np.minimum(pos, len(fs) - 1)
+            hit = fs[pos] == grams
+            starts_abs = (base[doc_of_gram] + starts)[hit]
+            np.add.at(delta, starts_abs, 1)
+            np.add.at(delta, starts_abs + k, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        kept = ~covered
+        # lens >= 1 always ('' splits to ['']), so base is strictly
+        # increasing and reduceat segments cleanly per doc
+        kept_counts = np.add.reduceat(kept.astype(np.int64), base)
+        offs = pa.array(
+            np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        )
+        kept_lists = pa.ListArray.from_arrays(
+            offs, pa.array(flat[kept], pa.string())
+        )
+        return pa.table(
+            {
+                id_col: ids,
+                "clean_text": pc.binary_join(kept_lists, " "),
+                "n_tokens_removed": pa.array(lens - kept_counts),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        strip, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def substring_runs_ds(
     docs: Dataset,
     k: int = 8,

@@ -717,6 +717,36 @@ def test_substring_dedup_hot_gram_star_cap(ray_session, caplog):
     assert set(zip(out.doc_a, out.doc_b)) == {(0, i) for i in range(1, 10)}
 
 
+def test_substring_strip_removes_covered_tokens(ray_session):
+    """Tokens covered by a >=2-doc 8-gram occurrence are removed; clean
+    docs pass through byte-identical (split/join round-trip); a fully
+    duplicated doc strips to the empty string."""
+    run10 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"head {run10} tail",
+                    f"lead in {run10} out x",
+                    "totally unique text with  double space kept",
+                    run10,  # entirely covered
+                ]
+            ),
+        }
+    )
+    out = (
+        co.substring_strip_ds(ray.data.from_arrow(t), k=8, min_df=2)
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[0, "clean_text"] == "head tail"
+    assert out.loc[0, "n_tokens_removed"] == 10
+    assert out.loc[1, "clean_text"] == "lead in out x"
+    assert out.loc[2, "clean_text"] == "totally unique text with  double space kept"
+    assert out.loc[2, "n_tokens_removed"] == 0
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_tokens_removed"] == 10
+
+
 def test_substring_runs_measures_longest_run(ray_session):
     """Docs 0/1 share a verbatim 20-token run (and nothing else): the
     reported max_run_tokens must be exactly 20. Docs 2/3 share a
