@@ -214,6 +214,14 @@ _FONT_5X7.update(
         "»": (0x00, 0x14, 0x0A, 0x05, 0x0A, 0x14, 0x00),  # »
         "×": (0x00, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x00),  # ×
         "÷": (0x00, 0x04, 0x00, 0x1F, 0x00, 0x04, 0x00),  # ÷
+        # stroked Latin letters never NFD-decompose (the bar/stroke is
+        # not a combining mark) — hand-authored like the Latin-1 specials
+        "ł": (0x0C, 0x04, 0x06, 0x0C, 0x04, 0x04, 0x0E),  # ł
+        "Ł": (0x08, 0x08, 0x0C, 0x18, 0x08, 0x08, 0x0F),  # Ł
+        "đ": (0x01, 0x07, 0x0D, 0x13, 0x11, 0x11, 0x0F),  # đ
+        "Đ": (0x1C, 0x12, 0x11, 0x19, 0x11, 0x12, 0x1C),  # Đ
+        "ħ": (0x10, 0x18, 0x16, 0x19, 0x11, 0x11, 0x11),  # ħ
+        "Ħ": (0x11, 0x1F, 0x11, 0x1F, 0x11, 0x11, 0x11),  # Ħ
     }
 )
 
