@@ -717,6 +717,23 @@ def test_substring_dedup_hot_gram_star_cap(ray_session, caplog):
     assert set(zip(out.doc_a, out.doc_b)) == {(0, i) for i in range(1, 10)}
 
 
+def test_new_ops_empty_corpus(ray_session):
+    """Every round-5 operator returns an empty result (not a crash) on an
+    empty corpus — the recurring empty-input ADVICE class, pinned."""
+    for fn in (
+        lambda d: co.substring_dedup_ds(d, max_bucket=None),
+        lambda d: co.substring_runs_ds(d, max_bucket=None),
+        lambda d: co.substring_strip_ds(d),
+        lambda d: co.tfidf_topk_ds(d),
+    ):
+        empty = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        )
+        assert len(fn(empty).to_pandas()) == 0
+
+
 def test_substring_strip_removes_covered_tokens(ray_session):
     """Tokens covered by a >=2-doc 8-gram occurrence are removed; clean
     docs pass through byte-identical (split/join round-trip); a fully
