@@ -194,6 +194,16 @@ def q_substring_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_dataset_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment (md5-bucketed permille):
+    stable across runs, cluster sizes, and engines — the leakage-proof
+    split a training pipeline needs."""
+    return co.dataset_split_ds(
+        _documents(sf_dir).select_columns(["doc_id"]),
+        val_permille=50, test_permille=50,
+    )
+
+
 def q_substring_strip(sf_dir: str) -> ray.data.Dataset:
     """Duplicate-text removal (the Lee et al. strip step): every token
     covered by an occurrence of an 8-gram shared across >= 2 docs is
@@ -1947,6 +1957,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "substring_dedup": q_substring_dedup,
     "substring_runs": q_substring_runs,
     "substring_strip": q_substring_strip,
+    "dataset_split": q_dataset_split,
     "tfidf_topk": q_tfidf_topk,
     "dedup_resolution_cogroup": q_dedup_resolution_cogroup,
     "asof_join_bucketed": q_asof_join_bucketed,
@@ -2066,6 +2077,7 @@ _FRONT_R5 = [
     "substring_dedup",
     "substring_runs",
     "substring_strip",
+    "dataset_split",
     "tfidf_topk",
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
@@ -2442,6 +2454,19 @@ ORACLES: Dict[str, str] = {
               FROM s a JOIN s b ON a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, inter * 1.0 / (tot - inter) AS jaccard
         FROM p WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "dataset_split": """
+        SELECT doc_id,
+               CASE WHEN b < 50 THEN 'val'
+                    WHEN b < 100 THEN 'test'
+                    ELSE 'train' END AS split,
+               CAST(b AS BIGINT) AS bucket
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 1000 AS b
+          FROM documents
+        )
     """,
     "substring_strip": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -1515,6 +1515,46 @@ def hash_sample_ds(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def dataset_split_ds(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    val_permille: int = 50,
+    test_permille: int = 50,
+) -> Dataset:
+    """Deterministic train/val/test split assignment: each row's split is
+    a pure function of ``md5(str(id))`` (first 8 hex chars mod 1000), so
+    the assignment is stable across runs, cluster sizes, and engines —
+    leakage-proof in a way ``random_sample`` is not. Streaming
+    ``map_batches``, no shuffle, no state. Emits (id, split, bucket)."""
+    import hashlib
+
+    val_hi = int(val_permille)
+    test_hi = val_hi + int(test_permille)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        buckets = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+                for i in ids
+            ),
+            np.int64,
+            count=len(ids),
+        )
+        split = np.where(
+            buckets < val_hi, "val", np.where(buckets < test_hi, "test", "train")
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "split": pa.array(split.tolist(), pa.string()),
+                "bucket": pa.array(buckets),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------- broadcast join (small-side lookup, no shuffle) ----------
 
 
