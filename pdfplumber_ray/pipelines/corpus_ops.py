@@ -955,6 +955,8 @@ def substring_strip_ds(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_frequent_broadcast: int = 5_000_000,
+    strategy: str = "auto",
+    n_hash_buckets: int = 1024,
 ) -> Dataset:
     """Remove duplicated verbatim windows from the corpus (the Lee et al.
     2022 *removal* step — :func:`substring_dedup_ds` detects shared
@@ -963,16 +965,24 @@ def substring_strip_ds(
     appears in >= ``min_df`` documents is dropped; emits
     ``(doc_id, clean_text, n_tokens_removed)`` for every doc.
 
-    Scale shape: per-doc-distinct grams pre-count per batch (combiner)
-    -> ONE ``groupby(gram).sum`` (the df aggregate) -> the frequent set
-    (df >= min_df) collects under ``max_frequent_broadcast`` and
-    broadcasts via ``ray.put`` as a SORTED string array; the strip pass
-    is a streaming ``map_batches`` — positional grams probe the set with
-    ``searchsorted``, coverage intervals resolve with a +1/-1 cumsum
-    sweep, and surviving tokens re-join with ONE ``pc.binary_join`` per
-    batch. At a 30-50%-duplication web scale the frequent-gram set is
-    large; raise the guard (it is object-store-shared, one copy per
-    node) or swap the broadcast for a gram-bucket semi-join."""
+    Two strategies with identical output, picked by ``strategy="auto"``
+    on the frequent-set size vs ``max_frequent_broadcast``:
+
+    * **broadcast** (frequent set fits the guard): the df aggregate's
+      frequent grams collect once and broadcast via ``ray.put`` as a
+      SORTED string array (object-store-shared, one copy per node); the
+      strip pass is a streaming ``map_batches`` — positional grams probe
+      with ``searchsorted``, coverage intervals resolve with a +1/-1
+      cumsum sweep, surviving tokens re-join with ONE ``pc.binary_join``
+      per batch.
+    * **cogroup** (web scale, 30-50% duplication makes the frequent set
+      billions of grams): no driver collect anywhere — positional gram
+      rows and frequent-gram rows co-locate by ``md5(gram) %
+      n_hash_buckets`` (bounded group count, the substring_dedup
+      pattern), matched occurrences emit ``(doc_id, start_pos)`` coverage
+      rows, and docs union with their coverage rows by ``hash(doc_id) %
+      n_hash_buckets`` for a per-bucket VECTORIZED rebuild (same cumsum
+      sweep, many docs per group — never one Python call per doc)."""
 
     def df_partial(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -1029,10 +1039,15 @@ def substring_strip_ds(
         .materialize()
     )
     n_freq = freq_rows.count()
-    if n_freq > max_frequent_broadcast:
-        raise ValueError(
-            f"frequent-gram set ({n_freq}) exceeds max_frequent_broadcast="
-            f"{max_frequent_broadcast}; raise the guard or use a semi-join"
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if n_freq <= max_frequent_broadcast else "cogroup"
+        )
+    if strategy not in ("broadcast", "cogroup"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "cogroup":
+        return _substring_strip_cogroup(
+            docs, freq_rows, k, text_col, id_col, n_hash_buckets
         )
     freq_sorted = np.sort(
         np.asarray([r["gram"] for r in freq_rows.take_all()], dtype=str)
@@ -1102,6 +1117,208 @@ def substring_strip_ds(
     return docs.select_columns([id_col, text_col]).map_batches(
         strip, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _substring_strip_cogroup(
+    docs: Dataset,
+    freq_rows: Dataset,
+    k: int,
+    text_col: str,
+    id_col: str,
+    n_hash_buckets: int,
+) -> Dataset:
+    """The no-driver-collect strip path (see :func:`substring_strip_ds`):
+    positional grams semi-join the frequent set by gram-hash bucket,
+    matched occurrences become (doc_id, start) coverage rows, and docs
+    co-group with their coverage by doc-hash bucket for a per-bucket
+    vectorized rebuild."""
+    sch = docs.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def gram_pos_stage(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], id_type),
+                "pos": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+                "bkt": pa.array([], pa.int64()),
+                "is_freq": pa.array([], pa.bool_()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col)
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+        n_grams = np.maximum(lens - k + 1, 0)
+        total = int(n_grams.sum())
+        if total == 0:
+            return empty
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc_of_gram = np.repeat(np.arange(len(toks)), n_grams)
+        first = np.concatenate(([0], np.cumsum(n_grams)[:-1]))
+        starts = np.arange(total) - np.repeat(first, n_grams)
+        idx = np.repeat(base[doc_of_gram] + starts, k) + np.tile(
+            np.arange(k, dtype=np.int64), total
+        )
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(total + 1, dtype=np.int64) * k, pa.int32()),
+            pa.array(flat[idx], pa.string()),
+        )
+        grams = pc.binary_join(lists, " ")
+        gl = grams.to_pylist()
+        h = np.fromiter((ts.md5_u64(g) for g in gl), np.uint64, count=len(gl))
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of_gram)),
+                "pos": pa.array(starts),  # 0-based token index
+                "gram": grams,
+                "bkt": pa.array(
+                    (h % np.uint64(n_hash_buckets)).astype(np.int64)
+                ),
+                "is_freq": pa.array(np.zeros(total, dtype=bool)),
+            }
+        )
+
+    def freq_side(batch: pa.Table) -> pa.Table:
+        gl = batch.column("gram").to_pylist()
+        h = np.fromiter((ts.md5_u64(g) for g in gl), np.uint64, count=len(gl))
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: pa.nulls(n, id_type),
+                "pos": pa.array(np.full(n, -1, dtype=np.int64)),
+                "gram": batch.column("gram"),
+                "bkt": pa.array(
+                    (h % np.uint64(n_hash_buckets)).astype(np.int64)
+                ),
+                "is_freq": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    tagged = docs.select_columns([id_col, text_col]).map_batches(
+        gram_pos_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        freq_rows.map_batches(
+            freq_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def match(group: pa.Table) -> pa.Table:
+        isf = group.column("is_freq").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {id_col: pa.array([], id_type), "start": pa.array([], pa.int64())}
+        )
+        if isf.all() or not isf.any():
+            return empty
+        grams = group.column("gram").to_numpy(zero_copy_only=False).astype(str)
+        fs = np.unique(grams[isf])
+        occ_grams = grams[~isf]
+        pos = np.searchsorted(fs, occ_grams)
+        pos = np.minimum(pos, len(fs) - 1)
+        hit = fs[pos] == occ_grams
+        if not hit.any():
+            return empty
+        occ = group.filter(pa.array(~isf))
+        return pa.table(
+            {
+                id_col: occ.column(id_col).filter(pa.array(hit)),
+                "start": occ.column("pos").filter(pa.array(hit)),
+            }
+        )
+
+    covered = tagged.groupby("bkt").map_groups(match, batch_format="pyarrow")
+
+    def _dbkt(ids_list: List) -> np.ndarray:
+        h = np.fromiter(
+            (ts.md5_u64(str(i)) for i in ids_list),
+            np.uint64,
+            count=len(ids_list),
+        )
+        return (h % np.uint64(n_hash_buckets)).astype(np.int64)
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        ids_list = batch.column(id_col).to_pylist()
+        return pa.table(
+            {
+                "dbkt": pa.array(_dbkt(ids_list)),
+                id_col: batch.column(id_col),
+                text_col: batch.column(text_col),
+                "start": pa.array(
+                    np.full(batch.num_rows, -1, dtype=np.int64)
+                ),
+                "is_doc": pa.array(np.ones(batch.num_rows, dtype=bool)),
+            }
+        )
+
+    def cov_side(batch: pa.Table) -> pa.Table:
+        ids_list = batch.column(id_col).to_pylist()
+        return pa.table(
+            {
+                "dbkt": pa.array(_dbkt(ids_list)),
+                id_col: batch.column(id_col),
+                text_col: pa.array([""] * batch.num_rows, pa.string()),
+                "start": batch.column("start"),
+                "is_doc": pa.array(np.zeros(batch.num_rows, dtype=bool)),
+            }
+        )
+
+    both = docs.select_columns([id_col, text_col]).map_batches(
+        doc_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        covered.map_batches(cov_side, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        is_doc = group.column("is_doc").to_numpy(zero_copy_only=False)
+        drows = group.filter(pa.array(is_doc))
+        empty = pa.table(
+            {
+                id_col: pa.array([], id_type),
+                "clean_text": pa.array([], pa.string()),
+                "n_tokens_removed": pa.array([], pa.int64()),
+            }
+        )
+        if drows.num_rows == 0:
+            return empty
+        ids_np = np.asarray(drows.column(id_col).to_pylist(), dtype=object)
+        order = np.argsort(ids_np.astype(str), kind="stable")
+        ids_sorted = ids_np[order]
+        texts = np.asarray(drows.column(text_col).to_pylist(), dtype=object)[order]
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        delta = np.zeros(len(flat) + 1, dtype=np.int64)
+        crows = group.filter(pa.array(~is_doc))
+        if crows.num_rows:
+            cids = np.asarray(crows.column(id_col).to_pylist(), dtype=object)
+            cpos = np.searchsorted(
+                ids_sorted.astype(str), cids.astype(str)
+            )
+            cstart = crows.column("start").to_numpy(zero_copy_only=False)
+            starts_abs = base[cpos] + cstart
+            np.add.at(delta, starts_abs, 1)
+            np.add.at(delta, starts_abs + k, -1)
+        kept = ~(np.cumsum(delta[:-1]) > 0)
+        kept_counts = np.add.reduceat(kept.astype(np.int64), base)
+        offs = pa.array(
+            np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        )
+        kept_lists = pa.ListArray.from_arrays(
+            offs, pa.array(flat[kept], pa.string())
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids_sorted.tolist(), id_type),
+                "clean_text": pc.binary_join(kept_lists, " "),
+                "n_tokens_removed": pa.array(lens - kept_counts),
+            }
+        )
+
+    return both.groupby("dbkt").map_groups(rebuild, batch_format="pyarrow")
 
 
 def substring_runs_ds(

@@ -764,6 +764,40 @@ def test_substring_strip_removes_covered_tokens(ray_session):
     assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_tokens_removed"] == 10
 
 
+def test_substring_strip_cogroup_matches_broadcast(ray_session):
+    """The no-driver-collect co-group strategy must produce output
+    identical to the broadcast strategy — including docs with no
+    coverage, full coverage, and multi-occurrence overlap."""
+    run10 = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    rows = [
+        f"head {run10} tail",
+        f"lead in {run10} out x",
+        "totally unique text body with nothing shared at all here",
+        run10,
+        f"{run10} gap1 gap2 {run10}",  # two covered intervals in one doc
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+            "text": pa.array(rows),
+        }
+    )
+    bc = (
+        co.substring_strip_ds(
+            ray.data.from_arrow(t), k=8, min_df=2, strategy="broadcast"
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    cg = (
+        co.substring_strip_ds(
+            ray.data.from_arrow(t), k=8, min_df=2, strategy="cogroup"
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert bc.equals(cg)
+    assert bc.loc[4, "clean_text"] == "gap1 gap2"
+
+
 def test_substring_runs_measures_longest_run(ray_session):
     """Docs 0/1 share a verbatim 20-token run (and nothing else): the
     reported max_run_tokens must be exactly 20. Docs 2/3 share a
