@@ -183,6 +183,35 @@ def q_tfidf_topk(sf_dir: str) -> ray.data.Dataset:
     return co.tfidf_topk_ds(_documents(sf_dir), k=5)
 
 
+def q_jaccard_join(sf_dir: str) -> ray.data.Dataset:
+    """EXACT token-set similarity self-join (prefix filtering, Bayardo
+    et al. 2007 / Vernica et al. 2010): every doc pair with set-Jaccard
+    >= 0.8, zero probabilistic misses — the 100%-recall counterpart to
+    minhash_pairs. Canonical df-ASC token order, rarest-token prefix
+    grouping by bounded md5 buckets, integer-exact verify
+    (inter*5 >= uni*4). max_bucket=None for oracle-exact pair emission;
+    the default star-cap is the hot-prefix 100 TB path."""
+    return co.jaccard_join_ds(
+        _documents(sf_dir), threshold_num=4, threshold_den=5, max_bucket=None
+    )
+
+
+def q_rare_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc rare-token (OOV) quality signal: tokens with corpus-wide
+    count < 3, counted with multiplicity, plus the integer permille
+    ratio — a standard Gopher/C4-style garbage detector. Broadcast side
+    is the FREQUENT set only (Heaps'-law small), one searchsorted probe
+    per batch."""
+    return co.rare_tokens_ds(_documents(sf_dir), min_count=3)
+
+
+def q_heavy_hitters(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide top-100 tokens by occurrence (n DESC, token ASC):
+    count combiner -> vocab groupby -> per-block top-k so the final
+    global sort moves at most k rows per block."""
+    return co.heavy_hitters_ds(_documents(sf_dir), k=100)
+
+
 def q_substring_dedup(sf_dir: str) -> ray.data.Dataset:
     """Exact-substring dedup pairs (suffix-array-style, Lee et al. 2022):
     docs sharing >= 2 distinct verbatim 8-token windows — the verbatim-
@@ -1954,6 +1983,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # first 50 entries, so queries never yet driver-checked (new this
     # round, or sampled out in r1/r2) lead; long-green ones rotate to
     # the tail.
+    "jaccard_join": q_jaccard_join,
+    "rare_tokens": q_rare_tokens,
+    "heavy_hitters": q_heavy_hitters,
     "substring_dedup": q_substring_dedup,
     "substring_runs": q_substring_runs,
     "substring_strip": q_substring_strip,
@@ -2074,6 +2106,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # the front so CORRECTNESS_r5 finally covers them; long-green entries move
 # to the tail.
 _FRONT_R5 = [
+    "jaccard_join",
+    "rare_tokens",
+    "heavy_hitters",
     "substring_dedup",
     "substring_runs",
     "substring_strip",
@@ -2550,6 +2585,38 @@ ORACLES: Dict[str, str] = {
         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
                CAST(df AS BIGINT) AS df, CAST(rnk AS BIGINT) AS rnk
         FROM r WHERE rnk <= 5
+    """,
+    "jaccard_join": """
+        WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.toks, b.toks)) AS inter,
+                     len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks)) AS uni
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE len(a.toks) * 5 >= len(b.toks) * 4
+                AND len(b.toks) * 5 >= len(a.toks) * 4)
+        SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+               CAST(uni AS BIGINT) AS uni,
+               CAST(inter * 1000 // uni AS BIGINT) AS jac_e3
+        FROM p WHERE inter * 5 >= uni * 4
+    """,
+    "rare_tokens": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        j AS (SELECT t.doc_id, CASE WHEN c.c < 3 THEN 1 ELSE 0 END AS r
+              FROM tok t JOIN cnt c USING (token))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(r) AS BIGINT) AS n_rare,
+               CAST(sum(r) * 1000 // count(*) AS BIGINT) AS rare_permille
+        FROM j GROUP BY doc_id
+    """,
+    "heavy_hitters": """
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM documents)
+        SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+        GROUP BY token ORDER BY n DESC, token LIMIT 100
     """,
     "substring_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

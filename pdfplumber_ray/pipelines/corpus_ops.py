@@ -2980,3 +2980,436 @@ def grouped_quantiles_ds(
         )
 
     return counts.groupby(group_col).map_groups(pick, batch_format="pyarrow")
+
+
+def _token_count_partials(
+    docs: Dataset, text_col: str, count_col: str = "n_partial"
+) -> Dataset:
+    """Per-batch whitespace-token counts (one Arrow C++ ``group_by`` per
+    batch) — the combiner that bounds the global token-count shuffle to
+    one row per distinct token per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), count_col: pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        if flat.size == 0:
+            return empty
+        g = (
+            pa.table({"token": pa.array(flat, pa.string())})
+            .group_by("token")
+            .aggregate([("token", "count")])
+        )
+        return pa.table(
+            {
+                "token": g.column("token"),
+                count_col: g.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    return docs.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def heavy_hitters_ds(docs: Dataset, k: int = 100, text_col: str = "text") -> Dataset:
+    """Corpus-wide top-``k`` tokens by total occurrence count (heavy
+    hitters — the vocabulary censor list every web-scale curation
+    pipeline starts from). Deterministic ordering: ``n DESC, token ASC``.
+
+    Scale shape: per-batch count combiner (``_token_count_partials``) ->
+    ``groupby(token).sum`` over vocab-sized partials -> PER-BLOCK top-k
+    (bounds the final exchange to ``k`` rows per block) -> tiny global
+    sort + limit. The only corpus-wide shuffle moves one row per distinct
+    token per block; the final sort moves at most ``k * n_blocks`` rows.
+    """
+    totals = (
+        _token_count_partials(docs, text_col)
+        .groupby("token")
+        .aggregate(Sum("n_partial"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        n = batch.column("sum(n_partial)").to_numpy(zero_copy_only=False)
+        toks = batch.column("token")
+        codes = np.unique(
+            toks.to_numpy(zero_copy_only=False).astype(str), return_inverse=True
+        )[1]
+        order = np.lexsort((codes, -n))[:k]
+        return pa.table(
+            {
+                "token": toks.take(pa.array(order)),
+                "n": pa.array(n[order], pa.int64()),
+            }
+        )
+
+    return (
+        totals.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def rare_tokens_ds(
+    docs: Dataset,
+    min_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Per-document out-of-vocabulary / rare-token quality signal: the
+    count (with multiplicity) of tokens whose CORPUS-WIDE occurrence
+    count is below ``min_count``. A high rare-token ratio marks OCR
+    garbage, lorem-ipsum noise and machine-generated gibberish — a
+    standard quality-filter feature (cf. Gopher / C4 rules).
+
+    Integer-exact: emits ``(doc_id, n_tokens, n_rare, rare_permille)``
+    with ``rare_permille = n_rare * 1000 // n_tokens`` so a SQL oracle
+    reproduces every row bit-for-bit.
+
+    Scale shape: token totals via the count combiner + one vocab-sized
+    ``groupby``; the broadcast side is the FREQUENT set (count >=
+    min_count) only — by Heaps'-law the hapax/rare tail dominates the
+    vocabulary, so the broadcast is far smaller than the vocab itself and
+    guarded by ``max_vocab_broadcast``. Scoring is one streaming
+    ``map_batches`` pass: flatten, ONE ``searchsorted`` membership probe,
+    ``np.bincount`` segment sum. No per-doc Python, no second shuffle."""
+    totals = (
+        _token_count_partials(docs, text_col)
+        .groupby("token")
+        .aggregate(Sum("n_partial"))
+    )
+
+    def keep_frequent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(
+                batch.column("sum(n_partial)"), pa.scalar(min_count, pa.int64())
+            )
+        )
+
+    freq = totals.map_batches(
+        keep_frequent, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # one execution: count() reads metadata, take_all reads blocks
+    n_freq = freq.count()
+    if n_freq > max_vocab_broadcast:
+        raise ValueError(
+            f"frequent-token set ({n_freq}) exceeds max_vocab_broadcast="
+            f"{max_vocab_broadcast}; raise the guard or shard the vocab map"
+        )
+    vocab_sorted = np.sort(
+        np.asarray([r["token"] for r in freq.take_all()], dtype=str)
+    )
+    ref = ray.put(vocab_sorted)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch.column(id_col).type),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_rare": pa.array([], pa.int64()),
+                "rare_permille": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        vocab = ray.get(ref)
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=n)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]).astype(str)
+        di = np.repeat(np.arange(n, dtype=np.int64), lens)
+        if vocab.size:
+            pos = np.searchsorted(vocab, flat)
+            member = (pos < vocab.size) & (vocab[np.minimum(pos, vocab.size - 1)] == flat)
+        else:
+            member = np.zeros(flat.size, dtype=bool)
+        n_rare = np.bincount(di, weights=~member, minlength=n).astype(np.int64)
+        permille = n_rare * 1000 // np.maximum(lens, 1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "n_rare": pa.array(n_rare, pa.int64()),
+                "rare_permille": pa.array(permille, pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def jaccard_join_ds(
+    docs: Dataset,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hash_buckets: int = 512,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+    max_vocab_broadcast: int = 5_000_000,
+) -> Dataset:
+    """EXACT token-set similarity self-join via prefix filtering (Bayardo
+    et al. 2007 "Scaling Up All Pairs Similarity Search"; Vernica et al.
+    2010 for the MapReduce shape) — every pair with Jaccard >=
+    ``threshold_num/threshold_den``, no probabilistic misses. This is the
+    exact counterpart to ``minhash_pairs_ds``: MinHash+LSH trades recall
+    for speed; prefix filtering keeps 100% recall and prunes with the
+    rarest tokens instead.
+
+    Correctness: tokens get a canonical global order (document frequency
+    ASC, token ASC — rarest first). For Jaccard >= t a pair must share
+    ``alpha = ceil(t * |A|)`` tokens (since ``|I| >= t * |U| >= t * |A|``),
+    and by the prefix-filtering principle the first ``|A| - alpha + 1``
+    tokens of A (in canonical order) must then intersect B's prefix — so
+    grouping docs by PREFIX tokens only yields a candidate superset with
+    zero false negatives. Candidates are verified with exact integer
+    set arithmetic (``inter * den >= num * uni``), never floats.
+
+    Scale shape:
+    1. Distinct-token sets: one streaming pass, Arrow ``group_by`` per
+       batch, ONE ROW PER DOC (list column) — materialized once, reused
+       for the df aggregate, the prefix emit and the verify semi-join.
+    2. Token df: count combiner -> vocab-sized ``groupby`` -> broadcast
+       under ``max_vocab_broadcast`` (Heaps'-law bounded; shard the map
+       above it).
+    3. Prefix emit streams ``(token, doc_id, set_size)`` rows — only
+       ``|d| - ceil(t|d|) + 1`` rows per doc, i.e. half the corpus tokens
+       at t=0.5, NOT all of them; rows shuffle by ``md5(token) %
+       n_hash_buckets`` (bounded group count — never one group per
+       token). In-bucket, tokens segment via ``np.unique`` + lexsort,
+       singletons drop vectorized, and the size filter ``min*den >=
+       num*max`` prunes pairs before emission. Hot tokens above
+       ``max_bucket`` star-cap with a logged warning (pass ``None`` for
+       exact oracle semantics — prefix tokens are each doc's RAREST, so
+       hot prefixes are rare by construction).
+    4. Verify: candidate ids semi-join the materialized token sets
+       (driver memory bounded by the candidate set, never the corpus),
+       then exact |intersection| / |union| per pair.
+
+    Emits ``(doc_a, doc_b, inter, uni, jac_e3)`` with doc_a < doc_b and
+    ``jac_e3 = inter * 1000 // uni`` (integer floor both sides)."""
+    num, den = threshold_num, threshold_den
+
+    def tokset_stage(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch.column(id_col).type),
+                "toks": pa.array([], pa.list_(pa.string())),
+                "sz": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=n)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        di = np.repeat(np.arange(n, dtype=np.int64), lens)
+        g = (
+            pa.table({"di": pa.array(di), "token": pa.array(flat, pa.string())})
+            .group_by(["di", "token"])
+            .aggregate([])
+        )
+        gdi = g.column("di").to_numpy(zero_copy_only=False)
+        order = np.argsort(gdi, kind="stable")
+        gdi = gdi[order]
+        terms = g.column("token").take(pa.array(order))
+        counts = np.bincount(gdi, minlength=n)
+        offs = pa.array(np.concatenate(([0], np.cumsum(counts))).astype(np.int32))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "toks": pa.ListArray.from_arrays(offs, terms.combine_chunks()),
+                "sz": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    toksets = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(tokset_stage, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # reused: df partials, prefix emit, verify semi-join
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(batch.column("toks"))
+        g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "df_partial": g.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    df_rows = (
+        toksets.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df_partial"))
+        .materialize()
+    )
+    n_vocab = df_rows.count()
+    if n_vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary ({n_vocab} tokens) exceeds max_vocab_broadcast="
+            f"{max_vocab_broadcast}; shard the df map above this"
+        )
+    collected = df_rows.take_all()
+    vocab = np.asarray([r["token"] for r in collected], dtype=str)
+    dfs = np.asarray([int(r["sum(df_partial)"]) for r in collected], dtype=np.int64)
+    vorder = np.argsort(vocab, kind="stable")
+    df_ref = ray.put((vocab[vorder], dfs[vorder]))
+
+    def prefix_stage(batch: pa.Table) -> pa.Table:
+        id_type = batch.column(id_col).type
+        empty = pa.table(
+            {
+                id_col: pa.array([], id_type),
+                "token": pa.array([], pa.string()),
+                "sz": pa.array([], pa.int64()),
+                "bkt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        vocab_s, dfs_s = ray.get(df_ref)
+        counts = pc.list_value_length(batch.column("toks")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if int(counts.sum()) == 0:
+            return empty
+        flat = (
+            pc.list_flatten(batch.column("toks"))
+            .to_numpy(zero_copy_only=False)
+            .astype(str)
+        )
+        di = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+        dfv = dfs_s[np.searchsorted(vocab_s, flat)]
+        codes = np.unique(flat, return_inverse=True)[1]
+        order = np.lexsort((codes, dfv, di))  # per doc: df ASC, token ASC
+        di_s = di[order]
+        first = np.concatenate(([True], di_s[1:] != di_s[:-1]))
+        idx = np.arange(len(di_s), dtype=np.int64)
+        rnk = idx - np.maximum.accumulate(np.where(first, idx, 0))  # 0-based
+        sizes = counts[di_s]
+        ceil_tn = (num * sizes + den - 1) // den
+        keep = rnk < (sizes - ceil_tn + 1)
+        sel = order[keep]
+        kept_tokens = flat[sel]
+        h = np.fromiter(
+            (ts.md5_u64(t) for t in kept_tokens), np.uint64, count=len(kept_tokens)
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(di[sel])),
+                "token": pa.array(kept_tokens, pa.string()),
+                "sz": pa.array(sizes[keep], pa.int64()),
+                "bkt": pa.array((h % np.uint64(n_hash_buckets)).astype(np.int64)),
+            }
+        )
+
+    prefixes = toksets.map_batches(
+        prefix_stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        id_type = group.column(id_col).type
+        empty = pa.table(
+            {"doc_a": pa.array([], id_type), "doc_b": pa.array([], id_type)}
+        )
+        tok = group.column("token").to_numpy(zero_copy_only=False)
+        if len(tok) < 2:
+            return empty
+        ids_np = group.column(id_col).to_numpy(zero_copy_only=False)
+        sz_np = group.column("sz").to_numpy(zero_copy_only=False)
+        codes = np.unique(tok, return_inverse=True)[1]
+        order = np.lexsort((ids_np, codes))
+        codes_s, ids_s, sz_s = codes[order], ids_np[order], sz_np[order]
+        first = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        seg_start = np.flatnonzero(first)
+        seg_len = np.diff(np.concatenate((seg_start, [len(codes_s)])))
+        shared = seg_len >= 2  # singleton prefix tokens drop vectorized
+        if not shared.any():
+            return empty
+        a_out: List = []
+        b_out: List = []
+        for s, m in zip(seg_start[shared], seg_len[shared]):
+            ids_g = ids_s[s : s + m]
+            sz_g = sz_s[s : s + m]
+            if max_bucket is not None and m > max_bucket:  # hot prefix: star
+                _log_star_fallback("jaccard prefix token", int(m), max_bucket)
+                a_out.extend([ids_g[0]] * (int(m) - 1))
+                b_out.extend(ids_g[1:].tolist())
+                continue
+            for i in range(int(m)):
+                for j in range(i + 1, int(m)):
+                    lo, hi = sz_g[i], sz_g[j]
+                    if lo > hi:
+                        lo, hi = hi, lo
+                    if lo * den >= num * hi:  # size filter: necessary for J>=t
+                        a_out.append(ids_g[i])
+                        b_out.append(ids_g[j])
+        return pa.table(
+            {"doc_a": pa.array(a_out, id_type), "doc_b": pa.array(b_out, id_type)}
+        )
+
+    cand_pairs = distinct_ds(
+        prefixes.groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow"),
+        ["doc_a", "doc_b"],
+    ).materialize()  # tiny; reused for the id set and the verify map
+
+    cand_ids = _pair_ids(cand_pairs)
+    lookup = _semi_join_collect(
+        toksets.select_columns([id_col, "toks"]),
+        id_col,
+        cand_ids,
+        lambda b: b.column("toks").to_pylist(),
+    )
+    sets_ref = ray.put({i: frozenset(v) for i, v in lookup.items()})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        id_type = batch.column("doc_a").type
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], id_type),
+                "doc_b": pa.array([], id_type),
+                "inter": pa.array([], pa.int64()),
+                "uni": pa.array([], pa.int64()),
+                "jac_e3": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        sets = ray.get(sets_ref)
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        inter = np.empty(len(a_ids), np.int64)
+        uni = np.empty(len(a_ids), np.int64)
+        for i, (a, b) in enumerate(zip(a_ids, b_ids)):
+            sa, sb = sets.get(a, frozenset()), sets.get(b, frozenset())
+            ii = len(sa & sb)
+            inter[i] = ii
+            uni[i] = len(sa) + len(sb) - ii
+        keep = inter * den >= num * uni
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(a_ids)[keep], id_type),
+                "doc_b": pa.array(np.asarray(b_ids)[keep], id_type),
+                "inter": pa.array(inter[keep], pa.int64()),
+                "uni": pa.array(uni[keep], pa.int64()),
+                "jac_e3": pa.array(inter[keep] * 1000 // uni[keep], pa.int64()),
+            }
+        )
+
+    return cand_pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

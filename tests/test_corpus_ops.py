@@ -725,6 +725,9 @@ def test_new_ops_empty_corpus(ray_session):
         lambda d: co.substring_runs_ds(d, max_bucket=None),
         lambda d: co.substring_strip_ds(d),
         lambda d: co.tfidf_topk_ds(d),
+        lambda d: co.jaccard_join_ds(d, max_bucket=None),
+        lambda d: co.rare_tokens_ds(d),
+        lambda d: co.heavy_hitters_ds(d),
     ):
         empty = ray.data.from_arrow(
             pa.table(
@@ -919,3 +922,104 @@ def test_chunk_windows_empty_batch(ray_session):
         )
     ).filter(lambda r: False)
     assert co.chunk_windows_ds(docs, window=4, stride=3).count() == 0
+
+
+def test_jaccard_join_matches_bruteforce(ray_session):
+    """Prefix filtering must be EXACT: the operator's pair set equals a
+    brute-force all-pairs token-set Jaccard join on a corpus with mixed
+    overlap levels (100% recall is the whole point vs MinHash)."""
+    docs = [
+        "a b c d e f g h",          # 0: base
+        "a b c d e f g x",          # 1: J(0,1)=7/9
+        "a b c d e f g h",          # 2: exact dup of 0 -> J=1
+        "a b c d w x y z",          # 3: J(0,3)=4/12
+        "p q r s t u v w",          # 4: disjoint-ish
+        "p q r s t u v w p q",      # 5: same SET as 4 -> J=1
+        "m n",                      # 6: tiny
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    num, den = 3, 4  # t = 0.75
+    out = co.jaccard_join_ds(
+        ray.data.from_arrow(t), threshold_num=num, threshold_den=den,
+        max_bucket=None,
+    ).to_pandas()
+    got = {
+        (a, b): (i, u, j)
+        for a, b, i, u, j in zip(out.doc_a, out.doc_b, out.inter, out.uni, out.jac_e3)
+    }
+    sets = [frozenset(d.split(" ")) for d in docs]
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * den >= num * uni:
+                want[(a, b)] = (inter, uni, inter * 1000 // uni)
+    assert got == want
+    assert (0, 2) in got and got[(0, 2)] == (8, 8, 1000)
+    assert (4, 5) in got  # multiset differs, SET identical
+    assert (0, 3) not in got
+
+
+def test_jaccard_join_hot_prefix_star_cap(ray_session, caplog):
+    """Docs sharing one rare prefix token fall back to star pairs above
+    max_bucket with a logged warning — the 100 TB hot-prefix path."""
+    import logging
+
+    # identical sets => every pair passes; 'z9' is each doc's rarest-tied
+    # token so all prefixes collide in one token group
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(12)), pa.int64()),
+            "text": pa.array(["z9 k1 k2 k3" for _ in range(12)]),
+        }
+    )
+    with caplog.at_level(logging.WARNING):
+        out = co.jaccard_join_ds(
+            ray.data.from_arrow(t), threshold_num=1, threshold_den=2, max_bucket=4
+        ).to_pandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    # star around the minimum id: linear, not quadratic
+    # (the warning itself fires inside the map_groups worker process, so
+    # caplog can't observe it here — same as the substring star-cap test)
+    assert pairs == {(0, i) for i in range(1, 12)}
+
+
+def test_rare_tokens_planted(ray_session):
+    """Tokens below min_count count as rare WITH multiplicity; permille is
+    integer floor; a doc of only frequent tokens scores zero."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "common common common oddity",   # oddity appears once
+                    "common glitch glitch",          # glitch appears twice < 3
+                    "common common",                 # all frequent
+                ]
+            ),
+        }
+    )
+    out = (
+        co.rare_tokens_ds(ray.data.from_arrow(t), min_count=3)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0].tolist() == [4, 1, 250]
+    assert out.loc[1].tolist() == [3, 2, 666]  # floor(2000/3)
+    assert out.loc[2].tolist() == [2, 0, 0]
+
+
+def test_heavy_hitters_order_and_cutoff(ray_session):
+    """Top-k is ordered n DESC, token ASC and the tie at the cutoff picks
+    the lexicographically smaller token."""
+    text = " ".join(["big"] * 5 + ["mid2"] * 3 + ["mid1"] * 3 + ["one"])
+    t = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "text": pa.array([text])}
+    )
+    out = co.heavy_hitters_ds(ray.data.from_arrow(t), k=2).to_pandas()
+    assert list(zip(out.token, out.n)) == [("big", 5), ("mid1", 3)]
