@@ -212,6 +212,27 @@ def q_heavy_hitters(sf_dir: str) -> ray.data.Dataset:
     return co.heavy_hitters_ds(_documents(sf_dir), k=100)
 
 
+def q_length_rank(sf_dir: str) -> ray.data.Dataset:
+    """Global percentile rank (count(*) OVER (ORDER BY n_chars)) WITHOUT
+    a global sort: the window function becomes a broadcast CDF — one row
+    per distinct value shuffles, one searchsorted probe per batch."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return co.length_rank_ds(docs)
+
+
+def q_funnel_steps(sf_dir: str) -> ray.data.Dataset:
+    """Ordered conversion funnel (view -> click -> purchase by first
+    occurrence): per-batch wide pivot combiner with +inf sentinels ->
+    one groupby(user) Min -> vectorized chain compare -> k scalar sums.
+    No per-user map_groups (near-singleton-group trap), no event sort."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return co.funnel_steps_ds(ev)
+
+
 def q_substring_dedup(sf_dir: str) -> ray.data.Dataset:
     """Exact-substring dedup pairs (suffix-array-style, Lee et al. 2022):
     docs sharing >= 2 distinct verbatim 8-token windows — the verbatim-
@@ -1986,6 +2007,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "jaccard_join": q_jaccard_join,
     "rare_tokens": q_rare_tokens,
     "heavy_hitters": q_heavy_hitters,
+    "length_rank": q_length_rank,
+    "funnel_steps": q_funnel_steps,
     "substring_dedup": q_substring_dedup,
     "substring_runs": q_substring_runs,
     "substring_strip": q_substring_strip,
@@ -2109,6 +2132,8 @@ _FRONT_R5 = [
     "jaccard_join",
     "rare_tokens",
     "heavy_hitters",
+    "length_rank",
+    "funnel_steps",
     "substring_dedup",
     "substring_runs",
     "substring_strip",
@@ -2617,6 +2642,30 @@ ORACLES: Dict[str, str] = {
                      FROM documents)
         SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
         GROUP BY token ORDER BY n DESC, token LIMIT 100
+    """,
+    "length_rank": """
+        WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                          CAST(count(*) OVER (ORDER BY n_chars) AS BIGINT) AS n_le,
+                          count(*) OVER () AS total
+                   FROM documents)
+        SELECT doc_id, n_chars, n_le,
+               CAST(n_le * 1000 // total AS BIGINT) AS permille FROM w
+    """,
+    "funnel_steps": """
+        WITH m AS (SELECT user_id,
+            min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+            min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+            min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+          FROM events GROUP BY user_id)
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+               CAST(count(*) FILTER (t1 IS NOT NULL) AS BIGINT) AS n_users FROM m
+        UNION ALL SELECT CAST(2 AS BIGINT), 'click',
+               CAST(count(*) FILTER (t1 IS NOT NULL AND t2 IS NOT NULL
+                                     AND t1 < t2) AS BIGINT) FROM m
+        UNION ALL SELECT CAST(3 AS BIGINT), 'purchase',
+               CAST(count(*) FILTER (t1 IS NOT NULL AND t2 IS NOT NULL
+                                     AND t3 IS NOT NULL AND t1 < t2
+                                     AND t2 < t3) AS BIGINT) FROM m
     """,
     "substring_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -3295,7 +3295,8 @@ def jaccard_join_ds(
             .astype(str)
         )
         di = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
-        dfv = dfs_s[np.searchsorted(vocab_s, flat)]
+        vpos = np.searchsorted(vocab_s, flat)
+        dfv = dfs_s[vpos]
         codes = np.unique(flat, return_inverse=True)[1]
         order = np.lexsort((codes, dfv, di))  # per doc: df ASC, token ASC
         di_s = di[order]
@@ -3306,16 +3307,14 @@ def jaccard_join_ds(
         ceil_tn = (num * sizes + den - 1) // den
         keep = rnk < (sizes - ceil_tn + 1)
         sel = order[keep]
-        kept_tokens = flat[sel]
-        h = np.fromiter(
-            (ts.md5_u64(t) for t in kept_tokens), np.uint64, count=len(kept_tokens)
-        )
+        # bucket = broadcast-vocab index mod n: deterministic across every
+        # worker (same ray.put snapshot) with zero per-token Python hashing
         return pa.table(
             {
                 id_col: batch.column(id_col).take(pa.array(di[sel])),
-                "token": pa.array(kept_tokens, pa.string()),
+                "token": pa.array(flat[sel], pa.string()),
                 "sz": pa.array(sizes[keep], pa.int64()),
-                "bkt": pa.array((h % np.uint64(n_hash_buckets)).astype(np.int64)),
+                "bkt": pa.array((vpos[sel] % n_hash_buckets).astype(np.int64)),
             }
         )
 
@@ -3413,3 +3412,189 @@ def jaccard_join_ds(
         )
 
     return cand_pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def length_rank_ds(
+    docs: Dataset,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    max_domain_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Global percentile rank of an integer column WITHOUT a global sort —
+    the `count(*) OVER (ORDER BY v)` window function re-expressed as a
+    broadcast CDF: per-batch value-count combiner -> ``groupby(value)``
+    sum (one row per DISTINCT value — bounded-domain columns like lengths
+    and scores stay tiny regardless of corpus size) -> the cumulative
+    histogram broadcasts via ``ray.put`` -> one ``searchsorted`` probe per
+    batch attaches ``n_le`` (docs with value <= mine, peers included,
+    matching the SQL RANGE frame) and the integer permille rank.
+
+    A sort-based rank would shuffle the ENTIRE corpus; this moves one row
+    per distinct value and streams everything else."""
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"v": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        g = (
+            pa.table({"v": batch.column(value_col).cast(pa.int64())})
+            .group_by("v")
+            .aggregate([("v", "count")])
+        )
+        return pa.table(
+            {"v": g.column("v"), "n_partial": g.column("v_count").cast(pa.int64())}
+        )
+
+    hist = (
+        docs.select_columns([value_col])
+        .map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("n_partial"))
+        .materialize()
+    )
+    n_vals = hist.count()
+    if n_vals > max_domain_broadcast:
+        raise ValueError(
+            f"value domain ({n_vals} distinct) exceeds max_domain_broadcast="
+            f"{max_domain_broadcast}; this rank shape needs a bounded domain"
+        )
+    rows = hist.take_all()
+    vals = np.asarray([int(r["v"]) for r in rows], dtype=np.int64)
+    cnts = np.asarray([int(r["sum(n_partial)"]) for r in rows], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    total = int(cum[-1]) if cum.size else 0
+    cdf_ref = ray.put((vals, cum))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch.column(id_col).type),
+                value_col: pa.array([], pa.int64()),
+                "n_le": pa.array([], pa.int64()),
+                "permille": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or total == 0:
+            return empty
+        v_s, c_s = ray.get(cdf_ref)
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_le = c_s[np.searchsorted(v_s, v, side="right") - 1]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                value_col: pa.array(v, pa.int64()),
+                "n_le": pa.array(n_le, pa.int64()),
+                "permille": pa.array(n_le * 1000 // total, pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, value_col]).map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def funnel_steps_ds(
+    events: Dataset,
+    steps: Tuple[str, ...] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> Dataset:
+    """Ordered conversion funnel: for each step i, the number of users
+    whose FIRST occurrences satisfy ``first(step_1) < first(step_2) < ...
+    < first(step_i)`` (strict, by event timestamp). The standard product /
+    curation analytics query, shaped for scale: per-batch pivot combiner
+    (one Arrow ``group_by`` + a vectorized scatter into one WIDE row per
+    user with +inf sentinels) -> ONE ``groupby(user)`` of per-user wide
+    rows with ``Min`` per step column -> vectorized chain compare ->
+    per-batch partial sums -> a k-scalar aggregate. No event-ordered
+    sort, no per-user ``map_groups`` (millions of near-singleton user
+    groups would drown in per-group overhead), no per-user Python.
+
+    Emits one row per step: ``(step, event_type, n_users)``."""
+    step_list = list(steps)
+    k = len(step_list)
+    INF = np.int64(2**62)  # sentinel: "user never did this step"
+
+    def pivot_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                user_col: pa.array([], batch.column(user_col).type),
+                **{f"t{i}": pa.array([], pa.int64()) for i in range(k)},
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        mask = pc.is_in(batch.column(type_col), value_set=pa.array(step_list))
+        t = batch.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        g = (
+            pa.table(
+                {
+                    "u": t.column(user_col),
+                    "ty": t.column(type_col),
+                    "ts_us": t.column(ts_col).cast(pa.int64()),
+                }
+            )
+            .group_by(["u", "ty"])
+            .aggregate([("ts_us", "min")])
+        )
+        users = g.column("u").to_numpy(zero_copy_only=False)
+        types = g.column("ty").to_numpy(zero_copy_only=False).astype(str)
+        mins = g.column("ts_us_min").to_numpy(zero_copy_only=False)
+        ssteps = np.sort(np.asarray(step_list, dtype=str))
+        back = np.asarray(
+            sorted(range(k), key=lambda i: step_list[i]), dtype=np.int64
+        )
+        sidx = back[np.searchsorted(ssteps, types)]
+        uu, uidx = np.unique(users, return_inverse=True)
+        mat = np.full((len(uu), k), INF, dtype=np.int64)
+        mat[uidx, sidx] = mins
+        return pa.table(
+            {
+                user_col: pa.array(uu, batch.column(user_col).type),
+                **{f"t{i}": pa.array(mat[:, i], pa.int64()) for i in range(k)},
+            }
+        )
+
+    firsts = (
+        events.select_columns([user_col, type_col, ts_col])
+        .map_batches(pivot_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(user_col)
+        .aggregate(*[Min(f"t{i}") for i in range(k)])
+    )
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({f"s{i}": pa.array([0], pa.int64()) for i in range(k)})
+        cols = [
+            batch.column(f"min(t{i})").to_numpy(zero_copy_only=False)
+            for i in range(k)
+        ]
+        ok = cols[0] < INF
+        sums = [int(ok.sum())]
+        for i in range(1, k):
+            ok = ok & (cols[i] < INF) & (cols[i - 1] < cols[i])
+            sums.append(int(ok.sum()))
+        return pa.table({f"s{i}": pa.array([sums[i]], pa.int64()) for i in range(k)})
+
+    partials = firsts.map_batches(
+        flag_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sums = partials.aggregate(*[Sum(f"s{i}") for i in range(k)])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(range(1, k + 1), pa.int64()),
+                "event_type": pa.array(step_list, pa.string()),
+                "n_users": pa.array(
+                    [int(sums[f"sum(s{i})"] or 0) for i in range(k)], pa.int64()
+                ),
+            }
+        )
+    )

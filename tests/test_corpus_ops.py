@@ -1023,3 +1023,70 @@ def test_heavy_hitters_order_and_cutoff(ray_session):
     )
     out = co.heavy_hitters_ds(ray.data.from_arrow(t), k=2).to_pandas()
     assert list(zip(out.token, out.n)) == [("big", 5), ("mid1", 3)]
+
+
+def test_length_rank_matches_window(ray_session):
+    """Broadcast-CDF rank equals count(*) OVER (ORDER BY v): peers share
+    n_le, permille is integer floor of n_le*1000/N."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "n_chars": pa.array([10, 20, 20, 30, 5, 30], pa.int64()),
+        }
+    )
+    out = (
+        co.length_rank_ds(ray.data.from_arrow(t))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.n_le.tolist() == [2, 4, 4, 6, 1, 6]
+    assert out.permille.tolist() == [333, 666, 666, 1000, 166, 1000]
+
+
+def test_length_rank_domain_guard(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "n_chars": pa.array(range(100), pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="max_domain_broadcast"):
+        co.length_rank_ds(ray.data.from_arrow(t), max_domain_broadcast=10)
+
+
+def test_funnel_steps_ordering_semantics(ray_session):
+    """Strict first-occurrence ordering: a user who clicked BEFORE first
+    viewing does not convert at step 2; later re-clicks don't rescue the
+    funnel (first occurrence only)."""
+    rows = [
+        # user 1: clean view < click < purchase
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # user 2: click precedes first view -> stops at step 1
+        (2, "click", 50), (2, "view", 100), (2, "click", 150),
+        # user 3: view only
+        (3, "view", 10),
+        # user 4: view < click, purchase BEFORE click -> stops at step 2
+        (4, "view", 10), (4, "purchase", 15), (4, "click", 20),
+        # user 5: no funnel events at all
+        (5, "error", 1),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = co.funnel_steps_ds(ray.data.from_arrow(t)).to_pandas()
+    assert out.n_users.tolist() == [4, 2, 1]
+
+
+def test_funnel_steps_empty_events(ray_session):
+    t = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+    out = co.funnel_steps_ds(ray.data.from_arrow(t)).to_pandas()
+    assert out.n_users.tolist() == [0, 0, 0]
