@@ -2995,16 +2995,14 @@ def _token_count_partials(
         )
         if batch.num_rows == 0:
             return empty
-        texts = batch.column(text_col).to_pylist()
-        toks = [(t or "").split(" ") for t in texts]
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-        if flat.size == 0:
-            return empty
-        g = (
-            pa.table({"token": pa.array(flat, pa.string())})
-            .group_by("token")
-            .aggregate([("token", "count")])
+        # all-Arrow tokenize: split_pattern matches str.split(" ") exactly
+        # (empty text -> [""], doubled spaces -> "" tokens), no Python loop
+        flat = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(batch.column(text_col), ""), pattern=" ")
         )
+        if len(flat) == 0:
+            return empty
+        g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
         return pa.table(
             {
                 "token": g.column("token"),
@@ -3106,10 +3104,10 @@ def rare_tokens_ds(
             f"frequent-token set ({n_freq}) exceeds max_vocab_broadcast="
             f"{max_vocab_broadcast}; raise the guard or shard the vocab map"
         )
-    vocab_sorted = np.sort(
-        np.asarray([r["token"] for r in freq.take_all()], dtype=str)
+    vocab_arr = pa.array(
+        sorted(r["token"] for r in freq.take_all()), pa.string()
     )
-    ref = ray.put(vocab_sorted)
+    ref = ray.put(vocab_arr)
 
     def score(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -3124,16 +3122,15 @@ def rare_tokens_ds(
         if n == 0:
             return empty
         vocab = ray.get(ref)
-        texts = batch.column(text_col).to_pylist()
-        toks = [(t or "").split(" ") for t in texts]
-        lens = np.fromiter((len(t) for t in toks), np.int64, count=n)
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]).astype(str)
+        lists = pc.split_pattern(pc.fill_null(batch.column(text_col), ""), pattern=" ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
         di = np.repeat(np.arange(n, dtype=np.int64), lens)
-        if vocab.size:
-            pos = np.searchsorted(vocab, flat)
-            member = (pos < vocab.size) & (vocab[np.minimum(pos, vocab.size - 1)] == flat)
+        if len(vocab):
+            # hash-based Arrow membership probe — no Python, no astype(str)
+            member = pc.is_in(flat, value_set=vocab).to_numpy(zero_copy_only=False)
         else:
-            member = np.zeros(flat.size, dtype=bool)
+            member = np.zeros(len(flat), dtype=bool)
         n_rare = np.bincount(di, weights=~member, minlength=n).astype(np.int64)
         permille = n_rare * 1000 // np.maximum(lens, 1)
         return pa.table(
