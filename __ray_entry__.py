@@ -27,6 +27,7 @@ import ray.data
 from pdfplumber_ray.config import PipelineConfig, WordConfig
 from pdfplumber_ray.functions.textstats import BPE_TOKEN_RE, STOPWORDS
 from pdfplumber_ray.pipelines import (
+    analytics as an,
     corpus_ops as co,
     decode_pages_ds,
     extract_spans_ds,
@@ -231,6 +232,117 @@ def q_funnel_steps(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
     )
     return co.funnel_steps_ds(ev)
+
+
+def q_grouped_rank(sf_dir: str) -> ray.data.Dataset:
+    """Per-group percentile rank (count(*) OVER (PARTITION BY lang ORDER
+    BY n_chars)) without a global sort: one row per distinct (group,
+    value) shuffles, the grouped CDF broadcasts once, one searchsorted
+    probe per batch."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return an.grouped_rank_ds(docs, "lang", "n_chars", "doc_id")
+
+
+def q_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Equi-width e6 fixed-point histogram of event values: per-batch bin
+    combiner, one tiny groupby over (bins x blocks) rows."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return an.histogram_ds(ev, width_e6=500_000)
+
+
+def q_hopping_window(sf_dir: str) -> ray.data.Dataset:
+    """Hopping-window aggregate (1 h window / 15 min hop): the x4
+    expansion happens inside the batch and immediately re-combines, so
+    the shuffle moves one row per (type, window) per block."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return an.hopping_window_ds(ev, size_s=3600, hop_s=900)
+
+
+def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Weekly cohort retention matrix: distinct (user, week) combiner ->
+    one mix64(user)-bucket shuffle (bounded groups, never groupby(user))
+    -> in-bucket vectorized cohort attach -> tiny final groupby."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return an.cohort_retention_ds(ev)
+
+
+def q_anti_join(sf_dir: str) -> ray.data.Dataset:
+    """Anti semi-join (customers with no URGENT order): right side
+    reduces to distinct keys per batch, both sides co-group by ONE
+    bounded mix64 bucket shuffle, vectorized np.isin keeps the unmatched
+    left rows — no broadcast of either side."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    out = an.anti_join_ds(cust, urgent, "c_custkey", "o_custkey")
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_name": b.column("c_name"),
+                "acctbal_cents": pc.cast(
+                    pc.round(pc.multiply(b.column("c_acctbal"), 100)), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_keep_latest(sf_dir: str) -> ray.data.Dataset:
+    """CDC compaction: the single most recent event per user (ts DESC,
+    event_id DESC) — per-batch vectorized argmax combiner, one bounded
+    bucket shuffle, in-bucket argmax. The 'latest crawl of each URL
+    wins' maintenance step."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    out = an.keep_latest_ds(ev)
+
+    def to_int(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "event_type": b.column("event_type"),
+                "value_e6": pc.cast(
+                    pc.floor(pc.multiply(b.column("value"), 1e6)), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_postings(sf_dir: str) -> ray.data.Dataset:
+    """Inverted-index build with a df band (2 <= df <= 50): per-doc
+    distinct combiner -> md5(token)-bucket shuffle (bounded groups) ->
+    in-bucket vectorized posting assembly with one pc.binary_join."""
+    return an.postings_ds(_documents(sf_dir), min_df=2, max_df=50)
+
+
+def q_quality_audit(sf_dir: str) -> ray.data.Dataset:
+    """Expectation-style data-quality audit: row/null/empty counts,
+    numeric min/max, exact distinct counts of the bounded categorical
+    columns — one counter row per batch + a distinct-combiner groupby."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["text", "n_chars", "lang", "source"],
+    )
+    return an.quality_audit_ds(docs)
 
 
 def q_substring_dedup(sf_dir: str) -> ray.data.Dataset:
@@ -2004,6 +2116,14 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # first 50 entries, so queries never yet driver-checked (new this
     # round, or sampled out in r1/r2) lead; long-green ones rotate to
     # the tail.
+    "grouped_rank": q_grouped_rank,
+    "histogram": q_histogram,
+    "hopping_window": q_hopping_window,
+    "cohort_retention": q_cohort_retention,
+    "anti_join": q_anti_join,
+    "keep_latest": q_keep_latest,
+    "postings": q_postings,
+    "quality_audit": q_quality_audit,
     "jaccard_join": q_jaccard_join,
     "rare_tokens": q_rare_tokens,
     "heavy_hitters": q_heavy_hitters,
@@ -2129,6 +2249,14 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # the front so CORRECTNESS_r5 finally covers them; long-green entries move
 # to the tail.
 _FRONT_R5 = [
+    "grouped_rank",
+    "histogram",
+    "hopping_window",
+    "cohort_retention",
+    "anti_join",
+    "keep_latest",
+    "postings",
+    "quality_audit",
     "jaccard_join",
     "rare_tokens",
     "heavy_hitters",
@@ -2174,6 +2302,78 @@ LIMIT 10
 """
 
 ORACLES: Dict[str, str] = {
+    "grouped_rank": """
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(count(*) OVER (PARTITION BY lang ORDER BY n_chars)
+                    AS BIGINT) AS n_le,
+               CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS g_total,
+               CAST(count(*) OVER (PARTITION BY lang ORDER BY n_chars) * 1000
+                    // count(*) OVER (PARTITION BY lang) AS BIGINT) AS permille
+        FROM documents
+    """,
+    "histogram": """
+        WITH q AS (SELECT CAST(floor(value * 1e6) AS BIGINT) AS v6 FROM events)
+        SELECT v6 // 500000 AS bin, (v6 // 500000) * 500000 AS bin_lo_e6,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(v6) AS BIGINT) AS value_sum_e6
+        FROM q GROUP BY 1, 2
+    """,
+    "hopping_window": """
+        SELECT event_type,
+               CAST(((epoch_us(ts) // 900000000) - i) * 900 AS BIGINT)
+                   AS window_start_s,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+                   AS value_sum_e6
+        FROM events, range(0, 4) t(i) GROUP BY 1, 2
+    """,
+    "cohort_retention": """
+        WITH uw AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 604800000000 AS w FROM events),
+             c AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id)
+        SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+               CAST(uw.w AS BIGINT) AS active_week,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+    """,
+    "anti_join": """
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer WHERE NOT EXISTS
+          (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    "keep_latest": """
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_type,
+               CAST(floor(value * 1e6) AS BIGINT) AS value_e6
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "postings": """
+        WITH td AS (SELECT DISTINCT doc_id,
+                           unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS doc_ids
+        FROM td GROUP BY token HAVING count(*) BETWEEN 2 AND 50
+    """,
+    "quality_audit": """
+        SELECT 'n_chars' AS col_name, 'n_rows' AS metric,
+               CAST(count(*) AS BIGINT) AS value FROM documents
+        UNION ALL SELECT 'text', 'n_null',
+               count(*) FILTER (text IS NULL) FROM documents
+        UNION ALL SELECT 'text', 'n_empty',
+               count(*) FILTER (text = '') FROM documents
+        UNION ALL SELECT 'n_chars', 'min_value', min(n_chars) FROM documents
+        UNION ALL SELECT 'n_chars', 'max_value', max(n_chars) FROM documents
+        UNION ALL SELECT 'lang', 'n_distinct',
+               count(DISTINCT lang) FROM documents
+        UNION ALL SELECT 'source', 'n_distinct',
+               count(DISTINCT source) FROM documents
+    """,
     "roundtrip_text": "SELECT doc_id, text FROM documents",
     # real-PDF goldens: generated by scripts/gen_real_goldens.py from the
     # byte-exact decode chain (pinned to reference fixtures in

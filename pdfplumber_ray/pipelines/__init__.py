@@ -22,5 +22,6 @@ from .extract import (  # noqa: F401
     doc_metadata_ds,
     text_boxes_ds,
 )
+from . import analytics  # noqa: F401
 from . import corpus_ops  # noqa: F401
 from . import media  # noqa: F401

@@ -1,0 +1,717 @@
+"""Warehouse-style analytics and dataset-maintenance operators.
+
+Round-5 additions beyond `corpus_ops`: the relational / product-analytics
+shapes a training-data platform runs next to its curation pipelines —
+anti joins (orphan detection), CDC compaction (keep-latest per key),
+hopping windows, cohort retention, per-group percentile ranks, equi-width
+histograms, inverted-index builds and data-quality audits.
+
+Scale design notes (same rules as `corpus_ops`):
+* Per-record work is a task-mode ``map_batches`` with a per-batch Arrow /
+  numpy combiner; the only all-to-all exchanges move combined rows.
+* Key-local reductions (argmax per key, per-user distinct, anti-join
+  probes) NEVER use ``groupby(key).map_groups`` when the key domain is
+  unbounded (millions of near-singleton groups drown in per-group Python
+  overhead — measured in round 5, CLAUDE.md): rows shuffle by
+  ``mix64(key) % n_buckets`` (a BOUNDED group count) and segment inside
+  the bucket with one lexsort, all vectorized.
+* Broadcast sides (per-group CDFs) go through ``ray.put`` once with an
+  explicit size guard, never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from ..functions import textstats as ts
+
+Dataset = ray.data.Dataset
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over an int64/uint64 array — the
+    deterministic cross-worker bucket hash for integer keys (Python's
+    ``hash()`` is per-process-salted; md5 per row is a Python loop)."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+# ---------- per-group percentile rank (windowed CDF) ----------
+
+
+def grouped_rank_ds(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    max_domain_broadcast: int = 5_000_000,
+) -> Dataset:
+    """``count(*) OVER (PARTITION BY g ORDER BY v)`` plus the partition
+    total — the per-group percentile rank — WITHOUT a global sort: a
+    per-batch ``(g, v)`` count combiner bounds the shuffle to one row per
+    distinct (group, value) pair per block, the grouped cumulative
+    histogram broadcasts once via ``ray.put`` (size-guarded), and one
+    ``searchsorted`` probe per batch attaches ``n_le`` / ``g_total`` /
+    the integer permille. A sort-based window function would shuffle the
+    ENTIRE table; this moves one row per distinct (group, value)."""
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "v": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "g": batch.column(group_col).cast(pa.string()),
+                "v": batch.column(value_col).cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["g", "v"]).aggregate([("v", "count")])
+        return pa.table(
+            {
+                "g": g.column("g"),
+                "v": g.column("v"),
+                "n_partial": g.column("v_count").cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "v"])
+        .aggregate(Sum("n_partial"))
+        .materialize()
+    )
+    n_cells = hist.count()
+    if n_cells > max_domain_broadcast:
+        raise ValueError(
+            f"(group, value) domain ({n_cells} cells) exceeds "
+            f"max_domain_broadcast={max_domain_broadcast}"
+        )
+    rows = hist.take_all()
+    groups = np.asarray([r["g"] for r in rows], dtype=object)
+    vals = np.asarray([int(r["v"]) for r in rows], dtype=np.int64)
+    cnts = np.asarray([int(r["sum(n_partial)"]) for r in rows], dtype=np.int64)
+    gnames, gcodes = np.unique(groups.astype(str), return_inverse=True)
+    order = np.lexsort((vals, gcodes))
+    gcodes, vals, cnts = gcodes[order], vals[order], cnts[order]
+    # within-group cumulative counts + per-group totals
+    cum = np.cumsum(cnts)
+    gstart = np.concatenate(([True], gcodes[1:] != gcodes[:-1]))
+    base = np.zeros(len(cum), dtype=np.int64)
+    starts = np.flatnonzero(gstart)
+    if len(cum):
+        base[starts[1:]] = cum[starts[1:] - 1]
+    base = np.maximum.accumulate(base)
+    n_le_arr = cum - base
+    totals = np.zeros(len(gnames), dtype=np.int64)
+    ends = np.concatenate((starts[1:], [len(cum)])) - 1
+    if len(cum):
+        totals[gcodes[ends]] = n_le_arr[ends]
+    # composite probe key: gcode * 2^40 + v (value domain < 2^40)
+    shift = np.int64(1) << np.int64(40)
+    key_sorted = gcodes.astype(np.int64) * shift + vals
+    cdf_ref = ray.put((gnames, key_sorted, n_le_arr, totals))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        gtype = batch.column(group_col).type
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch.column(id_col).type),
+                group_col: pa.array([], gtype),
+                value_col: pa.array([], pa.int64()),
+                "n_le": pa.array([], pa.int64()),
+                "g_total": pa.array([], pa.int64()),
+                "permille": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        names_s, keys_s, nle_s, tot_s = ray.get(cdf_ref)
+        gv = batch.column(group_col).cast(pa.string()).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gc = np.searchsorted(names_s, gv.astype(str))
+        key = gc.astype(np.int64) * (np.int64(1) << np.int64(40)) + v
+        idx = np.searchsorted(keys_s, key, side="right") - 1
+        n_le = nle_s[idx]
+        g_total = tot_s[gc]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                value_col: pa.array(v, pa.int64()),
+                "n_le": pa.array(n_le, pa.int64()),
+                "g_total": pa.array(g_total, pa.int64()),
+                "permille": pa.array(n_le * 1000 // g_total, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------- equi-width histogram ----------
+
+
+def histogram_ds(
+    events: Dataset,
+    value_col: str = "value",
+    width_e6: int = 500_000,
+) -> Dataset:
+    """Equi-width histogram of a non-negative numeric column in e6
+    fixed-point (bin = floor(value * 1e6) // width_e6): per-batch bin
+    combiner -> one tiny ``groupby(bin)`` over (bins x blocks) rows.
+    Emits ``(bin, bin_lo_e6, n_events, value_sum_e6)``, all integers so
+    a SQL twin compares bit-exact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bin": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
+                "sum_partial": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        v6 = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        t = pa.table({"bin": pa.array(v6 // width_e6, pa.int64()), "v6": pa.array(v6)})
+        g = t.group_by("bin").aggregate([("v6", "count"), ("v6", "sum")])
+        return pa.table(
+            {
+                "bin": g.column("bin"),
+                "n_partial": g.column("v6_count").cast(pa.int64()),
+                "sum_partial": g.column("v6_sum").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        events.select_columns([value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n_partial"), Sum("sum_partial"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").cast(pa.int64())
+        return pa.table(
+            {
+                "bin": b,
+                "bin_lo_e6": pc.multiply(b, pa.scalar(width_e6, pa.int64())),
+                "n_events": batch.column("sum(n_partial)").cast(pa.int64()),
+                "value_sum_e6": batch.column("sum(sum_partial)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- hopping (sliding) window aggregate ----------
+
+
+def hopping_window_ds(
+    events: Dataset,
+    size_s: int = 3600,
+    hop_s: int = 900,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> Dataset:
+    """Hopping-window aggregate (window ``size_s``, advancing every
+    ``hop_s``; ``size_s`` must be a multiple of ``hop_s``): each event
+    lands in exactly ``size_s // hop_s`` overlapping windows. The
+    expansion happens INSIDE the batch (np.repeat + tile) and immediately
+    re-combines with an Arrow ``group_by``, so the shuffle moves one row
+    per (type, window) per block — not ``size/hop`` copies of the corpus.
+    Emits ``(event_type, window_start_s, n_events, value_sum_e6)``."""
+    if size_s % hop_s != 0:
+        raise ValueError("size_s must be a multiple of hop_s")
+    n_win = size_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "window_start_s": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
+                "sum_partial": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        n = batch.num_rows
+        ts_us = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v6 = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        k = ts_us // (hop_s * 1_000_000)
+        # windows containing t: starts (k - i) * hop for i in 0..n_win-1
+        offs = np.tile(np.arange(n_win, dtype=np.int64), n)
+        ws = (np.repeat(k, n_win) - offs) * hop_s
+        t = pa.table(
+            {
+                "event_type": batch.column(type_col).take(
+                    pa.array(np.repeat(np.arange(n, dtype=np.int64), n_win))
+                ),
+                "window_start_s": pa.array(ws, pa.int64()),
+                "v6": pa.array(np.repeat(v6, n_win)),
+            }
+        )
+        g = t.group_by(["event_type", "window_start_s"]).aggregate(
+            [("v6", "count"), ("v6", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "window_start_s": g.column("window_start_s"),
+                "n_partial": g.column("v6_count").cast(pa.int64()),
+                "sum_partial": g.column("v6_sum").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        events.select_columns([ts_col, type_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start_s"])
+        .aggregate(Sum("n_partial"), Sum("sum_partial"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start_s": batch.column("window_start_s").cast(pa.int64()),
+                "n_events": batch.column("sum(n_partial)").cast(pa.int64()),
+                "value_sum_e6": batch.column("sum(sum_partial)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- cohort retention ----------
+
+
+def cohort_retention_ds(
+    events: Dataset,
+    week_us: int = 7 * 86_400 * 1_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Cohort retention matrix: users grouped by first-active week
+    (cohort), counted in every week they were active. Emits one row per
+    ``(cohort_week, active_week)`` with the distinct-user count.
+
+    Scale shape: per-batch distinct ``(user, week)`` combiner -> ONE
+    shuffle by ``mix64(user) % n_buckets`` (bounded group count — never
+    ``groupby(user)`` with millions of near-singleton groups) -> inside
+    the bucket one lexsort segments users, the cohort is each segment's
+    first week, and (cohort, week) partial counts emit -> a final tiny
+    ``groupby`` over the (weeks x weeks) domain."""
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "u": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+                "bkt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "u": batch.column(user_col).cast(pa.int64()),
+                "w": pc.divide(batch.column(ts_col).cast(pa.int64()),
+                               pa.scalar(week_us, pa.int64())),
+            }
+        ).group_by(["u", "w"]).aggregate([])
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        bkt = (_mix64(u) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bkt", pa.array(bkt))
+
+    pairs = events.select_columns([user_col, ts_col]).map_batches(
+        pairs_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_week": pa.array([], pa.int64()),
+                "active_week": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        # global distinct within the bucket (cross-block dups collapse here)
+        key = np.stack([u, w], axis=1)
+        key = np.unique(key, axis=0)  # sorted by (u, w)
+        uu, ww = key[:, 0], key[:, 1]
+        seg_first = np.concatenate(([True], uu[1:] != uu[:-1]))
+        cohort = ww[np.maximum.accumulate(np.where(seg_first, np.arange(len(ww)), 0))]
+        t = pa.table(
+            {"cohort_week": pa.array(cohort, pa.int64()),
+             "active_week": pa.array(ww, pa.int64())}
+        ).group_by(["cohort_week", "active_week"]).aggregate([("active_week", "count")])
+        return pa.table(
+            {
+                "cohort_week": t.column("cohort_week"),
+                "active_week": t.column("active_week"),
+                "n_partial": t.column("active_week_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        pairs.groupby("bkt")
+        .map_groups(bucket_counts, batch_format="pyarrow")
+        .groupby(["cohort_week", "active_week"])
+        .aggregate(Sum("n_partial"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week").cast(pa.int64()),
+                "active_week": batch.column("active_week").cast(pa.int64()),
+                "n_users": batch.column("sum(n_partial)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- anti join ----------
+
+
+def anti_join_ds(
+    left: Dataset,
+    right: Dataset,
+    key_col: str,
+    right_key_col: Optional[str] = None,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Anti semi-join: left rows whose ``key_col`` never appears in the
+    right side (orphan / no-activity detection). NO broadcast of either
+    side: the right side reduces to per-batch distinct keys, both sides
+    shuffle ONCE by ``mix64(key) % n_buckets`` (bounded groups) tagged by
+    side, and inside each bucket a vectorized ``np.isin`` keeps the
+    unmatched left rows. Left payload columns pass through unchanged."""
+    rkey = right_key_col or key_col
+    payload_cols = [c for c in left.schema().names if c != key_col]
+
+    def left_side(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).cast(pa.int64())
+        bkt = (_mix64(keys.to_numpy(zero_copy_only=False)) % np.uint64(n_buckets)).astype(np.int64)
+        t = pa.table({"k": keys, "side": pa.array(np.zeros(batch.num_rows, np.int8))})
+        for c in payload_cols:
+            t = t.append_column(c, batch.column(c))
+        return t.append_column("bkt", pa.array(bkt))
+
+    def right_side(batch: pa.Table, left_schema: pa.Schema) -> pa.Table:
+        keys = pa.table({"k": batch.column(rkey).cast(pa.int64())}).group_by("k").aggregate([])
+        kn = keys.column("k").to_numpy(zero_copy_only=False)
+        bkt = (_mix64(kn) % np.uint64(n_buckets)).astype(np.int64)
+        t = pa.table({"k": keys.column("k"), "side": pa.array(np.ones(len(kn), np.int8))})
+        for c in payload_cols:
+            t = t.append_column(c, pa.nulls(len(kn), left_schema.field(c).type))
+        return t.append_column("bkt", pa.array(bkt))
+
+    left_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(left.schema().names, left.schema().types)]
+    )
+    both = left.map_batches(
+        left_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.select_columns([rkey]).map_batches(
+            lambda b: right_side(b, left_schema),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def bucket_anti(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        left_mask = side == 0
+        keep = left_mask & ~np.isin(k, k[~left_mask])
+        out = group.filter(pa.array(keep))
+        cols = {key_col: out.column("k")}
+        for c in payload_cols:
+            cols[c] = out.column(c)
+        return pa.table(cols)
+
+    return both.groupby("bkt").map_groups(bucket_anti, batch_format="pyarrow")
+
+
+# ---------- keep-latest per key (CDC compaction) ----------
+
+
+def keep_latest_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    n_buckets: int = 512,
+) -> Dataset:
+    """CDC compaction / crawl-recency dedup: for every key keep the single
+    most recent row (``ts`` DESC, ``tie_col`` DESC — fully deterministic).
+    The canonical "latest crawl of each URL wins" maintenance step.
+
+    Scale shape: per-batch vectorized argmax combiner (ONE lexsort, last
+    row per key segment) cuts each block to one row per key -> one
+    shuffle by ``mix64(key) % n_buckets`` -> the same argmax inside the
+    bucket. All payload columns ride along; no per-key Python anywhere."""
+
+    def block_latest(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = batch.column(tie_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks = k[order]
+        last = np.concatenate((ks[1:] != ks[:-1], [True]))
+        return batch.take(pa.array(order[last]))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        reduced = block_latest(batch)
+        if reduced.num_rows == 0:
+            return reduced.append_column("bkt", pa.array([], pa.int64()))
+        k = reduced.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bkt = (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+        return reduced.append_column("bkt", pa.array(bkt))
+
+    reduced = events.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_latest(group: pa.Table) -> pa.Table:
+        return block_latest(group.drop_columns(["bkt"]))
+
+    return reduced.groupby("bkt").map_groups(bucket_latest, batch_format="pyarrow")
+
+
+# ---------- inverted index (posting lists, df band) ----------
+
+
+def postings_ds(
+    docs: Dataset,
+    min_df: int = 2,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Inverted-index build with a document-frequency band: for every
+    token with ``min_df <= df <= max_df`` emit its posting list (sorted
+    doc ids, comma-joined — a string so the oracle compare is exact).
+    The band is the classic index-build hygiene: ``df < min_df`` drops
+    hapax noise, ``df > max_df`` drops stopword-grade postings whose
+    lists would dominate the output.
+
+    Scale shape: per-batch per-doc-distinct ``(token, doc)`` combiner ->
+    ONE shuffle by ``md5(token) % n_buckets`` (bounded groups — never one
+    group per token) -> inside the bucket one lexsort segments tokens,
+    the df band filters vectorized, and every surviving posting list is
+    assembled with a single ``pc.binary_join`` (no per-token Python
+    join)."""
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "d": pa.array([], pa.int64()),
+                "bkt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        d = np.repeat(
+            batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
+            n_tok,
+        )
+        t = (
+            pa.table({"token": flat, "d": pa.array(d, pa.int64())})
+            .group_by(["token", "d"])
+            .aggregate([])
+        )
+        gl = t.column("token").to_pylist()
+        h = np.fromiter((ts.md5_u64(g) for g in gl), np.uint64, count=len(gl))
+        return t.append_column(
+            "bkt", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    pairs = docs.select_columns([id_col, text_col]).map_batches(
+        pairs_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_postings(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "doc_ids": pa.array([], pa.string()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        tok = group.column("token").to_numpy(zero_copy_only=False).astype(str)
+        d = group.column("d").to_numpy(zero_copy_only=False)
+        # cross-block duplicates of (token, doc) collapse here
+        uniq, codes = np.unique(tok, return_inverse=True)
+        pair_key = codes.astype(np.int64) * np.int64(2**40) + d
+        pair_key = np.unique(pair_key)
+        codes_u = (pair_key >> np.int64(40)).astype(np.int64)
+        d_u = pair_key & (np.int64(2**40) - 1)
+        seg_first = np.concatenate(([True], codes_u[1:] != codes_u[:-1]))
+        seg_start = np.flatnonzero(seg_first)
+        seg_len = np.diff(np.concatenate((seg_start, [len(codes_u)])))
+        band = (seg_len >= min_df) & (seg_len <= max_df)
+        if not band.any():
+            return empty
+        keep_seg = np.flatnonzero(band)
+        row_keep = np.repeat(band, seg_len)
+        d_keep = d_u[row_keep]
+        lens = seg_len[keep_seg]
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), pc.cast(pa.array(d_keep, pa.int64()), pa.string())
+        )
+        return pa.table(
+            {
+                "token": pa.array(uniq[codes_u[seg_start[keep_seg]]], pa.string()),
+                "df": pa.array(lens, pa.int64()),
+                "doc_ids": pc.binary_join(lists, ","),
+            }
+        )
+
+    return pairs.groupby("bkt").map_groups(bucket_postings, batch_format="pyarrow")
+
+
+# ---------- data-quality audit ----------
+
+
+def quality_audit_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    int_col: str = "n_chars",
+    cat_cols: Sequence[str] = ("lang", "source"),
+) -> Dataset:
+    """Expectation-style data-quality audit (the pre-training sanity gate
+    run before any expensive pipeline): one row per ``(col_name, metric,
+    value)`` — row count, null / empty-string counts, min/max of the
+    numeric column, and EXACT distinct counts of the bounded categorical
+    columns. Scalar metrics reduce via one per-batch counter row +
+    ``Sum``/``Min``/``Max``; distinct counts shuffle one row per distinct
+    (column, value) per block. Nothing unbounded ever reaches the
+    driver."""
+
+    def counters(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = batch.column(text_col)
+        ints = batch.column(int_col).cast(pa.int64())
+        n_null = text.null_count
+        n_empty = int(
+            pc.sum(
+                pc.cast(pc.equal(pc.fill_null(text, "\x00"), ""), pa.int64())
+            ).as_py()
+            or 0
+        )
+        vmin = pc.min(ints).as_py()
+        vmax = pc.max(ints).as_py()
+        big = np.int64(2**62)
+        return pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "n_null_text": pa.array([n_null], pa.int64()),
+                "n_empty_text": pa.array([n_empty], pa.int64()),
+                "v_min": pa.array([big if vmin is None else vmin], pa.int64()),
+                "v_max": pa.array([-big if vmax is None else vmax], pa.int64()),
+            }
+        )
+
+    scal = docs.select_columns([text_col, int_col]).map_batches(
+        counters, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(
+        Sum("n_rows"), Sum("n_null_text"), Sum("n_empty_text"),
+        Min("v_min"), Max("v_max"),
+    )
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in cat_cols:
+            t = (
+                pa.table({"val": batch.column(c).cast(pa.string())})
+                .group_by("val")
+                .aggregate([])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "col_name": pa.array([c] * t.num_rows, pa.string()),
+                        "val": t.column("val"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    ndis = (
+        docs.select_columns(list(cat_cols))
+        .map_batches(distinct_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["col_name", "val"])
+        .count()
+        .groupby("col_name")
+        .count()
+        .take_all()
+    )
+    dmap = {r["col_name"]: int(r["count()"]) for r in ndis}
+
+    rows: List[Tuple[str, str, int]] = [
+        (int_col, "n_rows", int(scal["sum(n_rows)"] or 0)),
+        (text_col, "n_null", int(scal["sum(n_null_text)"] or 0)),
+        (text_col, "n_empty", int(scal["sum(n_empty_text)"] or 0)),
+        (int_col, "min_value", int(scal["min(v_min)"])),
+        (int_col, "max_value", int(scal["max(v_max)"])),
+    ] + [(c, "n_distinct", dmap.get(c, 0)) for c in cat_cols]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "col_name": pa.array([r[0] for r in rows], pa.string()),
+                "metric": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )

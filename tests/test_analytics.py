@@ -1,0 +1,197 @@
+"""Warehouse-style analytics operators: crafted-input semantics (skew,
+ties, empty inputs, band boundaries) beyond the sf0.01 oracle sweep."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from pdfplumber_ray.pipelines import analytics as an
+
+
+def _events(rows):
+    """rows: list of (event_id, user_id, ts_us, event_type, value)."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def test_grouped_rank_ties_and_groups(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(6)), pa.int64()),
+                "lang": pa.array(["en", "en", "en", "de", "de", "de"]),
+                "n_chars": pa.array([10, 10, 20, 5, 6, 7], pa.int64()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in
+           an.grouped_rank_ds(docs, "lang", "n_chars", "doc_id").take_all()}
+    # ties include peers (RANGE frame): both len-10 docs have n_le=2
+    assert out[0]["n_le"] == 2 and out[1]["n_le"] == 2
+    assert out[2]["n_le"] == 3 and out[2]["g_total"] == 3
+    # groups are independent
+    assert out[3]["n_le"] == 1 and out[3]["g_total"] == 3
+    assert out[5]["permille"] == 1000
+
+
+def test_grouped_rank_domain_guard(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(100)), pa.int64()),
+                "lang": pa.array(["en"] * 100),
+                "n_chars": pa.array(list(range(100)), pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="max_domain_broadcast"):
+        an.grouped_rank_ds(
+            docs, "lang", "n_chars", "doc_id", max_domain_broadcast=10
+        ).take_all()
+
+
+def test_histogram_bins(ray_session):
+    ev = _events(
+        [(1, 1, 0, "view", 0.25), (2, 1, 1, "view", 0.49),
+         (3, 2, 2, "view", 0.5), (4, 2, 3, "view", 1.75)]
+    )
+    rows = {r["bin"]: r for r in an.histogram_ds(ev, width_e6=500_000).take_all()}
+    assert rows[0]["n_events"] == 2 and rows[0]["value_sum_e6"] == 740_000
+    assert rows[1]["n_events"] == 1 and rows[1]["bin_lo_e6"] == 500_000
+    assert rows[3]["n_events"] == 1 and rows[3]["value_sum_e6"] == 1_750_000
+
+
+def test_hopping_window_membership(ray_session):
+    # one event at t = 1000 s: containing starts are (1000-3600, 1000]
+    # aligned to the 900 s hop -> -1800, -900, 0, 900
+    ev = _events([(1, 1, 1_000_000_000, "view", 2.0)])
+    rows = an.hopping_window_ds(ev, size_s=3600, hop_s=900).take_all()
+    starts = sorted(r["window_start_s"] for r in rows)
+    assert starts == [-1800, -900, 0, 900]
+    assert all(r["n_events"] == 1 and r["value_sum_e6"] == 2_000_000 for r in rows)
+    with pytest.raises(ValueError, match="multiple"):
+        an.hopping_window_ds(ev, size_s=3600, hop_s=1000)
+
+
+def test_cohort_retention_semantics(ray_session):
+    wk = 7 * 86_400 * 1_000_000
+    ev = _events(
+        [
+            (1, 1, 0 * wk, "view", 0.0),       # user 1: cohort week 0
+            (2, 1, 2 * wk, "view", 0.0),       #   active again week 2
+            (3, 1, 2 * wk + 5, "view", 0.0),   #   distinct (user, week) dedups
+            (4, 2, 2 * wk, "view", 0.0),       # user 2: cohort week 2
+        ]
+    )
+    rows = {(r["cohort_week"], r["active_week"]): r["n_users"]
+            for r in an.cohort_retention_ds(ev).take_all()}
+    assert rows == {(0, 0): 1, (0, 2): 1, (2, 2): 1}
+
+
+def test_anti_join_keeps_unmatched_payload(ray_session):
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], pa.int64()),
+                "name": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 2, 4, 9], pa.int64())})
+    )
+    out = sorted(
+        (r["k"], r["name"])
+        for r in an.anti_join_ds(left, right, "k").take_all()
+    )
+    assert out == [(1, "a"), (3, "c")]
+
+
+def test_anti_join_empty_right(ray_session):
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "name": pa.array(["a", "b"])})
+    )
+    right = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    out = sorted(r["k"] for r in an.anti_join_ds(left, right, "k").take_all())
+    assert out == [1, 2]
+
+
+def test_keep_latest_skewed_key(ray_session):
+    # 10k events on ONE user (viral-key skew) + deterministic tie-break:
+    # two rows share the max ts; the larger event_id wins
+    n = 10_000
+    rows = [(i, 7, i * 10, "view", 0.0) for i in range(n)]
+    rows.append((n, 7, (n - 1) * 10, "click", 1.0))  # same ts as event n-1
+    rows.append((n + 1, 8, 5, "view", 0.5))
+    out = {r["user_id"]: r for r in an.keep_latest_ds(_events(rows)).take_all()}
+    assert len(out) == 2
+    assert out[7]["event_id"] == n and out[7]["event_type"] == "click"
+    assert out[8]["event_id"] == n + 1
+
+
+def test_postings_band_and_order(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([3, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["shared rare rare", "shared stop", "shared stop solo"]
+                ),
+            }
+        )
+    )
+    # df: shared=3, stop=2, rare=1 (per-doc distinct), solo=1
+    rows = {r["token"]: r for r in
+            an.postings_ds(docs, min_df=2, max_df=2).take_all()}
+    assert list(rows) == ["stop"]
+    assert rows["stop"]["df"] == 2 and rows["stop"]["doc_ids"] == "1,2"
+    rows = {r["token"]: r for r in
+            an.postings_ds(docs, min_df=2, max_df=50).take_all()}
+    assert rows["shared"]["doc_ids"] == "1,2,3"
+
+
+def test_quality_audit_counts(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(["x", "", None, "y"]),
+                "n_chars": pa.array([1, 0, 0, 1], pa.int64()),
+                "lang": pa.array(["en", "en", "de", "fr"]),
+                "source": pa.array(["web", "web", "web", "web"]),
+            }
+        )
+    )
+    rows = {(r["col_name"], r["metric"]): r["value"]
+            for r in an.quality_audit_ds(docs).take_all()}
+    assert rows[("n_chars", "n_rows")] == 4
+    assert rows[("text", "n_null")] == 1
+    assert rows[("text", "n_empty")] == 1
+    assert rows[("n_chars", "min_value")] == 0
+    assert rows[("n_chars", "max_value")] == 1
+    assert rows[("lang", "n_distinct")] == 3
+    assert rows[("source", "n_distinct")] == 1
+
+
+def test_empty_inputs(ray_session):
+    ev = _events([])
+    assert an.histogram_ds(ev).take_all() == []
+    assert an.hopping_window_ds(ev).take_all() == []
+    assert an.cohort_retention_ds(ev).take_all() == []
+    assert an.keep_latest_ds(ev).take_all() == []
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    assert an.postings_ds(docs).take_all() == []
