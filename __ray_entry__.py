@@ -328,10 +328,15 @@ def q_keep_latest(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_postings(sf_dir: str) -> ray.data.Dataset:
-    """Inverted-index build with a df band (2 <= df <= 50): per-doc
-    distinct combiner -> md5(token)-bucket shuffle (bounded groups) ->
-    in-bucket vectorized posting assembly with one pc.binary_join."""
-    return an.postings_ds(_documents(sf_dir), min_df=2, max_df=50)
+    """Inverted-index build with a RELATIVE df band (2 <= df <= N/2 —
+    drop hapax noise and stopword-grade tokens at every corpus size):
+    per-doc distinct combiner -> md5(token)-bucket shuffle (bounded
+    groups) -> in-bucket vectorized posting assembly with one
+    pc.binary_join. N comes from parquet metadata (no data scan)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return an.postings_ds(_documents(sf_dir), min_df=2, max_df=n_docs // 2)
 
 
 def q_quality_audit(sf_dir: str) -> ray.data.Dataset:
@@ -2358,7 +2363,9 @@ ORACLES: Dict[str, str] = {
         SELECT token, CAST(count(*) AS BIGINT) AS df,
                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
                    AS doc_ids
-        FROM td GROUP BY token HAVING count(*) BETWEEN 2 AND 50
+        FROM td GROUP BY token
+        HAVING count(*) >= 2
+           AND count(*) <= (SELECT count(*) // 2 FROM documents)
     """,
     "quality_audit": """
         SELECT 'n_chars' AS col_name, 'n_rows' AS metric,

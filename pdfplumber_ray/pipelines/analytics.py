@@ -35,6 +35,17 @@ from ..functions import textstats as ts
 Dataset = ray.data.Dataset
 
 
+def _anchor_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Union an explicit empty typed block in front of ``ds`` so the
+    pipeline's schema survives even when every downstream group emits
+    zero rows (an all-empty ``map_groups`` output otherwise yields a
+    schema-less dataset, which breaks empty-vs-empty oracle compares)."""
+    empty = pa.table(
+        {f.name: pa.array([], f.type) for f in schema}
+    )
+    return ray.data.from_arrow(empty).union(ds)
+
+
 def _mix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer over an int64/uint64 array — the
     deterministic cross-worker bucket hash for integer keys (Python's
@@ -466,7 +477,14 @@ def anti_join_ds(
             cols[c] = out.column(c)
         return pa.table(cols)
 
-    return both.groupby("bkt").map_groups(bucket_anti, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [pa.field(key_col, pa.int64())]
+        + [left_schema.field(c) for c in payload_cols]
+    )
+    return _anchor_schema(
+        both.groupby("bkt").map_groups(bucket_anti, batch_format="pyarrow"),
+        out_schema,
+    )
 
 
 # ---------- keep-latest per key (CDC compaction) ----------
@@ -514,7 +532,16 @@ def keep_latest_ds(
     def bucket_latest(group: pa.Table) -> pa.Table:
         return block_latest(group.drop_columns(["bkt"]))
 
-    return reduced.groupby("bkt").map_groups(bucket_latest, batch_format="pyarrow")
+    ev_schema = pa.schema(
+        [
+            pa.field(n, t)
+            for n, t in zip(events.schema().names, events.schema().types)
+        ]
+    )
+    return _anchor_schema(
+        reduced.groupby("bkt").map_groups(bucket_latest, batch_format="pyarrow"),
+        ev_schema,
+    )
 
 
 # ---------- inverted index (posting lists, df band) ----------
@@ -618,7 +645,16 @@ def postings_ds(
             }
         )
 
-    return pairs.groupby("bkt").map_groups(bucket_postings, batch_format="pyarrow")
+    return _anchor_schema(
+        pairs.groupby("bkt").map_groups(bucket_postings, batch_format="pyarrow"),
+        pa.schema(
+            [
+                pa.field("token", pa.string()),
+                pa.field("df", pa.int64()),
+                pa.field("doc_ids", pa.string()),
+            ]
+        ),
+    )
 
 
 # ---------- data-quality audit ----------
