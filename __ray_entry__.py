@@ -234,6 +234,24 @@ def q_funnel_steps(sf_dir: str) -> ray.data.Dataset:
     return co.funnel_steps_ds(ev)
 
 
+def q_knn_graph(sf_dir: str) -> ray.data.Dataset:
+    """Exact cosine k-NN graph (top-5 neighbors per vector, ranked
+    round-6 sim DESC / neighbor ASC — integer sim_e6 output so ranking
+    and values compare bit-exact). Small-N oracle path; the 100 TB path
+    is the IVF cluster-local variant (ann_ivf / semantic_dedup)."""
+    return co.knn_graph_ds(_embeddings(sf_dir), k=5)
+
+
+def q_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic quality-weighted subsampling (CCNet-style): keep
+    probability = min(n_chars, 1000) permille, decided by md5(id) —
+    reproducible across engines, streaming, no shuffle."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return co.weighted_sample_ds(docs, "n_chars")
+
+
 def q_grouped_rank(sf_dir: str) -> ray.data.Dataset:
     """Per-group percentile rank (count(*) OVER (PARTITION BY lang ORDER
     BY n_chars)) without a global sort: one row per distinct (group,
@@ -2121,6 +2139,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     # first 50 entries, so queries never yet driver-checked (new this
     # round, or sampled out in r1/r2) lead; long-green ones rotate to
     # the tail.
+    "knn_graph": q_knn_graph,
+    "weighted_sample": q_weighted_sample,
     "grouped_rank": q_grouped_rank,
     "histogram": q_histogram,
     "hopping_window": q_hopping_window,
@@ -2254,6 +2274,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # the front so CORRECTNESS_r5 finally covers them; long-green entries move
 # to the tail.
 _FRONT_R5 = [
+    "knn_graph",
+    "weighted_sample",
     "grouped_rank",
     "histogram",
     "hopping_window",
@@ -2307,6 +2329,37 @@ LIMIT 10
 """
 
 ORACLES: Dict[str, str] = {
+    "knn_graph": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> floor(CAST(x AS DOUBLE) * 1e6)) AS qv
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, qv,
+                     sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+        s AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+                 list_dot_product(a.qv, b.qv) / a.nrm / b.nrm AS sim
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        ),
+        r AS (SELECT vec_id, nb, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, nb) AS rnk
+              FROM s)
+        SELECT vec_id, nb AS neighbor_id, CAST(rnk AS BIGINT) AS "rank",
+               CAST(floor(sim * 1e6) AS BIGINT) AS sim_e6
+        FROM r WHERE rnk <= 5
+    """,
+    "weighted_sample": """
+        WITH w AS (SELECT doc_id,
+                          CAST(least(n_chars, 1000) AS BIGINT) AS keep_permille,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                              % 1000 AS bucket
+                   FROM documents)
+        SELECT doc_id, keep_permille, CAST(bucket AS BIGINT) AS bucket
+        FROM w WHERE bucket < keep_permille
+    """,
     "grouped_rank": """
         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
                CAST(count(*) OVER (PARTITION BY lang ORDER BY n_chars)

@@ -1772,6 +1772,50 @@ def dataset_split_ds(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def weighted_sample_ds(
+    ds: Dataset,
+    weight_col: str,
+    id_col: str = "doc_id",
+    max_permille: int = 1000,
+) -> Dataset:
+    """Deterministic quality-weighted subsampling (the CCNet-style 'keep
+    documents proportionally to their score' curation step): a row
+    survives iff ``md5(str(id)) % 1000 < min(weight, max_permille)``, so
+    a doc with weight 700 keeps with probability 0.7 — reproducible
+    across runs, cluster sizes, and engines, unlike ``random_sample``.
+    Streaming ``map_batches``, no shuffle, no state. Emits the id, the
+    clamped keep-probability (permille) and the hash bucket."""
+    import hashlib
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        buckets = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+                for i in ids
+            ),
+            np.int64,
+            count=len(ids),
+        )
+        w = np.minimum(
+            batch.column(weight_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
+            max_permille,
+        )
+        mask = buckets < w
+        t = pa.table(
+            {
+                id_col: batch.column(id_col),
+                "keep_permille": pa.array(w, pa.int64()),
+                "bucket": pa.array(buckets),
+            }
+        )
+        return t.filter(pa.array(mask))
+
+    return ds.select_columns([id_col, weight_col]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------- broadcast join (small-side lookup, no shuffle) ----------
 
 
@@ -2828,6 +2872,105 @@ def ann_ivf_topk_ds(
 
     localtk = embeddings.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
     return localtk.sort(["sim", id_col], descending=[True, False]).limit(k)
+
+
+def knn_graph_ds(
+    embeddings: Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Exact cosine k-NN graph (self-join): for every vector its ``k``
+    nearest neighbors, ranked by cosine DESC with neighbor-id ASC
+    tie-break — the graph-construction step behind graph-diversity
+    sampling and SemDeDup-style curation. Emits ``(vec_id, neighbor_id,
+    rank, sim_e6)``.
+
+    Cross-engine exactness by construction, not by rounding tolerance:
+    components quantize to ``floor(x * 1e6)`` (exact in float64 — a
+    float32 mantissa times 1e6 fits in 53 bits), so every dot product
+    and squared norm is an exact integer below 2^53 — summation-order
+    independent, hence identical under numpy matmul blocking and SQL
+    sequential sums. The cosine is then ``(dot / sqrt(na2)) / sqrt(nb2)``
+    — three correctly-rounded IEEE ops over identical operands — giving
+    BIT-IDENTICAL doubles on both engines, so the ranking and the
+    ``floor(sim * 1e6)`` output match exactly (ties in doubles are exact
+    ties, broken by neighbor id via a stable argsort over id-sorted
+    columns).
+
+    Exact semantics are inherently O(N^2) (the declared small-N oracle
+    path, like ``embedding_near_dup_ds``); the 100 TB path is the IVF
+    cluster-local variant (``semantic_dedup_pairs_ds`` /
+    ``ann_ivf_topk_ds``). The quantized matrix stages in the OBJECT
+    STORE (block refs, zero-copy worker views — one copy per node),
+    never on the driver; each streaming batch ranks against the staged
+    blocks with one matmul per block."""
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(vec_col))
+        q = np.ascontiguousarray(np.floor(m * 1e6))
+        flat = pa.array(q.reshape(-1), pa.float64())
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "_nvec": pa.FixedSizeListArray.from_arrays(flat, q.shape[1]),
+            }
+        )
+
+    refs = (
+        embeddings.select_columns([id_col, vec_col])
+        .map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    refs_key = tuple(r.hex() for r in refs)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "sim_e6": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        blocks = _emb_blocks(refs_key, refs, id_col)
+        if not blocks:
+            return empty
+        all_ids = np.concatenate([fids for fids, _ in blocks])
+        full = np.concatenate([fmat for _, fmat in blocks], axis=0)
+        # id-ascending column order so a STABLE argsort tie-breaks by id
+        colorder = np.argsort(all_ids, kind="stable")
+        all_ids = all_ids[colorder]
+        full = full[colorder]
+        nb_norm = np.sqrt((full * full).sum(axis=1))  # exact int sums
+        mq = np.floor(_as_matrix(batch.column(vec_col)) * 1e6)
+        na_norm = np.sqrt((mq * mq).sum(axis=1))
+        na_norm[na_norm == 0] = 1.0
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # (dot / na) / nb — the exact op order the SQL twin uses
+        sims = (mq @ full.T) / na_norm[:, None] / nb_norm[None, :]
+        self_mask = bids[:, None] == all_ids[None, :]
+        sims[self_mask] = -np.inf
+        kk = min(k, len(all_ids) - 1)
+        if kk <= 0:
+            return empty
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        nb = all_ids[order]
+        se = np.floor(np.take_along_axis(sims, order, axis=1) * 1e6)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(bids, kk), pa.int64()),
+                "neighbor_id": pa.array(nb.reshape(-1), pa.int64()),
+                "rank": pa.array(
+                    np.tile(np.arange(1, kk + 1, dtype=np.int64), len(bids))
+                ),
+                "sim_e6": pa.array(se.reshape(-1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return embeddings.map_batches(topk, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def decontaminate_ds(

@@ -1090,3 +1090,61 @@ def test_funnel_steps_empty_events(ray_session):
     )
     out = co.funnel_steps_ds(ray.data.from_arrow(t)).to_pandas()
     assert out.n_users.tolist() == [0, 0, 0]
+
+
+def test_knn_graph_known_neighbors(ray_session):
+    # 4 unit-ish vectors: 0 and 1 nearly parallel, 2 orthogonal, 3 opposite
+    vecs = [
+        [1.0, 0.0, 0.0],
+        [0.9, 0.1, 0.0],
+        [0.0, 1.0, 0.0],
+        [-1.0, 0.0, 0.0],
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    out = co.knn_graph_ds(ray.data.from_arrow(t), k=2).to_pandas()
+    g = out[out.vec_id == 0].sort_values("rank")
+    assert g.neighbor_id.tolist() == [1, 2]  # parallel first, then orthogonal
+    assert g.iloc[0].sim_e6 > 900_000 and abs(int(g.iloc[1].sim_e6)) <= 1
+    # self never appears; every vector gets exactly k rows
+    assert (out.vec_id != out.neighbor_id).all()
+    assert out.groupby("vec_id").size().tolist() == [2, 2, 2, 2]
+
+
+def test_knn_graph_tie_break_by_id(ray_session):
+    # vectors 1 and 2 are IDENTICAL -> exact double tie for vec 0;
+    # the lower neighbor id must rank first
+    vecs = [[1.0, 0.0], [0.6, 0.8], [0.6, 0.8]]
+    t = pa.table(
+        {
+            "vec_id": pa.array([10, 5, 2], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    out = co.knn_graph_ds(ray.data.from_arrow(t), k=2).to_pandas()
+    g = out[out.vec_id == 10].sort_values("rank")
+    assert g.neighbor_id.tolist() == [2, 5]
+
+
+def test_weighted_sample_deterministic_and_clamped(ray_session):
+    import hashlib
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(200)), pa.int64()),
+            "w": pa.array([0] * 50 + [500] * 50 + [5000] * 100, pa.int64()),
+        }
+    )
+    out = co.weighted_sample_ds(ray.data.from_arrow(t), "w", id_col="doc_id").to_pandas()
+    # weight 0 rows never survive; weight >= 1000 rows always survive
+    assert (out.doc_id >= 50).all()
+    assert set(range(100, 200)).issubset(set(out.doc_id))
+    assert (out.keep_permille <= 1000).all()
+    # survival matches the md5 rule exactly
+    for r in out.itertuples():
+        b = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 1000
+        assert b == r.bucket and b < r.keep_permille
