@@ -751,3 +751,290 @@ def quality_audit_ds(
             }
         )
     )
+
+
+# ---------- per-window exact distinct users ----------
+
+
+def window_users_ds(
+    events: Dataset,
+    width_s: int = 3600,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> Dataset:
+    """Exact distinct-user count per tumbling window (the DAU/HAU metric
+    with exact semantics): per-batch distinct ``(window, user)`` combiner
+    -> ``groupby(window, user)`` collapses cross-block duplicates (one
+    row per pair survives) -> per-batch window-count combiner -> a tiny
+    final ``groupby(window)``. Two shuffles, the second over one row per
+    (window x block). The classic exact-distinct dataflow; an HLL sketch
+    is the approximate drop-in when exactness stops mattering."""
+    width_us = width_s * 1_000_000
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"w": pa.array([], pa.int64()), "u": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        ts_us = batch.column(ts_col).cast(pa.int64())
+        return (
+            pa.table(
+                {
+                    "w": pc.multiply(
+                        pc.divide(ts_us, pa.scalar(width_us, pa.int64())),
+                        pa.scalar(width_s, pa.int64()),
+                    ),
+                    "u": batch.column(user_col).cast(pa.int64()),
+                }
+            )
+            .group_by(["w", "u"])
+            .aggregate([])
+        )
+
+    pairs = (
+        events.select_columns([ts_col, user_col])
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w", "u"])
+        .count()
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"w": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        g = (
+            pa.table({"w": batch.column("w").cast(pa.int64())})
+            .group_by("w")
+            .aggregate([("w", "count")])
+        )
+        return pa.table(
+            {
+                "w": g.column("w"),
+                "n_partial": g.column("w_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("n_partial"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start_s": batch.column("w").cast(pa.int64()),
+                "n_users": batch.column("sum(n_partial)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- grouped heavy hitters ----------
+
+
+def grouped_heavy_hitters_ds(
+    docs: Dataset,
+    k: int = 3,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> Dataset:
+    """Top-``k`` tokens per group by occurrence count (per-language
+    stopword / censor lists): per-batch ``(group, token)`` count combiner
+    -> ``groupby(group, token)`` sum -> PER-BLOCK top-k per group (the
+    final exchange moves at most k rows per group per block) -> final
+    top-k inside a bounded ``groupby(group)`` (the group domain —
+    languages, sources — is small by construction; this is NOT the
+    million-singleton-group shape). Deterministic n DESC / token ASC."""
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        gs = batch.column(group_col).take(
+            pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_tok))
+        )
+        t = (
+            pa.table({"g": gs, "token": flat})
+            .group_by(["g", "token"])
+            .aggregate([("token", "count")])
+        )
+        return pa.table(
+            {
+                "g": t.column("g"),
+                "token": t.column("token"),
+                "n_partial": t.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    totals = (
+        docs.select_columns([group_col, text_col])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "token"])
+        .aggregate(Sum("n_partial"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        gv = batch.column("g").to_numpy(zero_copy_only=False).astype(str)
+        tv = batch.column("token").to_numpy(zero_copy_only=False).astype(str)
+        n = batch.column("sum(n_partial)").to_numpy(zero_copy_only=False)
+        gcodes = np.unique(gv, return_inverse=True)[1]
+        tcodes = np.unique(tv, return_inverse=True)[1]
+        order = np.lexsort((tcodes, -n, gcodes))
+        gs = gcodes[order]
+        seg_first = np.concatenate(([True], gs[1:] != gs[:-1]))
+        pos = np.arange(len(gs)) - np.maximum.accumulate(
+            np.where(seg_first, np.arange(len(gs)), 0)
+        )
+        keep = order[pos < k]
+        return pa.table(
+            {
+                "g": batch.column("g").take(pa.array(keep)),
+                "token": batch.column("token").take(pa.array(keep)),
+                "n": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    local = totals.map_batches(
+        block_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        tv = group.column("token").to_numpy(zero_copy_only=False).astype(str)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        tcodes = np.unique(tv, return_inverse=True)[1]
+        order = np.lexsort((tcodes, -n))[:k]
+        return pa.table(
+            {
+                group_col: group.column("g").take(pa.array(order)),
+                "token": group.column("token").take(pa.array(order)),
+                "n": pa.array(n[order], pa.int64()),
+                "rank_in_group": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    return local.groupby("g").map_groups(final_topk, batch_format="pyarrow")
+
+
+# ---------- integer-exact group-mean outliers ----------
+
+
+def length_outliers_ds(
+    docs: Dataset,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    factor: int = 3,
+) -> Dataset:
+    """Flag rows whose value exceeds ``factor`` times their group mean —
+    the pure-integer outlier rule (``v * g_n > factor * g_sum``), so the
+    flag is bit-comparable to SQL window sums with no float mean. The
+    per-group (count, sum) table reduces via a per-batch combiner, stays
+    tiny (bounded group domain), and broadcasts via ``ray.put``; each
+    batch then flags with one searchsorted probe. Emits
+    ``(id, group, value, g_n, g_sum, is_outlier)``."""
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "n_partial": pa.array([], pa.int64()),
+                "sum_partial": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "g": batch.column(group_col).cast(pa.string()),
+                "v": batch.column(value_col).cast(pa.int64()),
+            }
+        )
+        g = t.group_by("g").aggregate([("v", "count"), ("v", "sum")])
+        return pa.table(
+            {
+                "g": g.column("g"),
+                "n_partial": g.column("v_count").cast(pa.int64()),
+                "sum_partial": g.column("v_sum").cast(pa.int64()),
+            }
+        )
+
+    stats = (
+        docs.select_columns([group_col, value_col])
+        .map_batches(stat_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Sum("n_partial"), Sum("sum_partial"))
+        .take_all()
+    )
+    gnames = np.asarray(sorted(r["g"] for r in stats), dtype=object).astype(str)
+    by_g = {r["g"]: r for r in stats}
+    g_n = np.asarray([int(by_g[g]["sum(n_partial)"]) for g in gnames], np.int64)
+    g_sum = np.asarray(
+        [int(by_g[g]["sum(sum_partial)"]) for g in gnames], np.int64
+    )
+    stats_ref = ray.put((gnames, g_n, g_sum))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        gtype = batch.column(group_col).type
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch.column(id_col).type),
+                group_col: pa.array([], gtype),
+                value_col: pa.array([], pa.int64()),
+                "g_n": pa.array([], pa.int64()),
+                "g_sum": pa.array([], pa.int64()),
+                "is_outlier": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        names_s, n_s, sum_s = ray.get(stats_ref)
+        gv = batch.column(group_col).cast(pa.string()).to_numpy(
+            zero_copy_only=False
+        ).astype(str)
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gi = np.searchsorted(names_s, gv)
+        gn, gs = n_s[gi], sum_s[gi]
+        flag_arr = (v * gn > factor * gs).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                value_col: pa.array(v, pa.int64()),
+                "g_n": pa.array(gn, pa.int64()),
+                "g_sum": pa.array(gs, pa.int64()),
+                "is_outlier": pa.array(flag_arr, pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, group_col, value_col]).map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True
+    )

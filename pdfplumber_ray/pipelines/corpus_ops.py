@@ -110,6 +110,65 @@ def lang_id_ds(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") ->
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def lang_confusion_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> Dataset:
+    """Language drift / metadata-quality matrix: declared language vs
+    n-gram-detected language with row counts — the monitoring table that
+    catches mislabeled sources before they skew a sampling mix. Per-batch
+    detect + Arrow ``group_by`` combiner, then one tiny ``groupby`` over
+    the (langs x langs) domain. Emits ``(declared, detected, n_docs)``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "declared": pa.array([], pa.string()),
+                "detected": pa.array([], pa.string()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        pred = ts.lang_id(batch.column(text_col).to_pylist())
+        g = (
+            pa.table(
+                {
+                    "declared": batch.column(lang_col),
+                    "detected": pa.array(pred.tolist(), pa.string()),
+                }
+            )
+            .group_by(["declared", "detected"])
+            .aggregate([("detected", "count")])
+        )
+        return pa.table(
+            {
+                "declared": g.column("declared"),
+                "detected": g.column("detected"),
+                "n_partial": g.column("detected_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.select_columns([text_col, lang_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["declared", "detected"])
+        .aggregate(Sum("n_partial"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "declared": batch.column("declared"),
+                "detected": batch.column("detected"),
+                "n_docs": batch.column("sum(n_partial)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def fingerprint_ds(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()

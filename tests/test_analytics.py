@@ -195,3 +195,66 @@ def test_empty_inputs(ray_session):
                   "text": pa.array([], pa.string())})
     )
     assert an.postings_ds(docs).take_all() == []
+
+
+def test_window_users_exact_distinct(ray_session):
+    ev = _events(
+        [
+            (1, 1, 0, "view", 0.0),
+            (2, 1, 5, "view", 0.0),              # same user, same window
+            (3, 2, 10, "view", 0.0),             # second user, same window
+            (4, 1, 3_600_000_000, "view", 0.0),  # next window
+        ]
+    )
+    rows = {r["window_start_s"]: r["n_users"]
+            for r in an.window_users_ds(ev, width_s=3600).take_all()}
+    assert rows == {0: 2, 3600: 1}
+
+
+def test_grouped_heavy_hitters_rank_and_ties(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["en", "en", "de"]),
+                "text": pa.array(["a a b c", "a b", "x y y"]),
+            }
+        )
+    )
+    out = an.grouped_heavy_hitters_ds(docs, k=2).take_all()
+    en = sorted(
+        [(r["rank_in_group"], r["token"], r["n"]) for r in out if r["lang"] == "en"]
+    )
+    de = sorted(
+        [(r["rank_in_group"], r["token"], r["n"]) for r in out if r["lang"] == "de"]
+    )
+    assert en == [(1, "a", 3), (2, "b", 2)]
+    assert de == [(1, "y", 2), (2, "x", 1)]  # n DESC, token ASC tie-break
+
+
+def test_length_outliers_integer_rule(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "lang": pa.array(["en", "en", "en", "de"]),
+                "n_chars": pa.array([10, 10, 100, 7], pa.int64()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in an.length_outliers_ds(docs).take_all()}
+    # en: sum=120, n=3 -> outlier iff v*3 > 3*120 i.e. v > 120
+    assert out[2]["is_outlier"] == 0 and out[2]["g_sum"] == 120
+    # single-member group is never an outlier (v*1 > 3*v is false)
+    assert out[3]["is_outlier"] == 0 and out[3]["g_n"] == 1
+    big = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "lang": pa.array(["en"] * 10),
+                "n_chars": pa.array([1] * 9 + [100], pa.int64()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in an.length_outliers_ds(big).take_all()}
+    assert out[9]["is_outlier"] == 1  # 100*10 > 3*109
+    assert out[0]["is_outlier"] == 0

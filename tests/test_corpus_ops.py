@@ -1148,3 +1148,22 @@ def test_weighted_sample_deterministic_and_clamped(ray_session):
     for r in out.itertuples():
         b = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 1000
         assert b == r.bucket and b < r.keep_permille
+
+
+def test_lang_confusion_matrix(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(
+                    ["the and of it", "der die und", "zzz qqq", "the of and"]
+                ),
+                "lang": pa.array(["en", "en", "en", "de"]),
+            }
+        )
+    )
+    out = {(r["declared"], r["detected"]): r["n_docs"]
+           for r in co.lang_confusion_ds(docs).take_all()}
+    assert out[("en", "en")] == 1
+    assert out[("en", "de")] == 1   # declared en, detected de
+    assert out[("en", "und")] == 1
+    assert out[("de", "en")] == 1   # mislabeled source shows up here
