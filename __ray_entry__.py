@@ -3507,8 +3507,44 @@ ORACLES["lang_confusion"] = f"""
 ORACLES["asof_join_bucketed"] = ORACLES["asof_join"]
 
 
+def _typed_result(out: Any) -> Any:
+    """Correctness-gate boundary guard: Ray 2.49's ``Dataset.to_pandas()``
+    on a zero-row dataset returns a column-less DataFrame (even when the
+    dataset carries a schema — e.g. via an explicit empty typed anchor
+    block), which the driver's compare reads as a SCHEMA MISMATCH against
+    an empty-but-typed DuckDB result. Materialize (the driver collects to
+    pandas immediately anyway, so this adds no work) and, when the result
+    is empty, hand back a typed empty ``pyarrow.Table`` whose
+    ``to_pandas()`` keeps the columns. Non-empty results stream through
+    unchanged."""
+    if not isinstance(out, ray.data.Dataset):
+        return out
+    out = out.materialize()
+    if out.count() > 0:
+        return out
+    sch = out.schema(fetch_if_missing=True)
+    if sch is None:
+        return out
+    try:
+        return pa.table(
+            {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+        )
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+        return out
+
+
+def _typed_query(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    def wrapped(sf_dir: str) -> Any:
+        return _typed_result(fn(sf_dir))
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    return dict(QUERIES)
+    return {name: _typed_query(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -258,3 +258,40 @@ def test_length_outliers_integer_rule(ray_session):
     out = {r["doc_id"]: r for r in an.length_outliers_ds(big).take_all()}
     assert out[9]["is_outlier"] == 1  # 100*10 > 3*109
     assert out[0]["is_outlier"] == 0
+
+
+def test_postings_all_groups_empty_keeps_schema(ray_session):
+    # every token is a hapax -> every bucket emits zero rows; the schema
+    # anchor keeps Dataset.schema() typed, and the queries()-boundary
+    # _typed_result guard converts the empty result to a typed
+    # pyarrow.Table whose to_pandas() keeps the columns (Ray 2.49's
+    # Dataset.to_pandas() on ANY zero-row dataset drops them, which the
+    # driver compare would read as a schema mismatch)
+    import __ray_entry__ as E
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["alpha beta", "gamma delta"]),
+            }
+        )
+    )
+    ds = an.postings_ds(docs, min_df=2, max_df=50)
+    assert ds.schema().names == ["token", "df", "doc_ids"]
+    out = E._typed_result(ds)
+    assert isinstance(out, pa.Table)
+    df = out.to_pandas()
+    assert len(df) == 0
+    assert list(df.columns) == ["token", "df", "doc_ids"]
+
+
+def test_typed_result_passthrough_nonempty(ray_session):
+    import __ray_entry__ as E
+
+    t = pa.table({"a": pa.array([1, 2], pa.int64())})
+    out = E._typed_result(ray.data.from_arrow(t))
+    assert isinstance(out, ray.data.Dataset)
+    assert out.to_pandas()["a"].tolist() == [1, 2]
+    # non-Dataset results pass through untouched
+    assert E._typed_result(t) is t
