@@ -29,6 +29,7 @@ from pdfplumber_ray.functions.textstats import BPE_TOKEN_RE, STOPWORDS
 from pdfplumber_ray.pipelines import (
     analytics as an,
     corpus_ops as co,
+    graph as gr,
     decode_pages_ds,
     extract_spans_ds,
     search_ds,
@@ -2172,6 +2173,75 @@ def q_vertical_text(sf_dir: str) -> ray.data.Dataset:
     return pages.map_batches(char_rows, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running balance (SUM OVER PARTITION BY ... ORDER BY):
+    ONE mix64-bucket shuffle of the pruned projection, one lexsort +
+    segmented np.cumsum per bucket — no global sort. Values quantize to
+    floor(v*100) int64 on both engines (pdfplumber has no stream ops;
+    warehouse-op batch)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return an.running_total_ds(ev)
+
+
+def q_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(returnflag, linestatus): per-batch Arrow combiner
+    -> one groupby over leaf cells; higher levels derive from the
+    bounded leaf table (a rollup's key-domain product is small by
+    construction)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return an.rollup_ds(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+
+
+def q_interval_join(sf_dir: str) -> ray.data.Dataset:
+    """Non-equi range join (lineitems shipped inside each order's 7-day
+    window) WITHOUT materializing the row-expanding join: point side
+    reduces to (time-bucket, ts, count) partials, windows replicate to
+    their <=2 overlapping buckets, one co-group + searchsorted prefix
+    counts, final groupby sums the <=2 partials per window."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_shipdate"])
+    return an.interval_count_ds(
+        orders, li, "o_orderkey", "o_orderdate", "l_shipdate",
+        width_us=7 * 86400 * 1_000_000,
+    )
+
+
+def q_collocations(sf_dir: str) -> ray.data.Dataset:
+    """Bigram collocation lift (phrase detection): Arrow bigram-count
+    combiner -> one (w1,w2) groupby; marginals derive from the pair
+    table and broadcast under a vocab guard; integer lift_e6 so the SQL
+    twin is exact."""
+    return co.collocations_ds(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        min_count=5,
+    )
+
+
+def q_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """Integer fixed-point PageRank (3 damped power iterations) over the
+    customer<->supplier contact graph. Degrees and ranks attach to edges
+    via bucket co-groups (the rank vector is node-count-sized — NEVER
+    broadcast); per-edge floor division keeps every engine bit-identical.
+    See pipelines/graph.py for the fixed-point rule."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    # bucket count sized to the single-node gate input (results are
+    # bucket-count invariant — raise with cluster size at real scale)
+    edges = gr.bipartite_edges_ds(li, orders, n_buckets=64)
+    return gr.pagerank_ds(edges, n_iter=3, n_buckets=64)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     # Ordering is deliberate: the driver correctness gate samples the
     # first 50 entries, so queries never yet driver-checked (new this
@@ -2308,6 +2378,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "curves": q_curves,
     "grouped_topk": q_grouped_topk,
     "edge_census": q_edge_census,
+    "running_total": q_running_total,
+    "rollup": q_rollup,
+    "interval_join": q_interval_join,
+    "collocations": q_collocations,
+    "pagerank": q_pagerank,
 }
 
 # The driver correctness gate samples the FIRST 50 entries. Rotate the 28
@@ -2316,6 +2391,12 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # the front so CORRECTNESS_r5 finally covers them; long-green entries move
 # to the tail.
 _FRONT_R5 = [
+    # newest operators lead — they have never had any external validation
+    "running_total",
+    "rollup",
+    "interval_join",
+    "collocations",
+    "pagerank",
     "lang_confusion",
     "window_users",
     "grouped_heavy_hitters",
@@ -3505,6 +3586,63 @@ ORACLES["lang_confusion"] = f"""
     FROM p GROUP BY 1, 2
 """
 ORACLES["asof_join_bucketed"] = ORACLES["asof_join"]
+ORACLES["running_total"] = """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS run_total_e
+    FROM events
+"""
+ORACLES["rollup"] = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_e,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+ORACLES["interval_join"] = """
+    SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_matched
+    FROM orders o JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY 1
+"""
+ORACLES["collocations"] = """
+    WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+    b AS (SELECT l[i] AS w1, l[i+1] AS w2
+          FROM t, LATERAL (SELECT unnest(range(1, len(l))) AS i)),
+    p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM b GROUP BY 1, 2),
+    fx AS (SELECT w1, SUM(n_xy) AS n_x FROM p GROUP BY 1),
+    fy AS (SELECT w2, SUM(n_xy) AS n_y FROM p GROUP BY 1),
+    tot AS (SELECT SUM(n_xy) AS n FROM p)
+    SELECT p.w1, p.w2, p.n_xy,
+           CAST((p.n_xy * tot.n * 1000000) // (fx.n_x * fy.n_y) AS BIGINT)
+               AS lift_e6
+    FROM p JOIN fx ON p.w1 = fx.w1 JOIN fy ON p.w2 = fy.w2 CROSS JOIN tot
+    WHERE p.n_xy >= 5
+"""
+ORACLES["pagerank"] = """
+    WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+              UNION ALL SELECT s * 2 + 1, c * 2 FROM pairs),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+    r1 AS (SELECT e.dst AS node,
+                  CAST(150000000000 + SUM((r.r * 85) // (100 * deg.d)) AS BIGINT) AS r
+           FROM edges e JOIN r0 r ON e.src = r.node
+           JOIN deg ON deg.src = e.src GROUP BY e.dst),
+    r2 AS (SELECT e.dst AS node,
+                  CAST(150000000000 + SUM((r.r * 85) // (100 * deg.d)) AS BIGINT) AS r
+           FROM edges e JOIN r1 r ON e.src = r.node
+           JOIN deg ON deg.src = e.src GROUP BY e.dst),
+    r3 AS (SELECT e.dst AS node,
+                  CAST(150000000000 + SUM((r.r * 85) // (100 * deg.d)) AS BIGINT) AS r
+           FROM edges e JOIN r2 r ON e.src = r.node
+           JOIN deg ON deg.src = e.src GROUP BY e.dst)
+    SELECT node, r FROM r3
+"""
 
 
 def _typed_result(out: Any) -> Any:

@@ -24,4 +24,5 @@ from .extract import (  # noqa: F401
 )
 from . import analytics  # noqa: F401
 from . import corpus_ops  # noqa: F401
+from . import graph  # noqa: F401
 from . import media  # noqa: F401

@@ -1038,3 +1038,304 @@ def length_outliers_ds(
     return docs.select_columns([id_col, group_col, value_col]).map_batches(
         flag, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------- distributed running total (per-key prefix sum) ----------
+
+
+def running_total_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+    quant: int = 100,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Per-key cumulative sum ordered by (``ts``, ``tie``) — the
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id)`` running-balance /
+    cumulative-exposure shape, computed without a global sort.
+
+    Exactness: values quantize to ``floor(v * quant)`` int64 on BOTH
+    engines (identical IEEE double product + floor), so the prefix sums
+    are order-independent integer sums.
+
+    Scale shape: each row must meet the other rows of its key, so the
+    full (key, ts, tie, v_e) projection shuffles ONCE by
+    ``mix64(key) % n_buckets`` (bounded group count, never one group per
+    key); inside a bucket one lexsort + one segmented ``np.cumsum``
+    produces every key's prefix sums vectorized. Payload columns are
+    pruned before the exchange.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        v_e = np.floor(v * quant).astype(np.int64)
+        bkt = (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                tie_col: batch.column(tie_col).cast(pa.int64()),
+                key_col: pa.array(k, pa.int64()),
+                "ts_us": batch.column(ts_col).cast(pa.int64()),
+                "v_e": pa.array(v_e, pa.int64()),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field(tie_col, pa.int64()),
+            pa.field(key_col, pa.int64()),
+            pa.field("run_total_e", pa.int64()),
+        ]
+    )
+
+    def bucket_cumsum(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        tie = group.column(tie_col).to_numpy(zero_copy_only=False)
+        v = group.column("v_e").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, vs = k[order], v[order]
+        cs = np.cumsum(vs)
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(ks)])))
+        # cumulative total just before each segment start, repeated
+        offsets = np.concatenate(([0], cs[starts[1:] - 1]))
+        run = cs - np.repeat(offsets, seg_len)
+        return pa.table(
+            {
+                tie_col: pa.array(tie[order], pa.int64()),
+                key_col: pa.array(ks, pa.int64()),
+                "run_total_e": pa.array(run, pa.int64()),
+            }
+        )
+
+    projected = events.select_columns(
+        [key_col, ts_col, tie_col, value_col]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return _anchor_schema(
+        projected.groupby("bkt").map_groups(bucket_cumsum, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+# ---------- ROLLUP (multi-level grouped aggregate) ----------
+
+
+def rollup_ds(
+    ds: Dataset,
+    keys: Sequence[str],
+    value_col: str,
+    quant: int = 100,
+    all_label: str = "ALL",
+) -> Dataset:
+    """``GROUP BY ROLLUP(k1, k2, ...)`` — the leaf aggregate plus every
+    prefix level up to the grand total, with rolled-up key columns set to
+    ``all_label``. Values quantize to ``floor(v * quant)`` int64 so sums
+    are engine-exact.
+
+    Scale shape: one per-batch Arrow combiner (leaf cells per block) ->
+    ONE ``groupby(keys)`` over combined rows. The leaf table of a rollup
+    report is bounded by the key-domain product (small by construction —
+    a rollup over an unbounded key is not a report), so the higher levels
+    derive from the collected leaf on the driver with numpy group sums.
+    """
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        v_e = np.floor(v * quant).astype(np.int64)
+        t = pa.table(
+            {
+                **{k: batch.column(k) for k in keys},
+                "v_e": pa.array(v_e, pa.int64()),
+            }
+        )
+        g = t.group_by(keys).aggregate([("v_e", "sum"), ("v_e", "count")])
+        return g.rename_columns(keys + ["sum_partial", "n_partial"])
+
+    leaf = (
+        ds.select_columns(keys + [value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys)
+        .aggregate(Sum("sum_partial"), Sum("n_partial"))
+    )
+    rows = leaf.take_all()
+    key_vals = {k: np.array([str(r[k]) for r in rows]) for k in keys}
+    sums = np.array([r["sum(sum_partial)"] for r in rows], np.int64)
+    ns = np.array([r["sum(n_partial)"] for r in rows], np.int64)
+
+    out = {k: [] for k in keys}
+    out_sum: List[int] = []
+    out_n: List[int] = []
+    for level in range(len(keys), -1, -1):
+        kept = keys[:level]
+        if kept:
+            comp = key_vals[kept[0]]
+            for k in kept[1:]:
+                comp = np.char.add(np.char.add(comp, "\x1f"), key_vals[k])
+            uniq, inv = np.unique(comp, return_inverse=True)
+            order = np.argsort(inv, kind="stable")
+            starts = np.flatnonzero(
+                np.concatenate(([True], inv[order][1:] != inv[order][:-1]))
+            )
+            # int64 reduceat keeps sums exact past 2**53 (bincount's
+            # float64 weights would not)
+            lvl_sum = np.add.reduceat(sums[order], starts)
+            lvl_n = np.add.reduceat(ns[order], starts)
+            parts = [u.split("\x1f") for u in uniq]
+            for i, k in enumerate(keys):
+                if i < level:
+                    out[k].extend(p[i] for p in parts)
+                else:
+                    out[k].extend([all_label] * len(uniq))
+            out_sum.extend(lvl_sum.tolist())
+            out_n.extend(lvl_n.tolist())
+        else:
+            for k in keys:
+                out[k].append(all_label)
+            out_sum.append(int(sums.sum()))
+            out_n.append(int(ns.sum()))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                **{k: pa.array(out[k], pa.string()) for k in keys},
+                "sum_e": pa.array(out_sum, pa.int64()),
+                "n_rows": pa.array(out_n, pa.int64()),
+            }
+        )
+    )
+
+
+# ---------- interval (range) join: count points per window ----------
+
+
+def interval_count_ds(
+    windows: Dataset,
+    points: Dataset,
+    window_key: str,
+    window_start: str,
+    point_ts: str,
+    width_us: int,
+) -> Dataset:
+    """Range join ``point.ts ∈ [w.start, w.start + width)`` aggregated to
+    a per-window match count (INNER semantics: windows with zero matches
+    drop). The classic non-equi join Ray Data lacks natively.
+
+    Scale shape: NO row-expanding join ever materializes. The point side
+    reduces per batch to (time_bucket, ts, count) partials (bucket width
+    == window width, so each window overlaps at most 2 buckets); each
+    window row replicates to exactly those <=2 buckets. One co-grouping
+    shuffle by time bucket, then inside the bucket a sorted-ts prefix-sum
+    + two ``np.searchsorted`` probes count matches for every window
+    vectorized. A final ``groupby(window_key)`` sums the <=2 partials
+    per window.
+    """
+    w = np.int64(width_us)
+
+    def point_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(point_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ts, return_counts=True)
+        return pa.table(
+            {
+                "bkt": pa.array(uniq // w, pa.int64()),
+                "side": pa.array(np.zeros(len(uniq), np.int8), pa.int8()),
+                "ts_us": pa.array(uniq, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "wkey": pa.array(np.zeros(len(uniq), np.int64), pa.int64()),
+                "lo": pa.array(np.zeros(len(uniq), np.int64), pa.int64()),
+            }
+        )
+
+    def window_partial(batch: pa.Table) -> pa.Table:
+        lo = (
+            batch.column(window_start).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        key = batch.column(window_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hi = lo + w
+        b0 = lo // w
+        b1 = (hi - 1) // w
+        second = b1 != b0
+        bkt = np.concatenate((b0, b1[second]))
+        keys = np.concatenate((key, key[second]))
+        los = np.concatenate((lo, lo[second]))
+        n = len(bkt)
+        return pa.table(
+            {
+                "bkt": pa.array(bkt, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "ts_us": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "wkey": pa.array(keys, pa.int64()),
+                "lo": pa.array(los, pa.int64()),
+            }
+        )
+
+    tagged = points.select_columns([point_ts]).map_batches(
+        point_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        windows.select_columns([window_key, window_start]).map_batches(
+            window_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def bucket_count(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "wkey": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        pts = side == 0
+        wins = side == 1
+        if not pts.any() or not wins.any():
+            return empty
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)[pts]
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)[pts]
+        order = np.argsort(ts, kind="stable")
+        ts_s, cnt_s = ts[order], cnt[order]
+        # cross-block duplicate ts collapse
+        uniq_mask = np.concatenate(([True], ts_s[1:] != ts_s[:-1]))
+        seg = np.cumsum(uniq_mask) - 1
+        ts_u = ts_s[uniq_mask]
+        cnt_u = np.bincount(seg, weights=cnt_s).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(cnt_u)))
+        lo = group.column("lo").to_numpy(zero_copy_only=False)[wins]
+        key = group.column("wkey").to_numpy(zero_copy_only=False)[wins]
+        i0 = np.searchsorted(ts_u, lo, side="left")
+        i1 = np.searchsorted(ts_u, lo + w, side="left")
+        n = cum[i1] - cum[i0]
+        nz = n > 0
+        return pa.table(
+            {
+                "wkey": pa.array(key[nz], pa.int64()),
+                "n_partial": pa.array(n[nz], pa.int64()),
+            }
+        )
+
+    partials = tagged.groupby("bkt").map_groups(
+        bucket_count, batch_format="pyarrow"
+    )
+    totals = partials.groupby("wkey").aggregate(Sum("n_partial"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                window_key: batch.column("wkey"),
+                "n_matched": batch.column("sum(n_partial)").cast(pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        totals.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema(
+            [pa.field(window_key, pa.int64()), pa.field("n_matched", pa.int64())]
+        ),
+    )

@@ -3797,3 +3797,161 @@ def funnel_steps_ds(
             }
         )
     )
+
+
+def collocations_ds(
+    docs: Dataset,
+    min_count: int = 5,
+    text_col: str = "text",
+    max_vocab_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Bigram collocation mining with an integer lift score — the
+    phrase-detection / tokenizer-merge-candidate pass of a text corpus
+    (cf. word2vec phrase building; reference has no counterpart — this is
+    a training-data-platform operator).
+
+    For each adjacent token pair (w1, w2) with corpus count
+    ``n_xy >= min_count``: ``lift_e6 = n_xy * N * 1e6 // (n_x * n_y)``
+    where ``n_x`` = occurrences of w1 as a bigram FIRST element, ``n_y``
+    = w2 as SECOND element, ``N`` = total bigram count. All-integer, so
+    a SQL oracle reproduces every row exactly (documented bound:
+    ``n_xy * N * 1_000_000 < 2**63``).
+
+    Scale shape: per-batch Arrow bigram-count combiner (split + one
+    ``group_by`` per block, pairs formed by offset arithmetic on the
+    flattened token array — no per-doc Python) -> ONE
+    ``groupby(w1, w2)`` over combined rows, materialized once. The
+    marginals n_x / n_y derive from the pair table itself (two more
+    combiner+groupby passes over it), broadcast via ``ray.put`` under
+    ``max_vocab_broadcast`` (vocab-sized by Heaps' law), and the final
+    scoring is one streaming probe pass over the pair table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        lists = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        lens = (
+            pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(lists)
+        total = int(lens.sum())
+        if total < 2:
+            return empty
+        # bigram start positions: every flat index except each doc's last
+        keep = np.ones(total, dtype=bool)
+        keep[np.cumsum(lens) - 1] = False
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return empty
+        w1 = flat.take(pa.array(idx, pa.int64()))
+        w2 = flat.take(pa.array(idx + 1, pa.int64()))
+        g = (
+            pa.table({"w1": w1, "w2": w2})
+            .group_by(["w1", "w2"])
+            .aggregate([("w1", "count")])
+        )
+        return pa.table(
+            {
+                "w1": g.column("w1"),
+                "w2": g.column("w2"),
+                "n_partial": g.column("w1_count").cast(pa.int64()),
+            }
+        )
+
+    pair_agg = (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n_partial"))
+    )
+
+    def finish_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "n_xy": batch.column("sum(n_partial)").cast(pa.int64()),
+            }
+        )
+
+    pairs_tot = pair_agg.map_batches(
+        finish_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def marginal(col: str) -> "tuple[np.ndarray, np.ndarray]":
+        def part(batch: pa.Table) -> pa.Table:
+            g = (
+                pa.table({col: batch.column(col), "n": batch.column("n_xy")})
+                .group_by(col)
+                .aggregate([("n", "sum")])
+            )
+            return pa.table(
+                {col: g.column(col), "m_partial": g.column("n_sum").cast(pa.int64())}
+            )
+
+        agg = (
+            pairs_tot.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(col)
+            .aggregate(Sum("m_partial"))
+            .materialize()
+        )
+        if agg.count() > max_vocab_broadcast:
+            raise ValueError(
+                f"bigram marginal vocab ({agg.count()}) exceeds "
+                f"max_vocab_broadcast={max_vocab_broadcast}"
+            )
+        rows = agg.take_all()
+        toks = np.array([r[col] for r in rows], dtype=str)
+        cnts = np.array([r["sum(m_partial)"] for r in rows], dtype=np.int64)
+        order = np.argsort(toks)
+        return toks[order], cnts[order]
+
+    tx, nx = marginal("w1")
+    ty, ny = marginal("w2")
+    n_total = int(nx.sum())
+    ref = ray.put((tx, nx, ty, ny))
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n_xy": pa.array([], pa.int64()),
+                "lift_e6": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        batch = batch.filter(
+            pc.greater_equal(batch.column("n_xy"), pa.scalar(min_count, pa.int64()))
+        )
+        if batch.num_rows == 0:
+            return empty
+        tx_, nx_, ty_, ny_ = ray.get(ref)
+        a = batch.column("w1").to_numpy(zero_copy_only=False).astype(str)
+        b = batch.column("w2").to_numpy(zero_copy_only=False).astype(str)
+        n_xy = batch.column("n_xy").to_numpy(zero_copy_only=False)
+        n_x = nx_[np.searchsorted(tx_, a)]
+        n_y = ny_[np.searchsorted(ty_, b)]
+        lift = n_xy * np.int64(n_total) * np.int64(1_000_000) // (n_x * n_y)
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "n_xy": pa.array(n_xy, pa.int64()),
+                "lift_e6": pa.array(lift, pa.int64()),
+            }
+        )
+
+    return pairs_tot.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

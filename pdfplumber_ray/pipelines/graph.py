@@ -1,0 +1,340 @@
+"""Distributed iterative graph operators (integer-exact PageRank).
+
+The reference engine has no graph surface; a training-data platform
+needs one for link-based quality signals (domain authority over a
+crawl's link graph, CommonCrawl-style) and for influence weighting of
+entity graphs mined from a corpus. The operator here is the canonical
+power-iteration shape expressed Ray-Data-first:
+
+* the edge list (with source out-degree pre-attached ONCE) is the only
+  large dataset, materialized a single time;
+* each iteration is exactly TWO bounded shuffles — one hash-bucket
+  co-group that attaches the current rank to each edge (never a
+  broadcast of the rank vector, which is node-count-sized and does NOT
+  fit on one machine at web scale) and one ``groupby(dst)`` sum of
+  per-batch-combined contributions;
+* all arithmetic is integer fixed-point (``floor`` division), so every
+  engine — numpy here, DuckDB in the oracle — produces bit-identical
+  ranks regardless of summation order.
+
+Fixed-point rule (damping 0.85, scale S = 10^12)::
+
+    r0(v)   = S
+    r_{k+1}(v) = (15 * S) // 100  +  sum over edges u->v of
+                 (r_k(u) * 85) // (100 * outdeg(u))
+
+Per-edge floor BEFORE the sum keeps every term an exact int64; the sum
+is then order-independent. Documented bound: ``max_rank * 85 < 2**63``
+(holds while total mass ``n_nodes * S`` stays below ~10^17).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+Dataset = ray.data.Dataset
+
+_SCALE = 1_000_000_000_000  # 10^12 fixed-point unit rank
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (same mix as analytics._mix64) —
+    deterministic cross-worker bucket hash for integer node ids."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def bipartite_edges_ds(
+    lineitem: Dataset,
+    orders: Dataset,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Distinct customer<->supplier contact edges from the order/lineitem
+    star join, as a DIRECTED symmetric edge list over the node encoding
+    ``customer -> 2*custkey``, ``supplier -> 2*suppkey + 1``.
+
+    Scale shape: the orderkey equi-join runs as ONE hash-bucket co-group
+    (tagged union shuffled by ``mix64(orderkey) % n_buckets`` — orders
+    rows carry custkey, lineitem rows carry suppkey; inside a bucket a
+    sorted-key ``searchsorted`` attach, all vectorized). Per-bucket
+    pair dedup happens in-bucket; the residual cross-bucket duplicates
+    (same pair via orders in different buckets) collapse in one
+    ``groupby(src, dst)`` over already-deduped partials."""
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bkt = (_mix64(ok) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(bkt, pa.int64()),
+                "okey": pa.array(ok, pa.int64()),
+                "side": pa.array(np.zeros(len(ok), np.int8), pa.int8()),
+                "pkey": pa.array(ck, pa.int64()),
+            }
+        )
+
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # per-batch (orderkey, suppkey) dedup before the shuffle
+        key = np.unique(ok * np.int64(1 << 20) + sk)
+        ok_u = (key >> np.int64(20)).astype(np.int64)
+        sk_u = (key & np.int64((1 << 20) - 1)).astype(np.int64)
+        bkt = (_mix64(ok_u) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(bkt, pa.int64()),
+                "okey": pa.array(ok_u, pa.int64()),
+                "side": pa.array(np.ones(len(ok_u), np.int8), pa.int8()),
+                "pkey": pa.array(sk_u, pa.int64()),
+            }
+        )
+
+    tagged = orders.select_columns(["o_orderkey", "o_custkey"]).map_batches(
+        tag_orders, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        lineitem.select_columns(["l_orderkey", "l_suppkey"]).map_batches(
+            tag_lineitem, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def bucket_join(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"c": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+        )
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        o_mask = side == 0
+        l_mask = side == 1
+        if not o_mask.any() or not l_mask.any():
+            return empty
+        ok = group.column("okey").to_numpy(zero_copy_only=False)
+        pk = group.column("pkey").to_numpy(zero_copy_only=False)
+        o_keys, o_cust = ok[o_mask], pk[o_mask]
+        order = np.argsort(o_keys, kind="stable")
+        o_keys, o_cust = o_keys[order], o_cust[order]
+        l_keys, l_supp = ok[l_mask], pk[l_mask]
+        pos = np.searchsorted(o_keys, l_keys)
+        pos = np.clip(pos, 0, len(o_keys) - 1)
+        hit = o_keys[pos] == l_keys
+        cust = o_cust[pos[hit]]
+        supp = l_supp[hit]
+        pair = np.unique(cust * np.int64(1 << 20) + supp)
+        return pa.table(
+            {
+                "c": pa.array((pair >> np.int64(20)).astype(np.int64), pa.int64()),
+                "s": pa.array(pair & np.int64((1 << 20) - 1), pa.int64()),
+            }
+        )
+
+    pairs = (
+        tagged.groupby("bkt")
+        .map_groups(bucket_join, batch_format="pyarrow")
+        .groupby(["c", "s"])
+        .aggregate(Sum("c"))  # any agg: we only need the distinct keys
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        src = np.concatenate((c * 2, s * 2 + 1))
+        dst = np.concatenate((s * 2 + 1, c * 2))
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    return pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank_ds(
+    edges: Dataset,
+    n_iter: int = 3,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Integer fixed-point PageRank over a directed edge list (``src``,
+    ``dst``) where every node has at least one out-edge (true for the
+    symmetric graphs ``bipartite_edges_ds`` builds). Returns
+    ``(node, rank)`` after ``n_iter`` damped power iterations —
+    bit-identical to the unrolled SQL twin by the module-level
+    fixed-point rule.
+
+    Scale shape: out-degrees attach to edges ONCE via a bucket co-group
+    (the degree table is node-count-sized — never broadcast); the
+    edges-with-degree dataset materializes a single time and each
+    iteration re-streams it through (a) the same bucket co-group against
+    the current rank dataset to emit per-edge contributions with an
+    in-batch ``(dst, sum)`` combiner, and (b) one ``groupby(dst)`` sum.
+    Rank datasets materialize per iteration so lineage never re-executes
+    earlier rounds."""
+    from ray.data.aggregate import Count
+
+    deg = edges.groupby("src").aggregate(Count())
+
+    def deg_norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("src").cast(pa.int64()),
+                "deg": batch.column("count()").cast(pa.int64()),
+            }
+        )
+
+    deg = deg.map_batches(deg_norm, batch_format="pyarrow", zero_copy_batch=True)
+
+    def tag(side: int, key_col: str, payload: Tuple[str, ...]):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(key_col).to_numpy(zero_copy_only=False)
+            bkt = (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+            cols = {
+                "bkt": pa.array(bkt, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "side": pa.array(np.full(len(k), side, np.int8), pa.int8()),
+            }
+            for i, p in enumerate(("p0", "p1")):
+                if i < len(payload):
+                    cols[p] = batch.column(payload[i]).cast(pa.int64())
+                else:
+                    cols[p] = pa.array(np.zeros(len(k), np.int64), pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    def cogroup_attach(left: Dataset, right: Dataset, out_fn) -> Dataset:
+        """left rows (side 0, lookup table node->value in p0) attach onto
+        right rows (side 1) inside one bucket shuffle."""
+        tagged = left.union(right)
+        return tagged.groupby("bkt").map_groups(out_fn, batch_format="pyarrow")
+
+    # ---- attach deg to edges once ----
+    deg_tagged = deg.map_batches(
+        tag(0, "node", ("deg",)), batch_format="pyarrow", zero_copy_batch=True
+    )
+    edge_tagged = edges.map_batches(
+        tag(1, "src", ("dst",)), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def attach_deg(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.int64()),
+                "dst": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64()),
+            }
+        )
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        lmask, rmask = side == 0, side == 1
+        if not lmask.any() or not rmask.any():
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        nodes, degs = k[lmask], group.column("p0").to_numpy(zero_copy_only=False)[lmask]
+        order = np.argsort(nodes, kind="stable")
+        nodes, degs = nodes[order], degs[order]
+        src = k[rmask]
+        dst = group.column("p0").to_numpy(zero_copy_only=False)[rmask]
+        pos = np.searchsorted(nodes, src)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "deg": pa.array(degs[pos], pa.int64()),
+            }
+        )
+
+    edges_deg = cogroup_attach(deg_tagged, edge_tagged, attach_deg).materialize()
+
+    # ---- initial ranks: every node at S ----
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "r": pa.array(
+                    np.full(batch.num_rows, _SCALE, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranks = deg.map_batches(
+        init_rank, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    base = (15 * _SCALE) // 100
+
+    edges_retagged = edges_deg.map_batches(
+        tag(1, "src", ("dst", "deg")), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    for _ in range(n_iter):
+        rank_tagged = ranks.map_batches(
+            tag(0, "node", ("r",)), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def contribute(group: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "dst": pa.array([], pa.int64()),
+                    "c_partial": pa.array([], pa.int64()),
+                }
+            )
+            side = group.column("side").to_numpy(zero_copy_only=False)
+            lmask, rmask = side == 0, side == 1
+            if not lmask.any() or not rmask.any():
+                return empty
+            k = group.column("k").to_numpy(zero_copy_only=False)
+            p0 = group.column("p0").to_numpy(zero_copy_only=False)
+            p1 = group.column("p1").to_numpy(zero_copy_only=False)
+            nodes, rs = k[lmask], p0[lmask]
+            order = np.argsort(nodes, kind="stable")
+            nodes, rs = nodes[order], rs[order]
+            src, dst, degv = k[rmask], p0[rmask], p1[rmask]
+            r_src = rs[np.searchsorted(nodes, src)]
+            contrib = (r_src * np.int64(85)) // (np.int64(100) * degv)
+            # in-bucket combiner: sum contributions per dst before the
+            # shuffle — int64 reduceat (bincount weights would sum in
+            # float64 and lose exactness past 2**53)
+            order2 = np.argsort(dst, kind="stable")
+            ds_, cs_ = dst[order2], contrib[order2]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ds_[1:] != ds_[:-1]))
+            )
+            du = ds_[starts]
+            csum = np.add.reduceat(cs_, starts)
+            return pa.table(
+                {
+                    "dst": pa.array(du, pa.int64()),
+                    "c_partial": pa.array(csum, pa.int64()),
+                }
+            )
+
+        agg = (
+            rank_tagged.union(edges_retagged)
+            .groupby("bkt")
+            .map_groups(contribute, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c_partial"))
+        )
+
+        def next_rank(batch: pa.Table) -> pa.Table:
+            c = batch.column("sum(c_partial)").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": batch.column("dst").cast(pa.int64()),
+                    "r": pa.array(np.int64(base) + c, pa.int64()),
+                }
+            )
+
+        ranks = agg.map_batches(
+            next_rank, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    return ranks

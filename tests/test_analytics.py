@@ -295,3 +295,73 @@ def test_typed_result_passthrough_nonempty(ray_session):
     assert out.to_pandas()["a"].tolist() == [1, 2]
     # non-Dataset results pass through untouched
     assert E._typed_result(t) is t
+
+
+def test_running_total_segmented_cumsum(ray_session):
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 8, 8], pa.int64()),
+                "ts": pa.array([10, 30, 20, 5, 6], pa.timestamp("us")),
+                "value": pa.array([1.5, 2.25, 3.0, 10.0, 0.5]),
+            }
+        )
+    )
+    out = {r["event_id"]: r["run_total_e"] for r in an.running_total_ds(ev).take_all()}
+    # user 7 ordered by ts: e1(150), e3(+300=450), e2(+225=675)
+    assert out == {1: 150, 3: 450, 2: 675, 4: 1000, 5: 1050}
+
+
+def test_rollup_levels(ray_session):
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "f": pa.array(["A", "A", "B"], pa.string()),
+                "s": pa.array(["x", "y", "x"], pa.string()),
+                "q": pa.array([1.0, 2.0, 4.0]),
+            }
+        )
+    )
+    rows = {
+        (r["f"], r["s"]): (r["sum_e"], r["n_rows"])
+        for r in an.rollup_ds(li, ["f", "s"], "q").take_all()
+    }
+    assert rows[("A", "x")] == (100, 1)
+    assert rows[("A", "ALL")] == (300, 2)
+    assert rows[("B", "ALL")] == (400, 1)
+    assert rows[("ALL", "ALL")] == (700, 3)
+    assert len(rows) == 3 + 2 + 1
+
+
+def test_interval_count_bucket_boundary(ray_session):
+    # width 100us; window [90, 190) spans two buckets; points at 95 and
+    # 110 both match; 190 (exclusive bound) and 89 do not
+    wins = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "start": pa.array([90], pa.timestamp("us")),
+            }
+        )
+    )
+    pts = ray.data.from_arrow(
+        pa.table({"ts": pa.array([89, 95, 110, 190], pa.timestamp("us"))})
+    )
+    out = an.interval_count_ds(wins, pts, "k", "start", "ts", width_us=100).take_all()
+    assert [(r["k"], r["n_matched"]) for r in out] == [(1, 2)]
+
+
+def test_interval_count_inner_semantics(ray_session):
+    # a window with zero matches emits no row
+    wins = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "start": pa.array([0, 1000], pa.timestamp("us")),
+            }
+        )
+    )
+    pts = ray.data.from_arrow(pa.table({"ts": pa.array([5], pa.timestamp("us"))}))
+    out = an.interval_count_ds(wins, pts, "k", "start", "ts", width_us=10).take_all()
+    assert [(r["k"], r["n_matched"]) for r in out] == [(1, 1)]

@@ -1167,3 +1167,22 @@ def test_lang_confusion_matrix(ray_session):
     assert out[("en", "de")] == 1   # declared en, detected de
     assert out[("en", "und")] == 1
     assert out[("de", "en")] == 1   # mislabeled source shows up here
+
+
+def test_collocations_hand_computed(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table({"text": pa.array(["a b a b", "a b c"], pa.string())})
+    )
+    # bigrams: (a,b)x3, (b,a)x1, (b,c)x1 -> N=5; n_x(a)=3; n_y(b)=3
+    rows = co.collocations_ds(docs, min_count=2).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["n_xy"]) == ("a", "b", 3)
+    assert r["lift_e6"] == 3 * 5 * 1_000_000 // (3 * 3)
+
+
+def test_collocations_empty_and_single_token_docs(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table({"text": pa.array(["solo", ""], pa.string())})
+    )
+    assert co.collocations_ds(docs, min_count=1).take_all() == []

@@ -1,0 +1,78 @@
+"""Integer fixed-point PageRank (pipelines/graph.py).
+
+Hand-computed fixed-point values on a 3-node star graph plus
+bucket-count invariance (the shuffle layout must never change the
+ranks) and the bipartite edge build.
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+import pdfplumber_ray.pipelines.graph as gr
+
+S = 1_000_000_000_000
+BASE = (15 * S) // 100
+
+
+def _edges(pairs):
+    src = pa.array([p[0] for p in pairs], pa.int64())
+    dst = pa.array([p[1] for p in pairs], pa.int64())
+    return ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+
+
+def _ranks(ds):
+    return {r["node"]: r["r"] for r in ds.take_all()}
+
+
+def test_pagerank_two_cycle_fixed_point(ray_session):
+    # 0 <-> 1, both degree 1: rank stays exactly S every iteration
+    r = _ranks(gr.pagerank_ds(_edges([(0, 1), (1, 0)]), n_iter=3, n_buckets=4))
+    assert r == {0: S, 1: S}
+
+
+def test_pagerank_star_hand_computed(ray_session):
+    # 0 -> {1, 2}, 1 -> 0, 2 -> 0 (deg0=2, deg1=deg2=1)
+    edges = [(0, 1), (0, 2), (1, 0), (2, 0)]
+    r1 = _ranks(gr.pagerank_ds(_edges(edges), n_iter=1, n_buckets=4))
+    assert r1[1] == BASE + (S * 85) // 200 == 575_000_000_000
+    assert r1[0] == BASE + 2 * ((S * 85) // 100) == 1_850_000_000_000
+    r2 = _ranks(gr.pagerank_ds(_edges(edges), n_iter=2, n_buckets=4))
+    assert r2[1] == BASE + (r1[0] * 85) // 200 == 936_250_000_000
+    assert r2[0] == BASE + 2 * ((r1[1] * 85) // 100) == 1_127_500_000_000
+
+
+def test_pagerank_bucket_count_invariant(ray_session):
+    rng = np.random.RandomState(7)
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, 30, size=(120, 2)) if a != b}
+    # symmetrize so every node with an in-edge also has an out-edge
+    sym = sorted(pairs | {(b, a) for a, b in pairs})
+    r_small = _ranks(gr.pagerank_ds(_edges(sym), n_iter=3, n_buckets=2))
+    r_big = _ranks(gr.pagerank_ds(_edges(sym), n_iter=3, n_buckets=97))
+    assert r_small == r_big
+
+
+def test_bipartite_edges_symmetric(ray_session):
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([10, 10, 20], pa.int64()),
+            }
+        )
+    )
+    lineitem = ray.data.from_arrow(
+        pa.table(
+            {
+                # order 1: supplier 5 (twice -> dedup), order 2: 5, order 3: 6
+                "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+                "l_suppkey": pa.array([5, 5, 5, 6], pa.int64()),
+            }
+        )
+    )
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in gr.bipartite_edges_ds(lineitem, orders, n_buckets=4).take_all()
+    )
+    # distinct pairs: (10,5), (20,6) -> nodes c10=20, c20=40, s5=11, s6=13
+    assert got == [(11, 20), (13, 40), (20, 11), (40, 13)]
