@@ -2173,6 +2173,70 @@ def q_vertical_text(sf_dir: str) -> ray.data.Dataset:
     return pages.map_batches(char_rows, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Semi-join (customers WITH at least one URGENT order — EXISTS
+    filtering): identical co-group dataflow to anti_join with the
+    membership test flipped; each matching customer emits once."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    out = an.semi_join_ds(cust, urgent, "c_custkey", "o_custkey")
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                "c_name": b.column("c_name"),
+                "acctbal_cents": pc.cast(
+                    pc.round(pc.multiply(b.column("c_acctbal"), 100)), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_hash_join(sf_dir: str) -> ray.data.Dataset:
+    """Generic large-large INNER equi-join (lineitem x orders on
+    orderkey, N:1 here, N:M supported): both sides pre-projected to the
+    needed columns, ONE tagged mix64-bucket co-group shuffle, in-bucket
+    sorted-key searchsorted + vectorized range expansion. No broadcast
+    of either side."""
+    def proj_li(b: pa.Table) -> pa.Table:
+        price = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                "l_linenumber": b.column("l_linenumber").cast(pa.int64()),
+                "price_e2": pa.array(price, pa.int64()),
+            }
+        )
+
+    def proj_o(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    ).map_batches(proj_li, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(proj_o, batch_format="pyarrow", zero_copy_batch=True)
+    return an.hash_join_ds(li, orders, "l_orderkey", "o_orderkey")
+
+
 def q_running_total(sf_dir: str) -> ray.data.Dataset:
     """Per-user running balance (SUM OVER PARTITION BY ... ORDER BY):
     ONE mix64-bucket shuffle of the pruned projection, one lexsort +
@@ -2383,6 +2447,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "interval_join": q_interval_join,
     "collocations": q_collocations,
     "pagerank": q_pagerank,
+    "semi_join": q_semi_join,
+    "hash_join": q_hash_join,
 }
 
 # The driver correctness gate samples the FIRST 50 entries. Rotate the 28
@@ -2397,6 +2463,8 @@ _FRONT_R5 = [
     "interval_join",
     "collocations",
     "pagerank",
+    "semi_join",
+    "hash_join",
     "lang_confusion",
     "window_users",
     "grouped_heavy_hitters",
@@ -3586,6 +3654,20 @@ ORACLES["lang_confusion"] = f"""
     FROM p GROUP BY 1, 2
 """
 ORACLES["asof_join_bucketed"] = ORACLES["asof_join"]
+ORACLES["semi_join"] = """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+ORACLES["hash_join"] = """
+    SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS price_e2,
+           o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
 ORACLES["running_total"] = """
     SELECT event_id, user_id,
            CAST(SUM(CAST(floor(value * 100) AS BIGINT))

@@ -433,6 +433,31 @@ def anti_join_ds(
     shuffle ONCE by ``mix64(key) % n_buckets`` (bounded groups) tagged by
     side, and inside each bucket a vectorized ``np.isin`` keeps the
     unmatched left rows. Left payload columns pass through unchanged."""
+    return _semi_anti_join(left, right, key_col, right_key_col, n_buckets, False)
+
+
+def semi_join_ds(
+    left: Dataset,
+    right: Dataset,
+    key_col: str,
+    right_key_col: Optional[str] = None,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Semi-join: left rows whose ``key_col`` appears at least once in
+    the right side (EXISTS filtering — e.g. "customers with activity"),
+    emitted once each regardless of right-side multiplicity. Same
+    dataflow as :func:`anti_join_ds` with the membership test flipped."""
+    return _semi_anti_join(left, right, key_col, right_key_col, n_buckets, True)
+
+
+def _semi_anti_join(
+    left: Dataset,
+    right: Dataset,
+    key_col: str,
+    right_key_col: Optional[str],
+    n_buckets: int,
+    keep_matched: bool,
+) -> Dataset:
     rkey = right_key_col or key_col
     payload_cols = [c for c in left.schema().names if c != key_col]
 
@@ -470,7 +495,8 @@ def anti_join_ds(
         side = group.column("side").to_numpy(zero_copy_only=False)
         k = group.column("k").to_numpy(zero_copy_only=False)
         left_mask = side == 0
-        keep = left_mask & ~np.isin(k, k[~left_mask])
+        member = np.isin(k, k[~left_mask])
+        keep = left_mask & (member if keep_matched else ~member)
         out = group.filter(pa.array(keep))
         cols = {key_col: out.column("k")}
         for c in payload_cols:
@@ -1338,4 +1364,128 @@ def interval_count_ds(
         pa.schema(
             [pa.field(window_key, pa.int64()), pa.field("n_matched", pa.int64())]
         ),
+    )
+
+
+# ---------- generic shuffle hash join (inner, N:M) ----------
+
+
+def hash_join_ds(
+    left: Dataset,
+    right: Dataset,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Generic INNER equi-join of two LARGE datasets (N:M multiplicity)
+    — the core relational exchange Ray Data's high-level API does not
+    ship. Output carries the left key column plus every payload column
+    of both sides (column names must not collide — pre-project/rename
+    upstream, which also prunes the exchange to needed columns).
+
+    Scale shape: a textbook distributed hash join — both sides shuffle
+    ONCE by ``mix64(key) % n_buckets`` (bounded group count) as a tagged
+    union; inside each bucket the right side sorts by key and every
+    left row expands to its matches via two ``np.searchsorted`` probes +
+    one vectorized range expansion (``np.repeat`` / offset arithmetic).
+    No broadcast of either side, no per-row Python. Skew note: one hot
+    key lands one bucket; cap or salt upstream for pathological N:M
+    fan-out (the output itself is |matches|-sized regardless of
+    strategy)."""
+    lpay = [c for c in left.schema().names if c != left_key]
+    rpay = [c for c in right.schema().names if c != right_key]
+    overlap = set(lpay) & set(rpay)
+    if overlap:
+        raise ValueError(f"payload column collision: {sorted(overlap)}")
+    l_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(left.schema().names, left.schema().types)]
+    )
+    r_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(right.schema().names, right.schema().types)]
+    )
+
+    def tag(key: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key).cast(pa.int64())
+            kn = keys.to_numpy(zero_copy_only=False)
+            bkt = (_mix64(kn) % np.uint64(n_buckets)).astype(np.int64)
+            t = pa.table(
+                {
+                    "k": keys,
+                    "side": pa.array(np.full(batch.num_rows, side, np.int8)),
+                }
+            )
+            for c in lpay:
+                col = (
+                    batch.column(c)
+                    if side == 0
+                    else pa.nulls(batch.num_rows, l_schema.field(c).type)
+                )
+                t = t.append_column(c, col)
+            for c in rpay:
+                col = (
+                    batch.column(c)
+                    if side == 1
+                    else pa.nulls(batch.num_rows, r_schema.field(c).type)
+                )
+                t = t.append_column(c, col)
+            return t.append_column("bkt", pa.array(bkt))
+
+        return fn
+
+    both = left.map_batches(
+        tag(left_key, 0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(
+            tag(right_key, 1), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    out_schema = pa.schema(
+        [pa.field(left_key, pa.int64())]
+        + [l_schema.field(c) for c in lpay]
+        + [r_schema.field(c) for c in rpay]
+    )
+
+    def bucket_join(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        rmask = side == 1
+        if not lmask.any() or not rmask.any():
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(lmask)
+        r_idx = np.flatnonzero(rmask)
+        rk = k[r_idx]
+        order = np.argsort(rk, kind="stable")
+        rk_s = rk[order]
+        r_sorted = r_idx[order]
+        lk = k[l_idx]
+        lo = np.searchsorted(rk_s, lk, side="left")
+        hi = np.searchsorted(rk_s, lk, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        out_l = np.repeat(l_idx, counts)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offsets, counts)
+            + np.repeat(lo, counts)
+        )
+        out_r = r_sorted[pos]
+        lt = group.take(pa.array(out_l, pa.int64()))
+        rt = group.take(pa.array(out_r, pa.int64()))
+        cols = {left_key: lt.column("k")}
+        for c in lpay:
+            cols[c] = lt.column(c)
+        for c in rpay:
+            cols[c] = rt.column(c)
+        return pa.table(cols)
+
+    return _anchor_schema(
+        both.groupby("bkt").map_groups(bucket_join, batch_format="pyarrow"),
+        out_schema,
     )

@@ -365,3 +365,56 @@ def test_interval_count_inner_semantics(ray_session):
     pts = ray.data.from_arrow(pa.table({"ts": pa.array([5], pa.timestamp("us"))}))
     out = an.interval_count_ds(wins, pts, "k", "start", "ts", width_us=10).take_all()
     assert [(r["k"], r["n_matched"]) for r in out] == [(1, 1)]
+
+
+def test_semi_join_dedups_right_multiplicity(ray_session):
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "name": pa.array(["a", "b", "c"]),
+            }
+        )
+    )
+    right = ray.data.from_arrow(pa.table({"k": pa.array([2, 2, 2, 9], pa.int64())}))
+    out = sorted((r["k"], r["name"]) for r in an.semi_join_ds(left, right, "k").take_all())
+    assert out == [(2, "b")]
+
+
+def test_hash_join_nm_multiplicity(ray_session):
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3], pa.int64()),
+                "lv": pa.array(["l0", "l1", "l2", "l3"]),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([1, 1, 2, 9], pa.int64()),
+                "rv": pa.array(["r0", "r1", "r2", "r9"]),
+            }
+        )
+    )
+    out = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in an.hash_join_ds(left, right, "k", "rk").take_all()
+    )
+    # key 1: 2x2 = 4 rows; key 2: 1; key 3 and 9 unmatched
+    assert out == [
+        (1, "l0", "r0"), (1, "l0", "r1"), (1, "l1", "r0"), (1, "l1", "r1"),
+        (2, "l2", "r2"),
+    ]
+
+
+def test_hash_join_collision_guard(ray_session):
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "v": pa.array(["x"])})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([1], pa.int64()), "v": pa.array(["y"])})
+    )
+    with pytest.raises(ValueError, match="collision"):
+        an.hash_join_ds(left, right, "k", "rk")
