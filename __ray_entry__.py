@@ -2173,6 +2173,17 @@ def q_vertical_text(sf_dir: str) -> ray.data.Dataset:
     return pages.map_batches(char_rows, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_window_frames(sf_dir: str) -> ray.data.Dataset:
+    """Per-user window frames in ONE bucketed pass: cumulative sum
+    (ROWS UNBOUNDED PRECEDING), trailing 3-row sum (ROWS 2 PRECEDING),
+    and ts - lag(ts) gap (-1 at each key's first event). One shuffle of
+    the pruned projection, prefix-sum arithmetic per bucket."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return an.window_frames_ds(ev, trail_rows=3)
+
+
 def q_semi_join(sf_dir: str) -> ray.data.Dataset:
     """Semi-join (customers WITH at least one URGENT order — EXISTS
     filtering): identical co-group dataflow to anti_join with the
@@ -2449,6 +2460,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pagerank": q_pagerank,
     "semi_join": q_semi_join,
     "hash_join": q_hash_join,
+    "window_frames": q_window_frames,
 }
 
 # The driver correctness gate samples the FIRST 50 entries. Rotate the 28
@@ -2465,6 +2477,7 @@ _FRONT_R5 = [
     "pagerank",
     "semi_join",
     "hash_join",
+    "window_frames",
     "lang_confusion",
     "window_users",
     "grouped_heavy_hitters",
@@ -3654,6 +3667,20 @@ ORACLES["lang_confusion"] = f"""
     FROM p GROUP BY 1, 2
 """
 ORACLES["asof_join_bucketed"] = ORACLES["asof_join"]
+ORACLES["window_frames"] = """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS run_total_e,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trail_e,
+           CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
+                AS BIGINT) AS delta_us
+    FROM events
+"""
 ORACLES["semi_join"] = """
     SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
            CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents

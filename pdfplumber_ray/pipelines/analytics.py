@@ -1489,3 +1489,94 @@ def hash_join_ds(
         both.groupby("bkt").map_groups(bucket_join, batch_format="pyarrow"),
         out_schema,
     )
+
+
+# ---------- window frames: trailing ROWS sum + LAG delta ----------
+
+
+def window_frames_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+    trail_rows: int = 3,
+    quant: int = 100,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Per-key window frames in ONE pass over one bucket shuffle: the
+    cumulative sum (``ROWS UNBOUNDED PRECEDING``), the trailing
+    ``trail_rows``-row sum (``ROWS trail_rows-1 PRECEDING``), and the
+    inter-event gap ``ts - lag(ts)`` (``-1`` for each key's first event
+    so both engines emit clean int64). Same exactness and scale shape as
+    :func:`running_total_ds` — floor-quantized int64 values, one
+    ``mix64(key) % n_buckets`` shuffle of the pruned projection, one
+    lexsort + prefix-sum arithmetic per bucket (the trailing frame is
+    ``cs[i] - cs[max(i - trail_rows, seg_start - 1)]`` — no second
+    pass)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        v_e = np.floor(v * quant).astype(np.int64)
+        bkt = (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                tie_col: batch.column(tie_col).cast(pa.int64()),
+                key_col: pa.array(k, pa.int64()),
+                "ts_us": batch.column(ts_col).cast(pa.int64()),
+                "v_e": pa.array(v_e, pa.int64()),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field(tie_col, pa.int64()),
+            pa.field(key_col, pa.int64()),
+            pa.field("run_total_e", pa.int64()),
+            pa.field("trail_e", pa.int64()),
+            pa.field("delta_us", pa.int64()),
+        ]
+    )
+
+    def bucket_frames(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        tie = group.column(tie_col).to_numpy(zero_copy_only=False)
+        v = group.column("v_e").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, ts_, vs = k[order], t[order], v[order]
+        n = len(ks)
+        cs = np.cumsum(vs)
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [n])))
+        offsets = np.concatenate(([0], cs[starts[1:] - 1]))
+        run = cs - np.repeat(offsets, seg_len)
+        pos = np.arange(n, dtype=np.int64)
+        start_pos = np.repeat(starts, seg_len)
+        lo = np.maximum(pos - trail_rows, start_pos - 1)
+        trail = cs - np.where(lo >= 0, cs[np.maximum(lo, 0)], 0)
+        delta = np.empty(n, np.int64)
+        delta[0] = -1
+        delta[1:] = ts_[1:] - ts_[:-1]
+        delta[starts] = -1
+        return pa.table(
+            {
+                tie_col: pa.array(tie[order], pa.int64()),
+                key_col: pa.array(ks, pa.int64()),
+                "run_total_e": pa.array(run, pa.int64()),
+                "trail_e": pa.array(trail, pa.int64()),
+                "delta_us": pa.array(delta, pa.int64()),
+            }
+        )
+
+    projected = events.select_columns(
+        [key_col, ts_col, tie_col, value_col]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return _anchor_schema(
+        projected.groupby("bkt").map_groups(bucket_frames, batch_format="pyarrow"),
+        out_schema,
+    )

@@ -418,3 +418,22 @@ def test_hash_join_collision_guard(ray_session):
     )
     with pytest.raises(ValueError, match="collision"):
         an.hash_join_ds(left, right, "k", "rk")
+
+
+def test_window_frames_hand_computed(ray_session):
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 7, 8], pa.int64()),
+                "ts": pa.array([10, 20, 30, 40, 100], pa.timestamp("us")),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0, 9.0]),
+            }
+        )
+    )
+    out = {r["event_id"]: r for r in an.window_frames_ds(ev, trail_rows=3).take_all()}
+    # run totals: 100, 300, 600, 1000; trailing-3: 100, 300, 600, 900
+    assert [out[i]["run_total_e"] for i in (1, 2, 3, 4)] == [100, 300, 600, 1000]
+    assert [out[i]["trail_e"] for i in (1, 2, 3, 4)] == [100, 300, 600, 900]
+    assert [out[i]["delta_us"] for i in (1, 2, 3, 4)] == [-1, 10, 10, 10]
+    assert out[5]["delta_us"] == -1 and out[5]["trail_e"] == 900
