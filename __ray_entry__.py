@@ -2173,6 +2173,14 @@ def q_vertical_text(sf_dir: str) -> ray.data.Dataset:
     return pages.map_batches(char_rows, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label embedding centroid accumulators: quantized components
+    (floor(x*1e6), the knn_graph exactness rule) segment-summed per
+    group with one reduceat per batch -> bounded (label, dim) groupby.
+    Vectors never shuffle."""
+    return co.centroids_ds(_embeddings(sf_dir))
+
+
 def q_window_frames(sf_dir: str) -> ray.data.Dataset:
     """Per-user window frames in ONE bucketed pass: cumulative sum
     (ROWS UNBOUNDED PRECEDING), trailing 3-row sum (ROWS 2 PRECEDING),
@@ -2461,6 +2469,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "semi_join": q_semi_join,
     "hash_join": q_hash_join,
     "window_frames": q_window_frames,
+    "centroids": q_centroids,
 }
 
 # The driver correctness gate samples the FIRST 50 entries. Rotate the 28
@@ -2478,6 +2487,7 @@ _FRONT_R5 = [
     "semi_join",
     "hash_join",
     "window_frames",
+    "centroids",
     "lang_confusion",
     "window_users",
     "grouped_heavy_hitters",
@@ -3667,6 +3677,19 @@ ORACLES["lang_confusion"] = f"""
     FROM p GROUP BY 1, 2
 """
 ORACLES["asof_join_bucketed"] = ORACLES["asof_join"]
+ORACLES["centroids"] = """
+    WITH e AS (SELECT label,
+                      list_transform(embedding,
+                                     x -> CAST(floor(CAST(x AS DOUBLE) * 1e6)
+                                               AS BIGINT)) AS qv
+               FROM embeddings),
+    u AS (SELECT label, i AS dim, qv[i] AS v
+          FROM e, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i))
+    SELECT CAST(label AS BIGINT) AS label, dim,
+           CAST(SUM(v) AS BIGINT) AS sum_e6,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM u GROUP BY 1, 2
+"""
 ORACLES["window_frames"] = """
     SELECT event_id, user_id,
            CAST(SUM(CAST(floor(value * 100) AS BIGINT))

@@ -3955,3 +3955,74 @@ def collocations_ds(
     return pairs_tot.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def centroids_ds(
+    embeddings: Dataset,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Per-group embedding centroid accumulators — the cluster-profile /
+    class-prototype step of an embedding pipeline (k-means update,
+    per-source drift monitoring). Emits one row per (group, dim):
+    ``sum_e6`` (sum of ``floor(x * 1e6)`` quantized components — exact
+    int64, the same quantization rule as :func:`knn_graph_ds`) and
+    ``n_vecs``, i.e. the exact unnormalized centroid.
+
+    Scale shape: a per-batch combiner segment-sums the quantized matrix
+    per group with ONE ``np.add.reduceat`` along axis 0 (groups x dim
+    partial rows, tiny) -> one bounded ``groupby(group, dim)``. The
+    vectors themselves never shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "s_partial": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        m = _as_matrix(batch.column(vec_col))
+        q = np.floor(m * 1e6).astype(np.int64)
+        g = batch.column(group_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, qs = g[order], q[order]
+        starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(gs)])))
+        sums = np.add.reduceat(qs, starts, axis=0)  # (n_groups, dim) int64
+        n_groups, dim = sums.shape
+        return pa.table(
+            {
+                "g": pa.array(np.repeat(gs[starts], dim), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), n_groups),
+                    pa.int64(),
+                ),
+                "s_partial": pa.array(sums.reshape(-1), pa.int64()),
+                "n_partial": pa.array(
+                    np.repeat(seg_len.astype(np.int64), dim), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        embeddings.select_columns([group_col, vec_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "dim"])
+        .aggregate(Sum("s_partial"), Sum("n_partial"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: batch.column("g"),
+                "dim": batch.column("dim"),
+                "sum_e6": batch.column("sum(s_partial)").cast(pa.int64()),
+                "n_vecs": batch.column("sum(n_partial)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

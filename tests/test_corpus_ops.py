@@ -1186,3 +1186,23 @@ def test_collocations_empty_and_single_token_docs(ray_session):
         pa.table({"text": pa.array(["solo", ""], pa.string())})
     )
     assert co.collocations_ds(docs, min_count=1).take_all() == []
+
+
+def test_centroids_exact_negative_components(ray_session):
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3], pa.int64()),
+                "label": pa.array([0, 0, 1], pa.int32()),
+                "embedding": pa.array(
+                    [[0.5, -0.25], [0.5, 0.75], [-1.0, 2.0]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    rows = {(r["label"], r["dim"]): r for r in co.centroids_ds(emb).take_all()}
+    # floor(-0.25e6) = -250000 (floor, not truncation)
+    assert rows[(0, 1)]["sum_e6"] == 1_000_000 and rows[(0, 1)]["n_vecs"] == 2
+    assert rows[(0, 2)]["sum_e6"] == -250_000 + 750_000
+    assert rows[(1, 1)]["sum_e6"] == -1_000_000 and rows[(1, 1)]["n_vecs"] == 1
