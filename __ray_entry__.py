@@ -2320,9 +2320,27 @@ def q_pagerank(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
     # bucket count sized to the single-node gate input (results are
-    # bucket-count invariant — raise with cluster size at real scale)
+    # bucket-count invariant — raise with cluster size at real scale);
+    # the node count sits far under the broadcast guard here, so this
+    # entry exercises the broadcast strategy — pagerank_cogroup pins the
+    # web-scale co-group strategy against the same oracle
     edges = gr.bipartite_edges_ds(li, orders, n_buckets=64)
     return gr.pagerank_ds(edges, n_iter=3, n_buckets=64)
+
+
+def q_pagerank_cogroup(sf_dir: str) -> ray.data.Dataset:
+    """Forces the above-the-guard strategy (max_broadcast_nodes=0): rank
+    and degree attach to edges via bucket co-groups — the path a
+    billion-node graph takes, where the rank vector fits on no single
+    machine. Shares the pagerank oracle; must be bit-identical."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    edges = gr.bipartite_edges_ds(li, orders, n_buckets=64)
+    return gr.pagerank_ds(edges, n_iter=3, n_buckets=64, max_broadcast_nodes=0)
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
@@ -2470,6 +2488,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "hash_join": q_hash_join,
     "window_frames": q_window_frames,
     "centroids": q_centroids,
+    "pagerank_cogroup": q_pagerank_cogroup,
 }
 
 # The driver correctness gate samples the FIRST 50 entries. Rotate the 28
@@ -3775,6 +3794,7 @@ ORACLES["pagerank"] = """
            JOIN deg ON deg.src = e.src GROUP BY e.dst)
     SELECT node, r FROM r3
 """
+ORACLES["pagerank_cogroup"] = ORACLES["pagerank"]
 
 
 def _typed_result(out: Any) -> Any:

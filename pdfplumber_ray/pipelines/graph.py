@@ -159,24 +159,95 @@ def bipartite_edges_ds(
     return pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _pagerank_broadcast(edges: Dataset, deg: Dataset, n_iter: int) -> Dataset:
+    """Guarded small-graph strategy: sorted (node, deg, rank) arrays
+    broadcast once per iteration; each iteration is one streaming pass
+    over the materialized edge list plus one ``groupby(dst)`` sum.
+    Bit-identical to the co-group path (same per-edge floor rule)."""
+    rows = deg.take_all()
+    nodes = np.array([r["node"] for r in rows], np.int64)
+    degs = np.array([r["deg"] for r in rows], np.int64)
+    order = np.argsort(nodes, kind="stable")
+    nodes, degs = nodes[order], degs[order]
+    edges = edges.materialize()
+    ranks_arr = np.full(len(nodes), _SCALE, np.int64)
+    base = (15 * _SCALE) // 100
+
+    for _ in range(n_iter):
+        ref = ray.put((nodes, degs, ranks_arr))
+
+        def contribute(batch: pa.Table, _ref=ref) -> pa.Table:
+            empty = pa.table(
+                {
+                    "dst": pa.array([], pa.int64()),
+                    "c_partial": pa.array([], pa.int64()),
+                }
+            )
+            if batch.num_rows == 0:
+                return empty
+            n_, d_, r_ = ray.get(_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(n_, src)
+            contrib = (r_[idx] * np.int64(85)) // (np.int64(100) * d_[idx])
+            order2 = np.argsort(dst, kind="stable")
+            ds_, cs_ = dst[order2], contrib[order2]
+            starts = np.flatnonzero(np.concatenate(([True], ds_[1:] != ds_[:-1])))
+            return pa.table(
+                {
+                    "dst": pa.array(ds_[starts], pa.int64()),
+                    "c_partial": pa.array(np.add.reduceat(cs_, starts), pa.int64()),
+                }
+            )
+
+        agg = (
+            edges.map_batches(contribute, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("dst")
+            .aggregate(Sum("c_partial"))
+        )
+        got = agg.take_all()  # node-sized — under the broadcast guard
+        new = np.full(len(nodes), base, np.int64)
+        if got:
+            d_nodes = np.array([r["dst"] for r in got], np.int64)
+            sums = np.array([r["sum(c_partial)"] for r in got], np.int64)
+            new[np.searchsorted(nodes, d_nodes)] = base + sums
+        ranks_arr = new
+
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.int64()), "r": pa.array(ranks_arr, pa.int64())})
+    )
+
+
 def pagerank_ds(
     edges: Dataset,
     n_iter: int = 3,
     n_buckets: int = 512,
+    max_broadcast_nodes: int = 2_000_000,
 ) -> Dataset:
     """Integer fixed-point PageRank over a directed edge list (``src``,
     ``dst``) where every node has at least one out-edge (true for the
     symmetric graphs ``bipartite_edges_ds`` builds). Returns
     ``(node, rank)`` after ``n_iter`` damped power iterations —
     bit-identical to the unrolled SQL twin by the module-level
-    fixed-point rule.
+    fixed-point rule, IDENTICAL under both execution strategies below.
 
-    Scale shape: out-degrees attach to edges ONCE via a bucket co-group
-    (the degree table is node-count-sized — never broadcast); the
-    edges-with-degree dataset materializes a single time and each
-    iteration re-streams it through (a) the same bucket co-group against
-    the current rank dataset to emit per-edge contributions with an
-    in-batch ``(dst, sum)`` combiner, and (b) one ``groupby(dst)`` sum.
+    Two strategies, same guarded-broadcast convention as the dedup label
+    attach (`corpus_ops` ``max_driver_labels``):
+
+    * node count <= ``max_broadcast_nodes``: the (node -> rank, deg)
+      arrays broadcast once per iteration via ``ray.put`` and each
+      iteration is ONE streaming pass over the materialized edge list
+      (per-batch contribution combiner) + ONE ``groupby(dst)`` sum — no
+      per-iteration shuffle of the edges.
+    * above the guard (web-scale graphs — the rank vector does NOT fit
+      on one machine): out-degrees attach to edges ONCE via a bucket
+      co-group, the edges-with-degree dataset materializes a single
+      time, and each iteration re-streams it through the same bucket
+      co-group against the current rank dataset (in-bucket ``reduceat``
+      combiner) + one ``groupby(dst)`` sum. Pass
+      ``max_broadcast_nodes=0`` to force this path (pinned hash-exact
+      against the same oracle in the ``pagerank_cogroup`` entry).
+
     Rank datasets materialize per iteration so lineage never re-executes
     earlier rounds."""
     from ray.data.aggregate import Count
@@ -191,7 +262,11 @@ def pagerank_ds(
             }
         )
 
-    deg = deg.map_batches(deg_norm, batch_format="pyarrow", zero_copy_batch=True)
+    deg = deg.map_batches(
+        deg_norm, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if deg.count() <= max_broadcast_nodes:
+        return _pagerank_broadcast(edges, deg, n_iter)
 
     def tag(side: int, key_col: str, payload: Tuple[str, ...]):
         def fn(batch: pa.Table) -> pa.Table:

@@ -27,8 +27,20 @@ def _ranks(ds):
 
 def test_pagerank_two_cycle_fixed_point(ray_session):
     # 0 <-> 1, both degree 1: rank stays exactly S every iteration
+    # (broadcast strategy — the default under the node-count guard)
     r = _ranks(gr.pagerank_ds(_edges([(0, 1), (1, 0)]), n_iter=3, n_buckets=4))
     assert r == {0: S, 1: S}
+
+
+def test_pagerank_strategies_bit_identical(ray_session):
+    # the guarded broadcast path and the forced co-group path must agree
+    # exactly — same per-edge floor rule, different exchange layout
+    edges = [(0, 1), (0, 2), (1, 0), (2, 0), (2, 1), (1, 2)]
+    bc = _ranks(gr.pagerank_ds(_edges(edges), n_iter=3, n_buckets=4))
+    cg = _ranks(
+        gr.pagerank_ds(_edges(edges), n_iter=3, n_buckets=4, max_broadcast_nodes=0)
+    )
+    assert bc == cg
 
 
 def test_pagerank_star_hand_computed(ray_session):
@@ -47,8 +59,13 @@ def test_pagerank_bucket_count_invariant(ray_session):
     pairs = {(int(a), int(b)) for a, b in rng.randint(0, 30, size=(120, 2)) if a != b}
     # symmetrize so every node with an in-edge also has an out-edge
     sym = sorted(pairs | {(b, a) for a, b in pairs})
-    r_small = _ranks(gr.pagerank_ds(_edges(sym), n_iter=3, n_buckets=2))
-    r_big = _ranks(gr.pagerank_ds(_edges(sym), n_iter=3, n_buckets=97))
+    # force the co-group path so the bucket layout is actually exercised
+    r_small = _ranks(
+        gr.pagerank_ds(_edges(sym), n_iter=3, n_buckets=2, max_broadcast_nodes=0)
+    )
+    r_big = _ranks(
+        gr.pagerank_ds(_edges(sym), n_iter=3, n_buckets=97, max_broadcast_nodes=0)
+    )
     assert r_small == r_big
 
 
