@@ -2173,6 +2173,16 @@ def q_vertical_text(sf_dir: str) -> ray.data.Dataset:
     return pages.map_batches(char_rows, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_ntile(sf_dir: str) -> ray.data.Dataset:
+    """NTILE(4) over (n_chars, doc_id) without a global sort: broadcast
+    value-CDF gives the cross-value rank, one value-bucket shuffle ranks
+    ties; SQL NTILE sizing rule (first N%k tiles get one extra row)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return an.ntile_ds(docs, "n_chars", "doc_id", k=4)
+
+
 def q_centroids(sf_dir: str) -> ray.data.Dataset:
     """Per-label embedding centroid accumulators: quantized components
     (floor(x*1e6), the knn_graph exactness rule) segment-summed per
@@ -2489,6 +2499,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "window_frames": q_window_frames,
     "centroids": q_centroids,
     "pagerank_cogroup": q_pagerank_cogroup,
+    "ntile": q_ntile,
 }
 
 # The driver correctness gate samples the FIRST 50 entries. Rotate the 28
@@ -2507,6 +2518,7 @@ _FRONT_R5 = [
     "hash_join",
     "window_frames",
     "centroids",
+    "ntile",
     "lang_confusion",
     "window_users",
     "grouped_heavy_hitters",
@@ -3696,6 +3708,11 @@ ORACLES["lang_confusion"] = f"""
     FROM p GROUP BY 1, 2
 """
 ORACLES["asof_join_bucketed"] = ORACLES["asof_join"]
+ORACLES["ntile"] = """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+    FROM documents
+"""
 ORACLES["centroids"] = """
     WITH e AS (SELECT label,
                       list_transform(embedding,

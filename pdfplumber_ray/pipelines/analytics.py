@@ -1580,3 +1580,113 @@ def window_frames_ds(
         projected.groupby("bkt").map_groups(bucket_frames, batch_format="pyarrow"),
         out_schema,
     )
+
+
+# ---------- NTILE (equal-frequency bucket assignment) ----------
+
+
+def ntile_ds(
+    ds: Dataset,
+    value_col: str,
+    id_col: str,
+    k: int = 4,
+    n_buckets: int = 512,
+    max_domain_broadcast: int = 5_000_000,
+) -> Dataset:
+    """``NTILE(k) OVER (ORDER BY v, id)`` — equal-frequency bucket
+    assignment (deciles/quartiles for curriculum binning) WITHOUT a
+    global sort, deterministic via the unique ``id`` tie-break.
+
+    Every row's global row number decomposes as ``rn = cum_below(v) +
+    rank_within_ties(v, id)``: the first term comes from a broadcast
+    value-count CDF (one row per DISTINCT value shuffles — bounded
+    domain, guarded), the second from ONE ``mix64(value) % n_buckets``
+    shuffle of (id, v) pairs — all rows sharing a value land in one
+    bucket, where a single lexsort ranks them. NTILE sizing follows the
+    SQL rule: the first ``N % k`` tiles carry ``N // k + 1`` rows."""
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).cast(pa.int64())
+        g = pa.table({"v": v}).group_by("v").aggregate([("v", "count")])
+        return pa.table(
+            {"v": g.column("v"), "n_partial": g.column("v_count").cast(pa.int64())}
+        )
+
+    hist = (
+        ds.select_columns([value_col])
+        .map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("n_partial"))
+        .materialize()
+    )
+    if hist.count() > max_domain_broadcast:
+        raise ValueError(
+            f"value domain ({hist.count()}) exceeds "
+            f"max_domain_broadcast={max_domain_broadcast}"
+        )
+    rows = hist.take_all()
+    vals = np.array([r["v"] for r in rows], np.int64)
+    cnts = np.array([r["sum(n_partial)"] for r in rows], np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum_below = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    total = int(cnts.sum())
+    ref = ray.put((vals, cum_below))
+    q, r0 = divmod(total, k)
+    cut = r0 * (q + 1)
+
+    def project(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bkt = (_mix64(v) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field(value_col, pa.int64()),
+            pa.field("tile", pa.int64()),
+        ]
+    )
+
+    def bucket_tiles(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        vals_s, below_s = ray.get(ref)
+        i = group.column(id_col).to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        order2 = np.lexsort((i, v))
+        vs, is_ = v[order2], i[order2]
+        starts = np.flatnonzero(np.concatenate(([True], vs[1:] != vs[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(vs)])))
+        # rank within the tie run (1-based)
+        within = np.arange(len(vs), dtype=np.int64) - np.repeat(starts, seg_len) + 1
+        rn = below_s[np.searchsorted(vals_s, vs)] + within
+        if q > 0:
+            tile = np.where(
+                rn <= cut,
+                (rn - 1) // (q + 1) + 1,
+                r0 + (rn - 1 - cut) // q + 1,
+            )
+        else:
+            tile = rn
+        return pa.table(
+            {
+                id_col: pa.array(is_, pa.int64()),
+                value_col: pa.array(vs, pa.int64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    projected = ds.select_columns([id_col, value_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _anchor_schema(
+        projected.groupby("bkt").map_groups(bucket_tiles, batch_format="pyarrow"),
+        out_schema,
+    )

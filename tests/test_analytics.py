@@ -437,3 +437,35 @@ def test_window_frames_hand_computed(ray_session):
     assert [out[i]["trail_e"] for i in (1, 2, 3, 4)] == [100, 300, 600, 900]
     assert [out[i]["delta_us"] for i in (1, 2, 3, 4)] == [-1, 10, 10, 10]
     assert out[5]["delta_us"] == -1 and out[5]["trail_e"] == 900
+
+
+def test_ntile_sizing_rule(ray_session):
+    # N=10, k=4 -> tiles of 3,3,2,2 over (v, id) order
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "n_chars": pa.array([5, 5, 5, 5, 1, 1, 9, 9, 9, 9], pa.int64()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r["tile"] for r in
+           an.ntile_ds(docs, "n_chars", "doc_id", k=4).take_all()}
+    # order: (1,4) (1,5) (5,0) (5,1) (5,2) (5,3) (9,6) (9,7) (9,8) (9,9)
+    assert [out[i] for i in (4, 5, 0, 1, 2, 3, 6, 7, 8, 9)] == [
+        1, 1, 1, 2, 2, 2, 3, 3, 4, 4
+    ]
+
+
+def test_ntile_more_tiles_than_rows(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "n_chars": pa.array([7, 3], pa.int64()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r["tile"] for r in
+           an.ntile_ds(docs, "n_chars", "doc_id", k=5).take_all()}
+    assert out == {2: 1, 1: 2}
