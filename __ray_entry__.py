@@ -2173,6 +2173,34 @@ def q_vertical_text(sf_dir: str) -> ray.data.Dataset:
     return pages.map_batches(char_rows, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cube(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE(returnflag, linestatus): same combiner + one
+    groupby as rollup; all 2^n grouping sets derive from the bounded
+    leaf table."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return an.rollup_ds(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", mode="cube"
+    )
+
+
+def q_moments(sf_dir: str) -> ray.data.Dataset:
+    """Per-returnflag second-moment accumulators over (quantity cents,
+    whole-dollar price): one reduceat combiner row per group per block
+    -> bounded groupby of six integer sums. Exact covariance inputs,
+    no float division inside the engine."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return an.moments_ds(
+        li, "l_returnflag", "l_quantity", "l_extendedprice",
+        x_quant=100, y_quant=1,
+    )
+
+
 def q_ntile(sf_dir: str) -> ray.data.Dataset:
     """NTILE(4) over (n_chars, doc_id) without a global sort: broadcast
     value-CDF gives the cross-value rank, one value-bucket shuffle ranks
@@ -2500,6 +2528,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "centroids": q_centroids,
     "pagerank_cogroup": q_pagerank_cogroup,
     "ntile": q_ntile,
+    "cube": q_cube,
+    "moments": q_moments,
 }
 
 # The driver correctness gate samples the FIRST 50 entries. Rotate the 28
@@ -2519,6 +2549,10 @@ _FRONT_R5 = [
     "window_frames",
     "centroids",
     "ntile",
+    "cube",
+    "moments",
+    # the flagship boilerplate pipeline keeps its gate slot
+    "main_content",
     "lang_confusion",
     "window_users",
     "grouped_heavy_hitters",
@@ -2547,7 +2581,7 @@ _FRONT_R5 = [
     "asof_join_bucketed",
     "hash_sample", "sessionize", "text_lines", "layout_text", "mcid_text",
     "crop_first_line", "dedupe_chars", "outline", "annots", "hyperlinks",
-    "ctm", "struct_bbox", "main_content", "distinct_modes", "event_ranks",
+    "ctm", "struct_bbox", "distinct_modes", "event_ranks",
     "repair_roundtrip", "metadata", "words_by_font",
     "text_boxes", "char_colors", "search_groups", "word_geometry",
     "table_geometry", "edge_census",
@@ -3708,6 +3742,28 @@ ORACLES["lang_confusion"] = f"""
     FROM p GROUP BY 1, 2
 """
 ORACLES["asof_join_bucketed"] = ORACLES["asof_join"]
+ORACLES["cube"] = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_e,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+ORACLES["moments"] = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+           CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+           CAST(SUM(x * y) AS BIGINT) AS sum_xy
+    FROM (SELECT l_returnflag,
+                 CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+                 CAST(floor(l_extendedprice) AS BIGINT) AS y
+          FROM lineitem)
+    GROUP BY 1
+"""
 ORACLES["ntile"] = """
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
            CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile

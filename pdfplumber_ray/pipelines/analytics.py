@@ -1158,17 +1158,20 @@ def rollup_ds(
     value_col: str,
     quant: int = 100,
     all_label: str = "ALL",
+    mode: str = "rollup",
 ) -> Dataset:
-    """``GROUP BY ROLLUP(k1, k2, ...)`` — the leaf aggregate plus every
-    prefix level up to the grand total, with rolled-up key columns set to
-    ``all_label``. Values quantize to ``floor(v * quant)`` int64 so sums
-    are engine-exact.
+    """``GROUP BY ROLLUP(k1, k2, ...)`` (or ``CUBE`` with
+    ``mode="cube"``) — the leaf aggregate plus every derived grouping
+    set, with rolled-up key columns set to ``all_label``. ROLLUP derives
+    the prefix levels; CUBE derives all 2^n subsets. Values quantize to
+    ``floor(v * quant)`` int64 so sums are engine-exact.
 
     Scale shape: one per-batch Arrow combiner (leaf cells per block) ->
     ONE ``groupby(keys)`` over combined rows. The leaf table of a rollup
     report is bounded by the key-domain product (small by construction —
-    a rollup over an unbounded key is not a report), so the higher levels
-    derive from the collected leaf on the driver with numpy group sums.
+    a rollup over an unbounded key is not a report), so every other
+    grouping set derives from the collected leaf on the driver with
+    numpy group sums — the raw table is never re-read per set.
     """
     keys = list(keys)
 
@@ -1195,11 +1198,19 @@ def rollup_ds(
     sums = np.array([r["sum(sum_partial)"] for r in rows], np.int64)
     ns = np.array([r["sum(n_partial)"] for r in rows], np.int64)
 
+    if mode == "cube":
+        sets = [
+            tuple(i for i in range(len(keys)) if (m >> i) & 1)
+            for m in range(2 ** len(keys) - 1, -1, -1)
+        ]
+    else:
+        sets = [tuple(range(level)) for level in range(len(keys), -1, -1)]
+
     out = {k: [] for k in keys}
     out_sum: List[int] = []
     out_n: List[int] = []
-    for level in range(len(keys), -1, -1):
-        kept = keys[:level]
+    for kept_idx in sets:
+        kept = [keys[i] for i in kept_idx]
         if kept:
             comp = key_vals[kept[0]]
             for k in kept[1:]:
@@ -1214,9 +1225,10 @@ def rollup_ds(
             lvl_sum = np.add.reduceat(sums[order], starts)
             lvl_n = np.add.reduceat(ns[order], starts)
             parts = [u.split("\x1f") for u in uniq]
+            pos_of = {i: j for j, i in enumerate(kept_idx)}
             for i, k in enumerate(keys):
-                if i < level:
-                    out[k].extend(p[i] for p in parts)
+                if i in pos_of:
+                    out[k].extend(p[pos_of[i]] for p in parts)
                 else:
                     out[k].extend([all_label] * len(uniq))
             out_sum.extend(lvl_sum.tolist())
@@ -1690,3 +1702,95 @@ def ntile_ds(
         projected.groupby("bkt").map_groups(bucket_tiles, batch_format="pyarrow"),
         out_schema,
     )
+
+
+# ---------- grouped moment accumulators (covariance statistics) ----------
+
+
+def moments_ds(
+    ds: Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_quant: int = 100,
+    y_quant: int = 1,
+) -> Dataset:
+    """Per-group second-moment sufficient statistics — ``n, Σx, Σy,
+    Σx², Σy², Σxy`` over floor-quantized int64 values — everything a
+    consumer needs for exact means, variances, covariance and Pearson
+    correlation per group, kept as INTEGER accumulators so both engines
+    agree bit-for-bit (no float division inside the operator).
+
+    Quantization bound (document per column): ``Σx²`` must stay below
+    2^63 — pick ``quant`` per column so ``n * max(|x|*quant)^2 < 9e18``.
+
+    Scale shape: one per-batch segment-sum combiner (argsort + int64
+    ``reduceat`` per statistic) emits one row per group per block ->
+    one bounded ``groupby(group)`` of six sums. Nothing else moves."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+                "sx_p": pa.array([], pa.int64()),
+                "sy_p": pa.array([], pa.int64()),
+                "sxx_p": pa.array([], pa.int64()),
+                "syy_p": pa.array([], pa.int64()),
+                "sxy_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        g = (
+            batch.column(group_col)
+            .cast(pa.string())
+            .to_numpy(zero_copy_only=False)
+            .astype(str)
+        )
+        x = np.floor(
+            batch.column(x_col).to_numpy(zero_copy_only=False) * x_quant
+        ).astype(np.int64)
+        y = np.floor(
+            batch.column(y_col).to_numpy(zero_copy_only=False) * y_quant
+        ).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        gs, xs, ys = g[order], x[order], y[order]
+        starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(gs)])))
+        return pa.table(
+            {
+                "g": pa.array(gs[starts], pa.string()),
+                "n_p": pa.array(seg_len.astype(np.int64), pa.int64()),
+                "sx_p": pa.array(np.add.reduceat(xs, starts), pa.int64()),
+                "sy_p": pa.array(np.add.reduceat(ys, starts), pa.int64()),
+                "sxx_p": pa.array(np.add.reduceat(xs * xs, starts), pa.int64()),
+                "syy_p": pa.array(np.add.reduceat(ys * ys, starts), pa.int64()),
+                "sxy_p": pa.array(np.add.reduceat(xs * ys, starts), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.select_columns([group_col, x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(
+            Sum("n_p"), Sum("sx_p"), Sum("sy_p"),
+            Sum("sxx_p"), Sum("syy_p"), Sum("sxy_p"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: batch.column("g"),
+                "n": batch.column("sum(n_p)").cast(pa.int64()),
+                "sum_x": batch.column("sum(sx_p)").cast(pa.int64()),
+                "sum_y": batch.column("sum(sy_p)").cast(pa.int64()),
+                "sum_xx": batch.column("sum(sxx_p)").cast(pa.int64()),
+                "sum_yy": batch.column("sum(syy_p)").cast(pa.int64()),
+                "sum_xy": batch.column("sum(sxy_p)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

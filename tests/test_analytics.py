@@ -469,3 +469,44 @@ def test_ntile_more_tiles_than_rows(ray_session):
     out = {r["doc_id"]: r["tile"] for r in
            an.ntile_ds(docs, "n_chars", "doc_id", k=5).take_all()}
     assert out == {2: 1, 1: 2}
+
+
+def test_cube_all_grouping_sets(ray_session):
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "f": pa.array(["A", "A", "B"], pa.string()),
+                "s": pa.array(["x", "y", "x"], pa.string()),
+                "q": pa.array([1.0, 2.0, 4.0]),
+            }
+        )
+    )
+    rows = {
+        (r["f"], r["s"]): (r["sum_e"], r["n_rows"])
+        for r in an.rollup_ds(li, ["f", "s"], "q", mode="cube").take_all()
+    }
+    # cube adds the (s-only) sets rollup lacks
+    assert rows[("ALL", "x")] == (500, 2)
+    assert rows[("ALL", "y")] == (200, 1)
+    assert rows[("A", "ALL")] == (300, 2)
+    assert rows[("ALL", "ALL")] == (700, 3)
+    assert len(rows) == 3 + 2 + 2 + 1
+
+
+def test_moments_hand_computed(ray_session):
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(["A", "A", "B"], pa.string()),
+                "x": pa.array([1.0, 2.0, 3.0]),
+                "y": pa.array([10.0, 20.0, 30.0]),
+            }
+        )
+    )
+    rows = {r["g"]: r for r in
+            an.moments_ds(li, "g", "x", "y", x_quant=1, y_quant=1).take_all()}
+    a = rows["A"]
+    assert (a["n"], a["sum_x"], a["sum_y"]) == (2, 3, 30)
+    assert (a["sum_xx"], a["sum_yy"], a["sum_xy"]) == (5, 500, 50)
+    b = rows["B"]
+    assert (b["n"], b["sum_xx"], b["sum_xy"]) == (1, 9, 90)
