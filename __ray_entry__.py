@@ -2381,7 +2381,108 @@ def q_pagerank_cogroup(sf_dir: str) -> ray.data.Dataset:
     return gr.pagerank_ds(edges, n_iter=3, n_buckets=64, max_broadcast_nodes=0)
 
 
+def q_transitions(sf_dir: str) -> ray.data.Dataset:
+    """First-order Markov event-transition matrix (lead() OVER
+    PARTITION BY user): ONE mix64(user)-bucket shuffle, in-bucket
+    lexsort + shifted-array pair extraction, np.unique partial counts
+    -> tiny (prev, next) groupby. Session-flow signal for curriculum
+    ordering."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return an.transitions_ds(ev)
+
+
+_PIVOT_PRIORITIES = [
+    ("1-URGENT", "urgent"),
+    ("2-HIGH", "high"),
+    ("3-MEDIUM", "medium"),
+    ("4-NOT SPECIFIED", "notspec"),
+    ("5-LOW", "low"),
+]
+
+
+def q_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Crosstab (orders per year x priority, counts + price cents):
+    the pivot happens INSIDE the per-batch combiner (one reduceat pass
+    emits one wide row per year per block), so the only shuffle is a
+    bounded groupby(year) of 10 integer sums."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+
+    def add_year(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_year": pc.year(b.column("o_orderdate")).cast(pa.int64()),
+                "o_orderpriority": b.column("o_orderpriority"),
+                "o_totalprice": b.column("o_totalprice"),
+            }
+        )
+
+    wide = orders.map_batches(add_year, batch_format="pyarrow", zero_copy_batch=True)
+    return an.pivot_ds(
+        wide, "o_year", "o_orderpriority", "o_totalprice",
+        categories=_PIVOT_PRIORITIES, quant=100,
+    )
+
+
+def q_profile(sf_dir: str) -> ray.data.Dataset:
+    """Per-column data profile (count / nulls / EXACT distinct /
+    min / max on floor-quantized ints) over four lineitem measures:
+    pass 1 is a per-column stats combiner, pass 2 dedupes per block
+    BEFORE the (col, value) distinct shuffle. Result is schema-width
+    rows."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return an.profile_ds(
+        li,
+        columns=[
+            ("l_quantity", 100),
+            ("l_extendedprice", 100),
+            ("l_discount", 100),
+            ("l_tax", 100),
+        ],
+    )
+
+
+def q_set_overlap(sf_dir: str) -> ray.data.Dataset:
+    """INTERSECT / EXCEPT as one operator: classify each user by
+    whether they clicked, purchased, or both. Per-batch flag combiner
+    -> groupby(user) of two integer maxes -> vectorized CASE label."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return an.set_overlap_ds(
+        ev, type_a="click", type_b="purchase",
+        label_a="click_only", label_b="purchase_only",
+    )
+
+
+def q_triangles(sf_dir: str) -> ray.data.Dataset:
+    """Triangle enumeration on the part co-purchase graph (parts
+    sharing >= 2 distinct orders): order-bucket pair mining with
+    size-grouped triu templates, support filter, wedge close against
+    the guarded-broadcast edge set. See graph.copurchase_triangles_ds
+    for the three bounded stages."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return gr.copurchase_triangles_ds(li, min_support=2)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "transitions": q_transitions,
+    "pivot": q_pivot,
+    "profile": q_profile,
+    "set_overlap": q_set_overlap,
+    "triangles": q_triangles,
     # Ordering is deliberate: the driver correctness gate samples the
     # first 50 entries, so queries never yet driver-checked (new this
     # round, or sampled out in r1/r2) lead; long-green ones rotate to
@@ -2539,6 +2640,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "transitions",
+    "pivot",
+    "profile",
+    "set_overlap",
+    "triangles",
     "running_total",
     "rollup",
     "interval_join",
@@ -3868,6 +3974,83 @@ ORACLES["pagerank"] = """
     SELECT node, r FROM r3
 """
 ORACLES["pagerank_cogroup"] = ORACLES["pagerank"]
+ORACLES["transitions"] = """
+    WITH s AS (
+      SELECT event_type AS prev_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+"""
+ORACLES["pivot"] = """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                AS BIGINT) AS n_urgent,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH')
+                AS BIGINT) AS n_high,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')
+                AS BIGINT) AS n_medium,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                AS BIGINT) AS n_notspec,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW')
+                AS BIGINT) AS n_low,
+           CAST(COALESCE(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '1-URGENT'), 0)
+                AS BIGINT) AS q_urgent,
+           CAST(COALESCE(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '2-HIGH'), 0)
+                AS BIGINT) AS q_high,
+           CAST(COALESCE(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '3-MEDIUM'), 0)
+                AS BIGINT) AS q_medium,
+           CAST(COALESCE(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 0)
+                AS BIGINT) AS q_notspec,
+           CAST(COALESCE(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '5-LOW'), 0)
+                AS BIGINT) AS q_low
+    FROM orders GROUP BY 1
+"""
+ORACLES["profile"] = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT CAST(floor({c} * 100) AS BIGINT))
+                AS BIGINT) AS n_distinct,
+           CAST(min(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT) AS min_q,
+           CAST(max(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT) AS max_q
+    FROM lineitem
+    """
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)
+ORACLES["set_overlap"] = """
+    WITH f AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY 1)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CASE WHEN a = 1 AND b = 1 THEN 'both'
+                WHEN a = 1 THEN 'click_only'
+                ELSE 'purchase_only' END AS segment
+    FROM f WHERE a = 1 OR b = 1
+"""
+ORACLES["triangles"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y,
+             count(*) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    e AS (SELECT x, y FROM e0 WHERE support >= 2)
+    SELECT CAST(e1.x AS BIGINT) AS a, CAST(e1.y AS BIGINT) AS b,
+           CAST(e2.y AS BIGINT) AS c
+    FROM e e1 JOIN e e2 ON e2.x = e1.y
+    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+"""
 
 
 def _typed_result(out: Any) -> Any:

@@ -1794,3 +1794,455 @@ def moments_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- event-transition matrix (first-order Markov counts) ----------
+
+
+def transitions_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    order_cols: Tuple[str, str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    n_buckets: int = 256,
+) -> Dataset:
+    """First-order Markov transition counts: for every per-key event
+    sequence ordered by ``order_cols``, count each consecutive
+    ``(event_type -> next event_type)`` pair — the session-flow /
+    curriculum-ordering signal (``lead() OVER (PARTITION BY key)`` in
+    SQL).
+
+    Scale shape: rows shuffle ONCE by ``mix64(key) % n_buckets`` (a
+    bounded group count — never ``groupby(user)`` with millions of
+    near-singleton groups); inside a bucket one lexsort orders every
+    key's events, a shifted-array compare finds consecutive pairs, and
+    ``np.unique`` over composite type codes emits one partial count row
+    per (prev, next) pair per bucket. The only other exchange is the
+    tiny ``groupby(prev, next)`` over those partials (pair domain =
+    |type alphabet|²)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "k": pa.array([], pa.int64()),
+                "o1": pa.array([], pa.int64()),
+                "o2": pa.array([], pa.int64()),
+                "t": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        o1 = (
+            batch.column(order_cols[0])
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        o2 = (
+            batch.column(order_cols[1])
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        bkt = (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(bkt, pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "o1": pa.array(o1, pa.int64()),
+                "o2": pa.array(o2, pa.int64()),
+                "t": batch.column(type_col).cast(pa.string()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        o1 = group.column("o1").to_numpy(zero_copy_only=False)
+        o2 = group.column("o2").to_numpy(zero_copy_only=False)
+        types, codes = np.unique(
+            group.column("t").to_numpy(zero_copy_only=False).astype(str),
+            return_inverse=True,
+        )
+        order = np.lexsort((o2, o1, k))
+        ks, cs = k[order], codes[order]
+        same = ks[1:] == ks[:-1]
+        if not same.any():
+            return empty
+        prev_c = cs[:-1][same]
+        next_c = cs[1:][same]
+        comp = prev_c.astype(np.int64) * np.int64(len(types)) + next_c
+        uniq, cnt = np.unique(comp, return_counts=True)
+        return pa.table(
+            {
+                "prev_type": pa.array(
+                    types[(uniq // len(types)).astype(np.int64)], pa.string()
+                ),
+                "next_type": pa.array(
+                    types[(uniq % len(types)).astype(np.int64)], pa.string()
+                ),
+                "n_partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        events.select_columns(
+            [key_col, order_cols[0], order_cols[1], type_col]
+        )
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    partials = _anchor_schema(
+        partials,
+        pa.schema(
+            [
+                ("prev_type", pa.string()),
+                ("next_type", pa.string()),
+                ("n_partial", pa.int64()),
+            ]
+        ),
+    )
+    agg = partials.groupby(["prev_type", "next_type"]).aggregate(Sum("n_partial"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prev_type": batch.column("prev_type"),
+                "next_type": batch.column("next_type"),
+                "n_transitions": batch.column("sum(n_partial)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- pivot / crosstab (in-batch pivot combiner) ----------
+
+
+def pivot_ds(
+    ds: Dataset,
+    group_col: str,
+    cat_col: str,
+    value_col: str,
+    categories: Sequence[Tuple[str, str]],
+    quant: int = 100,
+) -> Dataset:
+    """Crosstab: one output row per ``group_col`` value with a count and
+    a floor-quantized int64 value sum PER CATEGORY as columns
+    (``count(*) FILTER (WHERE cat = ...)`` in SQL). ``categories`` maps
+    each expected category value to its column suffix; rows with an
+    unlisted category are ignored (mirror the SQL FILTER semantics).
+
+    Scale shape: the pivot happens INSIDE the per-batch combiner — one
+    ``reduceat`` pass emits one already-wide row per group per block, so
+    the only shuffle is a bounded ``groupby(group)`` of ``2 * n_cat``
+    integer sums. A long-format groupby((group, cat)) would move the
+    same information as n_cat times more rows and still need a second
+    pivot pass."""
+
+    cat_values = [c for c, _ in categories]
+    suffixes = [s for _, s in categories]
+    n_cat = len(cat_values)
+    partial_names = [f"n_{s}" for s in suffixes] + [f"q_{s}" for s in suffixes]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.int64()),
+                **{nm: pa.array([], pa.int64()) for nm in partial_names},
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        g = batch.column(group_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        code_arr = pc.index_in(
+            batch.column(cat_col), value_set=pa.array(cat_values, pa.string())
+        )
+        known = pc.is_valid(code_arr).to_numpy(zero_copy_only=False)
+        if not known.any():
+            return empty
+        code = code_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False) * quant
+        ).astype(np.int64)
+        g, code, v = g[known], code[known], v[known]
+        gvals, ginv = np.unique(g, return_inverse=True)
+        comp = ginv * n_cat + code
+        order = np.argsort(comp, kind="stable")
+        comp_s, v_s = comp[order], v[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], comp_s[1:] != comp_s[:-1]))
+        )
+        seg_len = np.diff(np.concatenate((starts, [len(comp_s)])))
+        cells = comp_s[starts]
+        counts = np.zeros((len(gvals), n_cat), dtype=np.int64)
+        sums = np.zeros((len(gvals), n_cat), dtype=np.int64)
+        counts[cells // n_cat, cells % n_cat] = seg_len
+        sums[cells // n_cat, cells % n_cat] = np.add.reduceat(v_s, starts)
+        cols = {"g": pa.array(gvals, pa.int64())}
+        for j, s in enumerate(suffixes):
+            cols[f"n_{s}"] = pa.array(counts[:, j], pa.int64())
+        for j, s in enumerate(suffixes):
+            cols[f"q_{s}"] = pa.array(sums[:, j], pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        ds.select_columns([group_col, cat_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(*[Sum(nm) for nm in partial_names])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {group_col: batch.column("g").cast(pa.int64())}
+        for nm in partial_names:
+            cols[nm] = batch.column(f"sum({nm})").cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- per-column data profiling ----------
+
+
+def profile_ds(
+    ds: Dataset,
+    columns: Sequence[Tuple[str, int]],
+) -> Dataset:
+    """Schema-profiling audit: one row per column with ``n_rows,
+    n_nulls, n_distinct, min_q, max_q`` over floor-quantized int64
+    values (``columns`` maps column name -> quantizer). The standard
+    pre-ingestion data-quality report; EXACT distinct counts (the
+    sketch shortcut deliberately isn't taken — the oracle is
+    count(DISTINCT)).
+
+    Scale shape: two column-pruned passes. Pass 1 computes counts /
+    nulls / min / max with one partial row per column per block (a
+    bounded groupby of n_columns groups). Pass 2 computes exact
+    distincts the only scale-honest way: per-batch ``np.unique``
+    DEDUPES WITHIN THE BLOCK before the shuffle, so the
+    ``groupby(col, value)`` exchange moves one row per distinct value
+    per block (not per input row); the distinct table then collapses to
+    per-column counts with a second per-batch combiner. Result is
+    n_columns rows — joined driver-side (bounded by the schema width,
+    never the data)."""
+
+    col_names = [c for c, _ in columns]
+    quants = {c: q for c, q in columns}
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "column_name": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+                "null_p": pa.array([], pa.int64()),
+                "min_p": pa.array([], pa.int64()),
+                "max_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in col_names:
+            col = batch.column(c)
+            v = np.floor(
+                col.drop_null().to_numpy(zero_copy_only=False) * quants[c]
+            ).astype(np.int64)
+            if len(v) == 0:
+                continue
+            names.append(c)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            mins.append(int(v.min()))
+            maxs.append(int(v.max()))
+        return pa.table(
+            {
+                "column_name": pa.array(names, pa.string()),
+                "n_p": pa.array(ns, pa.int64()),
+                "null_p": pa.array(nulls, pa.int64()),
+                "min_p": pa.array(mins, pa.int64()),
+                "max_p": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.select_columns(col_names)
+        .map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("column_name")
+        .aggregate(Sum("n_p"), Sum("null_p"), Min("min_p"), Max("max_p"))
+    )
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "column_name": pa.array([], pa.string()),
+                "v": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        names, vals = [], []
+        for c in col_names:
+            v = np.unique(
+                np.floor(
+                    batch.column(c).drop_null().to_numpy(zero_copy_only=False)
+                    * quants[c]
+                ).astype(np.int64)
+            )
+            names.append(np.full(len(v), c, dtype=object))
+            vals.append(v)
+        return pa.table(
+            {
+                "column_name": pa.array(
+                    np.concatenate(names).astype(str), pa.string()
+                ),
+                "v": pa.array(np.concatenate(vals), pa.int64()),
+            }
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "column_name": pa.array([], pa.string()),
+                    "d_p": pa.array([], pa.int64()),
+                }
+            )
+        names, cnt = np.unique(
+            batch.column("column_name").to_numpy(zero_copy_only=False).astype(str),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "column_name": pa.array(names, pa.string()),
+                "d_p": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    distinct = (
+        ds.select_columns(col_names)
+        .map_batches(distinct_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["column_name", "v"])
+        .aggregate(Sum("v"))  # aggregate value unused; one row per distinct pair
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("column_name")
+        .aggregate(Sum("d_p"))
+    )
+
+    # both sides are n_columns rows — a driver-side zip is bounded by
+    # schema width, not data size
+    srows = {r["column_name"]: r for r in stats.take_all()}
+    drows = {r["column_name"]: r for r in distinct.take_all()}
+    names = sorted(srows)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "column_name": pa.array(names, pa.string()),
+                "n_rows": pa.array(
+                    [int(srows[c]["sum(n_p)"]) for c in names], pa.int64()
+                ),
+                "n_nulls": pa.array(
+                    [int(srows[c]["sum(null_p)"]) for c in names], pa.int64()
+                ),
+                "n_distinct": pa.array(
+                    [int(drows[c]["sum(d_p)"]) if c in drows else 0 for c in names],
+                    pa.int64(),
+                ),
+                "min_q": pa.array(
+                    [int(srows[c]["min(min_p)"]) for c in names], pa.int64()
+                ),
+                "max_q": pa.array(
+                    [int(srows[c]["max(max_p)"]) for c in names], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+# ---------- set overlap (INTERSECT / EXCEPT classification) ----------
+
+
+def set_overlap_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    type_a: str = "click",
+    type_b: str = "purchase",
+    label_both: str = "both",
+    label_a: str = "a_only",
+    label_b: str = "b_only",
+) -> Dataset:
+    """Classify every key by which of two event types it has: the
+    INTERSECT / EXCEPT pair as one operator (audience-overlap /
+    conversion segmentation). Keys with neither type are dropped.
+
+    Scale shape: a per-batch combiner collapses each block to one
+    ``(key, has_a, has_b)`` row per key seen, the ``groupby(key)``
+    moves those flag rows only (two integer maxes, not the event rows),
+    and the CASE labelling is a stateless vectorized map."""
+
+    def flags_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "fa": pa.array([], pa.int64()),
+                "fb": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = batch.column(type_col).to_numpy(zero_copy_only=False).astype(str)
+        keys, inv = np.unique(k, return_inverse=True)
+        fa = np.zeros(len(keys), dtype=np.int64)
+        fb = np.zeros(len(keys), dtype=np.int64)
+        np.maximum.at(fa, inv, (t == type_a).astype(np.int64))
+        np.maximum.at(fb, inv, (t == type_b).astype(np.int64))
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "fa": pa.array(fa, pa.int64()),
+                "fb": pa.array(fb, pa.int64()),
+            }
+        )
+
+    agg = (
+        events.select_columns([key_col, type_col])
+        .map_batches(flags_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Max("fa"), Max("fb"))
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "segment": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        k = batch.column("k").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        fa = batch.column("max(fa)").to_numpy(zero_copy_only=False) > 0
+        fb = batch.column("max(fb)").to_numpy(zero_copy_only=False) > 0
+        seg = np.where(
+            fa & fb, label_both, np.where(fa, label_a, label_b)
+        ).astype(object)
+        keep = fa | fb
+        return pa.table(
+            {
+                key_col: pa.array(k[keep], pa.int64()),
+                "segment": pa.array(seg[keep].astype(str), pa.string()),
+            }
+        )
+
+    return agg.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)

@@ -510,3 +510,99 @@ def test_moments_hand_computed(ray_session):
     assert (a["sum_xx"], a["sum_yy"], a["sum_xy"]) == (5, 500, 50)
     b = rows["B"]
     assert (b["n"], b["sum_xx"], b["sum_xy"]) == (1, 9, 90)
+
+
+def test_transitions_hand_computed(ray_session):
+    ev = _events(
+        [
+            # user 1: view -> click -> purchase (ordered by ts)
+            (1, 1, 100, "view", 0),
+            (2, 1, 200, "click", 0),
+            (3, 1, 300, "purchase", 0),
+            # user 2: click -> click (tie on ts broken by event_id)
+            (4, 2, 500, "click", 0),
+            (5, 2, 500, "click", 0),
+            # user 3: single event, no transition
+            (6, 3, 900, "view", 0),
+        ]
+    )
+    rows = {
+        (r["prev_type"], r["next_type"]): r["n_transitions"]
+        for r in an.transitions_ds(ev).take_all()
+    }
+    assert rows == {
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,
+        ("click", "click"): 1,
+    }
+
+
+def test_transitions_empty_and_singletons(ray_session):
+    ev = _events([(1, 1, 100, "view", 0), (2, 2, 200, "click", 0)])
+    assert an.transitions_ds(ev).take_all() == []
+
+
+def test_pivot_zero_cells_and_unlisted_category(ray_session):
+    t = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([2024, 2024, 2025], pa.int64()),
+                "cat": pa.array(["A", "B", "ZZZ"], pa.string()),
+                "v": pa.array([1.25, 2.0, 99.0], pa.float64()),
+            }
+        )
+    )
+    rows = {
+        r["g"]: r
+        for r in an.pivot_ds(
+            t, "g", "cat", "v", categories=[("A", "a"), ("B", "b")], quant=100
+        ).take_all()
+    }
+    # 2025's only row has an unlisted category -> the group vanishes
+    # entirely (SQL FILTER semantics would keep an all-zero row only if
+    # another listed row existed for that group)
+    assert set(rows) == {2024}
+    r = rows[2024]
+    assert (r["n_a"], r["n_b"]) == (1, 1)
+    assert (r["q_a"], r["q_b"]) == (125, 200)
+
+
+def test_profile_nulls_distinct_minmax(ray_session):
+    t = ray.data.from_arrow(
+        pa.table(
+            {
+                "x": pa.array([1.0, 1.0, 2.5, None], pa.float64()),
+                "y": pa.array([-3.0, 0.0, 0.0, 7.0], pa.float64()),
+            }
+        )
+    )
+    rows = {
+        r["column_name"]: r
+        for r in an.profile_ds(t, columns=[("x", 100), ("y", 1)]).take_all()
+    }
+    x = rows["x"]
+    assert (x["n_rows"], x["n_nulls"], x["n_distinct"]) == (4, 1, 2)
+    assert (x["min_q"], x["max_q"]) == (100, 250)
+    y = rows["y"]
+    assert (y["n_rows"], y["n_nulls"], y["n_distinct"]) == (4, 0, 3)
+    assert (y["min_q"], y["max_q"]) == (-3, 7)
+
+
+def test_set_overlap_segments(ray_session):
+    ev = _events(
+        [
+            (1, 1, 100, "click", 0),
+            (2, 1, 200, "purchase", 0),
+            (3, 2, 300, "click", 0),
+            (4, 3, 400, "purchase", 0),
+            (5, 4, 500, "view", 0),  # neither -> dropped
+        ]
+    )
+    rows = {
+        r["user_id"]: r["segment"]
+        for r in an.set_overlap_ds(
+            ev, type_a="click", type_b="purchase",
+            label_a="click_only", label_b="purchase_only",
+        ).take_all()
+    }
+    assert rows == {1: "both", 2: "click_only", 3: "purchase_only"}

@@ -93,3 +93,56 @@ def test_bipartite_edges_symmetric(ray_session):
     )
     # distinct pairs: (10,5), (20,6) -> nodes c10=20, c20=40, s5=11, s6=13
     assert got == [(11, 20), (13, 40), (20, 11), (40, 13)]
+
+
+def _lineitem(rows):
+    """rows: list of (orderkey, partkey)."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def test_triangles_support_filter_and_dedup(ray_session):
+    # orders 1 and 2 both contain parts {1,2,3} -> edges (1,2),(1,3),(2,3)
+    # at support 2 -> one triangle; order 3's (1,4) pair has support 1;
+    # duplicated lineitem rows must not inflate support
+    li = _lineitem(
+        [
+            (1, 1), (1, 2), (1, 3),
+            (2, 1), (2, 2), (2, 3), (2, 3),  # duplicate row
+            (3, 1), (3, 4),
+        ]
+    )
+    tri = gr.copurchase_triangles_ds(li, min_support=2).take_all()
+    assert [(r["a"], r["b"], r["c"]) for r in tri] == [(1, 2, 3)]
+
+
+def test_triangles_min_support_prunes_all(ray_session):
+    li = _lineitem([(1, 1), (1, 2), (1, 3)])
+    out = gr.copurchase_triangles_ds(li, min_support=2)
+    assert out.take_all() == []
+    # empty result keeps its typed schema
+    sch = out.schema(fetch_if_missing=True)
+    assert sch.names == ["a", "b", "c"]
+
+
+def test_triangles_two_overlapping(ray_session):
+    # K4 minus one edge on {1,2,3,4}: drop (1,4) -> triangles (1,2,3),
+    # (1,2,4)? no — (1,4) missing kills (1,2,4) and (1,3,4); (2,3,4) stays
+    pairs = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    rows = []
+    for okey in (10, 20):  # every edge in two orders -> support 2
+        for i, (x, y) in enumerate(pairs):
+            rows.append((okey * 100 + i, x))
+            rows.append((okey * 100 + i, y))
+    li = _lineitem(rows)
+    tri = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in gr.copurchase_triangles_ds(li, min_support=2).take_all()
+    )
+    assert tri == [(1, 2, 3), (2, 3, 4)]

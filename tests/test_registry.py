@@ -31,11 +31,15 @@ def test_front_window_holds_new_and_never_sampled():
     keys = list(E.QUERIES.keys())
     first50 = set(keys[:50])
     for name in (
-        # this session's new operators lead the window
+        # the newest operators lead the window — they have never had ANY
+        # external validation (annots/ctm, formerly pinned here, were
+        # independently re-verified by the round-4 judge and yield their
+        # slots to this session's five new ops)
+        "transitions", "pivot", "profile", "set_overlap", "triangles",
         "running_total", "rollup", "interval_join", "collocations",
         "pagerank",
         "substring_dedup", "tfidf_topk", "dedup_resolution_cogroup",
-        "asof_join_bucketed", "main_content", "annots", "ctm",
+        "asof_join_bucketed", "main_content",
     ):
         assert name in first50, f"{name} fell outside the driver gate window"
 
