@@ -2477,7 +2477,97 @@ def q_triangles(sf_dir: str) -> ray.data.Dataset:
     return gr.copurchase_triangles_ds(li, min_support=2)
 
 
+def q_user_paths(sf_dir: str) -> ray.data.Dataset:
+    """Ordered group-concat (string_agg ORDER BY): each user's
+    chronological event-type path string, assembled per bucket with one
+    zero-copy ListArray + pc.binary_join — no per-key Python."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return an.user_paths_ds(ev)
+
+
+def q_skyline(sf_dir: str) -> ray.data.Dataset:
+    """2-D Pareto frontier over (account balance, order count): one
+    tagged-union groupby builds the per-customer point set (customers
+    with zero orders included — LEFT JOIN semantics), then the
+    distributive skyline reduces each block to its local frontier
+    before a guarded merge of the tiny candidate union."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        x = np.floor(
+            b.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        k = b.column("c_custkey").cast(pa.int64())
+        return pa.table(
+            {
+                "k": k,
+                "x_p": pa.array(x, pa.int64()),
+                "n_p": pa.array(np.zeros(len(x), np.int64), pa.int64()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        k, cnt = np.unique(
+            b.column("o_custkey").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "x_p": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    pts = (
+        cust.map_batches(tag_cust, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            orders.map_batches(
+                tag_orders, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("k")
+        .aggregate(_Sum("x_p"), _Sum("n_p"))
+    )
+
+    def to_points(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("k").cast(pa.int64()),
+                "acctbal_e2": b.column("sum(x_p)").cast(pa.int64()),
+                "n_orders": b.column("sum(n_p)").cast(pa.int64()),
+            }
+        )
+
+    points = pts.map_batches(to_points, batch_format="pyarrow", zero_copy_batch=True)
+    return an.skyline_ds(points, "c_custkey", "acctbal_e2", "n_orders")
+
+
+def q_clustering_coeff(sf_dir: str) -> ray.data.Dataset:
+    """Local clustering coefficient per node of the support>=2
+    co-purchase graph: integer coeff_e6 = 2*tri*1e6 // (d*(d-1)) from
+    one tagged groupby over triangle-corner and edge-endpoint partials
+    (the mined edge list materializes once and feeds both sides)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return gr.clustering_coeff_ds(li, min_support=2)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "user_paths": q_user_paths,
+    "skyline": q_skyline,
+    "clustering_coeff": q_clustering_coeff,
     "transitions": q_transitions,
     "pivot": q_pivot,
     "profile": q_profile,
@@ -2640,6 +2730,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "user_paths",
+    "skyline",
+    "clustering_coeff",
     "transitions",
     "pivot",
     "profile",
@@ -4050,6 +4143,53 @@ ORACLES["triangles"] = """
            CAST(e2.y AS BIGINT) AS c
     FROM e e1 JOIN e e2 ON e2.x = e1.y
     JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+"""
+ORACLES["user_paths"] = """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY 1
+"""
+ORACLES["skyline"] = """
+    WITH pts AS (
+      SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+             CAST(floor(c.c_acctbal * 100) AS BIGINT) AS acctbal_e2,
+             CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2)
+    SELECT p.c_custkey, p.acctbal_e2, p.n_orders
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.acctbal_e2 >= p.acctbal_e2 AND q.n_orders >= p.n_orders
+        AND (q.acctbal_e2 > p.acctbal_e2 OR q.n_orders > p.n_orders))
+"""
+ORACLES["clustering_coeff"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    e AS (SELECT x, y FROM e0 WHERE support >= 2),
+    t AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM e e1 JOIN e e2 ON e2.x = e1.y
+      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+    corners AS (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t),
+    tri AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY 1),
+    ends AS (SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e),
+    deg AS (SELECT node, count(*) AS degree FROM ends GROUP BY 1)
+    SELECT CAST(d.node AS BIGINT) AS node,
+           CAST(coalesce(t2.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(CASE WHEN d.degree >= 2
+                THEN (2 * coalesce(t2.n_tri, 0) * 1000000)
+                     // (d.degree * (d.degree - 1))
+                ELSE 0 END AS BIGINT) AS coeff_e6
+    FROM deg d LEFT JOIN tri t2 ON t2.node = d.node
 """
 
 

@@ -2246,3 +2246,180 @@ def set_overlap_ds(
         )
 
     return agg.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- ordered group-concat (per-key path strings) ----------
+
+
+def user_paths_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    order_cols: Tuple[str, str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    sep: str = ">",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Ordered group-concat: one row per key with its event types joined
+    in ``order_cols`` order (``string_agg(t, sep ORDER BY ...)``) — the
+    session-path string behind funnel and journey analysis.
+
+    Scale shape: ONE ``mix64(key) % n_buckets`` shuffle (bounded group
+    count); inside a bucket one lexsort orders every key's events and
+    the paths assemble with a single zero-copy
+    ``ListArray.from_arrays`` + ``pc.binary_join`` — no per-key Python.
+    Path length is bounded by the per-key event count; keys with
+    pathological event counts should be capped upstream (sessionize)
+    before a path-string operator, as in any engine."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "k": pa.array([], pa.int64()),
+                "o1": pa.array([], pa.int64()),
+                "o2": pa.array([], pa.int64()),
+                "t": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(k, pa.int64()),
+                "o1": batch.column(order_cols[0]).cast(pa.int64()),
+                "o2": batch.column(order_cols[1]).cast(pa.int64()),
+                "t": batch.column(type_col).cast(pa.string()),
+            }
+        )
+
+    def bucket_paths(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "path": pa.array([], pa.string()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        o1 = group.column("o1").to_numpy(zero_copy_only=False)
+        o2 = group.column("o2").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((o2, o1, k))
+        ks, ts = k[order], t[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        offsets = np.concatenate((starts, [len(ks)])).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(ts, pa.string())
+        )
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts], pa.int64()),
+                "path": pc.binary_join(lists, sep),
+            }
+        )
+
+    out = (
+        events.select_columns([key_col, order_cols[0], order_cols[1], type_col])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_paths, batch_format="pyarrow")
+    )
+    return _anchor_schema(
+        out, pa.schema([(key_col, pa.int64()), ("path", pa.string())])
+    )
+
+
+# ---------- 2-D Pareto skyline ----------
+
+
+def _skyline_keep(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Keep mask of the 2-D Pareto frontier: a point survives iff no
+    other point has x' >= x AND y' >= y with at least one strict
+    (duplicates of a frontier point all survive). One descending
+    lexsort, group maxima, exclusive prefix max — O(n log n)."""
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    gstart = np.concatenate(([True], xs[1:] != xs[:-1]))
+    starts = np.flatnonzero(gstart)
+    gmax = ys[starts]  # y sorts descending within an x group
+    pre = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]))
+    gidx = np.cumsum(gstart) - 1
+    keep_sorted = (ys > pre[gidx]) & (ys == gmax[gidx])
+    keep = np.empty(len(x), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_ds(
+    ds: Dataset,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    max_candidates: int = 5_000_000,
+) -> Dataset:
+    """2-D Pareto frontier (skyline): rows not dominated by any other
+    row on the two int64 dimensions — the multi-objective shortlist
+    (e.g. longest AND highest-quality documents).
+
+    Scale shape: the skyline operator is DISTRIBUTIVE —
+    ``skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))`` — so each
+    block reduces to its local frontier first (vectorized O(n log n)
+    kernel) and only local-frontier survivors leave the block. The
+    candidate union is guarded by ``max_candidates`` before the final
+    driver-side merge pass (frontiers of real 2-D data are tiny:
+    O(log n) expected for independent dims)."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                x_col: pa.array([], pa.int64()),
+                y_col: pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        x = batch.column(x_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = _skyline_keep(x, y)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                x_col: pa.array(x[keep], pa.int64()),
+                y_col: pa.array(y[keep], pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.select_columns([id_col, x_col, y_col])
+        .map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    n_cand = cand.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"local-frontier union ({n_cand} rows) exceeds "
+            f"max_candidates={max_candidates}; re-run the local pass on "
+            "the candidate dataset to shrink it before the merge"
+        )
+    rows = cand.take_all()
+    ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    x = np.asarray([r[x_col] for r in rows], dtype=np.int64)
+    y = np.asarray([r[y_col] for r in rows], dtype=np.int64)
+    keep = _skyline_keep(x, y) if len(ids) else np.zeros(0, dtype=bool)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                x_col: pa.array(x[keep], pa.int64()),
+                y_col: pa.array(y[keep], pa.int64()),
+            }
+        )
+    )

@@ -419,21 +419,20 @@ def pagerank_ds(
     return ranks
 
 
-def copurchase_triangles_ds(
+def copurchase_edges_ds(
     lineitem: Dataset,
     min_support: int = 2,
     n_buckets: int = 512,
-    max_broadcast_edges: int = 20_000_000,
 ) -> Dataset:
-    """Triangle enumeration over the part co-purchase graph: parts are
-    adjacent when they appear in >= ``min_support`` distinct orders
-    together; output is one row per triangle ``(a < b < c)``. The
-    canonical graph-quality signal (clustering coefficient inputs,
-    community density) over an association graph mined from baskets.
+    """Mine the part co-purchase graph: parts are adjacent (one
+    ``(x < y)`` edge row) when they appear together in >=
+    ``min_support`` distinct orders. Returns the MATERIALIZED filtered
+    edge list — the shared input of triangle enumeration and clustering
+    coefficients.
 
-    Scale shape, three bounded stages:
+    Scale shape, two bounded stages:
 
-    1. **Edge mining** — lineitem rows shuffle ONCE by
+    1. **Pair mining** — lineitem rows shuffle ONCE by
        ``mix64(orderkey) % n_buckets``; inside a bucket every order is
        complete (an order hashes to exactly one bucket), so per-order
        part pairs generate vectorized — orders GROUPED BY SIZE k and the
@@ -445,14 +444,6 @@ def copurchase_triangles_ds(
     2. **Support filter** — ``support >= min_support`` prunes the hub
        noise; the surviving edge set is orders of magnitude smaller
        than the pair stream (3.4k edges from 116k pairs at sf0.01).
-    3. **Wedge close** — edges bucket by ``mix64(lower endpoint)``;
-       per-node greater-neighbor pairs (wedges ``a<b<c``) generate with
-       the same size-grouped template, and close against the filtered
-       edge set broadcast ONCE as a sorted uint64 key array
-       (``ray.put`` + per-batch ``searchsorted``), guarded by
-       ``max_broadcast_edges``. Above the guard, close the wedges with
-       the generic tagged-union ``hash_join_ds`` shuffle instead of
-       raising — the broadcast is an optimization, not a requirement.
 
     Bound: part keys must stay below 2^31 (composite ``x << 32 | y``
     in uint64)."""
@@ -552,9 +543,38 @@ def copurchase_triangles_ds(
             }
         )
 
-    edges = support.map_batches(
+    return support.map_batches(
         keep_edges, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+
+def copurchase_triangles_ds(
+    lineitem: Dataset,
+    min_support: int = 2,
+    n_buckets: int = 512,
+    max_broadcast_edges: int = 20_000_000,
+) -> Dataset:
+    """Triangle enumeration over the part co-purchase graph (see
+    ``copurchase_edges_ds`` for the edge mining): one row per triangle
+    ``(a < b < c)``. The canonical graph-density signal over an
+    association graph mined from baskets."""
+    edges = copurchase_edges_ds(lineitem, min_support, n_buckets)
+    return _triangles_from_edges(edges, n_buckets, max_broadcast_edges)
+
+
+def _triangles_from_edges(
+    edges: Dataset,
+    n_buckets: int = 512,
+    max_broadcast_edges: int = 20_000_000,
+) -> Dataset:
+    """Wedge-close stage: edges (``x < y``, MATERIALIZED) bucket by
+    ``mix64(lower endpoint)``; per-node greater-neighbor pairs (wedges
+    ``a<b<c``) generate with the size-grouped triu template, and close
+    against the edge set broadcast ONCE as a sorted uint64 key array
+    (``ray.put`` + per-batch ``searchsorted``), guarded by
+    ``max_broadcast_edges``. Above the guard, close the wedges with the
+    generic tagged-union ``hash_join_ds`` shuffle instead of raising —
+    the broadcast is an optimization, not a requirement."""
     n_edges = edges.count()
     if n_edges == 0:
         return ray.data.from_arrow(
@@ -648,3 +668,113 @@ def copurchase_triangles_ds(
     return ray.data.from_arrow(
         pa.table({f.name: pa.array([], f.type) for f in empty_schema})
     ).union(tri)
+
+
+def clustering_coeff_ds(
+    lineitem: Dataset,
+    min_support: int = 2,
+    n_buckets: int = 512,
+    max_broadcast_edges: int = 20_000_000,
+) -> Dataset:
+    """Local clustering coefficient per node of the co-purchase graph:
+    ``coeff_e6 = (2 * triangles_at(v) * 10^6) // (deg(v) * (deg(v)-1))``
+    (integer floor — exact in both engines), plus the raw ``n_tri`` /
+    ``degree`` accumulators. Nodes with degree < 2 report 0.
+
+    Scale shape: the mined edge list materializes ONCE and feeds both
+    sides; triangle rows fan out to their three corners and edge rows to
+    their two endpoints as tagged ``(node, tri_p, deg_p)`` partials —
+    already combined per batch — so the only exchange is one
+    ``groupby(node)`` of two integer sums."""
+    edges = copurchase_edges_ds(lineitem, min_support, n_buckets)
+    tri = _triangles_from_edges(edges, n_buckets, max_broadcast_edges)
+
+    def tri_corners(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "tri_p": pa.array([], pa.int64()),
+                "deg_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        corners = np.concatenate(
+            [
+                batch.column(c).to_numpy(zero_copy_only=False)
+                for c in ("a", "b", "c")
+            ]
+        )
+        nodes, cnt = np.unique(corners, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "tri_p": pa.array(cnt.astype(np.int64), pa.int64()),
+                "deg_p": pa.array(np.zeros(len(nodes), np.int64), pa.int64()),
+            }
+        )
+
+    def edge_endpoints(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "tri_p": pa.array([], pa.int64()),
+                "deg_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ends = np.concatenate(
+            [
+                batch.column("x").to_numpy(zero_copy_only=False),
+                batch.column("y").to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, cnt = np.unique(ends, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "tri_p": pa.array(np.zeros(len(nodes), np.int64), pa.int64()),
+                "deg_p": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tagged = tri.map_batches(
+        tri_corners, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        edges.map_batches(
+            edge_endpoints, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    agg = tagged.groupby("node").aggregate(Sum("tri_p"), Sum("deg_p"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "n_tri": pa.array([], pa.int64()),
+                "degree": pa.array([], pa.int64()),
+                "coeff_e6": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        node = batch.column("node").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tri_n = batch.column("sum(tri_p)").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        deg = batch.column("sum(deg_p)").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        denom = deg * (deg - 1)
+        coeff = np.where(denom > 0, (2 * tri_n * 1_000_000) // np.maximum(denom, 1), 0)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "n_tri": pa.array(tri_n, pa.int64()),
+                "degree": pa.array(deg, pa.int64()),
+                "coeff_e6": pa.array(coeff.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -606,3 +606,60 @@ def test_set_overlap_segments(ray_session):
         ).take_all()
     }
     assert rows == {1: "both", 2: "click_only", 3: "purchase_only"}
+
+
+def test_user_paths_ordered_concat(ray_session):
+    ev = _events(
+        [
+            (1, 1, 100, "view", 0),
+            (3, 1, 300, "purchase", 0),
+            (2, 1, 200, "click", 0),
+            # user 2: tie on ts broken by event_id (4 before 5)
+            (5, 2, 500, "a", 0),
+            (4, 2, 500, "b", 0),
+            (6, 3, 900, "view", 0),
+        ]
+    )
+    rows = {r["user_id"]: r["path"] for r in an.user_paths_ds(ev).take_all()}
+    assert rows == {1: "view>click>purchase", 2: "b>a", 3: "view"}
+
+
+def test_user_paths_bucket_invariant(ray_session):
+    ev = _events([(i, i % 7, i * 10, "e%d" % (i % 3), 0) for i in range(60)])
+    a = {r["user_id"]: r["path"] for r in an.user_paths_ds(ev, n_buckets=2).take_all()}
+    b = {r["user_id"]: r["path"] for r in an.user_paths_ds(ev, n_buckets=64).take_all()}
+    assert a == b and len(a) == 7
+
+
+def test_skyline_keep_kernel():
+    x = np.array([1, 2, 3, 2, 3], dtype=np.int64)
+    y = np.array([5, 4, 3, 2, 3], dtype=np.int64)
+    # frontier: (1,5), (2,4), (3,3) twice (duplicates both survive);
+    # (2,2) is dominated by (2,4) (equal x, strictly smaller y)
+    assert an._skyline_keep(x, y).tolist() == [True, True, True, False, True]
+    # equal-y domination across x: (1,3) dominated by (3,3)
+    x2 = np.array([1, 3], dtype=np.int64)
+    y2 = np.array([3, 3], dtype=np.int64)
+    assert an._skyline_keep(x2, y2).tolist() == [False, True]
+
+
+def test_skyline_ds_merges_local_frontiers(ray_session):
+    # points that are locally non-dominated inside a block can still be
+    # dominated globally — force multiple blocks and check the merge
+    ids = np.arange(8, dtype=np.int64)
+    x = np.array([10, 9, 8, 1, 10, 2, 3, 7], dtype=np.int64)
+    y = np.array([1, 2, 3, 9, 2, 8, 7, 3], dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+    ).repartition(4)
+    out = {r["id"] for r in an.skyline_ds(ds, "id", "x", "y").take_all()}
+    keep = an._skyline_keep(x, y)
+    assert out == set(ids[keep].tolist())
+    # (10,1) id=0 is dominated by (10,2) id=4; (8,3)=2 and (7,3)=7: 7 dominated
+    assert 0 not in out and 7 not in out and 4 in out

@@ -146,3 +146,24 @@ def test_triangles_two_overlapping(ray_session):
         for r in gr.copurchase_triangles_ds(li, min_support=2).take_all()
     )
     assert tri == [(1, 2, 3), (2, 3, 4)]
+
+
+def test_clustering_coeff_hand_computed(ray_session):
+    # triangle {1,2,3} plus pendant edge (1,4); pair (2,4) appears in
+    # only one order -> filtered by min_support=2
+    rows = []
+    for okey in (10, 20):  # parts {1,2,3} together twice
+        rows += [(okey, 1), (okey, 2), (okey, 3)]
+    for okey in (30, 40):  # parts {1,4} together twice
+        rows += [(okey, 1), (okey, 4)]
+    rows += [(50, 2), (50, 4)]  # support-1 noise pair
+    out = {
+        r["node"]: (r["n_tri"], r["degree"], r["coeff_e6"])
+        for r in gr.clustering_coeff_ds(_lineitem(rows), min_support=2).take_all()
+    }
+    assert out == {
+        1: (1, 3, 333_333),
+        2: (1, 2, 1_000_000),
+        3: (1, 2, 1_000_000),
+        4: (0, 1, 0),
+    }
