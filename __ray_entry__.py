@@ -2564,7 +2564,43 @@ def q_clustering_coeff(sf_dir: str) -> ray.data.Dataset:
     return gr.clustering_coeff_ds(li, min_support=2)
 
 
+def q_components(sf_dir: str) -> ray.data.Dataset:
+    """Connected components of the support>=2 co-purchase graph
+    (node, component=min member id, component size): distributed
+    hash-min label propagation with pointer doubling — the same
+    machinery that resolves dedup clusters — over the mined edge list,
+    plus one component-size groupby attached under a broadcast guard."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return gr.connected_components_ds(li, min_support=2)
+
+
+def q_mode(sf_dir: str) -> ray.data.Dataset:
+    """Grouped mode: each user's most frequent event type (count desc,
+    lexicographic tie-break) from a distinct-cell count groupby plus
+    one bucket-hash argmax pass."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return an.grouped_mode_ds(ev, mode_col="mode_type")
+
+
+def q_attribution(sf_dir: str) -> ray.data.Dataset:
+    """First/last-touch attribution per user: first and last event type
+    + timestamp and total events, via one-partial-row-per-key block
+    combiners and a single bucket-hash reduce."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return an.attribution_ds(ev)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "components": q_components,
+    "mode": q_mode,
+    "attribution": q_attribution,
     "user_paths": q_user_paths,
     "skyline": q_skyline,
     "clustering_coeff": q_clustering_coeff,
@@ -2730,6 +2766,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "components",
+    "mode",
+    "attribution",
     "user_paths",
     "skyline",
     "clustering_coeff",
@@ -4190,6 +4229,54 @@ ORACLES["clustering_coeff"] = """
                      // (d.degree * (d.degree - 1))
                 ELSE 0 END AS BIGINT) AS coeff_e6
     FROM deg d LEFT JOIN tri t2 ON t2.node = d.node
+"""
+ORACLES["components"] = """
+    WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    e AS (SELECT x, y FROM e0 WHERE support >= 2),
+    sym AS (SELECT x AS a, y AS b FROM e UNION ALL SELECT y AS a, x AS b FROM e),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+    lab AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),
+    sz AS (SELECT component, count(*) AS n_nodes FROM lab GROUP BY 1)
+    SELECT CAST(l.node AS BIGINT) AS node,
+           CAST(l.component AS BIGINT) AS component,
+           CAST(s.n_nodes AS BIGINT) AS n_nodes
+    FROM lab l JOIN sz s USING (component)
+"""
+ORACLES["mode"] = """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+      FROM c)
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS mode_type,
+           CAST(n AS BIGINT) AS n_events
+    FROM r WHERE rn = 1
+"""
+ORACLES["attribution"] = """
+    WITH b AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS ra,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           max(CASE WHEN ra = 1 THEN event_type END) AS first_type,
+           CAST(max(CASE WHEN ra = 1 THEN ts_us END) AS BIGINT) AS first_ts_us,
+           max(CASE WHEN rd = 1 THEN event_type END) AS last_type,
+           CAST(max(CASE WHEN rd = 1 THEN ts_us END) AS BIGINT) AS last_ts_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM b GROUP BY 1
 """
 
 

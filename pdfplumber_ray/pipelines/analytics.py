@@ -2423,3 +2423,251 @@ def skyline_ds(
             }
         )
     )
+
+
+# ---------- grouped mode (most frequent value per key) ----------
+
+
+def grouped_mode_ds(
+    ds: Dataset,
+    key_col: str = "user_id",
+    val_col: str = "event_type",
+    mode_col: str = "mode_val",
+    n_col: str = "n_events",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Most frequent value per key with a deterministic tie-break
+    (higher count wins, ties go to the lexicographically smallest
+    value) — the `row_number() OVER (ORDER BY n DESC, v)` = 1 pattern.
+
+    Scale shape: a per-batch ``np.lexsort`` + boundary-count combiner
+    collapses each block to one row per distinct (key, value) BEFORE
+    the exact ``groupby([key, value])`` count; the argmax then needs
+    each key's candidate rows co-located, which ONE
+    ``mix64(key) % n_buckets`` shuffle of the (key, value, n) rows —
+    already distinct-cell-sized, not row-sized — provides. In-bucket
+    selection is one lexsort + group-start gather, no per-key Python."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "v": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column(val_col).cast(pa.string()).to_numpy(zero_copy_only=False)
+        v = v.astype(str)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        new = np.concatenate(([True], (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])))
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate((starts, [len(ks)])))
+        return pa.table(
+            {
+                "k": pa.array(ks[starts], pa.int64()),
+                "v": pa.array(vs[starts], pa.string()),
+                "n_p": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([key_col, val_col])
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["k", "v"])
+        .aggregate(Sum("n_p"))
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "k": pa.array([], pa.int64()),
+                "v": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(k, pa.int64()),
+                "v": batch.column("v"),
+                "n": batch.column("sum(n_p)").cast(pa.int64()),
+            }
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                mode_col: pa.array([], pa.string()),
+                n_col: pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False).astype(str)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -n, k))
+        ks, vs, ns = k[order], v[order], n[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts], pa.int64()),
+                mode_col: pa.array(vs[starts], pa.string()),
+                n_col: pa.array(ns[starts], pa.int64()),
+            }
+        )
+
+    out = (
+        counts.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+    return _anchor_schema(
+        out,
+        pa.schema(
+            [(key_col, pa.int64()), (mode_col, pa.string()), (n_col, pa.int64())]
+        ),
+    )
+
+
+# ---------- first/last-touch attribution ----------
+
+
+def attribution_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    order_cols: Tuple[str, str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    n_buckets: int = 256,
+) -> Dataset:
+    """First- and last-touch attribution per key: the first and last
+    event's type and timestamp plus the total event count — the
+    ``arg_min/arg_max OVER (PARTITION BY user)`` summary behind
+    marketing attribution and session bookending.
+
+    Scale shape: two-level argmin/argmax combine. A per-batch lexsort
+    combiner collapses each block to ONE partial row per key (first
+    candidate, last candidate, count) — so only key-count-sized partials
+    shuffle — then one ``mix64(key) % n_buckets`` exchange co-locates a
+    key's partials and three vectorized passes (min-lexsort, max-lexsort,
+    reduceat sum) finish. Deterministic because ``order_cols`` pairs are
+    unique per event."""
+
+    part_schema = pa.schema(
+        [
+            ("bkt", pa.int64()),
+            ("k", pa.int64()),
+            ("f_o1", pa.int64()),
+            ("f_o2", pa.int64()),
+            ("f_t", pa.string()),
+            ("l_o1", pa.int64()),
+            ("l_o2", pa.int64()),
+            ("l_t", pa.string()),
+            ("n_p", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("first_type", pa.string()),
+            ("first_ts_us", pa.int64()),
+            ("last_type", pa.string()),
+            ("last_ts_us", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in part_schema})
+        if batch.num_rows == 0:
+            return empty
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        o1 = (
+            batch.column(order_cols[0]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        o2 = (
+            batch.column(order_cols[1]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        t = batch.column(type_col).cast(pa.string()).to_numpy(zero_copy_only=False)
+        t = t.astype(str)
+        order = np.lexsort((o2, o1, k))
+        ks, o1s, o2s, ts_ = k[order], o1[order], o2[order], t[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        ends = np.concatenate((starts[1:], [len(ks)])) - 1
+        n_p = np.diff(np.concatenate((starts, [len(ks)])))
+        kk = ks[starts]
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(kk) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(kk, pa.int64()),
+                "f_o1": pa.array(o1s[starts], pa.int64()),
+                "f_o2": pa.array(o2s[starts], pa.int64()),
+                "f_t": pa.array(ts_[starts], pa.string()),
+                "l_o1": pa.array(o1s[ends], pa.int64()),
+                "l_o2": pa.array(o2s[ends], pa.int64()),
+                "l_t": pa.array(ts_[ends], pa.string()),
+                "n_p": pa.array(n_p.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def reduce(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        f_o1 = group.column("f_o1").to_numpy(zero_copy_only=False)
+        f_o2 = group.column("f_o2").to_numpy(zero_copy_only=False)
+        f_t = group.column("f_t").to_numpy(zero_copy_only=False).astype(str)
+        l_o1 = group.column("l_o1").to_numpy(zero_copy_only=False)
+        l_o2 = group.column("l_o2").to_numpy(zero_copy_only=False)
+        l_t = group.column("l_t").to_numpy(zero_copy_only=False).astype(str)
+        n_p = group.column("n_p").to_numpy(zero_copy_only=False)
+
+        fo = np.lexsort((f_o2, f_o1, k))  # per key: first candidate leads
+        fstarts = np.flatnonzero(
+            np.concatenate(([True], k[fo][1:] != k[fo][:-1]))
+        )
+        fidx = fo[fstarts]
+
+        lo = np.lexsort((l_o2, l_o1, k))  # per key: last candidate trails
+        kl = k[lo]
+        lstarts = np.flatnonzero(np.concatenate(([True], kl[1:] != kl[:-1])))
+        lends = np.concatenate((lstarts[1:], [len(kl)])) - 1
+        lidx = lo[lends]
+
+        ko = np.argsort(k, kind="stable")
+        kk = k[ko]
+        nstarts = np.flatnonzero(np.concatenate(([True], kk[1:] != kk[:-1])))
+        n_tot = np.add.reduceat(n_p[ko], nstarts)
+
+        return pa.table(
+            {
+                key_col: pa.array(k[fidx], pa.int64()),
+                "first_type": pa.array(f_t[fidx], pa.string()),
+                "first_ts_us": pa.array(f_o1[fidx], pa.int64()),
+                "last_type": pa.array(l_t[lidx], pa.string()),
+                "last_ts_us": pa.array(l_o1[lidx], pa.int64()),
+                "n_events": pa.array(n_tot.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        events.select_columns([key_col, order_cols[0], order_cols[1], type_col])
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(reduce, batch_format="pyarrow")
+    )
+    return _anchor_schema(out, out_schema)

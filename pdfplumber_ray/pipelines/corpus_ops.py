@@ -2251,43 +2251,121 @@ def pack_sequences_ds(
     return tok.groupby("bucket").map_groups(pack, batch_format="pyarrow")
 
 
-def _label_shortcut(labels: Dataset) -> Dataset:
-    """Pointer-doubling step: label[node] <- label[label[node]]. One
-    groupby shuffle over (node count + node count) rows. Every label value
-    is itself a node (hash-min with self-loops guarantees it), so each
-    group carries exactly one definition row."""
+def _hash_bucket_column(key_col: pa.ChunkedArray, n_buckets: int) -> pa.Array:
+    """Deterministic cross-worker bucket assignment for a key column:
+    vectorized splitmix64 for integer ids (the scale path); per-row md5
+    for non-integer ids (small-corpus dedup path only)."""
+    if pa.types.is_integer(key_col.type):
+        from .analytics import _mix64
 
-    def refs(b: pa.Table) -> pa.Table:
-        return pa.table(
+        k = key_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.array(
+            (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+        )
+    import hashlib
+
+    return pa.array(
+        np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+                % n_buckets
+                for v in key_col.to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(key_col),
+        ),
+        pa.int64(),
+    )
+
+
+def _segment_min_lab(
+    key: np.ndarray, labf: np.ndarray, lab_valid: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared in-bucket kernel: sort rows by key with each key segment's
+    minimal VALID lab first, return (order, per-sorted-row segment index,
+    segment-start positions, per-segment first-row-valid mask). One
+    lexsort + boundary scan — no per-key Python."""
+    inv = ~lab_valid  # valid rows sort first within a key segment
+    order = np.lexsort((labf, inv, key))
+    ks = key[order]
+    new = np.concatenate(([True], ks[1:] != ks[:-1]))
+    starts = np.flatnonzero(new)
+    seg_id = np.cumsum(new) - 1
+    first_valid = lab_valid[order][starts]
+    return order, seg_id, starts, first_valid
+
+
+def _label_shortcut(labels: Dataset, n_buckets: int = 512) -> Dataset:
+    """Pointer-doubling step: label[node] <- label[label[node]]. One
+    bucket-hash shuffle over 2x node count rows; in-bucket resolution is
+    a single lexsort + segment gather. NEVER ``groupby(key).map_groups``
+    per node — a graph has millions of near-singleton key groups and the
+    per-group Python overhead dominates (the CLAUDE.md map_groups trap;
+    measured 20+ min vs seconds on the sf0.01 co-purchase graph). Every
+    label value is itself a node (hash-min with self-loops guarantees
+    it), so each key segment carries exactly one definition row; a key
+    with no definition defensively keeps itself."""
+
+    def refs_and_defs(b: pa.Table) -> pa.Table:
+        # one pass emits both row kinds — a self-union here would double
+        # the block count every pointer-doubling round (exponential task
+        # growth across propagation iterations)
+        refs = pa.table(
             {
                 "key": b.column("label"),
                 "node": b.column("node"),
                 "lab": pa.nulls(b.num_rows, b.column("label").type),
+                "bkt": _hash_bucket_column(b.column("label"), n_buckets),
             }
         )
-
-    def defs(b: pa.Table) -> pa.Table:
-        return pa.table(
+        defs = pa.table(
             {
                 "key": b.column("node"),
                 "node": pa.nulls(b.num_rows, b.column("node").type),
                 "lab": b.column("label"),
+                "bkt": _hash_bucket_column(b.column("node"), n_buckets),
+            }
+        )
+        return pa.concat_tables([refs, defs]).combine_chunks()
+
+    def resolve(group: pa.Table) -> pa.Table:
+        id_type = group.column("key").type
+        if group.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], id_type), "label": pa.array([], id_type)}
+            )
+        key_col = group.column("key")
+        node_col, lab_col = group.column("node"), group.column("lab")
+        key = key_col.to_numpy(zero_copy_only=False)
+        node_valid = pc.is_valid(node_col).to_numpy(zero_copy_only=False)
+        lab_valid = pc.is_valid(lab_col).to_numpy(zero_copy_only=False)
+        # coalesce with key only to get a dense same-typed array; the
+        # validity masks gate every use of the filled values
+        nodef = pc.coalesce(node_col, key_col).to_numpy(zero_copy_only=False)
+        labf = pc.coalesce(lab_col, key_col).to_numpy(zero_copy_only=False)
+        if key.dtype == object:  # string ids: lexsort needs unicode dtype
+            key, labf, nodef = key.astype(str), labf.astype(str), nodef.astype(str)
+        order, seg_id, starts, first_valid = _segment_min_lab(
+            key, labf, lab_valid
+        )
+        ks, labs = key[order], labf[order]
+        seg_lab = np.where(first_valid, labs[starts], ks[starts])
+        row_lab = seg_lab[seg_id]
+        nv = node_valid[order]
+        return pa.table(
+            {
+                "node": pa.array(nodef[order][nv], id_type),
+                "label": pa.array(row_lab[nv], id_type),
             }
         )
 
-    def resolve(group: pa.Table) -> pa.Table:
-        lab_col = group.column("lab")
-        lab = pc.min(lab_col).as_py()
-        nodes = group.column("node").filter(pc.is_valid(group.column("node")))
-        if lab is None:  # defensive: key with no definition keeps itself
-            lab = group.column("key")[0].as_py()
-        return pa.table(
-            {"node": nodes, "label": pa.array([lab] * len(nodes), lab_col.type)}
+    return (
+        labels.map_batches(
+            refs_and_defs, batch_format="pyarrow", zero_copy_batch=True
         )
-
-    a = labels.map_batches(refs, batch_format="pyarrow", zero_copy_batch=True)
-    b = labels.map_batches(defs, batch_format="pyarrow", zero_copy_batch=True)
-    return a.union(b).groupby("key").map_groups(resolve, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
 
 
 def _min_label_propagation(
@@ -2377,15 +2455,33 @@ def _min_label_propagation(
         ).take_all()  # one row per block — O(#blocks), not O(#nodes)
         return sum(int(r["h"]) for r in parts) & 0xFFFFFFFFFFFFFFFF
 
+    n_buckets = 512
+    # block-count governor: the per-round union (labels ∪ edge messages)
+    # and shuffles otherwise DOUBLE the labels block count every
+    # iteration — exponential task growth that stalls the loop after ~5
+    # rounds even on tiny graphs. Repartition each round's result back to
+    # a block count proportional to the edge set (labels has ≤ 2x edge
+    # rows, so edge blocks are the right scale proxy on a real cluster).
+    n_parts = max(8, edges.num_blocks())
+    labels = labels.repartition(n_parts).materialize()
     prev = checksum(labels)
     iters = 0
     converged = False
     for _ in range(max_iters):
         # one propagation round: each node's label flows to its neighbors,
-        # then every node keeps the minimum candidate (self label included)
+        # then every node keeps the minimum candidate (self label included).
+        # Co-location of a node's label row with its outgoing edges is ONE
+        # bucket-hash shuffle (mix64(src) % n_buckets) with a vectorized
+        # lexsort + segment-gather inside the bucket — never a per-node
+        # map_groups (the CLAUDE.md near-singleton-group trap).
         tagged_labels = labels.map_batches(
             lambda b: pa.table(
-                {"src": b.column("node"), "dst": b.column("node"), "label": b.column("label")}
+                {
+                    "src": b.column("node"),
+                    "dst": b.column("node"),
+                    "label": b.column("label"),
+                    "bkt": _hash_bucket_column(b.column("node"), n_buckets),
+                }
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -2396,6 +2492,7 @@ def _min_label_propagation(
                     "src": b.column("src"),
                     "dst": b.column("dst"),
                     "label": pa.nulls(b.num_rows, b.column("src").type),
+                    "bkt": _hash_bucket_column(b.column("src"), n_buckets),
                 }
             ),
             batch_format="pyarrow",
@@ -2403,19 +2500,35 @@ def _min_label_propagation(
         )
 
         def send(group: pa.Table) -> pa.Table:
-            lab_col = group.column("label")
-            lab = pc.min(lab_col).as_py()
-            dsts = group.column("dst")
+            id_type = group.column("src").type
+            if group.num_rows == 0:
+                return pa.table(
+                    {"node": pa.array([], id_type), "label": pa.array([], id_type)}
+                )
+            src_col, lab_col = group.column("src"), group.column("label")
+            src = src_col.to_numpy(zero_copy_only=False)
+            dst = group.column("dst").to_numpy(zero_copy_only=False)
+            lab_valid = pc.is_valid(lab_col).to_numpy(zero_copy_only=False)
+            labf = pc.coalesce(lab_col, src_col).to_numpy(zero_copy_only=False)
+            if src.dtype == object:  # string ids (small-corpus path)
+                src, dst, labf = src.astype(str), dst.astype(str), labf.astype(str)
+            order, seg_id, starts, first_valid = _segment_min_lab(
+                src, labf, lab_valid
+            )
+            # every src has its own label row, so segments lacking a valid
+            # label cannot occur; drop them defensively (Min skips nulls)
+            row_lab = labf[order][starts][seg_id]
+            keep = first_valid[seg_id]
             return pa.table(
                 {
-                    "node": dsts,
-                    "label": pa.array([lab] * len(dsts), lab_col.type),
+                    "node": pa.array(dst[order][keep], id_type),
+                    "label": pa.array(row_lab[keep], id_type),
                 }
             )
 
         msgs = (
             tagged_labels.union(null_label)
-            .groupby("src")
+            .groupby("bkt")
             .map_groups(send, batch_format="pyarrow")
         )
         propagated = msgs.groupby("node").aggregate(Min("label")).map_batches(
@@ -2426,8 +2539,10 @@ def _min_label_propagation(
             zero_copy_batch=True,
         )
         # pointer doubling: jump each node straight to its label's label —
-        # halves the remaining distance to the component minimum per round
-        new_labels = _label_shortcut(propagated).materialize()
+        # halves the remaining distance to the component minimum per round.
+        # Repartition back to n_parts BEFORE materializing: without it the
+        # union + shuffle block fan-out compounds across iterations.
+        new_labels = _label_shortcut(propagated).repartition(n_parts).materialize()
         iters += 1
         cur = checksum(new_labels)
         labels = new_labels

@@ -778,3 +778,115 @@ def clustering_coeff_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def connected_components_ds(
+    lineitem: Dataset,
+    min_support: int = 2,
+    n_buckets: int = 512,
+    max_broadcast_components: int = 20_000_000,
+) -> Dataset:
+    """Connected components of the co-purchase graph (edges per
+    ``copurchase_edges_ds``): one row per node with its component id —
+    the component's minimum part key — plus the component size. The
+    community-grouping step behind per-cluster sampling, cluster-level
+    dedup analytics, and graph partition planning.
+
+    Scale shape: reuses the distributed hash-min label propagation that
+    powers dedup-cluster resolution
+    (``corpus_ops._min_label_propagation`` — iterated
+    ``groupby().min()`` with a pointer-doubling shortcut, O(log
+    diameter) rounds, nothing node-count-sized on the driver); the
+    mined edge list materializes ONCE and is the only large dataset.
+    Component sizes come from one extra ``groupby(label)`` count whose
+    per-batch combiner emits one row per distinct label per block."""
+    from .corpus_ops import _min_label_propagation
+
+    empty_schema = pa.schema(
+        [("node", pa.int64()), ("component", pa.int64()), ("n_nodes", pa.int64())]
+    )
+    empty = pa.table({f.name: pa.array([], f.type) for f in empty_schema})
+    edges = copurchase_edges_ds(lineitem, min_support, n_buckets)
+    if edges.count() == 0:  # edges is materialized — count is free
+        return ray.data.from_arrow(empty)
+    labels = _min_label_propagation(edges, "x", "y").materialize()
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"component": pa.array([], pa.int64()),
+                 "sz_p": pa.array([], pa.int64())}
+            )
+        lab, cnt = np.unique(
+            batch.column("label").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "component": pa.array(lab, pa.int64()),
+                "sz_p": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    sizes = (
+        labels.map_batches(size_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("component")
+        .aggregate(Sum("sz_p"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "component": b.column("component").cast(pa.int64()),
+                    "n_nodes": b.column("sum(sz_p)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    if sizes.count() > max_broadcast_components:
+        # too many components for a driver-side lookup: attach sizes
+        # through the generic bucket-hash shuffle join instead
+        from .analytics import hash_join_ds
+
+        renamed = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "component": b.column("label").cast(pa.int64()),
+                    "node": b.column("node").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = hash_join_ds(renamed, sizes, "component", "component", n_buckets)
+        out = joined.map_batches(
+            lambda b: b.select(["node", "component", "n_nodes"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return ray.data.from_arrow(empty).union(out)
+
+    # small-component-count path: ONE driver-bounded lookup broadcast
+    size_rows = sizes.take_all()
+    comp_ids = np.asarray([r["component"] for r in size_rows], dtype=np.int64)
+    comp_sz = np.asarray([r["n_nodes"] for r in size_rows], dtype=np.int64)
+    order = np.argsort(comp_ids)
+    comp_ref = ray.put((comp_ids[order], comp_sz[order]))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ids, sz = ray.get(comp_ref)
+        node = batch.column("node").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lab = batch.column("label").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, lab)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "component": pa.array(lab, pa.int64()),
+                "n_nodes": pa.array(sz[pos], pa.int64()),
+            }
+        )
+
+    return labels.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)

@@ -663,3 +663,68 @@ def test_skyline_ds_merges_local_frontiers(ray_session):
     assert out == set(ids[keep].tolist())
     # (10,1) id=0 is dominated by (10,2) id=4; (8,3)=2 and (7,3)=7: 7 dominated
     assert 0 not in out and 7 not in out and 4 in out
+
+
+def test_grouped_mode_tiebreak_and_counts(ray_session):
+    ev = _events(
+        [
+            # user 1: click x2, view x2 -> tie broken lexicographically (click)
+            (1, 1, 100, "click", 0),
+            (2, 1, 200, "click", 0),
+            (3, 1, 300, "view", 0),
+            (4, 1, 400, "view", 0),
+            # user 2: purchase x3 beats click x1
+            (5, 2, 500, "purchase", 0),
+            (6, 2, 600, "purchase", 0),
+            (7, 2, 700, "purchase", 0),
+            (8, 2, 800, "click", 0),
+        ]
+    )
+    rows = {
+        r["user_id"]: (r["mode_type"], r["n_events"])
+        for r in an.grouped_mode_ds(ev, mode_col="mode_type").take_all()
+    }
+    assert rows == {1: ("click", 2), 2: ("purchase", 3)}
+
+
+def test_grouped_mode_bucket_invariant(ray_session):
+    ev = _events(
+        [(i, i % 5, i * 10, "e%d" % (i % 3), 0) for i in range(90)]
+    )
+    a = {
+        (r["user_id"], r["mode_type"], r["n_events"])
+        for r in an.grouped_mode_ds(ev, mode_col="mode_type", n_buckets=2).take_all()
+    }
+    b = {
+        (r["user_id"], r["mode_type"], r["n_events"])
+        for r in an.grouped_mode_ds(ev, mode_col="mode_type", n_buckets=64).take_all()
+    }
+    assert a == b and len(a) == 5
+
+
+def test_attribution_first_last_and_ties(ray_session):
+    ev = _events(
+        [
+            (3, 1, 300, "purchase", 0),
+            (1, 1, 100, "view", 0),
+            (2, 1, 200, "click", 0),
+            # user 2: ts ties resolved by event_id on both ends
+            (5, 2, 500, "b", 0),
+            (4, 2, 500, "a", 0),
+            (6, 2, 500, "c", 0),
+        ]
+    )
+    rows = {r["user_id"]: r for r in an.attribution_ds(ev).take_all()}
+    r1 = rows[1]
+    assert (r1["first_type"], r1["first_ts_us"]) == ("view", 100)
+    assert (r1["last_type"], r1["last_ts_us"]) == ("purchase", 300)
+    assert r1["n_events"] == 3
+    r2 = rows[2]
+    assert (r2["first_type"], r2["last_type"], r2["n_events"]) == ("a", "c", 3)
+
+
+def test_attribution_single_event_user(ray_session):
+    ev = _events([(1, 9, 777, "view", 0)])
+    [r] = an.attribution_ds(ev).take_all()
+    assert r["first_type"] == r["last_type"] == "view"
+    assert r["first_ts_us"] == r["last_ts_us"] == 777 and r["n_events"] == 1

@@ -167,3 +167,61 @@ def test_clustering_coeff_hand_computed(ray_session):
         3: (1, 2, 1_000_000),
         4: (0, 1, 0),
     }
+
+
+def test_connected_components_two_clusters(ray_session):
+    # cluster {1,2,3} (chain 1-2, 2-3) and cluster {7,8}; support-1
+    # noise pair (3,7) must NOT bridge them
+    rows = []
+    for okey in (10, 20):
+        rows += [(okey, 1), (okey, 2)]
+    for okey in (30, 40):
+        rows += [(okey, 2), (okey, 3)]
+    for okey in (50, 60):
+        rows += [(okey, 7), (okey, 8)]
+    rows += [(70, 3), (70, 7)]  # support 1 -> filtered
+    out = {
+        r["node"]: (r["component"], r["n_nodes"])
+        for r in gr.connected_components_ds(
+            gr_lineitem(rows), min_support=2
+        ).take_all()
+    }
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        7: (7, 2), 8: (7, 2),
+    }
+
+
+def test_connected_components_empty_graph(ray_session):
+    # every pair support 1 -> no edges -> typed empty result
+    out = gr.connected_components_ds(
+        gr_lineitem([(1, 1), (1, 2), (2, 3), (2, 4)]), min_support=2
+    )
+    assert out.take_all() == []
+    sch = out.schema(fetch_if_missing=True)
+    assert sch.names == ["node", "component", "n_nodes"]
+
+
+def test_connected_components_join_path_matches_broadcast(ray_session):
+    # forcing the hash-join size-attach path must match the broadcast path
+    rows = []
+    for okey in (10, 20):
+        rows += [(okey, 1), (okey, 2), (okey, 3)]
+    for okey in (30, 40):
+        rows += [(okey, 9), (okey, 11)]
+    li = gr_lineitem(rows)
+    bc = sorted(
+        (r["node"], r["component"], r["n_nodes"])
+        for r in gr.connected_components_ds(li, min_support=2).take_all()
+    )
+    jn = sorted(
+        (r["node"], r["component"], r["n_nodes"])
+        for r in gr.connected_components_ds(
+            li, min_support=2, max_broadcast_components=0
+        ).take_all()
+    )
+    assert bc == jn and len(bc) == 5
+
+
+# alias used by the components tests above (keeps the original helper name)
+gr_lineitem = _lineitem
