@@ -1388,10 +1388,13 @@ def hash_join_ds(
     left_key: str,
     right_key: str,
     n_buckets: int = 512,
+    how: str = "inner",
 ) -> Dataset:
-    """Generic INNER equi-join of two LARGE datasets (N:M multiplicity)
-    — the core relational exchange Ray Data's high-level API does not
-    ship. Output carries the left key column plus every payload column
+    """Generic equi-join of two LARGE datasets (N:M multiplicity) — the
+    core relational exchange Ray Data's high-level API does not ship.
+    ``how="inner"`` (default) or ``"left"`` (unmatched left rows emit
+    once with null right payload — the LEFT OUTER JOIN contract).
+    Output carries the left key column plus every payload column
     of both sides (column names must not collide — pre-project/rename
     upstream, which also prunes the exchange to needed columns).
 
@@ -1461,11 +1464,24 @@ def hash_join_ds(
 
     def bucket_join(group: pa.Table) -> pa.Table:
         empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+
+        def left_only(lt: pa.Table) -> pa.Table:
+            cols = {left_key: lt.column("k")}
+            for c in lpay:
+                cols[c] = lt.column(c)
+            for c in rpay:
+                cols[c] = pa.nulls(lt.num_rows, r_schema.field(c).type)
+            return pa.table(cols)
+
         side = group.column("side").to_numpy(zero_copy_only=False)
         lmask = side == 0
         rmask = side == 1
-        if not lmask.any() or not rmask.any():
+        if not lmask.any():
             return empty
+        if not rmask.any():
+            if how == "inner":
+                return empty
+            return left_only(group.filter(pa.array(lmask)))
         k = group.column("k").to_numpy(zero_copy_only=False)
         l_idx = np.flatnonzero(lmask)
         r_idx = np.flatnonzero(rmask)
@@ -1478,24 +1494,33 @@ def hash_join_ds(
         hi = np.searchsorted(rk_s, lk, side="right")
         counts = hi - lo
         total = int(counts.sum())
-        if total == 0:
+        parts = []
+        if how == "left":
+            miss = np.flatnonzero(counts == 0)
+            if miss.size:
+                parts.append(
+                    left_only(group.take(pa.array(l_idx[miss], pa.int64())))
+                )
+        if total > 0:
+            out_l = np.repeat(l_idx, counts)
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(offsets, counts)
+                + np.repeat(lo, counts)
+            )
+            out_r = r_sorted[pos]
+            lt = group.take(pa.array(out_l, pa.int64()))
+            rt = group.take(pa.array(out_r, pa.int64()))
+            cols = {left_key: lt.column("k")}
+            for c in lpay:
+                cols[c] = lt.column(c)
+            for c in rpay:
+                cols[c] = rt.column(c)
+            parts.append(pa.table(cols))
+        if not parts:
             return empty
-        out_l = np.repeat(l_idx, counts)
-        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        pos = (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(offsets, counts)
-            + np.repeat(lo, counts)
-        )
-        out_r = r_sorted[pos]
-        lt = group.take(pa.array(out_l, pa.int64()))
-        rt = group.take(pa.array(out_r, pa.int64()))
-        cols = {left_key: lt.column("k")}
-        for c in lpay:
-            cols[c] = lt.column(c)
-        for c in rpay:
-            cols[c] = rt.column(c)
-        return pa.table(cols)
+        return pa.concat_tables(parts).combine_chunks()
 
     return _anchor_schema(
         both.groupby("bkt").map_groups(bucket_join, batch_format="pyarrow"),
@@ -2671,3 +2696,439 @@ def attribution_ds(
         .map_groups(reduce, batch_format="pyarrow")
     )
     return _anchor_schema(out, out_schema)
+
+
+# ---------- sessionization (gap-based sessions per user) ----------
+
+
+def sessions_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    gap_us: int = 1_800_000_000,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Gap-based sessionization: split each user's event stream into
+    sessions wherever consecutive events are more than ``gap_us`` apart,
+    and emit one row per session (user, 1-based session ordinal, start /
+    end timestamps, event count) — the gaps-and-islands pattern behind
+    engagement and funnel metrics.
+
+    Scale shape: sessionization is inherently a per-user ordered scan,
+    so the event rows themselves shuffle ONCE by ``mix64(user) %
+    n_buckets`` (bounded group count), pruned to (user, ts_us, tie) —
+    ~24 bytes/row. Inside the bucket one lexsort segments users, breaks
+    are a vectorized gap compare, and sessions reduce to their
+    boundary rows — no per-user Python, no driver collection.
+    Determinism: ties on ts are ordered by ``tie_col`` (unique), and a
+    zero gap can never open a session, so tied rows always co-session."""
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("session_id", pa.int64()),
+            ("start_us", pa.int64()),
+            ("end_us", pa.int64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(k, pa.int64()),
+                "t": batch.column(ts_col).cast(pa.int64()),
+                "e": batch.column(tie_col).cast(pa.int64()),
+            }
+        )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        e = group.column("e").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, k))
+        ks, ts_, = k[order], t[order]
+        new_user = np.concatenate(([True], ks[1:] != ks[:-1]))
+        gap_break = np.concatenate(([True], (ts_[1:] - ts_[:-1]) > gap_us))
+        brk = new_user | gap_break
+        sess_idx = np.cumsum(brk) - 1  # global 0-based session per row
+        s_starts = np.flatnonzero(brk)
+        s_ends = np.concatenate((s_starts[1:], [len(ks)])) - 1
+        n_ev = np.diff(np.concatenate((s_starts, [len(ks)])))
+        # per-user 1-based ordinal: subtract the user's first session idx
+        u_starts = np.flatnonzero(new_user)
+        base = np.repeat(sess_idx[u_starts], np.diff(np.concatenate((u_starts, [len(ks)]))))
+        sid = sess_idx - base + 1
+        return pa.table(
+            {
+                key_col: pa.array(ks[s_starts], pa.int64()),
+                "session_id": pa.array(sid[s_starts], pa.int64()),
+                "start_us": pa.array(ts_[s_starts], pa.int64()),
+                "end_us": pa.array(ts_[s_ends], pa.int64()),
+                "n_events": pa.array(n_ev.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        events.select_columns([key_col, ts_col, tie_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+    return _anchor_schema(out, out_schema)
+
+
+# ---------- OHLC bars (open/high/low/close per period) ----------
+
+
+def ohlc_bars_ds(
+    orders: Dataset,
+    date_col: str = "o_orderdate",
+    key_col: str = "o_orderkey",
+    price_col: str = "o_totalprice",
+) -> Dataset:
+    """Monthly OHLC bars over the order stream: per calendar month the
+    first order's price (open), max (high), min (low), last order's
+    price (close), order count and total — the downsampling step behind
+    any time-series dashboard. Prices quantize to integer cents
+    (``round(p*100)``) for engine-exact compares; first/last ties on the
+    date break by order key.
+
+    Scale shape: a per-batch lexsort combiner collapses each block to
+    ONE partial bar per month (open candidate, close candidate, min,
+    max, count, sum), so only months-per-block-sized partials shuffle;
+    the month domain is bounded (~a century = 1200 groups), so a plain
+    ``groupby("ym").map_groups`` finishes with one vectorized pass."""
+    part_schema = pa.schema(
+        [
+            ("ym", pa.int64()),
+            ("f_d", pa.int64()),
+            ("f_k", pa.int64()),
+            ("f_c", pa.int64()),
+            ("l_d", pa.int64()),
+            ("l_k", pa.int64()),
+            ("l_c", pa.int64()),
+            ("lo", pa.int64()),
+            ("hi", pa.int64()),
+            ("n_p", pa.int64()),
+            ("s_p", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("ym", pa.int64()),
+            ("open_cents", pa.int64()),
+            ("high_cents", pa.int64()),
+            ("low_cents", pa.int64()),
+            ("close_cents", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("total_cents", pa.int64()),
+        ]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in part_schema})
+        if batch.num_rows == 0:
+            return empty
+        dcol = batch.column(date_col)
+        ym = (
+            pc.add(
+                pc.multiply(pc.year(dcol).cast(pa.int64()), 100),
+                pc.month(dcol).cast(pa.int64()),
+            )
+        ).to_numpy(zero_copy_only=False)
+        d = dcol.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        okey = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(pc.round(pc.multiply(batch.column(price_col), 100)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((okey, d, ym))
+        yms, ds_, ks, cs = ym[order], d[order], okey[order], cents[order]
+        new = np.concatenate(([True], yms[1:] != yms[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(yms)])) - 1
+        n_p = np.diff(np.concatenate((starts, [len(yms)])))
+        lo = np.minimum.reduceat(cs, starts)
+        hi = np.maximum.reduceat(cs, starts)
+        s_p = np.add.reduceat(cs, starts)
+        return pa.table(
+            {
+                "ym": pa.array(yms[starts], pa.int64()),
+                "f_d": pa.array(ds_[starts], pa.int64()),
+                "f_k": pa.array(ks[starts], pa.int64()),
+                "f_c": pa.array(cs[starts], pa.int64()),
+                "l_d": pa.array(ds_[ends], pa.int64()),
+                "l_k": pa.array(ks[ends], pa.int64()),
+                "l_c": pa.array(cs[ends], pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "n_p": pa.array(n_p.astype(np.int64), pa.int64()),
+                "s_p": pa.array(s_p.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def reduce(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        ym = group.column("ym").to_numpy(zero_copy_only=False)
+        f_d = group.column("f_d").to_numpy(zero_copy_only=False)
+        f_k = group.column("f_k").to_numpy(zero_copy_only=False)
+        f_c = group.column("f_c").to_numpy(zero_copy_only=False)
+        l_d = group.column("l_d").to_numpy(zero_copy_only=False)
+        l_k = group.column("l_k").to_numpy(zero_copy_only=False)
+        l_c = group.column("l_c").to_numpy(zero_copy_only=False)
+        lo = group.column("lo").to_numpy(zero_copy_only=False)
+        hi = group.column("hi").to_numpy(zero_copy_only=False)
+        n_p = group.column("n_p").to_numpy(zero_copy_only=False)
+        s_p = group.column("s_p").to_numpy(zero_copy_only=False)
+
+        fo = np.lexsort((f_k, f_d, ym))
+        fstarts = np.flatnonzero(
+            np.concatenate(([True], ym[fo][1:] != ym[fo][:-1]))
+        )
+        fidx = fo[fstarts]
+
+        lo_ = np.lexsort((l_k, l_d, ym))
+        yl = ym[lo_]
+        lstarts = np.flatnonzero(np.concatenate(([True], yl[1:] != yl[:-1])))
+        lends = np.concatenate((lstarts[1:], [len(yl)])) - 1
+        lidx = lo_[lends]
+
+        yo = np.argsort(ym, kind="stable")
+        ys = ym[yo]
+        starts = np.flatnonzero(np.concatenate(([True], ys[1:] != ys[:-1])))
+        return pa.table(
+            {
+                "ym": pa.array(ym[fidx], pa.int64()),
+                "open_cents": pa.array(f_c[fidx], pa.int64()),
+                "high_cents": pa.array(np.maximum.reduceat(hi[yo], starts), pa.int64()),
+                "low_cents": pa.array(np.minimum.reduceat(lo[yo], starts), pa.int64()),
+                "close_cents": pa.array(l_c[lidx], pa.int64()),
+                "n_orders": pa.array(np.add.reduceat(n_p[yo], starts), pa.int64()),
+                "total_cents": pa.array(np.add.reduceat(s_p[yo], starts), pa.int64()),
+            }
+        )
+
+    out = (
+        orders.select_columns([date_col, key_col, price_col])
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ym")
+        .map_groups(reduce, batch_format="pyarrow")
+    )
+    return _anchor_schema(out, out_schema)
+
+
+# ---------- period-over-period (monthly revenue + lag delta) ----------
+
+
+def period_over_period_ds(
+    orders: Dataset,
+    date_col: str = "o_orderdate",
+    price_col: str = "o_totalprice",
+) -> Dataset:
+    """Monthly revenue with the previous month's revenue and the delta
+    (``lag() OVER (ORDER BY month)``) — the period-over-period report.
+    Months with no predecessor emit ``prev_cents = -1, delta_cents = 0``
+    so both engines produce clean int64 (no float-null laundering).
+
+    Scale shape: a per-batch Arrow combiner emits one (month, cents,
+    n) partial per block, ONE tiny ``groupby`` over the bounded month
+    domain reduces them, and the lag itself runs on the final
+    months-sized table in a single block (``repartition(1)``) — the
+    only driver-adjacent step is over a report-sized result by
+    construction."""
+    out_schema = pa.schema(
+        [
+            ("ym", pa.int64()),
+            ("cents", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("prev_cents", pa.int64()),
+            ("delta_cents", pa.int64()),
+        ]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "ym": pa.array([], pa.int64()),
+                    "c_p": pa.array([], pa.int64()),
+                    "n_p": pa.array([], pa.int64()),
+                }
+            )
+        dcol = batch.column(date_col)
+        ym = (
+            pc.add(
+                pc.multiply(pc.year(dcol).cast(pa.int64()), 100),
+                pc.month(dcol).cast(pa.int64()),
+            )
+        ).to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(pc.round(pc.multiply(batch.column(price_col), 100)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(ym, kind="stable")
+        ys, cs = ym[order], cents[order]
+        starts = np.flatnonzero(np.concatenate(([True], ys[1:] != ys[:-1])))
+        return pa.table(
+            {
+                "ym": pa.array(ys[starts], pa.int64()),
+                "c_p": pa.array(np.add.reduceat(cs, starts), pa.int64()),
+                "n_p": pa.array(
+                    np.diff(np.concatenate((starts, [len(ys)]))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    monthly = (
+        orders.select_columns([date_col, price_col])
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ym")
+        .aggregate(Sum("c_p"), Sum("n_p"))
+    )
+
+    def lag_pass(batch: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if batch.num_rows == 0:
+            return empty
+        ym = batch.column("ym").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = batch.column("sum(c_p)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = batch.column("sum(n_p)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(ym, kind="stable")
+        ys, cs, ns = ym[order], c[order], n[order]
+        prev = np.concatenate(([-1], cs[:-1]))
+        delta = np.where(prev < 0, 0, cs - prev)
+        return pa.table(
+            {
+                "ym": pa.array(ys, pa.int64()),
+                "cents": pa.array(cs, pa.int64()),
+                "n_orders": pa.array(ns, pa.int64()),
+                "prev_cents": pa.array(prev, pa.int64()),
+                "delta_cents": pa.array(delta.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = monthly.repartition(1).map_batches(
+        lag_pass, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return _anchor_schema(out, out_schema)
+
+
+# ---------- grouped z-score standardization ----------
+
+
+def zscore_ds(
+    events: Dataset,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    quant: int = 100,
+) -> Dataset:
+    """Per-group standardization: each event's z-score against its
+    group's population mean/std — the feature-normalization step of any
+    model-prep pipeline. Bit-exact by construction: values quantize to
+    ``v = round(value*quant)`` int64, so the group aggregates (n, Σv,
+    Σv²) are exact integers and ``z = (n·v − Σv) / sqrt(n·Σv² − (Σv)²)``
+    is one correctly-rounded IEEE division + sqrt — identical doubles in
+    any engine that mirrors the expression (``z_e6 = floor(z · 1e6)``;
+    constant groups emit 0). Σv² can overflow int64 past ~1e18
+    quant-units-squared — at that scale raise ``quant`` granularity or
+    pre-scale upstream.
+
+    Scale shape: one per-batch combiner emits (group, n, Σv, Σv²)
+    partials; the bounded group domain reduces in a tiny ``groupby``;
+    the per-row pass then reads the aggregate table as a broadcast
+    (``ray.put`` once, binary-searched per batch) — never a shuffle of
+    the event rows themselves."""
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            (key_col, pa.string()),
+            ("v_q", pa.int64()),
+            ("z_e6", pa.int64()),
+        ]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "n_p": pa.array([], pa.int64()),
+                    "s_p": pa.array([], pa.int64()),
+                    "ss_p": pa.array([], pa.int64()),
+                }
+            )
+        g = batch.column(key_col).to_numpy(zero_copy_only=False).astype(str)
+        v = (
+            pc.cast(pc.round(pc.multiply(batch.column(value_col), quant)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(g, kind="stable")
+        gs, vs = g[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], gs[1:] != gs[:-1])))
+        return pa.table(
+            {
+                "g": pa.array(gs[starts], pa.string()),
+                "n_p": pa.array(
+                    np.diff(np.concatenate((starts, [len(gs)]))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "s_p": pa.array(np.add.reduceat(vs, starts), pa.int64()),
+                "ss_p": pa.array(np.add.reduceat(vs * vs, starts), pa.int64()),
+            }
+        )
+
+    agg = (
+        events.select_columns([key_col, value_col])
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Sum("n_p"), Sum("s_p"), Sum("ss_p"))
+        .materialize()
+    )
+    rows = agg.take_all()  # bounded by the group domain (report-sized)
+    groups = np.array(sorted(r["g"] for r in rows), dtype=str)
+    by_g = {r["g"]: r for r in rows}
+    n_arr = np.array([by_g[g]["sum(n_p)"] for g in groups], dtype=np.int64)
+    s_arr = np.array([by_g[g]["sum(s_p)"] for g in groups], dtype=np.int64)
+    ss_arr = np.array([by_g[g]["sum(ss_p)"] for g in groups], dtype=np.int64)
+    stats_ref = ray.put((groups, n_arr, s_arr, ss_arr))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        gg, nn, ss_sum, ss_sq = ray.get(stats_ref)
+        g = batch.column(key_col).to_numpy(zero_copy_only=False).astype(str)
+        v = (
+            pc.cast(pc.round(pc.multiply(batch.column(value_col), quant)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        pos = np.searchsorted(gg, g)
+        n, s, ss = nn[pos], ss_sum[pos], ss_sq[pos]
+        num = (n * v - s).astype(np.float64)
+        den2 = (n * ss - s * s).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = num / np.sqrt(den2)
+        z_e6 = np.where(den2 <= 0, 0, np.floor(z * 1_000_000.0)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                key_col: batch.column(key_col),
+                "v_q": pa.array(v, pa.int64()),
+                "z_e6": pa.array(z_e6, pa.int64()),
+            }
+        )
+
+    return events.select_columns([id_col, key_col, value_col]).map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -890,3 +890,82 @@ def connected_components_ds(
         )
 
     return labels.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def degree_distribution_ds(
+    lineitem: Dataset,
+    min_support: int = 2,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Degree distribution of the support>=``min_support`` co-purchase
+    graph: one row per distinct degree with the number of nodes holding
+    it — the graph-health summary (power-law check, hub detection) any
+    link-graph pipeline reports before iterative algorithms run.
+
+    Scale shape: two combiner+groupby rounds, both pre-aggregated per
+    block. Round 1 counts each node's neighbors (one partial row per
+    node per block via ``np.unique`` over both edge endpoints); round 2
+    histograms the degrees (one partial row per distinct degree per
+    block). The edge list — mined and materialized once by
+    ``copurchase_edges_ds`` — is the only large dataset."""
+    empty_schema = pa.schema([("degree", pa.int64()), ("n_nodes", pa.int64())])
+    empty = pa.table({f.name: pa.array([], f.type) for f in empty_schema})
+    edges = copurchase_edges_ds(lineitem, min_support, n_buckets)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "d_p": pa.array([], pa.int64())}
+            )
+        both = np.concatenate(
+            [
+                batch.column("x").cast(pa.int64()).to_numpy(zero_copy_only=False),
+                batch.column("y").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            ]
+        )
+        node, cnt = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "d_p": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("d_p"))
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"degree": pa.array([], pa.int64()), "n_p": pa.array([], pa.int64())}
+            )
+        deg, cnt = np.unique(
+            batch.column("sum(d_p)").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "degree": pa.array(deg, pa.int64()),
+                "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        degrees.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("degree")
+        .aggregate(Sum("n_p"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "degree": b.column("degree").cast(pa.int64()),
+                    "n_nodes": b.column("sum(n_p)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return ray.data.from_arrow(empty).union(out)

@@ -728,3 +728,136 @@ def test_attribution_single_event_user(ray_session):
     [r] = an.attribution_ds(ev).take_all()
     assert r["first_type"] == r["last_type"] == "view"
     assert r["first_ts_us"] == r["last_ts_us"] == 777 and r["n_events"] == 1
+
+
+def _orders(rows):
+    """rows: list of (o_orderkey, o_orderdate_us, o_totalprice)."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_orderdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "o_totalprice": pa.array([float(r[2]) for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+DAY = 86_400_000_000
+MONTH_JAN = 0  # 1970-01
+MONTH_FEB = 31 * DAY
+
+
+def test_sessions_gap_split_and_ordinals(ray_session):
+    g = 1_800_000_000  # 30 min
+    ev = _events(
+        [
+            # user 1: two sessions (events 1-2 close, 3 after a big gap)
+            (1, 1, 0, "a", 0),
+            (2, 1, g, "a", 0),          # exactly gap -> same session
+            (3, 1, 3 * g + 1, "a", 0),  # > gap after event 2 -> new session
+            # user 2: one session of one event
+            (4, 2, 50, "a", 0),
+        ]
+    )
+    rows = {
+        (r["user_id"], r["session_id"]): (r["start_us"], r["end_us"], r["n_events"])
+        for r in an.sessions_ds(ev).take_all()
+    }
+    assert rows == {
+        (1, 1): (0, g, 2),
+        (1, 2): (3 * g + 1, 3 * g + 1, 1),
+        (2, 1): (50, 50, 1),
+    }
+
+
+def test_sessions_bucket_invariant(ray_session):
+    ev = _events(
+        [(i, i % 7, (i // 7) * 2_000_000_000, "a", 0) for i in range(70)]
+    )
+    a = {tuple(sorted(r.items())) for r in an.sessions_ds(ev, n_buckets=2).take_all()}
+    b = {tuple(sorted(r.items())) for r in an.sessions_ds(ev, n_buckets=64).take_all()}
+    assert a == b and len(a) == 70  # every event 2000s apart -> own session
+
+
+def test_ohlc_bars_open_close_tiebreak(ray_session):
+    orders = _orders(
+        [
+            # Jan: two orders share the earliest date -> open from lower key
+            (10, MONTH_JAN + DAY, 5.00),
+            (7, MONTH_JAN + DAY, 3.00),
+            (12, MONTH_JAN + 5 * DAY, 9.50),
+            # Feb: single order
+            (20, MONTH_FEB + DAY, 2.25),
+        ]
+    )
+    rows = {r["ym"]: r for r in an.ohlc_bars_ds(orders).take_all()}
+    jan = rows[197001]
+    assert jan["open_cents"] == 300 and jan["close_cents"] == 950
+    assert jan["high_cents"] == 950 and jan["low_cents"] == 300
+    assert jan["n_orders"] == 3 and jan["total_cents"] == 1750
+    feb = rows[197002]
+    assert feb["open_cents"] == feb["close_cents"] == 225
+    assert feb["n_orders"] == 1
+
+
+def test_period_over_period_lag_and_sentinel(ray_session):
+    orders = _orders(
+        [
+            (1, MONTH_JAN, 1.00),
+            (2, MONTH_JAN, 2.00),
+            (3, MONTH_FEB, 10.00),
+        ]
+    )
+    rows = sorted(
+        an.period_over_period_ds(orders).take_all(), key=lambda r: r["ym"]
+    )
+    assert [
+        (r["ym"], r["cents"], r["prev_cents"], r["delta_cents"]) for r in rows
+    ] == [(197001, 300, -1, 0), (197002, 1000, 300, 700)]
+
+
+def test_hash_join_left_keeps_unmatched(ray_session):
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "lv": pa.array(["a", "b", "c"], pa.string()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([2, 2], pa.int64()),
+                "rv": pa.array([10, 20], pa.int64()),
+            }
+        )
+    )
+    out = an.hash_join_ds(left, right, "k", "rk", how="left").take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    assert got == [(1, "a", None), (2, "b", 10), (2, "b", 20), (3, "c", None)]
+    inner = an.hash_join_ds(left, right, "k", "rk").take_all()
+    assert sorted((r["k"], r["rv"]) for r in inner) == [(2, 10), (2, 20)]
+
+
+def test_zscore_hand_computed_and_constant_group(ray_session):
+    import math
+
+    ev = _events(
+        [
+            (1, 1, 0, "t", 1.00),   # v_q 100
+            (2, 1, 0, "t", 2.00),   # v_q 200
+            (3, 1, 0, "t", 3.00),   # v_q 300
+            (4, 1, 0, "c", 5.00),   # constant group -> z 0
+            (5, 1, 0, "c", 5.00),
+        ]
+    )
+    rows = {r["event_id"]: r for r in an.zscore_ds(ev).take_all()}
+    # group t: n=3 s=600 ss=140000; den2 = 3*140000 - 360000 = 60000
+    den = math.sqrt(60000.0)
+    for eid, v in ((1, 100), (2, 200), (3, 300)):
+        want = int(np.floor((3 * v - 600) / den * 1e6))
+        assert rows[eid]["z_e6"] == want, eid
+    assert rows[4]["z_e6"] == 0 and rows[5]["z_e6"] == 0
+    assert rows[1]["v_q"] == 100

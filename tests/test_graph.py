@@ -225,3 +225,25 @@ def test_connected_components_join_path_matches_broadcast(ray_session):
 
 # alias used by the components tests above (keeps the original helper name)
 gr_lineitem = _lineitem
+
+
+def test_degree_distribution_hand_computed(ray_session):
+    # support-2 edges: 1-2, 2-3 -> degrees: node1=1, node2=2, node3=1
+    rows = []
+    for okey in (10, 20):
+        rows += [(okey, 1), (okey, 2)]
+    for okey in (30, 40):
+        rows += [(okey, 2), (okey, 3)]
+    out = {
+        r["degree"]: r["n_nodes"]
+        for r in gr.degree_distribution_ds(gr_lineitem(rows), min_support=2).take_all()
+    }
+    assert out == {1: 2, 2: 1}
+
+
+def test_degree_distribution_empty(ray_session):
+    out = gr.degree_distribution_ds(
+        gr_lineitem([(1, 1), (1, 2)]), min_support=2
+    )
+    assert out.take_all() == []
+    assert out.schema(fetch_if_missing=True).names == ["degree", "n_nodes"]
