@@ -2691,7 +2691,48 @@ def q_degree_dist(sf_dir: str) -> ray.data.Dataset:
     return gr.degree_distribution_ds(li, min_support=2)
 
 
+def q_percentiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-event-type p25/p50/p75 of the value column
+    (percentile_disc element selection over integer-quantized values;
+    raw rows never shuffle — only distinct (group, value) cells do)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return an.grouped_percentiles_ds(ev)
+
+
+def q_reorder_gaps(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer reorder cadence: order count, first/last order
+    timestamp, min/max consecutive-order gap (-1 sentinels for
+    single-order customers)."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    return an.reorder_gaps_ds(orders)
+
+
+def q_region_share(sf_dir: str) -> ray.data.Dataset:
+    """Each customer's revenue and integer-permille share of their
+    region's total: block-combined custkey groupby -> bucket-hash
+    shuffle join to the customer dimension -> broadcast nation->region
+    map and region totals."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation_rows = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).take_all()  # 25 rows — the canonical broadcast-sized dimension
+    return an.customer_region_share_ds(orders, customer, nation_rows)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "percentiles": q_percentiles,
+    "reorder_gaps": q_reorder_gaps,
+    "region_share": q_region_share,
     "sessions": q_sessions,
     "ohlc_bars": q_ohlc_bars,
     "period_over_period": q_period_over_period,
@@ -2866,6 +2907,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "percentiles",
+    "reorder_gaps",
+    "region_share",
     "sessions",
     "ohlc_bars",
     "period_over_period",
@@ -2897,7 +2941,6 @@ _FRONT_R5 = [
     "moments",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
-    "lang_confusion",
     "window_users",
     "grouped_heavy_hitters",
     "length_outliers",
@@ -2911,17 +2954,19 @@ _FRONT_R5 = [
     "keep_latest",
     "postings",
     "quality_audit",
-    "heavy_hitters",
-    "funnel_steps",
     "substring_dedup",
     "tfidf_topk",
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
     # --- 50-slot gate window boundary (entries below overflow) ---
     # r1-era ops whose machinery twins were driver-validated in r4
-    # (near_dup_verified / token_stats / length_quantiles) take the
-    # overflow created by this session's nine new operators, alongside
-    # the long-stable entries already listed at the tail
+    # (near_dup_verified / token_stats / length_quantiles / words_by_lang
+    # / curation_funnel / grouped_heavy_hitters) take the overflow created
+    # by this session's twelve new operators, alongside the long-stable
+    # entries already listed at the tail
+    "heavy_hitters",
+    "funnel_steps",
+    "lang_confusion",
     "jaccard_join",
     "rare_tokens",
     "length_rank",
@@ -4340,6 +4385,53 @@ ORACLES["clustering_coeff"] = """
                      // (d.degree * (d.degree - 1))
                 ELSE 0 END AS BIGINT) AS coeff_e6
     FROM deg d LEFT JOIN tri t2 ON t2.node = d.node
+"""
+ORACLES["percentiles"] = """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = (25 * n + 99) // 100 THEN v END) AS p25_q,
+           max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50_q,
+           max(CASE WHEN rn = (75 * n + 99) // 100 THEN v END) AS p75_q
+    FROM r GROUP BY 1
+"""
+ORACLES["reorder_gaps"] = """
+    WITH b AS (
+      SELECT o_custkey AS c, epoch_us(o_orderdate) AS d,
+             lag(epoch_us(o_orderdate)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS p
+      FROM orders)
+    SELECT CAST(c AS BIGINT) AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(d) AS BIGINT) AS first_us,
+           CAST(max(d) AS BIGINT) AS last_us,
+           CAST(COALESCE(min(d - p), -1) AS BIGINT) AS min_gap_us,
+           CAST(COALESCE(max(d - p), -1) AS BIGINT) AS max_gap_us
+    FROM b GROUP BY 1
+"""
+ORACLES["region_share"] = """
+    WITH cr AS (
+      SELECT o_custkey AS c,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT cr.c, n.n_regionkey AS rk, cr.cents
+      FROM cr
+      JOIN customer cu ON cu.c_custkey = cr.c
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey),
+    t AS (SELECT rk, sum(cents) AS tot FROM j GROUP BY 1)
+    SELECT CAST(j.c AS BIGINT) AS custkey,
+           CAST(j.rk AS BIGINT) AS regionkey,
+           j.cents,
+           CAST(j.cents * 1000 // t.tot AS BIGINT) AS share_permille
+    FROM j JOIN t USING (rk)
 """
 ORACLES["sessions"] = """
     WITH b AS (

@@ -3132,3 +3132,360 @@ def zscore_ds(
     return events.select_columns([id_col, key_col, value_col]).map_batches(
         attach, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------- exact grouped percentiles (distinct-cell selection) ----------
+
+
+def grouped_percentiles_ds(
+    events: Dataset,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    quant: int = 100,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Exact per-group p25/p50/p75 (``percentile_disc`` semantics: the
+    smallest value whose running count reaches ``ceil(q*n)``) over
+    integer-quantized values — the distribution summary behind quality
+    dashboards, computed WITHOUT sorting the raw rows.
+
+    Scale shape: the raw rows never shuffle. A per-batch combiner
+    collapses each block to distinct (group, value) cells, ONE
+    ``groupby([g, v])`` reduces them globally (the shuffle moves
+    value-domain-sized cells, not rows), and the cell table — already
+    tiny — co-locates per group via a bucket hash. Inside the bucket one
+    lexsort + running-count ``searchsorted`` picks all three ranks per
+    group segment in a single vectorized pass. Rank arithmetic is pure
+    integer (``(q·n + 99) // 100``), so both engines select the
+    identical element."""
+    from .corpus_ops import _hash_bucket_column
+
+    out_schema = pa.schema(
+        [
+            (key_col, pa.string()),
+            ("n", pa.int64()),
+            ("p25_q", pa.int64()),
+            ("p50_q", pa.int64()),
+            ("p75_q", pa.int64()),
+        ]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "c_p": pa.array([], pa.int64()),
+                }
+            )
+        g = batch.column(key_col).to_numpy(zero_copy_only=False).astype(str)
+        v = (
+            pc.cast(pc.round(pc.multiply(batch.column(value_col), quant)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((v, g))
+        gs, vs = g[order], v[order]
+        new = np.concatenate(([True], (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])))
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "g": pa.array(gs[starts], pa.string()),
+                "v": pa.array(vs[starts], pa.int64()),
+                "c_p": pa.array(
+                    np.diff(np.concatenate((starts, [len(gs)]))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cells = (
+        events.select_columns([key_col, value_col])
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "v"])
+        .aggregate(Sum("c_p"))
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bkt": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "bkt": _hash_bucket_column(batch.column("g"), n_buckets),
+                "g": batch.column("g"),
+                "v": batch.column("v").cast(pa.int64()),
+                "c": batch.column("sum(c_p)").cast(pa.int64()),
+            }
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        g = group.column("g").to_numpy(zero_copy_only=False).astype(str)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        gs, vs, cs = g[order], v[order], c[order]
+        new = np.concatenate(([True], gs[1:] != gs[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(gs)])) - 1
+        cum = np.cumsum(cs)
+        seg_base = cum[starts] - cs[starts]
+        n_g = cum[ends] - seg_base
+        out = {key_col: pa.array(gs[starts], pa.string()),
+               "n": pa.array(n_g.astype(np.int64), pa.int64())}
+        for pct, name in ((25, "p25_q"), (50, "p50_q"), (75, "p75_q")):
+            rank = (pct * n_g + 99) // 100
+            idx = np.searchsorted(cum, seg_base + rank, side="left")
+            out[name] = pa.array(vs[idx], pa.int64())
+        return pa.table(out)
+
+    out = (
+        cells.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+    return _anchor_schema(out, out_schema)
+
+
+# ---------- reorder gaps (per-customer inter-order intervals) ----------
+
+
+def reorder_gaps_ds(
+    orders: Dataset,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    tie_col: str = "o_orderkey",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Per-customer reorder cadence: order count, first/last order
+    timestamps, and the min/max gap between CONSECUTIVE orders
+    (``-1`` sentinels for single-order customers) — the repeat-purchase
+    summary behind churn features.
+
+    Scale shape: gaps need each key's ordered adjacency, so the pruned
+    (key, ts, tie) projection shuffles ONCE by ``mix64(key) %
+    n_buckets``; inside the bucket one lexsort segments keys and the
+    consecutive diffs reduce per segment with masked
+    ``minimum/maximum.reduceat`` — a segment's first row carries
+    INT64_MAX / -1 filler so single-order segments fall out as
+    sentinels with no per-key Python."""
+    out_schema = pa.schema(
+        [
+            ("custkey", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("first_us", pa.int64()),
+            ("last_us", pa.int64()),
+            ("min_gap_us", pa.int64()),
+            ("max_gap_us", pa.int64()),
+        ]
+    )
+    BIG = np.iinfo(np.int64).max
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(k, pa.int64()),
+                "d": batch.column(date_col).cast(pa.int64()),
+                "t": batch.column(tie_col).cast(pa.int64()),
+            }
+        )
+
+    def gaps(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        d = group.column("d").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, d, k))
+        ks, ds_ = k[order], d[order]
+        new = np.concatenate(([True], ks[1:] != ks[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(ks)])) - 1
+        within = ~new
+        gp = np.full(len(ks), BIG, dtype=np.int64)
+        gn = np.full(len(ks), -1, dtype=np.int64)
+        diffs = ds_[1:] - ds_[:-1]
+        gp[1:][within[1:]] = diffs[within[1:]]
+        gn[1:][within[1:]] = diffs[within[1:]]
+        min_gap = np.minimum.reduceat(gp, starts)
+        min_gap = np.where(min_gap == BIG, -1, min_gap)
+        max_gap = np.maximum.reduceat(gn, starts)
+        return pa.table(
+            {
+                "custkey": pa.array(ks[starts], pa.int64()),
+                "n_orders": pa.array(
+                    np.diff(np.concatenate((starts, [len(ks)]))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "first_us": pa.array(ds_[starts], pa.int64()),
+                "last_us": pa.array(ds_[ends], pa.int64()),
+                "min_gap_us": pa.array(min_gap.astype(np.int64), pa.int64()),
+                "max_gap_us": pa.array(max_gap.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        orders.select_columns([key_col, date_col, tie_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+    return _anchor_schema(out, out_schema)
+
+
+# ---------- percent-of-total within region (share report) ----------
+
+
+def customer_region_share_ds(
+    orders: Dataset,
+    customer: Dataset,
+    nation_rows: List[Dict],
+    n_buckets: int = 512,
+) -> Dataset:
+    """Each customer's revenue and their integer-permille share of
+    their REGION's total revenue (``cents * 1000 // region_total``) —
+    percent-of-total, the window-over-everything report every
+    warehouse runs, composed from this engine's own primitives.
+
+    Scale shape: per-customer revenue pre-combines per block before ONE
+    ``groupby(custkey)``; the customer dimension attaches through the
+    generic bucket-hash shuffle join (:func:`hash_join_ds` — the
+    customer table is NOT broadcastable at web scale); the nation ->
+    region map (25 rows) and the region totals (a handful) ARE
+    broadcast-sized and ship via ``ray.put`` once. Totals come from a
+    second block-combined tiny groupby, never a window over the rows."""
+    n2r = {int(r["n_nationkey"]): int(r["n_regionkey"]) for r in nation_rows}
+    nat_keys = np.array(sorted(n2r), dtype=np.int64)
+    nat_regions = np.array([n2r[k] for k in nat_keys], dtype=np.int64)
+    nat_ref = ray.put((nat_keys, nat_regions))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"c": pa.array([], pa.int64()), "c_p": pa.array([], pa.int64())}
+            )
+        k = batch.column("o_custkey").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(pc.round(pc.multiply(batch.column("o_totalprice"), 100)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(k, kind="stable")
+        ks, cs = k[order], cents[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        return pa.table(
+            {
+                "c": pa.array(ks[starts], pa.int64()),
+                "c_p": pa.array(np.add.reduceat(cs, starts), pa.int64()),
+            }
+        )
+
+    custrev = (
+        orders.select_columns(["o_custkey", "o_totalprice"])
+        .map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c")
+        .aggregate(Sum("c_p"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "c": b.column("c").cast(pa.int64()),
+                    "cents": b.column("sum(c_p)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    cust_dim = customer.select_columns(["c_custkey", "c_nationkey"])
+    joined = hash_join_ds(custrev, cust_dim, "c", "c_custkey", n_buckets)
+
+    def attach_region(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "c": pa.array([], pa.int64()),
+                    "regionkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        keys, regions = ray.get(nat_ref)
+        nk = batch.column("c_nationkey").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, nk)
+        return pa.table(
+            {
+                "c": batch.column("c").cast(pa.int64()),
+                "regionkey": pa.array(regions[pos], pa.int64()),
+                "cents": batch.column("cents").cast(pa.int64()),
+            }
+        )
+
+    regional = joined.map_batches(
+        attach_region, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"regionkey": pa.array([], pa.int64()), "t_p": pa.array([], pa.int64())}
+            )
+        rk = batch.column("regionkey").to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(rk, kind="stable")
+        rs, cs = rk[order], cents[order]
+        starts = np.flatnonzero(np.concatenate(([True], rs[1:] != rs[:-1])))
+        return pa.table(
+            {
+                "regionkey": pa.array(rs[starts], pa.int64()),
+                "t_p": pa.array(np.add.reduceat(cs, starts), pa.int64()),
+            }
+        )
+
+    tot_rows = (
+        regional.map_batches(tot_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("regionkey")
+        .aggregate(Sum("t_p"))
+        .take_all()  # bounded by the region domain (a handful of rows)
+    )
+    tkeys = np.array(sorted(int(r["regionkey"]) for r in tot_rows), dtype=np.int64)
+    by_r = {int(r["regionkey"]): int(r["sum(t_p)"]) for r in tot_rows}
+    tvals = np.array([by_r[k] for k in tkeys], dtype=np.int64)
+    tot_ref = ray.put((tkeys, tvals))
+
+    def share(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("custkey", pa.int64()),
+                ("regionkey", pa.int64()),
+                ("cents", pa.int64()),
+                ("share_permille", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        keys, totals = ray.get(tot_ref)
+        rk = batch.column("regionkey").to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, rk)
+        return pa.table(
+            {
+                "custkey": batch.column("c").cast(pa.int64()),
+                "regionkey": pa.array(rk, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "share_permille": pa.array(cents * 1000 // totals[pos], pa.int64()),
+            }
+        )
+
+    return regional.map_batches(share, batch_format="pyarrow", zero_copy_batch=True)

@@ -2253,8 +2253,11 @@ def pack_sequences_ds(
 
 def _hash_bucket_column(key_col: pa.ChunkedArray, n_buckets: int) -> pa.Array:
     """Deterministic cross-worker bucket assignment for a key column:
-    vectorized splitmix64 for integer ids (the scale path); per-row md5
-    for non-integer ids (small-corpus dedup path only)."""
+    vectorized splitmix64 for integer ids (the scale path); for
+    non-integer ids, md5 per DISTINCT value via dictionary encoding —
+    one hash per unique key per batch, gathered back vectorized (a
+    batch's distinct-key count is what bounds the Python work, never
+    its row count)."""
     if pa.types.is_integer(key_col.type):
         from .analytics import _mix64
 
@@ -2264,18 +2267,24 @@ def _hash_bucket_column(key_col: pa.ChunkedArray, n_buckets: int) -> pa.Array:
         )
     import hashlib
 
-    return pa.array(
-        np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
-                % n_buckets
-                for v in key_col.to_pylist()
-            ),
-            dtype=np.int64,
-            count=len(key_col),
+    if isinstance(key_col, pa.ChunkedArray):
+        arr = key_col.combine_chunks()
+    else:
+        arr = key_col
+    enc = pc.dictionary_encode(arr)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dict_buckets = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+            % n_buckets
+            for v in enc.dictionary.to_pylist()
         ),
-        pa.int64(),
+        dtype=np.int64,
+        count=len(enc.dictionary),
     )
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return pa.array(dict_buckets[idx], pa.int64())
 
 
 def _segment_min_lab(

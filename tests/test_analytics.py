@@ -861,3 +861,83 @@ def test_zscore_hand_computed_and_constant_group(ray_session):
         assert rows[eid]["z_e6"] == want, eid
     assert rows[4]["z_e6"] == 0 and rows[5]["z_e6"] == 0
     assert rows[1]["v_q"] == 100
+
+
+def test_grouped_percentiles_disc_selection(ray_session):
+    # group t: values 1..4 -> p25 = ceil(.25*4)=rank1 -> 100;
+    # p50 = rank2 -> 200; p75 = rank3 -> 300
+    ev = _events(
+        [
+            (1, 1, 0, "t", 1.00),
+            (2, 1, 0, "t", 2.00),
+            (3, 1, 0, "t", 3.00),
+            (4, 1, 0, "t", 4.00),
+            # group s: single value -> every percentile is it
+            (5, 1, 0, "s", 7.50),
+        ]
+    )
+    rows = {r["event_type"]: r for r in an.grouped_percentiles_ds(ev).take_all()}
+    t = rows["t"]
+    assert (t["n"], t["p25_q"], t["p50_q"], t["p75_q"]) == (4, 100, 200, 300)
+    s = rows["s"]
+    assert (s["n"], s["p25_q"], s["p50_q"], s["p75_q"]) == (1, 750, 750, 750)
+
+
+def test_grouped_percentiles_duplicate_values(ray_session):
+    # duplicates collapse into one weighted cell; ranks land inside it
+    ev = _events([(i, 1, 0, "t", 5.00) for i in range(1, 10)] + [(10, 1, 0, "t", 9.0)])
+    [r] = an.grouped_percentiles_ds(ev).take_all()
+    assert (r["p25_q"], r["p50_q"], r["p75_q"]) == (500, 500, 500)
+    assert r["n"] == 10
+
+
+def test_reorder_gaps_sentinels_and_bounds(ray_session):
+    orders3 = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+                "o_orderdate": pa.array([0, 10 * DAY, 40 * DAY, 5], pa.timestamp("us")),
+                "o_orderkey": pa.array([100, 101, 102, 103], pa.int64()),
+            }
+        )
+    )
+    rows = {r["custkey"]: r for r in an.reorder_gaps_ds(orders3).take_all()}
+    c1 = rows[1]
+    assert c1["n_orders"] == 3
+    assert (c1["first_us"], c1["last_us"]) == (0, 40 * DAY)
+    assert (c1["min_gap_us"], c1["max_gap_us"]) == (10 * DAY, 30 * DAY)
+    c2 = rows[2]
+    assert (c2["n_orders"], c2["min_gap_us"], c2["max_gap_us"]) == (1, -1, -1)
+
+
+def test_customer_region_share_permille(ray_session):
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 2, 3], pa.int64()),
+                "o_totalprice": pa.array([1.00, 2.00, 7.00, 5.00], pa.float64()),
+            }
+        )
+    )
+    customer = ray.data.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_nationkey": pa.array([10, 11, 20], pa.int64()),
+            }
+        )
+    )
+    nation_rows = [
+        {"n_nationkey": 10, "n_regionkey": 0},
+        {"n_nationkey": 11, "n_regionkey": 0},
+        {"n_nationkey": 20, "n_regionkey": 1},
+    ]
+    rows = {
+        r["custkey"]: r
+        for r in an.customer_region_share_ds(orders, customer, nation_rows).take_all()
+    }
+    # region 0 total 1000 cents: cust1 300 -> 300 permille, cust2 700 -> 700
+    assert (rows[1]["regionkey"], rows[1]["cents"], rows[1]["share_permille"]) == (0, 300, 300)
+    assert rows[2]["share_permille"] == 700
+    # region 1: cust3 is the whole region
+    assert (rows[3]["regionkey"], rows[3]["share_permille"]) == (1, 1000)
