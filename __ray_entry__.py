@@ -2729,7 +2729,40 @@ def q_region_share(sf_dir: str) -> ray.data.Dataset:
     return an.customer_region_share_ds(orders, customer, nation_rows)
 
 
+def q_session_baskets(sf_dir: str) -> ray.data.Dataset:
+    """Event-type co-occurrence across 30-min-gap sessions: unordered
+    type pairs with the number of sessions containing both."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return an.session_baskets_ds(ev)
+
+
+def q_group_ids(sf_dir: str) -> ray.data.Dataset:
+    """Per-language audit sample: the 5 smallest doc ids joined as a
+    comma string plus the language's document count (ordered
+    string_agg head)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return an.group_sample_ids_ds(docs)
+
+
+def q_hll_users(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct-user sketch over events (p=12): one row per
+    block leaves the workers, register merge on the driver. Rows-only
+    driver check (no engine-exact SQL twin exists for a sketch); the
+    test suite pins the ~1.6% expected relative error against the exact
+    count."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return co.hll_distinct_ds(ev, "user_id")
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "session_baskets": q_session_baskets,
+    "group_ids": q_group_ids,
+    "hll_users": q_hll_users,
     "percentiles": q_percentiles,
     "reorder_gaps": q_reorder_gaps,
     "region_share": q_region_share,
@@ -2907,6 +2940,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "session_baskets",
+    "group_ids",
+    "hll_users",
     "percentiles",
     "reorder_gaps",
     "region_share",
@@ -2945,10 +2981,7 @@ _FRONT_R5 = [
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
-    "weighted_sample",
     "grouped_rank",
-    "histogram",
-    "hopping_window",
     "cohort_retention",
     "anti_join",
     "keep_latest",
@@ -2967,6 +3000,9 @@ _FRONT_R5 = [
     "heavy_hitters",
     "funnel_steps",
     "lang_confusion",
+    "histogram",
+    "hopping_window",
+    "weighted_sample",
     "jaccard_join",
     "rare_tokens",
     "length_rank",
@@ -4385,6 +4421,42 @@ ORACLES["clustering_coeff"] = """
                      // (d.degree * (d.degree - 1))
                 ELSE 0 END AS BIGINT) AS coeff_e6
     FROM deg d LEFT JOIN tri t2 ON t2.node = d.node
+"""
+ORACLES["session_baskets"] = """
+    WITH b AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS u,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS p
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, event_type, u,
+             CASE WHEN p IS NULL OR u - p > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM b),
+    s AS (
+      SELECT user_id, event_type,
+             sum(brk) OVER (
+               PARTITION BY user_id ORDER BY u, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    d AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+    pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.sid = b.sid
+       AND a.event_type < b.event_type)
+    SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM pr GROUP BY 1, 2
+"""
+ORACLES["group_ids"] = """
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT lang,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids,
+           CAST(max(n) AS BIGINT) AS n_docs
+    FROM r WHERE rn <= 5 GROUP BY 1
 """
 ORACLES["percentiles"] = """
     WITH v AS (

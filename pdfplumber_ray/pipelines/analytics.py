@@ -3489,3 +3489,210 @@ def customer_region_share_ds(
         )
 
     return regional.map_batches(share, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- session baskets (event-type co-occurrence) ----------
+
+
+def session_baskets_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_us: int = 1_800_000_000,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Market-basket co-occurrence over sessions: for every unordered
+    pair of event types that appear in the SAME session (sessions per
+    :func:`sessions_ds`'s gap rule), the number of sessions containing
+    both — the association-mining input (lift/confidence follow from
+    these counts plus the marginals).
+
+    Scale shape: one ``mix64(user) % n_buckets`` shuffle of the pruned
+    event projection; inside the bucket the session segmentation, the
+    per-session DISTINCT-type reduction, and the within-session pair
+    expansion (type domain is small, so pairs-per-session is bounded)
+    are all lexsort + offset arithmetic; each bucket emits pre-combined
+    (a, b, n) partials so the final ``groupby`` moves one row per pair
+    per bucket — type-domain-squared-sized, never session-sized."""
+    out_schema = pa.schema(
+        [("type_a", pa.string()), ("type_b", pa.string()), ("n_sessions", pa.int64())]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(k, pa.int64()),
+                "t": batch.column(ts_col).cast(pa.int64()),
+                "e": batch.column(tie_col).cast(pa.int64()),
+                "ty": batch.column(type_col).cast(pa.string()),
+            }
+        )
+
+    def baskets(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        e = group.column("e").to_numpy(zero_copy_only=False)
+        ty = group.column("ty").to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((e, t, k))
+        ks, ts_, tys = k[order], t[order], ty[order]
+        new_user = np.concatenate(([True], ks[1:] != ks[:-1]))
+        brk = new_user | np.concatenate(([True], (ts_[1:] - ts_[:-1]) > gap_us))
+        sess = np.cumsum(brk) - 1  # global session index within bucket
+        # distinct (session, type) rows
+        o2 = np.lexsort((tys, sess))
+        ss, tt = sess[o2], tys[o2]
+        keep = np.concatenate(([True], (ss[1:] != ss[:-1]) | (tt[1:] != tt[:-1])))
+        ss, tt = ss[keep], tt[keep]
+        # within-session all-pairs (a before b in sorted type order)
+        seg_new = np.concatenate(([True], ss[1:] != ss[:-1]))
+        starts = np.flatnonzero(seg_new)
+        lens = np.diff(np.concatenate((starts, [len(ss)])))
+        local = np.arange(len(ss)) - np.repeat(starts, lens)
+        rep = (np.repeat(lens, lens) - 1 - local).astype(np.int64)
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(len(ss)), rep)
+        base = np.cumsum(rep) - rep
+        off = np.arange(total, dtype=np.int64) - np.repeat(base, rep)
+        b_idx = a_idx + 1 + off
+        ta, tb = tt[a_idx], tt[b_idx]
+        # pre-combine pair counts inside the bucket
+        po = np.lexsort((tb, ta))
+        tas, tbs = ta[po], tb[po]
+        pnew = np.concatenate(
+            ([True], (tas[1:] != tas[:-1]) | (tbs[1:] != tbs[:-1]))
+        )
+        pstarts = np.flatnonzero(pnew)
+        return pa.table(
+            {
+                "type_a": pa.array(tas[pstarts], pa.string()),
+                "type_b": pa.array(tbs[pstarts], pa.string()),
+                "n_p": pa.array(
+                    np.diff(np.concatenate((pstarts, [total]))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = (
+        events.select_columns([key_col, ts_col, tie_col, type_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(baskets, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_p"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "type_a": b.column("type_a"),
+                    "type_b": b.column("type_b"),
+                    "n_sessions": b.column("sum(n_p)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return _anchor_schema(out, out_schema)
+
+
+# ---------- grouped ordered id sample (string_agg head) ----------
+
+
+def group_sample_ids_ds(
+    docs: Dataset,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> Dataset:
+    """Per-group audit sample: the ``k`` smallest ids joined as a
+    comma-separated string plus the group's total count — the ordered
+    ``string_agg`` head every data-quality report attaches next to its
+    aggregates.
+
+    Scale shape: a per-batch combiner keeps only each block's k
+    smallest ids per group (plus one count partial), so the shuffle
+    moves k·groups-sized rows per block; the bounded group domain
+    reduces in one ``groupby(key)`` with a vectorized head-of-segment
+    pick. The joined string is built per group from ≤ k candidates."""
+    out_schema = pa.schema(
+        [(key_col, pa.string()), ("ids", pa.string()), ("n_docs", pa.int64())]
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "id": pa.array([], pa.int64()),
+                    "n_p": pa.array([], pa.int64()),
+                }
+            )
+        g = batch.column(key_col).to_numpy(zero_copy_only=False).astype(str)
+        i = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, g))
+        gs, is_ = g[order], i[order]
+        new = np.concatenate(([True], gs[1:] != gs[:-1]))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate((starts, [len(gs)])))
+        local = np.arange(len(gs)) - np.repeat(starts, lens)
+        keep = local < k
+        n_p = np.zeros(len(gs), dtype=np.int64)
+        n_p[starts] = lens  # block count rides on each group's first row
+        return pa.table(
+            {
+                "g": pa.array(gs[keep], pa.string()),
+                "id": pa.array(is_[keep], pa.int64()),
+                "n_p": pa.array(n_p[keep], pa.int64()),
+            }
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        g = group.column("g").to_numpy(zero_copy_only=False).astype(str)
+        i = group.column("id").to_numpy(zero_copy_only=False)
+        n_p = group.column("n_p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, g))
+        gs, is_, ns = g[order], i[order], n_p[order]
+        new = np.concatenate(([True], gs[1:] != gs[:-1]))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate((starts, [len(gs)])))
+        local = np.arange(len(gs)) - np.repeat(starts, lens)
+        keep = local < k
+        seg_id = np.cumsum(new) - 1
+        n_tot = np.add.reduceat(ns, starts)
+        kept_seg = seg_id[keep]
+        kept_ids = is_[keep]
+        out_g, out_s, out_n = [], [], []
+        for s in range(len(starts)):  # bounded by the group domain
+            m = kept_seg == s
+            out_g.append(gs[starts[s]])
+            out_s.append(",".join(str(x) for x in kept_ids[m]))
+            out_n.append(int(n_tot[s]))
+        return pa.table(
+            {
+                key_col: pa.array(out_g, pa.string()),
+                "ids": pa.array(out_s, pa.string()),
+                "n_docs": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    out = (
+        docs.select_columns([key_col, id_col])
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+    return _anchor_schema(out, out_schema)

@@ -4150,3 +4150,80 @@ def centroids_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- HyperLogLog distinct-cardinality sketch ----------
+
+
+def hll_distinct_ds(
+    ds: Dataset,
+    col: str,
+    p: int = 12,
+) -> "pa.Table":
+    """Approximate COUNT(DISTINCT col) via a HyperLogLog sketch
+    (Flajolet et al. 2007): deterministic splitmix64 hashing, ``2**p``
+    registers, the standard bias-corrected estimate with the small- and
+    large-range corrections. Returns a one-row Arrow table
+    ``(distinct_est, n_registers)``.
+
+    Scale shape: the sketch is the whole point — each block folds into
+    its own 2^p-byte register vector inside ``map_batches`` (vectorized
+    ``np.maximum.at``), ONE row per block leaves the workers, and the
+    driver merges block sketches with an elementwise max (register
+    merge is associative/commutative, so block partitioning never
+    changes the answer). Exact distinct at this scale would shuffle
+    every row; the sketch ships kilobytes. Non-SQL-expressible
+    bit-exactly (DuckDB's approx_count_distinct uses its own hash), so
+    this op carries a rows-only driver check plus an error-bound test
+    against the exact count (expected rel. error ~1.04/sqrt(2^p) ≈ 1.6%
+    at p=12)."""
+    from .analytics import _mix64
+
+    m = 1 << p
+    shift = np.uint64(64 - p)
+    wmask = np.uint64((1 << (64 - p)) - 1)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        reg = np.zeros(m, dtype=np.int8)
+        if batch.num_rows:
+            v = batch.column(col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            h = _mix64(v)
+            idx = (h >> shift).astype(np.int64)
+            w = h & wmask
+            # rank of the first 1-bit in the low 64-p bits (1-based);
+            # all-zero tail scores the maximum 64-p+1
+            nbits = 64 - p
+            rho = np.full(len(w), nbits + 1, dtype=np.int8)
+            nz = w != 0
+            # position of highest set bit via log2 on uint64->float64 is
+            # unsafe near 2^53; use bit_length via np.frexp on float is
+            # also lossy — do it with a vectorized shift loop (6 steps)
+            wl = w[nz]
+            msb = np.zeros(len(wl), dtype=np.int64)
+            for s in (32, 16, 8, 4, 2, 1):
+                big = wl >= (np.uint64(1) << np.uint64(s))
+                msb[big] += s
+                wl = np.where(big, wl >> np.uint64(s), wl)
+            rho[nz] = (nbits - msb).astype(np.int8)
+            np.maximum.at(reg, idx, rho)
+        return pa.table({"reg": pa.array([reg.tolist()], pa.list_(pa.int8()))})
+
+    parts = ds.select_columns([col]).map_batches(
+        sketch, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one row per block
+    reg = np.zeros(m, dtype=np.int64)
+    for r in parts:
+        np.maximum(reg, np.asarray(r["reg"], dtype=np.int64), out=reg)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    elif est > (1 << 32) / 30.0:
+        est = -(1 << 32) * np.log(1.0 - est / (1 << 32))
+    return pa.table(
+        {
+            "distinct_est": pa.array([int(est)], pa.int64()),
+            "n_registers": pa.array([m], pa.int64()),
+        }
+    )

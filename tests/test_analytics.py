@@ -941,3 +941,40 @@ def test_customer_region_share_permille(ray_session):
     assert rows[2]["share_permille"] == 700
     # region 1: cust3 is the whole region
     assert (rows[3]["regionkey"], rows[3]["share_permille"]) == (1, 1000)
+
+
+def test_session_baskets_pairs_and_counts(ray_session):
+    g = 1_800_000_000
+    ev = _events(
+        [
+            # user 1 session 1: types a, b, a -> distinct {a,b} -> pair (a,b)
+            (1, 1, 0, "a", 0),
+            (2, 1, 10, "b", 0),
+            (3, 1, 20, "a", 0),
+            # user 1 session 2: {a} only -> no pair
+            (4, 1, 10 * g, "a", 0),
+            # user 2 one session: {a, b, c} -> 3 pairs
+            (5, 2, 0, "c", 0),
+            (6, 2, 5, "a", 0),
+            (7, 2, 9, "b", 0),
+        ]
+    )
+    rows = {
+        (r["type_a"], r["type_b"]): r["n_sessions"]
+        for r in an.session_baskets_ds(ev).take_all()
+    }
+    assert rows == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_group_sample_ids_head_and_count(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([9, 3, 7, 1, 5, 11, 2], pa.int64()),
+                "lang": pa.array(["en"] * 6 + ["de"], pa.string()),
+            }
+        )
+    ).repartition(3)
+    rows = {r["lang"]: r for r in an.group_sample_ids_ds(docs, k=3).take_all()}
+    assert rows["en"]["ids"] == "1,3,5" and rows["en"]["n_docs"] == 6
+    assert rows["de"]["ids"] == "2" and rows["de"]["n_docs"] == 1

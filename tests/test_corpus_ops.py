@@ -1206,3 +1206,17 @@ def test_centroids_exact_negative_components(ray_session):
     assert rows[(0, 1)]["sum_e6"] == 1_000_000 and rows[(0, 1)]["n_vecs"] == 2
     assert rows[(0, 2)]["sum_e6"] == -250_000 + 750_000
     assert rows[(1, 1)]["sum_e6"] == -1_000_000 and rows[(1, 1)]["n_vecs"] == 1
+
+
+def test_hll_distinct_error_bound_and_partition_invariance(ray_session):
+    import pyarrow as pa
+
+    n = 5000
+    ids = pa.table({"u": pa.array(list(range(n)) * 2, pa.int64())})
+    a = co.hll_distinct_ds(ray.data.from_arrow(ids).repartition(2), "u")
+    b = co.hll_distinct_ds(ray.data.from_arrow(ids).repartition(16), "u")
+    ea = a.column("distinct_est")[0].as_py()
+    eb = b.column("distinct_est")[0].as_py()
+    assert ea == eb  # register merge is partition-invariant
+    assert abs(ea - n) / n < 0.05
+    assert a.column("n_registers")[0].as_py() == 4096

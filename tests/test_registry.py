@@ -14,11 +14,16 @@ def _load_entry():
     return E
 
 
+# sketches have no engine-exact SQL twin by nature; the driver records a
+# rows-only check and the test suite pins their error bounds instead
+ROWS_ONLY = {"hll_users"}
+
+
 def test_every_query_has_an_oracle():
     E = _load_entry()
     q = E.QUERIES
     o = E.ORACLES
-    missing = [k for k in q if k not in o]
+    missing = [k for k in q if k not in o and k not in ROWS_ONLY]
     assert missing == [], f"queries without oracle_sql twins: {missing}"
     orphans = [k for k in o if k not in q]
     assert orphans == [], f"oracles without queries() entries: {orphans}"
