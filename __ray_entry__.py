@@ -2759,7 +2759,19 @@ def q_hll_users(sf_dir: str) -> pa.Table:
     return co.hll_distinct_ds(ev, "user_id")
 
 
+def q_kmeans(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic integer-exact k-means (init = vectors of the 8
+    smallest ids, 2 Lloyd iterations, floor-div centroid updates):
+    final (vec_id, cluster, dist2) assignment. Centroids broadcast per
+    iteration; only k-rows-per-block partials reach the driver."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return co.kmeans_ds(emb)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "kmeans": q_kmeans,
     "session_baskets": q_session_baskets,
     "group_ids": q_group_ids,
     "hll_users": q_hll_users,
@@ -2940,6 +2952,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "kmeans",
     "session_baskets",
     "group_ids",
     "hll_users",
@@ -2986,7 +2999,6 @@ _FRONT_R5 = [
     "anti_join",
     "keep_latest",
     "postings",
-    "quality_audit",
     "substring_dedup",
     "tfidf_topk",
     "dedup_resolution_cogroup",
@@ -3000,6 +3012,7 @@ _FRONT_R5 = [
     "heavy_hitters",
     "funnel_steps",
     "lang_confusion",
+    "quality_audit",
     "histogram",
     "hopping_window",
     "weighted_sample",
@@ -4421,6 +4434,46 @@ ORACLES["clustering_coeff"] = """
                      // (d.degree * (d.degree - 1))
                 ELSE 0 END AS BIGINT) AS coeff_e6
     FROM deg d LEFT JOIN tri t2 ON t2.node = d.node
+"""
+ORACLES["kmeans"] = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1e6)) AS qv
+  FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv FROM q ORDER BY vec_id LIMIT 8),
+a1 AS (SELECT v.vec_id, c.cid,
+         list_dot_product(v.qv, v.qv) + list_dot_product(c.qv, c.qv)
+           - 2 * list_dot_product(v.qv, c.qv) AS dist2
+       FROM q v CROSS JOIN c0 c),
+m1 AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) rn
+        FROM a1) WHERE rn = 1),
+u1 AS (SELECT m.cid, dd.d AS d,
+         floor(CAST(sum(CAST(q.qv[dd.d] AS BIGINT)) AS DOUBLE) / count(*)) AS comp
+       FROM m1 m JOIN q USING (vec_id)
+       CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd GROUP BY 1, 2),
+g1 AS (SELECT cid, list(comp ORDER BY d) AS qv FROM u1 GROUP BY 1),
+c1 AS (SELECT c0.cid, COALESCE(g1.qv, c0.qv) AS qv FROM c0 LEFT JOIN g1 USING (cid)),
+a2 AS (SELECT v.vec_id, c.cid,
+         list_dot_product(v.qv, v.qv) + list_dot_product(c.qv, c.qv)
+           - 2 * list_dot_product(v.qv, c.qv) AS dist2
+       FROM q v CROSS JOIN c1 c),
+m2 AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) rn
+        FROM a2) WHERE rn = 1),
+u2 AS (SELECT m.cid, dd.d AS d,
+         floor(CAST(sum(CAST(q.qv[dd.d] AS BIGINT)) AS DOUBLE) / count(*)) AS comp
+       FROM m2 m JOIN q USING (vec_id)
+       CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd GROUP BY 1, 2),
+g2 AS (SELECT cid, list(comp ORDER BY d) AS qv FROM u2 GROUP BY 1),
+c2 AS (SELECT c1.cid, COALESCE(g2.qv, c1.qv) AS qv FROM c1 LEFT JOIN g2 USING (cid)),
+a3 AS (SELECT v.vec_id, c.cid,
+         list_dot_product(v.qv, v.qv) + list_dot_product(c.qv, c.qv)
+           - 2 * list_dot_product(v.qv, c.qv) AS dist2
+       FROM q v CROSS JOIN c2 c),
+f AS (SELECT vec_id, cid, dist2, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) rn FROM a3)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS "cluster",
+       CAST(dist2 AS BIGINT) AS dist2
+FROM f WHERE rn = 1
 """
 ORACLES["session_baskets"] = """
     WITH b AS (

@@ -4227,3 +4227,166 @@ def hll_distinct_ds(
             "n_registers": pa.array([m], pa.int64()),
         }
     )
+
+
+# ---------- deterministic k-means (integer-exact Lloyd iterations) ----------
+
+
+def kmeans_ds(
+    embeddings: Dataset,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Deterministic k-means: init = the vectors of the ``k`` smallest
+    ids, then ``iters`` exact Lloyd iterations, then the final
+    assignment ``(vec_id, cluster, dist2)`` — the clustering step behind
+    IVF index build and diversity-bucketed curation, expressed so ANY
+    engine reproduces it bit-exactly.
+
+    Cross-engine exactness (same construction as :func:`knn_graph_ds`):
+    components quantize to ``floor(x * 1e6)`` — exact integers in
+    float64 — so every squared distance ``|a|² + |c|² − 2a·c`` is an
+    exact integer below 2^53 (summation-order independent), assignment
+    ties break to the smallest centroid id (vectorized ``argmin`` takes
+    the first minimum), and centroid updates are integer FLOOR division
+    of exact component sums (empty clusters keep their previous
+    centroid). No rounding tolerance anywhere.
+
+    Scale shape: centroids are k×d — broadcast-sized by definition —
+    and live in the object store (``ray.put`` per iteration). Each
+    iteration is ONE ``map_batches`` pass: assignment via a blocked
+    matmul against the broadcast centroids plus a per-block scatter-add
+    partial (k rows per block: count + per-dim sums), so only
+    k·blocks-sized partials reach the driver for the (tiny) floor-div
+    update. The N-sized data never shuffles; iteration count is fixed,
+    not data-dependent."""
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(vec_col))
+        q = np.ascontiguousarray(np.floor(m * 1e6))
+        flat = pa.array(q.reshape(-1), pa.float64())
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "_qv": pa.FixedSizeListArray.from_arrays(flat, q.shape[1]),
+            }
+        )
+
+    qds = embeddings.select_columns([id_col, vec_col]).map_batches(
+        quantize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # ---- init: the k smallest ids' vectors (block-level top-k partials)
+    def head_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(np.sort(keep), pa.int64()))
+
+    cand = qds.map_batches(
+        head_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # <= k rows per block
+    cand.sort(key=lambda r: r[id_col])
+    cents = np.array([np.asarray(r["_qv"], np.float64) for r in cand[:k]])
+    if len(cents) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dist2": pa.array([], pa.int64()),
+                }
+            )
+        )
+    d = cents.shape[1]
+
+    def _assign(qm: np.ndarray, cents_arr: np.ndarray) -> np.ndarray:
+        # |a|^2 + |c|^2 - 2 a.c — every term an exact integer in float64
+        na2 = np.einsum("ij,ij->i", qm, qm)
+        nc2 = np.einsum("ij,ij->i", cents_arr, cents_arr)
+        d2 = na2[:, None] + nc2[None, :] - 2.0 * (qm @ cents_arr.T)
+        return d2
+
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+
+        def update_partial(batch: pa.Table) -> pa.Table:
+            kk = len(ray.get(cents_ref))
+            empty = pa.table(
+                {
+                    "cid": pa.array([], pa.int64()),
+                    "n_p": pa.array([], pa.int64()),
+                    "s_p": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+            if batch.num_rows == 0:
+                return empty
+            c = ray.get(cents_ref)
+            qm = (
+                batch.column("_qv")
+                .combine_chunks()
+                .values.to_numpy(zero_copy_only=False)
+                .reshape(batch.num_rows, -1)
+            )
+            assign = np.argmin(_assign(qm, c), axis=1)  # first min = min cid
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            sums = np.zeros((kk, qm.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, qm.astype(np.int64))
+            present = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "cid": pa.array(present, pa.int64()),
+                    "n_p": pa.array(counts[present], pa.int64()),
+                    "s_p": pa.array(
+                        [sums[i].tolist() for i in present], pa.list_(pa.int64())
+                    ),
+                }
+            )
+
+        parts = qds.map_batches(
+            update_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # <= k rows per block
+        counts = np.zeros(len(cents), dtype=np.int64)
+        sums = np.zeros((len(cents), d), dtype=np.int64)
+        for r in parts:
+            counts[r["cid"]] += r["n_p"]
+            sums[r["cid"]] += np.asarray(r["s_p"], np.int64)
+        new_cents = cents.copy()
+        nz = counts > 0
+        new_cents[nz] = (sums[nz] // counts[nz, None]).astype(np.float64)
+        cents = new_cents
+
+    final_ref = ray.put(cents)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "dist2": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        c = ray.get(final_ref)
+        qm = (
+            batch.column("_qv")
+            .combine_chunks()
+            .values.to_numpy(zero_copy_only=False)
+            .reshape(batch.num_rows, -1)
+        )
+        d2 = _assign(qm, c)
+        assign = np.argmin(d2, axis=1)
+        best = d2[np.arange(len(assign)), assign]
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "cluster": pa.array(assign.astype(np.int64), pa.int64()),
+                "dist2": pa.array(best.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return qds.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)

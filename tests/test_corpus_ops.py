@@ -1220,3 +1220,51 @@ def test_hll_distinct_error_bound_and_partition_invariance(ray_session):
     assert ea == eb  # register merge is partition-invariant
     assert abs(ea - n) / n < 0.05
     assert a.column("n_registers")[0].as_py() == 4096
+
+
+def _emb_table(rows):
+    import pyarrow as pa
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in r[1]] for r in rows],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+
+
+def test_kmeans_separates_blobs_and_is_partition_invariant(ray_session):
+    # two tight blobs; k=2 init = ids 0 and 1 (one in each blob)
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    rows += [(i, [0.1 * (i % 3), 0.1]) for i in range(2, 12)]
+    rows += [(i, [10.0 + 0.1 * (i % 3), 9.9]) for i in range(12, 22)]
+    a = {
+        r["vec_id"]: r["cluster"]
+        for r in co.kmeans_ds(_emb_table(rows), k=2).take_all()
+    }
+    b = {
+        r["vec_id"]: r["cluster"]
+        for r in co.kmeans_ds(_emb_table(rows).repartition(7), k=2).take_all()
+    }
+    assert a == b  # partial merge is partition-invariant
+    lo = {i for i, c in a.items() if c == 0}
+    assert lo == {0} | set(range(2, 12))
+    assert {i for i, c in a.items() if c == 1} == {1} | set(range(12, 22))
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    # k=3 but only two distinct locations: one centroid never wins a
+    # point after the first update and must keep its previous position
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [5.0, 5.0])]
+    out = co.kmeans_ds(_emb_table(rows), k=3).take_all()
+    assert len(out) == 4
+    by_id = {r["vec_id"]: r for r in out}
+    # ties in distance break to the smallest centroid id
+    assert by_id[0]["cluster"] == by_id[1]["cluster"] == 0
+    assert by_id[2]["cluster"] == by_id[3]["cluster"] == 2
+    assert all(r["dist2"] == 0 for r in out)
