@@ -2770,7 +2770,28 @@ def q_kmeans(sf_dir: str) -> ray.data.Dataset:
     return co.kmeans_ds(emb)
 
 
+def q_bloom_join(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-filter pre-join gate: every customer flagged with
+    bloom_pass (2-hash md5 Bloom over URGENT-order custkeys — same
+    deterministic false positives in both engines) and the exact
+    membership flag."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    import pyarrow.compute as pc
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return an.bloom_semi_join_ds(cust, orders, "c_custkey", "o_custkey")
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "bloom_join": q_bloom_join,
     "kmeans": q_kmeans,
     "session_baskets": q_session_baskets,
     "group_ids": q_group_ids,
@@ -2952,6 +2973,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "bloom_join",
     "kmeans",
     "session_baskets",
     "group_ids",
@@ -2998,7 +3020,6 @@ _FRONT_R5 = [
     "cohort_retention",
     "anti_join",
     "keep_latest",
-    "postings",
     "substring_dedup",
     "tfidf_topk",
     "dedup_resolution_cogroup",
@@ -3013,6 +3034,7 @@ _FRONT_R5 = [
     "funnel_steps",
     "lang_confusion",
     "quality_audit",
+    "postings",
     "histogram",
     "hopping_window",
     "weighted_sample",
@@ -4434,6 +4456,31 @@ ORACLES["clustering_coeff"] = """
                      // (d.degree * (d.degree - 1))
                 ELSE 0 END AS BIGINT) AS coeff_e6
     FROM deg d LEFT JOIN tri t2 ON t2.node = d.node
+"""
+ORACLES["bloom_join"] = """
+    WITH bk AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+    pos AS (
+      SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 65536 AS b
+      FROM bk
+      UNION
+      SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 9, 8))::BIGINT % 65536
+      FROM bk),
+    p AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+               % 65536 AS h1,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::BIGINT
+               % 65536 AS h2
+      FROM customer)
+    SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           CAST(CASE WHEN h1 IN (SELECT b FROM pos)
+                      AND h2 IN (SELECT b FROM pos) THEN 1 ELSE 0 END
+                AS BIGINT) AS bloom_pass,
+           CAST(CASE WHEN c_custkey IN (SELECT k FROM bk) THEN 1 ELSE 0 END
+                AS BIGINT) AS actual
+    FROM p
 """
 ORACLES["kmeans"] = """
 WITH q AS (

@@ -3696,3 +3696,126 @@ def group_sample_ids_ds(
         .map_groups(pick, batch_format="pyarrow")
     )
     return _anchor_schema(out, out_schema)
+
+
+# ---------- Bloom-filter semi-join (sketch with an exact twin) ----------
+
+
+def bloom_semi_join_ds(
+    probe: Dataset,
+    build: Dataset,
+    probe_key: str,
+    build_key: str,
+    m_bits: int = 65536,
+    max_broadcast_keys: int = 50_000_000,
+) -> Dataset:
+    """Bloom-filter pre-join: build a 2-hash Bloom filter over the
+    build side's distinct keys, flag every probe row with
+    ``bloom_pass`` (1 = the filter admits it, INCLUDING its
+    deterministic false positives) and ``actual`` (1 = exact member) —
+    the shuffle-avoidance gate a distributed engine runs before an
+    expensive join, plus the ground truth that measures its FP rate.
+
+    Determinism is the point: both hash positions derive from the md5
+    hex of the decimal key (``digest[:4]`` and ``digest[4:8]`` mod
+    ``m_bits`` — the engine's established md5 idiom, see
+    ``weighted_sample`` / ``dataset_split``), so ANY engine reproduces
+    the SAME bit array and the SAME false positives; the SQL twin is a
+    full value oracle over a probabilistic structure. md5-per-distinct
+    (dictionary-bounded) is the oracle-parity trade documented across
+    the LSH family; swap in splitmix64 when twin parity is not needed.
+
+    Scale shape: the filter builds like the HLL sketch — each build
+    block folds its distinct keys into one ``m_bits``-wide bitmap row,
+    the driver OR-merges block bitmaps (associative, partition
+    invariant) and broadcasts 8 KB via ``ray.put``; probes test both
+    bits vectorized. The exact flag broadcasts the distinct build-key
+    set under ``max_broadcast_keys`` (the demo path; above the guard it
+    raises, pointing at :func:`semi_join_flag` machinery)."""
+    import hashlib
+
+    nbytes = m_bits // 8
+
+    def _positions(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        h1 = np.empty(len(keys), dtype=np.int64)
+        h2 = np.empty(len(keys), dtype=np.int64)
+        for i, v in enumerate(keys):  # md5 per DISTINCT key (oracle parity)
+            d = hashlib.md5(str(int(v)).encode()).digest()
+            h1[i] = int.from_bytes(d[:4], "big") % m_bits
+            h2[i] = int.from_bytes(d[4:8], "big") % m_bits
+        return h1, h2
+
+    def build_bits(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        if batch.num_rows:
+            k = np.unique(
+                batch.column(build_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            h1, h2 = _positions(k)
+            for h in (h1, h2):
+                np.bitwise_or.at(bits, h // 8, (1 << (h % 8)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tolist()], pa.list_(pa.uint8()))})
+
+    bkeys = build.select_columns([build_key]).materialize()
+    parts = bkeys.map_batches(
+        build_bits, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one bitmap row per block
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    for r in parts:
+        np.bitwise_or(bits, np.asarray(r["bits"], np.uint8), out=bits)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64())})
+        k = np.unique(
+            batch.column(build_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"k": pa.array(k, pa.int64())})
+
+    distinct = (
+        bkeys.map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("k"))  # dedup via groupby; the sum is discarded
+        .materialize()
+    )
+    n_keys = distinct.count()
+    if n_keys > max_broadcast_keys:
+        raise ValueError(
+            f"{n_keys} distinct build keys exceed max_broadcast_keys="
+            f"{max_broadcast_keys}; attach the exact flag with the "
+            "bucket-hash semi-join instead of this broadcast demo path"
+        )
+    exact = np.sort(
+        np.array([r["k"] for r in distinct.take_all()], dtype=np.int64)
+    )
+    ref = ray.put((bits, exact))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("custkey", pa.int64()), ("bloom_pass", pa.int64()), ("actual", pa.int64())]
+        )
+        if batch.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        bb, ex = ray.get(ref)
+        k = batch.column(probe_key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        h1, h2 = _positions(uk)
+        t1 = (bb[h1 // 8] >> (h1 % 8)) & 1
+        t2 = (bb[h2 // 8] >> (h2 % 8)) & 1
+        passed = ((t1 & t2) == 1)[inv]
+        if len(ex):
+            pos_c = np.clip(np.searchsorted(ex, k), 0, len(ex) - 1)
+            actual = ex[pos_c] == k
+        else:
+            actual = np.zeros(len(k), dtype=bool)
+        return pa.table(
+            {
+                "custkey": pa.array(k, pa.int64()),
+                "bloom_pass": pa.array(passed.astype(np.int64), pa.int64()),
+                "actual": pa.array(np.asarray(actual).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return probe.select_columns([probe_key]).map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -978,3 +978,40 @@ def test_group_sample_ids_head_and_count(ray_session):
     rows = {r["lang"]: r for r in an.group_sample_ids_ds(docs, k=3).take_all()}
     assert rows["en"]["ids"] == "1,3,5" and rows["en"]["n_docs"] == 6
     assert rows["de"]["ids"] == "2" and rows["de"]["n_docs"] == 1
+
+
+def test_bloom_semi_join_flags_and_fp_containment(ray_session):
+    probe = ray.data.from_arrow(
+        pa.table({"k": pa.array(list(range(100)), pa.int64())})
+    )
+    build = ray.data.from_arrow(
+        pa.table({"bk": pa.array([3, 7, 7, 42], pa.int64())})
+    ).repartition(2)
+    rows = {
+        r["custkey"]: (r["bloom_pass"], r["actual"])
+        for r in an.bloom_semi_join_ds(probe, build, "k", "bk").take_all()
+    }
+    assert len(rows) == 100
+    # every true member passes the filter (no false negatives, ever)
+    for k in (3, 7, 42):
+        assert rows[k] == (1, 1)
+    # non-members are never 'actual'; bloom false positives are allowed
+    others = [rows[k] for k in rows if k not in (3, 7, 42)]
+    assert all(a == 0 for _, a in others)
+    # at 3 keys in 65536 bits the FP rate is ~0 on 97 probes
+    assert sum(b for b, _ in others) <= 1
+
+
+def test_bloom_semi_join_partition_invariant(ray_session):
+    probe = ray.data.from_arrow(
+        pa.table({"k": pa.array(list(range(500)), pa.int64())})
+    )
+    bvals = pa.table({"bk": pa.array([i * 3 for i in range(100)], pa.int64())})
+    one = an.bloom_semi_join_ds(
+        probe, ray.data.from_arrow(bvals).repartition(1), "k", "bk"
+    ).take_all()
+    many = an.bloom_semi_join_ds(
+        probe, ray.data.from_arrow(bvals).repartition(13), "k", "bk"
+    ).take_all()
+    key = lambda r: (r["custkey"], r["bloom_pass"], r["actual"])
+    assert sorted(map(key, one)) == sorted(map(key, many))
