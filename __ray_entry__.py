@@ -2790,7 +2790,17 @@ def q_bloom_join(sf_dir: str) -> ray.data.Dataset:
     return an.bloom_semi_join_ds(cust, orders, "c_custkey", "o_custkey")
 
 
+def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
+    """Count-min sketch (2x1024, md5-positioned) frequency estimate for
+    every distinct part key next to its exact lineitem count — the
+    sketch's collisions are deterministic, so the SQL twin reproduces
+    est (>= actual) bit-for-bit."""
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return an.cms_counts_ds(li, "l_partkey")
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "cms_counts": q_cms_counts,
     "bloom_join": q_bloom_join,
     "kmeans": q_kmeans,
     "session_baskets": q_session_baskets,
@@ -2973,6 +2983,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "cms_counts",
     "bloom_join",
     "kmeans",
     "session_baskets",
@@ -3012,7 +3023,6 @@ _FRONT_R5 = [
     "moments",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
-    "window_users",
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
@@ -3035,6 +3045,7 @@ _FRONT_R5 = [
     "lang_confusion",
     "quality_audit",
     "postings",
+    "window_users",
     "histogram",
     "hopping_window",
     "weighted_sample",
@@ -4456,6 +4467,20 @@ ORACLES["clustering_coeff"] = """
                      // (d.degree * (d.degree - 1))
                 ELSE 0 END AS BIGINT) AS coeff_e6
     FROM deg d LEFT JOIN tri t2 ON t2.node = d.node
+"""
+ORACLES["cms_counts"] = """
+    WITH kc AS (SELECT l_partkey AS k, count(*) AS actual FROM lineitem GROUP BY 1),
+    h AS (
+      SELECT k, actual,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 1024 AS p0,
+             ('0x' || substr(md5(CAST(k AS VARCHAR)), 9, 8))::BIGINT % 1024 AS p1
+      FROM kc),
+    c0 AS (SELECT p0 AS p, sum(actual) AS c FROM h GROUP BY 1),
+    c1 AS (SELECT p1 AS p, sum(actual) AS c FROM h GROUP BY 1)
+    SELECT CAST(h.k AS BIGINT) AS key,
+           CAST(least(c0.c, c1.c) AS BIGINT) AS est,
+           CAST(h.actual AS BIGINT) AS actual
+    FROM h JOIN c0 ON c0.p = h.p0 JOIN c1 ON c1.p = h.p1
 """
 ORACLES["bloom_join"] = """
     WITH bk AS (

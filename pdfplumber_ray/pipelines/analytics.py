@@ -3819,3 +3819,119 @@ def bloom_semi_join_ds(
     return probe.select_columns([probe_key]).map_batches(
         flag, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------- count-min sketch (deterministic, exact SQL twin) ----------
+
+
+def cms_counts_ds(
+    items: Dataset,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 2,
+) -> Dataset:
+    """Count-min sketch frequency estimates with ground truth: build a
+    ``depth x width`` CMS over the item stream, then report every
+    distinct key's sketch estimate next to its exact count — the
+    overcount-only frequency oracle (est >= actual always) a streaming
+    pipeline uses when per-key exact counts can't fit anywhere.
+
+    Like :func:`bloom_semi_join_ds`, determinism is the point: row j's
+    counter position for a key is md5-digest bytes ``[4j, 4j+4)`` of
+    the decimal key mod ``width`` (md5 per DISTINCT key), so the
+    counters — and every collision — are identical in any engine, and
+    the SQL twin is a full value oracle over the sketch.
+
+    Scale shape: each block folds its keys into one depth·width int64
+    counter partial (vectorized ``np.add.at`` over per-block distinct
+    keys), ONE flattened-counter row per block reaches the driver, and
+    the merge is elementwise SUM — commutative, so partition-invariant.
+    The probe pass re-reads the same materialized key counts (one
+    distinct-cell combiner + groupby — the exact side) and attaches the
+    broadcast sketch estimate vectorized."""
+    import hashlib
+
+    def _positions(keys: np.ndarray) -> np.ndarray:
+        pos = np.empty((depth, len(keys)), dtype=np.int64)
+        for i, v in enumerate(keys):  # md5 per DISTINCT key (oracle parity)
+            d = hashlib.md5(str(int(v)).encode()).digest()
+            for j in range(depth):
+                pos[j, i] = int.from_bytes(d[4 * j : 4 * j + 4], "big") % width
+        return pos
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "n_p": pa.array([], pa.int64())}
+            )
+        k, cnt = np.unique(
+            batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        items.select_columns([key_col])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("n_p"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "k": b.column("k").cast(pa.int64()),
+                    "actual": b.column("sum(n_p)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        c = np.zeros((depth, width), dtype=np.int64)
+        if batch.num_rows:
+            k = batch.column("k").to_numpy(zero_copy_only=False)
+            n = batch.column("actual").to_numpy(zero_copy_only=False)
+            pos = _positions(k)
+            for j in range(depth):
+                np.add.at(c[j], pos[j], n)
+        return pa.table(
+            {"c": pa.array([c.reshape(-1).tolist()], pa.list_(pa.int64()))}
+        )
+
+    parts = counts.map_batches(
+        sketch_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one counter row per block; SUM merge is order-free
+    cms = np.zeros(depth * width, dtype=np.int64)
+    for r in parts:
+        cms += np.asarray(r["c"], np.int64)
+    cms = cms.reshape(depth, width)
+    ref = ray.put(cms)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("key", pa.int64()), ("est", pa.int64()), ("actual", pa.int64())]
+        )
+        if batch.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        c = ray.get(ref)
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        pos = _positions(k)
+        est = c[0][pos[0]]
+        for j in range(1, depth):
+            est = np.minimum(est, c[j][pos[j]])
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "est": pa.array(est.astype(np.int64), pa.int64()),
+                "actual": batch.column("actual").cast(pa.int64()),
+            }
+        )
+
+    return counts.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

@@ -1015,3 +1015,17 @@ def test_bloom_semi_join_partition_invariant(ray_session):
     ).take_all()
     key = lambda r: (r["custkey"], r["bloom_pass"], r["actual"])
     assert sorted(map(key, one)) == sorted(map(key, many))
+
+
+def test_cms_counts_overcount_only_and_partition_invariance(ray_session):
+    items = ray.data.from_arrow(
+        pa.table({"k": pa.array([1] * 50 + [2] * 30 + list(range(100, 400)), pa.int64())})
+    )
+    one = {r["key"]: (r["est"], r["actual"]) for r in an.cms_counts_ds(items.repartition(1), "k").take_all()}
+    many = {r["key"]: (r["est"], r["actual"]) for r in an.cms_counts_ds(items.repartition(11), "k").take_all()}
+    assert one == many  # SUM merge of counters is partition-invariant
+    assert one[1][1] == 50 and one[2][1] == 30
+    # count-min never undercounts
+    assert all(est >= actual for est, actual in one.values())
+    # heavy keys estimate close to exact (width 1024 >> 302 keys)
+    assert one[1][0] >= 50 and one[1][0] <= 50 + 330
