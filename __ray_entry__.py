@@ -21,6 +21,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -2799,7 +2800,68 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_interval_merge(sf_dir: str) -> ray.data.Dataset:
+    """Gaps-and-islands interval coalescing: each event spans
+    [ts, ts + value minutes] (duration floor-quantized at 1e-6 min);
+    overlapping-or-touching intervals of a user merge into islands.
+    Block-local partial merge (true combiner) -> one mix64(user) bucket
+    shuffle of partial islands -> same vectorized re-merge in-bucket."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return an.interval_merge_ds(ev)
+
+
+def q_ks_drift(sf_dir: str) -> ray.data.Dataset:
+    """Integer-exact two-sample KS distance between every source pair
+    over the n_chars distribution (cross-multiplied CDF gap, all int64)
+    — the drift detector run across sources before trusting a sampling
+    mix. Only distinct (source, value) count cells leave the combiner."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return an.ks_drift_ds(docs)
+
+
+def q_trend(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer OLS spend-trend components over order history:
+    slope_num = n*Sxy - Sx*Sy, slope_den = n*Sxx - Sx^2 as exact int64
+    (x = epoch day of o_orderdate, y = o_totalprice in floor cents) via
+    the moments reduceat combiner -> bounded groupby."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+                "x_day": pc.divide(
+                    b.column("o_orderdate").cast(pa.int64()),
+                    pa.scalar(86_400_000_000, pa.int64()),
+                ),
+                "y_cents": pc.floor(
+                    pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+            }
+        )
+
+    proj = orders.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    out = an.trend_ds(proj, "o_custkey", "x_day", "y_cents")
+    return out.map_batches(
+        lambda b: b.set_column(
+            0, "o_custkey", b.column("o_custkey").cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "interval_merge": q_interval_merge,
+    "ks_drift": q_ks_drift,
+    "trend": q_trend,
     "cms_counts": q_cms_counts,
     "bloom_join": q_bloom_join,
     "kmeans": q_kmeans,
@@ -2983,6 +3045,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "interval_merge",
+    "ks_drift",
+    "trend",
     "cms_counts",
     "bloom_join",
     "kmeans",
@@ -4821,3 +4886,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+ORACLES["interval_merge"] = """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+               + greatest(CAST(floor(value * 1e6) AS BIGINT), 0) * 60 AS e
+      FROM events),
+    m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pm
+      FROM iv),
+    f AS (SELECT user_id, s, e,
+                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk
+          FROM m),
+    i AS (SELECT user_id, s, e,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS isl
+          FROM f)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(min(s) AS BIGINT) AS start_us,
+           CAST(max(e) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_iv
+    FROM i GROUP BY user_id, isl
+"""
+ORACLES["ks_drift"] = """
+    WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS n
+               FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, sum(n) AS total FROM c GROUP BY 1),
+    s AS (SELECT DISTINCT source FROM c),
+    v AS (SELECT DISTINCT v FROM c),
+    grid AS (
+      SELECT s.source, v.v, coalesce(c.n, 0) AS n
+      FROM s CROSS JOIN v
+      LEFT JOIN c ON c.source = s.source AND c.v = v.v),
+    cum AS (SELECT source, v,
+                   sum(n) OVER (PARTITION BY source ORDER BY v) AS cn
+            FROM grid),
+    p AS (SELECT a.v, a.source AS sa, b.source AS sb, a.cn AS ca, b.cn AS cb
+          FROM cum a JOIN cum b ON a.v = b.v AND a.source < b.source)
+    SELECT p.sa AS src_a, p.sb AS src_b,
+           CAST(ta.total AS BIGINT) AS n_a,
+           CAST(tb.total AS BIGINT) AS n_b,
+           CAST(max(abs(p.ca * tb.total - p.cb * ta.total)) AS BIGINT) AS ks_num,
+           CAST(max(abs(p.ca * tb.total - p.cb * ta.total)) * 1000
+                // (ta.total * tb.total) AS BIGINT) AS ks_permille
+    FROM p
+    JOIN t ta ON ta.source = p.sa
+    JOIN t tb ON tb.source = p.sb
+    GROUP BY p.sa, p.sb, ta.total, tb.total
+"""
+ORACLES["trend"] = """
+    WITH b AS (
+      SELECT CAST(o_custkey AS BIGINT) AS g,
+             epoch_us(o_orderdate) // 86400000000 AS x,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders),
+    m AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM b GROUP BY g)
+    SELECT g AS o_custkey, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+    FROM m
+"""

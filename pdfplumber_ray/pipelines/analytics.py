@@ -3935,3 +3935,278 @@ def cms_counts_ds(
         )
 
     return counts.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- interval merge (gaps-and-islands coalescing) ----------
+
+
+def _merge_interval_partials(
+    k: np.ndarray, s: np.ndarray, e: np.ndarray, niv: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Coalesce overlapping-or-touching intervals per key, fully
+    vectorized. Returns one row per merged island: (key, island start,
+    island end = running max of member ends, summed interval count).
+
+    The per-key prefix cummax of ``e`` (ordered by ``s, e``) uses the
+    rank-composite trick: ranks of ``e`` (``np.unique`` inverse) are
+    packed as ``group_index * n_ranks + rank`` so one global
+    ``np.maximum.accumulate`` resets itself at every group boundary
+    (each group's codomain sits strictly above its predecessor's) with
+    no overflow risk — the composite is bounded by ``n_rows**2``."""
+    if len(k) == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, z, z
+    order = np.lexsort((e, s, k))
+    k, s, e, niv = k[order], s[order], e[order], niv[order]
+    n = len(k)
+    kstart = np.concatenate(([True], k[1:] != k[:-1]))
+    uvals, er = np.unique(e, return_inverse=True)
+    gidx = np.cumsum(kstart) - 1
+    comp = gidx.astype(np.int64) * np.int64(len(uvals)) + er.astype(np.int64)
+    cummax_e = uvals[
+        np.maximum.accumulate(comp) - gidx.astype(np.int64) * np.int64(len(uvals))
+    ]
+    prev_cm = np.empty(n, dtype=np.int64)
+    if n:
+        prev_cm[0] = 0
+        prev_cm[1:] = cummax_e[:-1]
+    brk = kstart | (s > prev_cm)
+    isl_start = np.flatnonzero(brk)
+    ends = np.concatenate((isl_start[1:], [n])) - 1
+    return (
+        k[isl_start],
+        s[isl_start],
+        cummax_e[ends],
+        np.add.reduceat(niv, isl_start) if n else niv,
+    )
+
+
+def interval_merge_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    dur_col: str = "value",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Merge overlapping-or-touching per-key intervals into islands —
+    the gaps-and-islands coalescing every scheduling / activity-span /
+    crawl-window pipeline needs (distinct from gap-based sessionization:
+    intervals have EXTENT, and islands are defined by true overlap of
+    ``[start, end]`` ranges, not by inter-event gaps).
+
+    Interval semantics (documented so the SQL twin is exact): start =
+    ``ts`` in epoch microseconds; duration = ``greatest(floor(value *
+    1e6), 0) * 60`` microseconds (i.e. ``value`` minutes, floor-quantized
+    at 1e-6 minute so both engines derive the identical int64 end).
+    Two intervals of the same key merge when the later start is <= the
+    running max end (touching merges).
+
+    Scale shape: interval merging is ASSOCIATIVE, so each block first
+    coalesces its own rows per key (a real combiner — a block's rows
+    collapse to its local islands carrying partial ``n_iv`` counts),
+    then ONE shuffle by ``mix64(key) % n_buckets`` (bounded group count,
+    never one group per key) re-merges the partial islands inside each
+    bucket with the same vectorized kernel. Raw rows never shuffle."""
+
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("start_us", pa.int64()),
+            ("end_us", pa.int64()),
+            ("n_iv", pa.int64()),
+        ]
+    )
+
+    def block_merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            t = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+            return t.append_column("bkt", pa.array([], pa.int64()))
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.maximum(
+            np.floor(
+                batch.column(dur_col).to_numpy(zero_copy_only=False) * 1e6
+            ).astype(np.int64),
+            0,
+        ) * np.int64(60)
+        mk, ms, me, mn = _merge_interval_partials(
+            k, ts, ts + dur, np.ones(len(k), dtype=np.int64)
+        )
+        bkt = (_mix64(mk) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(mk, pa.int64()),
+                "start_us": pa.array(ms, pa.int64()),
+                "end_us": pa.array(me, pa.int64()),
+                "n_iv": pa.array(mn, pa.int64()),
+                "bkt": pa.array(bkt),
+            }
+        )
+
+    partials = events.select_columns([key_col, ts_col, dur_col]).map_batches(
+        block_merge, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_merge(group: pa.Table) -> pa.Table:
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        s = group.column("start_us").to_numpy(zero_copy_only=False)
+        e = group.column("end_us").to_numpy(zero_copy_only=False)
+        niv = group.column("n_iv").to_numpy(zero_copy_only=False)
+        mk, ms, me, mn = _merge_interval_partials(k, s, e, niv)
+        return pa.table(
+            {
+                key_col: pa.array(mk, pa.int64()),
+                "start_us": pa.array(ms, pa.int64()),
+                "end_us": pa.array(me, pa.int64()),
+                "n_iv": pa.array(mn, pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        partials.groupby("bkt").map_groups(bucket_merge, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+# ---------- two-sample KS drift (integer-exact, per source pair) ----------
+
+
+def ks_drift_ds(
+    docs: Dataset,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    max_cells: int = 2_000_000,
+) -> Dataset:
+    """Integer-exact two-sample Kolmogorov–Smirnov distance between every
+    pair of groups over an integer value column — the distribution-drift
+    detector a curation pipeline runs across sources / shards / snapshot
+    dates before trusting a sampling mix. Cross-multiplied form keeps it
+    engine-exact: ``ks_num = max_v |cdf_a(v)·n_b − cdf_b(v)·n_a|`` (all
+    int64), reported with ``ks_permille = ks_num·1000 // (n_a·n_b)``.
+
+    Scale shape: one per-batch ``(group, value)`` count combiner bounds
+    the shuffle to distinct cells per block; the exact cell table (groups
+    × distinct values, size-guarded by ``max_cells``) is the ONLY thing
+    that leaves the aggregate, and the pairwise CDF sweep runs once on
+    the driver over that bounded grid. Raw rows never shuffle. Int64
+    bound: ``n_a · n_b`` must stay below 2^63 (documented; holds through
+    ~3e9 rows per group)."""
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "v": pa.array([], pa.int64()),
+                "n_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "g": batch.column(group_col).cast(pa.string()),
+                "v": batch.column(value_col).cast(pa.int64()),
+            }
+        )
+        agg = t.group_by(["g", "v"]).aggregate([("v", "count")])
+        return pa.table(
+            {
+                "g": agg.column("g"),
+                "v": agg.column("v"),
+                "n_p": agg.column("v_count").cast(pa.int64()),
+            }
+        )
+
+    cells = (
+        docs.select_columns([group_col, value_col])
+        .map_batches(cell_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "v"])
+        .aggregate(Sum("n_p"))
+        .materialize()
+    )
+    n_cells = cells.count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"(group, value) domain ({n_cells} cells) exceeds max_cells={max_cells}"
+        )
+    rows = cells.take_all()
+    out_schema = pa.schema(
+        [
+            ("src_a", pa.string()),
+            ("src_b", pa.string()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("ks_num", pa.int64()),
+            ("ks_permille", pa.int64()),
+        ]
+    )
+    if not rows:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    g = np.asarray([r["g"] for r in rows], dtype=object).astype(str)
+    v = np.asarray([int(r["v"]) for r in rows], dtype=np.int64)
+    n = np.asarray([int(r["sum(n_p)"]) for r in rows], dtype=np.int64)
+    gnames, gcodes = np.unique(g, return_inverse=True)
+    vvals, vcodes = np.unique(v, return_inverse=True)
+    grid = np.zeros((len(gnames), len(vvals)), dtype=np.int64)
+    grid[gcodes, vcodes] = n
+    cdf = np.cumsum(grid, axis=1)
+    totals = cdf[:, -1]
+    out = {name: [] for name in out_schema.names}
+    for a in range(len(gnames)):
+        for b in range(a + 1, len(gnames)):
+            ks = int(np.max(np.abs(cdf[a] * totals[b] - cdf[b] * totals[a])))
+            out["src_a"].append(str(gnames[a]))
+            out["src_b"].append(str(gnames[b]))
+            out["n_a"].append(int(totals[a]))
+            out["n_b"].append(int(totals[b]))
+            out["ks_num"].append(ks)
+            out["ks_permille"].append(ks * 1000 // (int(totals[a]) * int(totals[b])))
+    return ray.data.from_arrow(
+        pa.table({f.name: pa.array(out[f.name], f.type) for f in out_schema})
+    )
+
+
+# ---------- grouped linear trend (exact slope components) ----------
+
+
+def trend_ds(
+    ds: Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> Dataset:
+    """Per-group ordinary-least-squares slope as EXACT integer
+    components: ``slope_num = n·Σxy − Σx·Σy`` and ``slope_den = n·Σxx −
+    (Σx)²`` (slope = num/den; den = 0 marks a degenerate group — single
+    point or constant x). Keeping the rational components integer makes
+    the operator bit-identical in any engine and lets the consumer pick
+    its own division precision. ``x_col`` / ``y_col`` must already be
+    int64 (callers project e.g. epoch-day / cents columns first).
+
+    Int64 bound (documented, mirrors :func:`moments_ds`): pick units so
+    ``n_g · max|x| · max|y| < 2^63`` per group — natural for bounded
+    per-entity histories (orders per customer) at any corpus scale.
+
+    Scale shape: delegates to :func:`moments_ds` (one reduceat combiner
+    row per group per block -> bounded groupby of integer sums), then a
+    streaming derive pass."""
+    m = moments_ds(ds, group_col, x_col, y_col, x_quant=1, y_quant=1)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        sx = batch.column("sum_x").to_numpy(zero_copy_only=False)
+        sy = batch.column("sum_y").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sum_xx").to_numpy(zero_copy_only=False)
+        sxy = batch.column("sum_xy").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n": pa.array(n, pa.int64()),
+                "slope_num": pa.array(n * sxy - sx * sy, pa.int64()),
+                "slope_den": pa.array(n * sxx - sx * sx, pa.int64()),
+            }
+        )
+
+    return m.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)

@@ -1029,3 +1029,100 @@ def test_cms_counts_overcount_only_and_partition_invariance(ray_session):
     assert all(est >= actual for est, actual in one.values())
     # heavy keys estimate close to exact (width 1024 >> 302 keys)
     assert one[1][0] >= 50 and one[1][0] <= 50 + 330
+
+
+def test_interval_merge_overlap_touch_and_gap(ray_session):
+    m = 60_000_000  # value=1.0 -> 1 minute in us
+    ev = _events(
+        [
+            # user 1: [0, 10m], [5m, 15m] overlap; [15m, 16m] touches ->
+            # one island of 3; [20m, 21m] is separate
+            (1, 1, 0, "a", 10.0),
+            (2, 1, 5 * m, "a", 10.0),
+            (3, 1, 15 * m, "a", 1.0),
+            (4, 1, 20 * m, "a", 1.0),
+            # user 2: zero/negative durations -> point intervals; identical
+            # starts merge (touching), distinct starts do not
+            (5, 2, 100, "a", 0.0),
+            (6, 2, 100, "a", -5.0),
+            (7, 2, 200, "a", 0.0),
+        ]
+    )
+    rows = {
+        (r["user_id"], r["start_us"]): (r["end_us"], r["n_iv"])
+        for r in an.interval_merge_ds(ev).take_all()
+    }
+    assert rows == {
+        (1, 0): (16 * m, 3),
+        (1, 20 * m): (21 * m, 1),
+        (2, 100): (100, 2),
+        (2, 200): (200, 1),
+    }
+
+
+def test_interval_merge_partition_invariant(ray_session):
+    # chains long enough to cross block-combine boundaries
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(400):
+        u = i % 5
+        rows.append((i, u, int(rng.randint(0, 10_000) * 1_000_000), "a",
+                     float(rng.randint(0, 300)) / 60.0))
+    ev1 = _events(rows).repartition(1)
+    ev2 = _events(rows).repartition(13)
+    a = {tuple(sorted(r.items()))
+         for r in an.interval_merge_ds(ev1, n_buckets=2).take_all()}
+    b = {tuple(sorted(r.items()))
+         for r in an.interval_merge_ds(ev2, n_buckets=64).take_all()}
+    assert a == b and len(a) >= 5
+    # island interval counts must account for every input row
+    assert sum(dict(t)["n_iv"] for t in a) == 400
+
+
+def test_ks_drift_hand_computed(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a"] * 4 + ["b"] * 2),
+                "n_chars": pa.array([1, 2, 3, 4, 3, 4], pa.int64()),
+            }
+        )
+    )
+    (r,) = an.ks_drift_ds(docs).take_all()
+    # cdf_a = [1,2,3,4]/4, cdf_b = [0,0,1,2]/2 at v=1..4
+    # cross-multiplied max gap: v=2 -> |2*2 - 0*4| = 4
+    assert (r["src_a"], r["src_b"]) == ("a", "b")
+    assert (r["n_a"], r["n_b"], r["ks_num"]) == (4, 2, 4)
+    assert r["ks_permille"] == 4 * 1000 // 8
+
+
+def test_ks_drift_identical_distributions(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a", "a", "b", "b"]),
+                "n_chars": pa.array([5, 9, 5, 9], pa.int64()),
+            }
+        )
+    )
+    (r,) = an.ks_drift_ds(docs).take_all()
+    assert r["ks_num"] == 0 and r["ks_permille"] == 0
+
+
+def test_trend_exact_components(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "x": pa.array([0, 1, 2, 5, 5], pa.int64()),
+                "y": pa.array([3, 5, 7, 4, 9], pa.int64()),
+            }
+        )
+    )
+    rows = {r["g"]: r for r in an.trend_ds(ds, "g", "x", "y").take_all()}
+    # group 1: perfect slope 2 -> num = 3*24 - 3*15 = 12? check by hand:
+    # n=3 sx=3 sy=15 sxy=0*3+1*5+2*7=19 sxx=5
+    # num = 3*19 - 3*15 = 12; den = 3*5 - 9 = 6 -> slope 2 exactly
+    assert (rows["1"]["slope_num"], rows["1"]["slope_den"]) == (12, 6)
+    # group 2: constant x -> degenerate den = 0
+    assert rows["2"]["slope_den"] == 0 and rows["2"]["n"] == 2
