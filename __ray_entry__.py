@@ -3088,9 +3088,6 @@ _FRONT_R5 = [
     "moments",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
-    "grouped_heavy_hitters",
-    "length_outliers",
-    "knn_graph",
     "grouped_rank",
     "cohort_retention",
     "anti_join",
@@ -3100,6 +3097,12 @@ _FRONT_R5 = [
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
     # --- 50-slot gate window boundary (entries below overflow) ---
+    # grouped_heavy_hitters / length_outliers / knn_graph yield their
+    # window slots to the session-5 interval_merge / ks_drift / trend
+    # additions; all three stay locally sweep-verified every round
+    "grouped_heavy_hitters",
+    "length_outliers",
+    "knn_graph",
     # r1-era ops whose machinery twins were driver-validated in r4
     # (near_dup_verified / token_stats / length_quantiles / words_by_lang
     # / curation_funnel / grouped_heavy_hitters) take the overflow created

@@ -45,6 +45,7 @@ def test_front_window_holds_new_and_never_sampled():
         "pagerank",
         "substring_dedup", "tfidf_topk", "dedup_resolution_cogroup",
         "asof_join_bucketed", "main_content",
+        "interval_merge", "ks_drift", "trend",
     ):
         assert name in first50, f"{name} fell outside the driver gate window"
 
