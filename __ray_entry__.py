@@ -2800,6 +2800,92 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_fuzzy_join(sf_dir: str) -> ray.data.Dataset:
+    """Fuzzy spell-correction join (SymSpell deletion-neighborhood
+    blocking, vectorized ED<=1 verify): a deterministic typo corpus —
+    each doc's first token with the char at position doc_id % len
+    deleted — joined against the corpus vocabulary (tokens of 4..16
+    chars with counts) at Levenshtein distance <= 1."""
+    from ray.data.aggregate import Sum as _Sum
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(b.column("text"), pattern=" "))
+        agg = pa.table({"token": toks}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        return pa.table(
+            {
+                "token": agg.column("token"),
+                "n_p": agg.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(_Sum("n_p"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.greater_equal(pc.utf8_length(b.column("token")), 4),
+                    pc.less_equal(pc.utf8_length(b.column("token")), 16),
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {"token": b.column("token"), "c": b.column("sum(n_p)").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def typo_partial(b: pa.Table) -> pa.Table:
+        mask = pc.not_equal(b.column("text"), "")
+        b = b.filter(mask)
+        first = pc.list_element(
+            pc.split_pattern(b.column("text"), pattern=" "), 0
+        )
+        ln = pc.utf8_length(first).cast(pa.int64())
+        keep = pc.greater_equal(ln, 4)
+        first, ln = first.filter(keep), ln.filter(keep)
+        ids = b.column("doc_id").filter(keep).cast(pa.int64())
+        p = (
+            ids.to_numpy(zero_copy_only=False)
+            % ln.to_numpy(zero_copy_only=False)
+        )
+        # deletion at a per-row position: <=16 vectorized slices, one per
+        # distinct position value, never a per-row Python loop
+        out = np.empty(len(p), dtype=object)
+        fn = first.to_numpy(zero_copy_only=False)
+        for pos in np.unique(p):
+            m = p == pos
+            sel = pa.array(fn[m], pa.string())
+            typo = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sel, 0, int(pos)),
+                pc.utf8_slice_codeunits(sel, int(pos) + 1, np.iinfo(np.int32).max),
+                "",
+            )
+            out[m] = typo.to_numpy(zero_copy_only=False)
+        return pa.table({"q": pa.array(np.unique(out.astype(str)), pa.string())})
+
+    # global distinct via groupby on the typo string, key projected back out
+    queries_ds = (
+        docs.map_batches(typo_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("q")
+        .count()
+        .select_columns(["q"])
+    )
+    return co.fuzzy_join_ds(queries_ds, vocab)
+
+
 def q_interval_merge(sf_dir: str) -> ray.data.Dataset:
     """Gaps-and-islands interval coalescing: each event spans
     [ts, ts + value minutes] (duration floor-quantized at 1e-6 min);
@@ -2859,6 +2945,7 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "fuzzy_join": q_fuzzy_join,
     "interval_merge": q_interval_merge,
     "ks_drift": q_ks_drift,
     "trend": q_trend,
@@ -3045,6 +3132,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "fuzzy_join",
     "interval_merge",
     "ks_drift",
     "trend",
@@ -3088,7 +3176,6 @@ _FRONT_R5 = [
     "moments",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
-    "grouped_rank",
     "cohort_retention",
     "anti_join",
     "keep_latest",
@@ -3097,12 +3184,14 @@ _FRONT_R5 = [
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
     # --- 50-slot gate window boundary (entries below overflow) ---
-    # grouped_heavy_hitters / length_outliers / knn_graph yield their
-    # window slots to the session-5 interval_merge / ks_drift / trend
-    # additions; all three stay locally sweep-verified every round
+    # grouped_heavy_hitters / length_outliers / knn_graph / grouped_rank
+    # yield their window slots to the session-5 fuzzy_join /
+    # interval_merge / ks_drift / trend additions; all four stay locally
+    # sweep-verified every round
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
+    "grouped_rank",
     # r1-era ops whose machinery twins were driver-validated in r4
     # (near_dup_verified / token_stats / length_quantiles / words_by_lang
     # / curation_funnel / grouped_heavy_hitters) take the overflow created
@@ -4953,4 +5042,23 @@ ORACLES["trend"] = """
            CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
            CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
     FROM m
+"""
+ORACLES["fuzzy_join"] = """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    dict AS (SELECT token, c FROM cnt
+             WHERE len(token) BETWEEN 4 AND 16),
+    q0 AS (SELECT doc_id, string_split(text, ' ')[1] AS t
+           FROM documents WHERE text <> ''),
+    q1 AS (SELECT DISTINCT
+             substr(t, 1, (doc_id % len(t)))
+               || substr(t, (doc_id % len(t)) + 2) AS q
+           FROM q0 WHERE len(t) >= 4)
+    SELECT q1.q AS query, d.token AS suggestion,
+           CAST(CASE WHEN q1.q = d.token THEN 0 ELSE 1 END AS BIGINT) AS dist,
+           CAST(d.c AS BIGINT) AS sugg_n
+    FROM q1 JOIN dict d
+      ON abs(len(q1.q) - len(d.token)) <= 1
+     AND levenshtein(q1.q, d.token) <= 1
 """

@@ -4390,3 +4390,218 @@ def kmeans_ds(
         )
 
     return qds.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- fuzzy string join (edit distance <= 1, SymSpell blocking) ----------
+
+
+def _ed1_verify(qs: np.ndarray, ws: np.ndarray, width: int = 24) -> np.ndarray:
+    """Vectorized Levenshtein==1 check for candidate string pairs
+    (ASCII; both sides shorter than ``width``). Equal-length pairs pass
+    iff exactly one byte differs; length-diff-1 pairs pass iff the
+    matching prefix + matching suffix of the shorter string cover it
+    entirely (the one-insertion rule). No per-pair Python: both sides
+    pack into fixed-width uint8 matrices and every rule is numpy."""
+    n = len(qs)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    A = np.frombuffer(
+        np.asarray(qs, dtype=f"S{width}").tobytes(), np.uint8
+    ).reshape(n, width)
+    B = np.frombuffer(
+        np.asarray(ws, dtype=f"S{width}").tobytes(), np.uint8
+    ).reshape(n, width)
+    la = (A != 0).sum(axis=1)
+    lb = (B != 0).sum(axis=1)
+    out = np.zeros(n, dtype=bool)
+    same = la == lb
+    if same.any():
+        out[same] = (A[same] != B[same]).sum(axis=1) == 1
+    diff1 = np.abs(la - lb) == 1
+    if diff1.any():
+        # orient so S is the shorter side, L the longer
+        ashort = la < lb
+        S = np.where(ashort[:, None], A, B)[diff1]
+        L = np.where(ashort[:, None], B, A)[diff1]
+        ls = np.minimum(la, lb)[diff1]
+        m = len(S)
+        w = np.arange(width)
+        # prefix match length (first mismatch always exists: L[ls] != 0 == S[ls])
+        p = np.argmax(S != L, axis=1)
+        # right-align both sides, then count matching trailing bytes
+        lls = ls + 1  # length of L
+        src_s = w[None, :] - (width - ls)[:, None]
+        src_l = w[None, :] - (width - lls)[:, None]
+        RS = np.where(src_s >= 0, S[np.arange(m)[:, None], np.clip(src_s, 0, None)], 0)
+        RL = np.where(src_l >= 0, L[np.arange(m)[:, None], np.clip(src_l, 0, None)], 0)
+        q = np.argmax((RS != RL)[:, ::-1], axis=1)
+        out[diff1] = np.minimum(p, ls) + np.minimum(q, ls) >= ls
+    return out
+
+
+def fuzzy_join_ds(
+    queries: Dataset,
+    dictionary: Dataset,
+    query_col: str = "q",
+    token_col: str = "token",
+    count_col: str = "c",
+    n_buckets: int = 256,
+    max_token_len: int = 23,
+    max_bucket_pairs: int = 5_000_000,
+) -> Dataset:
+    """Fuzzy string join: every (query, dictionary token) pair within
+    Levenshtein distance <= 1 — the spell-correction / entity-resolution
+    lookup (SymSpell / FastSS deletion-neighborhood blocking, a public
+    method). Queries must be DISTINCT strings; dictionary carries one
+    row per token with a count payload. ASCII strings only (byte-level
+    == character-level edits; both sides must be < 24 bytes).
+
+    Blocking is 100%-recall for ED<=1: each string emits itself plus its
+    single-character-deletion variants, and two strings within one edit
+    share >= 1 variant (substitution -> the mismatch-deleted string,
+    insertion -> the shorter string itself). Verified pairs are emitted
+    exactly once with no dedup pass, because a verified pair shares
+    EXACTLY one variant: unequal lengths can never collide on a second
+    variant, and an equal-length pair's single mismatch position is the
+    only deletion that reconciles them (q == w exact hits share many
+    variants, so those keep only their self-variant segment).
+
+    Scale shape: variant generation is a per-block loop over DISTINCT
+    strings (vocab-bounded, like the md5 gram hashing elsewhere), both
+    sides shuffle ONCE as a tagged union by ``md5(variant) % n_buckets``
+    (bounded group count), in-bucket candidate expansion is offset
+    arithmetic (no per-segment Python), and verification is the
+    vectorized :func:`_ed1_verify`. ``max_bucket_pairs`` fails loud on a
+    pathological vocabulary instead of silently dropping candidates."""
+
+    def _variants(tok: str) -> List[str]:
+        # dict.fromkeys dedups (repeated chars make equal deletions —
+        # "small" -> "smal" twice) while keeping order deterministic
+        return list(
+            dict.fromkeys(
+                [tok] + [tok[:i] + tok[i + 1 :] for i in range(len(tok))]
+            )
+        )
+
+    out_schema = pa.schema(
+        [
+            ("query", pa.string()),
+            ("suggestion", pa.string()),
+            ("dist", pa.int64()),
+            ("sugg_n", pa.int64()),
+        ]
+    )
+
+    def q_side(batch: pa.Table) -> pa.Table:
+        toks = [
+            t
+            for t in batch.column(query_col).to_pylist()
+            if t and len(t) <= max_token_len
+        ]
+        var, tok_of = [], []
+        for t in toks:
+            for v in _variants(t):
+                var.append(v)
+                tok_of.append(t)
+        bkt = [ts.md5_u64(v) % n_buckets for v in var]
+        return pa.table(
+            {
+                "variant": pa.array(var, pa.string()),
+                "tok": pa.array(tok_of, pa.string()),
+                "side": pa.array(np.zeros(len(var), np.int8)),
+                "cnt": pa.array(np.zeros(len(var), np.int64)),
+                "is_self": pa.array([v == t for v, t in zip(var, tok_of)]),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    def d_side(batch: pa.Table) -> pa.Table:
+        toks = batch.column(token_col).to_pylist()
+        cnts = batch.column(count_col).to_numpy(zero_copy_only=False)
+        var, tok_of, cnt_of = [], [], []
+        for t, c in zip(toks, cnts):
+            if not t or len(t) > max_token_len:
+                continue
+            for v in _variants(t):
+                var.append(v)
+                tok_of.append(t)
+                cnt_of.append(int(c))
+        bkt = [ts.md5_u64(v) % n_buckets for v in var]
+        return pa.table(
+            {
+                "variant": pa.array(var, pa.string()),
+                "tok": pa.array(tok_of, pa.string()),
+                "side": pa.array(np.ones(len(var), np.int8)),
+                "cnt": pa.array(cnt_of, pa.int64()),
+                "is_self": pa.array([v == t for v, t in zip(var, tok_of)]),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    both = queries.select_columns([query_col]).map_batches(
+        q_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        dictionary.select_columns([token_col, count_col]).map_batches(
+            d_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        var = np.asarray(group.column("variant").to_pylist(), dtype=object)
+        tok = np.asarray(group.column("tok").to_pylist(), dtype=object)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        is_self = group.column("is_self").to_numpy(zero_copy_only=False)
+        # sort by (variant, side) so each variant is one segment with
+        # queries first, dictionary entries after
+        order = np.lexsort((side, var.astype(str)))
+        var, tok, side, cnt, is_self = (
+            var[order], tok[order], side[order], cnt[order], is_self[order]
+        )
+        vs = var.astype(str)
+        seg = np.concatenate(([True], vs[1:] != vs[:-1]))
+        seg_id = np.cumsum(seg) - 1
+        n_seg = seg_id[-1] + 1 if len(seg_id) else 0
+        nq = np.bincount(seg_id, weights=(side == 0), minlength=n_seg).astype(np.int64)
+        nw = np.bincount(seg_id, weights=(side == 1), minlength=n_seg).astype(np.int64)
+        starts = np.flatnonzero(seg)
+        m = nq * nw  # pairs per segment
+        total = int(m.sum())
+        if total > max_bucket_pairs:
+            raise ValueError(
+                f"candidate pairs in one bucket ({total}) exceed "
+                f"max_bucket_pairs={max_bucket_pairs}"
+            )
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if total == 0:
+            return empty
+        seg_of_pair = np.repeat(np.arange(n_seg), m)
+        off = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(m)[:-1])), m)
+        bw = nw[seg_of_pair]
+        qi = starts[seg_of_pair] + off // bw
+        wi = starts[seg_of_pair] + nq[seg_of_pair] + off % bw
+        qt, wt = tok[qi], tok[wi]
+        qsel, wsel = is_self[qi], is_self[wi]
+        eqm = qt == wt
+        # exact hits only from the self-variant segment (emitted once);
+        # ED-1 candidates exclude equal strings, then verify
+        keep_exact = eqm & qsel & wsel
+        cand = ~eqm
+        ok = np.zeros(total, dtype=bool)
+        if cand.any():
+            ok[cand] = _ed1_verify(qt[cand].astype(str), wt[cand].astype(str))
+        keep = keep_exact | ok
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "query": pa.array(qt[keep].astype(str), pa.string()),
+                "suggestion": pa.array(wt[keep].astype(str), pa.string()),
+                "dist": pa.array((~eqm[keep]).astype(np.int64), pa.int64()),
+                "sugg_n": pa.array(cnt[wi][keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ray.data.from_arrow(
+        pa.table({f.name: pa.array([], f.type) for f in out_schema})
+    ).union(both.groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow"))
