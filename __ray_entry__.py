@@ -2800,6 +2800,17 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_source_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Cross-source contamination matrix: distinct shared 5-gram count
+    between every source pair plus each side's distinct-gram total.
+    Distinct (gram, source) combiner -> one gram-hash bucket shuffle ->
+    in-bucket triu pair expansion -> sources^2 groupby."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return co.source_overlap_ds(docs)
+
+
 def q_fuzzy_join(sf_dir: str) -> ray.data.Dataset:
     """Fuzzy spell-correction join (SymSpell deletion-neighborhood
     blocking, vectorized ED<=1 verify): a deterministic typo corpus —
@@ -2945,6 +2956,7 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "source_overlap": q_source_overlap,
     "fuzzy_join": q_fuzzy_join,
     "interval_merge": q_interval_merge,
     "ks_drift": q_ks_drift,
@@ -3132,6 +3144,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "source_overlap",
     "fuzzy_join",
     "interval_merge",
     "ks_drift",
@@ -3176,7 +3189,6 @@ _FRONT_R5 = [
     "moments",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
-    "cohort_retention",
     "anti_join",
     "keep_latest",
     "substring_dedup",
@@ -3192,6 +3204,7 @@ _FRONT_R5 = [
     "length_outliers",
     "knn_graph",
     "grouped_rank",
+    "cohort_retention",
     # r1-era ops whose machinery twins were driver-validated in r4
     # (near_dup_verified / token_stats / length_quantiles / words_by_lang
     # / curation_funnel / grouped_heavy_hitters) take the overflow created
@@ -5061,4 +5074,27 @@ ORACLES["fuzzy_join"] = """
     FROM q1 JOIN dict d
       ON abs(len(q1.q) - len(d.token)) <= 1
      AND levenshtein(q1.q, d.token) <= 1
+"""
+ORACLES["source_overlap"] = """
+    WITH t AS (SELECT source, string_split(text, ' ') AS l
+               FROM documents WHERE text <> ''),
+    g AS (SELECT source,
+            CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                 ELSE list_distinct([array_to_string(l[i:i+4], ' ')
+                                     for i in range(1, len(l)-3)])
+            END AS sh FROM t),
+    x AS (SELECT DISTINCT source,
+            ('0x' || substr(md5(s), 1, 16))::UBIGINT AS h
+          FROM (SELECT source, unnest(sh) AS s FROM g)),
+    tot AS (SELECT source, count(*) AS n FROM x GROUP BY 1),
+    p AS (SELECT a.source AS sa, b.source AS sb
+          FROM x a JOIN x b ON a.h = b.h AND a.source < b.source),
+    sh2 AS (SELECT sa, sb, count(*) AS c FROM p GROUP BY 1, 2)
+    SELECT sh2.sa AS src_a, sh2.sb AS src_b,
+           CAST(sh2.c AS BIGINT) AS shared_grams,
+           CAST(ta.n AS BIGINT) AS n_a,
+           CAST(tb.n AS BIGINT) AS n_b
+    FROM sh2
+    JOIN tot ta ON ta.source = sh2.sa
+    JOIN tot tb ON tb.source = sh2.sb
 """

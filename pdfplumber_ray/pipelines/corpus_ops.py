@@ -4605,3 +4605,166 @@ def fuzzy_join_ds(
     return ray.data.from_arrow(
         pa.table({f.name: pa.array([], f.type) for f in out_schema})
     ).union(both.groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow"))
+
+
+# ---------- cross-source k-gram overlap matrix (contamination audit) ----------
+
+
+def source_overlap_ds(
+    docs: Dataset,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    n_buckets: int = 512,
+    max_sources: int = 1_000,
+) -> Dataset:
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of DISTINCT word ``shingle_k``-grams present in both, plus
+    each side's distinct-gram total (so consumers derive containment /
+    Jaccard) — the audit a curation pipeline runs to find mirrored or
+    cross-posted content between ingest feeds before weighting them as
+    independent. Pairs with zero shared grams are omitted (inner
+    semantics). Gram hashing reuses ``textstats.shingle_hashes``
+    (md5-u64, whole-doc fallback under ``shingle_k`` tokens) so the
+    DuckDB twin reproduces it bit-exactly.
+
+    Scale shape: per-block combiner emits DISTINCT ``(gram_hash,
+    source)`` rows only; ONE shuffle by ``h % n_buckets`` (the hash is
+    already uniform) co-locates each gram's source set; in-bucket global
+    dedup + per-gram pair expansion uses size-grouped ``triu_indices``
+    templates (a loop over DISTINCT source-set sizes <= n_sources, never
+    over grams); only tiny ``(src_a, src_b, count)`` partials plus
+    per-source totals leave the bucket, and the final groupby is over
+    the sources² domain (guarded by ``max_sources``)."""
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.uint64()),
+                "src": pa.array([], pa.string()),
+                "bkt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        srcs = batch.column(group_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        hs, ss = [], []
+        for s, t in zip(srcs, texts):
+            h = ts.shingle_hashes(t or "", shingle_k)
+            if len(h):
+                hs.append(h)
+                ss.append(np.full(len(h), s, dtype=object))
+        if not hs:
+            return empty
+        h = np.concatenate(hs)
+        s = np.concatenate(ss).astype(str)
+        # block-local distinct (h, source)
+        svals, sc = np.unique(s, return_inverse=True)
+        order = np.lexsort((sc, h))
+        h, sc = h[order], sc[order]
+        keep = np.concatenate(([True], (h[1:] != h[:-1]) | (sc[1:] != sc[:-1])))
+        h, sc = h[keep], sc[keep]
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "src": pa.array(svals[sc], pa.string()),
+                "bkt": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            }
+        )
+
+    partial_schema = pa.schema(
+        [("src_a", pa.string()), ("src_b", pa.string()), ("n_p", pa.int64())]
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        s = np.asarray(group.column("src").to_pylist(), dtype=object).astype(str)
+        svals, sc = np.unique(s, return_inverse=True)
+        order = np.lexsort((sc, h))
+        h, sc = h[order], sc[order]
+        keep = np.concatenate(([True], (h[1:] != h[:-1]) | (sc[1:] != sc[:-1])))
+        h, sc = h[keep], sc[keep]
+        # per-source distinct-gram totals in this bucket ("" sentinel rows)
+        tot = np.bincount(sc, minlength=len(svals)).astype(np.int64)
+        out_a = [svals, ]
+        out_b = [np.full(len(svals), "", dtype=object)]
+        out_n = [tot]
+        # per-gram source-set pair expansion, grouped by segment size
+        seg = np.concatenate(([True], h[1:] != h[:-1]))
+        seg_id = np.cumsum(seg) - 1
+        sizes = np.bincount(seg_id)
+        starts = np.flatnonzero(seg)
+        pair_a, pair_b = [], []
+        for sz in np.unique(sizes):
+            if sz < 2:
+                continue
+            idx = starts[sizes == sz]
+            iu, ju = np.triu_indices(int(sz), k=1)
+            pair_a.append(sc[(idx[:, None] + iu[None, :]).ravel()])
+            pair_b.append(sc[(idx[:, None] + ju[None, :]).ravel()])
+        if pair_a:
+            a = np.concatenate(pair_a)
+            b = np.concatenate(pair_b)
+            comp = a.astype(np.int64) * len(svals) + b
+            uc, cnt = np.unique(comp, return_counts=True)
+            out_a.append(svals[uc // len(svals)])
+            out_b.append(svals[uc % len(svals)])
+            out_n.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "src_a": pa.array(np.concatenate(out_a).astype(object), pa.string()),
+                "src_b": pa.array(np.concatenate(out_b).astype(object), pa.string()),
+                "n_p": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    partials = (
+        docs.select_columns([group_col, text_col])
+        .map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    agg_rows = (
+        ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in partial_schema})
+        )
+        .union(partials)
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("n_p"))
+        .take_all()
+    )
+    out_schema = pa.schema(
+        [
+            ("src_a", pa.string()),
+            ("src_b", pa.string()),
+            ("shared_grams", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+        ]
+    )
+    totals: Dict[str, int] = {}
+    pairs: List[Tuple[str, str, int]] = []
+    for r in agg_rows:
+        if r["src_b"] == "":
+            totals[r["src_a"]] = totals.get(r["src_a"], 0) + int(r["sum(n_p)"])
+        else:
+            pairs.append((r["src_a"], r["src_b"], int(r["sum(n_p)"])))
+    if len(totals) > max_sources:
+        raise ValueError(
+            f"{len(totals)} sources exceed max_sources={max_sources}"
+        )
+    pairs.sort()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src_a": pa.array([p[0] for p in pairs], pa.string()),
+                "src_b": pa.array([p[1] for p in pairs], pa.string()),
+                "shared_grams": pa.array([p[2] for p in pairs], pa.int64()),
+                "n_a": pa.array([totals[p[0]] for p in pairs], pa.int64()),
+                "n_b": pa.array([totals[p[1]] for p in pairs], pa.int64()),
+            }
+        )
+        if pairs
+        else pa.table({f.name: pa.array([], f.type) for f in out_schema})
+    )

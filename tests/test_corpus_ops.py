@@ -1355,3 +1355,52 @@ def test_fuzzy_join_no_duplicate_rows_and_partition_invariance(ray_session):
         if lev1(q, t) <= 1
     }
     assert a == expect
+
+
+def test_source_overlap_hand_computed_and_partition_invariant(ray_session):
+    # short docs (<5 tokens) fall back to whole-doc grams
+    rows = [
+        ("a", "x y"), ("a", "p q"), ("a", "u v"),
+        ("b", "x y"), ("b", "p q"),
+        ("c", "x y"), ("c", "zz ww"),
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (r["shared_grams"], r["n_a"], r["n_b"])
+        for r in co.source_overlap_ds(docs).take_all()
+    }
+    assert got == {
+        ("a", "b"): (2, 3, 2),
+        ("a", "c"): (1, 3, 2),
+        ("b", "c"): (1, 2, 2),
+    }
+    got2 = {
+        (r["src_a"], r["src_b"]): (r["shared_grams"], r["n_a"], r["n_b"])
+        for r in co.source_overlap_ds(
+            docs.repartition(5), n_buckets=3
+        ).take_all()
+    }
+    assert got2 == got
+
+
+def test_source_overlap_empty_and_disjoint(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a", "b"], pa.string()),
+                "text": pa.array(["one two", "three four"], pa.string()),
+            }
+        )
+    )
+    assert co.source_overlap_ds(docs).take_all() == []
+    empty = ray.data.from_arrow(
+        pa.table({"source": pa.array([], pa.string()), "text": pa.array([], pa.string())})
+    )
+    assert co.source_overlap_ds(empty).take_all() == []
