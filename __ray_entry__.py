@@ -2800,6 +2800,30 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_rrf_fusion(sf_dir: str) -> ray.data.Dataset:
+    """Reciprocal-rank fusion of two document rankings (by n_chars and
+    by whitespace token count, both DESC with doc_id tie-break):
+    integer-quantized rrf_e9 = floor(1e9/(60+ra)) + floor(1e9/(60+rb)),
+    global top-100 without a corpus sort (bucket-local top-k merge)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def metrics(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "n_chars": b.column("n_chars").cast(pa.int64()),
+                "n_words": pc.list_value_length(
+                    pc.split_pattern(b.column("text"), pattern=" ")
+                ).cast(pa.int64()),
+            }
+        )
+
+    m = docs.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)
+    return an.rrf_fusion_ds(m, "doc_id", "n_chars", "n_words")
+
+
 def q_source_overlap(sf_dir: str) -> ray.data.Dataset:
     """Cross-source contamination matrix: distinct shared 5-gram count
     between every source pair plus each side's distinct-gram total.
@@ -2956,6 +2980,7 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "rrf_fusion": q_rrf_fusion,
     "source_overlap": q_source_overlap,
     "fuzzy_join": q_fuzzy_join,
     "interval_merge": q_interval_merge,
@@ -3144,6 +3169,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "rrf_fusion",
     "source_overlap",
     "fuzzy_join",
     "interval_merge",
@@ -3189,7 +3215,6 @@ _FRONT_R5 = [
     "moments",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
-    "anti_join",
     "keep_latest",
     "substring_dedup",
     "tfidf_topk",
@@ -3205,6 +3230,7 @@ _FRONT_R5 = [
     "knn_graph",
     "grouped_rank",
     "cohort_retention",
+    "anti_join",
     # r1-era ops whose machinery twins were driver-validated in r4
     # (near_dup_verified / token_stats / length_quantiles / words_by_lang
     # / curation_funnel / grouped_heavy_hitters) take the overflow created
@@ -5097,4 +5123,19 @@ ORACLES["source_overlap"] = """
     FROM sh2
     JOIN tot ta ON ta.source = sh2.sa
     JOIN tot tb ON tb.source = sh2.sb
+"""
+ORACLES["rrf_fusion"] = """
+    WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+               FROM documents),
+    r AS (SELECT doc_id,
+            row_number() OVER (ORDER BY a DESC, doc_id) AS ra,
+            row_number() OVER (ORDER BY b DESC, doc_id) AS rb
+          FROM m)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(ra AS BIGINT) AS rank_a,
+           CAST(rb AS BIGINT) AS rank_b,
+           CAST(1000000000 // (60 + ra)
+                + 1000000000 // (60 + rb) AS BIGINT) AS rrf_e9
+    FROM r ORDER BY rrf_e9 DESC, doc_id LIMIT 100
 """

@@ -4210,3 +4210,207 @@ def trend_ds(
         )
 
     return m.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------- global ROW_NUMBER and reciprocal-rank fusion ----------
+
+
+def row_number_ds(
+    ds: Dataset,
+    value_col: str,
+    id_col: str,
+    descending: bool = False,
+    n_buckets: int = 512,
+    max_domain_broadcast: int = 5_000_000,
+) -> Dataset:
+    """``row_number() OVER (ORDER BY v [DESC], id)`` WITHOUT a global
+    sort (the :func:`ntile_ds` decomposition, exposed as its own
+    operator): ``rn = cum_below(v) + rank_within_ties(v, id)`` where the
+    first term is a broadcast value-count CDF (one row per DISTINCT
+    value — bounded domain, guarded) and the second comes from ONE
+    ``mix64(value) % n_buckets`` shuffle that co-locates each tie run.
+    Returns ``(id, v, rn)``; deterministic via the unique-id tie-break.
+    ``descending`` negates the value internally (int64 domain)."""
+    sign = np.int64(-1) if descending else np.int64(1)
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        v = pc.multiply(
+            batch.column(value_col).cast(pa.int64()), pa.scalar(sign, pa.int64())
+        )
+        g = pa.table({"v": v}).group_by("v").aggregate([("v", "count")])
+        return pa.table(
+            {"v": g.column("v"), "n_partial": g.column("v_count").cast(pa.int64())}
+        )
+
+    hist = (
+        ds.select_columns([value_col])
+        .map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("n_partial"))
+        .materialize()
+    )
+    if hist.count() > max_domain_broadcast:
+        raise ValueError(
+            f"value domain ({hist.count()}) exceeds "
+            f"max_domain_broadcast={max_domain_broadcast}"
+        )
+    rows = hist.take_all()
+    vals = np.array([r["v"] for r in rows], np.int64)
+    cnts = np.array([r["sum(n_partial)"] for r in rows], np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum_below = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    ref = ray.put((vals, cum_below))
+
+    def project(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) * sign
+        bkt = (_mix64(v) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field(value_col, pa.int64()),
+            pa.field("rn", pa.int64()),
+        ]
+    )
+
+    def bucket_rn(group: pa.Table) -> pa.Table:
+        vals_s, below_s = ray.get(ref)
+        i = group.column(id_col).to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        order2 = np.lexsort((i, v))
+        vs, is_ = v[order2], i[order2]
+        starts = np.flatnonzero(np.concatenate(([True], vs[1:] != vs[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(vs)])))
+        within = np.arange(len(vs), dtype=np.int64) - np.repeat(starts, seg_len) + 1
+        rn = below_s[np.searchsorted(vals_s, vs)] + within
+        return pa.table(
+            {
+                id_col: pa.array(is_, pa.int64()),
+                value_col: pa.array(vs * sign, pa.int64()),
+                "rn": pa.array(rn, pa.int64()),
+            }
+        )
+
+    projected = ds.select_columns([id_col, value_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _anchor_schema(
+        projected.groupby("bkt").map_groups(bucket_rn, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+def rrf_fusion_ds(
+    ds: Dataset,
+    id_col: str,
+    metric_a_col: str,
+    metric_b_col: str,
+    k_const: int = 60,
+    topk: int = 100,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Reciprocal-rank fusion of two rankings of the same id set (the
+    standard hybrid-retrieval / multi-signal document-selection
+    combiner, Cormack et al. 2009): rank each id by metric A and by
+    metric B (both DESC, id-ASC tie-break), then score ``rrf_e9 =
+    floor(1e9/(k+rank_a)) + floor(1e9/(k+rank_b))`` — integer-quantized
+    so both engines produce identical scores — and return the global
+    top-``topk`` by score DESC, id ASC.
+
+    Scale shape: two :func:`row_number_ds` passes (broadcast CDF + one
+    tie shuffle each), ranks align by ONE ``mix64(id) % n_buckets``
+    tagged-union shuffle, and the global top-k never sorts the corpus:
+    each bucket emits its local top-``topk``, so the driver sorts at
+    most ``n_buckets * topk`` candidate rows."""
+    ra = row_number_ds(
+        ds.select_columns([id_col, metric_a_col]),
+        metric_a_col, id_col, descending=True, n_buckets=n_buckets,
+    )
+    rb = row_number_ds(
+        ds.select_columns([id_col, metric_b_col]),
+        metric_b_col, id_col, descending=True, n_buckets=n_buckets,
+    )
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            i = batch.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "i": pa.array(i, pa.int64()),
+                    "rn": batch.column("rn").cast(pa.int64()),
+                    "side": pa.array(np.full(len(i), side, np.int8)),
+                    "bkt": pa.array(
+                        (_mix64(i) % np.uint64(n_buckets)).astype(np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    both = ra.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(rb.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("rank_a", pa.int64()),
+            ("rank_b", pa.int64()),
+            ("rrf_e9", pa.int64()),
+        ]
+    )
+
+    def bucket_fuse(group: pa.Table) -> pa.Table:
+        i = group.column("i").to_numpy(zero_copy_only=False)
+        rn = group.column("rn").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, i))
+        i, rn = i[order], rn[order]
+        # every id occurs exactly twice (side 0 then side 1)
+        ids = i[0::2]
+        rka, rkb = rn[0::2], rn[1::2]
+        rrf = np.int64(10**9) // (k_const + rka) + np.int64(10**9) // (
+            k_const + rkb
+        )
+        top = np.lexsort((ids, -rrf))[:topk]
+        return pa.table(
+            {
+                id_col: pa.array(ids[top], pa.int64()),
+                "rank_a": pa.array(rka[top], pa.int64()),
+                "rank_b": pa.array(rkb[top], pa.int64()),
+                "rrf_e9": pa.array(rrf[top], pa.int64()),
+            }
+        )
+
+    cand = (
+        ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+        .union(both.groupby("bkt").map_groups(bucket_fuse, batch_format="pyarrow"))
+        .take_all()
+    )
+    ids = np.array([r[id_col] for r in cand], np.int64)
+    rka = np.array([r["rank_a"] for r in cand], np.int64)
+    rkb = np.array([r["rank_b"] for r in cand], np.int64)
+    rrf = np.array([r["rrf_e9"] for r in cand], np.int64)
+    top = np.lexsort((ids, -rrf))[:topk]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array(ids[top], pa.int64()),
+                "rank_a": pa.array(rka[top], pa.int64()),
+                "rank_b": pa.array(rkb[top], pa.int64()),
+                "rrf_e9": pa.array(rrf[top], pa.int64()),
+            }
+        )
+    )

@@ -1126,3 +1126,42 @@ def test_trend_exact_components(ray_session):
     assert (rows["1"]["slope_num"], rows["1"]["slope_den"]) == (12, 6)
     # group 2: constant x -> degenerate den = 0
     assert rows["2"]["slope_den"] == 0 and rows["2"]["n"] == 2
+
+
+def test_row_number_global_and_descending(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "v": pa.array([10, 30, 10, 20, 30], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    asc = {r["id"]: r["rn"] for r in an.row_number_ds(ds, "v", "id").take_all()}
+    assert asc == {1: 1, 3: 2, 4: 3, 2: 4, 5: 5}
+    desc = {
+        r["id"]: r["rn"]
+        for r in an.row_number_ds(ds, "v", "id", descending=True).take_all()
+    }
+    assert desc == {2: 1, 5: 2, 4: 3, 1: 4, 3: 5}
+
+
+def test_rrf_fusion_hand_computed(ray_session):
+    # ids 1..4; metric a ranks 1,2,3,4 ; metric b ranks 4,3,2,1
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "a": pa.array([40, 30, 20, 10], pa.int64()),
+                "b": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    rows = an.rrf_fusion_ds(ds, "id", "a", "b", topk=3).take_all()
+    e9 = 10**9
+    # symmetric rank pairs -> identical scores; id ASC breaks ties
+    s_outer = e9 // 61 + e9 // 64   # ranks (1,4) or (4,1)
+    s_inner = e9 // 62 + e9 // 63   # ranks (2,3) or (3,2)
+    assert [r["id"] for r in rows] == [1, 4, 2]
+    assert rows[0]["rrf_e9"] == s_outer and rows[2]["rrf_e9"] == s_inner
+    assert (rows[0]["rank_a"], rows[0]["rank_b"]) == (1, 4)
