@@ -2800,6 +2800,20 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_phash_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual-hash (dHash-56) image dedup over the synthetic media
+    payloads: actor-stage hash -> combiner -> hash groupby; one row per
+    distinct hash with keep_doc_id (min) and member count. The SYNM body
+    bytes are integer arithmetic on doc_id, so the SQL twin reproduces
+    every gradient bit."""
+    from pdfplumber_ray.pipelines.media import phash_dedup_ds
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return phash_dedup_ds(docs)
+
+
 def q_rrf_fusion(sf_dir: str) -> ray.data.Dataset:
     """Reciprocal-rank fusion of two document rankings (by n_chars and
     by whitespace token count, both DESC with doc_id tie-break):
@@ -2980,6 +2994,7 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "phash_dedup": q_phash_dedup,
     "rrf_fusion": q_rrf_fusion,
     "source_overlap": q_source_overlap,
     "fuzzy_join": q_fuzzy_join,
@@ -3169,6 +3184,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "phash_dedup",
     "rrf_fusion",
     "source_overlap",
     "fuzzy_join",
@@ -3215,7 +3231,6 @@ _FRONT_R5 = [
     "moments",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
-    "keep_latest",
     "substring_dedup",
     "tfidf_topk",
     "dedup_resolution_cogroup",
@@ -3231,6 +3246,7 @@ _FRONT_R5 = [
     "grouped_rank",
     "cohort_retention",
     "anti_join",
+    "keep_latest",
     # r1-era ops whose machinery twins were driver-validated in r4
     # (near_dup_verified / token_stats / length_quantiles / words_by_lang
     # / curation_funnel / grouped_heavy_hitters) take the overflow created
@@ -5138,4 +5154,25 @@ ORACLES["rrf_fusion"] = """
            CAST(1000000000 // (60 + ra)
                 + 1000000000 // (60 + rb) AS BIGINT) AS rrf_e9
     FROM r ORDER BY rrf_e9 DESC, doc_id LIMIT 100
+"""
+ORACLES["phash_dedup"] = """
+    WITH d AS (SELECT doc_id,
+                      64 + doc_id % 1024 AS w,
+                      64 + (doc_id * 7) % 1024 AS h
+               FROM documents),
+    dd AS (SELECT doc_id, w, h, (w * h) // 64 AS L FROM d),
+    pp AS (SELECT unnest(range(0, 64)) AS p),
+    px AS (SELECT doc_id, pp.p,
+             ((pp.p * (L - 1)) // 63 * 31 + w + h) % 256 AS v,
+             (((pp.p + 1) * (L - 1)) // 63 * 31 + w + h) % 256 AS vn
+           FROM dd CROSS JOIN pp),
+    bits AS (SELECT doc_id,
+               sum(CASE WHEN p % 8 < 7 AND vn > v
+                   THEN (1::BIGINT << ((p // 8) * 7 + (p % 8)))
+                   ELSE 0 END) AS dhash
+             FROM px GROUP BY doc_id)
+    SELECT CAST(dhash AS BIGINT) AS dhash,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM bits GROUP BY dhash
 """

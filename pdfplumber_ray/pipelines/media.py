@@ -105,3 +105,58 @@ def media_features_ds(
         use_actors=cfg.use_actors,
         concurrency=cfg.concurrency,
     )
+
+
+def phash_dedup_ds(
+    docs: Dataset, cfg: Optional[PipelineConfig] = None, id_col: str = "doc_id"
+) -> Dataset:
+    """Perceptual-hash image dedup: dHash-56 per payload (actor stage)
+    -> exact dedup groups over the hash — the multimodal counterpart of
+    text exact-dedup (near-identical images collide on the gradient
+    hash). Output: one row per distinct hash with ``keep_doc_id`` (min
+    id) and ``n_docs``. Combiner-before-groupby: each block reduces to
+    one (dhash, min-id, count) partial per distinct hash, so only
+    partials shuffle."""
+    import pyarrow as pa
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.multimodal import PerceptualHash
+
+    cfg = _media_cfg(cfg)
+    hashed = stage_map_batches(
+        with_payloads(docs, id_col),
+        PerceptualHash,
+        {"id_col": id_col},
+        batch_size=MEDIA_BATCH_SIZE,
+        use_actors=cfg.use_actors,
+        concurrency=cfg.concurrency,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("dhash").aggregate(
+            [(id_col, "min"), (id_col, "count")]
+        )
+        return pa.table(
+            {
+                "dhash": g.column("dhash"),
+                "keep_partial": g.column(f"{id_col}_min"),
+                "n_partial": g.column(f"{id_col}_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        hashed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dhash")
+        .aggregate(Min("keep_partial"), Sum("n_partial"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dhash": batch.column("dhash").cast(pa.int64()),
+                "keep_doc_id": batch.column("min(keep_partial)").cast(pa.int64()),
+                "n_docs": batch.column("sum(n_partial)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -336,3 +336,60 @@ class FrameSample:
                 "frame_index": pa.array(out_fi, pa.int64()),
             }
         )
+
+
+class PerceptualHash:
+    """Actor-pool stage: binary image payload -> 56-bit perceptual dHash
+    (8x8 grayscale grid, 7 horizontal gradient bits per row — the public
+    difference-hash method used for near-duplicate image detection).
+
+    For SYNM containers the grid samples the synthetic body bytes at 64
+    evenly spaced offsets ``idx = p*(len-1)//63`` — pure integer
+    arithmetic on the payload, so a SQL oracle reproduces the hash
+    bit-for-bit. With PIL present, real PNG/JPEG payloads resize to an
+    8x8 grayscale grid and hash the same way; without PIL they raise
+    ``NotImplementedError`` (never garbage). Bits occupy positions
+    0..55, so the hash is always a non-negative int64 in any engine."""
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+        self._ramp = np.arange(64, dtype=np.int64)
+
+    def _grid(self, payload: bytes) -> np.ndarray:
+        if payload[:4] == MAGIC:
+            body = np.frombuffer(payload, dtype=np.uint8, offset=_HEADER.size)
+            idx = self._ramp * (len(body) - 1) // 63
+            return body[idx].astype(np.int64)
+        if payload[:8] == _PNG_MAGIC or payload[:2] == _JPEG_MAGIC:
+            if HAVE_PIL:  # pragma: no cover - PIL absent in sandbox
+                import io
+
+                with _PILImage.open(io.BytesIO(payload)) as im:
+                    g = im.convert("L").resize((8, 8))
+                    return np.asarray(g, dtype=np.int64).reshape(64)
+            raise NotImplementedError(
+                "pixel-level dHash of real images requires PIL"
+            )
+        raise NotImplementedError(
+            "unsupported container for perceptual hashing (SYNM or, with "
+            "PIL, PNG/JPEG)"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        payloads = batch.column("payload").to_pylist()
+        weights = (np.int64(1) << (np.arange(64, dtype=np.int64) // 8 * 7
+                                   + np.arange(64, dtype=np.int64) % 8))
+        mask = (np.arange(64) % 8) < 7
+        hashes = np.empty(len(payloads), dtype=np.int64)
+        for j, p in enumerate(payloads):
+            g = self._grid(p)
+            bits = np.zeros(64, dtype=bool)
+            bits[:-1] = g[1:] > g[:-1]
+            hashes[j] = int((weights[mask & bits]).sum())
+        return pa.table(
+            {
+                self.id_col: ids,
+                "dhash": pa.array(hashes, pa.int64()),
+            }
+        )

@@ -264,3 +264,53 @@ def test_pil_branch_decode_and_resize(monkeypatch):
     res2 = mm.MediaResize(target_w=32, target_h=16)(synm)
     m2 = mm._decode_payload(res2.column("payload")[0].as_py())
     assert (m2["width"], m2["height"]) == (32, 16)
+
+
+def test_perceptual_hash_synm_known_bits(ray_session):
+    from pdfplumber_ray.stages import multimodal as mm
+
+    # hand-check one payload: w=h=64 -> body[i] = (i*31 + 128) % 256,
+    # L = 64 -> idx = p (identity sampling), gradient always +31 except
+    # at the mod-256 wraparound
+    ph = mm.PerceptualHash()
+    payload = mm.pack_payload(mm.KIND_IMAGE, 64, 64, 1)
+    batch = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "payload": pa.array([payload], pa.binary())}
+    )
+    (h,) = ph(batch).column("dhash").to_pylist()
+    body = bytes((i * 31 + 128) % 256 for i in range(64))
+    expect = 0
+    for p in range(63):
+        if p % 8 < 7 and body[p + 1] > body[p]:
+            expect |= 1 << ((p // 8) * 7 + (p % 8))
+    assert h == expect and 0 <= h < (1 << 56)
+
+
+def test_perceptual_hash_rejects_real_images_without_pil():
+    from pdfplumber_ray.stages import multimodal as mm
+
+    if mm.HAVE_PIL:
+        pytest.skip("PIL present: real decode path active")
+    ph = mm.PerceptualHash()
+    with pytest.raises(NotImplementedError):
+        ph._grid(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):
+        ph._grid(b"RIFFxxxxWAVE" + b"\x00" * 16)
+
+
+def test_phash_dedup_groups_and_partition_invariance(ray_session):
+    from pdfplumber_ray.pipelines.media import phash_dedup_ds
+
+    # ids 0 and 1024 produce identical payloads (w, h wrap mod 1024)
+    ids = [0, 1024, 3, 5]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64())})
+    )
+    rows = {r["dhash"]: (r["keep_doc_id"], r["n_docs"])
+            for r in phash_dedup_ds(docs).take_all()}
+    dups = [v for v in rows.values() if v[1] == 2]
+    assert dups == [(0, 2)]
+    assert sum(n for _, n in rows.values()) == 4
+    rows2 = {r["dhash"]: (r["keep_doc_id"], r["n_docs"])
+             for r in phash_dedup_ds(docs.repartition(4)).take_all()}
+    assert rows2 == rows
