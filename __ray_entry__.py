@@ -2800,6 +2800,44 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_zorder_key(sf_dir: str) -> ray.data.Dataset:
+    """Z-order (Morton) clustering key over (o_custkey, epoch-day of
+    o_orderdate): the two-column data-layout key that makes either
+    predicate prune files; file_id = top 6 bits. Streaming bit
+    arithmetic, no shuffle."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "x": b.column("o_custkey").cast(pa.int64()),
+                "y": pc.divide(
+                    b.column("o_orderdate").cast(pa.int64()),
+                    pa.scalar(86_400_000_000, pa.int64()),
+                ),
+            }
+        )
+
+    proj = orders.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return an.zorder_key_ds(proj, "o_orderkey", "x", "y")
+
+
+def q_dsir_weights(sf_dir: str) -> ray.data.Dataset:
+    """DSIR-style importance weights (integer-linearized): hashed-token
+    bucket rates for the lang='en' target vs the whole corpus, add-one
+    smoothed ratio_e6 per bucket, per-doc weight = sum of its token
+    ratios. Bucket-count combiner -> 1024-row groupby -> broadcast
+    ratio table -> streaming score pass."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return co.dsir_weights_ds(docs, "lang", "en")
+
+
 def q_phash_dedup(sf_dir: str) -> ray.data.Dataset:
     """Perceptual-hash (dHash-56) image dedup over the synthetic media
     payloads: actor-stage hash -> combiner -> hash groupby; one row per
@@ -2994,6 +3032,8 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "zorder_key": q_zorder_key,
+    "dsir_weights": q_dsir_weights,
     "phash_dedup": q_phash_dedup,
     "rrf_fusion": q_rrf_fusion,
     "source_overlap": q_source_overlap,
@@ -3184,6 +3224,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "zorder_key",
+    "dsir_weights",
     "phash_dedup",
     "rrf_fusion",
     "source_overlap",
@@ -3196,7 +3238,6 @@ _FRONT_R5 = [
     "kmeans",
     "session_baskets",
     "group_ids",
-    "hll_users",
     "percentiles",
     "reorder_gaps",
     "region_share",
@@ -3227,7 +3268,6 @@ _FRONT_R5 = [
     "window_frames",
     "centroids",
     "ntile",
-    "cube",
     "moments",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
@@ -3240,6 +3280,8 @@ _FRONT_R5 = [
     # yield their window slots to the session-5 fuzzy_join /
     # interval_merge / ks_drift / trend additions; all four stay locally
     # sweep-verified every round
+    "hll_users",
+    "cube",
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
@@ -5175,4 +5217,43 @@ ORACLES["phash_dedup"] = """
            CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
            CAST(count(*) AS BIGINT) AS n_docs
     FROM bits GROUP BY dhash
+"""
+ORACLES["zorder_key"] = """
+    WITH b AS (SELECT o_orderkey,
+                      o_custkey & 65535 AS x,
+                      (epoch_us(o_orderdate) // 86400000000) & 65535 AS y
+               FROM orders),
+    i AS (SELECT unnest(range(0, 16)) AS i),
+    z AS (SELECT o_orderkey,
+                 sum((((x >> i) & 1) << (2 * i))
+                     + (((y >> i) & 1) << (2 * i + 1))) AS zkey
+          FROM b CROSS JOIN i GROUP BY 1)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(zkey AS BIGINT) AS zkey,
+           CAST(zkey >> 26 AS BIGINT) AS file_id
+    FROM z
+"""
+ORACLES["dsir_weights"] = """
+    WITH tok AS (SELECT doc_id, lang,
+                        unnest(string_split(text, ' ')) AS token
+                 FROM documents WHERE text <> ''),
+    f AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5(token), 1, 16))::UBIGINT % 1024 AS b
+          FROM tok),
+    cnt AS (SELECT b,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t,
+                   count(*) AS r
+            FROM f GROUP BY b),
+    tot AS (SELECT sum(t) AS nt, sum(r) AS nr FROM cnt),
+    ratio AS (SELECT b,
+                ((t + 1) * 1000000 * (nr + 1024))
+                  // ((r + 1) * (nt + 1024)) AS ratio_e6
+              FROM cnt CROSS JOIN tot),
+    w AS (SELECT f.doc_id, count(*) AS n_tokens,
+                 sum(ratio.ratio_e6) AS weight_e6
+          FROM f JOIN ratio ON ratio.b = f.b GROUP BY f.doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(w.weight_e6, 0) AS BIGINT) AS weight_e6
+    FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
 """

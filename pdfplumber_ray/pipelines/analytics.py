@@ -4414,3 +4414,49 @@ def rrf_fusion_ds(
             }
         )
     )
+
+
+# ---------- Z-order (Morton) clustering key ----------
+
+
+def zorder_key_ds(
+    ds: Dataset,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    file_bits: int = 6,
+) -> Dataset:
+    """Z-order (Morton) clustering key over two int64 dimensions — the
+    multi-column data-layout key a 100 TB table uses so files cluster on
+    BOTH columns at once and either predicate prunes row groups (the
+    public Delta/Iceberg OPTIMIZE ZORDER method). The low ``bits`` of
+    each dimension interleave (x in even bit positions, y in odd);
+    ``file_id`` is the top ``file_bits`` of the key — the write
+    partition. Pure per-batch bit arithmetic: streaming map_batches, no
+    shuffle, deterministic in any engine.
+
+    Scale note: the operator intentionally emits the key instead of
+    sorting by it — the writer repartitions on ``file_id`` (a bounded
+    domain) rather than globally sorting the corpus."""
+    shift = np.int64(2 * bits - file_bits)
+    mask = np.int64((1 << bits) - 1)
+
+    def zkey(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).cast(pa.int64()).to_numpy(zero_copy_only=False) & mask
+        y = batch.column(y_col).cast(pa.int64()).to_numpy(zero_copy_only=False) & mask
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "zkey": pa.array(z, pa.int64()),
+                "file_id": pa.array(z >> shift, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, x_col, y_col]).map_batches(
+        zkey, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -4768,3 +4768,112 @@ def source_overlap_ds(
         if pairs
         else pa.table({f.name: pa.array([], f.type) for f in out_schema})
     )
+
+
+# ---------- DSIR-style hashed-token importance weights ----------
+
+
+def dsir_weights_ds(
+    docs: Dataset,
+    target_filter_col: str,
+    target_value: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_feat: int = 1024,
+    quant: int = 1_000_000,
+) -> Dataset:
+    """Importance weights for target-distribution-matched sampling
+    (DSIR, Xie et al. 2023 — public method), linearized to stay
+    integer-exact across engines: tokens hash into ``n_feat`` buckets
+    (``md5_u64(token) % n_feat``), each bucket gets an add-one-smoothed
+    target/raw rate ratio quantized to ``ratio_e6 = ((T[b]+1) * quant *
+    (NR+n_feat)) // ((R[b]+1) * (NT+n_feat))``, and a document's weight
+    is the SUM of its token-occurrence ratios (the log-product of true
+    DSIR replaced by a sum of quantized ratios — same ordering intent,
+    exact integers). Output: (doc_id, n_tokens, weight_e6).
+
+    Scale shape: two passes. Pass 1 builds the n_feat-bucket count table
+    with a per-batch ``np.bincount`` combiner — ONE n_feat-sized row per
+    block reaches the groupby, never a token shuffle. The tiny ratio
+    table broadcasts via ``ray.put``; pass 2 re-streams the corpus and
+    scores each doc with one hash + bincount-free gather per batch."""
+    feat_of = {}
+
+    def _feats(texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """(flat feature codes, per-doc token counts) for a text list."""
+        codes, lens = [], []
+        for t in texts:
+            toks = t.split(" ") if t else []
+            lens.append(len(toks))
+            for w in toks:
+                c = feat_of.get(w)
+                if c is None:
+                    c = ts.md5_u64(w) % n_feat
+                    feat_of[w] = c
+                codes.append(c)
+        return np.asarray(codes, dtype=np.int64), np.asarray(lens, dtype=np.int64)
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        is_t = pc.equal(
+            batch.column(target_filter_col), target_value
+        ).to_numpy(zero_copy_only=False)
+        codes, lens = _feats(texts)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        tmask = is_t[doc_of] if len(doc_of) else np.zeros(0, bool)
+        t_cnt = np.bincount(codes[tmask], minlength=n_feat).astype(np.int64)
+        r_cnt = np.bincount(codes, minlength=n_feat).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(np.arange(n_feat, dtype=np.int64), pa.int64()),
+                "t_p": pa.array(t_cnt, pa.int64()),
+                "r_p": pa.array(r_cnt, pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.select_columns([target_filter_col, text_col])
+        .map_batches(counts_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .aggregate(Sum("t_p"), Sum("r_p"))
+        .take_all()
+    )
+    T = np.zeros(n_feat, dtype=np.int64)
+    R = np.zeros(n_feat, dtype=np.int64)
+    for r in agg:
+        T[int(r["b"])] = int(r["sum(t_p)"])
+        R[int(r["b"])] = int(r["sum(r_p)"])
+    NT, NR = int(T.sum()), int(R.sum())
+    # Python-int arithmetic: the (T+1)*quant*(NR+n_feat) product overflows
+    # int64 at web scale; DuckDB's HUGEINT intermediates match this exactly
+    ratio = np.fromiter(
+        (
+            ((int(T[b]) + 1) * quant * (NR + n_feat))
+            // ((int(R[b]) + 1) * (NT + n_feat))
+            for b in range(n_feat)
+        ),
+        dtype=np.int64,
+        count=n_feat,
+    )
+    ref = ray.put(ratio)
+
+    def score(batch: pa.Table) -> pa.Table:
+        rt = ray.get(ref)
+        texts = batch.column(text_col).to_pylist()
+        codes, lens = _feats(texts)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        vals = rt[codes] if len(codes) else np.zeros(0, np.int64)
+        csum = np.concatenate(([0], np.cumsum(vals)))
+        w = csum[ends] - csum[starts]
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "weight_e6": pa.array(w.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1165,3 +1165,38 @@ def test_rrf_fusion_hand_computed(ray_session):
     assert [r["id"] for r in rows] == [1, 4, 2]
     assert rows[0]["rrf_e9"] == s_outer and rows[2]["rrf_e9"] == s_inner
     assert (rows[0]["rank_a"], rows[0]["rank_b"]) == (1, 4)
+
+
+def test_zorder_key_interleave_and_file_id(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "x": pa.array([0b1010, 0, 65535], pa.int64()),
+                "y": pa.array([0b0101, 0, 65535], pa.int64()),
+            }
+        )
+    )
+    rows = {r["id"]: (r["zkey"], r["file_id"])
+            for r in an.zorder_key_ds(ds, "id", "x", "y").take_all()}
+    # x bits at even positions, y at odd: x=1010b,y=0101b -> 10011001b + ...
+    z1 = sum(((0b1010 >> i) & 1) << (2 * i) for i in range(16)) + sum(
+        ((0b0101 >> i) & 1) << (2 * i + 1) for i in range(16)
+    )
+    assert rows[1] == (z1, z1 >> 26)
+    assert rows[2] == (0, 0)
+    assert rows[3] == ((1 << 32) - 1, 63)
+    # locality: nearby (x, y) share the file prefix more than far pairs
+    near = an.zorder_key_ds(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([1, 2], pa.int64()),
+                    "x": pa.array([1000, 1001], pa.int64()),
+                    "y": pa.array([2000, 2000], pa.int64()),
+                }
+            )
+        ),
+        "id", "x", "y",
+    ).take_all()
+    assert near[0]["file_id"] == near[1]["file_id"]

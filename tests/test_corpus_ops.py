@@ -1404,3 +1404,31 @@ def test_source_overlap_empty_and_disjoint(ray_session):
         pa.table({"source": pa.array([], pa.string()), "text": pa.array([], pa.string())})
     )
     assert co.source_overlap_ds(empty).take_all() == []
+
+
+def test_dsir_weights_prefers_target_tokens(ray_session):
+    # target docs (lang=en) use token "alpha"; raw-only docs use "beta"
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    ["alpha alpha", "alpha", "beta beta beta", "beta"],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en", "en", "de", "de"], pa.string()),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in
+            co.dsir_weights_ds(docs, "lang", "en").take_all()}
+    # per-token ratio of "alpha" must exceed "beta" (alpha is target-heavy)
+    r_alpha = rows[2]["weight_e6"]          # 1 token
+    r_beta = rows[4]["weight_e6"]           # 1 token
+    assert r_alpha > r_beta
+    assert rows[1]["weight_e6"] == 2 * r_alpha  # sums are linear in tokens
+    assert rows[1]["n_tokens"] == 2
+    # partition invariance
+    rows2 = {r["doc_id"]: (r["n_tokens"], r["weight_e6"]) for r in
+             co.dsir_weights_ds(docs.repartition(4), "lang", "en").take_all()}
+    assert rows2 == {k: (v["n_tokens"], v["weight_e6"]) for k, v in rows.items()}
