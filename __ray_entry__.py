@@ -2800,6 +2800,16 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_doc_rank(sf_dir: str) -> ray.data.Dataset:
+    """Distributed ROW_NUMBER (ORDER BY n_chars, doc_id) without a
+    global sort: broadcast value-count CDF + one tie-run bucket
+    shuffle."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return an.row_number_ds(docs, "n_chars", "doc_id")
+
+
 def q_zorder_key(sf_dir: str) -> ray.data.Dataset:
     """Z-order (Morton) clustering key over (o_custkey, epoch-day of
     o_orderdate): the two-column data-layout key that makes either
@@ -3032,6 +3042,7 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "doc_rank": q_doc_rank,
     "zorder_key": q_zorder_key,
     "dsir_weights": q_dsir_weights,
     "phash_dedup": q_phash_dedup,
@@ -3224,6 +3235,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "doc_rank",
     "zorder_key",
     "dsir_weights",
     "phash_dedup",
@@ -3268,7 +3280,6 @@ _FRONT_R5 = [
     "window_frames",
     "centroids",
     "ntile",
-    "moments",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3282,6 +3293,7 @@ _FRONT_R5 = [
     # sweep-verified every round
     "hll_users",
     "cube",
+    "moments",
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
@@ -5256,4 +5268,10 @@ ORACLES["dsir_weights"] = """
            CAST(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
            CAST(coalesce(w.weight_e6, 0) AS BIGINT) AS weight_e6
     FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+"""
+ORACLES["doc_rank"] = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+    FROM documents
 """
