@@ -2800,6 +2800,18 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_pq_encode(sf_dir: str) -> ray.data.Dataset:
+    """Product-quantization encode: 64-dim embeddings -> 4 subspace
+    codes (k=4 codebooks learned with the deterministic integer-exact
+    k-means rules, 1 Lloyd iteration) + total integer reconstruction
+    error. Codebooks broadcast; one partial-scatter pass per iteration;
+    the vectors never shuffle."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return co.pq_encode_ds(emb)
+
+
 def q_doc_rank(sf_dir: str) -> ray.data.Dataset:
     """Distributed ROW_NUMBER (ORDER BY n_chars, doc_id) without a
     global sort: broadcast value-count CDF + one tie-run bucket
@@ -3042,6 +3054,7 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "pq_encode": q_pq_encode,
     "doc_rank": q_doc_rank,
     "zorder_key": q_zorder_key,
     "dsir_weights": q_dsir_weights,
@@ -3235,6 +3248,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "pq_encode",
     "doc_rank",
     "zorder_key",
     "dsir_weights",
@@ -3278,8 +3292,6 @@ _FRONT_R5 = [
     "semi_join",
     "hash_join",
     "window_frames",
-    "centroids",
-    "ntile",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3294,6 +3306,8 @@ _FRONT_R5 = [
     "hll_users",
     "cube",
     "moments",
+    "ntile",
+    "centroids",
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
@@ -5275,3 +5289,58 @@ ORACLES["doc_rank"] = """
            CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rn
     FROM documents
 """
+
+
+def _pq_oracle(m_sub: int = 4, k: int = 4, dsub: int = 16) -> str:
+    """Generated per-subspace unrolled k-means CTE (1 Lloyd iteration) —
+    the same construction as ORACLES['kmeans'], replicated per subspace."""
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_dot_product({v}.qv, {v}.qv) + list_dot_product({c}.qv, {c}.qv)"
+            f" - 2 * list_dot_product({v}.qv, {c}.qv)"
+        )
+
+    parts = []
+    for s in range(m_sub):
+        lo, hi = dsub * s + 1, dsub * (s + 1)
+        parts.append(
+            f"""q{s} AS (SELECT vec_id,
+      list_transform(embedding[{lo}:{hi}], x -> floor(CAST(x AS DOUBLE) * 1e6)) AS qv
+    FROM embeddings),
+  c0_{s} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv
+             FROM q{s} ORDER BY vec_id LIMIT {k}),
+  a1_{s} AS (SELECT v.vec_id, c.cid, {dist('v', 'c')} AS dist2
+             FROM q{s} v CROSS JOIN c0_{s} c),
+  m1_{s} AS (SELECT vec_id, cid FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) rn
+      FROM a1_{s}) WHERE rn = 1),
+  u1_{s} AS (SELECT m.cid, dd.d AS d,
+      floor(CAST(sum(CAST(q.qv[dd.d] AS BIGINT)) AS DOUBLE) / count(*)) AS comp
+    FROM m1_{s} m JOIN q{s} q USING (vec_id)
+    CROSS JOIN (SELECT unnest(range(1, {dsub + 1})) AS d) dd GROUP BY 1, 2),
+  g1_{s} AS (SELECT cid, list(comp ORDER BY d) AS qv FROM u1_{s} GROUP BY 1),
+  c1_{s} AS (SELECT c0_{s}.cid, COALESCE(g1_{s}.qv, c0_{s}.qv) AS qv
+             FROM c0_{s} LEFT JOIN g1_{s} USING (cid)),
+  a2_{s} AS (SELECT v.vec_id, c.cid, {dist('v', 'c')} AS dist2
+             FROM q{s} v CROSS JOIN c1_{s} c),
+  f{s} AS (SELECT vec_id, cid AS code_{s}, dist2 AS e{s} FROM (
+      SELECT vec_id, cid, dist2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) rn
+      FROM a2_{s}) WHERE rn = 1)"""
+        )
+    joins = " ".join(f"JOIN f{s} USING (vec_id)" for s in range(1, m_sub))
+    codes = ", ".join(
+        f"CAST(code_{s} AS BIGINT) AS code_{s}" for s in range(m_sub)
+    )
+    errsum = " + ".join(f"e{s}" for s in range(m_sub))
+    return (
+        "WITH "
+        + ",\n  ".join(parts)
+        + f"\nSELECT CAST(f0.vec_id AS BIGINT) AS vec_id, {codes},"
+        + f" CAST({errsum} AS BIGINT) AS err2\nFROM f0 {joins}"
+    )
+
+
+ORACLES["pq_encode"] = _pq_oracle()

@@ -4877,3 +4877,163 @@ def dsir_weights_ds(
     return docs.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------- product quantization (PQ) encode ----------
+
+
+def pq_encode_ds(
+    embeddings: Dataset,
+    m_sub: int = 4,
+    k: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Product-quantization encode (Jégou et al. 2011 — the public
+    vector-compression method behind billion-scale ANN stores): the
+    vector splits into ``m_sub`` contiguous subspaces, each subspace
+    learns its own ``k``-centroid codebook with the engine's
+    deterministic integer-exact k-means rules (init = the k smallest
+    ids' sub-vectors, ``iters`` Lloyd iterations, floor-div updates,
+    ties to the smallest centroid — see :func:`kmeans_ds`), and every
+    vector emits its per-subspace code plus the total integer squared
+    reconstruction error. Output: ``(vec_id, code_0..code_{m-1}, err2)``
+    — 64 dims compress to ``m_sub`` small ints, the layout an IVF-PQ
+    index stores instead of raw floats.
+
+    Scale shape: identical to :func:`kmeans_ds` — codebooks are
+    ``m_sub x k x d_sub`` (broadcast-sized), each iteration is ONE
+    ``map_batches`` pass emitting per-block scatter-add partials for ALL
+    subspaces at once (``m_sub * k`` rows per block), and the N-sized
+    data never shuffles."""
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(vec_col))
+        q = np.ascontiguousarray(np.floor(m * 1e6))
+        flat = pa.array(q.reshape(-1), pa.float64())
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "_qv": pa.FixedSizeListArray.from_arrays(flat, q.shape[1]),
+            }
+        )
+
+    qds = embeddings.select_columns([id_col, vec_col]).map_batches(
+        quantize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def head_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(np.sort(keep), pa.int64()))
+
+    cand = qds.map_batches(
+        head_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    cand.sort(key=lambda r: r[id_col])
+    out_names = (
+        [id_col]
+        + [f"code_{s}" for s in range(m_sub)]
+        + ["err2"]
+    )
+    if not cand:
+        return ray.data.from_arrow(
+            pa.table({n: pa.array([], pa.int64()) for n in out_names})
+        )
+    init = np.array([np.asarray(r["_qv"], np.float64) for r in cand[:k]])
+    d = init.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub={m_sub}")
+    dsub = d // m_sub
+    # codebooks[s]: (k, dsub) — subspace s spans columns [s*dsub, (s+1)*dsub)
+    books = [init[:, s * dsub : (s + 1) * dsub].copy() for s in range(m_sub)]
+
+    def _dist2(qm: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        na2 = np.einsum("ij,ij->i", qm, qm)
+        nc2 = np.einsum("ij,ij->i", cents, cents)
+        return na2[:, None] + nc2[None, :] - 2.0 * (qm @ cents.T)
+
+    for _ in range(iters):
+        books_ref = ray.put(books)
+
+        def update_partial(batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "sub": pa.array([], pa.int64()),
+                    "cid": pa.array([], pa.int64()),
+                    "n_p": pa.array([], pa.int64()),
+                    "s_p": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+            if batch.num_rows == 0:
+                return empty
+            bks = ray.get(books_ref)
+            qm = (
+                batch.column("_qv")
+                .combine_chunks()
+                .values.to_numpy(zero_copy_only=False)
+                .reshape(batch.num_rows, -1)
+            )
+            subs, cids, nps, sps = [], [], [], []
+            for s in range(m_sub):
+                sm = qm[:, s * dsub : (s + 1) * dsub]
+                assign = np.argmin(_dist2(sm, bks[s]), axis=1)
+                counts = np.bincount(assign, minlength=k).astype(np.int64)
+                sums = np.zeros((k, dsub), dtype=np.int64)
+                np.add.at(sums, assign, sm.astype(np.int64))
+                present = np.flatnonzero(counts)
+                subs.append(np.full(len(present), s, np.int64))
+                cids.append(present.astype(np.int64))
+                nps.append(counts[present])
+                sps.extend(sums[i].tolist() for i in present)
+            return pa.table(
+                {
+                    "sub": pa.array(np.concatenate(subs), pa.int64()),
+                    "cid": pa.array(np.concatenate(cids), pa.int64()),
+                    "n_p": pa.array(np.concatenate(nps), pa.int64()),
+                    "s_p": pa.array(sps, pa.list_(pa.int64())),
+                }
+            )
+
+        parts = qds.map_batches(
+            update_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # <= m_sub*k rows per block
+        counts = np.zeros((m_sub, k), dtype=np.int64)
+        sums = np.zeros((m_sub, k, dsub), dtype=np.int64)
+        for r in parts:
+            counts[r["sub"], r["cid"]] += r["n_p"]
+            sums[r["sub"], r["cid"]] += np.asarray(r["s_p"], np.int64)
+        for s in range(m_sub):
+            nz = counts[s] > 0
+            books[s][nz] = (sums[s][nz] // counts[s][nz, None]).astype(
+                np.float64
+            )
+
+    final_ref = ray.put(books)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        empty = pa.table({n: pa.array([], pa.int64()) for n in out_names})
+        if batch.num_rows == 0:
+            return empty
+        bks = ray.get(final_ref)
+        qm = (
+            batch.column("_qv")
+            .combine_chunks()
+            .values.to_numpy(zero_copy_only=False)
+            .reshape(batch.num_rows, -1)
+        )
+        cols = {id_col: batch.column(id_col)}
+        err = np.zeros(batch.num_rows, dtype=np.int64)
+        for s in range(m_sub):
+            sm = qm[:, s * dsub : (s + 1) * dsub]
+            d2 = _dist2(sm, bks[s])
+            assign = np.argmin(d2, axis=1)
+            err += d2[np.arange(len(assign)), assign].astype(np.int64)
+            cols[f"code_{s}"] = pa.array(assign.astype(np.int64), pa.int64())
+        cols["err2"] = pa.array(err, pa.int64())
+        return pa.table(cols)
+
+    return qds.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -1432,3 +1432,35 @@ def test_dsir_weights_prefers_target_tokens(ray_session):
     rows2 = {r["doc_id"]: (r["n_tokens"], r["weight_e6"]) for r in
              co.dsir_weights_ds(docs.repartition(4), "lang", "en").take_all()}
     assert rows2 == {k: (v["n_tokens"], v["weight_e6"]) for k, v in rows.items()}
+
+
+def test_pq_encode_compresses_and_reconstruction_error(ray_session):
+    # 8 vectors in 2 obvious blobs per subspace: codes must separate them
+    rng = np.random.RandomState(3)
+    base = np.zeros((8, 8))
+    base[4:, :] = 10.0  # second half far away in every dim
+    vecs = base + rng.rand(8, 8) * 0.01
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(8)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    rows = {r["vec_id"]: r for r in
+            co.pq_encode_ds(emb, m_sub=2, k=2).take_all()}
+    assert len(rows) == 8
+    for s in range(2):
+        lo = {rows[i][f"code_{s}"] for i in range(4)}
+        hi = {rows[i][f"code_{s}"] for i in range(4, 8)}
+        assert lo.isdisjoint(hi)  # blobs never share a code
+    assert all(r["err2"] >= 0 for r in rows.values())
+    # partition invariance
+    rows2 = {r["vec_id"]: (r["code_0"], r["code_1"], r["err2"]) for r in
+             co.pq_encode_ds(emb.repartition(5), m_sub=2, k=2).take_all()}
+    assert rows2 == {i: (r["code_0"], r["code_1"], r["err2"])
+                     for i, r in rows.items()}
