@@ -2800,6 +2800,18 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_collapse_runs(sf_dir: str) -> ray.data.Dataset:
+    """State-change compaction: consecutive identical event_type rows of
+    a user collapse to one run row (start ts, first event_id, length).
+    One bucketed shuffle of the 4-column projection; lexsort +
+    shifted-compare + reduceat in-bucket."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return an.collapse_runs_ds(ev)
+
+
 def q_pq_encode(sf_dir: str) -> ray.data.Dataset:
     """Product-quantization encode: 64-dim embeddings -> 4 subspace
     codes (k=4 codebooks learned with the deterministic integer-exact
@@ -3054,6 +3066,7 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "collapse_runs": q_collapse_runs,
     "pq_encode": q_pq_encode,
     "doc_rank": q_doc_rank,
     "zorder_key": q_zorder_key,
@@ -3248,6 +3261,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "collapse_runs",
     "pq_encode",
     "doc_rank",
     "zorder_key",
@@ -3291,7 +3305,6 @@ _FRONT_R5 = [
     "pagerank",
     "semi_join",
     "hash_join",
-    "window_frames",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3308,6 +3321,7 @@ _FRONT_R5 = [
     "moments",
     "ntile",
     "centroids",
+    "window_frames",
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
@@ -5344,3 +5358,24 @@ def _pq_oracle(m_sub: int = 4, k: int = 4, dsub: int = 16) -> str:
 
 
 ORACLES["pq_encode"] = _pq_oracle()
+ORACLES["collapse_runs"] = """
+    WITH b AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS u,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+                         THEN 1 ELSE 0 END AS head
+          FROM b),
+    r AS (SELECT *, sum(head) OVER (
+             PARTITION BY user_id ORDER BY u, event_id
+             ROWS UNBOUNDED PRECEDING) AS run
+          FROM f)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(min(u) AS BIGINT) AS start_us,
+           CAST(max(CASE WHEN head = 1 THEN event_id END) AS BIGINT)
+             AS event_id,
+           min(event_type) AS event_type,
+           CAST(count(*) AS BIGINT) AS run_len
+    FROM r GROUP BY user_id, run
+"""

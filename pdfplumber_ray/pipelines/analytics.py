@@ -4460,3 +4460,82 @@ def zorder_key_ds(
     return ds.select_columns([id_col, x_col, y_col]).map_batches(
         zkey, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------- collapse consecutive duplicate values per key ----------
+
+
+def collapse_runs_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "event_type",
+    tie_col: str = "event_id",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Collapse consecutive duplicate values per key into runs — the
+    sensor-reading / state-change compaction (`value != lag(value)`
+    keeps a row): one output row per run with its start timestamp, run
+    length, and the kept (first) tie id. Deterministic order: ``ts``
+    ASC, ``tie_col`` ASC.
+
+    Scale shape: run-collapse is NOT distributive across arbitrary block
+    splits (a run can span blocks), so rows shuffle ONCE by
+    ``mix64(key) % n_buckets`` with only the 4 projected columns;
+    in-bucket one lexsort + shifted-compare marks run heads and a
+    ``reduceat`` emits run lengths — no per-key Python."""
+
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("start_us", pa.int64()),
+            (tie_col, pa.int64()),
+            (value_col, pa.string()),
+            ("run_len", pa.int64()),
+        ]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: pa.array(k, pa.int64()),
+                "ts_us": batch.column(ts_col).cast(pa.int64()),
+                tie_col: batch.column(tie_col).cast(pa.int64()),
+                value_col: batch.column(value_col).cast(pa.string()),
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    def bucket_collapse(group: pa.Table) -> pa.Table:
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        tie = group.column(tie_col).to_numpy(zero_copy_only=False)
+        v = np.asarray(group.column(value_col).to_pylist(), dtype=object)
+        order = np.lexsort((tie, t, k))
+        k, t, tie, v = k[order], t[order], tie[order], v[order]
+        vs = v.astype(str)
+        head = np.concatenate(
+            ([True], (k[1:] != k[:-1]) | (vs[1:] != vs[:-1]))
+        )
+        starts = np.flatnonzero(head)
+        lens = np.diff(np.concatenate((starts, [len(k)])))
+        return pa.table(
+            {
+                key_col: pa.array(k[starts], pa.int64()),
+                "start_us": pa.array(t[starts], pa.int64()),
+                tie_col: pa.array(tie[starts], pa.int64()),
+                value_col: pa.array(vs[starts], pa.string()),
+                "run_len": pa.array(lens.astype(np.int64), pa.int64()),
+            }
+        )
+
+    proj = events.select_columns(
+        [key_col, ts_col, tie_col, value_col]
+    ).map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return _anchor_schema(
+        proj.groupby("bkt").map_groups(bucket_collapse, batch_format="pyarrow"),
+        out_schema,
+    )

@@ -1200,3 +1200,39 @@ def test_zorder_key_interleave_and_file_id(ray_session):
         "id", "x", "y",
     ).take_all()
     assert near[0]["file_id"] == near[1]["file_id"]
+
+
+def test_collapse_runs_heads_and_lengths(ray_session):
+    ev = _events(
+        [
+            # user 1: a a b a  -> runs a(2) b(1) a(1); ids NOT monotone
+            (9, 1, 0, "a", 0),
+            (2, 1, 10, "a", 0),
+            (3, 1, 20, "b", 0),
+            (4, 1, 30, "a", 0),
+            # user 2: single row
+            (5, 2, 5, "x", 0),
+        ]
+    )
+    rows = {
+        (r["user_id"], r["start_us"]): (r["event_id"], r["event_type"], r["run_len"])
+        for r in an.collapse_runs_ds(ev).take_all()
+    }
+    assert rows == {
+        (1, 0): (9, "a", 2),    # head id is the FIRST row's id (9), not min
+        (1, 20): (3, "b", 1),
+        (1, 30): (4, "a", 1),
+        (2, 5): (5, "x", 1),
+    }
+
+
+def test_collapse_runs_partition_invariant(ray_session):
+    ev = _events(
+        [(i, i % 3, i * 1000, "t" + str((i // 4) % 2), 0) for i in range(60)]
+    )
+    a = {tuple(sorted(r.items()))
+         for r in an.collapse_runs_ds(ev.repartition(1), n_buckets=2).take_all()}
+    b = {tuple(sorted(r.items()))
+         for r in an.collapse_runs_ds(ev.repartition(7), n_buckets=32).take_all()}
+    assert a == b
+    assert sum(dict(t)["run_len"] for t in a) == 60
