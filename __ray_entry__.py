@@ -2800,6 +2800,17 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_pq_search(sf_dir: str) -> ray.data.Dataset:
+    """ADC search over PQ codes: codebooks learned on the corpus, tiny
+    query-to-centroid LUT broadcast, one streaming encode+gather pass,
+    per-block top-k merge — the compressed-domain ANN answer path."""
+    q = _query_vector(sf_dir)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return co.pq_search_ds(emb, q)
+
+
 def q_collapse_runs(sf_dir: str) -> ray.data.Dataset:
     """State-change compaction: consecutive identical event_type rows of
     a user collapse to one run row (start ts, first event_id, length).
@@ -3066,6 +3077,7 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "pq_search": q_pq_search,
     "collapse_runs": q_collapse_runs,
     "pq_encode": q_pq_encode,
     "doc_rank": q_doc_rank,
@@ -3261,6 +3273,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "pq_search",
     "collapse_runs",
     "pq_encode",
     "doc_rank",
@@ -3303,7 +3316,6 @@ _FRONT_R5 = [
     "interval_join",
     "collocations",
     "pagerank",
-    "semi_join",
     "hash_join",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
@@ -3322,6 +3334,7 @@ _FRONT_R5 = [
     "ntile",
     "centroids",
     "window_frames",
+    "semi_join",
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
@@ -5379,3 +5392,38 @@ ORACLES["collapse_runs"] = """
            CAST(count(*) AS BIGINT) AS run_len
     FROM r GROUP BY user_id, run
 """
+
+
+def _pq_search_oracle(m_sub: int = 4, k: int = 4, dsub: int = 16, topk: int = 10) -> str:
+    """ADC twin: reuse the per-subspace codebook CTEs from
+    :func:`_pq_oracle`, then score every vector's assigned centroid
+    against the quantized query sub-vector and take the global top-k."""
+    base = _pq_oracle(m_sub, k, dsub)
+    body = base[len("WITH ") : base.index("\nSELECT ")]
+    qq = ",\n  ".join(
+        f"""qq{s} AS (SELECT list_transform(
+        (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)[{dsub*s+1}:{dsub*(s+1)}],
+        x -> floor(CAST(x AS DOUBLE) * 1e6)) AS qv)"""
+        for s in range(m_sub)
+    )
+    adc = " + ".join(
+        f"(list_dot_product(qq{s}.qv, qq{s}.qv)"
+        f" + list_dot_product(cb{s}.qv, cb{s}.qv)"
+        f" - 2 * list_dot_product(qq{s}.qv, cb{s}.qv))"
+        for s in range(m_sub)
+    )
+    joins = " ".join(
+        f"JOIN f{s} USING (vec_id) JOIN c1_{s} cb{s} ON cb{s}.cid = f{s}.code_{s}"
+        f" CROSS JOIN qq{s}"
+        for s in range(m_sub)
+    ).replace(f"JOIN f0 USING (vec_id)", "", 1)
+    codes = ", ".join(f"CAST(code_{s} AS BIGINT) AS code_{s}" for s in range(m_sub))
+    return (
+        "WITH " + body + ",\n  " + qq
+        + f"\nSELECT CAST(f0.vec_id AS BIGINT) AS vec_id, {codes},"
+        + f" CAST({adc} AS BIGINT) AS adc2\nFROM f0 {joins}"
+        + f"\nORDER BY adc2, f0.vec_id LIMIT {topk}"
+    )
+
+
+ORACLES["pq_search"] = _pq_search_oracle()

@@ -4879,34 +4879,12 @@ def dsir_weights_ds(
     )
 
 
-# ---------- product quantization (PQ) encode ----------
+# ---------- product quantization (PQ): encode + ADC search ----------
 
 
-def pq_encode_ds(
-    embeddings: Dataset,
-    m_sub: int = 4,
-    k: int = 4,
-    iters: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> Dataset:
-    """Product-quantization encode (Jégou et al. 2011 — the public
-    vector-compression method behind billion-scale ANN stores): the
-    vector splits into ``m_sub`` contiguous subspaces, each subspace
-    learns its own ``k``-centroid codebook with the engine's
-    deterministic integer-exact k-means rules (init = the k smallest
-    ids' sub-vectors, ``iters`` Lloyd iterations, floor-div updates,
-    ties to the smallest centroid — see :func:`kmeans_ds`), and every
-    vector emits its per-subspace code plus the total integer squared
-    reconstruction error. Output: ``(vec_id, code_0..code_{m-1}, err2)``
-    — 64 dims compress to ``m_sub`` small ints, the layout an IVF-PQ
-    index stores instead of raw floats.
-
-    Scale shape: identical to :func:`kmeans_ds` — codebooks are
-    ``m_sub x k x d_sub`` (broadcast-sized), each iteration is ONE
-    ``map_batches`` pass emitting per-block scatter-add partials for ALL
-    subspaces at once (``m_sub * k`` rows per block), and the N-sized
-    data never shuffles."""
+def _pq_qds(embeddings: Dataset, id_col: str, vec_col: str) -> Dataset:
+    """Materialized (id, floor(x*1e6) fixed-size-list) projection shared
+    by the PQ passes (the :func:`kmeans_ds` quantization rule)."""
 
     def quantize(batch: pa.Table) -> pa.Table:
         m = _as_matrix(batch.column(vec_col))
@@ -4919,9 +4897,27 @@ def pq_encode_ds(
             }
         )
 
-    qds = embeddings.select_columns([id_col, vec_col]).map_batches(
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
         quantize, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+
+
+def _pq_dist2(qm: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """|a|^2 + |c|^2 - 2 a.c — every term an exact integer in float64."""
+    na2 = np.einsum("ij,ij->i", qm, qm)
+    nc2 = np.einsum("ij,ij->i", cents, cents)
+    return na2[:, None] + nc2[None, :] - 2.0 * (qm @ cents.T)
+
+
+def _pq_learn(
+    qds: Dataset, m_sub: int, k: int, iters: int, id_col: str
+) -> Optional[List[np.ndarray]]:
+    """Per-subspace PQ codebooks with the engine's deterministic
+    integer-exact k-means rules (init = the k smallest ids' sub-vectors,
+    floor-div updates, ties to the smallest centroid, empty clusters
+    keep position). Codebooks are m_sub x k x d_sub — broadcast-sized;
+    each iteration is ONE map_batches pass emitting per-block
+    scatter-add partials for ALL subspaces (m_sub*k rows per block)."""
 
     def head_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -4934,27 +4930,14 @@ def pq_encode_ds(
         head_partial, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
     cand.sort(key=lambda r: r[id_col])
-    out_names = (
-        [id_col]
-        + [f"code_{s}" for s in range(m_sub)]
-        + ["err2"]
-    )
     if not cand:
-        return ray.data.from_arrow(
-            pa.table({n: pa.array([], pa.int64()) for n in out_names})
-        )
+        return None
     init = np.array([np.asarray(r["_qv"], np.float64) for r in cand[:k]])
     d = init.shape[1]
     if d % m_sub:
         raise ValueError(f"dim {d} not divisible by m_sub={m_sub}")
     dsub = d // m_sub
-    # codebooks[s]: (k, dsub) — subspace s spans columns [s*dsub, (s+1)*dsub)
     books = [init[:, s * dsub : (s + 1) * dsub].copy() for s in range(m_sub)]
-
-    def _dist2(qm: np.ndarray, cents: np.ndarray) -> np.ndarray:
-        na2 = np.einsum("ij,ij->i", qm, qm)
-        nc2 = np.einsum("ij,ij->i", cents, cents)
-        return na2[:, None] + nc2[None, :] - 2.0 * (qm @ cents.T)
 
     for _ in range(iters):
         books_ref = ray.put(books)
@@ -4980,7 +4963,7 @@ def pq_encode_ds(
             subs, cids, nps, sps = [], [], [], []
             for s in range(m_sub):
                 sm = qm[:, s * dsub : (s + 1) * dsub]
-                assign = np.argmin(_dist2(sm, bks[s]), axis=1)
+                assign = np.argmin(_pq_dist2(sm, bks[s]), axis=1)
                 counts = np.bincount(assign, minlength=k).astype(np.int64)
                 sums = np.zeros((k, dsub), dtype=np.int64)
                 np.add.at(sums, assign, sm.astype(np.int64))
@@ -5011,7 +4994,37 @@ def pq_encode_ds(
             books[s][nz] = (sums[s][nz] // counts[s][nz, None]).astype(
                 np.float64
             )
+    return books
 
+
+def pq_encode_ds(
+    embeddings: Dataset,
+    m_sub: int = 4,
+    k: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Product-quantization encode (Jégou et al. 2011 — the public
+    vector-compression method behind billion-scale ANN stores): the
+    vector splits into ``m_sub`` contiguous subspaces, each subspace
+    learns its own ``k``-centroid codebook (:func:`_pq_learn`), and
+    every vector emits its per-subspace code plus the total integer
+    squared reconstruction error. Output: ``(vec_id, code_0..code_{m-1},
+    err2)`` — 64 dims compress to ``m_sub`` small ints, the layout an
+    IVF-PQ index stores instead of raw floats.
+
+    Scale shape: identical to :func:`kmeans_ds` — codebooks broadcast,
+    one partial-scatter ``map_batches`` pass per iteration, and the
+    N-sized data never shuffles."""
+    qds = _pq_qds(embeddings, id_col, vec_col)
+    out_names = [id_col] + [f"code_{s}" for s in range(m_sub)] + ["err2"]
+    books = _pq_learn(qds, m_sub, k, iters, id_col)
+    if books is None:
+        return ray.data.from_arrow(
+            pa.table({n: pa.array([], pa.int64()) for n in out_names})
+        )
+    dsub = books[0].shape[1]
     final_ref = ray.put(books)
 
     def final_assign(batch: pa.Table) -> pa.Table:
@@ -5029,7 +5042,7 @@ def pq_encode_ds(
         err = np.zeros(batch.num_rows, dtype=np.int64)
         for s in range(m_sub):
             sm = qm[:, s * dsub : (s + 1) * dsub]
-            d2 = _dist2(sm, bks[s])
+            d2 = _pq_dist2(sm, bks[s])
             assign = np.argmin(d2, axis=1)
             err += d2[np.arange(len(assign)), assign].astype(np.int64)
             cols[f"code_{s}"] = pa.array(assign.astype(np.int64), pa.int64())
@@ -5037,3 +5050,80 @@ def pq_encode_ds(
         return pa.table(cols)
 
     return qds.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_search_ds(
+    embeddings: Dataset,
+    query_vec: np.ndarray,
+    m_sub: int = 4,
+    k: int = 4,
+    iters: int = 1,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """ADC (asymmetric-distance) search over PQ codes — how a
+    billion-vector store answers a query WITHOUT touching raw floats:
+    learn the codebooks (:func:`_pq_learn`), precompute the tiny
+    ``m_sub x k`` lookup table of exact integer distances between the
+    quantized query sub-vectors and every centroid, then score each
+    vector as the SUM of the LUT entries of its codes and return the
+    global top-``topk`` (adc2 ASC, id ASC).
+
+    Scale shape: the LUT broadcasts (m_sub*k ints); scoring is one
+    streaming pass (per-subspace argmin encode + LUT gather — the
+    vectors never shuffle); the global top-k is per-block top-k partials
+    merged on the driver (<= topk rows per block)."""
+    qds = _pq_qds(embeddings, id_col, vec_col)
+    out_names = [id_col] + [f"code_{s}" for s in range(m_sub)] + ["adc2"]
+    books = _pq_learn(qds, m_sub, k, iters, id_col)
+    empty = pa.table({n: pa.array([], pa.int64()) for n in out_names})
+    if books is None:
+        return ray.data.from_arrow(empty)
+    dsub = books[0].shape[1]
+    qq = np.floor(np.asarray(query_vec, np.float64) * 1e6)
+    lut = np.zeros((m_sub, k), dtype=np.int64)
+    for s in range(m_sub):
+        lut[s] = _pq_dist2(
+            qq[s * dsub : (s + 1) * dsub][None, :], books[s]
+        )[0].astype(np.int64)
+    state_ref = ray.put((books, lut))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        bks, lut_s = ray.get(state_ref)
+        qm = (
+            batch.column("_qv")
+            .combine_chunks()
+            .values.to_numpy(zero_copy_only=False)
+            .reshape(batch.num_rows, -1)
+        )
+        codes = np.empty((m_sub, batch.num_rows), dtype=np.int64)
+        adc = np.zeros(batch.num_rows, dtype=np.int64)
+        for s in range(m_sub):
+            sm = qm[:, s * dsub : (s + 1) * dsub]
+            codes[s] = np.argmin(_pq_dist2(sm, bks[s]), axis=1)
+            adc += lut_s[s][codes[s]]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        top = np.lexsort((ids, adc))[:topk]
+        cols = {id_col: pa.array(ids[top], pa.int64())}
+        for s in range(m_sub):
+            cols[f"code_{s}"] = pa.array(codes[s][top], pa.int64())
+        cols["adc2"] = pa.array(adc[top], pa.int64())
+        return pa.table(cols)
+
+    cand = qds.map_batches(
+        score_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not cand:
+        return ray.data.from_arrow(empty)
+    ids = np.array([r[id_col] for r in cand], np.int64)
+    adc = np.array([r["adc2"] for r in cand], np.int64)
+    top = np.lexsort((ids, adc))[:topk]
+    cols = {id_col: pa.array(ids[top], pa.int64())}
+    for s in range(m_sub):
+        cs = np.array([r[f"code_{s}"] for r in cand], np.int64)
+        cols[f"code_{s}"] = pa.array(cs[top], pa.int64())
+    cols["adc2"] = pa.array(adc[top], pa.int64())
+    return ray.data.from_arrow(pa.table(cols))

@@ -1464,3 +1464,33 @@ def test_pq_encode_compresses_and_reconstruction_error(ray_session):
              co.pq_encode_ds(emb.repartition(5), m_sub=2, k=2).take_all()}
     assert rows2 == {i: (r["code_0"], r["code_1"], r["err2"])
                      for i, r in rows.items()}
+
+
+def test_pq_search_finds_query_blob(ray_session):
+    # query = vector of id 0; its blob-mates must fill the top-k
+    rng = np.random.RandomState(11)
+    base = np.zeros((12, 8))
+    base[6:, :] = 50.0
+    vecs = base + rng.rand(12, 8)
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(12)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    rows = co.pq_search_ds(
+        emb, vecs[0], m_sub=2, k=2, topk=6
+    ).take_all()
+    assert [r["vec_id"] for r in rows] == [0, 1, 2, 3, 4, 5]
+    assert all(rows[0]["adc2"] <= r["adc2"] for r in rows)
+    # partition invariance of the global top-k
+    rows2 = co.pq_search_ds(
+        emb.repartition(6), vecs[0], m_sub=2, k=2, topk=6
+    ).take_all()
+    assert [(r["vec_id"], r["adc2"]) for r in rows2] == [
+        (r["vec_id"], r["adc2"]) for r in rows
+    ]
