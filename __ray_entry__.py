@@ -2800,6 +2800,18 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_stream_join(sf_dir: str) -> ray.data.Dataset:
+    """Windowed stream-stream join: every click followed by a purchase
+    of the same user within 10 minutes (0 <= gap <= 600s). One bucketed
+    shuffle of the typed projection; two searchsorted probes + offset
+    expansion in-bucket."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return an.stream_join_ds(ev, "click", "purchase", window_us=600_000_000)
+
+
 def q_pq_search(sf_dir: str) -> ray.data.Dataset:
     """ADC search over PQ codes: codebooks learned on the corpus, tiny
     query-to-centroid LUT broadcast, one streaming encode+gather pass,
@@ -3077,6 +3089,7 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "stream_join": q_stream_join,
     "pq_search": q_pq_search,
     "collapse_runs": q_collapse_runs,
     "pq_encode": q_pq_encode,
@@ -3273,6 +3286,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "stream_join",
     "pq_search",
     "collapse_runs",
     "pq_encode",
@@ -3316,7 +3330,6 @@ _FRONT_R5 = [
     "interval_join",
     "collocations",
     "pagerank",
-    "hash_join",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3335,6 +3348,7 @@ _FRONT_R5 = [
     "centroids",
     "window_frames",
     "semi_join",
+    "hash_join",
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
@@ -5427,3 +5441,18 @@ def _pq_search_oracle(m_sub: int = 4, k: int = 4, dsub: int = 16, topk: int = 10
 
 
 ORACLES["pq_search"] = _pq_search_oracle()
+ORACLES["stream_join"] = """
+    WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_ts
+               FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT CAST(a.user_id AS BIGINT) AS user_id,
+           CAST(a_id AS BIGINT) AS a_id,
+           CAST(b_id AS BIGINT) AS b_id,
+           CAST(a_ts AS BIGINT) AS a_ts_us,
+           CAST(b_ts AS BIGINT) AS b_ts_us,
+           CAST(b_ts - a_ts AS BIGINT) AS gap_us
+    FROM a JOIN b
+      ON b.user_id = a.user_id
+     AND b.b_ts BETWEEN a.a_ts AND a.a_ts + 600000000
+"""

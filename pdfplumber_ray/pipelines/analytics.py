@@ -4539,3 +4539,122 @@ def collapse_runs_ds(
         proj.groupby("bkt").map_groups(bucket_collapse, batch_format="pyarrow"),
         out_schema,
     )
+
+
+# ---------- windowed stream-stream join ----------
+
+
+def stream_join_ds(
+    events: Dataset,
+    type_a: str,
+    type_b: str,
+    window_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    n_buckets: int = 512,
+    max_pairs_per_bucket: int = 10_000_000,
+) -> Dataset:
+    """Windowed stream-stream join: every (A, B) event pair of the same
+    key with ``0 <= ts_b - ts_a <= window_us`` — the "click followed by
+    purchase within an hour" correlation both streaming engines and
+    attribution pipelines need. Emits one row per qualifying pair with
+    both ids, both timestamps, and the gap.
+
+    Scale shape: only rows of the two types project and shuffle ONCE by
+    ``mix64(key) % n_buckets``; inside a bucket both sides sort by
+    (key, ts, id) and each A's match range is TWO ``searchsorted``
+    probes into the B side (composite key packs key-code and timestamp),
+    expanded with the same offset arithmetic as :func:`hash_join_ds` —
+    no per-key Python, row expansion bounded by the window.
+    ``max_pairs_per_bucket`` fails loud on a pathological window."""
+
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("a_id", pa.int64()),
+            ("b_id", pa.int64()),
+            ("a_ts_us", pa.int64()),
+            ("b_ts_us", pa.int64()),
+            ("gap_us", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        tcol = batch.column(type_col)
+        keep = pc.or_(pc.equal(tcol, type_a), pc.equal(tcol, type_b))
+        sub = batch.filter(keep)
+        k = sub.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        side = pc.equal(sub.column(type_col), type_b).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                key_col: pa.array(k, pa.int64()),
+                "ts_us": sub.column(ts_col).cast(pa.int64()),
+                id_col: sub.column(id_col).cast(pa.int64()),
+                "is_b": pa.array(side),
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    def bucket_join(group: pa.Table) -> pa.Table:
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        i = group.column(id_col).to_numpy(zero_copy_only=False)
+        is_b = group.column("is_b").to_numpy(zero_copy_only=False)
+        kvals, kc = np.unique(k, return_inverse=True)
+        a_m, b_m = ~is_b, is_b
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if not a_m.any() or not b_m.any():
+            return empty
+        # B side sorted by (key, ts, id); composite key-code<<42 | ts-rank
+        bo = np.lexsort((i[b_m], t[b_m], kc[b_m]))
+        bk, bt, bi = kc[b_m][bo], t[b_m][bo], i[b_m][bo]
+        # composite probe values: rank timestamps so the pack can't overflow
+        allt = np.unique(np.concatenate((t, t + window_us)))
+        btr = np.searchsorted(allt, bt)
+        shift = np.int64(len(allt) + 1)
+        bkey = bk.astype(np.int64) * shift + btr
+        ak, at_, ai = kc[a_m], t[a_m], i[a_m]
+        lo = np.searchsorted(
+            bkey, ak.astype(np.int64) * shift + np.searchsorted(allt, at_)
+        )
+        hi = np.searchsorted(
+            bkey,
+            ak.astype(np.int64) * shift + np.searchsorted(allt, at_ + window_us),
+            side="right",
+        )
+        m = (hi - lo).astype(np.int64)
+        total = int(m.sum())
+        if total > max_pairs_per_bucket:
+            raise ValueError(
+                f"stream join pairs in one bucket ({total}) exceed "
+                f"max_pairs_per_bucket={max_pairs_per_bucket}"
+            )
+        if total == 0:
+            return empty
+        a_of = np.repeat(np.arange(len(ak)), m)
+        off = np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(m)[:-1])), m)
+        b_of = lo[a_of] + off
+        return pa.table(
+            {
+                key_col: pa.array(kvals[ak[a_of]], pa.int64()),
+                "a_id": pa.array(ai[a_of], pa.int64()),
+                "b_id": pa.array(bi[b_of], pa.int64()),
+                "a_ts_us": pa.array(at_[a_of], pa.int64()),
+                "b_ts_us": pa.array(bt[b_of], pa.int64()),
+                "gap_us": pa.array(bt[b_of] - at_[a_of], pa.int64()),
+            }
+        )
+
+    proj = events.select_columns(
+        [key_col, ts_col, id_col, type_col]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return _anchor_schema(
+        proj.groupby("bkt").map_groups(bucket_join, batch_format="pyarrow"),
+        out_schema,
+    )

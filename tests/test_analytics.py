@@ -1236,3 +1236,41 @@ def test_collapse_runs_partition_invariant(ray_session):
          for r in an.collapse_runs_ds(ev.repartition(7), n_buckets=32).take_all()}
     assert a == b
     assert sum(dict(t)["run_len"] for t in a) == 60
+
+
+def test_stream_join_window_bounds_and_expansion(ray_session):
+    s = 1_000_000
+    ev = _events(
+        [
+            (1, 1, 0, "click", 0),
+            (2, 1, 0, "view", 0),          # gap 0 included
+            (3, 1, 10 * s, "view", 0),     # inside window
+            (4, 1, 60 * s, "view", 0),     # exactly window edge included
+            (5, 1, 61 * s, "view", 0),     # outside
+            (6, 1, 30 * s, "click", 0),    # second A: matches 4 (30s) not 3
+            (7, 2, 0, "view", 0),          # other user never matches
+        ]
+    )
+    rows = {(r["a_id"], r["b_id"]): r["gap_us"] for r in
+            an.stream_join_ds(ev, "click", "view", window_us=60 * s).take_all()}
+    assert rows == {
+        (1, 2): 0,
+        (1, 3): 10 * s,
+        (1, 4): 60 * s,
+        (6, 4): 30 * s,
+        (6, 5): 31 * s,
+    }
+
+
+def test_stream_join_partition_invariant_and_empty_side(ray_session):
+    ev = _events(
+        [(i, i % 4, i * 10_000_000, "click" if (i // 4) % 2 else "view", 0)
+         for i in range(80)]
+    )
+    a = {tuple(sorted(r.items())) for r in an.stream_join_ds(
+        ev.repartition(1), "click", "view", 120_000_000, n_buckets=2).take_all()}
+    b = {tuple(sorted(r.items())) for r in an.stream_join_ds(
+        ev.repartition(9), "click", "view", 120_000_000, n_buckets=64).take_all()}
+    assert a == b and len(a) > 0
+    none = an.stream_join_ds(ev, "click", "nope", 120_000_000).take_all()
+    assert none == []
