@@ -4797,28 +4797,45 @@ def dsir_weights_ds(
     block reaches the groupby, never a token shuffle. The tiny ratio
     table broadcasts via ``ray.put``; pass 2 re-streams the corpus and
     scores each doc with one hash + bincount-free gather per batch."""
-    feat_of = {}
+    feat_of: Dict[str, int] = {}  # per-worker memo: md5 once per DISTINCT token
 
-    def _feats(texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
-        """(flat feature codes, per-doc token counts) for a text list."""
-        codes, lens = [], []
-        for t in texts:
-            toks = t.split(" ") if t else []
-            lens.append(len(toks))
-            for w in toks:
-                c = feat_of.get(w)
-                if c is None:
-                    c = ts.md5_u64(w) % n_feat
-                    feat_of[w] = c
-                codes.append(c)
-        return np.asarray(codes, dtype=np.int64), np.asarray(lens, dtype=np.int64)
+    def _feats(col: pa.ChunkedArray) -> Tuple[np.ndarray, np.ndarray]:
+        """(flat feature codes, per-doc token counts) for a text column.
+        Tokenization and flattening are Arrow kernels; Python md5 runs
+        only once per distinct token (vocab-bounded, memoized)."""
+        combined = (
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        nonempty = pc.not_equal(combined, "")
+        split = pc.split_pattern(combined, pattern=" ")
+        lens = pc.if_else(
+            nonempty, pc.list_value_length(split).cast(pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        flat = (
+            pc.list_flatten(split.filter(nonempty))
+            .to_numpy(zero_copy_only=False)
+            .astype(object)
+        )
+        if not len(flat):
+            return np.zeros(0, np.int64), lens.astype(np.int64)
+        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+        ucodes = np.fromiter(
+            (
+                feat_of[w]
+                if w in feat_of
+                else feat_of.setdefault(w, ts.md5_u64(w) % n_feat)
+                for w in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        return ucodes[inv], lens.astype(np.int64)
 
     def counts_partial(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
         is_t = pc.equal(
             batch.column(target_filter_col), target_value
         ).to_numpy(zero_copy_only=False)
-        codes, lens = _feats(texts)
+        codes, lens = _feats(batch.column(text_col))
         doc_of = np.repeat(np.arange(len(lens)), lens)
         tmask = is_t[doc_of] if len(doc_of) else np.zeros(0, bool)
         t_cnt = np.bincount(codes[tmask], minlength=n_feat).astype(np.int64)
@@ -4859,8 +4876,7 @@ def dsir_weights_ds(
 
     def score(batch: pa.Table) -> pa.Table:
         rt = ray.get(ref)
-        texts = batch.column(text_col).to_pylist()
-        codes, lens = _feats(texts)
+        codes, lens = _feats(batch.column(text_col))
         ends = np.cumsum(lens)
         starts = ends - lens
         vals = rt[codes] if len(codes) else np.zeros(0, np.int64)
