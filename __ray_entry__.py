@@ -2800,6 +2800,37 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
+    """Referential-integrity audit over three FK relationships
+    (orders->customer, lineitem->orders, lineitem->part): child rows,
+    distinct FKs, orphan rows/keys per relationship via tagged co-group
+    membership — no broadcast of either side."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+    customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    return an.fk_audit_ds(
+        [
+            ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        ]
+    )
+
+
+def q_scd2(sf_dir: str) -> ray.data.Dataset:
+    """SCD-type-2 history: each user's event rows become validity
+    intervals [valid_from, valid_to) with per-key version ordinals; the
+    latest row stays open at the 2100-01-01 sentinel."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return an.scd2_ds(ev)
+
+
 def q_stream_join(sf_dir: str) -> ray.data.Dataset:
     """Windowed stream-stream join: every click followed by a purchase
     of the same user within 10 minutes (0 <= gap <= 600s). One bucketed
@@ -3089,6 +3120,8 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "fk_audit": q_fk_audit,
+    "scd2": q_scd2,
     "stream_join": q_stream_join,
     "pq_search": q_pq_search,
     "collapse_runs": q_collapse_runs,
@@ -3286,6 +3319,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "fk_audit",
+    "scd2",
     "stream_join",
     "pq_search",
     "collapse_runs",
@@ -3311,9 +3346,7 @@ _FRONT_R5 = [
     "sessions",
     "ohlc_bars",
     "period_over_period",
-    "left_join",
     "zscore",
-    "degree_dist",
     "components",
     "mode",
     "attribution",
@@ -3349,6 +3382,8 @@ _FRONT_R5 = [
     "window_frames",
     "semi_join",
     "hash_join",
+    "left_join",
+    "degree_dist",
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
@@ -5455,4 +5490,53 @@ ORACLES["stream_join"] = """
     FROM a JOIN b
       ON b.user_id = a.user_id
      AND b.b_ts BETWEEN a.a_ts AND a.a_ts + 600000000
+"""
+ORACLES["fk_audit"] = """
+    WITH r1 AS (
+      SELECT 'orders->customer' AS relationship,
+             CAST(count(*) AS BIGINT) AS child_rows,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_fks,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS orphan_rows,
+             CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                      THEN o_custkey END)
+                  AS BIGINT) AS orphan_keys
+      FROM orders LEFT JOIN customer c ON c.c_custkey = o_custkey),
+    r2 AS (
+      SELECT 'lineitem->orders',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT l_orderkey) AS BIGINT),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                      THEN l_orderkey END)
+                  AS BIGINT)
+      FROM lineitem LEFT JOIN orders o ON o.o_orderkey = l_orderkey),
+    r3 AS (
+      SELECT 'lineitem->part',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT l_partkey) AS BIGINT),
+             CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN p.p_partkey IS NULL
+                                      THEN l_partkey END)
+                  AS BIGINT)
+      FROM lineitem LEFT JOIN part p ON p.p_partkey = l_partkey)
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+"""
+ORACLES["scd2"] = """
+    WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS u
+               FROM events),
+    r AS (SELECT user_id, event_type, u,
+            row_number() OVER (
+              PARTITION BY user_id ORDER BY u, event_id) AS version,
+            lead(u) OVER (
+              PARTITION BY user_id ORDER BY u, event_id) AS nxt
+          FROM b)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(version AS BIGINT) AS version,
+           event_type,
+           CAST(u AS BIGINT) AS valid_from_us,
+           CAST(coalesce(nxt, 4102444800000000) AS BIGINT) AS valid_to_us
+    FROM r
 """

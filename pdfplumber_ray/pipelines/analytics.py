@@ -4658,3 +4658,204 @@ def stream_join_ds(
         proj.groupby("bkt").map_groups(bucket_join, batch_format="pyarrow"),
         out_schema,
     )
+
+
+# ---------- FK referential-integrity audit ----------
+
+
+def fk_audit_ds(
+    pairs: Sequence[Tuple[str, Dataset, str, Dataset, str]],
+    n_buckets: int = 512,
+) -> Dataset:
+    """Referential-integrity audit across many FK relationships at once:
+    for each ``(name, child, fk_col, parent, pk_col)`` report the child
+    row count, distinct FK count, and the number of rows / distinct keys
+    that have NO parent (orphans) — the conformance gate a warehouse
+    runs before publishing a snapshot.
+
+    Scale shape: per relationship, both sides reduce to per-block
+    DISTINCT keys (child keys carry their row multiplicity), ONE
+    ``mix64(key) % n_buckets`` tagged co-group marks orphan keys with a
+    vectorized ``np.isin``, and only per-bucket counter rows reach the
+    final tiny aggregate. Neither side broadcasts."""
+    out_schema = pa.schema(
+        [
+            ("relationship", pa.string()),
+            ("child_rows", pa.int64()),
+            ("distinct_fks", pa.int64()),
+            ("orphan_rows", pa.int64()),
+            ("orphan_keys", pa.int64()),
+        ]
+    )
+    results = []
+    for name, child, fk_col, parent, pk_col in pairs:
+
+        def child_side(batch: pa.Table, fk=fk_col) -> pa.Table:
+            k, cnt = np.unique(
+                batch.column(fk).cast(pa.int64()).to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                    "side": pa.array(np.zeros(len(k), np.int8)),
+                    "bkt": pa.array(
+                        (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+                    ),
+                }
+            )
+
+        def parent_side(batch: pa.Table, pk=pk_col) -> pa.Table:
+            k = np.unique(
+                batch.column(pk).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "n": pa.array(np.zeros(len(k), np.int64)),
+                    "side": pa.array(np.ones(len(k), np.int8)),
+                    "bkt": pa.array(
+                        (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+                    ),
+                }
+            )
+
+        both = child.select_columns([fk_col]).map_batches(
+            child_side, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            parent.select_columns([pk_col]).map_batches(
+                parent_side, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+
+        def bucket_counters(group: pa.Table) -> pa.Table:
+            k = group.column("k").to_numpy(zero_copy_only=False)
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            side = group.column("side").to_numpy(zero_copy_only=False)
+            cm = side == 0
+            # child per-block distincts may repeat across blocks: re-reduce
+            ck, inv = np.unique(k[cm], return_inverse=True)
+            cn = np.bincount(inv, weights=n[cm]).astype(np.int64)
+            orphan = ~np.isin(ck, k[~cm])
+            return pa.table(
+                {
+                    "child_rows": pa.array([int(cn.sum())], pa.int64()),
+                    "distinct_fks": pa.array([len(ck)], pa.int64()),
+                    "orphan_rows": pa.array([int(cn[orphan].sum())], pa.int64()),
+                    "orphan_keys": pa.array([int(orphan.sum())], pa.int64()),
+                }
+            )
+
+        counters = (
+            both.groupby("bkt")
+            .map_groups(bucket_counters, batch_format="pyarrow")
+            .take_all()
+        )
+        tot = {c: sum(int(r[c]) for r in counters) for c in
+               ("child_rows", "distinct_fks", "orphan_rows", "orphan_keys")}
+        results.append((name, tot))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "relationship": pa.array([r[0] for r in results], pa.string()),
+                "child_rows": pa.array(
+                    [r[1]["child_rows"] for r in results], pa.int64()
+                ),
+                "distinct_fks": pa.array(
+                    [r[1]["distinct_fks"] for r in results], pa.int64()
+                ),
+                "orphan_rows": pa.array(
+                    [r[1]["orphan_rows"] for r in results], pa.int64()
+                ),
+                "orphan_keys": pa.array(
+                    [r[1]["orphan_keys"] for r in results], pa.int64()
+                ),
+            }
+        )
+        if results
+        else pa.table({f.name: pa.array([], f.type) for f in out_schema})
+    )
+
+
+# ---------- SCD2 validity intervals (temporal table build) ----------
+
+
+def scd2_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "event_type",
+    tie_col: str = "event_id",
+    open_end_us: int = 4_102_444_800_000_000,  # 2100-01-01, the open sentinel
+    n_buckets: int = 512,
+) -> Dataset:
+    """SCD-type-2 history build: each key's change rows become validity
+    intervals ``[valid_from, valid_to)`` with a 1-based version number —
+    the temporal-table construction behind as-of correctness at read
+    time. The latest row per key stays open (``valid_to`` = the fixed
+    sentinel). Deterministic order: ``ts`` ASC, ``tie_col`` ASC.
+
+    Scale shape: rows project to 4 columns and shuffle ONCE by
+    ``mix64(key) % n_buckets``; in-bucket one lexsort + shifted arrays
+    derive ``valid_to`` (next row's ts) and per-key version ordinals —
+    no per-key Python."""
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("version", pa.int64()),
+            (value_col, pa.string()),
+            ("valid_from_us", pa.int64()),
+            ("valid_to_us", pa.int64()),
+        ]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: pa.array(k, pa.int64()),
+                "ts_us": batch.column(ts_col).cast(pa.int64()),
+                tie_col: batch.column(tie_col).cast(pa.int64()),
+                value_col: batch.column(value_col).cast(pa.string()),
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    def bucket_history(group: pa.Table) -> pa.Table:
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        tie = group.column(tie_col).to_numpy(zero_copy_only=False)
+        v = np.asarray(group.column(value_col).to_pylist(), dtype=object)
+        order = np.lexsort((tie, t, k))
+        k, t, v = k[order], t[order], v[order]
+        n = len(k)
+        start = np.concatenate(([True], k[1:] != k[:-1]))
+        version = np.arange(n, dtype=np.int64) - np.repeat(
+            np.flatnonzero(start),
+            np.diff(np.concatenate((np.flatnonzero(start), [n]))),
+        ) + 1
+        valid_to = np.empty(n, dtype=np.int64)
+        valid_to[:-1] = t[1:]
+        valid_to[-1] = open_end_us
+        last = np.concatenate((start[1:], [True]))
+        valid_to[last] = open_end_us
+        return pa.table(
+            {
+                key_col: pa.array(k, pa.int64()),
+                "version": pa.array(version, pa.int64()),
+                value_col: pa.array(v.astype(str), pa.string()),
+                "valid_from_us": pa.array(t, pa.int64()),
+                "valid_to_us": pa.array(valid_to, pa.int64()),
+            }
+        )
+
+    proj = events.select_columns(
+        [key_col, ts_col, tie_col, value_col]
+    ).map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return _anchor_schema(
+        proj.groupby("bkt").map_groups(bucket_history, batch_format="pyarrow"),
+        out_schema,
+    )

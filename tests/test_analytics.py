@@ -1274,3 +1274,47 @@ def test_stream_join_partition_invariant_and_empty_side(ray_session):
     assert a == b and len(a) > 0
     none = an.stream_join_ds(ev, "click", "nope", 120_000_000).take_all()
     assert none == []
+
+
+def test_fk_audit_detects_orphans(ray_session):
+    child = ray.data.from_arrow(
+        pa.table({"fk": pa.array([1, 1, 2, 3, 9, 9, 9], pa.int64())})
+    )
+    parent = ray.data.from_arrow(
+        pa.table({"pk": pa.array([1, 2, 4], pa.int64())})
+    )
+    (r,) = an.fk_audit_ds([("c->p", child, "fk", parent, "pk")]).take_all()
+    assert r["relationship"] == "c->p"
+    assert (r["child_rows"], r["distinct_fks"]) == (7, 4)
+    # 3 and 9 are orphans: 1 + 3 rows, 2 distinct keys
+    assert (r["orphan_rows"], r["orphan_keys"]) == (4, 2)
+
+
+def test_fk_audit_cross_block_distincts(ray_session):
+    # the same fk in many blocks must not double-count distinct_fks
+    child = ray.data.from_arrow(
+        pa.table({"fk": pa.array([5] * 40, pa.int64())})
+    ).repartition(8)
+    parent = ray.data.from_arrow(pa.table({"pk": pa.array([5], pa.int64())}))
+    (r,) = an.fk_audit_ds([("x", child, "fk", parent, "pk")]).take_all()
+    assert (r["child_rows"], r["distinct_fks"], r["orphan_rows"]) == (40, 1, 0)
+
+
+def test_scd2_versions_and_open_interval(ray_session):
+    ev = _events(
+        [
+            (1, 1, 100, "a", 0),
+            (2, 1, 200, "b", 0),
+            (3, 1, 300, "a", 0),
+            (4, 2, 50, "x", 0),
+        ]
+    )
+    rows = {(r["user_id"], r["version"]): (r["event_type"], r["valid_from_us"], r["valid_to_us"])
+            for r in an.scd2_ds(ev).take_all()}
+    OPEN = 4_102_444_800_000_000
+    assert rows == {
+        (1, 1): ("a", 100, 200),
+        (1, 2): ("b", 200, 300),
+        (1, 3): ("a", 300, OPEN),
+        (2, 1): ("x", 50, OPEN),
+    }
