@@ -2800,6 +2800,17 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_bfs_layers(sf_dir: str) -> ray.data.Dataset:
+    """BFS hop distances from the smallest node of the support>=2
+    co-purchase graph (4-round budget): broadcast frontier-distance
+    vector, one per-block min-relax pass over the materialized edge
+    list per round."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return gr.bfs_layers_ds(li)
+
+
 def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
     """Referential-integrity audit over three FK relationships
     (orders->customer, lineitem->orders, lineitem->part): child rows,
@@ -3120,6 +3131,7 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "bfs_layers": q_bfs_layers,
     "fk_audit": q_fk_audit,
     "scd2": q_scd2,
     "stream_join": q_stream_join,
@@ -3319,6 +3331,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "bfs_layers",
     "fk_audit",
     "scd2",
     "stream_join",
@@ -3346,7 +3359,6 @@ _FRONT_R5 = [
     "sessions",
     "ohlc_bars",
     "period_over_period",
-    "zscore",
     "components",
     "mode",
     "attribution",
@@ -3384,6 +3396,7 @@ _FRONT_R5 = [
     "hash_join",
     "left_join",
     "degree_dist",
+    "zscore",
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
@@ -5539,4 +5552,24 @@ ORACLES["scd2"] = """
            CAST(u AS BIGINT) AS valid_from_us,
            CAST(coalesce(nxt, 4102444800000000) AS BIGINT) AS valid_to_us
     FROM r
+"""
+ORACLES["bfs_layers"] = """
+    WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS support
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    e AS (SELECT x, y FROM e0 WHERE support >= 2),
+    sym AS (SELECT x AS a, y AS b FROM e UNION ALL SELECT y AS a, x AS b FROM e),
+    src AS (SELECT min(a) AS s FROM sym),
+    walk(node, d) AS (
+      SELECT s, 0 FROM src
+      UNION
+      SELECT sym.b, walk.d + 1
+      FROM walk JOIN sym ON sym.a = walk.node
+      WHERE walk.d < 4),
+    best AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+    FROM best
 """

@@ -969,3 +969,112 @@ def degree_distribution_ds(
         )
     )
     return ray.data.from_arrow(empty).union(out)
+
+
+def bfs_layers_ds(
+    lineitem: Dataset,
+    source: int | None = None,
+    max_rounds: int = 4,
+    min_support: int = 2,
+    n_buckets: int = 512,
+    max_broadcast_nodes: int = 20_000_000,
+) -> Dataset:
+    """BFS shortest-path layers over the co-purchase graph: one row per
+    node reachable from ``source`` (default: the smallest node) within
+    ``max_rounds`` hops, with its hop distance — the neighborhood /
+    blast-radius traversal behind related-item expansion and graph
+    sampling. A fixed round budget (not convergence detection) keeps the
+    operator's output a pure function the bounded recursive-CTE twin
+    reproduces; extra rounds past the diameter are no-ops.
+
+    Scale shape: the mined edge list (:func:`copurchase_edges_ds`)
+    materializes once; each round is ONE map_batches pass over edges
+    against the broadcast frontier-distance vector (node-count-sized,
+    guarded by ``max_broadcast_nodes``) emitting per-block min-distance
+    partials. Above the guard, swap the broadcast for the same
+    mix64-bucket co-group exchange :func:`pagerank_ds` and
+    :func:`connected_components_ds` already implement for their
+    rank/label vectors — the strategy switch, not a rewrite."""
+    empty_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+    empty = pa.table({f.name: pa.array([], f.type) for f in empty_schema})
+    edges = copurchase_edges_ds(lineitem, min_support, n_buckets)
+    if edges.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        xs = batch.column("x").to_numpy(zero_copy_only=False)
+        ys = batch.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.unique(np.concatenate((xs, ys))), pa.int64())}
+        )
+
+    node_rows = (
+        edges.map_batches(node_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .count()
+        .take_all()
+    )
+    if len(node_rows) > max_broadcast_nodes:
+        raise ValueError(
+            f"{len(node_rows)} nodes exceed max_broadcast_nodes="
+            f"{max_broadcast_nodes}; use the bucket co-group exchange "
+            "(see pagerank_ds cogroup strategy)"
+        )
+    nodes = np.sort(np.asarray([r["node"] for r in node_rows], np.int64))
+    src = int(nodes[0]) if source is None else int(source)
+    INF = np.int64(1 << 62)
+    dist = np.full(len(nodes), INF, dtype=np.int64)
+    pos = np.searchsorted(nodes, src)
+    if pos >= len(nodes) or nodes[pos] != src:
+        return ray.data.from_arrow(empty)
+    dist[pos] = 0
+
+    for _ in range(max_rounds):
+        state_ref = ray.put(dist)
+
+        def relax_partial(batch: pa.Table) -> pa.Table:
+            d = ray.get(state_ref)
+            xs = batch.column("x").to_numpy(zero_copy_only=False)
+            ys = batch.column("y").to_numpy(zero_copy_only=False)
+            xi = np.searchsorted(nodes, xs)
+            yi = np.searchsorted(nodes, ys)
+            # undirected relax both ways; min-combine per block
+            tgt = np.concatenate((yi, xi))
+            cand = np.concatenate((d[xi], d[yi])) + 1
+            ok = cand < np.int64(1 << 61)
+            tgt, cand = tgt[ok], cand[ok]
+            if not len(tgt):
+                return pa.table(
+                    {"i": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+                )
+            order = np.lexsort((cand, tgt))
+            tgt, cand = tgt[order], cand[order]
+            first = np.concatenate(([True], tgt[1:] != tgt[:-1]))
+            return pa.table(
+                {
+                    "i": pa.array(tgt[first], pa.int64()),
+                    "d": pa.array(cand[first], pa.int64()),
+                }
+            )
+
+        parts = edges.map_batches(
+            relax_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # <= distinct touched nodes per block
+        new = dist.copy()
+        for r in parts:
+            i, dd = int(r["i"]), int(r["d"])
+            if dd < new[i]:
+                new[i] = dd
+        if np.array_equal(new, dist):
+            break  # converged: further rounds cannot change min distances
+        dist = new
+
+    reached = dist < INF
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes[reached], pa.int64()),
+                "dist": pa.array(dist[reached], pa.int64()),
+            }
+        )
+    )

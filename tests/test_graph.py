@@ -247,3 +247,32 @@ def test_degree_distribution_empty(ray_session):
     )
     assert out.take_all() == []
     assert out.schema(fetch_if_missing=True).names == ["degree", "n_nodes"]
+
+
+def test_bfs_layers_path_graph(ray_session):
+    from pdfplumber_ray.pipelines import graph as gr
+
+    # chain 1-2-3-4-5 via co-purchases (support 2 each), plus isolated 9-10
+    rows = []
+    oid = 0
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (9, 10)]:
+        for _ in range(2):  # support >= 2
+            oid += 1
+            rows.append((oid, a))
+            rows.append((oid, b))
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+    got = {r["node"]: r["dist"] for r in gr.bfs_layers_ds(li, max_rounds=4).take_all()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    # round budget truncates the frontier
+    got2 = {r["node"]: r["dist"] for r in gr.bfs_layers_ds(li, max_rounds=2).take_all()}
+    assert got2 == {1: 0, 2: 1, 3: 2}
+    # explicit source + unreached isolation
+    got3 = {r["node"]: r["dist"] for r in gr.bfs_layers_ds(li, source=9).take_all()}
+    assert got3 == {9: 0, 10: 1}
