@@ -2800,6 +2800,26 @@ def q_cms_counts(sf_dir: str) -> ray.data.Dataset:
     return an.cms_counts_ds(li, "l_partkey")
 
 
+def q_winsorize(sf_dir: str) -> ray.data.Dataset:
+    """Winsorize doc lengths at the global p99 (integer percentile_disc
+    rank (99n+99)//100): value-count combiner -> bounded distinct-value
+    groupby -> scalar cutoff -> streaming clip."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return an.winsorize_ds(docs, "n_chars", "doc_id")
+
+
+def q_rank_sum(sf_dir: str) -> ray.data.Dataset:
+    """Mann-Whitney U between en and de doc lengths in doubled midranks
+    (integer-exact ties): the nonparametric drift test beside ks_drift.
+    Same bounded distinct-cell dataflow."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return an.rank_sum_ds(docs, "lang", "n_chars", "en", "de")
+
+
 def q_bfs_layers(sf_dir: str) -> ray.data.Dataset:
     """BFS hop distances from the smallest node of the support>=2
     co-purchase graph (4-round budget): broadcast frontier-distance
@@ -3131,6 +3151,8 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "winsorize": q_winsorize,
+    "rank_sum": q_rank_sum,
     "bfs_layers": q_bfs_layers,
     "fk_audit": q_fk_audit,
     "scd2": q_scd2,
@@ -3331,6 +3353,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "winsorize",
+    "rank_sum",
     "bfs_layers",
     "fk_audit",
     "scd2",
@@ -3360,8 +3384,6 @@ _FRONT_R5 = [
     "ohlc_bars",
     "period_over_period",
     "components",
-    "mode",
-    "attribution",
     "user_paths",
     "skyline",
     "clustering_coeff",
@@ -3397,6 +3419,8 @@ _FRONT_R5 = [
     "left_join",
     "degree_dist",
     "zscore",
+    "mode",
+    "attribution",
     "grouped_heavy_hitters",
     "length_outliers",
     "knn_graph",
@@ -5572,4 +5596,36 @@ ORACLES["bfs_layers"] = """
     best AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
     SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
     FROM best
+"""
+ORACLES["winsorize"] = """
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    r AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                 row_number() OVER (ORDER BY n_chars) AS rn
+          FROM documents),
+    cut AS (SELECT v AS cutoff FROM r, n WHERE rn = (99 * n.n + 99) // 100)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(least(n_chars, cutoff) AS BIGINT) AS clipped,
+           CAST(CASE WHEN n_chars > cutoff THEN 1 ELSE 0 END AS BIGINT)
+             AS was_clipped
+    FROM documents, cut
+"""
+ORACLES["rank_sum"] = """
+    WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v
+               FROM documents WHERE lang IN ('en', 'de')),
+    r AS (SELECT lang, v,
+                 rank() OVER (ORDER BY v) AS rk,
+                 count(*) OVER (PARTITION BY v) AS t
+          FROM v),
+    m AS (SELECT lang, 2 * (rk - 1) + t + 1 AS mid2 FROM r),
+    s AS (SELECT
+            sum(CASE WHEN lang = 'en' THEN mid2 ELSE 0 END) AS r2_a,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_a,
+            sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS n_b
+          FROM m)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2_a AS BIGINT) AS r2_a,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b
+    FROM s
 """

@@ -4859,3 +4859,179 @@ def scd2_ds(
         proj.groupby("bkt").map_groups(bucket_history, batch_format="pyarrow"),
         out_schema,
     )
+
+
+# ---------- winsorize (percentile cap) ----------
+
+
+def winsorize_ds(
+    ds: Dataset,
+    value_col: str,
+    id_col: str,
+    pct: int = 99,
+    max_domain_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Winsorize a column at the global ``pct`` percentile — the outlier
+    cap a curation pipeline applies to document lengths / token counts
+    before length-balanced sampling. The cutoff is
+    ``percentile_disc(pct)`` (the value at 1-based rank
+    ``ceil(pct * n / 100)`` = ``(pct * n + 99) // 100`` — pure integer
+    rank arithmetic, engine-exact); output is every row with its
+    original value, the clipped value, and a 0/1 flag.
+
+    Scale shape: one value-count combiner -> bounded distinct-value
+    groupby (guarded) -> the single cutoff scalar broadcasts in the
+    closure -> one streaming clip pass. Raw rows never shuffle."""
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).cast(pa.int64())
+        g = pa.table({"v": v}).group_by("v").aggregate([("v", "count")])
+        return pa.table(
+            {"v": g.column("v"), "n_partial": g.column("v_count").cast(pa.int64())}
+        )
+
+    hist = (
+        ds.select_columns([value_col])
+        .map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("n_partial"))
+        .materialize()
+    )
+    if hist.count() > max_domain_broadcast:
+        raise ValueError(
+            f"value domain ({hist.count()}) exceeds "
+            f"max_domain_broadcast={max_domain_broadcast}"
+        )
+    rows = hist.take_all()
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            (value_col, pa.int64()),
+            ("clipped", pa.int64()),
+            ("was_clipped", pa.int64()),
+        ]
+    )
+    if not rows:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    vals = np.array([r["v"] for r in rows], np.int64)
+    cnts = np.array([r["sum(n_partial)"] for r in rows], np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    rank = (pct * n + 99) // 100  # 1-based percentile_disc rank
+    cutoff = int(vals[np.searchsorted(cum, rank)])
+
+    def clip(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = np.minimum(v, cutoff)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                value_col: pa.array(v, pa.int64()),
+                "clipped": pa.array(c, pa.int64()),
+                "was_clipped": pa.array((v > cutoff).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, value_col]).map_batches(
+        clip, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------- Mann-Whitney rank-sum (integer-exact, doubled ranks) ----------
+
+
+def rank_sum_ds(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    max_cells: int = 2_000_000,
+) -> Dataset:
+    """Mann-Whitney U between two groups, kept integer-exact by working
+    in DOUBLED midranks (ties get the average rank — a .5 in the
+    classic formulation — so ``2*midrank`` is always an int):
+    ``u2_a = 2*R_a - n_a*(n_a+1)`` where ``R_a`` is group A's doubled
+    rank sum over the pooled ordering. The nonparametric
+    did-the-distribution-shift test a curation pipeline runs next to KS
+    (:func:`ks_drift_ds`). One row: n_a, n_b, r2_a, u2_a, u2_b
+    (``u2_a + u2_b == 2*n_a*n_b`` always — the built-in invariant).
+
+    Scale shape: same bounded dataflow as :func:`ks_drift_ds` — a
+    (group, value) count combiner, one distinct-cell groupby (guarded),
+    and the rank arithmetic runs once on the bounded grid."""
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "g": batch.column(group_col).cast(pa.string()),
+                "v": batch.column(value_col).cast(pa.int64()),
+            }
+        )
+        agg = t.group_by(["g", "v"]).aggregate([("v", "count")])
+        return pa.table(
+            {
+                "g": agg.column("g"),
+                "v": agg.column("v"),
+                "n_p": agg.column("v_count").cast(pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(cell_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "v"])
+        .aggregate(Sum("n_p"))
+        .materialize()
+    )
+    if cells.count() > max_cells:
+        raise ValueError(f"distinct cells exceed max_cells={max_cells}")
+    rows = cells.take_all()
+    va, ca, vb, cb = [], [], [], []
+    for r in rows:
+        if r["g"] == group_a:
+            va.append(int(r["v"])); ca.append(int(r["sum(n_p)"]))
+        elif r["g"] == group_b:
+            vb.append(int(r["v"])); cb.append(int(r["sum(n_p)"]))
+    out_schema = pa.schema(
+        [
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("r2_a", pa.int64()),
+            ("u2_a", pa.int64()),
+            ("u2_b", pa.int64()),
+        ]
+    )
+    va, ca = np.asarray(va, np.int64), np.asarray(ca, np.int64)
+    vb, cb = np.asarray(vb, np.int64), np.asarray(cb, np.int64)
+    allv = np.unique(np.concatenate((va, vb)))
+    na_at = np.zeros(len(allv), np.int64)
+    nb_at = np.zeros(len(allv), np.int64)
+    na_at[np.searchsorted(allv, va)] = ca
+    nb_at[np.searchsorted(allv, vb)] = cb
+    tot = na_at + nb_at
+    cum = np.cumsum(tot)
+    before = cum - tot
+    # doubled midrank of a tie run [before+1 .. before+t]: (2*before + t + 1)
+    mid2 = 2 * before + tot + 1
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    r2_a = int((mid2 * na_at).sum())
+    u2_a = r2_a - n_a * (n_a + 1)
+    u2_b = 2 * n_a * n_b - u2_a
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+                "r2_a": pa.array([r2_a], pa.int64()),
+                "u2_a": pa.array([u2_a], pa.int64()),
+                "u2_b": pa.array([u2_b], pa.int64()),
+            }
+        )
+        if n_a and n_b
+        else pa.table({f.name: pa.array([], f.type) for f in out_schema})
+    )

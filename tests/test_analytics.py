@@ -1318,3 +1318,38 @@ def test_scd2_versions_and_open_interval(ray_session):
         (1, 3): ("a", 300, OPEN),
         (2, 1): ("x", 50, OPEN),
     }
+
+
+def test_winsorize_cutoff_and_flags(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(list(range(1, 101)), pa.int64()),
+                "v": pa.array(list(range(1, 101)), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    rows = {r["id"]: (r["clipped"], r["was_clipped"]) for r in
+            an.winsorize_ds(ds, "v", "id", pct=90).take_all()}
+    # rank = (90*100+99)//100 = 90 -> cutoff value 90
+    assert rows[90] == (90, 0)
+    assert rows[91] == (90, 1) and rows[100] == (90, 1)
+    assert rows[1] == (1, 0)
+    assert sum(c for _, c in rows.values()) == 10
+
+
+def test_rank_sum_hand_computed_and_invariant(ray_session):
+    # a: [1, 2, 2], b: [2, 3] pooled sorted: 1 a, 2 a a b (tie of 3), 3 b
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["en", "en", "en", "de", "de"]),
+                "n_chars": pa.array([1, 2, 2, 2, 3], pa.int64()),
+            }
+        )
+    )
+    (r,) = an.rank_sum_ds(docs, "lang", "n_chars", "en", "de").take_all()
+    # doubled midranks: value 1 -> 2; value-2 run (ranks 2-4) -> 6; value 3 -> 10
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["r2_a"] == 2 + 6 + 6
+    assert r["u2_a"] == 14 - 3 * 4 and r["u2_a"] + r["u2_b"] == 2 * 3 * 2
