@@ -3150,7 +3150,23 @@ def q_trend(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_simpson_diversity(sf_dir: str) -> ray.data.Dataset:
+    """Gini-Simpson lexical diversity per doc (integer-exact e6): the
+    vocabulary-flatness quality signal — sum of squared token
+    multiplicities vs n^2, all integers, zero shuffle."""
+    return co.simpson_diversity_ds(_documents(sf_dir))
+
+
+def q_corpus_checksum(sf_dir: str) -> ray.data.Dataset:
+    """Order-invariant corpus fingerprint (count + mod-2^63 sum + 63-bit
+    xor of md5_u64(id|text)): the post-copy integrity check — one partial
+    row per block, commutative fold, parallelism-independent."""
+    return co.corpus_checksum_ds(_documents(sf_dir))
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "simpson_diversity": q_simpson_diversity,
+    "corpus_checksum": q_corpus_checksum,
     "winsorize": q_winsorize,
     "rank_sum": q_rank_sum,
     "bfs_layers": q_bfs_layers,
@@ -5628,4 +5644,34 @@ ORACLES["rank_sum"] = """
            CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
            CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b
     FROM s
+"""
+ORACLES["simpson_diversity"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+    agg AS (SELECT doc_id, sum(c) AS n, count(*) AS d, sum(c * c) AS s2
+            FROM tf GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(d AS BIGINT) AS n_distinct,
+           CAST(s2 AS BIGINT) AS sum_c2,
+           CAST(CASE WHEN n > 0
+                THEN 1000000 - (1000000 * s2) // (n * n) ELSE 0 END
+             AS BIGINT) AS simpson_e6
+    FROM agg
+"""
+ORACLES["corpus_checksum"] = """
+    WITH h AS (
+      SELECT ('0x' || substr(
+               md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 16
+             ))::UBIGINT AS h
+      FROM documents),
+    m AS (SELECT h % (9223372036854775807::UBIGINT + 1::UBIGINT) AS h63
+          FROM h)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(h63 AS HUGEINT))
+                % 9223372036854775808::HUGEINT AS BIGINT) AS sum63,
+           CAST(bit_xor(h63) AS BIGINT) AS xor63
+    FROM m
 """

@@ -5143,3 +5143,126 @@ def pq_search_ds(
         cols[f"code_{s}"] = pa.array(cs[top], pa.int64())
     cols["adc2"] = pa.array(adc[top], pa.int64())
     return ray.data.from_arrow(pa.table(cols))
+
+
+# ---------- lexical diversity / integrity ----------
+
+
+def simpson_diversity_ds(
+    docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Per-document Gini-Simpson lexical diversity, INTEGER-EXACT: token
+    count ``n``, distinct-token count, the collision numerator
+    ``sum_c2 = sum(c_i^2)`` over per-token multiplicities, and
+    ``simpson_e6 = 1e6 - 1e6*sum_c2 // n^2`` (the probability two tokens
+    drawn with replacement differ, floored to e6). The standard
+    vocabulary-flatness quality signal next to repetition_stats — a doc
+    that repeats one token has simpson_e6 -> 0, a doc of all-distinct
+    tokens -> ~1e6*(n-1)/n. No float anywhere, so the SQL twin is
+    bit-exact.
+
+    Scale shape: pure streaming ``map_batches`` — one Arrow C++
+    ``group_by((doc, term))`` per batch, then numpy segment reductions;
+    zero shuffle, zero driver state."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.column(id_col).type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "sum_c2": pa.array([], pa.int64()),
+                    "simpson_e6": pa.array([], pa.int64()),
+                }
+            )
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=n)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        di = np.repeat(np.arange(n, dtype=np.int64), lens)
+        g = (
+            pa.table({"di": pa.array(di), "term": pa.array(flat, pa.string())})
+            .group_by(["di", "term"])
+            .aggregate([("term", "count")])
+        )
+        gdi = g.column("di").to_numpy(zero_copy_only=False)
+        cnt = g.column("term_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_distinct = np.bincount(gdi, minlength=n).astype(np.int64)
+        sum_c2 = np.zeros(n, dtype=np.int64)
+        np.add.at(sum_c2, gdi, cnt * cnt)
+        n2 = lens * lens
+        simpson = np.where(
+            lens > 0, 1_000_000 - (1_000_000 * sum_c2) // np.maximum(n2, 1), 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(lens),
+                "n_distinct": pa.array(n_distinct),
+                "sum_c2": pa.array(sum_c2),
+                "simpson_e6": pa.array(simpson),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def corpus_checksum_ds(
+    docs: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Order-invariant corpus integrity fingerprint: ONE row with the row
+    count, a mod-2^63 SUM and a 63-bit XOR of per-row
+    ``md5_u64(id || '|' || text)`` hashes. The cheap end-to-end check a
+    100 TB pipeline runs after every copy/compact/repartition — both
+    reductions are commutative, so the result is independent of row
+    order, block boundaries and parallelism, and the DuckDB twin
+    reproduces it bit-for-bit from the same md5 primitive.
+
+    Scale shape: per-batch combiner emits ONE partial row per block
+    (count/sum/xor); the driver folds block partials — O(blocks), never
+    O(rows). uint64 wrap-around addition is exact mod 2^63 because
+    2^63 | 2^64."""
+    mask = np.uint64((1 << 63) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.string()).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        h = np.fromiter(
+            (ts.md5_u64(f"{i}|{t or ''}") for i, t in zip(ids, texts)),
+            np.uint64,
+            count=batch.num_rows,
+        )
+        s = np.uint64(0) if not len(h) else np.bitwise_and(np.add.reduce(h), mask)
+        x = np.uint64(0) if not len(h) else np.bitwise_and(
+            np.bitwise_xor.reduce(h), mask
+        )
+        return pa.table(
+            {
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+                "sum63": pa.array([int(s)], pa.int64()),
+                "xor63": pa.array([int(x)], pa.int64()),
+            }
+        )
+
+    parts = docs.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one row per block
+    n = sum(int(r["n_rows"]) for r in parts)
+    s = 0
+    x = 0
+    for r in parts:
+        s = (s + int(r["sum63"])) % (1 << 63)
+        x ^= int(r["xor63"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([n], pa.int64()),
+                "sum63": pa.array([s], pa.int64()),
+                "xor63": pa.array([x], pa.int64()),
+            }
+        )
+    )

@@ -1494,3 +1494,49 @@ def test_pq_search_finds_query_blob(ray_session):
     assert [(r["vec_id"], r["adc2"]) for r in rows2] == [
         (r["vec_id"], r["adc2"]) for r in rows
     ]
+
+
+def test_simpson_diversity_kernel(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["a a a a", "a b c d", "a a b b"], pa.string()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in co.simpson_diversity_ds(docs).take_all()}
+    # all-same: sum_c2 = 16 = n^2 -> simpson 0
+    assert out[1]["n_tokens"] == 4 and out[1]["sum_c2"] == 16
+    assert out[1]["simpson_e6"] == 0 and out[1]["n_distinct"] == 1
+    # all-distinct: sum_c2 = 4 -> 1e6 - 1e6*4//16 = 750000
+    assert out[2]["sum_c2"] == 4 and out[2]["simpson_e6"] == 750_000
+    # two pairs: sum_c2 = 8 -> 1e6 - 500000
+    assert out[3]["simpson_e6"] == 500_000 and out[3]["n_distinct"] == 2
+
+
+def test_corpus_checksum_order_invariant(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["aa", "bb", "cc", "dd"], pa.string()),
+        }
+    )
+    fwd = co.corpus_checksum_ds(ray.data.from_arrow(t)).take_all()[0]
+    rev = co.corpus_checksum_ds(
+        ray.data.from_arrow(t.take(pa.array([3, 1, 0, 2])))
+    ).take_all()[0]
+    # order- and blocking-invariant, and exact vs a direct fold
+    split = co.corpus_checksum_ds(
+        ray.data.from_arrow(t).repartition(3)
+    ).take_all()[0]
+    assert fwd == rev == split
+    from pdfplumber_ray.functions.textstats import md5_u64
+
+    hs = [md5_u64(f"{i}|{s}") for i, s in zip([1, 2, 3, 4], ["aa", "bb", "cc", "dd"])]
+    assert fwd["n_rows"] == 4
+    assert fwd["sum63"] == sum(hs) % (1 << 63)
+    x = 0
+    for h in hs:
+        x ^= h
+    assert fwd["xor63"] == x & ((1 << 63) - 1)
