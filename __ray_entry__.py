@@ -3164,7 +3164,18 @@ def q_corpus_checksum(sf_dir: str) -> ray.data.Dataset:
     return co.corpus_checksum_ds(_documents(sf_dir))
 
 
+def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
+    """BM25 top-10 retrieval for a 4-term query, integer-exact (rational
+    idf (2N-2df+1)/(2df+1), k1=6/5, b=3/4, avgdl=floor(T/N), per-term
+    e6 floor): one stats pass (one partial row per block), one scoring
+    pass with per-block top-k — driver folds <= k rows per block."""
+    return co.bm25_topk_ds(
+        _documents(sf_dir), ["hash", "join", "window", "stream"], k=10
+    )
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "bm25_topk": q_bm25_topk,
     "simpson_diversity": q_simpson_diversity,
     "corpus_checksum": q_corpus_checksum,
     "winsorize": q_winsorize,
@@ -5674,4 +5685,35 @@ ORACLES["corpus_checksum"] = """
                 % 9223372036854775808::HUGEINT AS BIGINT) AS sum63,
            CAST(bit_xor(h63) AS BIGINT) AS xor63
     FROM m
+"""
+ORACLES["bm25_topk"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    consts AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT count(*) // (SELECT count(*) FROM documents)
+              FROM toks) AS a
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    q AS (SELECT * FROM (VALUES ('hash'), ('join'), ('window'), ('stream'))
+          AS t(term)),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN (SELECT term FROM q) GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             sum((1000000::HUGEINT * (2 * c.n - 2 * df.df + 1)
+                  * 44 * tf.tf * c.a)
+                 // ((2 * df.df + 1)
+                     * (20 * tf.tf * c.a + 6 * c.a + 18 * dl.dl))
+             ) AS score_e6,
+             count(*) AS n_hit
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), consts c
+      GROUP BY tf.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(score_e6 AS BIGINT) AS score_e6,
+           CAST(n_hit AS BIGINT) AS n_hit
+    FROM scored ORDER BY score_e6 DESC, doc_id LIMIT 10
 """

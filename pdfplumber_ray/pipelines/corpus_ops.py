@@ -5266,3 +5266,146 @@ def corpus_checksum_ds(
             }
         )
     )
+
+
+def bm25_topk_ds(
+    docs: Dataset,
+    query_terms: List[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """BM25 top-``k`` retrieval against a broadcast query, INTEGER-EXACT:
+    the classic sparse-retrieval scorer (Robertson et al.) with the two
+    real-valued pieces replaced by exact rationals so a SQL twin
+    reproduces every score bit-for-bit — ``idf = (N-df+1/2)/(df+1/2)``
+    as ``(2N-2df+1)/(2df+1)`` (the log dropped: it is monotone, and the
+    rational form keeps cross-term sums exact) and ``k1=6/5, b=3/4,
+    avgdl = floor(T/N)``. Per (doc, term):
+
+        score_e6 += (1e6 * (2N-2df+1) * 44*tf*A)
+                    // ((2df+1) * (20*tf*A + 6*A + 18*dl))
+
+    where ``A=avgdl``, ``dl`` the doc's token count — the exact integer
+    floor of 1e6 * idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/A)).
+
+    Scale shape: pass 1 streams ONE partial row per block (doc count,
+    token count, per-query-term df) — the corpus-global constants; pass 2
+    streams again, scoring ONLY docs containing a query term (vectorized
+    equality per term over the flattened token array) and emitting a
+    per-block top-k, so the driver folds <= k rows per block. An int64
+    headroom guard trips before any overflow (1e6*2N*44*tf*A must fit
+    2^63; production beyond that switches the scorer to float64 ordering
+    with the same candidate dataflow)."""
+    q = sorted(set(query_terms))
+    qarr = np.asarray(q, dtype=object)
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "score_e6": pa.array([], pa.int64()),
+            "n_hit": pa.array([], pa.int64()),
+        }
+    )
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=n)
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            if n
+            else np.empty(0, dtype=object)
+        )
+        di = np.repeat(np.arange(n, dtype=np.int64), lens)
+        dfs = []
+        for term in q:
+            hit_docs = np.unique(di[flat == term])
+            dfs.append(len(hit_docs))
+        return pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "n_tokens": pa.array([int(lens.sum())], pa.int64()),
+                **{
+                    f"df_{i}": pa.array([dfs[i]], pa.int64())
+                    for i in range(len(q))
+                },
+            }
+        )
+
+    parts = docs.select_columns([id_col, text_col]).map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one row per block
+    N = sum(int(r["n_docs"]) for r in parts)
+    T = sum(int(r["n_tokens"]) for r in parts)
+    if N == 0 or T == 0:
+        return ray.data.from_arrow(empty)
+    A = T // N
+    df = np.asarray(
+        [sum(int(r[f"df_{i}"]) for r in parts) for i in range(len(q))],
+        np.int64,
+    )
+    # int64 headroom guard: max per-term numerator 1e6*(2N+1)*44*tf*A
+    # with tf <= max dl; bound via T (no doc exceeds the corpus).
+    if 1_000_000 * (2 * N + 1) * 44 * min(T, 1 << 20) * max(A, 1) >= (1 << 62):
+        raise ValueError(
+            "bm25_topk integer scorer exceeds int64 headroom at this corpus "
+            "size; switch to the float64-ordering scorer for production"
+        )
+    consts = ray.put((np.asarray(qarr, dtype=object), df, N, A))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        qa, dfv, n_docs, avgdl = ray.get(consts)
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=n)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        di = np.repeat(np.arange(n, dtype=np.int64), lens)
+        score = np.zeros(n, dtype=np.int64)
+        n_hit = np.zeros(n, dtype=np.int64)
+        for i in range(len(qa)):
+            tf = np.bincount(di[flat == qa[i]], minlength=n).astype(np.int64)
+            hit = tf > 0
+            if not hit.any():
+                continue
+            idf_num = np.int64(2 * n_docs - 2 * int(dfv[i]) + 1)
+            idf_den = np.int64(2 * int(dfv[i]) + 1)
+            num = 1_000_000 * idf_num * 44 * tf[hit] * avgdl
+            den = idf_den * (20 * tf[hit] * avgdl + 6 * avgdl + 18 * lens[hit])
+            score[hit] += num // den
+            n_hit[hit] += 1
+        cand = score > 0
+        if not cand.any():
+            return empty
+        ids_c, sc_c, nh_c = ids[cand], score[cand], n_hit[cand]
+        top = np.lexsort((ids_c, -sc_c))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids_c[top], pa.int64()),
+                "score_e6": pa.array(sc_c[top], pa.int64()),
+                "n_hit": pa.array(nh_c[top], pa.int64()),
+            }
+        )
+
+    cand_rows = docs.select_columns([id_col, text_col]).map_batches(
+        score_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # <= k rows per block
+    if not cand_rows:
+        return ray.data.from_arrow(empty)
+    ids = np.asarray([r[id_col] for r in cand_rows], np.int64)
+    sc = np.asarray([r["score_e6"] for r in cand_rows], np.int64)
+    nh = np.asarray([r["n_hit"] for r in cand_rows], np.int64)
+    top = np.lexsort((ids, -sc))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array(ids[top], pa.int64()),
+                "score_e6": pa.array(sc[top], pa.int64()),
+                "n_hit": pa.array(nh[top], pa.int64()),
+            }
+        )
+    )

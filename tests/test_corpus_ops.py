@@ -1540,3 +1540,51 @@ def test_corpus_checksum_order_invariant(ray_session):
     for h in hs:
         x ^= h
     assert fwd["xor63"] == x & ((1 << 63) - 1)
+
+
+def test_bm25_topk_kernel(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "cat cat cat dog",      # tf(cat)=3, dl=4
+                        "cat fish",             # tf(cat)=1, dl=2
+                        "dog dog bird",         # no query term
+                        "fish fish fish fish",  # rarest term repeated
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = co.bm25_topk_ds(docs, ["cat", "fish"], k=3).take_all()
+    # N=4, T=13, A=3; df(cat)=2, df(fish)=2
+    # exact per-(doc,term): 1e6*(2*4-2*2+1)*44*tf*3 // ((2*2+1)*(60*tf+18+18*dl))
+    def s(tf, dl):
+        return (1_000_000 * 5 * 44 * tf * 3) // (5 * (20 * tf * 3 + 6 * 3 + 18 * dl))
+    exp = {1: s(3, 4), 2: s(1, 2) + s(1, 2), 4: s(4, 4)}
+    got = {r["doc_id"]: r["score_e6"] for r in out}
+    assert got == dict(sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]) or got == exp
+    hits = {r["doc_id"]: r["n_hit"] for r in out}
+    assert hits[2] == 2 and hits[1] == 1
+    # doc 3 (no query term) never appears
+    assert 3 not in got
+
+
+def test_bm25_topk_block_invariance(ray_session):
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "text": pa.array(
+                [f"w{i % 3} cat {'fish ' * (i % 5)}".strip() for i in range(20)],
+                pa.string(),
+            ),
+        }
+    )
+    one = co.bm25_topk_ds(ray.data.from_arrow(docs), ["cat", "fish"], k=5).take_all()
+    many = co.bm25_topk_ds(
+        ray.data.from_arrow(docs).repartition(7), ["cat", "fish"], k=5
+    ).take_all()
+    assert one == many
