@@ -3174,7 +3174,19 @@ def q_bm25_topk(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_assoc_rules(sf_dir: str) -> ray.data.Dataset:
+    """Association rules over 30-min sessions: ordered type pairs with
+    integer-exact confidence and lift e6 — one bucket shuffle, tagged
+    pair/marginal/total partials, O(|types|^2) driver table."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return an.assoc_rules_ds(ev)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "assoc_rules": q_assoc_rules,
     "bm25_topk": q_bm25_topk,
     "simpson_diversity": q_simpson_diversity,
     "corpus_checksum": q_corpus_checksum,
@@ -5716,4 +5728,43 @@ ORACLES["bm25_topk"] = """
            CAST(score_e6 AS BIGINT) AS score_e6,
            CAST(n_hit AS BIGINT) AS n_hit
     FROM scored ORDER BY score_e6 DESC, doc_id LIMIT 10
+"""
+ORACLES["assoc_rules"] = """
+    WITH b AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS u,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS p
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, event_type, u,
+             CASE WHEN p IS NULL OR u - p > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM b),
+    s AS (
+      SELECT user_id, event_type,
+             sum(brk) OVER (
+               PARTITION BY user_id ORDER BY u, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    d AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+    tot AS (SELECT count(*) AS n_sessions
+            FROM (SELECT DISTINCT user_id, sid FROM d)),
+    marg AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+    pr AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             count(*) AS n_both
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.sid = b.sid
+       AND a.event_type <> b.event_type
+      GROUP BY 1, 2)
+    SELECT pr.antecedent, pr.consequent,
+           CAST(ma.n AS BIGINT) AS n_ante,
+           CAST(mc.n AS BIGINT) AS n_cons,
+           CAST(pr.n_both AS BIGINT) AS n_both,
+           CAST(tot.n_sessions AS BIGINT) AS n_sessions,
+           CAST(1000000 * pr.n_both // ma.n AS BIGINT) AS conf_e6,
+           CAST(1000000::HUGEINT * pr.n_both * tot.n_sessions
+                // (ma.n * mc.n) AS BIGINT) AS lift_e6
+    FROM pr
+    JOIN marg ma ON ma.event_type = pr.antecedent
+    JOIN marg mc ON mc.event_type = pr.consequent, tot
 """

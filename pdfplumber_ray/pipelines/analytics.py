@@ -5035,3 +5035,160 @@ def rank_sum_ds(
         if n_a and n_b
         else pa.table({f.name: pa.array([], f.type) for f in out_schema})
     )
+
+
+def assoc_rules_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_us: int = 1_800_000_000,
+    n_buckets: int = 512,
+    min_support: int = 1,
+) -> Dataset:
+    """Association rules (Apriori level 2) over 30-min-gap sessions: for
+    every ORDERED pair of event types co-occurring in a session, the rule
+    ``antecedent -> consequent`` with its session counts and the two
+    classic integer-exact metrics — ``conf_e6 = 1e6*n_both // n_ante``
+    and ``lift_e6 = 1e6*n_both*S // (n_ante*n_cons)`` (S = total
+    sessions). The recommendation/market-basket staple next to
+    :func:`session_baskets_ds` (which stops at raw pair counts).
+
+    Scale shape: ONE ``mix64(user) % n_buckets`` shuffle; each bucket
+    emits pre-combined TAGGED partials — pair counts, per-type session
+    marginals, and a session-count row — so the global exchange moves
+    O(|types|^2) rows per bucket. The rule table itself is
+    type-domain-squared-sized: the only driver materialization."""
+    out_schema = pa.schema(
+        [
+            ("antecedent", pa.string()),
+            ("consequent", pa.string()),
+            ("n_ante", pa.int64()),
+            ("n_cons", pa.int64()),
+            ("n_both", pa.int64()),
+            ("n_sessions", pa.int64()),
+            ("conf_e6", pa.int64()),
+            ("lift_e6", pa.int64()),
+        ]
+    )
+    part_schema = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("ta", pa.string()),
+            ("tb", pa.string()),
+            ("n_p", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(k, pa.int64()),
+                "t": batch.column(ts_col).cast(pa.int64()),
+                "e": batch.column(tie_col).cast(pa.int64()),
+                "ty": batch.column(type_col).cast(pa.string()),
+            }
+        )
+
+    def partials(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in part_schema})
+        if group.num_rows == 0:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        e = group.column("e").to_numpy(zero_copy_only=False)
+        ty = group.column("ty").to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((e, t, k))
+        ks, ts_, tys = k[order], t[order], ty[order]
+        new_user = np.concatenate(([True], ks[1:] != ks[:-1]))
+        brk = new_user | np.concatenate(([True], (ts_[1:] - ts_[:-1]) > gap_us))
+        sess = np.cumsum(brk) - 1
+        n_sessions = int(sess[-1]) + 1
+        # distinct (session, type)
+        o2 = np.lexsort((tys, sess))
+        ss, tt = sess[o2], tys[o2]
+        keep = np.concatenate(([True], (ss[1:] != ss[:-1]) | (tt[1:] != tt[:-1])))
+        ss, tt = ss[keep], tt[keep]
+        # per-type marginals (sessions containing the type)
+        mt, mc = np.unique(tt, return_counts=True)
+        kinds = ["total"] + ["type"] * len(mt)
+        tas = [""] + list(mt)
+        tbs = [""] * (1 + len(mt))
+        nps = [n_sessions] + [int(c) for c in mc]
+        # within-session ordered pairs (a != b): expand a<b then mirror
+        seg_new = np.concatenate(([True], ss[1:] != ss[:-1]))
+        starts = np.flatnonzero(seg_new)
+        lens = np.diff(np.concatenate((starts, [len(ss)])))
+        local = np.arange(len(ss)) - np.repeat(starts, lens)
+        rep = (np.repeat(lens, lens) - 1 - local).astype(np.int64)
+        total = int(rep.sum())
+        if total:
+            a_idx = np.repeat(np.arange(len(ss)), rep)
+            base = np.cumsum(rep) - rep
+            off = np.arange(total, dtype=np.int64) - np.repeat(base, rep)
+            b_idx = a_idx + 1 + off
+            ta = np.concatenate((tt[a_idx], tt[b_idx]))
+            tb = np.concatenate((tt[b_idx], tt[a_idx]))
+            po = np.lexsort((tb, ta))
+            tas_p, tbs_p = ta[po], tb[po]
+            pnew = np.concatenate(
+                ([True], (tas_p[1:] != tas_p[:-1]) | (tbs_p[1:] != tbs_p[:-1]))
+            )
+            pstarts = np.flatnonzero(pnew)
+            kinds += ["pair"] * len(pstarts)
+            tas += list(tas_p[pstarts])
+            tbs += list(tbs_p[pstarts])
+            nps += list(
+                np.diff(np.concatenate((pstarts, [2 * total]))).astype(np.int64)
+            )
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "ta": pa.array(tas, pa.string()),
+                "tb": pa.array(tbs, pa.string()),
+                "n_p": pa.array(np.asarray(nps, np.int64), pa.int64()),
+            }
+        )
+
+    combined = (
+        events.select_columns([key_col, ts_col, tie_col, type_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(partials, batch_format="pyarrow")
+        .groupby(["kind", "ta", "tb"])
+        .aggregate(Sum("n_p"))
+        .take_all()  # O(|types|^2) rows — the rule table's own size
+    )
+    total_s = 0
+    marg: dict = {}
+    pairs: dict = {}
+    for r in combined:
+        n = int(r["sum(n_p)"])
+        if r["kind"] == "total":
+            total_s += n
+        elif r["kind"] == "type":
+            marg[r["ta"]] = marg.get(r["ta"], 0) + n
+        else:
+            key = (r["ta"], r["tb"])
+            pairs[key] = pairs.get(key, 0) + n
+    rows = {f.name: [] for f in out_schema}
+    for (a, b), n_ab in sorted(pairs.items()):
+        if n_ab < min_support:
+            continue
+        na, nb = marg[a], marg[b]
+        rows["antecedent"].append(a)
+        rows["consequent"].append(b)
+        rows["n_ante"].append(na)
+        rows["n_cons"].append(nb)
+        rows["n_both"].append(n_ab)
+        rows["n_sessions"].append(total_s)
+        rows["conf_e6"].append(1_000_000 * n_ab // na)
+        rows["lift_e6"].append(1_000_000 * n_ab * total_s // (na * nb))
+    return ray.data.from_arrow(
+        pa.table({f.name: pa.array(rows[f.name], f.type) for f in out_schema})
+    )

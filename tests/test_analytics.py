@@ -1353,3 +1353,42 @@ def test_rank_sum_hand_computed_and_invariant(ray_session):
     assert (r["n_a"], r["n_b"]) == (3, 2)
     assert r["r2_a"] == 2 + 6 + 6
     assert r["u2_a"] == 14 - 3 * 4 and r["u2_a"] + r["u2_b"] == 2 * 3 * 2
+
+
+def test_assoc_rules_kernel(ray_session):
+    import pyarrow as pa
+
+    # 3 sessions for user 1 (gap > 30 min splits), 1 for user 2:
+    # s1: {view, click}, s2: {view}, s3: {view, click, buy}, s4: {click}
+    us = 1_000_000
+    rows = [
+        (1, 0 * us, 1, "view"), (2, 60 * us, 1, "click"),
+        (3, 10_000_000_000, 1, "view"),
+        (4, 20_000_000_000, 1, "view"), (5, 20_000_000_000 + us, 1, "click"),
+        (6, 20_000_000_000 + 2 * us, 1, "buy"),
+        (7, 0, 2, "click"),
+    ]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = {
+        (r["antecedent"], r["consequent"]): r
+    for r in an.assoc_rules_ds(ev).take_all()}
+    # marginals: view 3, click 3, buy 1; S = 4
+    r = out[("view", "click")]
+    assert r["n_ante"] == 3 and r["n_cons"] == 3 and r["n_both"] == 2
+    assert r["n_sessions"] == 4
+    assert r["conf_e6"] == 1_000_000 * 2 // 3
+    assert r["lift_e6"] == 1_000_000 * 2 * 4 // 9
+    # rule mirror has different confidence denominator
+    r2 = out[("buy", "view")]
+    assert r2["n_ante"] == 1 and r2["n_both"] == 1
+    assert r2["conf_e6"] == 1_000_000
+    assert ("buy", "click") in out and out[("click", "buy")]["conf_e6"] == 333_333
