@@ -3185,7 +3185,31 @@ def q_assoc_rules(sf_dir: str) -> ray.data.Dataset:
     return an.assoc_rules_ds(ev)
 
 
+def q_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    """CDC snapshot diff: latest-event-per-user state at 2024-01-16 vs
+    end-of-month — delta rows only (added/removed/changed by 63-bit value
+    hash), one co-group shuffle, unchanged keys dropped in the bucket."""
+    ev_cols = ["event_id", "ts", "user_id"]
+    old_ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=ev_cols
+    ).map_batches(
+        lambda b: b.filter(
+            pc.less(b.column("ts").cast(pa.int64()), 1705363200000000)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    new_ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=ev_cols)
+    return an.snapshot_diff_ds(
+        an.keep_latest_ds(old_ev),
+        an.keep_latest_ds(new_ev),
+        key_col="user_id",
+        value_cols=["event_id"],
+    )
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "snapshot_diff": q_snapshot_diff,
     "assoc_rules": q_assoc_rules,
     "bm25_topk": q_bm25_topk,
     "simpson_diversity": q_simpson_diversity,
@@ -5767,4 +5791,32 @@ ORACLES["assoc_rules"] = """
     FROM pr
     JOIN marg ma ON ma.event_type = pr.antecedent
     JOIN marg mc ON mc.event_type = pr.consequent, tot
+"""
+ORACLES["snapshot_diff"] = """
+    WITH o_r AS (
+      SELECT user_id, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE epoch_us(ts) < 1705363200000000),
+    n_r AS (
+      SELECT user_id, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    oh AS (SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
+               ::UBIGINT % 9223372036854775808::HUGEINT AS BIGINT) AS h
+           FROM o_r WHERE rn = 1),
+    nh AS (SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
+               ::UBIGINT % 9223372036854775808::HUGEINT AS BIGINT) AS h
+           FROM n_r WHERE rn = 1)
+    SELECT CAST(user_id AS BIGINT) AS key,
+           CASE WHEN oh.h IS NULL THEN 'added'
+                WHEN nh.h IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           CAST(coalesce(oh.h, -1) AS BIGINT) AS old_h63,
+           CAST(coalesce(nh.h, -1) AS BIGINT) AS new_h63
+    FROM oh FULL OUTER JOIN nh USING (user_id)
+    WHERE oh.h IS NULL OR nh.h IS NULL OR oh.h <> nh.h
 """

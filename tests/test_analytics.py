@@ -1392,3 +1392,53 @@ def test_assoc_rules_kernel(ray_session):
     assert r2["n_ante"] == 1 and r2["n_both"] == 1
     assert r2["conf_e6"] == 1_000_000
     assert ("buy", "click") in out and out[("click", "buy")]["conf_e6"] == 333_333
+
+
+def test_snapshot_diff_kernel(ray_session):
+    import pyarrow as pa
+
+    old = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "v": pa.array(["a", "b", "c"], pa.string()),
+            }
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([2, 3, 4], pa.int64()),
+                "v": pa.array(["b", "CHANGED", "d"], pa.string()),
+            }
+        )
+    )
+    out = {
+        r["key"]: r
+        for r in an.snapshot_diff_ds(old, new, "k", ["v"]).take_all()
+    }
+    # key 2 unchanged -> dropped; 1 removed, 3 changed, 4 added
+    assert set(out) == {1, 3, 4}
+    assert out[1]["status"] == "removed" and out[1]["new_h63"] == -1
+    assert out[4]["status"] == "added" and out[4]["old_h63"] == -1
+    assert out[3]["status"] == "changed"
+    assert out[3]["old_h63"] != out[3]["new_h63"] >= 0
+
+
+def test_snapshot_diff_rejects_dup_keys(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    dup = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1], pa.int64()),
+                "v": pa.array(["a", "b"], pa.string()),
+            }
+        )
+    )
+    ok = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "v": pa.array(["a"], pa.string())})
+    )
+    with pytest.raises(Exception):
+        an.snapshot_diff_ds(dup, ok, "k", ["v"]).take_all()
