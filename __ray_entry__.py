@@ -3208,7 +3208,18 @@ def q_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_kcore(sf_dir: str) -> ray.data.Dataset:
+    """2-core of the support>=2 co-purchase graph (6-round peel budget,
+    early fixpoint break): survivors + within-core degree — broadcast
+    alive vector, one edges pass per round, per-block degree partials."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return gr.kcore_ds(li, k=2, max_rounds=6)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "kcore": q_kcore,
     "snapshot_diff": q_snapshot_diff,
     "assoc_rules": q_assoc_rules,
     "bm25_topk": q_bm25_topk,
@@ -5820,3 +5831,40 @@ ORACLES["snapshot_diff"] = """
     FROM oh FULL OUTER JOIN nh USING (user_id)
     WHERE oh.h IS NULL OR nh.h IS NULL OR oh.h <> nh.h
 """
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
+    """Chained-CTE twin of kcore_ds: layer i keeps nodes whose degree
+    within layer i-1 is >= k; the final select reports the degree within
+    the last layer (kcore_ds recomputes it the same way on budget
+    exhaustion, and fixpoint layers repeat unchanged)."""
+    parts = [
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "e0 AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS s"
+        " FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey GROUP BY 1, 2)",
+        "e AS (SELECT x, y FROM e0 WHERE s >= 2)",
+        "sym AS (SELECT x AS a, y AS b FROM e"
+        " UNION ALL SELECT y AS a, x AS b FROM e)",
+        "a0 AS (SELECT DISTINCT a AS node FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT s.a AS node, count(*) AS d FROM sym s"
+            f" JOIN a{i-1} n1 ON s.a = n1.node"
+            f" JOIN a{i-1} n2 ON s.b = n2.node GROUP BY 1)"
+        )
+        parts.append(f"a{i} AS (SELECT node FROM d{i} WHERE d >= {k})")
+    parts.append(
+        f"dfin AS (SELECT s.a AS node, count(*) AS d FROM sym s"
+        f" JOIN a{rounds} n1 ON s.a = n1.node"
+        f" JOIN a{rounds} n2 ON s.b = n2.node GROUP BY 1)"
+    )
+    return (
+        ",\n    ".join(parts)
+        + "\n    SELECT CAST(node AS BIGINT) AS node,"
+        " CAST(d AS BIGINT) AS core_deg FROM dfin"
+    )
+
+
+ORACLES["kcore"] = _kcore_oracle_sql()

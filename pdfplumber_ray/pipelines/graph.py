@@ -1078,3 +1078,116 @@ def bfs_layers_ds(
             }
         )
     )
+
+
+def kcore_ds(
+    lineitem: Dataset,
+    k: int = 2,
+    max_rounds: int = 6,
+    min_support: int = 2,
+    n_buckets: int = 512,
+    max_broadcast_nodes: int = 20_000_000,
+) -> Dataset:
+    """Bounded-round ``k``-core peeling over the co-purchase graph: run
+    exactly ``max_rounds`` peel rounds (each drops every node whose
+    degree among surviving nodes is < ``k``), returning the survivors
+    and their within-core degree — the density filter behind spam-farm
+    pruning and community seeding. A FIXED round budget (with early
+    break on fixpoint, which cannot change the result — peeling is
+    monotone and idempotent past convergence) keeps the output a pure
+    function a chained-CTE SQL twin reproduces round for round.
+
+    Scale shape: the mined edge list (:func:`copurchase_edges_ds`)
+    materializes once; each round is ONE ``map_batches`` pass over edges
+    against the broadcast alive vector (node-count-sized, guarded by
+    ``max_broadcast_nodes``) emitting per-block (node, partial-degree)
+    rows — O(touched nodes per block), combined on the driver like
+    :func:`bfs_layers_ds`'s relax partials. Above the guard, swap the
+    broadcast for the mix64-bucket co-group exchange
+    :func:`pagerank_ds` implements."""
+    if max_rounds < 1:
+        raise ValueError("kcore_ds needs max_rounds >= 1")
+    empty_schema = pa.schema([("node", pa.int64()), ("core_deg", pa.int64())])
+    empty = pa.table({f.name: pa.array([], f.type) for f in empty_schema})
+    edges = copurchase_edges_ds(lineitem, min_support, n_buckets)
+    if edges.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        xs = batch.column("x").to_numpy(zero_copy_only=False)
+        ys = batch.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.unique(np.concatenate((xs, ys))), pa.int64())}
+        )
+
+    node_rows = (
+        edges.map_batches(node_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .count()
+        .take_all()
+    )
+    if len(node_rows) > max_broadcast_nodes:
+        raise ValueError(
+            f"{len(node_rows)} nodes exceed max_broadcast_nodes="
+            f"{max_broadcast_nodes}; use the bucket co-group exchange "
+            "(see pagerank_ds cogroup strategy)"
+        )
+    nodes = np.sort(np.asarray([r["node"] for r in node_rows], np.int64))
+    alive = np.ones(len(nodes), dtype=bool)
+    deg = np.zeros(len(nodes), dtype=np.int64)
+
+    for _ in range(max_rounds):
+        alive_ref = ray.put(alive)
+
+        def degree_partial(batch: pa.Table) -> pa.Table:
+            a = ray.get(alive_ref)
+            xs = batch.column("x").to_numpy(zero_copy_only=False)
+            ys = batch.column("y").to_numpy(zero_copy_only=False)
+            xi = np.searchsorted(nodes, xs)
+            yi = np.searchsorted(nodes, ys)
+            ok = a[xi] & a[yi]
+            touched = np.concatenate((xi[ok], yi[ok]))
+            if not len(touched):
+                return pa.table(
+                    {"i": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+                )
+            uniq, cnt = np.unique(touched, return_counts=True)
+            return pa.table(
+                {
+                    "i": pa.array(uniq, pa.int64()),
+                    "d": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        parts = edges.map_batches(
+            degree_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # <= distinct touched nodes per block
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        for r in parts:
+            deg[int(r["i"])] += int(r["d"])
+        new_alive = alive & (deg >= k)
+        if np.array_equal(new_alive, alive):
+            break  # fixpoint: further rounds are no-ops; deg already
+            # equals the within-core degree of the final alive set
+        alive = new_alive
+    else:
+        # round budget exhausted without fixpoint: deg is stale (it was
+        # measured before the last peel) — one more pass reports the
+        # degree within the FINAL survivor set, matching the SQL twin's
+        # final-layer degree computation.
+        alive_ref = ray.put(alive)
+        parts = edges.map_batches(
+            degree_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        for r in parts:
+            deg[int(r["i"])] += int(r["d"])
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes[alive], pa.int64()),
+                "core_deg": pa.array(deg[alive], pa.int64()),
+            }
+        )
+    )

@@ -276,3 +276,48 @@ def test_bfs_layers_path_graph(ray_session):
     # explicit source + unreached isolation
     got3 = {r["node"]: r["dist"] for r in gr.bfs_layers_ds(li, source=9).take_all()}
     assert got3 == {9: 0, 10: 1}
+
+
+def _li_from_pairs(pairs):
+    rows = []
+    oid = 0
+    for a, b in pairs:
+        for _ in range(2):  # support >= 2
+            oid += 1
+            rows.append((oid, a))
+            rows.append((oid, b))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def test_kcore_peels_tail_chain(ray_session):
+    from pdfplumber_ray.pipelines import graph as gr
+
+    # triangle 1-2-3 plus a pendant chain 3-4-5: 2-core = the triangle.
+    # Peeling needs TWO rounds (5 dies, then 4) — exercises iteration.
+    li = _li_from_pairs([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    got = {r["node"]: r["core_deg"] for r in gr.kcore_ds(li, k=2).take_all()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=3 empties the graph entirely
+    assert gr.kcore_ds(li, k=3).take_all() == []
+
+
+def test_kcore_round_budget_truncates(ray_session):
+    from pdfplumber_ray.pipelines import graph as gr
+
+    # chain 1..6 on a triangle: full peel needs 4 rounds; budget 1 only
+    # removes the farthest tail node and reports degrees within the
+    # REMAINING set (the SQL twin's final-layer degree rule).
+    li = _li_from_pairs([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)])
+    full = {r["node"]: r["core_deg"] for r in gr.kcore_ds(li, k=2, max_rounds=6).take_all()}
+    assert full == {1: 2, 2: 2, 3: 2}
+    one = {r["node"]: r["core_deg"] for r in gr.kcore_ds(li, k=2, max_rounds=1).take_all()}
+    # after one round only node 6 (deg 1) is gone; degrees recomputed
+    # within the survivor set so node 5 now shows deg 1
+    assert one == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
