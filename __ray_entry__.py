@@ -3218,7 +3218,49 @@ def q_kcore(sf_dir: str) -> ray.data.Dataset:
     return gr.kcore_ds(li, k=2, max_rounds=6)
 
 
+def q_throttle_events(sf_dir: str) -> ray.data.Dataset:
+    """Debounce compaction: first event (ts, event_id ASC) per user per
+    epoch-aligned hour — per-block argmin combiner, one bucket shuffle."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    out = an.throttle_events_ds(ev, window_us=3_600_000_000)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "event_type": b.column("event_type").cast(pa.string()),
+                "ts_us": b.column("ts").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_decayed_sum(sf_dir: str) -> ray.data.Dataset:
+    """Recency-weighted engagement: per user sum(cents // 2^half_lives)
+    anchored at 2024-01-31, floor applied per row so the sum is
+    order-independent and bit-exact vs SQL."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return an.decayed_sum_ds(ev, anchor_us=1_706_659_200_000_000)
+
+
+def q_bpe_pairs(sf_dir: str) -> ray.data.Dataset:
+    """BPE merge-candidate mining: corpus top-50 adjacent char pairs
+    weighted by word frequency — vocab groupby, vectorized utf-32 pair
+    expansion, alphabet^2-bounded final table."""
+    return co.bpe_pairs_ds(_documents(sf_dir), k=50)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "throttle_events": q_throttle_events,
+    "decayed_sum": q_decayed_sum,
+    "bpe_pairs": q_bpe_pairs,
     "kcore": q_kcore,
     "snapshot_diff": q_snapshot_diff,
     "assoc_rules": q_assoc_rules,
@@ -5868,3 +5910,39 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
 
 
 ORACLES["kcore"] = _kcore_oracle_sql()
+ORACLES["throttle_events"] = """
+    WITH r AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             row_number() OVER (
+               PARTITION BY user_id, epoch_us(ts) // 3600000000
+               ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           event_type,
+           CAST(ts_us AS BIGINT) AS ts_us
+    FROM r WHERE rn = 1
+"""
+ORACLES["decayed_sum"] = """
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(value * 100) AS BIGINT)
+               // CAST(power(2, greatest(0, least(
+                    (1706659200000000 - epoch_us(ts)) // 86400000000,
+                    62))) AS BIGINT) AS dec
+      FROM events)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sum(dec) AS BIGINT) AS decayed_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM d GROUP BY user_id
+"""
+ORACLES["bpe_pairs"] = """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wf AS (SELECT word, count(*) AS f FROM w GROUP BY 1),
+    p AS (SELECT substr(word, CAST(g AS INT), 2) AS pair, f
+          FROM wf, LATERAL unnest(range(1, length(word))) AS t(g)
+          WHERE length(word) >= 2)
+    SELECT pair, CAST(sum(f) AS BIGINT) AS n
+    FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+"""

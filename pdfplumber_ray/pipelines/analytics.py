@@ -5319,3 +5319,127 @@ def snapshot_diff_ds(
         tagged.groupby("bkt").map_groups(diff, batch_format="pyarrow"),
         out_schema,
     )
+
+
+def throttle_events_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    window_us: int = 3_600_000_000,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Debounce / throttle compaction: keep the FIRST event (ts ASC,
+    tie ASC) per ``(key, tumbling window)`` — the crawl-politeness /
+    notification-dedup primitive. Fixed epoch-aligned windows (not
+    gap-chained) keep the kept-set a pure per-window function both
+    engines reproduce.
+
+    Scale shape: per-batch vectorized argmin combiner cuts each block to
+    one row per (key, window) before ONE ``mix64(key) % n_buckets``
+    shuffle; the same argmin runs in-bucket. Payload columns ride along;
+    no per-key Python."""
+
+    def block_first(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tie = batch.column(tie_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = t // window_us
+        order = np.lexsort((tie, t, w, k))
+        ks, ws = k[order], w[order]
+        first = np.concatenate(([True], (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])))
+        return batch.take(pa.array(order[first]))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        reduced = block_first(batch)
+        if reduced.num_rows == 0:
+            return reduced.append_column("bkt", pa.array([], pa.int64()))
+        k = reduced.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bkt = (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+        return reduced.append_column("bkt", pa.array(bkt))
+
+    reduced = events.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_first(group: pa.Table) -> pa.Table:
+        return block_first(group.drop_columns(["bkt"]))
+
+    ev_schema = pa.schema(
+        [
+            pa.field(n, t)
+            for n, t in zip(events.schema().names, events.schema().types)
+        ]
+    )
+    return _anchor_schema(
+        reduced.groupby("bkt").map_groups(bucket_first, batch_format="pyarrow"),
+        ev_schema,
+    )
+
+
+def decayed_sum_ds(
+    events: Dataset,
+    anchor_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_us: int = 86_400_000_000,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Exponential time-decay aggregate, INTEGER-EXACT: per key,
+    ``sum(v_cents // 2^age)`` where ``age = (anchor - ts) // halflife``
+    (whole half-lives elapsed at the fixed ``anchor_us``) — the recency-
+    weighted engagement score behind freshness ranking, with the decay
+    floor applied PER ROW so the sum is order-independent and the SQL
+    twin bit-exact. Ages are clipped at 62 (decayed to 0 in int64).
+
+    Scale shape: per-batch combiner sums decayed cents per key -> one
+    combined row per key per block -> ``groupby(key).sum``. Raw events
+    never shuffle."""
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "d": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        age = np.clip((anchor_us - t) // halflife_us, 0, 62).astype(np.int64)
+        dec = cents // (np.int64(1) << age)
+        uk, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, dec)
+        cnts = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "d": pa.array(sums, pa.int64()),
+                "n": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    out = (
+        events.select_columns([key_col, ts_col, value_col])
+        .map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("d"), Sum("n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column("key"),
+                "decayed_cents": batch.column("sum(d)").cast(pa.int64()),
+                "n_events": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -5409,3 +5409,108 @@ def bm25_topk_ds(
             }
         )
     )
+
+
+def bpe_pairs_ds(
+    docs: Dataset,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """BPE merge-candidate mining (the first round of byte-pair-encoding
+    vocabulary induction, Sennrich et al. 2016): the corpus-wide top-``k``
+    adjacent CHARACTER pairs weighted by word frequency — exactly the
+    statistic a tokenizer trainer maximizes at each merge step.
+
+    Scale shape: per-batch word-frequency combiner -> ONE
+    ``groupby(word)`` over the Heaps'-law-bounded vocab -> a streaming
+    pass over the grouped vocab expands each word's adjacent code-point
+    pairs VECTORIZED (utf-32 view + one np.add.at per batch; no per-word
+    Python) -> ``groupby(pair)`` over the alphabet^2-bounded pair domain
+    -> driver top-k of that tiny table. Documents never shuffle; only
+    (word, n) and (pair, n) combined rows move."""
+
+    def word_freqs(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            if texts
+            else np.empty(0, dtype=object)
+        )
+        uw, cnt = np.unique(flat.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(uw, pa.string()),
+                "f": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(word_freqs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("f"))
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"pair": pa.array([], pa.string()), "n_p": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        words = batch.column("word").to_pylist()
+        f = batch.column("sum(f)").to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.fromiter((len(w) for w in words), np.int64, count=len(words))
+        joined = "".join(words)
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        if len(cp) < 2:
+            return empty
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # pair start positions: every index except each word's last char
+        valid = np.ones(len(cp), dtype=bool)
+        # only non-empty words own a last char (an empty word's end-1
+        # would wrap to the previous word — or to -1 at the front)
+        valid[ends[lens > 0] - 1] = False
+        idx = np.flatnonzero(valid)
+        if not len(idx):
+            return empty
+        key = (cp[idx].astype(np.uint64) << np.uint64(32)) | cp[idx + 1].astype(
+            np.uint64
+        )
+        wi = np.repeat(np.arange(len(words)), np.maximum(lens - 1, 0))
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, f[wi])
+        pairs = [chr(int(h >> np.uint64(32))) + chr(int(h & np.uint64(0xFFFFFFFF))) for h in uk]
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "n_p": pa.array(sums, pa.int64()),
+            }
+        )
+
+    pair_rows = (
+        vocab.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair")
+        .aggregate(Sum("n_p"))
+        .take_all()  # alphabet^2-bounded
+    )
+    if not pair_rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        )
+    pr = np.asarray([r["pair"] for r in pair_rows], dtype=object)
+    nn = np.asarray([int(r["sum(n_p)"]) for r in pair_rows], np.int64)
+    top = np.lexsort((pr.astype(str), -nn))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pair": pa.array(pr[top], pa.string()),
+                "n": pa.array(nn[top], pa.int64()),
+            }
+        )
+    )

@@ -1442,3 +1442,54 @@ def test_snapshot_diff_rejects_dup_keys(ray_session):
     )
     with pytest.raises(Exception):
         an.snapshot_diff_ds(dup, ok, "k", ["v"]).take_all()
+
+
+def test_throttle_events_kernel(ray_session):
+    import pyarrow as pa
+
+    hour = 3_600_000_000
+    # user 1: three events in hour 0 (keep first by ts, then id tie),
+    # one in hour 1; user 2: one event
+    rows = [
+        (5, 100, 1), (2, 100, 1), (3, 200, 1),   # hour 0: keep id 2
+        (7, hour + 1, 1),                        # hour 1: keep id 7
+        (9, 50, 2),
+    ]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )
+    kept = sorted(
+        r["event_id"] for r in an.throttle_events_ds(ev, window_us=hour).take_all()
+    )
+    assert kept == [2, 7, 9]
+
+
+def test_decayed_sum_kernel(ray_session):
+    import pyarrow as pa
+
+    day = 86_400_000_000
+    anchor = 10 * day
+    # user 1: 100.00 at age 0, 100.00 at age 1 (halved), 100.37 at age 2
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [10 * day - 1, 9 * day, 8 * day, 0], pa.timestamp("us")
+                ),
+                "value": pa.array([100.0, 100.0, 100.37, 64.0], pa.float64()),
+            }
+        )
+    )
+    out = {r["user_id"]: r for r in an.decayed_sum_ds(ev, anchor_us=anchor).take_all()}
+    # ages: (1)//day=0, 1, 2 -> 10000 + 5000 + 10037//4=2509
+    assert out[1]["decayed_cents"] == 10000 + 5000 + 2509
+    assert out[1]["n_events"] == 3
+    # user 2 at age 10: 6400 // 1024 = 6
+    assert out[2]["decayed_cents"] == 6

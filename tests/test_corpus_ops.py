@@ -1588,3 +1588,19 @@ def test_bm25_topk_block_invariance(ray_session):
         ray.data.from_arrow(docs).repartition(7), ["cat", "fish"], k=5
     ).take_all()
     assert one == many
+
+
+def test_bpe_pairs_kernel(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["abab ab", "abab x"], pa.string()),
+            }
+        )
+    )
+    out = {r["pair"]: r["n"] for r in co.bpe_pairs_ds(docs, k=10).take_all()}
+    # word freqs: abab x2, ab x1, x x1
+    # 'ab' pairs: abab has 2 per occurrence (pos 0, 2) -> 4, ab has 1 -> 5
+    # 'ba' : abab 1 each -> 2 ; 'x' single char -> none
+    assert out == {"ab": 5, "ba": 2}
