@@ -3257,7 +3257,23 @@ def q_bpe_pairs(sf_dir: str) -> ray.data.Dataset:
     return co.bpe_pairs_ds(_documents(sf_dir), k=50)
 
 
+def q_dedup_keep_best(sf_dir: str) -> ray.data.Dataset:
+    """Dedup selection policy: near-dup clusters (minhash -> jaccard
+    verify -> resolution) reduced to keep-longest — every doc gets
+    (canonical_id, best_doc_id, keep); two bounded-bucket exchanges."""
+    docs = _documents(sf_dir)
+    cands = co.minhash_pairs_ds(
+        docs, num_perm=64, bands=64, threshold=0.0, max_bucket=None
+    )
+    pairs = co.ngram_jaccard_verify_ds(cands, docs, threshold=0.5)
+    scored = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return co.dedup_keep_best_ds(pairs, scored, score_col="n_chars")
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "dedup_keep_best": q_dedup_keep_best,
     "throttle_events": q_throttle_events,
     "decayed_sum": q_decayed_sum,
     "bpe_pairs": q_bpe_pairs,
@@ -5945,4 +5961,43 @@ ORACLES["bpe_pairs"] = """
           WHERE length(word) >= 2)
     SELECT pair, CAST(sum(f) AS BIGINT) AS n
     FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+"""
+ORACLES["dedup_keep_best"] = """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    s AS (SELECT doc_id,
+      CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+           ELSE list_distinct([array_to_string(l[i:i+4], ' ') for i in range(1, len(l)-3)])
+      END AS sh FROM t),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(a.sh) + len(b.sh) AS tot
+          FROM s a JOIN s b ON a.doc_id < b.doc_id),
+    e0 AS (SELECT doc_a AS a, doc_b AS b FROM p
+           WHERE inter * 1.0 / (tot - inter) >= 0.5),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      WHERE e.b <> r.a),
+    canon AS (
+      SELECT a AS doc_id, LEAST(a, min(b)) AS canonical_id
+      FROM reach GROUP BY a),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+             d.n_chars
+      FROM documents d LEFT JOIN canon c USING (doc_id)),
+    best AS (
+      SELECT canonical_id, doc_id AS best_doc_id,
+             row_number() OVER (PARTITION BY canonical_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM lab)
+    SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+           CAST(l.canonical_id AS BIGINT) AS canonical_id,
+           CAST(b.best_doc_id AS BIGINT) AS best_doc_id,
+           CAST(CASE WHEN l.doc_id = b.best_doc_id THEN 1 ELSE 0 END
+             AS BIGINT) AS keep
+    FROM lab l JOIN (SELECT canonical_id, best_doc_id FROM best WHERE rn = 1) b
+      USING (canonical_id)
 """

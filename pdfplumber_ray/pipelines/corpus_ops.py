@@ -5514,3 +5514,158 @@ def bpe_pairs_ds(
             }
         )
     )
+
+
+def dedup_keep_best_ds(
+    pairs: Dataset,
+    docs: Dataset,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Duplicate-cluster RESOLUTION POLICY: resolve verified near-dup
+    pairs into clusters (via :func:`dedup_resolution_ds`) and keep, per
+    cluster, the single best member — highest ``score_col`` (keep-longest
+    by default, the standard web-dedup policy), ``id`` ASC tiebreak.
+    Every doc gets ``(canonical_id, best_doc_id, keep)``; singletons keep
+    themselves. This is the step that turns a dedup *labeling* into the
+    actual training-set selection.
+
+    Scale shape after resolution: TWO bounded-bucket exchanges —
+    (1) a ``mix64(doc_id)`` co-group attaches the score to the label
+    rows (sorted searchsorted inside the bucket, no broadcast of either
+    side); (2) a ``mix64(canonical_id)`` shuffle segments clusters (one
+    lexsort per bucket) and the per-cluster argmax + keep flag are pure
+    vector ops. Cluster skew is naturally bounded by near-dup cluster
+    size; both stages move one row per doc, never per pair."""
+    from .analytics import _mix64
+
+    labels = dedup_resolution_ds(
+        pairs, docs.select_columns([id_col]), a_col=a_col, b_col=b_col,
+        id_col=id_col,
+    )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(ids) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "id": pa.array(ids, pa.int64()),
+                "canon": batch.column("canonical_id").cast(pa.int64()),
+                "score": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+            }
+        )
+
+    def tag_scores(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sc = batch.column(score_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(ids) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "id": pa.array(ids, pa.int64()),
+                "canon": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+                "score": pa.array(sc, pa.int64()),
+                "side": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            }
+        )
+
+    tagged = labels.map_batches(
+        tag_labels, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        docs.select_columns([id_col, score_col]).map_batches(
+            tag_scores, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bkt2": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "canon": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        lm = side == 0
+        sm = side == 1
+        if not lm.any():
+            return empty
+        s_ids = ids[sm]
+        s_sc = group.column("score").to_numpy(zero_copy_only=False)[sm]
+        order = np.argsort(s_ids, kind="stable")
+        s_ids, s_sc = s_ids[order], s_sc[order]
+        l_ids = ids[lm]
+        canon = group.column("canon").to_numpy(zero_copy_only=False)[lm]
+        if not len(s_ids):
+            raise ValueError(
+                f"dedup_keep_best: docs missing {id_col} score rows for "
+                f"ids {l_ids[:3].tolist()}"
+            )
+        pos = np.clip(np.searchsorted(s_ids, l_ids), 0, len(s_ids) - 1)
+        hit = s_ids[pos] == l_ids
+        if not hit.all():
+            raise ValueError(
+                f"dedup_keep_best: docs missing a {id_col} score row for "
+                f"ids {l_ids[~hit][:3].tolist()}"
+            )
+        sc = s_sc[pos]
+        return pa.table(
+            {
+                "bkt2": pa.array(
+                    (_mix64(canon) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "id": pa.array(l_ids, pa.int64()),
+                "canon": pa.array(canon, pa.int64()),
+                "score": pa.array(sc, pa.int64()),
+            }
+        )
+
+    def keep_best(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "canonical_id": pa.array([], pa.int64()),
+                "best_doc_id": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        canon = group.column("canon").to_numpy(zero_copy_only=False)
+        sc = group.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc, canon))
+        ids, canon, sc = ids[order], canon[order], sc[order]
+        seg_new = np.concatenate(([True], canon[1:] != canon[:-1]))
+        starts = np.flatnonzero(seg_new)
+        lens = np.diff(np.concatenate((starts, [len(ids)])))
+        best = np.repeat(ids[starts], lens)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "canonical_id": pa.array(canon, pa.int64()),
+                "best_doc_id": pa.array(best, pa.int64()),
+                "keep": pa.array((ids == best).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        tagged.groupby("bkt")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("bkt2")
+        .map_groups(keep_best, batch_format="pyarrow")
+    )

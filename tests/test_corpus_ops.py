@@ -1604,3 +1604,29 @@ def test_bpe_pairs_kernel(ray_session):
     # 'ab' pairs: abab has 2 per occurrence (pos 0, 2) -> 4, ab has 1 -> 5
     # 'ba' : abab 1 each -> 2 ; 'x' single char -> none
     assert out == {"ab": 5, "ba": 2}
+
+
+def test_dedup_keep_best_kernel(ray_session):
+    # cluster {1,2,3} (chain 1-2, 2-3), singleton 4; longest wins, id tiebreak
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 2], pa.int64()),
+                "doc_b": pa.array([2, 3], pa.int64()),
+            }
+        )
+    )
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "n_chars": pa.array([10, 50, 50, 7], pa.int64()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in co.dedup_keep_best_ds(pairs, docs).take_all()}
+    # best of {1,2,3}: score 50 tie between 2 and 3 -> doc 2
+    assert all(out[i]["canonical_id"] == 1 for i in (1, 2, 3))
+    assert all(out[i]["best_doc_id"] == 2 for i in (1, 2, 3))
+    assert [out[i]["keep"] for i in (1, 2, 3, 4)] == [0, 1, 0, 1]
+    assert out[4]["best_doc_id"] == 4 and out[4]["canonical_id"] == 4
