@@ -3272,7 +3272,15 @@ def q_dedup_keep_best(sf_dir: str) -> ray.data.Dataset:
     return co.dedup_keep_best_ds(pairs, scored, score_col="n_chars")
 
 
+def q_surprisal(sf_dir: str) -> ray.data.Dataset:
+    """Unigram surprisal quality proxy: per-doc sum of
+    floor(log2(T/count(token))) bits, integer-exact (frexp exponent here,
+    binary-string length in SQL); vocab broadcast under a Heaps guard."""
+    return co.surprisal_ds(_documents(sf_dir))
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "surprisal": q_surprisal,
     "dedup_keep_best": q_dedup_keep_best,
     "throttle_events": q_throttle_events,
     "decayed_sum": q_decayed_sum,
@@ -6000,4 +6008,19 @@ ORACLES["dedup_keep_best"] = """
              AS BIGINT) AS keep
     FROM lab l JOIN (SELECT canonical_id, best_doc_id FROM best WHERE rn = 1) b
       USING (canonical_id)
+"""
+ORACLES["surprisal"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM toks),
+    b AS (SELECT toks.doc_id,
+                 length(printf('%b', tot.t // cnt.c)) - 1 AS bits
+          FROM toks JOIN cnt USING (term), tot)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+           CAST(1000 * sum(bits) // count(*) AS BIGINT) AS mean_bits_e3
+    FROM b GROUP BY doc_id
 """

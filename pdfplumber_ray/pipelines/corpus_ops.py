@@ -5669,3 +5669,103 @@ def dedup_keep_best_ds(
         .groupby("bkt2")
         .map_groups(keep_best, batch_format="pyarrow")
     )
+
+
+def surprisal_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Per-document token-rarity surprisal, INTEGER-EXACT: each token
+    contributes ``floor(log2(T / c))`` bits (``T`` corpus tokens, ``c``
+    the token's corpus count) — the unigram-LM perplexity proxy behind
+    "too-predictable / too-random" quality filters, with the log made
+    exact: ``floor(log2(T/c)) == floor(log2(T // c))`` (any power of two
+    <= T/c is an integer, hence <= T//c), computed via the float64
+    exponent (``np.frexp``, exact below 2^53) here and via binary-string
+    length in the SQL twin. Output: token count, total bits, and the
+    mean bits in e3.
+
+    Scale shape: per-batch partial term counts -> ONE vocab-sized
+    ``groupby(term)`` -> sorted-vocab broadcast under
+    ``max_vocab_broadcast`` (Heaps'-law bounded) -> streaming scoring
+    pass, one searchsorted + one bincount per batch."""
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        flat = (
+            np.concatenate([np.asarray(t, dtype=object) for t in toks])
+            if texts
+            else np.empty(0, dtype=object)
+        )
+        uw, cnt = np.unique(flat.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uw, pa.string()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vocab_rows = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(term_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("c"))
+        .materialize()
+    )
+    n_vocab = vocab_rows.count()
+    if n_vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"vocabulary ({n_vocab} terms) exceeds max_vocab_broadcast="
+            f"{max_vocab_broadcast}; shard the count map"
+        )
+    collected = vocab_rows.take_all()
+    terms = np.asarray([r["term"] for r in collected], dtype=object).astype(str)
+    counts = np.asarray([int(r["sum(c)"]) for r in collected], np.int64)
+    order = np.argsort(terms, kind="stable")
+    terms, counts = terms[order], counts[order]
+    total = int(counts.sum())
+    if total >= (1 << 53):
+        raise ValueError("token total exceeds exact-float64 log2 range")
+    ref = ray.put((terms, counts, total))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vt, vc, T = ray.get(ref)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.column(id_col).type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "surprisal_bits": pa.array([], pa.int64()),
+                    "mean_bits_e3": pa.array([], pa.int64()),
+                }
+            )
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=n)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]).astype(
+            str
+        )
+        di = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos = np.searchsorted(vt, flat)
+        q = T // vc[pos]  # every token exists in the vocab by construction
+        bits = (np.frexp(q.astype(np.float64))[1] - 1).astype(np.int64)
+        sb = np.zeros(n, np.int64)
+        np.add.at(sb, di, bits)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(lens),
+                "surprisal_bits": pa.array(sb),
+                "mean_bits_e3": pa.array(
+                    np.where(lens > 0, 1000 * sb // np.maximum(lens, 1), 0)
+                ),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1630,3 +1630,37 @@ def test_dedup_keep_best_kernel(ray_session):
     assert all(out[i]["best_doc_id"] == 2 for i in (1, 2, 3))
     assert [out[i]["keep"] for i in (1, 2, 3, 4)] == [0, 1, 0, 1]
     assert out[4]["best_doc_id"] == 4 and out[4]["canonical_id"] == 4
+
+
+def test_surprisal_kernel(ray_session):
+    # corpus: "a a a a b b c d" across two docs -> T=8
+    # counts: a=4, b=2, c=1, d=1 -> bits: a: log2(8//4)=1, b: 8//2=4 -> 2,
+    # c,d: 8 -> 3
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a a b c", "a a b d"], pa.string()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in co.surprisal_ds(docs).take_all()}
+    assert out[1]["surprisal_bits"] == 1 + 1 + 2 + 3 == 7
+    assert out[2]["surprisal_bits"] == 7
+    assert out[1]["n_tokens"] == 4 and out[1]["mean_bits_e3"] == 1750
+
+
+def test_surprisal_floor_log2_boundary(ray_session):
+    # exercise the floor(log2(T//c)) identity at a power-of-2 boundary:
+    # T=6, c=2 -> T//c=3 -> 1 bit (log2(3)=1.58); c=1 -> 6 -> 2 bits
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["x x y z w v"], pa.string()),
+            }
+        )
+    )
+    r = co.surprisal_ds(docs).take_all()[0]
+    # x: 6//2=3 -> 1 bit each (x2); y,z,w,v: 6//1=6 -> 2 bits each (x4)
+    assert r["surprisal_bits"] == 2 * 1 + 4 * 2 == 10
