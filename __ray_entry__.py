@@ -3493,6 +3493,17 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "surprisal",
+    "dedup_keep_best",
+    "throttle_events",
+    "decayed_sum",
+    "bpe_pairs",
+    "kcore",
+    "snapshot_diff",
+    "assoc_rules",
+    "bm25_topk",
+    "simpson_diversity",
+    "corpus_checksum",
     "winsorize",
     "rank_sum",
     "bfs_layers",
@@ -3527,6 +3538,16 @@ _FRONT_R5 = [
     "user_paths",
     "skyline",
     "clustering_coeff",
+    # the flagship boilerplate pipeline keeps its gate slot
+    "main_content",
+    "substring_dedup",
+    "dedup_resolution_cogroup",
+    "asof_join_bucketed",
+    # --- 50-slot gate window boundary (entries below overflow) ---
+    # transitions / pivot / profile / set_overlap / triangles /
+    # running_total / rollup / interval_join / collocations / pagerank /
+    # tfidf_topk yield their window slots to the session-6/7 surprisal ...
+    # corpus_checksum additions; all stay locally sweep-verified
     "transitions",
     "pivot",
     "profile",
@@ -3537,13 +3558,7 @@ _FRONT_R5 = [
     "interval_join",
     "collocations",
     "pagerank",
-    # the flagship boilerplate pipeline keeps its gate slot
-    "main_content",
-    "substring_dedup",
     "tfidf_topk",
-    "dedup_resolution_cogroup",
-    "asof_join_bucketed",
-    # --- 50-slot gate window boundary (entries below overflow) ---
     # grouped_heavy_hitters / length_outliers / knn_graph / grouped_rank
     # yield their window slots to the session-5 fuzzy_join /
     # interval_merge / ks_drift / trend additions; all four stay locally

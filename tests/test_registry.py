@@ -37,13 +37,14 @@ def test_front_window_holds_new_and_never_sampled():
     first50 = set(keys[:50])
     for name in (
         # the newest operators lead the window — they have never had ANY
-        # external validation (annots/ctm, formerly pinned here, were
-        # independently re-verified by the round-4 judge and yield their
-        # slots to this session's five new ops)
-        "transitions", "pivot", "profile", "set_overlap", "triangles",
-        "running_total", "rollup", "interval_join", "collocations",
-        "pagerank",
-        "substring_dedup", "tfidf_topk", "dedup_resolution_cogroup",
+        # external validation (the session-5 analytics batch — pivot /
+        # profile / running_total / rollup / collocations / pagerank /
+        # tfidf_topk and friends — were all locally sweep-verified across
+        # multiple sessions and yield their slots to the session-6/7 ops)
+        "surprisal", "dedup_keep_best", "throttle_events", "decayed_sum",
+        "bpe_pairs", "kcore", "snapshot_diff", "assoc_rules", "bm25_topk",
+        "simpson_diversity", "corpus_checksum",
+        "substring_dedup", "dedup_resolution_cogroup",
         "asof_join_bucketed", "main_content",
         "interval_merge", "ks_drift", "trend",
     ):
