@@ -453,6 +453,44 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_temperature_mix(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-scaled (alpha=0.5) multilingual sampling weights
+    (XLM-R / mT5 rebalancing rule), integer-exact via math.isqrt; the
+    SQL twin corrects floor(sqrt(double)) by +/-1 to the true isqrt."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
+    )
+    return co.temperature_mix_ds(docs)
+
+
+def q_containment_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Broder containment verification of MinHash candidate pairs — the
+    doc-inside-doc near-dup signal (|A∩B| / min(|A|,|B|), integer e6)."""
+    docs = _documents(sf_dir)
+    cands = co.minhash_pairs_ds(docs, threshold=0.35, max_bucket=None)
+    return co.containment_dedup_ds(cands, docs, threshold_e6=600_000)
+
+
+def q_token_budget_select(sf_dir: str) -> ray.data.Dataset:
+    """Greedy token-budget training-set selection: highest-score docs
+    first (n_chars DESC, id ASC) until 25% of corpus tokens; each kept
+    row carries its exact cumulative token count — computed without a
+    global sort (per-score-class offsets + one bucketed shuffle)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "text"]
+    )
+    return co.token_budget_select_ds(docs, budget_permille=250)
+
+
+def q_shuffle_shards(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic training shuffle: md5-derived (shard, pos) address
+    per document; reproducible across engines and runs."""
+    return co.shuffle_shards_ds(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        n_shards=64,
+    )
+
+
 def q_source_mix(sf_dir: str) -> ray.data.Dataset:
     """Curriculum-mixing weights: per (source, lang) doc/token totals and
     proportional-sampling weight in ppm (combiner before the stratum
@@ -3280,6 +3318,10 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "temperature_mix": q_temperature_mix,
+    "containment_dedup": q_containment_dedup,
+    "token_budget_select": q_token_budget_select,
+    "shuffle_shards": q_shuffle_shards,
     "surprisal": q_surprisal,
     "dedup_keep_best": q_dedup_keep_best,
     "throttle_events": q_throttle_events,
@@ -3493,6 +3535,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "temperature_mix",
+    "containment_dedup",
+    "token_budget_select",
+    "shuffle_shards",
     "surprisal",
     "dedup_keep_best",
     "throttle_events",
@@ -4049,6 +4095,97 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "containment_dedup": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents WHERE text <> ''),
+        g AS (SELECT doc_id,
+                CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                     ELSE list_distinct([array_to_string(l[i:i+4], ' ')
+                                         for i in range(1, len(l)-3)])
+                END AS sh FROM t),
+        x AS (SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(s), 1, 16))::UBIGINT AS x
+              FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+        p AS (SELECT j,
+                (('0x' || substr(md5('a1:' || j), 1, 16))::UBIGINT
+                   % 2305843009213693950) + 1 AS a,
+                ('0x' || substr(md5('b1:' || j), 1, 16))::UBIGINT
+                   % 2305843009213693951 AS b
+              FROM range(64) r(j)),
+        s AS (SELECT doc_id, j,
+                min((a::HUGEINT * x + b) % 2305843009213693951) AS v
+              FROM x CROSS JOIN p GROUP BY doc_id, j),
+        bk AS (SELECT doc_id,
+                 substr(md5('band:' || (j // 4) || ':'
+                            || string_agg(v::VARCHAR, '-' ORDER BY j)), 1, 16)
+                   AS band_key
+               FROM s GROUP BY doc_id, (j // 4)),
+        c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bk a JOIN bk b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        e AS (SELECT c.doc_a, c.doc_b,
+                avg(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS est_jaccard
+              FROM c JOIN s sa ON sa.doc_id = c.doc_a
+                    JOIN s sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+              GROUP BY c.doc_a, c.doc_b),
+        cand AS (SELECT doc_a, doc_b FROM e WHERE est_jaccard >= 0.35),
+        j AS (SELECT cand.doc_a, cand.doc_b,
+                     len(list_intersect(ga.sh, gb.sh)) AS inter,
+                     least(len(ga.sh), len(gb.sh)) AS n_small
+              FROM cand JOIN g ga ON ga.doc_id = cand.doc_a
+                        JOIN g gb ON gb.doc_id = cand.doc_b)
+        SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+               CAST(n_small AS BIGINT) AS n_small,
+               CAST(inter * 1000000 // n_small AS BIGINT) AS containment_e6
+        FROM j WHERE inter * 1000000 // n_small >= 600000
+    """,
+    "temperature_mix": """
+        WITH g AS (
+          SELECT source, lang, count(*) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words
+          FROM documents GROUP BY source, lang
+        ), s AS (
+          SELECT *, CAST(floor(sqrt(CAST(n_words AS DOUBLE))) AS BIGINT) AS s0
+          FROM g
+        ), t AS (
+          SELECT source, lang, n_docs, n_words,
+                 CASE WHEN (s0 + 1) * (s0 + 1) <= n_words THEN s0 + 1
+                      WHEN s0 * s0 > n_words THEN s0 - 1
+                      ELSE s0 END AS sqrt_words
+          FROM s
+        )
+        SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_words,
+               sqrt_words,
+               CAST(sqrt_words * 1000000 // (SELECT SUM(sqrt_words) FROM t)
+                    AS BIGINT) AS weight_e6
+        FROM t
+    """,
+    "token_budget_select": """
+        WITH t AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+          FROM documents
+        ), c AS (
+          SELECT *, SUM(n_words) OVER (ORDER BY score DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum_words
+          FROM t
+        )
+        SELECT doc_id, score, n_words, CAST(cum_words AS BIGINT) AS cum_words
+        FROM c
+        WHERE cum_words <= (SELECT SUM(n_words) * 250 // 1000 FROM t)
+    """,
+    "shuffle_shards": """
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::UBIGINT AS BIGINT) AS h60
+          FROM documents
+        )
+        SELECT doc_id, CAST(h60 % 64 AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY h60 % 64
+                    ORDER BY h60, doc_id) - 1 AS BIGINT) AS pos
+        FROM h
     """,
     "semantic_dedup": """
         WITH c AS (

@@ -355,6 +355,74 @@ def source_mix_ds(
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def temperature_mix_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    group_cols: Tuple[str, str] = ("source", "lang"),
+) -> Dataset:
+    """Temperature-scaled sampling weights (alpha = 0.5), the multilingual
+    rebalancing rule published with XLM-R / mT5: stratum ``i`` samples with
+    probability proportional to ``p_i^alpha`` instead of ``p_i``, boosting
+    low-resource strata. INTEGER-EXACT at alpha = 1/2 via the integer
+    square root: ``s_i = isqrt(n_words_i)`` (``math.isqrt``, exact), and
+    ``weight_e6 = s_i * 1e6 // sum(s)``. The SQL twin reproduces isqrt
+    from ``floor(sqrt(double))`` with a +/-1 correction (the float sqrt of
+    an int64 < 2^52 errs by at most one unit).
+
+    Scale shape: identical to :func:`source_mix_ds` — per-batch stratum
+    combiner, ONE groupby over the tiny stratum domain, and only that
+    stratum table ever materializes."""
+    import math
+
+    ga, gb = group_cols
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        nw = pc.add(pc.count_substring(texts, " "), 1).cast(pa.int64())
+        t = pa.table(
+            {
+                ga: batch.column(ga),
+                gb: batch.column(gb),
+                "d": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "w": nw,
+            }
+        )
+        g = t.group_by([ga, gb]).aggregate([("d", "sum"), ("w", "sum")])
+        return pa.table(
+            {
+                ga: g.column(ga),
+                gb: g.column(gb),
+                "d": g.column("d_sum"),
+                "w": g.column("w_sum"),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([ga, gb])
+        .aggregate(Sum("d"), Sum("w"))
+        .materialize()  # tiny: one row per stratum
+    )
+    words = [int(r) for r in agg.to_pandas()["sum(w)"]]
+    total_sqrt = sum(math.isqrt(w) for w in words)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nw = batch.column("sum(w)").to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = np.fromiter((math.isqrt(int(w)) for w in nw), np.int64, count=len(nw))
+        return pa.table(
+            {
+                ga: batch.column(ga),
+                gb: batch.column(gb),
+                "n_docs": batch.column("sum(d)").cast(pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "sqrt_words": pa.array(sq, pa.int64()),
+                "weight_e6": pa.array(sq * 1_000_000 // max(total_sqrt, 1)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------- deduplication ----------
 
 
@@ -855,6 +923,64 @@ def ngram_jaccard_verify_ds(
         ]
         t = batch.append_column("jaccard", pa.array(jac, pa.float64()))
         return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def containment_dedup_ds(
+    pairs: Dataset,
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold_e6: int = 600_000,
+) -> Dataset:
+    """Broder CONTAINMENT verification of candidate pairs — the
+    doc-inside-doc signal Jaccard misses: a short document wholly quoted
+    inside a long one has low Jaccard (the union is large) but containment
+    ``|G(a) ∩ G(b)| / min(|G(a)|, |G(b)|)`` near 1. Emits
+    ``(doc_a, doc_b, inter, n_small, containment_e6)`` for pairs at or
+    above ``threshold_e6`` — all integers, so the SQL twin is bit-exact
+    (``list_intersect`` over the same distinct-shingle lists).
+
+    Scale shape mirrors :func:`ngram_jaccard_verify_ds`: the candidate
+    pairs are the SMALL side; docs semi-join down to the candidate ids in
+    one streaming pass and only those texts broadcast via ``ray.put`` —
+    the corpus never materializes."""
+    pairs = pairs.materialize()  # tiny; reused for the id set and the verify map
+    cand_ids = _pair_ids(pairs)
+    lookup = _semi_join_collect(
+        docs.select_columns([id_col, text_col]),
+        id_col,
+        cand_ids,
+        lambda b: b.column(text_col).to_pylist(),
+    )
+    ref = ray.put(lookup)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(ref)
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        inter = np.empty(len(a_ids), dtype=np.int64)
+        n_small = np.empty(len(a_ids), dtype=np.int64)
+        for i, (a, b) in enumerate(zip(a_ids, b_ids)):
+            ga = ts.shingle_hashes(texts.get(a, ""), shingle_k)
+            gb = ts.shingle_hashes(texts.get(b, ""), shingle_k)
+            inter[i] = np.intersect1d(ga, gb, assume_unique=True).shape[0]
+            n_small[i] = min(ga.shape[0], gb.shape[0])
+        cont = inter * 1_000_000 // np.maximum(n_small, 1)
+        t = pa.table(
+            {
+                "doc_a": pa.array(a_ids, pa.int64()),
+                "doc_b": pa.array(b_ids, pa.int64()),
+                "inter": pa.array(inter, pa.int64()),
+                "n_small": pa.array(n_small, pa.int64()),
+                "containment_e6": pa.array(cont, pa.int64()),
+            }
+        )
+        return t.filter(
+            pc.greater_equal(t.column("containment_e6"), pa.scalar(int(threshold_e6)))
+        )
 
     return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -5768,4 +5894,209 @@ def surprisal_ds(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------- training-set assembly ----------
+
+
+def token_budget_select_ds(
+    docs: Dataset,
+    budget_tokens: Optional[int] = None,
+    budget_permille: int = 250,
+    score_col: str = "n_chars",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Greedy token-budget selection — the training-set assembly step:
+    rank documents by ``(score DESC, id ASC)`` and keep the prefix whose
+    cumulative token count stays within ``budget_tokens`` (each kept row
+    carries its exact ``cum_words``, budget INCLUSIVE of the row). With
+    ``budget_tokens=None`` the budget is ``budget_permille/1000`` of the
+    corpus token total, read off the already-materialized class table —
+    no extra pass.
+
+    Scale shape (no global sort): (1) a per-batch combiner reduces each
+    block to one ``(score, words)`` row per distinct score — the score
+    domain is bounded by construction (a selection score is a report-style
+    column, like :func:`winsorize <pdfplumber_ray.pipelines.analytics.winsorize_ds>`'s
+    CDF); (2) the tiny per-score table materializes and yields, per score
+    class, the tokens contributed by all STRICTLY HIGHER classes
+    (``offset``); classes whose offset already exceeds the budget are
+    dropped before any row moves; (3) survivors shuffle ONCE by
+    ``mix64(score) % n_buckets`` and one in-bucket lexsort + segmented
+    cumsum attaches ``cum_words = offset[score] + intra-class prefix`` —
+    the budget filter is then a vectorized compare. Only the selected
+    prefix (plus the boundary class's tail) ever crosses the exchange."""
+    from .analytics import _mix64
+
+    def project(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        nw = pc.add(pc.count_substring(texts, " "), 1).cast(pa.int64())
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "score": batch.column(score_col).cast(pa.int64()),
+                "n_words": nw,
+            }
+        )
+
+    projected = docs.select_columns(
+        [id_col, score_col, text_col]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def class_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("score").aggregate([("n_words", "sum")])
+        return pa.table(
+            {"score": g.column("score"), "w": g.column("n_words_sum")}
+        )
+
+    classes = (
+        projected.map_batches(class_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("score")
+        .aggregate(Sum("w"))
+        .to_pandas()  # tiny: one row per distinct score
+    )
+    sc = classes["score"].to_numpy(dtype=np.int64)
+    wc = classes["sum(w)"].to_numpy(dtype=np.int64)
+    order = np.argsort(-sc)  # score DESC
+    sc, wc = sc[order], wc[order]
+    if budget_tokens is None:
+        budget_tokens = int(wc.sum()) * budget_permille // 1000
+    offsets = np.concatenate(([0], np.cumsum(wc)[:-1]))
+    live = offsets < budget_tokens  # classes that can still contribute
+    offset_map = {int(s): int(o) for s, o in zip(sc[live], offsets[live])}
+    offset_ref = ray.put(offset_map)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        omap = ray.get(offset_ref)
+        s = batch.column("score").to_numpy(zero_copy_only=False)
+        keep = np.fromiter((int(v) in omap for v in s), bool, count=len(s))
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "bkt": pa.array([], pa.int64()),
+                }
+            )
+        s2 = t.column("score").to_numpy(zero_copy_only=False)
+        bkt = (_mix64(s2.astype(np.int64)) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bkt", pa.array(bkt, pa.int64()))
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("score", pa.int64()),
+            pa.field("n_words", pa.int64()),
+            pa.field("cum_words", pa.int64()),
+        ]
+    )
+
+    def bucket_select(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        omap = ray.get(offset_ref)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        s = group.column("score").to_numpy(zero_copy_only=False)
+        w = group.column("n_words").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))
+        ids, s, w = ids[order], s[order], w[order]
+        cs = np.cumsum(w)
+        starts = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(s)])))
+        base = np.concatenate(([0], cs[starts[1:] - 1]))
+        intra = cs - np.repeat(base, seg_len)
+        off = np.fromiter((omap[int(v)] for v in s[starts]), np.int64, count=len(starts))
+        cum = intra + np.repeat(off, seg_len)
+        keep = cum <= budget_tokens
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "score": pa.array(s[keep], pa.int64()),
+                "n_words": pa.array(w[keep], pa.int64()),
+                "cum_words": pa.array(cum[keep], pa.int64()),
+            }
+        )
+
+    from .analytics import _anchor_schema
+
+    tagged = projected.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return _anchor_schema(
+        tagged.groupby("bkt").map_groups(bucket_select, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+def shuffle_shards_ds(
+    docs: Dataset,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Deterministic global training shuffle: every document gets a
+    ``(shard, pos)`` address — shard by a 60-bit md5 hash of its id, and
+    within the shard an ordinal by ``(hash, id)``. Training jobs read the
+    shards in order and get a reproducible, engine-independent random
+    order (the standard pre-shuffle before sequence packing; Python's
+    ``hash()`` is process-salted, so the hash is md5-derived and the SQL
+    twin regenerates it verbatim from ``md5(CAST(id AS VARCHAR))``).
+
+    Scale shape: a per-batch projection computes ``(id, h60, shard)``
+    (md5 once per doc — ids are distinct by definition, and the hash IS
+    the operator's cross-engine contract); ONE ``groupby(shard)`` over
+    the bounded shard count, then an in-shard argsort yields positions
+    vectorized. Only the 3-column projection shuffles."""
+    import hashlib
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+                for i in ids
+            ),
+            np.int64,
+            count=len(ids),
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                "h60": pa.array(h, pa.int64()),
+                "shard": pa.array(h % np.int64(n_shards), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("shard", pa.int64()),
+            pa.field("pos", pa.int64()),
+        ]
+    )
+
+    def order_shard(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        h = group.column("h60").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "shard": group.column("shard").slice(0, len(ids)),
+                "pos": pa.array(np.arange(len(ids), dtype=np.int64)),
+            }
+        )
+
+    from .analytics import _anchor_schema
+
+    projected = docs.select_columns([id_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _anchor_schema(
+        projected.groupby("shard").map_groups(order_shard, batch_format="pyarrow"),
+        out_schema,
     )

@@ -1664,3 +1664,108 @@ def test_surprisal_floor_log2_boundary(ray_session):
     r = co.surprisal_ds(docs).take_all()[0]
     # x: 6//2=3 -> 1 bit each (x2); y,z,w,v: 6//1=6 -> 2 bits each (x4)
     assert r["surprisal_bits"] == 2 * 1 + 4 * 2 == 10
+
+
+def test_temperature_mix_isqrt_exact(ray_session):
+    import math
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["s1"] * 9 + ["s2"], pa.string()),
+                "lang": pa.array(["en"] * 9 + ["de"], pa.string()),
+                # 9 docs of 10 words vs 1 doc of 10 words: proportional
+                # would give s2 10%, temperature alpha=.5 gives
+                # isqrt(90)=9, isqrt(10)=3 -> 25%
+                "text": pa.array([" ".join(["w"] * 10)] * 10, pa.string()),
+            }
+        )
+    )
+    rows = {(r["source"], r["lang"]): r for r in co.temperature_mix_ds(docs).take_all()}
+    assert rows[("s1", "en")]["sqrt_words"] == math.isqrt(90) == 9
+    assert rows[("s2", "de")]["sqrt_words"] == math.isqrt(10) == 3
+    assert rows[("s2", "de")]["weight_e6"] == 3 * 1_000_000 // 12  # 250000
+    assert rows[("s1", "en")]["weight_e6"] == 9 * 1_000_000 // 12  # 750000
+
+
+def test_containment_catches_doc_inside_doc(ray_session):
+    short = " ".join(f"w{i}" for i in range(10))
+    long = short + " " + " ".join(f"z{i}" for i in range(200))
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([short, long], pa.string()),
+            }
+        )
+    )
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {"doc_a": pa.array([1], pa.int64()), "doc_b": pa.array([2], pa.int64())}
+        )
+    )
+    out = co.containment_dedup_ds(pairs, docs, threshold_e6=900_000).take_all()
+    # every one of the short doc's 6 shingles appears in the long doc,
+    # so containment is exactly 1.0 even though jaccard is ~6/212
+    assert len(out) == 1
+    assert out[0]["containment_e6"] == 1_000_000
+    assert out[0]["inter"] == out[0]["n_small"] == 6
+    j = co.ngram_jaccard_verify_ds(pairs, docs, threshold=0.5).take_all()
+    assert j == []  # jaccard misses the same pair
+
+
+def test_token_budget_select_boundary(ray_session):
+    # scores 3,3,2,1 with 10 words each; budget 25 keeps the two score-3
+    # docs (cum 10,20) and NOT the score-2 doc (cum 30 > 25)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([4, 1, 2, 3], pa.int64()),
+                "n_chars": pa.array([1, 3, 3, 2], pa.int64()),
+                "text": pa.array([" ".join(["w"] * 10)] * 4, pa.string()),
+            }
+        )
+    )
+    out = sorted(
+        co.token_budget_select_ds(docs, budget_tokens=25).take_all(),
+        key=lambda r: r["cum_words"],
+    )
+    assert [(r["doc_id"], r["cum_words"]) for r in out] == [(1, 10), (2, 20)]
+
+
+def test_token_budget_select_fraction_and_ties(ray_session):
+    # equal scores: doc_id ASC breaks ties; budget = 50% of 40 words = 20
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([9, 7, 8, 6], pa.int64()),
+                "n_chars": pa.array([5, 5, 5, 5], pa.int64()),
+                "text": pa.array([" ".join(["w"] * 10)] * 4, pa.string()),
+            }
+        )
+    )
+    out = sorted(
+        co.token_budget_select_ds(docs, budget_permille=500).take_all(),
+        key=lambda r: r["cum_words"],
+    )
+    assert [(r["doc_id"], r["cum_words"]) for r in out] == [(6, 10), (7, 20)]
+
+
+def test_shuffle_shards_contract(ray_session):
+    import hashlib
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(100)), pa.int64())})
+    )
+    out = co.shuffle_shards_ds(docs, n_shards=8).take_all()
+    assert len(out) == 100
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        # positions are 0..n-1 within each shard
+        assert sorted(r["pos"] for r in rows) == list(range(len(rows)))
+        # shard assignment reproduces the md5 contract
+        for r in rows:
+            h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
+            assert h % 8 == shard
