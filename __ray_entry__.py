@@ -3580,16 +3580,19 @@ _FRONT_R5 = [
     "sessions",
     "ohlc_bars",
     "period_over_period",
-    "components",
-    "user_paths",
-    "skyline",
-    "clustering_coeff",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
     # --- 50-slot gate window boundary (entries below overflow) ---
+    # components / user_paths / skyline / clustering_coeff yield their
+    # window slots to the session-8 temperature_mix / containment_dedup /
+    # token_budget_select / shuffle_shards additions
+    "components",
+    "user_paths",
+    "skyline",
+    "clustering_coeff",
     # transitions / pivot / profile / set_overlap / triangles /
     # running_total / rollup / interval_join / collocations / pagerank /
     # tfidf_topk yield their window slots to the session-6/7 surprisal ...
