@@ -453,6 +453,22 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_novelty_score(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc novelty: fraction of distinct 5-gram shingles whose
+    corpus-wide first occurrence (min doc_id) is this doc — the
+    contribution/redundancy dual of the dedup family."""
+    return co.novelty_score_ds(_documents(sf_dir))
+
+
+def q_apportion_quota(sf_dir: str) -> ray.data.Dataset:
+    """Largest-remainder (Hamilton) apportionment of 100 sample slots
+    across (source, lang) strata; sum(quota) == 100 exactly."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    return co.apportion_quota_ds(docs, k=100)
+
+
 def q_temperature_mix(sf_dir: str) -> ray.data.Dataset:
     """Temperature-scaled (alpha=0.5) multilingual sampling weights
     (XLM-R / mT5 rebalancing rule), integer-exact via math.isqrt; the
@@ -3318,6 +3334,8 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "novelty_score": q_novelty_score,
+    "apportion_quota": q_apportion_quota,
     "temperature_mix": q_temperature_mix,
     "containment_dedup": q_containment_dedup,
     "token_budget_select": q_token_budget_select,
@@ -3535,6 +3553,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "novelty_score",
+    "apportion_quota",
     "temperature_mix",
     "containment_dedup",
     "token_budget_select",
@@ -3578,17 +3598,18 @@ _FRONT_R5 = [
     "reorder_gaps",
     "region_share",
     "sessions",
-    "ohlc_bars",
-    "period_over_period",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
     # --- 50-slot gate window boundary (entries below overflow) ---
-    # components / user_paths / skyline / clustering_coeff yield their
-    # window slots to the session-8 temperature_mix / containment_dedup /
-    # token_budget_select / shuffle_shards additions
+    # components / user_paths / skyline / clustering_coeff / ohlc_bars /
+    # period_over_period yield their window slots to the session-8
+    # temperature_mix / containment_dedup / token_budget_select /
+    # shuffle_shards / novelty_score / apportion_quota additions
+    "ohlc_bars",
+    "period_over_period",
     "components",
     "user_paths",
     "skyline",
@@ -4098,6 +4119,38 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "novelty_score": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents WHERE text <> ''),
+        g AS (SELECT doc_id,
+                CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                     ELSE list_distinct([array_to_string(l[i:i+4], ' ')
+                                         for i in range(1, len(l)-3)])
+                END AS sh FROM t),
+        f AS (SELECT doc_id, unnest(sh) AS s FROM g),
+        w AS (SELECT s, min(doc_id) AS first_doc FROM f GROUP BY s),
+        nv AS (SELECT first_doc AS doc_id, count(*) AS novel
+               FROM w GROUP BY first_doc)
+        SELECT g.doc_id, CAST(len(g.sh) AS BIGINT) AS n_grams,
+               CAST(coalesce(nv.novel, 0) AS BIGINT) AS novel,
+               CAST(coalesce(nv.novel, 0) * 1000000 // len(g.sh)
+                    AS BIGINT) AS novelty_e6
+        FROM g LEFT JOIN nv ON nv.doc_id = g.doc_id
+    """,
+    "apportion_quota": """
+        WITH g AS (SELECT source, lang, count(*) AS n
+                   FROM documents GROUP BY source, lang),
+        t AS (SELECT *, (SELECT SUM(n) FROM g) AS total FROM g),
+        b AS (SELECT source, lang, n,
+                     CAST(100 * n // total AS BIGINT) AS base,
+                     (100 * n) % total AS rem FROM t),
+        r AS (SELECT *, row_number() OVER
+                        (ORDER BY rem DESC, source, lang) AS rk FROM b)
+        SELECT source, lang, CAST(n AS BIGINT) AS n_docs,
+               CAST(base + CASE WHEN rk <= 100 - (SELECT SUM(base) FROM b)
+                                THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM r
     """,
     "containment_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l

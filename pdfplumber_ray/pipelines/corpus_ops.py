@@ -6100,3 +6100,171 @@ def shuffle_shards_ds(
         projected.groupby("shard").map_groups(order_shard, batch_format="pyarrow"),
         out_schema,
     )
+
+
+def novelty_score_ds(
+    docs: Dataset,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Per-document NOVELTY: the fraction of a doc's distinct k-gram
+    shingles whose corpus-wide FIRST occurrence (min doc id) is this doc —
+    the redundancy/contribution signal dual to the dedup family: a doc of
+    all-novel grams adds new content; a doc of zero-novel grams is pure
+    recombination of earlier text. Emits
+    ``(doc_id, n_grams, novel, novelty_e6)`` for every non-empty doc.
+
+    Scale shape: (1) per-batch the distinct ``(gram_h64, doc)`` pairs
+    reduce to one min-doc row per gram per block (lexsort + segment
+    first) before ONE vocab-domain ``groupby(gram).min(doc)``; (2) the
+    winner rows re-reduce to per-doc novel counts (combiner + tiny
+    ``groupby(doc).sum``); (3) totals attach via the generic bucketed
+    hash join (LEFT, so zero-novelty docs still emit). Documents never
+    shuffle; only gram-hash and counter rows move."""
+    from .analytics import hash_join_ds
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        hs: List[np.ndarray] = []
+        ds_: List[np.ndarray] = []
+        for i, t in enumerate(texts):
+            g = ts.shingle_hashes(t or "", shingle_k)
+            if g.shape[0]:
+                hs.append(g.astype(np.int64))
+                ds_.append(np.full(g.shape[0], ids[i], dtype=np.int64))
+        if not hs:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "first_doc": pa.array([], pa.int64())}
+            )
+        h = np.concatenate(hs)
+        d = np.concatenate(ds_)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        first = np.concatenate(([True], h[1:] != h[:-1]))
+        return pa.table(
+            {"h": pa.array(h[first]), "first_doc": pa.array(d[first])}
+        )
+
+    winners = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(gram_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Min("first_doc"))
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("min(first_doc)").to_numpy(zero_copy_only=False)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table(
+            {id_col: pa.array(u, pa.int64()), "novel": pa.array(c.astype(np.int64))}
+        )
+
+    novel = (
+        winners.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(id_col)
+        .aggregate(Sum("novel"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "nv_doc": b.column(id_col).cast(pa.int64()),
+                    "novel": b.column("sum(novel)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ng = np.fromiter(
+            (ts.shingle_hashes(t or "", shingle_k).shape[0] for t in texts),
+            np.int64,
+            count=len(texts),
+        )
+        t = pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "n_grams": pa.array(ng),
+            }
+        )
+        return t.filter(pc.greater(t.column("n_grams"), 0))
+
+    tot = docs.select_columns([id_col, text_col]).map_batches(
+        totals, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join_ds(tot, novel, id_col, "nv_doc", how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ng = batch.column("n_grams").to_numpy(zero_copy_only=False)
+        nv = batch.column("novel").to_numpy(zero_copy_only=False).astype(np.float64)
+        nv = np.nan_to_num(nv, nan=0.0).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_grams": pa.array(ng.astype(np.int64)),
+                "novel": pa.array(nv),
+                "novelty_e6": pa.array(nv * 1_000_000 // np.maximum(ng, 1)),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def apportion_quota_ds(
+    docs: Dataset,
+    k: int = 100,
+    group_cols: Tuple[str, str] = ("source", "lang"),
+) -> Dataset:
+    """Largest-remainder (Hamilton) apportionment of ``k`` sample slots
+    across strata — the integer-exact allocation step a stratified
+    sampler runs before drawing: ``base = k*n_i // N`` everywhere, and
+    the ``k - sum(base)`` leftover slots go to the largest remainders
+    (``(k*n_i) % N`` DESC, stratum key ASC tiebreak). Guarantees
+    ``sum(quota) == k`` exactly.
+
+    Scale shape: stratum combiner -> ONE tiny-domain groupby; the
+    apportionment itself runs on the materialized stratum table (bounded
+    by the key domain, a report-style output)."""
+    ga, gb = group_cols
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([ga, gb])
+            .append_column("d", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+            .group_by([ga, gb])
+            .aggregate([("d", "sum")])
+        )
+        return pa.table(
+            {ga: g.column(ga), gb: g.column(gb), "d": g.column("d_sum")}
+        )
+
+    agg = (
+        docs.select_columns([ga, gb])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([ga, gb])
+        .aggregate(Sum("d"))
+        .materialize()  # tiny: one row per stratum
+    )
+    df = agg.to_pandas().sort_values([ga, gb]).reset_index(drop=True)
+    n = df["sum(d)"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    base = k * n // max(total, 1)
+    rem = (k * n) % max(total, 1)
+    leftover = k - int(base.sum())
+    # remainder DESC, stratum key ASC — df is already key-sorted, and
+    # np.argsort is stable, so ties resolve to the smaller key
+    order = np.argsort(-rem, kind="stable")
+    bonus = np.zeros(len(n), dtype=np.int64)
+    bonus[order[:leftover]] = 1
+    out = pa.table(
+        {
+            ga: pa.array(df[ga].tolist(), pa.string()),
+            gb: pa.array(df[gb].tolist(), pa.string()),
+            "n_docs": pa.array(n),
+            "quota": pa.array(base + bonus),
+        }
+    )
+    return ray.data.from_arrow(out)

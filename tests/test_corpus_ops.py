@@ -1769,3 +1769,40 @@ def test_shuffle_shards_contract(ray_session):
         for r in rows:
             h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
             assert h % 8 == shard
+
+
+def test_novelty_first_occurrence_attribution(ray_session):
+    # doc 1 coins both grams; doc 2 repeats doc 1 verbatim (zero novel);
+    # doc 3 is half new (its text's single whole-text shingle is new)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([2, 1, 3], pa.int64()),
+                "text": pa.array(
+                    ["a b c d e f", "a b c d e f", "x y z"], pa.string()
+                ),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in co.novelty_score_ds(docs).take_all()}
+    assert rows[1]["novel"] == rows[1]["n_grams"] == 2
+    assert rows[1]["novelty_e6"] == 1_000_000
+    assert rows[2]["novel"] == 0 and rows[2]["novelty_e6"] == 0
+    assert rows[3]["novel"] == rows[3]["n_grams"] == 1
+
+
+def test_apportion_quota_sums_to_k(ray_session):
+    # 7/2/1 docs over 10 slots: base 7,2,1 -> exact; then k=10 over
+    # 3/3/4 gives base 3,3,4 too; force remainders with k=7
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a"] * 3 + ["b"] * 3 + ["c"] * 4, pa.string()),
+                "lang": pa.array(["en"] * 10, pa.string()),
+            }
+        )
+    )
+    rows = {r["source"]: r["quota"] for r in co.apportion_quota_ds(docs, k=7).take_all()}
+    # base: 2,2,2 (floor 2.1,2.1,2.8); leftover 1 goes to largest rem = c
+    assert rows == {"a": 2, "b": 2, "c": 3}
+    assert sum(rows.values()) == 7
