@@ -453,6 +453,35 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_chi2_assoc(sf_dir: str) -> ray.data.Dataset:
+    """Integer-exact chi-squared association between lang and source
+    (drift/dependence audit): per observed cell, contribution
+    1e6*(O*N - R*C)^2 // (R*C*N) — Python bigints vs HUGEINT."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return an.chi2_assoc_ds(docs)
+
+
+def q_trending(sf_dir: str) -> ray.data.Dataset:
+    """Hourly leaderboard: top-3 event types per tumbling hour
+    (count DESC, type ASC)."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return an.trending_ds(events, k=3)
+
+
+def q_robust_scale(sf_dir: str) -> ray.data.Dataset:
+    """Per-source robust scaling of n_chars ((v - median)/IQR in e6,
+    truncating division to match SQL), integer-exact percentile_disc
+    quartiles from the bounded per-group value CDF."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return an.robust_scale_ds(docs, "n_chars", "doc_id", group_col="source")
+
+
 def q_novelty_score(sf_dir: str) -> ray.data.Dataset:
     """Per-doc novelty: fraction of distinct 5-gram shingles whose
     corpus-wide first occurrence (min doc_id) is this doc — the
@@ -3334,6 +3363,9 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "chi2_assoc": q_chi2_assoc,
+    "trending": q_trending,
+    "robust_scale": q_robust_scale,
     "novelty_score": q_novelty_score,
     "apportion_quota": q_apportion_quota,
     "temperature_mix": q_temperature_mix,
@@ -3553,6 +3585,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "chi2_assoc",
+    "trending",
+    "robust_scale",
     "novelty_score",
     "apportion_quota",
     "temperature_mix",
@@ -3595,9 +3630,6 @@ _FRONT_R5 = [
     "session_baskets",
     "group_ids",
     "percentiles",
-    "reorder_gaps",
-    "region_share",
-    "sessions",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3608,6 +3640,9 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "reorder_gaps",
+    "region_share",
+    "sessions",
     "ohlc_bars",
     "period_over_period",
     "components",
@@ -4119,6 +4154,53 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "chi2_assoc": """
+        WITH c AS (SELECT lang, source, count(*) AS o
+                   FROM documents GROUP BY lang, source),
+        rt AS (SELECT lang, SUM(o) AS r FROM c GROUP BY lang),
+        ct AS (SELECT source, SUM(o) AS cl FROM c GROUP BY source),
+        m AS (SELECT rt.lang, ct.source, coalesce(c.o, 0) AS o,
+                     rt.r, ct.cl, (SELECT SUM(o) FROM c) AS n
+              FROM rt CROSS JOIN ct
+              LEFT JOIN c ON c.lang = rt.lang AND c.source = ct.source)
+        SELECT lang, source, CAST(o AS BIGINT) AS observed,
+               CAST(r * cl * 1000 // n AS BIGINT) AS expected_e3,
+               CAST(1000000::HUGEINT * (o*n - r*cl) * (o*n - r*cl)
+                    // (r * cl * n) AS BIGINT) AS contrib_e6
+        FROM m
+    """,
+    "trending": """
+        WITH c AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                          AS window_start_us,
+                          event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY window_start_us
+                   ORDER BY n DESC, event_type ASC) AS rank FROM c)
+        SELECT CAST(window_start_us AS BIGINT) AS window_start_us,
+               event_type, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3
+    """,
+    "robust_scale": """
+        WITH v AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+                   FROM documents),
+        cd AS (SELECT source, v, count(*) AS cnt FROM v GROUP BY source, v),
+        cum AS (SELECT source, v,
+                       SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+                       SUM(cnt) OVER (PARTITION BY source) AS n FROM cd),
+        q AS (SELECT source,
+                MIN(CASE WHEN cum >= (25 * n + 99) // 100 THEN v END) AS p25,
+                MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END) AS med,
+                MIN(CASE WHEN cum >= (75 * n + 99) // 100 THEN v END) AS p75
+              FROM cum GROUP BY source)
+        SELECT v.doc_id, v.source, v.v AS n_chars,
+               CAST(q.med AS BIGINT) AS median_v,
+               CAST(q.p75 - q.p25 AS BIGINT) AS iqr,
+               CAST((v.v - q.med) * 1000000
+                    // greatest(q.p75 - q.p25, 1) AS BIGINT) AS scaled_e6,
+               CAST(CASE WHEN q.p75 - q.p25 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS zero_iqr
+        FROM v JOIN q USING (source)
     """,
     "novelty_score": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l

@@ -5443,3 +5443,233 @@ def decayed_sum_ds(
         )
 
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chi2_assoc_ds(
+    ds: Dataset,
+    col_a: str = "lang",
+    col_b: str = "source",
+) -> Dataset:
+    """Chi-squared association between two categorical columns — the
+    drift / dependence audit ("did the language mix shift per source?"),
+    INTEGER-EXACT: per cell the statistic is
+    ``contrib_e6 = 1e6 * (O*N - R*C)^2 // (R*C*N)`` (all integers —
+    Python bigints here, HUGEINT in the SQL twin; no float chi2).
+    Emits one row per cell of the FULL observed-category cross product
+    (zero-observed cells included — they contribute ``(0-E)^2/E = E``,
+    without which a perfect association would understate chi2); the
+    total statistic is the column sum.
+
+    Scale shape: contingency combiner (one row per cell per block) ->
+    ONE tiny-domain groupby; the marginals and the statistic run on the
+    materialized cell table (bounded by the category-domain product)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([col_a, col_b])
+            .append_column("n", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+            .group_by([col_a, col_b])
+            .aggregate([("n", "sum")])
+        )
+        return pa.table(
+            {col_a: g.column(col_a), col_b: g.column(col_b), "n": g.column("n_sum")}
+        )
+
+    cells = (
+        ds.select_columns([col_a, col_b])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([col_a, col_b])
+        .aggregate(Sum("n"))
+        .to_pandas()  # tiny: one row per observed cell
+    )
+    obs = {
+        (ai, bi): int(oi)
+        for ai, bi, oi in zip(cells[col_a], cells[col_b], cells["sum(n)"])
+    }
+    n_tot = sum(obs.values())
+    row_tot: Dict[str, int] = {}
+    col_tot: Dict[str, int] = {}
+    for (ai, bi), oi in obs.items():
+        row_tot[ai] = row_tot.get(ai, 0) + oi
+        col_tot[bi] = col_tot.get(bi, 0) + oi
+    a_out, b_out, o_out, exp_e3, contrib_e6 = [], [], [], [], []
+    for ai in sorted(row_tot):
+        for bi in sorted(col_tot):
+            oi = obs.get((ai, bi), 0)
+            rc = row_tot[ai] * col_tot[bi]
+            d = oi * n_tot - rc
+            a_out.append(ai)
+            b_out.append(bi)
+            o_out.append(oi)
+            exp_e3.append(rc * 1000 // n_tot)
+            contrib_e6.append(1_000_000 * d * d // (rc * n_tot))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                col_a: pa.array(a_out, pa.string()),
+                col_b: pa.array(b_out, pa.string()),
+                "observed": pa.array(o_out, pa.int64()),
+                "expected_e3": pa.array(exp_e3, pa.int64()),
+                "contrib_e6": pa.array(contrib_e6, pa.int64()),
+            }
+        )
+    )
+
+
+def trending_ds(
+    events: Dataset,
+    k: int = 3,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    width_us: int = 3_600_000_000,
+) -> Dataset:
+    """Trending items: the top-``k`` event types per tumbling window
+    (count DESC, type ASC ties) — the hourly-leaderboard shape. Emits
+    ``(window_start_us, event_type, n, rank)``.
+
+    Scale shape: per-batch (window, type) count combiner -> ONE
+    groupby over the bounded (windows x types) domain -> per-window
+    top-k inside ``map_groups`` on the window key (group count =
+    windows in range, a report-style bound; the per-group table is
+    |types|-sized)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_v = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts_v // width_us) * width_us
+        t = pa.table(
+            {
+                "window_start_us": pa.array(w, pa.int64()),
+                type_col: batch.column(type_col),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["window_start_us", type_col]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                "window_start_us": g.column("window_start_us"),
+                type_col: g.column(type_col),
+                "n": g.column("n_sum"),
+            }
+        )
+
+    counts = (
+        events.select_columns([ts_col, type_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start_us", type_col])
+        .aggregate(Sum("n"))
+    )
+
+    out_schema = pa.schema(
+        [
+            ("window_start_us", pa.int64()),
+            (type_col, pa.string()),
+            ("n", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        n = group.column("sum(n)").to_numpy(zero_copy_only=False)
+        types = np.asarray(group.column(type_col).to_pylist(), dtype=object)
+        order = np.lexsort((types, -n))[:k]
+        return pa.table(
+            {
+                "window_start_us": group.column("window_start_us").take(
+                    pa.array(order)
+                ),
+                type_col: pa.array(types[order], pa.string()),
+                "n": pa.array(n[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return _anchor_schema(
+        counts.groupby("window_start_us").map_groups(topk, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+def robust_scale_ds(
+    ds: Dataset,
+    value_col: str,
+    id_col: str,
+    group_col: str = "source",
+    max_domain_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Per-group robust scaling — ``(v - median) / IQR`` in e6, the
+    outlier-insensitive normalization feature pipelines prefer over
+    z-scores. INTEGER-EXACT: median/quartiles use the 1-based
+    ``percentile_disc`` rank ``(p*n + 99) // 100`` over the bounded
+    per-group value CDF, and the scaled value truncates toward zero
+    (``sign * (|v-med| * 1e6 // iqr)``) to match SQL integer division.
+    Groups whose IQR is 0 scale by 1 (flag column marks them).
+
+    Scale shape: one (group, value)-count combiner -> bounded-domain
+    groupby (guarded) -> the tiny per-group cutoff table broadcasts in
+    the closure -> one streaming scale pass. Raw rows never shuffle."""
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "g": batch.column(group_col),
+                "v": batch.column(value_col).cast(pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["g", "v"]).aggregate([("n", "sum")])
+        return pa.table(
+            {"g": g.column("g"), "v": g.column("v"), "n": g.column("n_sum")}
+        )
+
+    hist = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "v"])
+        .aggregate(Sum("n"))
+        .materialize()
+    )
+    if hist.count() > max_domain_broadcast:
+        raise ValueError(
+            f"(group, value) domain ({hist.count()}) exceeds "
+            f"max_domain_broadcast={max_domain_broadcast}"
+        )
+    df = hist.to_pandas().sort_values(["g", "v"]).reset_index(drop=True)
+    cuts: Dict[str, Tuple[int, int]] = {}
+    for gname, sub in df.groupby("g", sort=False):
+        vals = sub["v"].to_numpy(dtype=np.int64)
+        cnts = sub["sum(n)"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        pick = lambda p: int(vals[np.searchsorted(cum, (p * n + 99) // 100)])
+        med = pick(50)
+        iqr = pick(75) - pick(25)
+        cuts[str(gname)] = (med, iqr)
+    cuts_ref = ray.put(cuts)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        c = ray.get(cuts_ref)
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gl = batch.column(group_col).to_pylist()
+        med = np.fromiter((c[g][0] for g in gl), np.int64, count=len(gl))
+        iqr = np.fromiter((c[g][1] for g in gl), np.int64, count=len(gl))
+        zero_iqr = iqr == 0
+        denom = np.maximum(iqr, 1)
+        d = v - med
+        scaled = np.sign(d) * (np.abs(d) * 1_000_000 // denom)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                group_col: batch.column(group_col),
+                value_col: pa.array(v, pa.int64()),
+                "median_v": pa.array(med, pa.int64()),
+                "iqr": pa.array(iqr, pa.int64()),
+                "scaled_e6": pa.array(scaled.astype(np.int64), pa.int64()),
+                "zero_iqr": pa.array(zero_iqr.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        scale, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1493,3 +1493,93 @@ def test_decayed_sum_kernel(ray_session):
     assert out[1]["n_events"] == 3
     # user 2 at age 10: 6400 // 1024 = 6
     assert out[2]["decayed_cents"] == 6
+
+
+def test_chi2_assoc_independence_is_zero(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # perfectly independent 2x2 (equal counts): every cell O == E
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["en", "en", "de", "de"] * 5, pa.string()),
+                "source": pa.array(["a", "b", "a", "b"] * 5, pa.string()),
+            }
+        )
+    )
+    rows = an.chi2_assoc_ds(docs).take_all()
+    assert len(rows) == 4
+    assert all(r["contrib_e6"] == 0 for r in rows)
+    assert all(r["observed"] == 5 and r["expected_e3"] == 5000 for r in rows)
+
+
+def test_chi2_assoc_dependence_positive(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # perfectly dependent: lang determines source
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["en"] * 10 + ["de"] * 10, pa.string()),
+                "source": pa.array(["a"] * 10 + ["b"] * 10, pa.string()),
+            }
+        )
+    )
+    total = sum(r["contrib_e6"] for r in an.chi2_assoc_ds(docs).take_all())
+    # chi2 of a perfect 2x2 association = N = 20 -> 20e6 in e6
+    assert total == 20_000_000
+
+
+def test_trending_topk_and_ties(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    h = 3_600_000_000
+    ts = [0] * 6 + [h] * 2
+    types = ["b", "b", "b", "a", "a", "c", "z", "y"]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(types, pa.string()),
+            }
+        )
+    )
+    out = sorted(
+        an.trending_ds(ev, k=2).take_all(),
+        key=lambda r: (r["window_start_us"], r["rank"]),
+    )
+    assert [(r["window_start_us"], r["event_type"], r["n"], r["rank"]) for r in out] == [
+        (0, "b", 3, 1),
+        (0, "a", 2, 2),
+        (h, "y", 1, 1),  # tie n=1 broken by type ASC
+        (h, "z", 1, 2),
+    ]
+
+
+def test_robust_scale_truncating_division(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # values 1..4: ranks (p*4+99)//100 -> p25=1(rank1), p50=2(rank2), p75=3(rank3)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "source": pa.array(["s"] * 4, pa.string()),
+                "n_chars": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in an.robust_scale_ds(docs, "n_chars", "doc_id").take_all()}
+    assert rows[1]["median_v"] == 2 and rows[1]["iqr"] == 2
+    # (1-2)*1e6 // 2 truncates toward zero: -500000 (not -500001)
+    assert rows[1]["scaled_e6"] == -500_000
+    assert rows[4]["scaled_e6"] == 1_000_000
+    assert all(r["zero_iqr"] == 0 for r in rows.values())
