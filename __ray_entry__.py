@@ -453,6 +453,23 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_bigram_surprisal(sf_dir: str) -> ray.data.Dataset:
+    """Integer-exact bigram-LM surprisal per doc: each transition
+    contributes floor(log2(c1(w1) // c2(w1 w2))) bits (exact — the
+    ratio is >= 1 since every bigram contains its prefix)."""
+    return co.bigram_surprisal_ds(_documents(sf_dir))
+
+
+def q_quota_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic stratified draw: Hamilton-apportioned quotas over
+    (source, lang), then per-stratum md5-rank selection; exactly 100
+    rows, no RNG state."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "doc_id"]
+    )
+    return co.quota_sample_ds(docs, k=100)
+
+
 def q_chi2_assoc(sf_dir: str) -> ray.data.Dataset:
     """Integer-exact chi-squared association between lang and source
     (drift/dependence audit): per observed cell, contribution
@@ -3363,6 +3380,8 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "bigram_surprisal": q_bigram_surprisal,
+    "quota_sample": q_quota_sample,
     "chi2_assoc": q_chi2_assoc,
     "trending": q_trending,
     "robust_scale": q_robust_scale,
@@ -3585,6 +3604,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "bigram_surprisal",
+    "quota_sample",
     "chi2_assoc",
     "trending",
     "robust_scale",
@@ -3628,8 +3649,6 @@ _FRONT_R5 = [
     "bloom_join",
     "kmeans",
     "session_baskets",
-    "group_ids",
-    "percentiles",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3640,6 +3659,8 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "group_ids",
+    "percentiles",
     "reorder_gaps",
     "region_share",
     "sessions",
@@ -4154,6 +4175,48 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "bigram_surprisal": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        uc AS (SELECT w, count(*) AS c1
+               FROM (SELECT unnest(l) AS w FROM t) GROUP BY w),
+        bg AS (SELECT doc_id,
+                      [l[i] || ' ' || l[i+1] for i in range(1, len(l))] AS bs
+               FROM t WHERE len(l) >= 2),
+        bc AS (SELECT b, count(*) AS c2
+               FROM (SELECT unnest(bs) AS b FROM bg) GROUP BY b),
+        e AS (SELECT doc_id, unnest(bs) AS b FROM bg),
+        j AS (SELECT e.doc_id,
+                     length(printf('%b', uc.c1 // bc.c2)) - 1 AS bits
+              FROM e JOIN bc ON bc.b = e.b
+                     JOIN uc ON uc.w = string_split(e.b, ' ')[1])
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(bits) AS BIGINT) AS bigram_bits,
+               CAST(1000 * sum(bits) // count(*) AS BIGINT) AS mean_bits_e3
+        FROM j GROUP BY doc_id
+    """,
+    "quota_sample": """
+        WITH g AS (SELECT source, lang, count(*) AS n
+                   FROM documents GROUP BY source, lang),
+        t AS (SELECT *, (SELECT SUM(n) FROM g) AS total FROM g),
+        b AS (SELECT source, lang, n,
+                     CAST(100 * n // total AS BIGINT) AS base,
+                     (100 * n) % total AS rem FROM t),
+        rr AS (SELECT *, row_number() OVER
+                         (ORDER BY rem DESC, source, lang) AS rk FROM b),
+        q AS (SELECT source, lang,
+                     base + CASE WHEN rk <= 100 - (SELECT SUM(base) FROM b)
+                                 THEN 1 ELSE 0 END AS quota
+              FROM rr),
+        r AS (SELECT doc_id, source, lang,
+                     row_number() OVER (PARTITION BY source, lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents)
+        SELECT r.source, r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS rk
+        FROM r JOIN q ON q.source = r.source AND q.lang = r.lang
+        WHERE r.rk <= q.quota
     """,
     "chi2_assoc": """
         WITH c AS (SELECT lang, source, count(*) AS o

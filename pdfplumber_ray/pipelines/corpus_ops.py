@@ -6268,3 +6268,197 @@ def apportion_quota_ds(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def bigram_surprisal_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Per-document BIGRAM-LM surprisal, INTEGER-EXACT — the conditional
+    upgrade of :func:`surprisal_ds` (closer to the perplexity filters
+    real pipelines run): each transition ``w1 -> w2`` contributes
+    ``floor(log2(c1(w1) / c2(w1 w2)))`` bits, the unsmoothed bigram-LM
+    negative log-prob. The log is exact by the same argument as the
+    unigram op: ``c2 <= c1`` (every bigram occurrence contains its
+    prefix), so the ratio is >= 1 and ``floor(log2(c1/c2)) ==
+    floor(log2(c1 // c2))`` (computed via the float64 exponent; binary
+    string length in the SQL twin). Docs with fewer than 2 tokens emit
+    no row (they have no transitions), matching the SQL join semantics.
+
+    Scale shape: ONE tagged partial pass emits combined per-block
+    unigram and bigram counts (disjoint key domains — tokens are
+    space-split, bigram keys contain a space) -> one Heaps'-bounded
+    ``groupby(gram)`` -> sorted-vocab broadcast (guarded) -> streaming
+    scoring pass (two searchsorted probes per batch)."""
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        uni: List[np.ndarray] = []
+        big: List[np.ndarray] = []
+        for t in toks:
+            a = np.asarray(t, dtype=object)
+            uni.append(a)
+            if len(t) >= 2:
+                big.append(
+                    np.char.add(
+                        np.char.add(a[:-1].astype(str), " "), a[1:].astype(str)
+                    ).astype(object)
+                )
+        parts = []
+        for arrs, kind in ((uni, 1), (big, 2)):
+            if arrs:
+                flat = np.concatenate(arrs).astype(str)
+                ug, cnt = np.unique(flat, return_counts=True)
+                parts.append(
+                    pa.table(
+                        {
+                            "g": pa.array(ug.astype(object), pa.string()),
+                            "k": pa.array(
+                                np.full(len(ug), kind, dtype=np.int64)
+                            ),
+                            "c": pa.array(cnt.astype(np.int64)),
+                        }
+                    )
+                )
+        if not parts:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "k": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    vocab_rows = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(gram_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "k"])
+        .aggregate(Sum("c"))
+        .materialize()
+    )
+    n_vocab = vocab_rows.count()
+    if n_vocab > max_vocab_broadcast:
+        raise ValueError(
+            f"gram vocabulary ({n_vocab}) exceeds max_vocab_broadcast="
+            f"{max_vocab_broadcast}; shard the count map"
+        )
+    df = vocab_rows.to_pandas()
+    uni_m = df[df["k"] == 1]
+    big_m = df[df["k"] == 2]
+    ut = np.asarray(uni_m["g"].tolist(), dtype=object).astype(str)
+    uc = uni_m["sum(c)"].to_numpy(dtype=np.int64)
+    o = np.argsort(ut, kind="stable")
+    ut, uc = ut[o], uc[o]
+    bt = np.asarray(big_m["g"].tolist(), dtype=object).astype(str)
+    bc = big_m["sum(c)"].to_numpy(dtype=np.int64)
+    o = np.argsort(bt, kind="stable")
+    bt, bc = bt[o], bc[o]
+    ref = ray.put((ut, uc, bt, bc))
+
+    def score(batch: pa.Table) -> pa.Table:
+        u_t, u_c, b_t, b_c = ray.get(ref)
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col)
+        toks = [(t or "").split(" ") for t in texts]
+        out_id: List[int] = []
+        nb_l: List[int] = []
+        bits_l: List[int] = []
+        for i, t in enumerate(toks):
+            if len(t) < 2:
+                continue
+            a = np.asarray(t, dtype=object).astype(str)
+            prev = a[:-1]
+            bg = np.char.add(np.char.add(prev, " "), a[1:])
+            c1 = u_c[np.searchsorted(u_t, prev)]
+            c2 = b_c[np.searchsorted(b_t, bg)]
+            q = c1 // c2
+            bits = int((np.frexp(q.astype(np.float64))[1] - 1).sum())
+            out_id.append(ids[i].as_py())
+            nb_l.append(len(t) - 1)
+            bits_l.append(bits)
+        nb = np.asarray(nb_l, dtype=np.int64)
+        sb = np.asarray(bits_l, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "n_bigrams": pa.array(nb),
+                "bigram_bits": pa.array(sb),
+                "mean_bits_e3": pa.array(
+                    1000 * sb // np.maximum(nb, 1) if len(nb) else nb
+                ),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def quota_sample_ds(
+    docs: Dataset,
+    k: int = 100,
+    group_cols: Tuple[str, str] = ("source", "lang"),
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Deterministic stratified draw under Hamilton quotas — the
+    end-to-end sampler: :func:`apportion_quota_ds` allocates ``k`` slots
+    across strata, then each stratum yields its ``quota`` docs by
+    md5-hash rank (``md5(str(id))`` hex ASC, id ASC ties) — reproducible
+    across engines and runs, no RNG state. Emits
+    ``(source, lang, doc_id, rk)`` with exactly ``k`` rows total.
+
+    Scale shape: the quota table is the tiny apportionment output
+    (broadcast in the closure); the draw is one ``groupby(strata)``
+    over the bounded stratum domain with an in-group argsort — only
+    the 3-column projection shuffles."""
+    import hashlib
+
+    ga, gb = group_cols
+    quotas = {
+        (r[ga], r[gb]): int(r["quota"])
+        for r in apportion_quota_ds(docs, k=k, group_cols=group_cols).take_all()
+    }
+    q_ref = ray.put(quotas)
+
+    out_schema = pa.schema(
+        [
+            (ga, pa.string()),
+            (gb, pa.string()),
+            (id_col, pa.int64()),
+            ("rk", pa.int64()),
+        ]
+    )
+
+    def draw(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        qs = ray.get(q_ref)
+        key = (group.column(ga)[0].as_py(), group.column(gb)[0].as_py())
+        quota = qs.get(key, 0)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        hexes = np.asarray(
+            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids],
+            dtype=object,
+        )
+        order = np.lexsort((ids, hexes))[:quota]
+        return pa.table(
+            {
+                ga: pa.array([key[0]] * len(order), pa.string()),
+                gb: pa.array([key[1]] * len(order), pa.string()),
+                id_col: pa.array(ids[order], pa.int64()),
+                "rk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    from .analytics import _anchor_schema
+
+    return _anchor_schema(
+        docs.select_columns([ga, gb, id_col])
+        .groupby([ga, gb])
+        .map_groups(draw, batch_format="pyarrow"),
+        out_schema,
+    )

@@ -1806,3 +1806,45 @@ def test_apportion_quota_sums_to_k(ray_session):
     # base: 2,2,2 (floor 2.1,2.1,2.8); leftover 1 goes to largest rem = c
     assert rows == {"a": 2, "b": 2, "c": 3}
     assert sum(rows.values()) == 7
+
+
+def test_bigram_surprisal_exact(ray_session):
+    # corpus: "a b" x3, "a c" x1 -> c1(a)=4, c2("a b")=3, c2("a c")=1
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(["a b", "a b", "a b", "a c", "z"], pa.string()),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in co.bigram_surprisal_ds(docs).take_all()}
+    # "a b": floor(log2(4 // 3)) = 0 bits; "a c": floor(log2(4 // 1)) = 2
+    assert rows[1]["bigram_bits"] == 0 and rows[1]["n_bigrams"] == 1
+    assert rows[4]["bigram_bits"] == 2
+    assert 5 not in rows  # single-token doc has no transitions
+
+
+def test_quota_sample_exact_k_and_determinism(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a"] * 30 + ["b"] * 10, pa.string()),
+                "lang": pa.array(["en"] * 40, pa.string()),
+                "doc_id": pa.array(list(range(40)), pa.int64()),
+            }
+        )
+    )
+    out1 = sorted(
+        (r["source"], r["doc_id"], r["rk"])
+        for r in co.quota_sample_ds(docs, k=8).take_all()
+    )
+    out2 = sorted(
+        (r["source"], r["doc_id"], r["rk"])
+        for r in co.quota_sample_ds(docs, k=8).take_all()
+    )
+    assert out1 == out2  # deterministic, no RNG state
+    assert len(out1) == 8
+    # quotas: a = floor(8*30/40) = 6, b = floor(8*10/40) = 2 (no remainders)
+    assert sum(1 for s, _, _ in out1 if s == "a") == 6
+    assert sum(1 for s, _, _ in out1 if s == "b") == 2
