@@ -453,6 +453,25 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_keyness(sf_dir: str) -> ray.data.Dataset:
+    """Per-source distinctive terms: integer lift of in-source term rate
+    over rest-of-corpus rate (add-one on the rest count), top-5 per
+    source by (lift DESC, term ASC)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return an.keyness_ds(docs, k=5)
+
+
+def q_rolling_active(sf_dir: str) -> ray.data.Dataset:
+    """Trailing-7-day active users per observed day (the WAU report),
+    exact distinct counts via bounded x7 pair expansion."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return an.rolling_active_ds(events, window_days=7)
+
+
 def q_bigram_surprisal(sf_dir: str) -> ray.data.Dataset:
     """Integer-exact bigram-LM surprisal per doc: each transition
     contributes floor(log2(c1(w1) // c2(w1 w2))) bits (exact — the
@@ -3380,6 +3399,8 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "keyness": q_keyness,
+    "rolling_active": q_rolling_active,
     "bigram_surprisal": q_bigram_surprisal,
     "quota_sample": q_quota_sample,
     "chi2_assoc": q_chi2_assoc,
@@ -3604,6 +3625,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "keyness",
+    "rolling_active",
     "bigram_surprisal",
     "quota_sample",
     "chi2_assoc",
@@ -3647,8 +3670,6 @@ _FRONT_R5 = [
     "trend",
     "cms_counts",
     "bloom_join",
-    "kmeans",
-    "session_baskets",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3659,6 +3680,8 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "kmeans",
+    "session_baskets",
     "group_ids",
     "percentiles",
     "reorder_gaps",
@@ -4175,6 +4198,32 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "keyness": """
+        WITH f AS (SELECT source, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        st AS (SELECT source, term, count(*) AS c FROM f GROUP BY source, term),
+        tt AS (SELECT term, SUM(c) AS ctot FROM st GROUP BY term),
+        stot AS (SELECT source, SUM(c) AS ts FROM st GROUP BY source),
+        tot AS (SELECT SUM(c) AS T FROM st),
+        sc AS (SELECT st.source, st.term, st.c AS c_s,
+                 CAST(st.c::HUGEINT * (tot.T - stot.ts) * 1000000
+                      // ((tt.ctot - st.c + 1) * stot.ts) AS BIGINT) AS lift_e6
+               FROM st JOIN tt USING (term) JOIN stot USING (source), tot),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                  ORDER BY lift_e6 DESC, term ASC) AS rank FROM sc)
+        SELECT source, term, CAST(c_s AS BIGINT) AS c_s, lift_e6,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5
+    """,
+    "rolling_active": """
+        WITH act AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // 86400000000 AS d FROM events),
+        days AS (SELECT DISTINCT d FROM act),
+        x AS (SELECT DISTINCT a.user_id, days.d AS day
+              FROM act a JOIN days ON days.d BETWEEN a.d AND a.d + 6)
+        SELECT CAST(day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS wau
+        FROM x GROUP BY day
     """,
     "bigram_surprisal": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions import textstats as ts
 
@@ -5673,3 +5673,261 @@ def robust_scale_ds(
     return ds.select_columns([id_col, group_col, value_col]).map_batches(
         scale, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def keyness_ds(
+    docs: Dataset,
+    k: int = 5,
+    text_col: str = "text",
+    group_col: str = "source",
+    max_vocab_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Per-source DISTINCTIVE terms (keyness): for every (source, term),
+    the integer lift of the term's in-source rate over its
+    rest-of-corpus rate — ``lift_e6 = c_s * T_rest * 1e6 //
+    ((c_rest + 1) * T_s)`` (add-one on the rest count so
+    source-exclusive terms stay finite) — and the top-``k`` terms per
+    source by (lift DESC, term ASC). The "what characterizes this
+    source" exploration op.
+
+    Scale shape: one (source, term) combiner -> Heaps'-bounded groupby;
+    per-term corpus totals derive from that same table (second small
+    groupby) and broadcast under a guard; scoring streams over the
+    (source, term) rows with per-block per-source top-k partials, and
+    only ``sources x block-k`` candidate rows reach the driver final.
+    Products are checked against int64 range and fall back to Python
+    bigints (the SQL twin is HUGEINT throughout)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        srcs = batch.column(group_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        lens = [len(t) for t in toks]
+        if not texts:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]).astype(str)
+        si = np.repeat(np.asarray(srcs, dtype=object), lens).astype(str)
+        order = np.lexsort((flat, si))
+        si, flat = si[order], flat[order]
+        first = np.concatenate(([True], (si[1:] != si[:-1]) | (flat[1:] != flat[:-1])))
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate((starts, [len(si)])))
+        return pa.table(
+            {
+                "s": pa.array(si[starts].astype(object), pa.string()),
+                "term": pa.array(flat[starts].astype(object), pa.string()),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    st = (
+        docs.select_columns([group_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["s", "term"])
+        .aggregate(Sum("c"))
+        .materialize()
+    )
+    if st.count() > max_vocab_broadcast:
+        raise ValueError(
+            f"(source, term) domain ({st.count()}) exceeds "
+            f"max_vocab_broadcast={max_vocab_broadcast}"
+        )
+
+    def term_tot_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"term": batch.column("term"), "ct": batch.column("sum(c)")}
+        )
+
+    tt = (
+        st.map_batches(term_tot_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("ct"))
+        .to_pandas()
+    )
+    terms_sorted = np.asarray(tt["term"].tolist(), dtype=object).astype(str)
+    ct_sorted = tt["sum(ct)"].to_numpy(dtype=np.int64)
+    o = np.argsort(terms_sorted, kind="stable")
+    terms_sorted, ct_sorted = terms_sorted[o], ct_sorted[o]
+
+    def src_tot_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["s", "sum(c)"]).group_by("s").aggregate([("sum(c)", "sum")])
+        return pa.table({"s": g.column("s"), "ts": g.column("sum(c)_sum")})
+
+    stot = {
+        r["s"]: int(r["sum(ts)"])
+        for r in st.map_batches(
+            src_tot_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("s")
+        .aggregate(Sum("ts"))
+        .take_all()
+    }
+    T = sum(stot.values())
+    ref = ray.put((terms_sorted, ct_sorted, stot, T))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        vt, vc, s_tot, T_all = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "s": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "c_s": pa.array([], pa.int64()),
+                    "lift_e6": pa.array([], pa.int64()),
+                }
+            )
+        srcs = batch.column("s").to_pylist()
+        terms = np.asarray(batch.column("term").to_pylist(), dtype=object).astype(str)
+        cs = batch.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        ctot = vc[np.searchsorted(vt, terms)]
+        crest = ctot - cs
+        ts_arr = np.fromiter((s_tot[s] for s in srcs), np.int64, count=len(srcs))
+        trest = T_all - ts_arr
+        # int64 overflow guard: fall back to Python bigints when needed
+        if len(cs) and int(cs.max()) * int(trest.max()) > (1 << 62) // 1_000_000:
+            lift = np.fromiter(
+                (
+                    int(a) * int(b) * 1_000_000 // ((int(r) + 1) * int(t))
+                    for a, b, r, t in zip(cs, trest, crest, ts_arr)
+                ),
+                np.int64,
+                count=len(cs),
+            )
+        else:
+            lift = cs * trest * 1_000_000 // ((crest + 1) * ts_arr)
+        # per-block per-source top-k partial
+        order = np.lexsort((terms, -lift))
+        keep_idx = []
+        seen: Dict[str, int] = {}
+        for i in order:
+            s = srcs[i]
+            if seen.get(s, 0) < k:
+                seen[s] = seen.get(s, 0) + 1
+                keep_idx.append(i)
+        keep_idx = np.asarray(keep_idx, dtype=np.int64)
+        return pa.table(
+            {
+                "s": pa.array([srcs[i] for i in keep_idx], pa.string()),
+                "term": pa.array(terms[keep_idx].astype(object), pa.string()),
+                "c_s": pa.array(cs[keep_idx], pa.int64()),
+                "lift_e6": pa.array(lift[keep_idx], pa.int64()),
+            }
+        )
+
+    cands = st.map_batches(
+        score_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # sources x block-k rows, tiny
+    rows = []
+    for s, sub in cands.groupby("s", sort=True):
+        sub = sub.sort_values(
+            ["lift_e6", "term"], ascending=[False, True]
+        ).head(k)
+        for rk, (_, r) in enumerate(sub.iterrows(), 1):
+            rows.append((s, r["term"], int(r["c_s"]), int(r["lift_e6"]), rk))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "term": pa.array([r[1] for r in rows], pa.string()),
+                "c_s": pa.array([r[2] for r in rows], pa.int64()),
+                "lift_e6": pa.array([r[3] for r in rows], pa.int64()),
+                "rank": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def rolling_active_ds(
+    events: Dataset,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> Dataset:
+    """Trailing-``window_days`` active users per observed day (the
+    WAU/rolling-DAU report): for each day present in the data, the
+    EXACT count of distinct users active on any of the preceding
+    ``window_days`` days (inclusive).
+
+    Scale shape: per-batch distinct-(user, day) combiner -> ONE
+    ``groupby(user, day)`` dedup; each surviving pair expands to the
+    ``window_days`` window-end days it contributes to (bounded x7 row
+    growth), filtered against the broadcast observed-day set (tiny —
+    days in range), re-deduped by a second combiner-backed groupby, and
+    counted per day. Raw events shuffle never; only (user, day) pairs."""
+
+    def _dedup2(u: np.ndarray, d: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        # distinct (u, d) pairs without bit packing (safe for any int64 id)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        first = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (d[1:] != d[:-1]))
+        ) if len(u) else np.zeros(0, bool)
+        return u[first], d[first]
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ts_v = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = batch.column(user_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = ts_v // 86_400_000_000
+        uu, dd = _dedup2(u, d)
+        return pa.table({"u": pa.array(uu, pa.int64()), "d": pa.array(dd, pa.int64())})
+
+    pairs = (
+        events.select_columns([user_col, ts_col])
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "d"])
+        .aggregate(Count())
+        .materialize()
+    )
+    days = sorted({r["d"] for r in pairs.select_columns(["d"]).take_all()})
+    days_ref = ray.put(np.asarray(days, dtype=np.int64))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        obs = ray.get(days_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        n = len(u)
+        w = np.arange(window_days, dtype=np.int64)
+        wd = (d[:, None] + w[None, :]).ravel()
+        uu = np.repeat(u, window_days)
+        keep = np.isin(wd, obs)
+        wd, uu = wd[keep], uu[keep]
+        uu, wd = _dedup2(uu, wd)
+        return pa.table(
+            {"u": pa.array(uu, pa.int64()), "wd": pa.array(wd, pa.int64())}
+        )
+
+    contrib = (
+        pairs.select_columns(["u", "d"])
+        .map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "wd"])
+        .aggregate(Count())
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        wd = batch.column("wd").to_numpy(zero_copy_only=False)
+        uw, cnt = np.unique(wd, return_counts=True)
+        return pa.table(
+            {"day": pa.array(uw, pa.int64()), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    out = (
+        contrib.map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch.column("day").cast(pa.int64()),
+                "wau": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1583,3 +1583,45 @@ def test_robust_scale_truncating_division(ray_session):
     assert rows[1]["scaled_e6"] == -500_000
     assert rows[4]["scaled_e6"] == 1_000_000
     assert all(r["zero_iqr"] == 0 for r in rows.values())
+
+
+def test_keyness_exclusive_term_tops(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # "zzz" appears only in src b -> highest lift there
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a", "a", "b"], pa.string()),
+                "text": pa.array(["w w w w", "w w w w", "zzz w"], pa.string()),
+            }
+        )
+    )
+    rows = [r for r in an.keyness_ds(docs, k=1).take_all()]
+    by_src = {r["source"]: r for r in rows}
+    assert by_src["b"]["term"] == "zzz"
+    # c_s=1, T_rest=8, c_rest=0, T_s=2 -> 1*8*1e6 // (1*2) = 4e6
+    assert by_src["b"]["lift_e6"] == 4_000_000
+    assert by_src["b"]["rank"] == 1
+
+
+def test_rolling_active_window(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # user 1 active day 0; user 2 active day 5; user 3 active day 20
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array([0, 5 * day, 20 * day], pa.timestamp("us")),
+            }
+        )
+    )
+    out = {r["day"]: r["wau"] for r in an.rolling_active_ds(ev, window_days=7).take_all()}
+    # observed days: 0, 5, 20. day 0: {1}; day 5: {1 (0 >= 5-6), 2}; day 20: {3}
+    assert out == {0: 1, 5: 2, 20: 1}
