@@ -453,6 +453,25 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_time_to_convert(sf_dir: str) -> ray.data.Dataset:
+    """Funnel latency: per user, first 'view' to first 'purchase'
+    at-or-after it; one bucketed shuffle, reduceat segment mins."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return an.time_to_convert_ds(events, from_type="view", to_type="purchase")
+
+
+def q_changepoint(sf_dir: str) -> ray.data.Dataset:
+    """Integer-exact CUSUM changepoint per event type over daily counts
+    (zeros filled across the type's span): window maximizing
+    |n*prefix_k - k*S|, earliest on ties."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return an.changepoint_ds(events)
+
+
 def q_keyness(sf_dir: str) -> ray.data.Dataset:
     """Per-source distinctive terms: integer lift of in-source term rate
     over rest-of-corpus rate (add-one on the rest count), top-5 per
@@ -3399,6 +3418,8 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "time_to_convert": q_time_to_convert,
+    "changepoint": q_changepoint,
     "keyness": q_keyness,
     "rolling_active": q_rolling_active,
     "bigram_surprisal": q_bigram_surprisal,
@@ -3625,6 +3646,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "time_to_convert",
+    "changepoint",
     "keyness",
     "rolling_active",
     "bigram_surprisal",
@@ -3668,8 +3691,6 @@ _FRONT_R5 = [
     "interval_merge",
     "ks_drift",
     "trend",
-    "cms_counts",
-    "bloom_join",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3680,6 +3701,8 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "cms_counts",
+    "bloom_join",
     "kmeans",
     "session_baskets",
     "group_ids",
@@ -4198,6 +4221,47 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "time_to_convert": """
+        WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t_from
+                   FROM events WHERE event_type = 'view' GROUP BY user_id),
+        t AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_to
+              FROM events e JOIN f ON f.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.t_from
+              GROUP BY e.user_id)
+        SELECT f.user_id, CAST(f.t_from AS BIGINT) AS t_from_us,
+               CAST(t.t_to AS BIGINT) AS t_to_us,
+               CAST(t.t_to - f.t_from AS BIGINT) AS delta_us
+        FROM f JOIN t USING (user_id)
+    """,
+    "changepoint": """
+        WITH c AS (SELECT event_type,
+                          (epoch_us(ts) // 86400000000) * 86400000000 AS w,
+                          count(*) AS n FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, min(w) AS lo, max(w) AS hi FROM c GROUP BY 1),
+        sp AS (SELECT event_type,
+                      unnest(range(lo, hi + 86400000000, 86400000000)) AS w
+               FROM b),
+        x AS (SELECT sp.event_type, sp.w, coalesce(c.n, 0) AS n
+              FROM sp LEFT JOIN c ON c.event_type = sp.event_type
+                                 AND c.w = sp.w),
+        s AS (SELECT event_type,
+                     count(*) OVER (PARTITION BY event_type) AS nw,
+                     SUM(n) OVER (PARTITION BY event_type) AS S,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY w)
+                         AS prefix,
+                     row_number() OVER (PARTITION BY event_type ORDER BY w)
+                         AS k,
+                     w
+              FROM x),
+        d AS (SELECT event_type, nw, w,
+                     abs(nw * prefix - k * S) AS dev FROM s),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY dev DESC, w ASC) AS rk FROM d)
+        SELECT event_type, CAST(nw AS BIGINT) AS n_windows,
+               CAST(w AS BIGINT) AS change_window_us,
+               CAST(dev AS BIGINT) AS max_dev_scaled
+        FROM r WHERE rk = 1
     """,
     "keyness": """
         WITH f AS (SELECT source, unnest(string_split(text, ' ')) AS term

@@ -5931,3 +5931,170 @@ def rolling_active_ds(
         )
 
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def time_to_convert_ds(
+    events: Dataset,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Funnel latency: per user, the time from the FIRST ``from_type``
+    event to the first ``to_type`` event at-or-after it — the
+    time-to-convert metric product analytics medians over. Emits one row
+    per converting user: ``(user_id, t_from_us, t_to_us, delta_us)``.
+
+    Scale shape: events project to the two types only (pre-exchange
+    filter), then ONE ``mix64(user) % n_buckets`` shuffle; in-bucket one
+    lexsort + segmented first-of-type scans (vectorized min over segment
+    positions) — no per-user Python, no global sort."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.is_in(
+                batch.column(type_col),
+                value_set=pa.array([from_type, to_type]),
+            )
+        )
+        k = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "ts_us": t.column(ts_col).cast(pa.int64()),
+                "is_to": pa.array(
+                    pc.equal(t.column(type_col), pa.scalar(to_type)).to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("t_from_us", pa.int64()),
+            ("t_to_us", pa.int64()),
+            ("delta_us", pa.int64()),
+        ]
+    )
+
+    def bucket_convert(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        is_to = group.column("is_to").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, k))
+        k, t, is_to = k[order], t[order], is_to[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(k)])))
+        big = np.int64(1 << 62)
+        # first from-event ts per user: mask to-events to +inf, reduceat min
+        t_from = np.minimum.reduceat(np.where(is_to == 0, t, big), starts)
+        # first to-event at-or-after that: compare each row to its
+        # segment's t_from, mask the rest, reduceat min again — all
+        # vectorized, no per-user Python
+        t_from_e = np.repeat(t_from, seg_len)
+        to_ok = (is_to == 1) & (t >= t_from_e)
+        t_to = np.minimum.reduceat(np.where(to_ok, t, big), starts)
+        keep = (t_from < big) & (t_to < big)
+        ku, fa, ta = k[starts][keep], t_from[keep], t_to[keep]
+        return pa.table(
+            {
+                key_col: pa.array(ku, pa.int64()),
+                "t_from_us": pa.array(fa, pa.int64()),
+                "t_to_us": pa.array(ta, pa.int64()),
+                "delta_us": pa.array(ta - fa, pa.int64()),
+            }
+        )
+
+    projected = events.select_columns([key_col, ts_col, type_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _anchor_schema(
+        projected.groupby("bkt").map_groups(bucket_convert, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+def changepoint_ds(
+    events: Dataset,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    width_us: int = 86_400_000_000,
+) -> Dataset:
+    """CUSUM changepoint per event type over its per-window counts,
+    INTEGER-EXACT: with window counts ``x_1..x_n`` (every window in the
+    type's [min, max] span, zeros included) and total ``S``, the scaled
+    cumulative deviation ``cum_k = n * prefix_k - k * S`` (the usual
+    ``prefix_k - k*S/n`` times ``n``, so it stays integer); the
+    changepoint is the window maximizing ``|cum_k|`` (earliest wins
+    ties). Emits ``(event_type, n_windows, change_window_us,
+    max_dev_scaled)`` — the ops-monitoring "when did the rate shift"
+    primitive.
+
+    Scale shape: per-batch (type, window) count combiner -> bounded
+    (types x windows) groupby -> the per-type scan runs on the
+    materialized report-sized table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_v = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts_v // width_us) * width_us
+        t = pa.table(
+            {
+                type_col: batch.column(type_col),
+                "w": pa.array(w, pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by([type_col, "w"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                type_col: g.column(type_col),
+                "w": g.column("w"),
+                "n": g.column("n_sum"),
+            }
+        )
+
+    df = (
+        events.select_columns([ts_col, type_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([type_col, "w"])
+        .aggregate(Sum("n"))
+        .to_pandas()  # report-sized: types x windows
+    )
+    types_out, nw_out, cw_out, dev_out = [], [], [], []
+    for tname, sub in df.groupby(type_col, sort=True):
+        w = sub["w"].to_numpy(dtype=np.int64)
+        c = sub["sum(n)"].to_numpy(dtype=np.int64)
+        lo, hi = int(w.min()), int(w.max())
+        span = np.arange(lo, hi + width_us, width_us, dtype=np.int64)
+        x = np.zeros(len(span), dtype=np.int64)
+        x[(w - lo) // width_us] = c
+        n = len(span)
+        S = int(x.sum())
+        prefix = np.cumsum(x)
+        kk = np.arange(1, n + 1, dtype=np.int64)
+        cum = n * prefix - kk * S
+        i = int(np.argmax(np.abs(cum)))  # earliest max (argmax is first)
+        types_out.append(tname)
+        nw_out.append(n)
+        cw_out.append(int(span[i]))
+        dev_out.append(int(abs(cum[i])))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                type_col: pa.array(types_out, pa.string()),
+                "n_windows": pa.array(nw_out, pa.int64()),
+                "change_window_us": pa.array(cw_out, pa.int64()),
+                "max_dev_scaled": pa.array(dev_out, pa.int64()),
+            }
+        )
+    )

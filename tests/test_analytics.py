@@ -1625,3 +1625,59 @@ def test_rolling_active_window(ray_session):
     out = {r["day"]: r["wau"] for r in an.rolling_active_ds(ev, window_days=7).take_all()}
     # observed days: 0, 5, 20. day 0: {1}; day 5: {1 (0 >= 5-6), 2}; day 20: {3}
     assert out == {0: 1, 5: 2, 20: 1}
+
+
+def test_time_to_convert_first_pair_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # user 1: purchase BEFORE first view is ignored; first view at t=10,
+    # first purchase at-or-after is t=30. user 2: never converts.
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([5, 10, 30, 40, 7], pa.timestamp("us")),
+                "event_type": pa.array(
+                    ["purchase", "view", "purchase", "purchase", "view"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = an.time_to_convert_ds(ev).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_id"], r["t_from_us"], r["t_to_us"], r["delta_us"]) == (1, 10, 30, 20)
+
+
+def test_changepoint_level_shift(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # type 'a': 1/day for days 0-3, then 5/day for days 4-7 -> CUSUM
+    # |n*prefix - k*S| peaks at the shift boundary (end of day 3)
+    ts = []
+    for d in range(4):
+        ts.append(d * day)
+    for d in range(4, 8):
+        ts.extend([d * day] * 5)
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(["a"] * len(ts), pa.string()),
+            }
+        )
+    )
+    out = an.changepoint_ds(ev).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_windows"] == 8
+    assert r["change_window_us"] == 3 * day  # last quiet day
+    # prefix_4 = 4, k=4, S=24, n=8 -> |8*4 - 4*24| = 64
+    assert r["max_dev_scaled"] == 64
