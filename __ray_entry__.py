@@ -453,6 +453,27 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q5-style report: revenue cents per customer nation via the
+    big-big bucketed hash join (lineitem x orders) plus broadcast
+    customer->nation attach."""
+    return an.revenue_by_nation_ds(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ),
+    )
+
+
 def q_time_to_convert(sf_dir: str) -> ray.data.Dataset:
     """Funnel latency: per user, first 'view' to first 'purchase'
     at-or-after it; one bucketed shuffle, reduceat segment mins."""
@@ -3418,6 +3439,7 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "revenue_by_nation": q_revenue_by_nation,
     "time_to_convert": q_time_to_convert,
     "changepoint": q_changepoint,
     "keyness": q_keyness,
@@ -3646,6 +3668,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "revenue_by_nation",
     "time_to_convert",
     "changepoint",
     "keyness",
@@ -3690,7 +3713,6 @@ _FRONT_R5 = [
     "fuzzy_join",
     "interval_merge",
     "ks_drift",
-    "trend",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3701,6 +3723,7 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "trend",
     "cms_counts",
     "bloom_join",
     "kmeans",
@@ -4221,6 +4244,18 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "revenue_by_nation": """
+        SELECT n.n_name,
+               CAST(SUM(CAST(floor(l.l_extendedprice
+                    * (1.0 - l.l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_e2,
+               CAST(count(*) AS BIGINT) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
     """,
     "time_to_convert": """
         WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t_from

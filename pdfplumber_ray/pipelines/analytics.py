@@ -6098,3 +6098,107 @@ def changepoint_ds(
             }
         )
     )
+
+
+def revenue_by_nation_ds(
+    lineitem: Dataset,
+    orders: Dataset,
+    customer: Dataset,
+    nation: Dataset,
+    max_lookup_rows: int = 50_000_000,
+) -> Dataset:
+    """TPC-H-Q5-style multi-join report: revenue
+    ``sum(floor(extendedprice * (1 - discount) * 100))`` per customer
+    nation — the star-plus-one-fact-to-fact shape that exercises BOTH
+    join strategies: lineitem ⨝ orders is the big-big bucketed hash
+    join (:func:`hash_join_ds`, one exchange each side), while
+    customer -> nation attach by broadcast lookup (``ray.put`` once,
+    guarded by ``max_lookup_rows``). Revenue quantizes to cents via the
+    identical IEEE double product on both engines.
+
+    Scale shape: both fact tables pre-project to 2-3 columns before the
+    exchange; the joined stream feeds a per-batch nation combiner, so
+    the final groupby moves one row per nation per block."""
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "rev_e2": pa.array(rev, pa.int64()),
+            }
+        )
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+            }
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_proj, batch_format="pyarrow", zero_copy_batch=True)
+    od = orders.select_columns(["o_orderkey", "o_custkey"]).map_batches(
+        o_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join_ds(li, od, "l_orderkey", "o_orderkey", how="inner")
+
+    n_cust = customer.count()
+    if n_cust > max_lookup_rows:
+        raise ValueError(
+            f"customer side ({n_cust} rows) exceeds max_lookup_rows="
+            f"{max_lookup_rows}; use a second bucketed join"
+        )
+    cdf = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys = cdf["c_custkey"].to_numpy(dtype=np.int64)
+    cnat = cdf["c_nationkey"].to_numpy(dtype=np.int64)
+    o = np.argsort(ckeys, kind="stable")
+    ckeys, cnat = ckeys[o], cnat[o]
+    ndf = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    # nation keys are small ints: direct-index name table
+    nkeys = ndf["n_nationkey"].to_numpy(dtype=np.int64)
+    names_tbl = np.empty(int(nkeys.max()) + 1, dtype=object)
+    names_tbl[nkeys] = ndf["n_name"].to_numpy(dtype=object)
+    cust_ref = ray.put((ckeys, cnat, names_tbl))
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        ck_s, cn_s, nm_tbl = ray.get(cust_ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        rev = batch.column("rev_e2").to_numpy(zero_copy_only=False)
+        names = nm_tbl[cn_s[np.searchsorted(ck_s, ck)]]
+        t = pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "rev": pa.array(rev, pa.int64()),
+                "n": pa.array(np.ones(len(ck), dtype=np.int64)),
+            }
+        )
+        g = t.group_by("n_name").aggregate([("rev", "sum"), ("n", "sum")])
+        return pa.table(
+            {
+                "n_name": g.column("n_name"),
+                "rev": g.column("rev_sum"),
+                "n": g.column("n_sum"),
+            }
+        )
+
+    out = (
+        joined.map_batches(nation_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("rev"), Sum("n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "revenue_e2": batch.column("sum(rev)").cast(pa.int64()),
+                "n_lineitems": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1681,3 +1681,52 @@ def test_changepoint_level_shift(ray_session):
     assert r["change_window_us"] == 3 * day  # last quiet day
     # prefix_4 = 4, k=4, S=24, n=8 -> |8*4 - 4*24| = 64
     assert r["max_dev_scaled"] == 64
+
+
+def test_revenue_by_nation_join_chain(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                "l_extendedprice": pa.array([100.0, 200.0, 50.0]),
+                "l_discount": pa.array([0.1, 0.0, 0.5]),
+            }
+        )
+    )
+    od = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([10, 20], pa.int64()),
+            }
+        )
+    )
+    cu = ray.data.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array([10, 20], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int64()),
+            }
+        )
+    )
+    na = ray.data.from_arrow(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                "n_name": pa.array(["FRANCE", "KENYA"], pa.string()),
+            }
+        )
+    )
+    rows = {
+        r["n_name"]: r
+        for r in an.revenue_by_nation_ds(li, od, cu, na).take_all()
+    }
+    # order 1 -> cust 10 -> FRANCE: 100*0.9*100 + 200*1.0*100 = 29000
+    assert rows["FRANCE"]["revenue_e2"] == 29_000
+    assert rows["FRANCE"]["n_lineitems"] == 2
+    # order 2 -> KENYA: 50*0.5*100 = 2500
+    assert rows["KENYA"]["revenue_e2"] == 2_500
