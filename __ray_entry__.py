@@ -453,6 +453,15 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_length_buckets(sf_dir: str) -> ray.data.Dataset:
+    """Dynamic-batching length buckets: 8 quantile buckets over n_chars
+    with per-bucket padding overhead (pad-to-max), integer-exact."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+    return co.length_buckets_ds(docs, n_bucket=8)
+
+
 def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     """TPC-H-Q5-style report: revenue cents per customer nation via the
     big-big bucketed hash join (lineitem x orders) plus broadcast
@@ -3439,6 +3448,7 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "length_buckets": q_length_buckets,
     "revenue_by_nation": q_revenue_by_nation,
     "time_to_convert": q_time_to_convert,
     "changepoint": q_changepoint,
@@ -3668,6 +3678,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "length_buckets",
     "revenue_by_nation",
     "time_to_convert",
     "changepoint",
@@ -3712,7 +3723,6 @@ _FRONT_R5 = [
     "source_overlap",
     "fuzzy_join",
     "interval_merge",
-    "ks_drift",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3723,6 +3733,7 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "ks_drift",
     "trend",
     "cms_counts",
     "bloom_join",
@@ -4244,6 +4255,27 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "length_buckets": """
+        WITH v AS (SELECT CAST(n_chars AS BIGINT) AS L FROM documents),
+        cd AS (SELECT L, count(*) AS c FROM v GROUP BY L),
+        cum AS (SELECT L, SUM(c) OVER (ORDER BY L) AS cum,
+                       SUM(c) OVER () AS n FROM cd),
+        bnd AS (SELECT r.j,
+                       MIN(CASE WHEN cum >= (r.j * n + 7) // 8 THEN L END) AS b
+                FROM cum CROSS JOIN range(1, 9) r(j) GROUP BY r.j),
+        a AS (SELECT v.L,
+                     1 + (SELECT count(*) FROM bnd WHERE bnd.b < v.L)
+                         AS bucket
+              FROM v)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(L) AS BIGINT) AS max_len,
+               CAST(SUM(L) AS BIGINT) AS sum_len,
+               CAST(count(*) * max(L) - SUM(L) AS BIGINT) AS padding,
+               CAST((count(*) * max(L) - SUM(L)) * 1000
+                    // (count(*) * max(L)) AS BIGINT) AS padding_permille
+        FROM a GROUP BY bucket
     """,
     "revenue_by_nation": """
         SELECT n.n_name,

@@ -6462,3 +6462,109 @@ def quota_sample_ds(
         .map_groups(draw, batch_format="pyarrow"),
         out_schema,
     )
+
+
+def length_buckets_ds(
+    docs: Dataset,
+    n_bucket: int = 8,
+    value_col: str = "n_chars",
+    max_domain_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Length-bucketing report for dynamic batching — quantile bucket
+    boundaries plus the padding overhead each bucket pays when padded to
+    its max (the statistic that justifies sequence bucketing): docs
+    assign to the smallest bucket ``j`` whose boundary (the value at
+    integer rank ``ceil(j*n/n_bucket)``) covers their length; per bucket
+    the report emits ``(bucket, n_docs, max_len, sum_len, padding,
+    padding_permille)`` — all integer-exact.
+
+    Scale shape: one value-count combiner -> bounded value-domain
+    groupby (guarded) -> boundaries computed on the driver CDF and
+    broadcast -> one streaming assign pass with a per-batch bucket
+    combiner -> ONE n_bucket-sized groupby."""
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).cast(pa.int64())
+        g = pa.table({"v": v}).group_by("v").aggregate([("v", "count")])
+        return pa.table(
+            {"v": g.column("v"), "c": g.column("v_count").cast(pa.int64())}
+        )
+
+    hist = (
+        docs.select_columns([value_col])
+        .map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("c"))
+        .materialize()
+    )
+    if hist.count() > max_domain_broadcast:
+        raise ValueError(
+            f"value domain ({hist.count()}) exceeds "
+            f"max_domain_broadcast={max_domain_broadcast}"
+        )
+    df = hist.to_pandas().sort_values("v").reset_index(drop=True)
+    vals = df["v"].to_numpy(dtype=np.int64)
+    cnts = df["sum(c)"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    bnd = np.asarray(
+        [
+            int(vals[np.searchsorted(cum, (j * n + n_bucket - 1) // n_bucket)])
+            for j in range(1, n_bucket + 1)
+        ],
+        dtype=np.int64,
+    )
+    bnd_ref = ray.put(bnd)
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(bnd_ref)
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # bucket = 1 + #{j : bnd_j < L} (min-j-covering, exact under
+        # duplicate boundary values because bnd is nondecreasing)
+        bk = np.searchsorted(b, v, side="left").astype(np.int64) + 1
+        t = pa.table(
+            {
+                "bucket": pa.array(bk, pa.int64()),
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+                "mx": pa.array(v, pa.int64()),
+                "sm": pa.array(v, pa.int64()),
+            }
+        )
+        g = t.group_by("bucket").aggregate(
+            [("n", "sum"), ("mx", "max"), ("sm", "sum")]
+        )
+        return pa.table(
+            {
+                "bucket": g.column("bucket"),
+                "n": g.column("n_sum"),
+                "mx": g.column("mx_max"),
+                "sm": g.column("sm_sum"),
+            }
+        )
+
+    agg = (
+        docs.select_columns([value_col])
+        .map_batches(assign_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n"), Max("mx"), Sum("sm"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = batch.column("max(mx)").to_numpy(zero_copy_only=False).astype(np.int64)
+        sm = batch.column("sum(sm)").to_numpy(zero_copy_only=False).astype(np.int64)
+        pad = nd * mx - sm
+        return pa.table(
+            {
+                "bucket": batch.column("bucket").cast(pa.int64()),
+                "n_docs": pa.array(nd),
+                "max_len": pa.array(mx),
+                "sum_len": pa.array(sm),
+                "padding": pa.array(pad),
+                "padding_permille": pa.array(
+                    pad * 1000 // np.maximum(nd * mx, 1)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

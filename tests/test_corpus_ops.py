@@ -1848,3 +1848,17 @@ def test_quota_sample_exact_k_and_determinism(ray_session):
     # quotas: a = floor(8*30/40) = 6, b = floor(8*10/40) = 2 (no remainders)
     assert sum(1 for s, _, _ in out1 if s == "a") == 6
     assert sum(1 for s, _, _ in out1 if s == "b") == 2
+
+
+def test_length_buckets_padding(ray_session):
+    # 8 docs, lengths 1..8, 2 buckets -> boundaries at rank ceil(4)=4 and
+    # ceil(8)=8: bucket1 = lens 1-4, bucket2 = lens 5-8
+    docs = ray.data.from_arrow(
+        pa.table({"n_chars": pa.array(list(range(1, 9)), pa.int64())})
+    )
+    rows = {r["bucket"]: r for r in co.length_buckets_ds(docs, n_bucket=2).take_all()}
+    assert rows[1]["n_docs"] == 4 and rows[1]["max_len"] == 4
+    assert rows[1]["padding"] == 4 * 4 - 10  # 6
+    assert rows[2]["n_docs"] == 4 and rows[2]["max_len"] == 8
+    assert rows[2]["padding"] == 4 * 8 - 26  # 6
+    assert rows[1]["padding_permille"] == 6 * 1000 // 16

@@ -46,7 +46,12 @@ def test_front_window_holds_new_and_never_sampled():
         "simpson_diversity", "corpus_checksum",
         "substring_dedup", "dedup_resolution_cogroup",
         "asof_join_bucketed", "main_content",
-        "interval_merge", "ks_drift", "trend",
+        # session-8 additions
+        "temperature_mix", "containment_dedup", "token_budget_select",
+        "shuffle_shards", "novelty_score", "apportion_quota",
+        "chi2_assoc", "trending", "robust_scale", "bigram_surprisal",
+        "quota_sample", "keyness", "rolling_active", "time_to_convert",
+        "changepoint", "revenue_by_nation", "length_buckets",
     ):
         assert name in first50, f"{name} fell outside the driver gate window"
 
