@@ -453,6 +453,19 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_dup_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Exact-duplicate family-size distribution (how big is the dedup
+    problem): (family_size, n_families, n_docs)."""
+    return co.dup_histogram_ds(_documents(sf_dir))
+
+
+def q_term_coverage(sf_dir: str) -> ray.data.Dataset:
+    """Zipf concentration audit: token share covered by the top-k terms
+    for k in (10, 100, 1000), integer ppm."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return co.term_coverage_ds(docs)
+
+
 def q_length_buckets(sf_dir: str) -> ray.data.Dataset:
     """Dynamic-batching length buckets: 8 quantile buckets over n_chars
     with per-bucket padding overhead (pad-to-max), integer-exact."""
@@ -3448,6 +3461,8 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "dup_histogram": q_dup_histogram,
+    "term_coverage": q_term_coverage,
     "length_buckets": q_length_buckets,
     "revenue_by_nation": q_revenue_by_nation,
     "time_to_convert": q_time_to_convert,
@@ -3678,6 +3693,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "dup_histogram",
+    "term_coverage",
     "length_buckets",
     "revenue_by_nation",
     "time_to_convert",
@@ -3721,8 +3738,6 @@ _FRONT_R5 = [
     "phash_dedup",
     "rrf_fusion",
     "source_overlap",
-    "fuzzy_join",
-    "interval_merge",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3733,6 +3748,8 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "fuzzy_join",
+    "interval_merge",
     "ks_drift",
     "trend",
     "cms_counts",
@@ -4255,6 +4272,29 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "dup_histogram": """
+        WITH f AS (SELECT md5(text) AS h, count(*) AS sz
+                   FROM documents GROUP BY md5(text))
+        SELECT CAST(sz AS BIGINT) AS family_size,
+               CAST(count(*) AS BIGINT) AS n_families,
+               CAST(sz * count(*) AS BIGINT) AS n_docs
+        FROM f GROUP BY sz
+    """,
+    "term_coverage": """
+        WITH c AS (SELECT w, count(*) AS c
+                   FROM (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents) GROUP BY w),
+        tot AS (SELECT SUM(c) AS t FROM c),
+        r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk
+              FROM c),
+        ks AS (SELECT unnest([10, 100, 1000]) AS k)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST(SUM(r.c) AS BIGINT) AS covered,
+               CAST(tot.t AS BIGINT) AS total,
+               CAST(SUM(r.c) * 1000000 // tot.t AS BIGINT) AS share_ppm
+        FROM ks JOIN r ON r.rk <= ks.k, tot
+        GROUP BY ks.k, tot.t
     """,
     "length_buckets": """
         WITH v AS (SELECT CAST(n_chars AS BIGINT) AS L FROM documents),

@@ -6568,3 +6568,146 @@ def length_buckets_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_histogram_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Exact-duplicate FAMILY-SIZE distribution — the dedup report that
+    sizes the problem before any removal runs: how many text families
+    have exactly 1, 2, 3, ... members. Emits
+    ``(family_size, n_families, n_docs)`` (``n_docs = size *
+    n_families``).
+
+    Scale shape: per-batch md5-digest count combiner -> ONE
+    digest-domain groupby (one row per distinct text) -> per-block
+    size-count partial -> a second tiny groupby over the size domain
+    (bounded by the largest family)."""
+
+    def digest_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        h = pa.array(ts.md5_hex([t or "" for t in texts]).tolist(), pa.string())
+        t = pa.table(
+            {"h": h, "n": pa.array(np.ones(len(texts), dtype=np.int64))}
+        )
+        g = t.group_by("h").aggregate([("n", "sum")])
+        return pa.table({"h": g.column("h"), "n": g.column("n_sum")})
+
+    fams = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(digest_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("n"))
+    )
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "family_size": pa.array(u.astype(np.int64)),
+                "nf": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    out = (
+        fams.map_batches(size_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("family_size")
+        .aggregate(Sum("nf"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        fs = batch.column("family_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = batch.column("sum(nf)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "family_size": pa.array(fs),
+                "n_families": pa.array(nf),
+                "n_docs": pa.array(fs * nf),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def term_coverage_ds(
+    docs: Dataset,
+    ks: Tuple[int, ...] = (10, 100, 1000),
+    text_col: str = "text",
+) -> Dataset:
+    """Vocabulary concentration: the share of all tokens covered by the
+    top-``k`` terms (count DESC, term ASC ties) for each ``k`` in
+    ``ks`` — the Zipf-curve audit that decides whether a frequent-term
+    cache / stopword list pays off. Emits ``(k, covered, total,
+    share_ppm)``, integer-exact.
+
+    Scale shape: per-batch term-count combiner -> ONE Heaps'-bounded
+    vocab groupby, materialized ONCE and reused for both the corpus
+    total (streamed aggregate) and the top-k (per-block top-max(k)
+    partials -> driver final over ``blocks x max(k)`` candidate rows);
+    the full vocabulary never reaches the driver."""
+    kmax = max(ks)
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        if not texts:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks]).astype(str)
+        uw, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uw.astype(object), pa.string()),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    vocab = (
+        docs.select_columns([text_col])
+        .map_batches(term_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("c"))
+        .materialize()  # one row per distinct term; reused twice below
+    )
+    total = int(vocab.sum("sum(c)") or 0)
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch.column("term").to_pylist(), dtype=object).astype(str)
+        c = batch.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((terms, -c))[:kmax]
+        return pa.table(
+            {
+                "term": pa.array(terms[order].astype(object), pa.string()),
+                "c": pa.array(c[order], pa.int64()),
+            }
+        )
+
+    cand = vocab.map_batches(
+        topk_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # blocks x kmax rows, tiny
+    terms = np.asarray(cand["term"].tolist(), dtype=object).astype(str)
+    c = cand["c"].to_numpy(dtype=np.int64)
+    order = np.lexsort((terms, -c))
+    c_sorted = c[order]
+    rows_k, rows_cov = [], []
+    for k in sorted(ks):
+        cov = int(c_sorted[:k].sum())
+        rows_k.append(k)
+        rows_cov.append(cov)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(rows_k, pa.int64()),
+                "covered": pa.array(rows_cov, pa.int64()),
+                "total": pa.array([total] * len(rows_k), pa.int64()),
+                "share_ppm": pa.array(
+                    [cv * 1_000_000 // max(total, 1) for cv in rows_cov],
+                    pa.int64(),
+                ),
+            }
+        )
+    )

@@ -1862,3 +1862,31 @@ def test_length_buckets_padding(ray_session):
     assert rows[2]["n_docs"] == 4 and rows[2]["max_len"] == 8
     assert rows[2]["padding"] == 4 * 8 - 26  # 6
     assert rows[1]["padding_permille"] == 6 * 1000 // 16
+
+
+def test_dup_histogram_planted_families(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(6)), pa.int64()),
+                "text": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+            }
+        )
+    )
+    rows = {r["family_size"]: r for r in co.dup_histogram_ds(docs).take_all()}
+    assert rows[3]["n_families"] == 1 and rows[3]["n_docs"] == 3
+    assert rows[2]["n_families"] == 1 and rows[2]["n_docs"] == 2
+    assert rows[1]["n_families"] == 1 and rows[1]["n_docs"] == 1
+
+
+def test_term_coverage_zipf(ray_session):
+    # tokens: x*6, y*3, z*1 -> top-1 covers 6/10
+    docs = ray.data.from_arrow(
+        pa.table(
+            {"text": pa.array(["x x x x x x y y y z"], pa.string())}
+        )
+    )
+    rows = {r["k"]: r for r in co.term_coverage_ds(docs, ks=(1, 2)).take_all()}
+    assert rows[1]["covered"] == 6 and rows[1]["total"] == 10
+    assert rows[1]["share_ppm"] == 600_000
+    assert rows[2]["covered"] == 9 and rows[2]["share_ppm"] == 900_000
