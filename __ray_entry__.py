@@ -453,6 +453,19 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_lsh_bucket_stats(sf_dir: str) -> ray.data.Dataset:
+    """LSH band-bucket size distribution — the skew audit for the
+    MinHash dedup path (would the max_bucket star-cap fire?)."""
+    return co.lsh_bucket_stats_ds(_documents(sf_dir))
+
+
+def q_backoff_surprisal(sf_dir: str) -> ray.data.Dataset:
+    """Held-out bigram cross-entropy with stupid backoff: even docs
+    train counts, odd docs score; unseen bigrams back off (+2 bits),
+    unseen unigrams hit the uniform floor."""
+    return co.backoff_surprisal_ds(_documents(sf_dir))
+
+
 def q_dup_histogram(sf_dir: str) -> ray.data.Dataset:
     """Exact-duplicate family-size distribution (how big is the dedup
     problem): (family_size, n_families, n_docs)."""
@@ -3461,6 +3474,8 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "lsh_bucket_stats": q_lsh_bucket_stats,
+    "backoff_surprisal": q_backoff_surprisal,
     "dup_histogram": q_dup_histogram,
     "term_coverage": q_term_coverage,
     "length_buckets": q_length_buckets,
@@ -3693,6 +3708,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "lsh_bucket_stats",
+    "backoff_surprisal",
     "dup_histogram",
     "term_coverage",
     "length_buckets",
@@ -3736,8 +3753,6 @@ _FRONT_R5 = [
     "zorder_key",
     "dsir_weights",
     "phash_dedup",
-    "rrf_fusion",
-    "source_overlap",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3748,6 +3763,8 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "rrf_fusion",
+    "source_overlap",
     "fuzzy_join",
     "interval_merge",
     "ks_drift",
@@ -4272,6 +4289,70 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "lsh_bucket_stats": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents WHERE text <> ''),
+        g AS (SELECT doc_id,
+                CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                     ELSE list_distinct([array_to_string(l[i:i+4], ' ')
+                                         for i in range(1, len(l)-3)])
+                END AS sh FROM t),
+        x AS (SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(s), 1, 16))::UBIGINT AS x
+              FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+        p AS (SELECT j,
+                (('0x' || substr(md5('a1:' || j), 1, 16))::UBIGINT
+                   % 2305843009213693950) + 1 AS a,
+                ('0x' || substr(md5('b1:' || j), 1, 16))::UBIGINT
+                   % 2305843009213693951 AS b
+              FROM range(64) r(j)),
+        s AS (SELECT doc_id, j,
+                min((a::HUGEINT * x + b) % 2305843009213693951) AS v
+              FROM x CROSS JOIN p GROUP BY doc_id, j),
+        bk AS (SELECT doc_id,
+                 substr(md5('band:' || (j // 4) || ':'
+                            || string_agg(v::VARCHAR, '-' ORDER BY j)), 1, 16)
+                   AS band_key
+               FROM s GROUP BY doc_id, (j // 4)),
+        sz AS (SELECT band_key, count(*) AS sz FROM bk GROUP BY band_key)
+        SELECT CAST(sz AS BIGINT) AS bucket_size,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sz * count(*) AS BIGINT) AS n_entries
+        FROM sz GROUP BY sz
+    """,
+    "backoff_surprisal": """
+        WITH tr AS (SELECT string_split(text, ' ') AS l
+                    FROM documents WHERE doc_id % 2 = 0),
+        uc AS (SELECT w, count(*) AS c1
+               FROM (SELECT unnest(l) AS w FROM tr) GROUP BY w),
+        tt AS (SELECT count(*) AS t
+               FROM (SELECT unnest(l) AS w FROM tr)),
+        bc AS (SELECT b, count(*) AS c2
+               FROM (SELECT unnest([l[i] || ' ' || l[i+1]
+                                    for i in range(1, len(l))]) AS b
+                     FROM tr WHERE len(l) >= 2) GROUP BY b),
+        sc AS (SELECT doc_id, string_split(text, ' ') AS l
+               FROM documents
+               WHERE doc_id % 2 = 1 AND len(string_split(text, ' ')) >= 2),
+        e AS (SELECT doc_id,
+                     unnest([l[i] || ' ' || l[i+1]
+                             for i in range(1, len(l))]) AS b
+              FROM sc),
+        j AS (SELECT e.doc_id,
+                CASE WHEN bc.b IS NOT NULL
+                     THEN length(printf('%b', uc.c1 // bc.c2)) - 1
+                     WHEN uc.w IS NOT NULL
+                     THEN 2 + length(printf('%b', tt.t // uc.c1)) - 1
+                     ELSE 2 + length(printf('%b', tt.t)) - 1
+                END AS bits
+              FROM e LEFT JOIN bc ON bc.b = e.b
+                     LEFT JOIN uc ON uc.w = string_split(e.b, ' ')[1], tt)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(bits) AS BIGINT) AS backoff_bits,
+               CAST(1000 * sum(bits) // count(*) AS BIGINT) AS mean_bits_e3
+        FROM j GROUP BY doc_id
     """,
     "dup_histogram": """
         WITH f AS (SELECT md5(text) AS h, count(*) AS sz

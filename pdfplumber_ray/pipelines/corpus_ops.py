@@ -6711,3 +6711,210 @@ def term_coverage_ds(
             }
         )
     )
+
+
+def lsh_bucket_stats_ds(
+    docs: Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """LSH band-bucket SIZE distribution — the skew audit for the
+    MinHash dedup path itself: how many band buckets hold 1, 2, 3, ...
+    docs. At web scale this is the report that tells you whether the
+    ``max_bucket`` star-cap will fire and how hot the hottest boilerplate
+    bucket is, BEFORE running the pair expansion. Emits
+    ``(bucket_size, n_buckets, n_entries)``.
+
+    Scale shape: the banding stage is the same actor-pool
+    ``map_batches`` the dedup path uses; ONE ``groupby(band_key)``
+    count (band keys are md5 strings, groups tiny), then a per-block
+    size-count partial -> tiny size-domain groupby."""
+    banded = docs.map_batches(
+        _MinHashBandStage,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(2, 32),
+    )
+    sizes = banded.groupby("band_key").count()
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("count()").to_numpy(zero_copy_only=False)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "bucket_size": pa.array(u.astype(np.int64)),
+                "nb": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    out = (
+        sizes.map_batches(size_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket_size")
+        .aggregate(Sum("nb"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        bs = batch.column("bucket_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch.column("sum(nb)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket_size": pa.array(bs),
+                "n_buckets": pa.array(nb),
+                "n_entries": pa.array(bs * nb),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def backoff_surprisal_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab_broadcast: int = 5_000_000,
+) -> Dataset:
+    """HELD-OUT bigram cross-entropy with stupid backoff, INTEGER-EXACT —
+    the train/score split :func:`bigram_surprisal_ds` cannot express
+    (same-corpus counts never see an unseen transition): docs with EVEN
+    ids train the counts, docs with ODD ids get scored, and an unseen
+    bigram backs off to the unigram (penalty ``log2(4) = 2`` bits, the
+    stupid-backoff alpha=1/4 made integer), an unseen unigram to the
+    uniform ``T`` floor. Per transition::
+
+        seen bigram:   floor(log2(c1(prev) // c2(bg)))
+        seen unigram:  2 + floor(log2(T // c1(prev)))
+        unseen:        2 + floor(log2(T))
+
+    Scale shape: the train pass reuses the tagged uni+bigram combiner ->
+    Heaps'-bounded groupby -> sorted-array broadcast (guarded); the
+    score pass streams the odd docs with searchsorted membership probes —
+    no shuffle of either split."""
+
+    def is_even(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        return batch.filter(pc.equal(pc.bit_wise_and(ids, pa.scalar(1)), pa.scalar(0)))
+
+    def is_odd(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        return batch.filter(pc.equal(pc.bit_wise_and(ids, pa.scalar(1)), pa.scalar(1)))
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        toks = [(t or "").split(" ") for t in texts]
+        uni: List[np.ndarray] = []
+        big: List[np.ndarray] = []
+        for t in toks:
+            a = np.asarray(t, dtype=object)
+            uni.append(a)
+            if len(t) >= 2:
+                big.append(
+                    np.char.add(
+                        np.char.add(a[:-1].astype(str), " "), a[1:].astype(str)
+                    ).astype(object)
+                )
+        parts = []
+        for arrs, kind in ((uni, 1), (big, 2)):
+            if arrs:
+                flat = np.concatenate(arrs).astype(str)
+                ug, cnt = np.unique(flat, return_counts=True)
+                parts.append(
+                    pa.table(
+                        {
+                            "g": pa.array(ug.astype(object), pa.string()),
+                            "k": pa.array(np.full(len(ug), kind, dtype=np.int64)),
+                            "c": pa.array(cnt.astype(np.int64)),
+                        }
+                    )
+                )
+        if not parts:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "k": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    train = docs.select_columns([id_col, text_col]).map_batches(
+        is_even, batch_format="pyarrow", zero_copy_batch=True
+    )
+    vocab_rows = (
+        train.map_batches(gram_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "k"])
+        .aggregate(Sum("c"))
+        .materialize()
+    )
+    if vocab_rows.count() > max_vocab_broadcast:
+        raise ValueError("train gram vocabulary exceeds max_vocab_broadcast")
+    df = vocab_rows.to_pandas()
+    uni_m = df[df["k"] == 1]
+    big_m = df[df["k"] == 2]
+    ut = np.asarray(uni_m["g"].tolist(), dtype=object).astype(str)
+    uc = uni_m["sum(c)"].to_numpy(dtype=np.int64)
+    o = np.argsort(ut, kind="stable")
+    ut, uc = ut[o], uc[o]
+    bt = np.asarray(big_m["g"].tolist(), dtype=object).astype(str)
+    bc = big_m["sum(c)"].to_numpy(dtype=np.int64)
+    o = np.argsort(bt, kind="stable")
+    bt, bc = bt[o], bc[o]
+    T = int(uc.sum())
+    ref = ray.put((ut, uc, bt, bc, T))
+
+    def _bits(q: np.ndarray) -> np.ndarray:
+        return (np.frexp(np.maximum(q, 1).astype(np.float64))[1] - 1).astype(np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        u_t, u_c, b_t, b_c, T_tr = ray.get(ref)
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col)
+        out_id: List[int] = []
+        nb_l: List[int] = []
+        bits_l: List[int] = []
+        t_bits = int(np.frexp(float(max(T_tr, 1)))[1] - 1)
+        for i, raw in enumerate(texts):
+            t = (raw or "").split(" ")
+            if len(t) < 2:
+                continue
+            a = np.asarray(t, dtype=object).astype(str)
+            prev = a[:-1]
+            bg = np.char.add(np.char.add(prev, " "), a[1:])
+            upos = np.searchsorted(u_t, prev)
+            u_hit = (upos < len(u_t)) & (u_t[np.minimum(upos, len(u_t) - 1)] == prev)
+            bpos = np.searchsorted(b_t, bg)
+            b_hit = (bpos < len(b_t)) & (b_t[np.minimum(bpos, len(b_t) - 1)] == bg)
+            c1 = np.where(u_hit, u_c[np.minimum(upos, len(u_c) - 1)], 1)
+            c2 = np.where(b_hit, b_c[np.minimum(bpos, len(b_c) - 1)], 1)
+            bits = np.where(
+                b_hit,
+                _bits(c1 // np.maximum(c2, 1)),
+                np.where(u_hit, 2 + _bits(T_tr // np.maximum(c1, 1)), 2 + t_bits),
+            )
+            out_id.append(ids[i].as_py())
+            nb_l.append(len(t) - 1)
+            bits_l.append(int(bits.sum()))
+        nb = np.asarray(nb_l, dtype=np.int64)
+        sb = np.asarray(bits_l, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "n_bigrams": pa.array(nb),
+                "backoff_bits": pa.array(sb),
+                "mean_bits_e3": pa.array(
+                    1000 * sb // np.maximum(nb, 1) if len(nb) else nb
+                ),
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(is_odd, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -1890,3 +1890,39 @@ def test_term_coverage_zipf(ray_session):
     assert rows[1]["covered"] == 6 and rows[1]["total"] == 10
     assert rows[1]["share_ppm"] == 600_000
     assert rows[2]["covered"] == 9 and rows[2]["share_ppm"] == 900_000
+
+
+def test_lsh_bucket_stats_identical_docs_collide(ray_session):
+    # two identical docs share every band bucket; a distinct doc is alone
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["a b c d e f g h", "a b c d e f g h", "q r s t u v w x"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    rows = {r["bucket_size"]: r for r in co.lsh_bucket_stats_ds(docs).take_all()}
+    # 16 bands: docs 1+2 share 16 buckets of size 2; doc 3 fills 16 of size 1
+    assert rows[2]["n_buckets"] == 16 and rows[2]["n_entries"] == 32
+    assert rows[1]["n_buckets"] == 16
+
+
+def test_backoff_surprisal_unseen_penalty(ray_session):
+    # train (even ids): "a b" x2 -> c1(a)=2, c2("a b")=2, T=4
+    # score (odd ids): "a b" (seen: bits log2(2//2)=0),
+    #                  "a z" (unseen bigram, seen prev: 2 + log2(4//2) = 3),
+    #                  "q z" (unseen prev: 2 + log2(4) = 4)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 2, 1, 3, 5], pa.int64()),
+                "text": pa.array(["a b", "a b", "a b", "a z", "q z"], pa.string()),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r["backoff_bits"] for r in co.backoff_surprisal_ds(docs).take_all()}
+    assert rows == {1: 0, 3: 3, 5: 4}
