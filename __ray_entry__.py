@@ -453,6 +453,16 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_two_hop(sf_dir: str) -> ray.data.Dataset:
+    """Friends-of-friends: distinct nodes at exactly distance 2 per
+    node of the co-purchase graph (via-middle-node wedge pairs, global
+    dedup, direct-edge filter against the broadcast edge keys)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return gr.two_hop_ds(li, min_support=2)
+
+
 def q_lsh_bucket_stats(sf_dir: str) -> ray.data.Dataset:
     """LSH band-bucket size distribution — the skew audit for the
     MinHash dedup path (would the max_bucket star-cap fire?)."""
@@ -3474,6 +3484,7 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "two_hop": q_two_hop,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "backoff_surprisal": q_backoff_surprisal,
     "dup_histogram": q_dup_histogram,
@@ -3708,6 +3719,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "two_hop",
     "lsh_bucket_stats",
     "backoff_surprisal",
     "dup_histogram",
@@ -3752,7 +3764,6 @@ _FRONT_R5 = [
     "doc_rank",
     "zorder_key",
     "dsir_weights",
-    "phash_dedup",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3763,6 +3774,7 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "phash_dedup",
     "rrf_fusion",
     "source_overlap",
     "fuzzy_join",
@@ -4289,6 +4301,25 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "two_hop": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS support
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2),
+        e AS (SELECT x, y FROM e0 WHERE support >= 2),
+        adj AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+        cand AS (SELECT DISTINCT a.u AS u, b.v AS w
+                 FROM adj a JOIN adj b ON b.u = a.v
+                 WHERE b.v <> a.u),
+        nd AS (SELECT c.u, c.w FROM cand c
+               LEFT JOIN e d ON d.x = least(c.u, c.w)
+                            AND d.y = greatest(c.u, c.w)
+               WHERE d.x IS NULL)
+        SELECT CAST(u AS BIGINT) AS node,
+               CAST(count(*) AS BIGINT) AS n_two_hop
+        FROM nd GROUP BY u
     """,
     "lsh_bucket_stats": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l

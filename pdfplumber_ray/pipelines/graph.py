@@ -1191,3 +1191,137 @@ def kcore_ds(
             }
         )
     )
+
+
+def two_hop_ds(
+    lineitem: Dataset,
+    min_support: int = 2,
+    n_buckets: int = 512,
+    max_broadcast_edges: int = 20_000_000,
+) -> Dataset:
+    """Friends-of-friends: per node of the co-purchase graph, the EXACT
+    count of distinct nodes at graph distance exactly 2 (reachable
+    through a shared neighbor, not adjacent, not self) — the
+    recommendation-candidate pool size.
+
+    Scale shape: adjacency rows (node, neighbor) in both directions
+    shuffle ONCE by ``mix64(middle node)``; inside a bucket each middle
+    node's neighbor list generates its ordered pairs with the
+    size-grouped triu template (loop over distinct degrees, never over
+    nodes) and dedupes locally; a ``groupby(u, w)`` dedupes globally;
+    direct edges are removed against the broadcast sorted edge-key
+    array (guarded by ``max_broadcast_edges``); a final combiner +
+    ``groupby(node)`` counts. Cost is sum(deg(v)^2) over middle nodes —
+    the support filter upstream prunes hub noise, and the degree-capped
+    star fallback of the LSH family applies if a hub survives."""
+    edges = copurchase_edges_ds(lineitem, min_support, n_buckets)
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "n_two_hop": pa.array([], pa.int64())}
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+    if n_edges > max_broadcast_edges:
+        raise ValueError(
+            f"filtered edge set ({n_edges}) exceeds max_broadcast_edges="
+            f"{max_broadcast_edges}; filter direct edges with hash_join_ds"
+        )
+    edge_tbl = edges.take_all()
+    ex = np.asarray([r["x"] for r in edge_tbl], dtype=np.uint64)
+    ey = np.asarray([r["y"] for r in edge_tbl], dtype=np.uint64)
+    edge_keys = np.sort((ex << np.uint64(32)) | ey)
+    keys_ref = ray.put(edge_keys)
+
+    def adj(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        node = np.concatenate((x, y))
+        nb = np.concatenate((y, x))
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(node) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "node": pa.array(node, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+            }
+        )
+
+    cand_schema = pa.schema([("u", pa.int64()), ("w", pa.int64())])
+
+    def wedge_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table({f.name: pa.array([], f.type) for f in cand_schema})
+        v = group.column("node").to_numpy(zero_copy_only=False)
+        nb = group.column("nb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, v))
+        vs, nbs = v[order], nb[order]
+        starts = np.flatnonzero(np.concatenate(([True], vs[1:] != vs[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(vs)])))
+        u_parts, w_parts = [], []
+        for k in np.unique(seg_len):
+            if k < 2:
+                continue
+            sel = starts[seg_len == k]
+            idx = sel[:, None] + np.arange(int(k))[None, :]
+            nbm = nbs[idx]
+            iu, ju = np.triu_indices(int(k), 1)
+            a = nbm[:, iu].ravel()
+            b = nbm[:, ju].ravel()
+            # both directions of each unordered wedge pair
+            u_parts.extend((a, b))
+            w_parts.extend((b, a))
+        if not u_parts:
+            return pa.table({f.name: pa.array([], f.type) for f in cand_schema})
+        u = np.concatenate(u_parts)
+        w = np.concatenate(w_parts)
+        # in-bucket dedup before the exchange
+        o = np.lexsort((w, u))
+        u, w = u[o], w[o]
+        first = np.concatenate(([True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])))
+        return pa.table(
+            {"u": pa.array(u[first], pa.int64()), "w": pa.array(w[first], pa.int64())}
+        )
+
+    cands = (
+        edges.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(wedge_pairs, batch_format="pyarrow")
+        .groupby(["u", "w"])
+        .count()
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        lo = np.minimum(u, w).astype(np.uint64)
+        hi = np.maximum(u, w).astype(np.uint64)
+        comp = (lo << np.uint64(32)) | hi
+        pos = np.searchsorted(keys, comp)
+        direct = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == comp)
+        u = u[~direct]
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uu.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    out = (
+        cands.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node").cast(pa.int64()),
+                "n_two_hop": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

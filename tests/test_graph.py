@@ -321,3 +321,29 @@ def test_kcore_round_budget_truncates(ray_session):
     # after one round only node 6 (deg 1) is gone; degrees recomputed
     # within the survivor set so node 5 now shows deg 1
     assert one == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+
+
+def test_two_hop_path_graph(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import graph as gr
+
+    # path graph 1-2-3-4 via planted orders (each adjacent pair shares
+    # 2 orders to clear min_support)
+    orders = []
+    ok = 0
+    for a, b in ((1, 2), (2, 3), (3, 4)):
+        for _ in range(2):
+            orders.extend([(ok, a), (ok, b)])
+            ok += 1
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in orders], pa.int64()),
+                "l_partkey": pa.array([p for _, p in orders], pa.int64()),
+            }
+        )
+    )
+    out = {r["node"]: r["n_two_hop"] for r in gr.two_hop_ds(li).take_all()}
+    # path 1-2-3-4: two-hop sets {1:{3}, 2:{4}, 3:{1}, 4:{2}}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1}
