@@ -453,6 +453,24 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_symbolize(sf_dir: str) -> ray.data.Dataset:
+    """SAX symbolization: each event type's zero-filled daily-count
+    series as a quartile-breakpoint word over {a,b,c,d}."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return an.symbolize_ds(events)
+
+
+def q_weighted_median(sf_dir: str) -> ray.data.Dataset:
+    """Token-mass-weighted median doc length vs the plain doc-count
+    median — the heavy-tail curation statistic."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "text"]
+    )
+    return an.weighted_median_ds(docs)
+
+
 def q_two_hop(sf_dir: str) -> ray.data.Dataset:
     """Friends-of-friends: distinct nodes at exactly distance 2 per
     node of the co-purchase graph (via-middle-node wedge pairs, global
@@ -3484,6 +3502,8 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "symbolize": q_symbolize,
+    "weighted_median": q_weighted_median,
     "two_hop": q_two_hop,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "backoff_surprisal": q_backoff_surprisal,
@@ -3719,6 +3739,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "symbolize",
+    "weighted_median",
     "two_hop",
     "lsh_bucket_stats",
     "backoff_surprisal",
@@ -3762,8 +3784,6 @@ _FRONT_R5 = [
     "collapse_runs",
     "pq_encode",
     "doc_rank",
-    "zorder_key",
-    "dsir_weights",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3774,6 +3794,8 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "zorder_key",
+    "dsir_weights",
     "phash_dedup",
     "rrf_fusion",
     "source_overlap",
@@ -4301,6 +4323,54 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "symbolize": """
+        WITH c AS (SELECT event_type,
+                          (epoch_us(ts) // 86400000000) * 86400000000 AS w,
+                          count(*) AS n FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, min(w) AS lo, max(w) AS hi FROM c GROUP BY 1),
+        sp AS (SELECT event_type,
+                      unnest(range(lo, hi + 86400000000, 86400000000)) AS w
+               FROM b),
+        x AS (SELECT sp.event_type, sp.w, coalesce(c.n, 0) AS n
+              FROM sp LEFT JOIN c ON c.event_type = sp.event_type
+                                 AND c.w = sp.w),
+        r AS (SELECT event_type, n,
+                     row_number() OVER (PARTITION BY event_type ORDER BY n)
+                         AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS nn
+              FROM x),
+        q AS (SELECT event_type,
+                MIN(CASE WHEN rk = (25 * nn + 99) // 100 THEN n END) AS p25,
+                MIN(CASE WHEN rk = (50 * nn + 99) // 100 THEN n END) AS p50,
+                MIN(CASE WHEN rk = (75 * nn + 99) // 100 THEN n END) AS p75
+              FROM r GROUP BY event_type),
+        s AS (SELECT x.event_type, x.w,
+                CASE WHEN x.n <= q.p25 THEN 'a'
+                     WHEN x.n <= q.p50 THEN 'b'
+                     WHEN x.n <= q.p75 THEN 'c'
+                     ELSE 'd' END AS sym
+              FROM x JOIN q ON q.event_type = x.event_type)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_windows,
+               string_agg(sym, '' ORDER BY w) AS word
+        FROM s GROUP BY event_type
+    """,
+    "weighted_median": """
+        WITH t AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+                   FROM documents),
+        cd AS (SELECT v, count(*) AS c, SUM(wt) AS wt FROM t GROUP BY v),
+        cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum_c,
+                       SUM(wt) OVER (ORDER BY v) AS cum_w FROM cd),
+        tot AS (SELECT SUM(c) AS n, SUM(wt) AS s FROM cd)
+        SELECT CAST((SELECT MIN(v) FROM cum
+                     WHERE cum_w >= (tot.s + 1) // 2) AS BIGINT) AS wmedian,
+               CAST(tot.s AS BIGINT) AS total_weight,
+               CAST((SELECT MIN(v) FROM cum
+                     WHERE cum_c >= (50 * tot.n + 99) // 100)
+                    AS BIGINT) AS plain_median,
+               CAST(tot.n AS BIGINT) AS n_docs
+        FROM tot
     """,
     "two_hop": """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

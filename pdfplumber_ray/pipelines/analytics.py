@@ -6202,3 +6202,155 @@ def revenue_by_nation_ds(
         )
 
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def symbolize_ds(
+    events: Dataset,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    width_us: int = 86_400_000_000,
+) -> Dataset:
+    """SAX-style time-series symbolization (Lin et al. 2003, made
+    integer-exact): each event type's zero-filled daily-count series
+    maps to a word over {a,b,c,d} by QUARTILE breakpoints (the integer
+    ``percentile_disc`` ranks over the series' own value CDF) — symbol
+    ``a`` = counts <= p25, ``b`` <= p50, ``c`` <= p75, ``d`` above.
+    Emits ``(event_type, n_windows, word)``; equal-length words make
+    downstream motif mining a string problem.
+
+    Scale shape: (type, window) count combiner -> bounded report-sized
+    groupby -> per-type symbolization on the driver table (windows x
+    types, a report bound)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_v = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts_v // width_us) * width_us
+        t = pa.table(
+            {
+                type_col: batch.column(type_col),
+                "w": pa.array(w, pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by([type_col, "w"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                type_col: g.column(type_col),
+                "w": g.column("w"),
+                "n": g.column("n_sum"),
+            }
+        )
+
+    df = (
+        events.select_columns([ts_col, type_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([type_col, "w"])
+        .aggregate(Sum("n"))
+        .to_pandas()
+    )
+    types_out, nw_out, word_out = [], [], []
+    for tname, sub in df.groupby(type_col, sort=True):
+        w = sub["w"].to_numpy(dtype=np.int64)
+        c = sub["sum(n)"].to_numpy(dtype=np.int64)
+        lo, hi = int(w.min()), int(w.max())
+        span = np.arange(lo, hi + width_us, width_us, dtype=np.int64)
+        x = np.zeros(len(span), dtype=np.int64)
+        x[(w - lo) // width_us] = c
+        n = len(x)
+        vals = np.sort(x)
+        pick = lambda p: int(vals[min((p * n + 99) // 100, n) - 1])
+        p25, p50, p75 = pick(25), pick(50), pick(75)
+        sym = np.full(n, "d", dtype=object)
+        sym[x <= p75] = "c"
+        sym[x <= p50] = "b"
+        sym[x <= p25] = "a"
+        types_out.append(tname)
+        nw_out.append(n)
+        word_out.append("".join(sym.tolist()))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                type_col: pa.array(types_out, pa.string()),
+                "n_windows": pa.array(nw_out, pa.int64()),
+                "word": pa.array(word_out, pa.string()),
+            }
+        )
+    )
+
+
+def weighted_median_ds(
+    docs: Dataset,
+    value_col: str = "n_chars",
+    weight_from_text: bool = True,
+    text_col: str = "text",
+    max_domain_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Token-mass-weighted median document length — "half the corpus
+    TOKENS live in docs shorter than this": the curation statistic that
+    differs sharply from the doc-count median on heavy-tailed corpora.
+    Emits one row ``(wmedian, total_weight, plain_median, n_docs)``:
+    the smallest value whose cumulative token weight reaches
+    ``(S + 1) // 2``, alongside the unweighted ``percentile_disc(50)``
+    for contrast. Integer-exact.
+
+    Scale shape: one (value, count, weight) combiner -> bounded
+    value-domain groupby (guarded) -> the two scalars come off the
+    driver CDF."""
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if weight_from_text:
+            texts = batch.column(text_col)
+            wgt = (
+                pc.add(pc.count_substring(texts, " "), 1)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+        else:
+            wgt = v
+        t = pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "c": pa.array(np.ones(len(v), dtype=np.int64)),
+                "wt": pa.array(wgt, pa.int64()),
+            }
+        )
+        g = t.group_by("v").aggregate([("c", "sum"), ("wt", "sum")])
+        return pa.table(
+            {
+                "v": g.column("v"),
+                "c": g.column("c_sum"),
+                "wt": g.column("wt_sum"),
+            }
+        )
+
+    cols = [value_col, text_col] if weight_from_text else [value_col]
+    hist = (
+        docs.select_columns(cols)
+        .map_batches(vc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("c"), Sum("wt"))
+        .materialize()
+    )
+    if hist.count() > max_domain_broadcast:
+        raise ValueError("value domain exceeds max_domain_broadcast")
+    df = hist.to_pandas().sort_values("v").reset_index(drop=True)
+    vals = df["v"].to_numpy(dtype=np.int64)
+    cnts = df["sum(c)"].to_numpy(dtype=np.int64)
+    wts = df["sum(wt)"].to_numpy(dtype=np.int64)
+    cum_c = np.cumsum(cnts)
+    cum_w = np.cumsum(wts)
+    n = int(cum_c[-1])
+    S = int(cum_w[-1])
+    wmed = int(vals[np.searchsorted(cum_w, (S + 1) // 2)])
+    pmed = int(vals[np.searchsorted(cum_c, (50 * n + 99) // 100)])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "wmedian": pa.array([wmed], pa.int64()),
+                "total_weight": pa.array([S], pa.int64()),
+                "plain_median": pa.array([pmed], pa.int64()),
+                "n_docs": pa.array([n], pa.int64()),
+            }
+        )
+    )

@@ -1730,3 +1730,50 @@ def test_revenue_by_nation_join_chain(ray_session):
     assert rows["FRANCE"]["n_lineitems"] == 2
     # order 2 -> KENYA: 50*0.5*100 = 2500
     assert rows["KENYA"]["revenue_e2"] == 2_500
+
+
+def test_symbolize_word(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # counts per day: 1, 2, 3, 4 -> quartiles p25=1 p50=2 p75=3
+    ts = []
+    for d, n in enumerate((1, 2, 3, 4)):
+        ts.extend([d * day] * n)
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(["a"] * len(ts), pa.string()),
+            }
+        )
+    )
+    out = an.symbolize_ds(ev).take_all()
+    assert len(out) == 1
+    assert out[0]["word"] == "abcd" and out[0]["n_windows"] == 4
+
+
+def test_weighted_median_heavy_tail(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # 3 docs of 2 tokens, 1 doc of 100 tokens: plain median = small,
+    # weighted median = the big doc (its mass dominates)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "n_chars": pa.array([2, 2, 2, 100], pa.int64()),
+                "text": pa.array(
+                    ["w w", "w w", "w w", " ".join(["w"] * 100)], pa.string()
+                ),
+            }
+        )
+    )
+    out = an.weighted_median_ds(docs).take_all()[0]
+    assert out["plain_median"] == 2
+    # S = 106, (S+1)//2 = 53 -> cumweight reaches 53 only at v=100
+    assert out["wmedian"] == 100
+    assert out["total_weight"] == 106 and out["n_docs"] == 4
