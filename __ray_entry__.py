@@ -453,6 +453,26 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_running_peak(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running maximum of event value (high-watermark window),
+    cents-quantized; bucketed shuffle + pandas grouped cummax."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return an.running_peak_ds(events)
+
+
+def q_periodicity(sf_dir: str) -> ray.data.Dataset:
+    """Integer autocorrelation seasonality: per event type, the lag in
+    [2, 14] maximizing sum(x_t * x_{t+lag}) over zero-filled daily
+    counts (earliest lag on ties)."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return an.periodicity_ds(events)
+
+
 def q_symbolize(sf_dir: str) -> ray.data.Dataset:
     """SAX symbolization: each event type's zero-filled daily-count
     series as a quartile-breakpoint word over {a,b,c,d}."""
@@ -3502,6 +3522,8 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "running_peak": q_running_peak,
+    "periodicity": q_periodicity,
     "symbolize": q_symbolize,
     "weighted_median": q_weighted_median,
     "two_hop": q_two_hop,
@@ -3739,6 +3761,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "running_peak",
+    "periodicity",
     "symbolize",
     "weighted_median",
     "two_hop",
@@ -3782,8 +3806,6 @@ _FRONT_R5 = [
     "stream_join",
     "pq_search",
     "collapse_runs",
-    "pq_encode",
-    "doc_rank",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3794,6 +3816,8 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "pq_encode",
+    "doc_rank",
     "zorder_key",
     "dsir_weights",
     "phash_dedup",
@@ -4323,6 +4347,45 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "running_peak": """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               CAST(MAX(CAST(floor(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_peak_e
+        FROM events
+    """,
+    "periodicity": """
+        WITH c AS (SELECT event_type,
+                          (epoch_us(ts) // 86400000000) * 86400000000 AS w,
+                          count(*) AS n FROM events GROUP BY 1, 2),
+        b AS (SELECT event_type, min(w) AS lo, max(w) AS hi FROM c GROUP BY 1),
+        sp AS (SELECT event_type,
+                      unnest(range(lo, hi + 86400000000, 86400000000)) AS w
+               FROM b),
+        x AS (SELECT sp.event_type, sp.w, coalesce(c.n, 0) AS n
+              FROM sp LEFT JOIN c ON c.event_type = sp.event_type
+                                 AND c.w = sp.w),
+        nn AS (SELECT event_type, count(*) AS nw FROM x GROUP BY 1),
+        lags AS (SELECT unnest(range(2, 15)) AS lag),
+        ac AS (SELECT a.event_type, lags.lag,
+                      SUM(a.n * b2.n) AS ac
+               FROM x a
+               JOIN lags ON TRUE
+               JOIN x b2 ON b2.event_type = a.event_type
+                        AND b2.w = a.w + lags.lag * 86400000000
+               GROUP BY a.event_type, lags.lag),
+        r AS (SELECT ac.event_type, ac.lag, ac.ac,
+                     row_number() OVER (PARTITION BY ac.event_type
+                         ORDER BY ac.ac DESC, ac.lag ASC) AS rk
+              FROM ac JOIN nn ON nn.event_type = ac.event_type
+              WHERE ac.lag <= nn.nw - 1 AND ac.lag <= 14)
+        SELECT r.event_type, CAST(nn.nw AS BIGINT) AS n_windows,
+               CAST(r.lag AS BIGINT) AS best_lag,
+               CAST(r.ac AS BIGINT) AS ac_best
+        FROM r JOIN nn ON nn.event_type = r.event_type
+        WHERE r.rk = 1
     """,
     "symbolize": """
         WITH c AS (SELECT event_type,

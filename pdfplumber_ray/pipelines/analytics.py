@@ -6354,3 +6354,155 @@ def weighted_median_ds(
             }
         )
     )
+
+
+def running_peak_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+    quant: int = 100,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Per-key running MAXIMUM ordered by (ts, tie) — the high-watermark
+    / peak-exposure window (``MAX(v) OVER (PARTITION BY key ORDER BY
+    ts, id)``), the cummax sibling of :func:`running_total_ds`. Values
+    quantize to ``floor(v * quant)`` int64 on both engines.
+
+    Scale shape: identical to running_total — ONE ``mix64(key)``
+    bucket shuffle of the 4-column projection, in-bucket lexsort +
+    segmented ``np.maximum.accumulate``."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        v_e = np.floor(v * quant).astype(np.int64)
+        bkt = (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                tie_col: batch.column(tie_col).cast(pa.int64()),
+                key_col: pa.array(k, pa.int64()),
+                "ts_us": batch.column(ts_col).cast(pa.int64()),
+                "v_e": pa.array(v_e, pa.int64()),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field(tie_col, pa.int64()),
+            pa.field(key_col, pa.int64()),
+            pa.field("run_peak_e", pa.int64()),
+        ]
+    )
+
+    def bucket_cummax(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        import pandas as pd
+
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        tie = group.column(tie_col).to_numpy(zero_copy_only=False)
+        v = group.column("v_e").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, vs = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        seg_id = np.zeros(len(ks), dtype=np.int64)
+        seg_id[starts] = 1
+        seg_id = np.cumsum(seg_id) - 1
+        # per-segment cummax, vectorized in C via the pandas grouped
+        # cumulative kernel (segments are contiguous after the lexsort)
+        run = pd.Series(vs).groupby(seg_id).cummax().to_numpy()
+        return pa.table(
+            {
+                tie_col: pa.array(tie[order], pa.int64()),
+                key_col: pa.array(ks, pa.int64()),
+                "run_peak_e": pa.array(run.astype(np.int64), pa.int64()),
+            }
+        )
+
+    projected = events.select_columns(
+        [key_col, ts_col, tie_col, value_col]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return _anchor_schema(
+        projected.groupby("bkt").map_groups(bucket_cummax, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+def periodicity_ds(
+    events: Dataset,
+    max_lag: int = 14,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    width_us: int = 86_400_000_000,
+) -> Dataset:
+    """Seasonality detection, INTEGER-EXACT: per event type, the lag in
+    ``[2, max_lag]`` maximizing the raw autocorrelation
+    ``ac(lag) = sum(x_t * x_{t+lag})`` over the zero-filled daily-count
+    series (raw product, not mean-centered — deterministic integers on
+    both engines; the argmax is what matters, earliest lag on ties).
+    Emits ``(event_type, n_windows, best_lag, ac_best)``.
+
+    Scale shape: (type, window) count combiner -> report-sized groupby
+    -> driver scan (windows x types x max_lag products on the tiny
+    report table)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_v = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts_v // width_us) * width_us
+        t = pa.table(
+            {
+                type_col: batch.column(type_col),
+                "w": pa.array(w, pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by([type_col, "w"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                type_col: g.column(type_col),
+                "w": g.column("w"),
+                "n": g.column("n_sum"),
+            }
+        )
+
+    df = (
+        events.select_columns([ts_col, type_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([type_col, "w"])
+        .aggregate(Sum("n"))
+        .to_pandas()
+    )
+    types_out, nw_out, lag_out, ac_out = [], [], [], []
+    for tname, sub in df.groupby(type_col, sort=True):
+        w = sub["w"].to_numpy(dtype=np.int64)
+        c = sub["sum(n)"].to_numpy(dtype=np.int64)
+        lo, hi = int(w.min()), int(w.max())
+        span = np.arange(lo, hi + width_us, width_us, dtype=np.int64)
+        x = np.zeros(len(span), dtype=np.int64)
+        x[(w - lo) // width_us] = c
+        n = len(x)
+        best_lag, best_ac = 0, -1
+        for lag in range(2, min(max_lag, n - 1) + 1):
+            ac = int((x[:-lag] * x[lag:]).sum())
+            if ac > best_ac:
+                best_lag, best_ac = lag, ac
+        if best_ac < 0:  # series too short for any lag — no row (SQL twin)
+            continue
+        types_out.append(tname)
+        nw_out.append(n)
+        lag_out.append(best_lag)
+        ac_out.append(int(best_ac))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                type_col: pa.array(types_out, pa.string()),
+                "n_windows": pa.array(nw_out, pa.int64()),
+                "best_lag": pa.array(lag_out, pa.int64()),
+                "ac_best": pa.array(ac_out, pa.int64()),
+            }
+        )
+    )

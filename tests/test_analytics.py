@@ -1777,3 +1777,45 @@ def test_weighted_median_heavy_tail(ray_session):
     # S = 106, (S+1)//2 = 53 -> cumweight reaches 53 only at v=100
     assert out["wmedian"] == 100
     assert out["total_weight"] == 106 and out["n_docs"] == 4
+
+
+def test_running_peak_resets_per_key(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([1, 2, 3, 1], pa.timestamp("us")),
+                "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "value": pa.array([5.0, 3.0, 7.0, 1.0]),
+            }
+        )
+    )
+    out = {r["event_id"]: r["run_peak_e"] for r in an.running_peak_ds(ev).take_all()}
+    assert out == {10: 500, 11: 500, 12: 700, 13: 100}
+
+
+def test_periodicity_weekly_signal(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # spikes every 7 days over 22 days -> best lag 7
+    ts = []
+    for d in range(22):
+        n = 10 if d % 7 == 0 else 1
+        ts.extend([d * day] * n)
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(["a"] * len(ts), pa.string()),
+            }
+        )
+    )
+    out = an.periodicity_ds(ev).take_all()
+    assert len(out) == 1 and out[0]["best_lag"] == 7
