@@ -453,6 +453,15 @@ def q_chunk_windows(sf_dir: str) -> ray.data.Dataset:
     return co.chunk_windows_ds(_documents(sf_dir), window=64, stride=48)
 
 
+def q_gap_fill(sf_dir: str) -> ray.data.Dataset:
+    """LOCF densification: one row per (user, day) across each user's
+    observed span, carrying the last observed max-value forward."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return an.gap_fill_ds(events)
+
+
 def q_running_peak(sf_dir: str) -> ray.data.Dataset:
     """Per-user running maximum of event value (high-watermark window),
     cents-quantized; bucketed shuffle + pandas grouped cummax."""
@@ -3522,6 +3531,7 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "gap_fill": q_gap_fill,
     "running_peak": q_running_peak,
     "periodicity": q_periodicity,
     "symbolize": q_symbolize,
@@ -3761,6 +3771,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "gap_fill",
     "running_peak",
     "periodicity",
     "symbolize",
@@ -3805,7 +3816,6 @@ _FRONT_R5 = [
     "scd2",
     "stream_join",
     "pq_search",
-    "collapse_runs",
     # the flagship boilerplate pipeline keeps its gate slot
     "main_content",
     "substring_dedup",
@@ -3816,6 +3826,7 @@ _FRONT_R5 = [
     # period_over_period yield their window slots to the session-8
     # temperature_mix / containment_dedup / token_budget_select /
     # shuffle_shards / novelty_score / apportion_quota additions
+    "collapse_runs",
     "pq_encode",
     "doc_rank",
     "zorder_key",
@@ -4347,6 +4358,23 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "gap_fill": """
+        WITH o AS (SELECT user_id,
+                          (epoch_us(ts) // 86400000000) * 86400000000 AS w,
+                          MAX(CAST(floor(value * 100) AS BIGINT)) AS v
+                   FROM events GROUP BY 1, 2),
+        b AS (SELECT user_id, min(w) AS lo, max(w) AS hi FROM o GROUP BY 1),
+        sp AS (SELECT user_id,
+                      unnest(range(lo, hi + 86400000000, 86400000000)) AS w
+               FROM b)
+        SELECT sp.user_id, CAST(sp.w AS BIGINT) AS window_us,
+               CAST(o.v AS BIGINT) AS value_e,
+               CAST(CASE WHEN o2.w IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS observed
+        FROM sp
+        ASOF JOIN o ON sp.user_id = o.user_id AND sp.w >= o.w
+        LEFT JOIN o o2 ON o2.user_id = sp.user_id AND o2.w = sp.w
     """,
     "running_peak": """
         SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -6506,3 +6506,120 @@ def periodicity_ds(
             }
         )
     )
+
+
+def gap_fill_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_us: int = 86_400_000_000,
+    quant: int = 100,
+    n_buckets: int = 512,
+) -> Dataset:
+    """LOCF gap fill (time-series densification): per key, one row for
+    EVERY window in the key's [first, last] observed span, carrying the
+    last observed value forward across missing windows — the
+    feature-store densification step before windowed model features. A
+    window's observed value is the MAX of its quantized event values
+    (deterministic under ties); emitted rows carry an ``observed``
+    flag. Row growth is bounded by the per-key span, not the corpus.
+
+    Scale shape: a per-batch (key, window) max combiner cuts each block
+    to one row per (key, window) before ONE ``mix64(key)`` bucket
+    shuffle; in-bucket the span expansion + forward fill is one
+    searchsorted per key segment (vectorized via np.repeat /
+    cumulative indices, no per-key Python loop)."""
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts_v = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        w = (ts_v // width_us) * width_us
+        v_e = np.floor(v * quant).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "v": pa.array(v_e, pa.int64()),
+            }
+        )
+        g = t.group_by(["k", "w"]).aggregate([("v", "max")])
+        k2 = g.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "w": g.column("w"),
+                "v": g.column("v_max"),
+                "bkt": pa.array(
+                    (_mix64(k2) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("window_us", pa.int64()),
+            ("value_e", pa.int64()),
+            ("observed", pa.int64()),
+        ]
+    )
+
+    def fill(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, k))
+        k, w, v = k[order], w[order], v[order]
+        # second in-bucket max-merge across blocks (combiner already did
+        # per-block): contiguous (k, w) dups reduce to their max
+        dup = np.concatenate(([False], (k[1:] == k[:-1]) & (w[1:] == w[:-1])))
+        if dup.any():
+            import pandas as pd
+
+            seg = np.cumsum(~dup) - 1
+            v = pd.Series(v).groupby(seg).max().to_numpy()
+            keep = ~dup
+            k, w = k[keep], w[keep]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((starts[1:], [len(k)]))
+        lo = w[starts]
+        hi = w[ends - 1]
+        n_out = ((hi - lo) // width_us + 1).astype(np.int64)
+        total = int(n_out.sum())
+        key_out = np.repeat(k[starts], n_out)
+        # window grid per key: global arange minus per-key offsets
+        idx = np.arange(total, dtype=np.int64)
+        key_base = np.repeat(np.concatenate(([0], np.cumsum(n_out)[:-1])), n_out)
+        step = idx - key_base
+        win_out = np.repeat(lo, n_out) + step * width_us
+        # forward fill: for each output window, the latest observed
+        # window <= it within the same key — observed windows are a
+        # prefix-ordered subsequence, so one global searchsorted over
+        # per-key offset-composed positions does every key at once
+        obs_pos_in_key = (w - np.repeat(lo, ends - starts)) // width_us
+        obs_global = obs_pos_in_key + np.repeat(key_base[np.cumsum(n_out) - n_out], ends - starts)
+        src = np.searchsorted(obs_global, idx, side="right") - 1
+        val_out = v[src]
+        observed = np.zeros(total, dtype=np.int64)
+        observed[obs_global] = 1
+        return pa.table(
+            {
+                key_col: pa.array(key_out, pa.int64()),
+                "window_us": pa.array(win_out, pa.int64()),
+                "value_e": pa.array(val_out, pa.int64()),
+                "observed": pa.array(observed, pa.int64()),
+            }
+        )
+
+    projected = events.select_columns([key_col, ts_col, value_col]).map_batches(
+        combiner, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _anchor_schema(
+        projected.groupby("bkt").map_groups(fill, batch_format="pyarrow"),
+        out_schema,
+    )

@@ -1819,3 +1819,28 @@ def test_periodicity_weekly_signal(ray_session):
     )
     out = an.periodicity_ds(ev).take_all()
     assert len(out) == 1 and out[0]["best_lag"] == 7
+
+
+def test_gap_fill_locf(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # user 1 observed on days 0 (v=5) and 3 (v=2): days 1-2 carry 5
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1], pa.int64()),
+                "ts": pa.array([0, 3 * day], pa.timestamp("us")),
+                "value": pa.array([5.0, 2.0]),
+            }
+        )
+    )
+    out = sorted(an.gap_fill_ds(ev).take_all(), key=lambda r: r["window_us"])
+    assert [(r["window_us"] // day, r["value_e"], r["observed"]) for r in out] == [
+        (0, 500, 1),
+        (1, 500, 0),
+        (2, 500, 0),
+        (3, 200, 1),
+    ]
