@@ -3530,7 +3530,60 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
     return co.surprisal_ds(_documents(sf_dir))
 
 
+def q_benford_audit(sf_dir: str) -> ray.data.Dataset:
+    """Benford first-digit audit of order totals: per-digit count,
+    e9 share, the hard-coded Benford e9 expectation, and the absolute
+    deviation — integer-exact, 9 output rows."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return an.benford_audit_ds(orders)
+
+
+def q_spearman_corr(sf_dir: str) -> ray.data.Dataset:
+    """Spearman rank correlation (doc length vs token count) as exact
+    integer components (n, num, denx, deny) over doubled average ranks;
+    histogram-based ranking, no global sort."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "text"]
+    )
+    return an.spearman_corr_ds(docs)
+
+
+def q_time_weighted_avg(sf_dir: str) -> ray.data.Dataset:
+    """Per-user LOCF time-weighted average of event value as the exact
+    integer pair (num = sum v_cents * dt_us, den = span_us); one bucket
+    shuffle + segment reduceat."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return an.time_weighted_avg_ds(events)
+
+
+def q_gini_concentration(sf_dir: str) -> ray.data.Dataset:
+    """Gini coefficient of token mass across docs as exact integers
+    (n, total, gini_num): sorted-index sum collapsed onto the token-count
+    histogram — no global sort."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return an.gini_concentration_ds(docs)
+
+
+def q_sentence_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc sentence segmentation ([.!?]+ RE2 split, space-trimmed,
+    empties dropped): sentence count, max and sum of per-sentence token
+    counts."""
+    return an.sentence_stats_ds(_documents(sf_dir))
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "benford_audit": q_benford_audit,
+    "spearman_corr": q_spearman_corr,
+    "time_weighted_avg": q_time_weighted_avg,
+    "gini_concentration": q_gini_concentration,
+    "sentence_stats": q_sentence_stats,
     "gap_fill": q_gap_fill,
     "running_peak": q_running_peak,
     "periodicity": q_periodicity,
@@ -3771,6 +3824,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "benford_audit",
+    "spearman_corr",
+    "time_weighted_avg",
+    "gini_concentration",
+    "sentence_stats",
     "gap_fill",
     "running_peak",
     "periodicity",
@@ -4358,6 +4416,81 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "benford_audit": """
+        WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                   FROM orders),
+        g AS (SELECT digit, count(*) AS n FROM c GROUP BY 1),
+        t AS (SELECT sum(n) AS total FROM g),
+        e AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+                     unnest([301029995, 176091259, 124938736, 96910013,
+                             79181246, 66946789, 57991946, 51152522,
+                             45757490]) AS benford_e9)
+        SELECT g.digit, CAST(g.n AS BIGINT) AS n,
+               CAST(g.n * 1000000000 // t.total AS BIGINT) AS share_e9,
+               CAST(e.benford_e9 AS BIGINT) AS benford_e9,
+               CAST(abs(g.n * 1000000000 // t.total - e.benford_e9)
+                    AS BIGINT) AS dev_e9
+        FROM g, t JOIN e ON e.digit = g.digit
+    """,
+    "spearman_corr": """
+        WITH b AS (SELECT n_chars AS x,
+                          len(string_split(text, ' ')) AS y
+                   FROM documents),
+        r AS (SELECT
+                2 * RANK() OVER (ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY x) - 1 AS r2x,
+                2 * RANK() OVER (ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY y) - 1 AS r2y
+              FROM b)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) * SUM(r2x * r2y) - SUM(r2x) * SUM(r2y)
+                    AS BIGINT) AS num,
+               CAST(COUNT(*) * SUM(r2x * r2x) - SUM(r2x) * SUM(r2x)
+                    AS BIGINT) AS denx,
+               CAST(COUNT(*) * SUM(r2y * r2y) - SUM(r2y) * SUM(r2y)
+                    AS BIGINT) AS deny
+        FROM r
+    """,
+    "time_weighted_avg": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                          CAST(floor(value * 100) AS BIGINT) AS v
+                   FROM events),
+        s AS (SELECT user_id, v, t,
+                     LEAD(t) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) AS nt
+              FROM e)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COALESCE(SUM(v * (nt - t)), 0) AS BIGINT) AS twa_num,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS twa_den,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id
+    """,
+    "gini_concentration": """
+        WITH b AS (SELECT len(string_split(text, ' ')) AS x
+                   FROM documents),
+        r AS (SELECT x, row_number() OVER (ORDER BY x) AS i,
+                     COUNT(*) OVER () AS n
+              FROM b)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS total,
+               CAST(SUM((2 * i - n - 1) * x) AS BIGINT) AS gini_num
+        FROM r GROUP BY n
+    """,
+    "sentence_stats": """
+        WITH s AS (SELECT doc_id,
+                          trim(unnest(regexp_split_to_array(text, '[.!?]+')),
+                               ' ') AS seg
+                   FROM documents),
+        ne AS (SELECT doc_id,
+                      len(string_split(seg, ' ')) AS tok
+               FROM s WHERE seg <> '')
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_sentences,
+               CAST(max(tok) AS BIGINT) AS max_sent_tokens,
+               CAST(sum(tok) AS BIGINT) AS sum_sent_tokens
+        FROM ne GROUP BY doc_id
     """,
     "gap_fill": """
         WITH o AS (SELECT user_id,

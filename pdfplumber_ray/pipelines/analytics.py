@@ -6623,3 +6623,351 @@ def gap_fill_ds(
         projected.groupby("bkt").map_groups(fill, batch_format="pyarrow"),
         out_schema,
     )
+
+
+# floor(log10(1 + 1/d) * 1e9) for d = 1..9, precomputed so BOTH engines
+# compare against the same integer constants (no runtime libm in either).
+_BENFORD_E9 = (
+    301029995, 176091259, 124938736, 96910013, 79181246,
+    66946789, 57991946, 51152522, 45757490,
+)
+
+
+def benford_audit_ds(
+    orders: Dataset,
+    value_col: str = "o_totalprice",
+    quant: int = 100,
+) -> Dataset:
+    """Benford first-significant-digit audit — the classic fraud /
+    data-quality screen over a monetary column: observed count and
+    e9-quantized share per leading digit next to the Benford expectation
+    ``log10(1 + 1/d)`` (hard-coded e9 constants, identical in the SQL
+    twin), plus the absolute deviation. Integer-exact throughout:
+    values quantize to ``floor(v * quant)`` and the share is
+    ``n * 1e9 // total``.
+
+    Scale shape: per-batch digit extraction (decimal-string slice on the
+    Arrow side, no per-row Python) + a 9-row combiner; the only exchange
+    is the 9-key groupby. Output is 9 rows regardless of input size."""
+
+    def digit_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        cents = pa.array(np.floor(v * quant).astype(np.int64), pa.int64())
+        first = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
+        t = pa.table(
+            {
+                "digit": pc.cast(first, pa.int64()),
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+            }
+        )
+        return t.group_by("digit").aggregate([("n", "sum")]).rename_columns(
+            ["digit", "n"]
+        )
+
+    hist = (
+        orders.select_columns([value_col])
+        .map_batches(digit_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit")
+        .aggregate(Sum("n"))
+        .materialize()
+    )
+    df = hist.to_pandas().sort_values("digit").reset_index(drop=True)
+    digits = df["digit"].to_numpy(dtype=np.int64)
+    counts = df["sum(n)"].to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    share = counts * 1_000_000_000 // total
+    bexp = np.array(
+        [_BENFORD_E9[d - 1] for d in digits], dtype=np.int64
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(digits, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "share_e9": pa.array(share, pa.int64()),
+                "benford_e9": pa.array(bexp, pa.int64()),
+                "dev_e9": pa.array(np.abs(share - bexp), pa.int64()),
+            }
+        )
+    )
+
+
+def spearman_corr_ds(
+    docs: Dataset,
+    x_col: str = "n_chars",
+    text_col: str = "text",
+    max_domain_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Spearman rank correlation between document length (``x_col``) and
+    whitespace token count — emitted as the EXACT integer components
+    ``(n, num, denx, deny)`` of the tie-corrected formula over DOUBLED
+    average ranks (``2 * avg_rank`` is always an integer, so every term
+    stays in int64 and ``rho = num / sqrt(denx * deny)`` is the reader's
+    one float). No global sort: ranks come from the value-count
+    histograms (avg rank of value v = count_before + (count(v)+1)/2),
+    and the cross term from the JOINT (x, y) histogram — one combiner
+    ``map_batches`` + one bounded-domain groupby, guarded like
+    :func:`weighted_median_ds`."""
+
+    def xy_partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).cast(pa.int64())
+        y = pc.add(
+            pc.count_substring(batch.column(text_col), " "), 1
+        ).cast(pa.int64())
+        t = pa.table(
+            {
+                "x": x,
+                "y": y,
+                "c": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["x", "y"]).aggregate([("c", "sum")]).rename_columns(
+            ["x", "y", "c"]
+        )
+
+    joint = (
+        docs.select_columns([x_col, text_col])
+        .map_batches(xy_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["x", "y"])
+        .aggregate(Sum("c"))
+        .materialize()
+    )
+    if joint.count() > max_domain_broadcast:
+        raise ValueError("joint value domain exceeds max_domain_broadcast")
+    df = joint.to_pandas()
+    xs = df["x"].to_numpy(dtype=np.int64)
+    ys = df["y"].to_numpy(dtype=np.int64)
+    cs = df["sum(c)"].to_numpy(dtype=np.int64)
+    n = int(cs.sum())
+
+    def doubled_ranks(vals: np.ndarray) -> dict:
+        # doubled average rank per distinct value: 2*cum_before + cnt + 1
+        uq, inv = np.unique(vals, return_inverse=True)
+        cnt = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(cnt, inv, cs)
+        cum_before = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        r2 = 2 * cum_before + cnt + 1
+        return {"uq": uq, "inv": inv, "r2": r2}
+
+    rx = doubled_ranks(xs)
+    ry = doubled_ranks(ys)
+    r2x = rx["r2"][rx["inv"]]
+    r2y = ry["r2"][ry["inv"]]
+    sxy = int(np.sum(cs * r2x * r2y))
+    sx = int(np.sum(cs * r2x))
+    sy = int(np.sum(cs * r2y))
+    sxx = int(np.sum(cs * r2x * r2x))
+    syy = int(np.sum(cs * r2y * r2y))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "num": pa.array([n * sxy - sx * sy], pa.int64()),
+                "denx": pa.array([n * sxx - sx * sx], pa.int64()),
+                "deny": pa.array([n * syy - sy * sy], pa.int64()),
+            }
+        )
+    )
+
+
+def time_weighted_avg_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+    quant: int = 100,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Per-key TIME-weighted average of a step signal (LOCF between
+    events): each event's cents-quantized value weighted by the
+    microseconds until the key's next event. Emitted as the exact
+    integer pair ``(twa_num, twa_den)`` (num = sum v_e * dt_us,
+    den = span_us) plus ``n_events`` — the reader's division is the
+    only float. Single-event keys get (0, 0, 1).
+
+    Scale shape: one ``mix64(key)`` bucket shuffle of the 4-column
+    projection; in-bucket lexsort + segment-boundary diff, per-key sums
+    via one ``np.add.reduceat`` — no per-key Python."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: pa.array(k, pa.int64()),
+                "ts_us": batch.column(ts_col).cast(pa.int64()),
+                tie_col: batch.column(tie_col).cast(pa.int64()),
+                "v_e": pa.array(np.floor(v * quant).astype(np.int64), pa.int64()),
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field(key_col, pa.int64()),
+            pa.field("twa_num", pa.int64()),
+            pa.field("twa_den", pa.int64()),
+            pa.field("n_events", pa.int64()),
+        ]
+    )
+
+    def bucket_twa(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        tie = group.column(tie_col).to_numpy(zero_copy_only=False)
+        v = group.column("v_e").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, ts_s, vs = k[order], t[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        # dt to the NEXT event within the key; last event of a key gets 0
+        dt = np.concatenate((ts_s[1:] - ts_s[:-1], [0]))
+        ends = np.concatenate((starts[1:], [len(ks)]))
+        dt[ends - 1] = 0
+        num = np.add.reduceat(vs * dt, starts)
+        den = ts_s[ends - 1] - ts_s[starts]
+        cnt = ends - starts
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts], pa.int64()),
+                "twa_num": pa.array(num.astype(np.int64), pa.int64()),
+                "twa_den": pa.array(den.astype(np.int64), pa.int64()),
+                "n_events": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    projected = events.select_columns(
+        [key_col, ts_col, tie_col, value_col]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return _anchor_schema(
+        projected.groupby("bkt").map_groups(bucket_twa, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+def gini_concentration_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    max_domain_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Gini coefficient of token mass across documents — "how unequal is
+    the corpus": one row ``(n, total, gini_num)`` where
+    ``gini = gini_num / (n * total)`` and
+    ``gini_num = sum_i (2i - n - 1) * x_(i)`` over the ASCENDING-sorted
+    per-doc token counts. Tie-stable (equal values make the within-block
+    order irrelevant) and integer-exact.
+
+    Scale shape: no global sort — the sorted-index sum collapses onto the
+    value-count histogram (a value v with count c after F smaller items
+    contributes ``v * c * (2F + c - n)``), so the job is one combiner
+    ``map_batches`` + a bounded value-domain groupby (guarded)."""
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        y = pc.add(
+            pc.count_substring(batch.column(text_col), " "), 1
+        ).cast(pa.int64())
+        t = pa.table(
+            {"v": y, "c": pa.array(np.ones(batch.num_rows, dtype=np.int64))}
+        )
+        return t.group_by("v").aggregate([("c", "sum")]).rename_columns(["v", "c"])
+
+    hist = (
+        docs.select_columns([text_col])
+        .map_batches(tok_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("c"))
+        .materialize()
+    )
+    if hist.count() > max_domain_broadcast:
+        raise ValueError("value domain exceeds max_domain_broadcast")
+    df = hist.to_pandas().sort_values("v").reset_index(drop=True)
+    vals = df["v"].to_numpy(dtype=np.int64)
+    cnts = df["sum(c)"].to_numpy(dtype=np.int64)
+    n = int(cnts.sum())
+    total = int(np.sum(vals * cnts))
+    before = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    gini_num = int(np.sum(vals * cnts * (2 * before + cnts - n)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "total": pa.array([total], pa.int64()),
+                "gini_num": pa.array([gini_num], pa.int64()),
+            }
+        )
+    )
+
+
+def sentence_stats_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Per-document sentence segmentation stats: split on the RE2 class
+    ``[.!?]+`` (pyarrow and DuckDB both run RE2, so the twins segment
+    identically), space-trim each segment, drop empties, and emit
+    ``(doc_id, n_sentences, max_sent_tokens, sum_sent_tokens)``. Docs
+    with zero non-empty segments emit no row (mirrors the SQL GROUP BY).
+
+    Scale shape: pure per-batch Arrow kernels (split -> flatten with
+    parent indices -> trim -> masked segment reductions via
+    np.maximum/add.reduceat); embarrassingly parallel, no exchange."""
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("n_sentences", pa.int64()),
+            pa.field("max_sent_tokens", pa.int64()),
+            pa.field("sum_sent_tokens", pa.int64()),
+        ]
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        segs = pc.split_pattern_regex(batch.column(text_col), "[.!?]+")
+        segs = segs.combine_chunks() if isinstance(segs, pa.ChunkedArray) else segs
+        offsets = segs.offsets.to_numpy(zero_copy_only=False)
+        flat = pc.utf8_trim(segs.flatten(), " ")
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = (
+            pc.add(pc.count_substring(flat, " "), 1)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        parent = np.repeat(
+            np.arange(len(ids), dtype=np.int64), np.diff(offsets)
+        )
+        parent = parent[nonempty]
+        toks = toks[nonempty]
+        if len(parent) == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        starts = np.flatnonzero(
+            np.concatenate(([True], parent[1:] != parent[:-1]))
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[parent[starts]], pa.int64()),
+                "n_sentences": pa.array(
+                    np.diff(np.concatenate((starts, [len(parent)]))).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "max_sent_tokens": pa.array(
+                    np.maximum.reduceat(toks, starts).astype(np.int64), pa.int64()
+                ),
+                "sum_sent_tokens": pa.array(
+                    np.add.reduceat(toks, starts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )

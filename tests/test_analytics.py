@@ -1844,3 +1844,149 @@ def test_gap_fill_locf(ray_session):
         (2, 500, 0),
         (3, 200, 1),
     ]
+
+
+def test_benford_audit_counts_and_constants(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # prices whose cents leading digits are 1,1,2,9
+    orders = ray.data.from_arrow(
+        pa.table({"o_totalprice": pa.array([1.23, 150.0, 0.25, 9.99])})
+    )
+    rows = {r["digit"]: r for r in an.benford_audit_ds(orders).take_all()}
+    assert rows[1]["n"] == 2 and rows[2]["n"] == 1 and rows[9]["n"] == 1
+    assert rows[1]["share_e9"] == 2 * 10**9 // 4
+    assert rows[1]["benford_e9"] == 301029995
+    assert rows[9]["dev_e9"] == abs(10**9 // 4 - 45757490)
+
+
+def test_spearman_perfect_and_inverse(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # y (token count) strictly increases with x -> rho exactly +1
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "n_chars": pa.array([10, 20, 30], pa.int64()),
+                "text": pa.array(["a", "a b", "a b c"], pa.string()),
+            }
+        )
+    )
+    out = an.spearman_corr_ds(docs).take_all()[0]
+    assert out["n"] == 3 and out["num"] == out["denx"] == out["deny"]
+
+    # inverse ordering -> num = -den
+    docs2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "n_chars": pa.array([30, 20, 10], pa.int64()),
+                "text": pa.array(["a", "a b", "a b c"], pa.string()),
+            }
+        )
+    )
+    out2 = an.spearman_corr_ds(docs2).take_all()[0]
+    assert out2["num"] == -out2["denx"] == -out2["deny"]
+
+
+def test_spearman_tie_handling(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # x has a tie: doubled avg ranks for x=[5,5,9] are [3,3,7] (avg 1.5,1.5,3)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "n_chars": pa.array([5, 5, 9], pa.int64()),
+                "text": pa.array(["a", "a b", "a b c"], pa.string()),
+            }
+        )
+    )
+    out = an.spearman_corr_ds(docs).take_all()[0]
+    # hand-computed: r2x=[3,3,6] (avg ranks 1.5,1.5,3), r2y=[2,4,6]
+    # num = 3*(6+12+36) - 12*12 = 162-144 = 18
+    assert out["num"] == 18
+    assert out["denx"] == 3 * (9 + 9 + 36) - 12 * 12  # 18
+    assert out["deny"] == 3 * (4 + 16 + 36) - 12 * 12  # 24
+
+
+def test_time_weighted_avg_step_signal(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # user 1: v=2.0 for 10us then v=4.0 for 30us -> num = 200*10+400*30*0
+    # (last event weight 0) = 200*10 + 400*0 ... LOCF: num = 200*10 + 400*30?
+    # events at t=0 (v=2), t=10 (v=4), t=40 (v=6): num=200*10+400*30, den=40
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([0, 10, 40, 5], pa.timestamp("us")),
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "value": pa.array([2.0, 4.0, 6.0, 9.0]),
+            }
+        )
+    )
+    rows = {r["user_id"]: r for r in an.time_weighted_avg_ds(ev).take_all()}
+    assert rows[1]["twa_num"] == 200 * 10 + 400 * 30
+    assert rows[1]["twa_den"] == 40 and rows[1]["n_events"] == 3
+    # single-event key: zero num, zero den
+    assert rows[2]["twa_num"] == 0 and rows[2]["twa_den"] == 0
+    assert rows[2]["n_events"] == 1
+
+
+def test_gini_concentration_extremes(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # perfectly equal corpus -> gini_num = 0
+    eq = ray.data.from_arrow(
+        pa.table({"text": pa.array(["a b", "a b", "a b", "a b"], pa.string())})
+    )
+    out = an.gini_concentration_ds(eq).take_all()[0]
+    assert out["gini_num"] == 0 and out["total"] == 8 and out["n"] == 4
+
+    # one doc holds nearly all mass -> gini near (n-1)/n
+    skew = ray.data.from_arrow(
+        pa.table(
+            {"text": pa.array(["a", "a", "a", " ".join(["w"] * 97)], pa.string())}
+        )
+    )
+    o2 = an.gini_concentration_ds(skew).take_all()[0]
+    # sorted x = [1,1,1,97]; coefs (2i-n-1) = [-3,-1,1,3] -> num = -3-1+1+291
+    assert o2["gini_num"] == 288 and o2["total"] == 100
+    # gini = 288 / (4*100) = 0.72
+
+
+def test_sentence_stats_segmentation(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "one two. three!! four five six? ",
+                        "no terminator here",
+                        "...",  # only empty segments -> no row
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in an.sentence_stats_ds(docs).take_all()}
+    assert rows[1]["n_sentences"] == 3
+    assert rows[1]["max_sent_tokens"] == 3  # "four five six"
+    assert rows[1]["sum_sent_tokens"] == 6
+    assert rows[2]["n_sentences"] == 1 and rows[2]["sum_sent_tokens"] == 3
+    assert 3 not in rows
