@@ -3530,6 +3530,25 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
     return co.surprisal_ds(_documents(sf_dir))
 
 
+def q_snm_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Sorted-Neighborhood dedup candidates (Hernandez & Stolfo): pairs
+    within window-4 rank distance in the normalized-8-char-key order;
+    histogram-CDF ranks (no global sort) + chunk-claimed windowed
+    pairing."""
+    return co.snm_pairs_ds(_documents(sf_dir), window=4)
+
+
+def q_entity_mentions(sf_dir: str) -> ray.data.Dataset:
+    """NER-lite run mining: corpus top-50 multi-word content-token runs
+    (the synthetic corpus is lowercased, so the query mines
+    ``[a-z]{6,}`` runs; the operator's default pattern is the
+    ``[A-Z][a-z]+`` proper-noun form), vectorized run detection over
+    the flattened token stream."""
+    return co.entity_mentions_ds(
+        _documents(sf_dir), k=50, token_pattern="[a-z]{6,}"
+    )
+
+
 def q_benford_audit(sf_dir: str) -> ray.data.Dataset:
     """Benford first-digit audit of order totals: per-digit count,
     e9 share, the hard-coded Benford e9 expectation, and the absolute
@@ -3579,6 +3598,8 @@ def q_sentence_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "snm_pairs": q_snm_pairs,
+    "entity_mentions": q_entity_mentions,
     "benford_audit": q_benford_audit,
     "spearman_corr": q_spearman_corr,
     "time_weighted_avg": q_time_weighted_avg,
@@ -3824,6 +3845,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "snm_pairs",
+    "entity_mentions",
     "benford_audit",
     "spearman_corr",
     "time_weighted_avg",
@@ -4416,6 +4439,40 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "snm_pairs": """
+        WITH k AS (SELECT doc_id,
+                     substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                            1, 8) AS k8
+                   FROM documents),
+        r AS (SELECT doc_id, k8,
+                     row_number() OVER (ORDER BY k8, doc_id) AS rn
+              FROM k)
+        SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+               CAST(b.doc_id AS BIGINT) AS doc_b,
+               CAST(b.rn - a.rn AS BIGINT) AS gap,
+               CAST(CASE WHEN a.k8 = b.k8 THEN 1 ELSE 0 END
+                    AS BIGINT) AS same_key8
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 4
+    """,
+    "entity_mentions": """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                          generate_subscripts(string_split(text, ' '), 1) AS i
+                   FROM documents),
+        c AS (SELECT doc_id, i, tok,
+                     CASE WHEN regexp_full_match(tok, '[a-z]{6,}')
+                          THEN 1 ELSE 0 END AS cap
+              FROM w),
+        isl AS (SELECT doc_id, i, tok, cap,
+                       i - SUM(cap) OVER (PARTITION BY doc_id
+                                          ORDER BY i) AS grp
+                FROM c),
+        e AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY i) AS entity
+              FROM isl WHERE cap = 1 GROUP BY doc_id, grp
+              HAVING count(*) >= 2),
+        g AS (SELECT entity, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY entity)
+        SELECT entity, n FROM g ORDER BY n DESC, entity ASC LIMIT 50
     """,
     "benford_audit": """
         WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100)

@@ -6918,3 +6918,279 @@ def backoff_surprisal_ds(
         .map_batches(is_odd, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def snm_pairs_ds(
+    docs: Dataset,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 8192,
+    n_buckets: int = 512,
+    max_domain_broadcast: int = 5_000_000,
+) -> Dataset:
+    """Sorted-Neighborhood Method candidate pairs (Hernandez & Stolfo
+    1995) — the third classic dedup *blocking* modality next to LSH
+    banding and exact-hash grouping: docs whose [a-z0-9]-normalized
+    8-char key prefixes land within ``window`` positions of each other
+    in the global key order become candidates. Emits
+    ``(doc_a, doc_b, gap, same_key8)`` for every pair at rank distance
+    ``1 <= gap < window`` (doc_a = the lower-ranked doc); output is
+    bounded by ``N * (window - 1)``. ASCII-safe by construction: the
+    key strips every non-[a-z0-9] codepoint on BOTH engines (RE2 in
+    pyarrow and DuckDB), so the byte-packed int64 prefix order equals
+    SQL's string order.
+
+    Scale shape: NO global sort — global ranks come from
+    :func:`analytics.row_number_ds` (value-count CDF + one tie-bucket
+    shuffle) over the packed int64 key; windowed pairing then shuffles
+    each ranked row to its ``rank // chunk`` group (plus the previous
+    group for the ``window - 1`` boundary rows) hashed into a BOUNDED
+    bucket count, and pairs emit via per-offset searchsorted probes —
+    each qualifying pair exactly once (claimed by the lower element's
+    home chunk)."""
+    from .analytics import _anchor_schema, _mix64, row_number_ds
+
+    pow8 = (np.uint64(256) ** np.arange(7, -1, -1, dtype=np.uint64)).astype(
+        np.uint64
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.ascii_lower(batch.column(text_col)), "[^a-z0-9]", ""
+        )
+        pre = pc.utf8_slice_codeunits(norm, 0, 8)
+        pre = pre.combine_chunks() if isinstance(pre, pa.ChunkedArray) else pre
+        n = len(pre)
+        # StringArray exposes no .offsets accessor — read the raw int32
+        # offsets buffer, honoring a possible slice offset
+        offs = np.frombuffer(pre.buffers()[1], dtype=np.int32)[
+            pre.offset : pre.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(pre.buffers()[2] or b"", dtype=np.uint8)
+        lens = np.diff(offs)
+        mat = np.zeros((n, 8), dtype=np.uint64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        cols = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        flat_idx = np.repeat(offs[:-1], lens) + cols
+        mat[rows, cols] = data[flat_idx]
+        k_int = (mat * pow8).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "k_int": pa.array(k_int, pa.int64()),
+            }
+        )
+
+    keyed_ds = docs.select_columns([id_col, text_col]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranked = row_number_ds(
+        keyed_ds,
+        value_col="k_int",
+        id_col=id_col,
+        n_buckets=n_buckets,
+        max_domain_broadcast=max_domain_broadcast,
+    )
+
+    def to_groups(batch: pa.Table) -> pa.Table:
+        rn = batch.column("rn").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ki = batch.column("k_int").to_numpy(zero_copy_only=False)
+        g_home = rn // chunk
+        bnd = (rn % chunk < window - 1) & (g_home > 0)
+        g = np.concatenate((g_home, g_home[bnd] - 1))
+        rn2 = np.concatenate((rn, rn[bnd]))
+        id2 = np.concatenate((ids, ids[bnd]))
+        ki2 = np.concatenate((ki, ki[bnd]))
+        bkt = (_mix64(g) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(id2, pa.int64()),
+                "rn": pa.array(rn2, pa.int64()),
+                "k_int": pa.array(ki2, pa.int64()),
+                "g": pa.array(g, pa.int64()),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_a", pa.int64()),
+            pa.field("doc_b", pa.int64()),
+            pa.field("gap", pa.int64()),
+            pa.field("same_key8", pa.int64()),
+        ]
+    )
+
+    def pairgen(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        rn = group.column("rn").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        ki = group.column("k_int").to_numpy(zero_copy_only=False)
+        g = group.column("g").to_numpy(zero_copy_only=False)
+        # (g, rn) composite key: rn fits well under 2^42 and g under 2^21
+        key = (g << np.int64(42)) | rn
+        order = np.argsort(key)
+        key_s, rn_s, id_s, ki_s, g_s = (
+            key[order],
+            rn[order],
+            ids[order],
+            ki[order],
+            g[order],
+        )
+        outs_a, outs_b, outs_j, outs_same = [], [], [], []
+        for j in range(1, window):
+            pos = np.searchsorted(key_s, key_s + j)
+            pos_c = np.minimum(pos, len(key_s) - 1)
+            valid = (
+                (pos < len(key_s))
+                & (key_s[pos_c] == key_s + j)
+                # each pair is claimed ONCE, by the lower element's home
+                & (g_s == rn_s // chunk)
+            )
+            vi = np.flatnonzero(valid)
+            outs_a.append(id_s[vi])
+            outs_b.append(id_s[pos_c[vi]])
+            outs_j.append(np.full(len(vi), j, dtype=np.int64))
+            outs_same.append((ki_s[vi] == ki_s[pos_c[vi]]).astype(np.int64))
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(outs_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(outs_b), pa.int64()),
+                "gap": pa.array(np.concatenate(outs_j), pa.int64()),
+                "same_key8": pa.array(np.concatenate(outs_same), pa.int64()),
+            }
+        )
+
+    grouped = ranked.map_batches(
+        to_groups, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _anchor_schema(
+        grouped.groupby("bkt").map_groups(pairgen, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+def entity_mentions_ds(
+    docs: Dataset,
+    k: int = 50,
+    min_run: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_pattern: str = "[A-Z][a-z]+",
+) -> Dataset:
+    """NER-lite entity mining: corpus top-``k`` multi-word token runs —
+    consecutive whitespace tokens each RE2-full-matching
+    ``token_pattern`` (default ``[A-Z][a-z]+``: "New York City" style
+    proper-noun mentions; pass e.g. ``[a-z]{6,}`` for content-word runs
+    on a lowercased corpus), joined with single spaces. Deterministic
+    order: count DESC, then entity ASC; ties at the k boundary resolve
+    lexically on both engines.
+
+    Scale shape: per-batch Arrow split -> vectorized cap-mask + run
+    detection over the flattened token stream (no per-row Python) ->
+    ListArray rebuild + ``pc.binary_join`` for the mention strings ->
+    per-batch (entity, n) combiner -> ONE Heaps'-bounded
+    ``groupby(entity)`` -> per-block top-k partials -> tiny driver
+    final."""
+
+    def mention_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"entity": pa.array([], pa.string()), "n_e": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return empty
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(
+            np.arange(len(toks), dtype=np.int64), np.diff(offs)
+        )
+        cap = pc.match_substring_regex(
+            flat, f"^(?:{token_pattern})$"
+        ).to_numpy(zero_copy_only=False)
+        capidx = np.flatnonzero(cap)
+        if len(capidx) == 0:
+            return empty
+        # run boundaries among the capitalized tokens: index gap or doc change
+        brk = np.concatenate(
+            (
+                [True],
+                (np.diff(capidx) != 1)
+                | (parent[capidx[1:]] != parent[capidx[:-1]]),
+            )
+        )
+        run_id = np.cumsum(brk) - 1
+        run_starts = np.flatnonzero(brk)
+        run_lens = np.diff(np.concatenate((run_starts, [len(capidx)])))
+        keep = run_lens >= min_run
+        if not keep.any():
+            return empty
+        tok_keep = keep[run_id]
+        kept_tokens = pc.take(flat, pa.array(capidx[tok_keep], pa.int64()))
+        kept_lens = run_lens[keep]
+        kept_offsets = pa.array(
+            np.concatenate(([0], np.cumsum(kept_lens))), pa.int32()
+        )
+        mentions = pc.binary_join(
+            pa.ListArray.from_arrays(kept_offsets, kept_tokens), " "
+        )
+        t = pa.table(
+            {
+                "entity": mentions,
+                "n_e": pa.array(np.ones(len(mentions), dtype=np.int64)),
+            }
+        )
+        return t.group_by("entity").aggregate([("n_e", "sum")]).rename_columns(
+            ["entity", "n_e"]
+        )
+
+    counts = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(mention_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("entity")
+        .aggregate(Sum("n_e"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"entity": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        ent = np.asarray(batch.column("entity").to_pylist(), dtype=object)
+        n = batch.column("sum(n_e)").to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.lexsort((ent.astype(str), -n))[:k]
+        return pa.table(
+            {
+                "entity": pa.array(ent[top], pa.string()),
+                "n": pa.array(n[top], pa.int64()),
+            }
+        )
+
+    rows = counts.map_batches(
+        block_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # blocks x k
+    if not rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {"entity": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        )
+    ent = np.asarray([r["entity"] for r in rows], dtype=object)
+    n = np.asarray([int(r["n"]) for r in rows], np.int64)
+    top = np.lexsort((ent.astype(str), -n))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity": pa.array(ent[top], pa.string()),
+                "n": pa.array(n[top], pa.int64()),
+            }
+        )
+    )

@@ -1926,3 +1926,96 @@ def test_backoff_surprisal_unseen_penalty(ray_session):
     )
     rows = {r["doc_id"]: r["backoff_bits"] for r in co.backoff_surprisal_ds(docs).take_all()}
     assert rows == {1: 0, 3: 3, 5: 4}
+
+
+def test_snm_pairs_window_and_key_flag(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # normalized keys: doc1/doc2 share "abcdefgh", doc3 is "zzz..."
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["Abc def ghi jkl", "abcdefgh trailing", "zzzzzzzz end"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    rows = co.snm_pairs_ds(docs, window=4).take_all()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    # ranks: doc1(abcdefgh), doc2(abcdefgh), doc3(zzzzzzzz) -> 3 pairs
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 2)]["same_key8"] == 1 and pairs[(1, 2)]["gap"] == 1
+    assert pairs[(1, 3)]["same_key8"] == 0 and pairs[(1, 3)]["gap"] == 2
+
+
+def test_snm_pairs_chunk_boundary_exactly_once(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # 10 docs with strictly ordered keys; chunk=4 forces boundary pairs
+    # (ranks 4-5, 8-9 cross chunks); every in-window pair must appear
+    # exactly once
+    texts = [f"{chr(ord('a') + i)}key body" for i in range(10)]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    rows = co.snm_pairs_ds(docs, window=3, chunk=4).take_all()
+    got = sorted((r["doc_a"], r["doc_b"]) for r in rows)
+    want = sorted(
+        (i, j) for i in range(10) for j in range(i + 1, min(i + 3, 10))
+    )
+    assert got == want  # no duplicates, no misses across chunk boundaries
+
+
+def test_entity_mentions_capitalized_default(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "went to New York City and saw New York again",
+                        "in New York with Ada Lovelace yes",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    rows = co.entity_mentions_ds(docs, k=10).take_all()
+    got = {r["entity"]: r["n"] for r in rows}
+    # runs are maximal: "New York City" once, "New York" twice, Ada once
+    assert got == {"New York City": 1, "New York": 2, "Ada Lovelace": 1}
+
+
+def test_entity_mentions_run_breaks_on_nonmatching_token(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["Alpha Beta x Gamma Delta"], pa.string()),
+            }
+        )
+    )
+    rows = co.entity_mentions_ds(docs, k=10).take_all()
+    got = {r["entity"] for r in rows}
+    assert got == {"Alpha Beta", "Gamma Delta"}
