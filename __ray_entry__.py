@@ -3530,6 +3530,34 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
     return co.surprisal_ds(_documents(sf_dir))
 
 
+def q_power_iter_step(sf_dir: str) -> ray.data.Dataset:
+    """One distributed power-iteration matvec X^T(X*ones) over e3-
+    quantized embeddings — the PCA primitive, integer-exact, one row
+    per dimension."""
+    embs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return co.power_iter_step_ds(embs)
+
+
+def q_prefix_filter_pairs(sf_dir: str) -> ray.data.Dataset:
+    """PPJoin-style prefix-filtering candidate pairs over 4-token
+    shingles (Jaccard floor 0.8): docs sharing a shingle in their
+    (df ASC, shingle ASC)-ordered prefix of size k - ceil(0.8k) + 1."""
+    return co.prefix_filter_pairs_ds(
+        _documents(sf_dir), threshold_permille=800, shingle_k=4
+    )
+
+
+def q_type_cross_corr(sf_dir: str) -> ray.data.Dataset:
+    """Cross-correlation matrix of per-type daily event counts: raw
+    integer dot product + common-day count per unordered type pair."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return an.type_cross_corr_ds(events)
+
+
 def q_snm_pairs(sf_dir: str) -> ray.data.Dataset:
     """Sorted-Neighborhood dedup candidates (Hernandez & Stolfo): pairs
     within window-4 rank distance in the normalized-8-char-key order;
@@ -3598,6 +3626,9 @@ def q_sentence_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "power_iter_step": q_power_iter_step,
+    "prefix_filter_pairs": q_prefix_filter_pairs,
+    "type_cross_corr": q_type_cross_corr,
     "snm_pairs": q_snm_pairs,
     "entity_mentions": q_entity_mentions,
     "benford_audit": q_benford_audit,
@@ -3845,6 +3876,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "power_iter_step",
+    "prefix_filter_pairs",
+    "type_cross_corr",
     "snm_pairs",
     "entity_mentions",
     "benford_audit",
@@ -4439,6 +4473,52 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "power_iter_step": """
+        WITH e AS (SELECT list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS qv
+                   FROM embeddings),
+        s AS (SELECT qv, CAST(list_sum(qv) AS BIGINT) AS si FROM e),
+        u AS (SELECT d.i AS dim, qv[d.i] * si AS contrib
+              FROM s, LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i) d)
+        SELECT CAST(dim AS BIGINT) AS dim,
+               CAST(SUM(contrib) AS BIGINT) AS comp
+        FROM u GROUP BY 1
+    """,
+    "prefix_filter_pairs": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        tok AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(toks, i, i + 3), ' ')
+                           AS token
+                FROM w, LATERAL (SELECT unnest(range(1, len(toks) - 2))
+                                 AS i) s),
+        df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+        kk AS (SELECT doc_id, count(*) AS k FROM tok GROUP BY 1),
+        r AS (SELECT t.doc_id, t.token,
+                     row_number() OVER (PARTITION BY t.doc_id
+                                        ORDER BY d.df, t.token) AS rk,
+                     kk.k
+              FROM tok t JOIN df d USING (token) JOIN kk USING (doc_id)),
+        pre AS (SELECT doc_id, token FROM r
+                WHERE rk <= k - (k * 800 + 999) // 1000 + 1)
+        SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a,
+                        CAST(b.doc_id AS BIGINT) AS doc_b
+        FROM pre a JOIN pre b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+    """,
+    "type_cross_corr": """
+        WITH c AS (SELECT event_type,
+                          (epoch_us(ts) // 86400000000) * 86400000000 AS w,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(SUM(a.n * b.n) AS BIGINT) AS dot,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM c a JOIN c b
+          ON a.w = b.w AND a.event_type <= b.event_type
+        GROUP BY 1, 2
     """,
     "snm_pairs": """
         WITH k AS (SELECT doc_id,

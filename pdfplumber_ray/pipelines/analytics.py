@@ -6971,3 +6971,76 @@ def sentence_stats_ds(
     return docs.select_columns([id_col, text_col]).map_batches(
         stats, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def type_cross_corr_ds(
+    events: Dataset,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    width_us: int = 86_400_000_000,
+) -> Dataset:
+    """Cross-correlation matrix of the per-type DAILY count series —
+    which event types move together: for every unordered type pair
+    (a <= b, diagonal included) the raw integer dot product
+    ``sum_w n_a(w) * n_b(w)`` over the days where both are observed,
+    plus the common-day count. Zero-filled days contribute nothing to a
+    dot product, so only observed (type, window) cells matter and the
+    result is integer-exact with no span bookkeeping.
+
+    Scale shape: one (type, window) count combiner -> report-sized
+    groupby (|types| x days) -> driver pair scan over the tiny table;
+    documents-scale data never shuffles."""
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        w = pc.multiply(
+            pc.divide(batch.column(ts_col).cast(pa.int64()), width_us),
+            pa.scalar(width_us, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "et": batch.column(type_col),
+                "w": w,
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["et", "w"]).aggregate([("n", "sum")]).rename_columns(
+            ["et", "w", "n"]
+        )
+
+    cells = (
+        events.select_columns([ts_col, type_col])
+        .map_batches(cnt_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["et", "w"])
+        .aggregate(Sum("n"))
+        .materialize()
+    )
+    df = cells.to_pandas()
+    ets = df["et"].to_numpy(dtype=object).astype(str)
+    ws = df["w"].to_numpy(dtype=np.int64)
+    ns = df["sum(n)"].to_numpy(dtype=np.int64)
+    types = np.unique(ets)
+    uw = np.unique(ws)
+    mat = np.zeros((len(types), len(uw)), dtype=np.int64)
+    ti = np.searchsorted(types, ets)
+    wi = np.searchsorted(uw, ws)
+    mat[ti, wi] = ns
+    rows_a, rows_b, dots, commons = [], [], [], []
+    for i in range(len(types)):
+        for j in range(i, len(types)):
+            both = (mat[i] > 0) & (mat[j] > 0)
+            if not both.any():
+                continue
+            rows_a.append(types[i])
+            rows_b.append(types[j])
+            dots.append(int(np.sum(mat[i][both] * mat[j][both])))
+            commons.append(int(both.sum()))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "type_a": pa.array(rows_a, pa.string()),
+                "type_b": pa.array(rows_b, pa.string()),
+                "dot": pa.array(dots, pa.int64()),
+                "n_common": pa.array(commons, pa.int64()),
+            }
+        )
+    )

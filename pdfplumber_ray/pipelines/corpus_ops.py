@@ -7194,3 +7194,269 @@ def entity_mentions_ds(
             }
         )
     )
+
+
+def power_iter_step_ds(
+    embs: Dataset,
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> Dataset:
+    """One DISTRIBUTED power-iteration matvec over the embedding Gram
+    matrix — the primitive a PCA / top-eigenvector job repeats:
+    ``out = X^T (X v0)`` with the deterministic all-ones start vector
+    ``v0``. Components quantize to ``floor(float64(x) * quant)`` int64
+    (the ``centroids`` convention), so every product and sum is
+    integer-exact and the twins match bit-for-bit. Emits one row per
+    dimension ``(dim, comp)`` (dim is 1-based to match SQL's
+    ``range(1, len+1)``).
+
+    Scale shape: one ``map_batches`` pass computes each batch's
+    ``q^T (q @ ones)`` partial as a dim-length vector — only
+    ``n_blocks x dim`` combiner rows reach the final dim groupby. At
+    e3 quantization the per-row magnitude is ~``dim * quant^2`` so a
+    trillion-row corpus stays inside int64."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if len(col) == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(col[0])
+        q = np.floor(flat * quant).astype(np.int64).reshape(-1, dim)
+        s = q.sum(axis=1)  # X v0 with v0 = ones
+        comp = (q * s[:, None]).sum(axis=0)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64), pa.int64()),
+                "c": pa.array(comp, pa.int64()),
+            }
+        )
+
+    out = (
+        embs.select_columns([vec_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Sum("c"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dim": batch.column("dim").cast(pa.int64()),
+                "comp": batch.column("sum(c)").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def prefix_filter_pairs_ds(
+    docs: Dataset,
+    threshold_permille: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+    max_vocab_broadcast: int = 20_000_000,
+    max_token_df: Optional[int] = None,
+    shingle_k: int = 1,
+) -> Dataset:
+    """Prefix-filtering candidate pairs for set-similarity joins
+    (Chaudhuri et al. 2006 / PPJoin, Xiao et al. 2008) — the fourth
+    dedup-blocking modality next to MinHash banding, exact hashing and
+    sorted neighborhood: order each doc's DISTINCT tokens globally by
+    (document frequency ASC, token ASC) and index only the first
+    ``k - ceil(t*k) + 1`` of them (k = the doc's distinct-token count,
+    t = ``threshold_permille``/1000, the Jaccard floor the candidates
+    must be complete for); two docs become a candidate pair iff they
+    share a PREFIX token. Integer-exact prefix size:
+    ``k - (k*threshold_permille + 999)//1000 + 1``.
+
+    Scale shape: per-batch distinct-(doc, token) combiner (a doc's
+    tokens never span batches) -> ONE Heaps'-bounded token groupby for
+    the df table (broadcast once via ``ray.put``, guarded) -> ONE
+    ``mix64(doc)`` bucket shuffle for in-bucket prefix selection
+    (lexsort + segment ranks, no per-doc Python) -> ONE token-hash
+    bucket shuffle with size-grouped triu pair expansion (hot tokens
+    optionally capped via ``max_token_df`` — prefix tokens are the
+    RAREST by construction, which is the whole point of the method) ->
+    pair-key groupby for the final distinct.
+
+    ``shingle_k > 1`` uses k-token shingles as the set elements (the
+    standard PPJoin practice — shingles are far more distinctive than
+    unigrams, which keeps prefixes selective on small-vocabulary
+    corpora); built vectorized via a gather + ListArray rebuild."""
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        if shingle_k > 1:
+            n_sh = np.maximum(lens - shingle_k + 1, 0)
+            if int(n_sh.sum()) == 0:
+                return pa.table(
+                    {
+                        "doc": pa.array([], pa.int64()),
+                        "token": pa.array([], pa.string()),
+                    }
+                )
+            starts0 = offs[:-1] - offs[0]
+            sh_start = (
+                np.repeat(starts0, n_sh)
+                + np.arange(int(n_sh.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(n_sh) - n_sh, n_sh)
+            )
+            gather = (
+                sh_start[:, None] + np.arange(shingle_k, dtype=np.int64)
+            ).ravel()
+            vals = pc.take(flat, pa.array(gather, pa.int64()))
+            lst = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(len(sh_start) + 1, dtype=np.int64) * shingle_k,
+                    pa.int32(),
+                ),
+                vals,
+            )
+            elem = pc.binary_join(lst, " ")
+            parent = pa.array(ids[np.repeat(np.arange(len(ids)), n_sh)], pa.int64())
+        else:
+            elem = flat
+            parent = pa.array(
+                ids[np.repeat(np.arange(len(ids), dtype=np.int64), lens)],
+                pa.int64(),
+            )
+        t = pa.table({"doc": parent, "token": elem})
+        # distinct within the batch IS globally distinct: one doc = one row
+        g = t.group_by(["doc", "token"]).aggregate([])
+        return g
+
+    toks_ds = docs.select_columns([id_col, text_col]).map_batches(
+        tok_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ray.data.aggregate import Count as _Count
+
+    df_tbl = toks_ds.groupby("token").aggregate(_Count()).materialize()
+    if df_tbl.count() > max_vocab_broadcast:
+        raise ValueError("token vocabulary exceeds max_vocab_broadcast")
+    vdf = df_tbl.to_pandas()
+    vocab = np.sort(vdf["token"].to_numpy(dtype=object).astype(str))
+    dfs = np.empty(len(vocab), dtype=np.int64)
+    order = np.argsort(vdf["token"].to_numpy(dtype=object).astype(str))
+    dfs[:] = vdf["count()"].to_numpy(dtype=np.int64)[order]
+    vocab_ref = ray.put((vocab, dfs))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc").to_numpy(zero_copy_only=False)
+        from .analytics import _mix64
+
+        return batch.append_column(
+            "bkt",
+            pa.array(
+                (_mix64(d) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+            ),
+        )
+
+    prefix_schema = pa.schema(
+        [pa.field("token", pa.string()), pa.field("doc", pa.int64())]
+    )
+
+    def prefix_select(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in prefix_schema})
+        vocab_s, dfs_s = ray.get(vocab_ref)
+        d = group.column("doc").to_numpy(zero_copy_only=False)
+        tk = np.asarray(group.column("token").to_pylist(), dtype=object).astype(str)
+        df = dfs_s[np.searchsorted(vocab_s, tk)]
+        order2 = np.lexsort((tk, df, d))
+        ds_, dfs2, tks = d[order2], df[order2], tk[order2]
+        starts = np.flatnonzero(np.concatenate(([True], ds_[1:] != ds_[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(ds_)])))
+        rank = (
+            np.arange(len(ds_), dtype=np.int64)
+            - np.repeat(starts, seg_len)
+            + 1
+        )
+        k = np.repeat(seg_len, seg_len).astype(np.int64)
+        psize = k - (k * threshold_permille + 999) // 1000 + 1
+        keep = rank <= psize
+        return pa.table(
+            {
+                "token": pa.array(tks[keep].astype(object), pa.string()),
+                "doc": pa.array(ds_[keep], pa.int64()),
+            }
+        )
+
+    prefixes = (
+        toks_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(prefix_select, batch_format="pyarrow")
+    )
+
+    def tok_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "tbkt", _hash_bucket_column(batch.column("token"), n_buckets)
+        )
+
+    pair_schema = pa.schema(
+        [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
+    )
+
+    def token_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in pair_schema})
+        tk = np.asarray(group.column("token").to_pylist(), dtype=object).astype(str)
+        d = group.column("doc").to_numpy(zero_copy_only=False)
+        order2 = np.lexsort((d, tk))
+        tks, ds_ = tk[order2], d[order2]
+        seg = np.concatenate(([True], tks[1:] != tks[:-1]))
+        seg_id = np.cumsum(seg) - 1
+        sizes = np.bincount(seg_id)
+        starts = np.flatnonzero(seg)
+        pair_a, pair_b = [], []
+        for sz in np.unique(sizes):
+            if sz < 2 or (max_token_df is not None and sz > max_token_df):
+                continue
+            idx = starts[sizes == sz]
+            iu, ju = np.triu_indices(int(sz), k=1)
+            pair_a.append(ds_[(idx[:, None] + iu[None, :]).ravel()])
+            pair_b.append(ds_[(idx[:, None] + ju[None, :]).ravel()])
+        if not pair_a:
+            return pa.table({f.name: pa.array([], f.type) for f in pair_schema})
+        a = np.concatenate(pair_a)
+        b = np.concatenate(pair_b)
+        return pa.table(
+            {
+                "doc_a": pa.array(np.minimum(a, b), pa.int64()),
+                "doc_b": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    pairs = (
+        prefixes.map_batches(tok_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tbkt")
+        .map_groups(token_pairs, batch_format="pyarrow")
+    )
+    from .analytics import _anchor_schema
+
+    distinct = (
+        _anchor_schema(pairs, pair_schema)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(_Count())
+    )
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").cast(pa.int64()),
+                "doc_b": batch.column("doc_b").cast(pa.int64()),
+            }
+        )
+
+    return distinct.map_batches(
+        keys_only, batch_format="pyarrow", zero_copy_batch=True
+    )

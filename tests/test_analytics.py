@@ -1990,3 +1990,29 @@ def test_sentence_stats_segmentation(ray_session):
     assert rows[1]["sum_sent_tokens"] == 6
     assert rows[2]["n_sentences"] == 1 and rows[2]["sum_sent_tokens"] == 3
     assert 3 not in rows
+
+
+def test_type_cross_corr_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # type a: day0 x2, day1 x1 ; type b: day0 x3 (day1 absent)
+    ts = [0, 0, day, 0, 0, 0]
+    et = ["a", "a", "a", "b", "b", "b"]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(et, pa.string()),
+            }
+        )
+    )
+    rows = {
+        (r["type_a"], r["type_b"]): r
+        for r in an.type_cross_corr_ds(ev).take_all()
+    }
+    assert rows[("a", "a")]["dot"] == 4 + 1 and rows[("a", "a")]["n_common"] == 2
+    assert rows[("a", "b")]["dot"] == 2 * 3 and rows[("a", "b")]["n_common"] == 1
+    assert rows[("b", "b")]["dot"] == 9

@@ -2019,3 +2019,79 @@ def test_entity_mentions_run_breaks_on_nonmatching_token(ray_session):
     rows = co.entity_mentions_ds(docs, k=10).take_all()
     got = {r["entity"] for r in rows}
     assert got == {"Alpha Beta", "Gamma Delta"}
+
+
+def test_power_iter_step_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # two 2-d vectors: q = [[1000, 2000], [3000, -1000]] (e3 of values)
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "embedding": pa.array(
+                    [[1.0, 2.0], [3.0, -1.0]], pa.list_(pa.float32())
+                )
+            }
+        )
+    )
+    rows = {r["dim"]: r["comp"] for r in co.power_iter_step_ds(embs).take_all()}
+    # s = [3000, 2000]; out[1] = 1000*3000 + 3000*2000 = 9e6
+    # out[2] = 2000*3000 - 1000*2000 = 4e6
+    assert rows == {1: 9_000_000, 2: 4_000_000}
+
+
+def test_prefix_filter_pairs_completeness(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # doc1 and doc2 share most tokens (jaccard > 0.5) -> must be a
+    # candidate (prefix filtering is COMPLETE above the threshold);
+    # doc3 is disjoint -> never a candidate with anyone
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["a b c d", "a b c e", "x y z w"], pa.string()
+                ),
+            }
+        )
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in co.prefix_filter_pairs_ds(docs, threshold_permille=500).take_all()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_prefix_filter_pairs_shingles(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # with 2-token shingles, doc1/doc2 share shingle "b c"; doc3 shares
+    # single TOKENS but no shingle -> shingle mode excludes it
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["a b c", "z b c", "c a b x"], pa.string()
+                ),
+            }
+        )
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in co.prefix_filter_pairs_ds(
+            docs, threshold_permille=300, shingle_k=2
+        ).take_all()
+    }
+    assert (1, 2) in pairs
+    # doc3's shingles are {"c a","a b","b x"} - shares "a b" with doc1
+    assert (1, 3) in pairs
+    assert (2, 3) not in pairs
