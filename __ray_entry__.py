@@ -3549,6 +3549,19 @@ def q_prefix_filter_pairs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_prefix_filter_verified(sf_dir: str) -> ray.data.Dataset:
+    """END-TO-END set-similarity join: PPJoin prefix-filter candidates
+    (4-token shingles, t=0.8) -> exact shingle-Jaccard verify. Prefix
+    filtering is COMPLETE above the threshold, so the result equals the
+    TRUE all-pairs Jaccard >= 0.8 set — which is exactly what the
+    O(N^2) oracle computes."""
+    docs = _documents(sf_dir)
+    cands = co.prefix_filter_pairs_ds(
+        docs, threshold_permille=800, shingle_k=4
+    )
+    return co.ngram_jaccard_verify_ds(cands, docs, shingle_k=4, threshold=0.8)
+
+
 def q_type_cross_corr(sf_dir: str) -> ray.data.Dataset:
     """Cross-correlation matrix of per-type daily event counts: raw
     integer dot product + common-day count per unordered type pair."""
@@ -3628,6 +3641,7 @@ def q_sentence_stats(sf_dir: str) -> ray.data.Dataset:
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "power_iter_step": q_power_iter_step,
     "prefix_filter_pairs": q_prefix_filter_pairs,
+    "prefix_filter_verified": q_prefix_filter_verified,
     "type_cross_corr": q_type_cross_corr,
     "snm_pairs": q_snm_pairs,
     "entity_mentions": q_entity_mentions,
@@ -3878,6 +3892,7 @@ _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
     "power_iter_step",
     "prefix_filter_pairs",
+    "prefix_filter_verified",
     "type_cross_corr",
     "snm_pairs",
     "entity_mentions",
@@ -4507,6 +4522,20 @@ ORACLES: Dict[str, str] = {
                         CAST(b.doc_id AS BIGINT) AS doc_b
         FROM pre a JOIN pre b
           ON a.token = b.token AND a.doc_id < b.doc_id
+    """,
+    "prefix_filter_verified": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct([array_to_string(l[i:i+3], ' ')
+                                    for i in range(1, len(l) - 2)]) AS sh
+              FROM t WHERE len(l) >= 4),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) + len(b.sh) AS tot
+              FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, inter * 1.0 / (tot - inter) AS jaccard
+        FROM p WHERE inter * 1.0 / (tot - inter) >= 0.8
     """,
     "type_cross_corr": """
         WITH c AS (SELECT event_type,
