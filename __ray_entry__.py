@@ -3530,6 +3530,20 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
     return co.surprisal_ds(_documents(sf_dir))
 
 
+def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
+    """Heaps'-law vocabulary growth curve over 3-token shingles (the
+    unigram vocab of the synthetic corpus saturates in decile 0; the
+    shingle vocab keeps growing): new + cumulative distinct shingles
+    per doc-id decile."""
+    return co.vocab_growth_ds(_documents(sf_dir), n_checkpoints=10, shingle_k=3)
+
+
+def q_shard_balance(sf_dir: str) -> ray.data.Dataset:
+    """Shard-balance audit of the md5 training shuffle: per shard the
+    doc count, token mass, and min/max per-doc token count."""
+    return co.shard_balance_ds(_documents(sf_dir), n_shards=64)
+
+
 def q_power_iter_step(sf_dir: str) -> ray.data.Dataset:
     """One distributed power-iteration matvec X^T(X*ones) over e3-
     quantized embeddings — the PCA primitive, integer-exact, one row
@@ -3639,6 +3653,8 @@ def q_sentence_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "vocab_growth": q_vocab_growth,
+    "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
     "prefix_filter_pairs": q_prefix_filter_pairs,
     "prefix_filter_verified": q_prefix_filter_verified,
@@ -3890,6 +3906,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "vocab_growth",
+    "shard_balance",
     "power_iter_step",
     "prefix_filter_pairs",
     "prefix_filter_verified",
@@ -3901,6 +3919,11 @@ _FRONT_R5 = [
     "time_weighted_avg",
     "gini_concentration",
     "sentence_stats",
+    # VERDICT-r4 scale-path twins: keep driver-validated every round
+    "main_content",
+    "substring_dedup",
+    "dedup_resolution_cogroup",
+    "asof_join_bucketed",
     "gap_fill",
     "running_peak",
     "periodicity",
@@ -3947,10 +3970,6 @@ _FRONT_R5 = [
     "stream_join",
     "pq_search",
     # the flagship boilerplate pipeline keeps its gate slot
-    "main_content",
-    "substring_dedup",
-    "dedup_resolution_cogroup",
-    "asof_join_bucketed",
     # --- 50-slot gate window boundary (entries below overflow) ---
     # components / user_paths / skyline / clustering_coeff / ohlc_bars /
     # period_over_period yield their window slots to the session-8
@@ -4488,6 +4507,39 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "vocab_growth": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        tok AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(toks, i, i + 2), ' ')
+                           AS token
+                FROM w, LATERAL (SELECT unnest(range(1, len(toks) - 1))
+                                 AS i) s),
+        f AS (SELECT token, min(doc_id) AS fd FROM tok GROUP BY 1),
+        nn AS (SELECT count(*) AS nd FROM documents),
+        b AS (SELECT LEAST(fd * 10 // nd, 9) AS decile,
+                     count(*) AS new_tokens
+              FROM f, nn GROUP BY 1)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(new_tokens AS BIGINT) AS new_tokens,
+               CAST(SUM(new_tokens) OVER (ORDER BY decile)
+                    AS BIGINT) AS cum_vocab
+        FROM b
+    """,
+    "shard_balance": """
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::UBIGINT AS BIGINT) % 64 AS shard,
+                 len(string_split(text, ' ')) AS tok
+          FROM documents)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS token_mass,
+               CAST(min(tok) AS BIGINT) AS min_tokens,
+               CAST(max(tok) AS BIGINT) AS max_tokens
+        FROM h GROUP BY shard
     """,
     "power_iter_step": """
         WITH e AS (SELECT list_transform(embedding,

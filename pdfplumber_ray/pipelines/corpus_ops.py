@@ -7460,3 +7460,175 @@ def prefix_filter_pairs_ds(
     return distinct.map_batches(
         keys_only, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def vocab_growth_ds(
+    docs: Dataset,
+    n_checkpoints: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 1,
+) -> Dataset:
+    """Vocabulary growth curve (the empirical Heaps'-law points a
+    tokenizer-budget decision reads): split the corpus into
+    ``n_checkpoints`` equal doc-id deciles and report, per decile, how
+    many NEW distinct tokens first appear there plus the cumulative
+    vocabulary size. A token's checkpoint is
+    ``min(first_doc * n // n_docs, n - 1)``. ``shingle_k > 1`` measures
+    k-token shingle vocabulary instead — the n-gram growth curve, which
+    keeps growing long after the unigram vocab saturates.
+
+    Scale shape: per-batch distinct-(doc, token) combiner -> ONE
+    Heaps'-bounded ``groupby(token).min(doc)`` -> n-row decile groupby
+    -> driver cumsum over the n-row table. Documents never shuffle."""
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        if shingle_k > 1:
+            n_sh = np.maximum(lens - shingle_k + 1, 0)
+            if int(n_sh.sum()) == 0:
+                return pa.table(
+                    {
+                        "token": pa.array([], pa.string()),
+                        "doc": pa.array([], pa.int64()),
+                    }
+                )
+            starts0 = offs[:-1] - offs[0]
+            sh_start = (
+                np.repeat(starts0, n_sh)
+                + np.arange(int(n_sh.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(n_sh) - n_sh, n_sh)
+            )
+            gather = (
+                sh_start[:, None] + np.arange(shingle_k, dtype=np.int64)
+            ).ravel()
+            vals = pc.take(flat, pa.array(gather, pa.int64()))
+            lst = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(len(sh_start) + 1, dtype=np.int64) * shingle_k,
+                    pa.int32(),
+                ),
+                vals,
+            )
+            elem = pc.binary_join(lst, " ")
+            parent = pa.array(ids[np.repeat(np.arange(len(ids)), n_sh)], pa.int64())
+        else:
+            elem = flat
+            parent = pa.array(
+                ids[np.repeat(np.arange(len(ids), dtype=np.int64), lens)],
+                pa.int64(),
+            )
+        t = pa.table({"doc": parent, "token": elem})
+        g = t.group_by("token").aggregate([("doc", "min")])
+        return g.rename_columns(["token", "doc"])
+
+    n_docs = docs.count()
+    first = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(tok_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Min("doc"))
+    )
+
+    def decile_partial(batch: pa.Table) -> pa.Table:
+        fd = batch.column("min(doc)").to_numpy(zero_copy_only=False)
+        dec = np.minimum(fd * n_checkpoints // n_docs, n_checkpoints - 1)
+        t = pa.table(
+            {
+                "decile": pa.array(dec.astype(np.int64), pa.int64()),
+                "c": pa.array(np.ones(len(dec), dtype=np.int64)),
+            }
+        )
+        return t.group_by("decile").aggregate([("c", "sum")]).rename_columns(
+            ["decile", "c"]
+        )
+
+    rows = (
+        first.map_batches(decile_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("decile")
+        .aggregate(Sum("c"))
+        .take_all()
+    )  # <= n_checkpoints rows
+    rows.sort(key=lambda r: r["decile"])
+    dec = np.array([r["decile"] for r in rows], np.int64)
+    new = np.array([r["sum(c)"] for r in rows], np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "decile": pa.array(dec, pa.int64()),
+                "new_tokens": pa.array(new, pa.int64()),
+                "cum_vocab": pa.array(np.cumsum(new), pa.int64()),
+            }
+        )
+    )
+
+
+def shard_balance_ds(
+    docs: Dataset,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Shard-balance audit for the deterministic training shuffle: per
+    md5-derived shard (the :func:`shuffle_shards_ds` assignment), the
+    doc count, total whitespace-token mass, and min/max per-doc token
+    count — the numbers that tell whether shard skew will stall a
+    data-parallel training job. Integer-exact.
+
+    Scale shape: per-batch (shard, count, mass, min, max) combiner ->
+    ONE bounded ``groupby(shard)``; only n_shards x n_blocks combiner
+    rows move."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        toks = (
+            pc.add(pc.count_substring(batch.column(text_col), " "), 1)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16)
+                for i in ids
+            ),
+            np.int64,
+            count=len(ids),
+        )
+        t = pa.table(
+            {
+                "shard": pa.array(h % np.int64(n_shards), pa.int64()),
+                "n": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "mass": pa.array(toks, pa.int64()),
+                "mn": pa.array(toks, pa.int64()),
+                "mx": pa.array(toks, pa.int64()),
+            }
+        )
+        return t.group_by("shard").aggregate(
+            [("n", "sum"), ("mass", "sum"), ("mn", "min"), ("mx", "max")]
+        ).rename_columns(["shard", "n", "mass", "mn", "mx"])
+
+    agg = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .aggregate(Sum("n"), Sum("mass"), Min("mn"), Max("mx"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "shard": batch.column("shard").cast(pa.int64()),
+                "n_docs": batch.column("sum(n)").cast(pa.int64()),
+                "token_mass": batch.column("sum(mass)").cast(pa.int64()),
+                "min_tokens": batch.column("min(mn)").cast(pa.int64()),
+                "max_tokens": batch.column("max(mx)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

@@ -2095,3 +2095,45 @@ def test_prefix_filter_pairs_shingles(ray_session):
     # doc3's shingles are {"c a","a b","b x"} - shares "a b" with doc1
     assert (1, 3) in pairs
     assert (2, 3) not in pairs
+
+
+def test_vocab_growth_deciles(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # 10 docs (ids 0..9); token "zz7" first appears in doc 9 -> decile 9;
+    # "aa" appears everywhere -> decile 0
+    texts = ["aa bb"] * 9 + ["aa zz7"]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    rows = {r["decile"]: r for r in co.vocab_growth_ds(docs).take_all()}
+    assert rows[0]["new_tokens"] == 2  # aa, bb
+    assert rows[9]["new_tokens"] == 1  # zz7
+    assert rows[9]["cum_vocab"] == 3
+
+
+def test_shard_balance_totals(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["a b", "c", "d e f", "g h"], pa.string()),
+            }
+        )
+    )
+    rows = co.shard_balance_ds(docs, n_shards=4).take_all()
+    assert sum(r["n_docs"] for r in rows) == 4
+    assert sum(r["token_mass"] for r in rows) == 2 + 1 + 3 + 2
+    for r in rows:
+        assert 1 <= r["min_tokens"] <= r["max_tokens"] <= 3

@@ -30,30 +30,35 @@ def test_every_query_has_an_oracle():
 
 
 def test_front_window_holds_new_and_never_sampled():
-    """The round-5 rotation puts this round's new operators and the 28
-    never-driver-sampled queries inside the first-50 gate window."""
+    """The round-5 rotation: newest operators lead the 50-entry driver
+    gate window (they have never had ANY external validation), the four
+    VERDICT-r4 scale-path twins stay pinned inside it every round, and
+    the remainder back-fills youngest-first (session-8 before
+    session-6/7; long-locally-verified analytics yield their slots)."""
     E = _load_entry()
     keys = list(E.QUERIES.keys())
     first50 = set(keys[:50])
     for name in (
-        # the newest operators lead the window — they have never had ANY
-        # external validation (the session-5 analytics batch — pivot /
-        # profile / running_total / rollup / collocations / pagerank /
-        # tfidf_topk and friends — were all locally sweep-verified across
-        # multiple sessions and yield their slots to the session-6/7 ops)
-        "surprisal", "dedup_keep_best", "throttle_events", "decayed_sum",
-        "bpe_pairs", "kcore", "snapshot_diff", "assoc_rules", "bm25_topk",
-        "simpson_diversity", "corpus_checksum",
-        "substring_dedup", "dedup_resolution_cogroup",
-        "asof_join_bucketed", "main_content",
-        # session-8 additions
-        "temperature_mix", "containment_dedup", "token_budget_select",
-        "shuffle_shards", "novelty_score", "apportion_quota",
-        "chi2_assoc", "trending", "robust_scale", "bigram_surprisal",
-        "quota_sample", "keyness", "rolling_active", "time_to_convert",
-        "changepoint", "revenue_by_nation", "length_buckets",
+        # session-9 operators (newest — zero external validation)
+        "vocab_growth", "shard_balance", "power_iter_step",
+        "prefix_filter_pairs", "prefix_filter_verified", "type_cross_corr",
+        "snm_pairs", "entity_mentions", "benford_audit", "spearman_corr",
+        "time_weighted_avg", "gini_concentration", "sentence_stats",
+        # VERDICT-r4 scale-path twins: pinned for driver validation
+        "main_content", "substring_dedup", "dedup_resolution_cogroup",
+        "asof_join_bucketed",
+        # session-8 additions (never driver-sampled yet)
+        "gap_fill", "running_peak", "periodicity", "symbolize",
+        "weighted_median", "two_hop", "temperature_mix",
+        "containment_dedup", "token_budget_select", "shuffle_shards",
+        "novelty_score", "apportion_quota", "chi2_assoc", "trending",
+        "robust_scale", "bigram_surprisal", "quota_sample", "keyness",
+        "rolling_active", "time_to_convert", "changepoint",
+        "revenue_by_nation", "length_buckets",
     ):
         assert name in first50, f"{name} fell outside the driver gate window"
+    # the leading block must be exactly the declared rotation order
+    assert keys[: len(E._FRONT_R5)] == E._FRONT_R5[: len(E._FRONT_R5)]
 
 
 def test_entry_module_does_not_own_ray_session():
