@@ -3530,6 +3530,16 @@ def q_surprisal(sf_dir: str) -> ray.data.Dataset:
     return co.surprisal_ds(_documents(sf_dir))
 
 
+def q_link_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Neighborhood-Jaccard link scores per co-purchase edge: exact
+    integer (common, deg_x, deg_y) components of the link-prediction
+    feature J = common / (deg_x + deg_y - common)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return gr.link_jaccard_ds(li, min_support=2)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3653,6 +3663,7 @@ def q_sentence_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "link_jaccard": q_link_jaccard,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -3906,6 +3917,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "link_jaccard",
     "vocab_growth",
     "shard_balance",
     "power_iter_step",
@@ -4507,6 +4519,27 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "link_jaccard": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS support
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2),
+        e AS (SELECT x, y FROM e0 WHERE support >= 2),
+        adj AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+        deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1),
+        cm AS (SELECT a.u AS x, b.u AS y, count(*) AS c
+               FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+               GROUP BY 1, 2)
+        SELECT CAST(e.x AS BIGINT) AS x, CAST(e.y AS BIGINT) AS y,
+               CAST(COALESCE(cm.c, 0) AS BIGINT) AS common,
+               CAST(dx.d AS BIGINT) AS deg_x,
+               CAST(dy.d AS BIGINT) AS deg_y
+        FROM e
+        LEFT JOIN cm ON cm.x = e.x AND cm.y = e.y
+        JOIN deg dx ON dx.u = e.x
+        JOIN deg dy ON dy.u = e.y
     """,
     "vocab_growth": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks

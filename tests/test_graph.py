@@ -347,3 +347,34 @@ def test_two_hop_path_graph(ray_session):
     out = {r["node"]: r["n_two_hop"] for r in gr.two_hop_ds(li).take_all()}
     # path 1-2-3-4: two-hop sets {1:{3}, 2:{4}, 3:{1}, 4:{2}}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_link_jaccard_hand_graph(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import graph as gr
+
+    # co-purchase: orders {1:[1,2,3], 2:[1,2,3], 3:[1,4], 4:[1,4]}
+    # edges (support>=2): (1,2),(1,3),(2,3),(1,4)
+    ok, pk = [], []
+    for o, parts in [(1, [1, 2, 3]), (2, [1, 2, 3]), (3, [1, 4]), (4, [1, 4])]:
+        for p in parts:
+            ok.append(o)
+            pk.append(p)
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+            }
+        )
+    )
+    rows = {(r["x"], r["y"]): r for r in gr.link_jaccard_ds(li).take_all()}
+    # N(1)={2,3,4}, N(2)={1,3}, N(3)={1,2}, N(4)={1}
+    assert set(rows) == {(1, 2), (1, 3), (2, 3), (1, 4)}
+    r12 = rows[(1, 2)]
+    assert r12["common"] == 1 and r12["deg_x"] == 3 and r12["deg_y"] == 2
+    r23 = rows[(2, 3)]
+    assert r23["common"] == 1  # node 1 is the only common neighbor
+    r14 = rows[(1, 4)]
+    assert r14["common"] == 0 and r14["deg_y"] == 1
