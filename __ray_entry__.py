@@ -3540,6 +3540,35 @@ def q_link_jaccard(sf_dir: str) -> ray.data.Dataset:
     return gr.link_jaccard_ds(li, min_support=2)
 
 
+def q_mutual_knn(sf_dir: str) -> ray.data.Dataset:
+    """Reciprocal k-NN pairs over the embedding table: (x, y) where each
+    is in the other's exact-cosine top-5 — the high-precision near-dup /
+    cluster-seed filter on the k-NN graph. One bounded bucket shuffle
+    over the k-edge stream; sims/ranks inherit knn_graph's bit-exact
+    integer quantization."""
+    return co.mutual_knn_ds(_embeddings(sf_dir), k=5)
+
+
+def q_label_prop(sf_dir: str) -> ray.data.Dataset:
+    """Two synchronous label-propagation rounds (LPA community step)
+    over the co-purchase graph: round 1 = min-neighbor label (exact mode
+    of the all-distinct init), round 2 = frequency mode with min-label
+    tie-break, emitted with vote counts. Two bounded co-group shuffles,
+    no label-vector broadcast."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return gr.label_prop_step_ds(li, min_support=2)
+
+
+def q_grid_cores(sf_dir: str) -> ray.data.Dataset:
+    """Grid-density core cells over the first two embedding dims
+    (grid-DBSCAN stage 1): per occupied 0.1-side cell its exact point
+    count, core flag (>= 8 pts), and occupied 8-neighborhood count.
+    Per-batch cell combiner, two cell-count-sized shuffles."""
+    return co.grid_cores_ds(_embeddings(sf_dir), cell_e6=100_000, min_pts=8)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3664,6 +3693,9 @@ def q_sentence_stats(sf_dir: str) -> ray.data.Dataset:
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "link_jaccard": q_link_jaccard,
+    "mutual_knn": q_mutual_knn,
+    "label_prop": q_label_prop,
+    "grid_cores": q_grid_cores,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -3917,6 +3949,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "mutual_knn",
+    "label_prop",
+    "grid_cores",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4519,6 +4554,70 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "mutual_knn": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> floor(CAST(x AS DOUBLE) * 1e6)) AS qv
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, qv,
+                     sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+        s AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+                 list_dot_product(a.qv, b.qv) / a.nrm / b.nrm AS sim
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        ),
+        r AS (SELECT vec_id, nb, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, nb) AS rnk
+              FROM s),
+        k AS (SELECT vec_id, nb, sim, rnk FROM r WHERE rnk <= 5)
+        SELECT a.vec_id AS x, a.nb AS y,
+               CAST(a.rnk AS BIGINT) AS rank_xy,
+               CAST(b.rnk AS BIGINT) AS rank_yx,
+               CAST(floor(a.sim * 1e6) AS BIGINT) AS sim_e6
+        FROM k a JOIN k b
+          ON a.vec_id = b.nb AND a.nb = b.vec_id AND a.vec_id < a.nb
+    """,
+    "label_prop": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS support
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2),
+        e AS (SELECT x, y FROM e0 WHERE support >= 2),
+        adj AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+        l1 AS (SELECT u, min(v) AS lbl FROM adj GROUP BY 1),
+        c AS (SELECT a.u AS node, l1.lbl AS label, count(*) AS votes
+              FROM adj a JOIN l1 ON l1.u = a.v GROUP BY 1, 2),
+        r AS (SELECT node, label, votes,
+                     row_number() OVER (PARTITION BY node
+                                        ORDER BY votes DESC, label) AS rn
+              FROM c)
+        SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label,
+               CAST(votes AS BIGINT) AS votes
+        FROM r WHERE rn = 1
+    """,
+    "grid_cores": """
+        WITH q AS (
+          SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS q0,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS q1
+          FROM embeddings),
+        c AS (SELECT (q0 + 1677721600000) // 100000 - 16777216 AS cx,
+                     (q1 + 1677721600000) // 100000 - 16777216 AS cy,
+                     count(*) AS n
+              FROM q GROUP BY 1, 2),
+        nb AS (SELECT c.cx + dx.i AS cx, c.cy + dy.i AS cy
+               FROM c, range(-1, 2) dx(i), range(-1, 2) dy(i)
+               WHERE NOT (dx.i = 0 AND dy.i = 0)),
+        o AS (SELECT cx, cy, count(*) AS n_nb FROM nb GROUP BY 1, 2)
+        SELECT CAST(c.cx AS BIGINT) AS cell_x, CAST(c.cy AS BIGINT) AS cell_y,
+               CAST(c.n AS BIGINT) AS n_points,
+               CAST(CASE WHEN c.n >= 8 THEN 1 ELSE 0 END AS BIGINT) AS is_core,
+               CAST(COALESCE(o.n_nb, 0) AS BIGINT) AS n_occupied_neighbors
+        FROM c LEFT JOIN o ON o.cx = c.cx AND o.cy = c.cy
     """,
     "link_jaccard": """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

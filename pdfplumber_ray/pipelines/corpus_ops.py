@@ -7632,3 +7632,224 @@ def shard_balance_ds(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mutual_knn_ds(
+    embeddings: Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Reciprocal k-NN pairs: ``(x, y)`` with ``x < y`` where y is in x's
+    exact-cosine top-k AND x is in y's top-k. Mutual-NN is the standard
+    high-precision near-dup / cluster-seed filter on top of a k-NN graph
+    (one-directional edges are dominated by hubness noise; reciprocal
+    edges are symmetric evidence).
+
+    Scale shape: the k-NN edge stream (``k`` rows per vector, never the
+    O(N^2) pair space) is canonicalized per batch to an unordered
+    ``lo << 32 | hi`` key and shuffled ONCE by ``mix64(key) %
+    n_buckets`` — a bounded group count, never per-pair groups. Inside a
+    bucket each key holds at most two rows (one per direction); a single
+    lexsort finds adjacent equal keys with both direction bits and emits
+    the surviving pairs vectorized. ``sim_e6`` / ``rank_xy`` are taken
+    from the forward (x -> y) row and ``rank_yx`` from the reverse row —
+    the two directions' float cosines can differ in the last ulp because
+    the norm divisions swap, so the forward row is the canonical value
+    (the SQL twin picks the same side).
+
+    Exactness inherits from ``knn_graph_ds`` (quantized integer dot
+    products, bit-identical doubles, id tie-breaks). Requires ids below
+    2^31 for the composite key."""
+    from .graph import _mix64
+
+    knn = knn_graph_ds(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bkt": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.uint64()),
+                    "fwd": pa.array([], pa.int8()),
+                    "rank": pa.array([], pa.int64()),
+                    "sim_e6": pa.array([], pa.int64()),
+                }
+            )
+        a = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("neighbor_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(a, b).astype(np.uint64)
+        hi = np.maximum(a, b).astype(np.uint64)
+        key = (lo << np.uint64(32)) | hi
+        bkt = (_mix64(key.astype(np.int64)) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(bkt, pa.int64()),
+                "key": pa.array(key, pa.uint64()),
+                "fwd": pa.array((a < b).astype(np.int8), pa.int8()),
+                "rank": batch.column("rank").cast(pa.int64()),
+                "sim_e6": batch.column("sim_e6").cast(pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("x", pa.int64()),
+            ("y", pa.int64()),
+            ("rank_xy", pa.int64()),
+            ("rank_yx", pa.int64()),
+            ("sim_e6", pa.int64()),
+        ]
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows < 2:
+            return empty
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        fwd = group.column("fwd").to_numpy(zero_copy_only=False)
+        rnk = group.column("rank").to_numpy(zero_copy_only=False)
+        sim = group.column("sim_e6").to_numpy(zero_copy_only=False)
+        order = np.lexsort((fwd, key))
+        ks, fs, rs, ss = key[order], fwd[order], rnk[order], sim[order]
+        # each key appears at most twice (one row per direction); adjacent
+        # equal keys => both directions present => mutual pair
+        i = np.flatnonzero(ks[1:] == ks[:-1])
+        if len(i) == 0:
+            return empty
+        # within a key, fwd=0 sorts first: row i reverse, row i+1 forward
+        kk = ks[i]
+        return pa.table(
+            {
+                "x": pa.array((kk >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "y": pa.array((kk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "rank_xy": pa.array(rs[i + 1], pa.int64()),
+                "rank_yx": pa.array(rs[i], pa.int64()),
+                "sim_e6": pa.array(ss[i + 1], pa.int64()),
+            }
+        )
+
+    return (
+        knn.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
+def grid_cores_ds(
+    embeddings: Dataset,
+    cell_e6: int = 100_000,
+    min_pts: int = 8,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Grid-density core cells (the scalable first stage of grid-DBSCAN /
+    density-based coreset selection): bucket vectors by their first two
+    embedding coordinates into square cells of side ``cell_e6`` (e6
+    fixed-point units), mark cells with >= ``min_pts`` points as CORE,
+    and count each occupied cell's occupied 8-neighborhood — the density
+    topology used to seed cluster growth and to flag low-density
+    outliers for curation review.
+
+    Exactness: coordinates quantize to ``floor(x * 1e6)`` exact int64;
+    the cell index is a TRUE floor division done in shifted non-negative
+    space (``(q + OFF) // cell - OFF // cell`` with ``OFF`` a multiple of
+    ``cell``), so numpy and SQL agree for negative coordinates without
+    relying on either engine's native division rounding.
+
+    Scale shape: per-batch combiner (np.unique on packed cell keys)
+    collapses points to one partial row per cell per block BEFORE the
+    single ``groupby(cell)`` sum; the 8-neighbor occupancy is a second
+    bounded shuffle over the (already tiny) cell table — each occupied
+    cell emits its 8 neighbor claims and occupancy sums by target cell.
+    No broadcast, no driver collect, both shuffles are cell-count-sized
+    (orders of magnitude below the point count)."""
+    from .graph import _mix64  # noqa: F401  (parity with sibling ops)
+
+    off_units = np.int64(1) << np.int64(24)
+    off = np.int64(cell_e6) * off_units
+
+    def cells_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cx": pa.array([], pa.int64()),
+                "cy": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        m = _as_matrix(batch.column(vec_col))
+        q0 = np.floor(m[:, 0].astype(np.float64) * 1e6).astype(np.int64)
+        q1 = np.floor(m[:, 1].astype(np.float64) * 1e6).astype(np.int64)
+        cx = (q0 + off) // np.int64(cell_e6) - off_units
+        cy = (q1 + off) // np.int64(cell_e6) - off_units
+        # pack to one key for a single-pass unique (cell coords are tiny)
+        packed = (cx.astype(np.uint64) << np.uint64(32)) | (
+            cy.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        )
+        uk, counts = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "cx": pa.array(
+                    (uk >> np.uint64(32)).astype(np.uint32).astype(np.int32)
+                ).cast(pa.int64()),
+                "cy": pa.array(
+                    (uk & np.uint64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32)
+                ).cast(pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    cells = (
+        embeddings.select_columns([vec_col])
+        .map_batches(cells_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("n"))
+    )
+
+    def claims(batch: pa.Table) -> pa.Table:
+        cx = batch.column("cx").to_numpy(zero_copy_only=False)
+        cy = batch.column("cy").to_numpy(zero_copy_only=False)
+        n = batch.column("sum(n)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        txs, tys, pts, occ = [cx], [cy], [n], [np.zeros(len(cx), np.int64)]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                txs.append(cx + dx)
+                tys.append(cy + dy)
+                pts.append(np.zeros(len(cx), np.int64))
+                occ.append(np.ones(len(cx), np.int64))
+        return pa.table(
+            {
+                "cx": pa.array(np.concatenate(txs), pa.int64()),
+                "cy": pa.array(np.concatenate(tys), pa.int64()),
+                "pts": pa.array(np.concatenate(pts), pa.int64()),
+                "occ": pa.array(np.concatenate(occ), pa.int64()),
+            }
+        )
+
+    merged = (
+        cells.map_batches(claims, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cx", "cy"])
+        .aggregate(Sum("pts"), Sum("occ"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(pts)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nb = batch.column("sum(occ)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = n > 0  # drop neighbor claims landing on unoccupied cells
+        return pa.table(
+            {
+                "cell_x": batch.column("cx").cast(pa.int64()).filter(pa.array(keep)),
+                "cell_y": batch.column("cy").cast(pa.int64()).filter(pa.array(keep)),
+                "n_points": pa.array(n[keep], pa.int64()),
+                "is_core": pa.array(
+                    (n[keep] >= min_pts).astype(np.int64), pa.int64()
+                ),
+                "n_occupied_neighbors": pa.array(nb[keep], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

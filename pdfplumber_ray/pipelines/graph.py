@@ -1470,3 +1470,148 @@ def link_jaccard_ds(
             }
         )
     )
+
+
+def label_prop_step_ds(
+    lineitem: Dataset,
+    min_support: int = 2,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Two synchronous rounds of community label propagation (LPA,
+    Raghavan et al. 2007) over the co-purchase graph — the
+    shuffle-bounded community-detection step used to group near-dup
+    product/doc families before per-community curation.
+
+    Round 1 from the canonical all-distinct init (label(v) = v): the
+    frequency-mode update degenerates to ``l1(v) = min(N(v))`` (every
+    neighbor label is distinct, ties break to the smallest), computed as
+    one ``groupby(node).min`` with per-batch combining. Round 2 is the
+    real mode vote: ``l2(v)`` = the most frequent ``l1`` among v's
+    neighbors, ties to the smallest label; emitted with its vote count.
+
+    Scale shape (no broadcast of the label vector — it is node-count
+    sized and does NOT fit one machine at web scale):
+
+    1. adjacency rows + round-1 label rows co-locate by ``mix64(join
+       key) % n_buckets`` (key = neighbor for adj rows, node for label
+       rows) — ONE bounded-group shuffle, sorted ``searchsorted`` attach
+       inside the bucket;
+    2. labelled adjacency shuffles ONCE by ``mix64(node)`` and the mode
+       is a vectorized run-length count + lexsort argmax inside the
+       bucket — never a per-node Python group.
+
+    Output: ``(node, label, votes)``, one row per graph node."""
+    edges = copurchase_edges_ds(lineitem, min_support, n_buckets)
+
+    def adj(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        node = np.concatenate((x, y))
+        nb = np.concatenate((y, x))
+        return pa.table(
+            {"node": pa.array(node, pa.int64()), "nb": pa.array(nb, pa.int64())}
+        )
+
+    adj_ds = edges.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True)
+    l1 = adj_ds.groupby("node").min("nb")  # (node, min(nb))
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        lbl = batch.column("min(nb)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(node) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "key": pa.array(node, pa.int64()),
+                "side": pa.array(np.zeros(len(node), np.int8), pa.int8()),
+                "val": pa.array(lbl, pa.int64()),
+            }
+        )
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(nb) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "key": pa.array(nb, pa.int64()),
+                "side": pa.array(np.ones(len(node), np.int8), pa.int8()),
+                "val": pa.array(node, pa.int64()),
+            }
+        )
+
+    tagged = l1.map_batches(
+        tag_labels, batch_format="pyarrow", zero_copy_batch=True
+    ).union(adj_ds.map_batches(tag_adj, batch_format="pyarrow", zero_copy_batch=True))
+
+    lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def attach(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in lbl_schema})
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        val = group.column("val").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        amask = ~lmask
+        if not lmask.any() or not amask.any():
+            return empty
+        lkey, lval = key[lmask], val[lmask]
+        o = np.argsort(lkey, kind="stable")
+        lkey, lval = lkey[o], lval[o]
+        pos = np.searchsorted(lkey, key[amask])
+        # every adj neighbor has a round-1 label by construction
+        return pa.table(
+            {
+                "node": pa.array(val[amask], pa.int64()),
+                "label": pa.array(lval[pos], pa.int64()),
+            }
+        )
+
+    labelled = (
+        tagged.groupby("bkt").map_groups(attach, batch_format="pyarrow")
+    )
+
+    def tag_node(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bkt",
+            pa.array((_mix64(node) % np.uint64(n_buckets)).astype(np.int64), pa.int64()),
+        )
+
+    out_schema = pa.schema(
+        [("node", pa.int64()), ("label", pa.int64()), ("votes", pa.int64())]
+    )
+
+    def mode(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        lbl = group.column("label").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lbl, node))
+        ns, ls = node[order], lbl[order]
+        first = np.concatenate(([True], (ns[1:] != ns[:-1]) | (ls[1:] != ls[:-1])))
+        starts = np.flatnonzero(first)
+        votes = np.diff(np.concatenate((starts, [len(ns)])))
+        rn, rl = ns[starts], ls[starts]
+        # per node: max votes, tie -> smallest label (runs are label-sorted,
+        # so a stable sort on -votes within node keeps the smallest first)
+        o2 = np.lexsort((rl, -votes, rn))
+        rn2, rl2, rv2 = rn[o2], rl[o2], votes[o2]
+        keep = np.concatenate(([True], rn2[1:] != rn2[:-1]))
+        return pa.table(
+            {
+                "node": pa.array(rn2[keep], pa.int64()),
+                "label": pa.array(rl2[keep], pa.int64()),
+                "votes": pa.array(rv2[keep], pa.int64()),
+            }
+        )
+
+    return (
+        labelled.map_batches(tag_node, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(mode, batch_format="pyarrow")
+    )

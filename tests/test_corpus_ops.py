@@ -2137,3 +2137,111 @@ def test_shard_balance_totals(ray_session):
     assert sum(r["token_mass"] for r in rows) == 2 + 1 + 3 + 2
     for r in rows:
         assert 1 <= r["min_tokens"] <= r["max_tokens"] <= 3
+
+
+def test_mutual_knn_reciprocal_subset(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # 4 vectors: v0/v1 nearly identical (mutual rank-1), v2 between,
+    # v3 far off-axis
+    vecs = [
+        [1.0, 0.0, 0.0],
+        [0.999, 0.01, 0.0],
+        [0.7, 0.7, 0.0],
+        [0.0, 0.0, 1.0],
+    ]
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    )
+    knn = co.knn_graph_ds(embs, k=1).take_all()
+    fwd = {(r["vec_id"], r["neighbor_id"]) for r in knn}
+    mut = co.mutual_knn_ds(embs, k=1).take_all()
+    # mutual pairs = exactly the reciprocal subset of the k=1 graph
+    expect = {(a, b) for (a, b) in fwd if a < b and (b, a) in fwd}
+    got = {(r["x"], r["y"]) for r in mut}
+    assert got == expect == {(0, 1)}
+    row = mut[0]
+    assert row["rank_xy"] == row["rank_yx"] == 1
+    assert row["sim_e6"] > 990_000
+
+
+def test_mutual_knn_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    assert co.mutual_knn_ds(embs, k=3).count() == 0
+
+
+def test_label_prop_two_triangles_bridge(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import graph as gr
+
+    # co-purchase graph via orders: triangle {1,2,3} + triangle {7,8,9},
+    # every edge supported by 2 orders
+    orders = []
+    ok = 0
+    for tri in ([1, 2, 3], [7, 8, 9]):
+        for rep in range(2):
+            ok += 1
+            orders.extend((ok, p) for p in tri)
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in orders], pa.int64()),
+                "l_partkey": pa.array([p for _, p in orders], pa.int64()),
+            }
+        )
+    )
+    rows = {r["node"]: (r["label"], r["votes"]) for r in
+            gr.label_prop_step_ds(li, min_support=2).take_all()}
+    # round 1: l1 = min neighbor -> {1:2, 2:1, 3:1, 7:8, 8:7, 9:7}
+    # round 2 mode over neighbors' l1:
+    #   node 1 sees {l1(2)=1, l1(3)=1} -> label 1, votes 2
+    #   node 2 sees {l1(1)=2, l1(3)=1} -> tie, min label 1, votes 1
+    #   node 3 sees {l1(1)=2, l1(2)=1} -> tie, min label 1, votes 1
+    assert rows[1] == (1, 2)
+    assert rows[2] == (1, 1)
+    assert rows[3] == (1, 1)
+    assert rows[7] == (7, 2)
+    assert rows[8] == (7, 1) and rows[9] == (7, 1)
+
+
+def test_grid_cores_counts_and_neighbors(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # 9 points in cell (0,0), 2 in cell (1,0), 1 in cell (-1,-1)
+    pts = [[0.05, 0.05]] * 9 + [[0.15, 0.02]] * 2 + [[-0.05, -0.01]]
+    embs = ray.data.from_arrow(
+        pa.table({"embedding": pa.array(pts, pa.list_(pa.float32()))})
+    )
+    out = {(r["cell_x"], r["cell_y"]): r for r in
+           co.grid_cores_ds(embs, cell_e6=100_000, min_pts=8).take_all()}
+    assert set(out) == {(0, 0), (1, 0), (-1, -1)}
+    assert out[(0, 0)]["n_points"] == 9 and out[(0, 0)]["is_core"] == 1
+    assert out[(1, 0)]["n_points"] == 2 and out[(1, 0)]["is_core"] == 0
+    # (0,0) touches both other occupied cells; (1,0) touches only (0,0);
+    # (-1,-1) touches only (0,0)
+    assert out[(0, 0)]["n_occupied_neighbors"] == 2
+    assert out[(1, 0)]["n_occupied_neighbors"] == 1
+    assert out[(-1, -1)]["n_occupied_neighbors"] == 1
+    # total point mass is conserved
+    assert sum(r["n_points"] for r in out.values()) == 12
