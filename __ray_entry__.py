@@ -3569,6 +3569,34 @@ def q_grid_cores(sf_dir: str) -> ray.data.Dataset:
     return co.grid_cores_ds(_embeddings(sf_dir), cell_e6=100_000, min_pts=8)
 
 
+def q_hits(sf_dir: str) -> ray.data.Dataset:
+    """Two integer-exact HITS iterations over the co-purchase graph
+    (unnormalized: degree = auth1, hub1 = neighbor-degree mass, auth2 =
+    two-step authority). Each half-iteration is one bounded co-group
+    attach + one groupby sum; per-node columns merge additively, no
+    join, no label-vector broadcast."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return gr.hits_step_ds(li, min_support=2)
+
+
+def q_skipgram_counts(sf_dir: str) -> ray.data.Dataset:
+    """Directional skip-gram pair counts (window 3, min count 5) — the
+    word2vec/GloVe co-occurrence pass. Pair generation is block-local
+    (flattened-token-array views masked to same-doc positions), one
+    Arrow combiner per block, one vocab-bounded groupby."""
+    return co.skipgram_counts_ds(_documents(sf_dir), window=3, min_count=5)
+
+
+def q_entity_graph(sf_dir: str) -> ray.data.Dataset:
+    """Entity co-occurrence edges (knowledge-graph construction): two
+    mined multi-token entities link when they share >= 2 documents.
+    Extraction + per-doc dedup + pair fan-out all block-local; one
+    support-filtered groupby over (e1, e2)."""
+    return co.entity_graph_ds(_documents(sf_dir), min_support=2)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3696,6 +3724,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "mutual_knn": q_mutual_knn,
     "label_prop": q_label_prop,
     "grid_cores": q_grid_cores,
+    "hits": q_hits,
+    "skipgram_counts": q_skipgram_counts,
+    "entity_graph": q_entity_graph,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -3952,6 +3983,9 @@ _FRONT_R5 = [
     "mutual_knn",
     "label_prop",
     "grid_cores",
+    "hits",
+    "skipgram_counts",
+    "entity_graph",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4554,6 +4588,59 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "hits": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS support
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2),
+        e AS (SELECT x, y FROM e0 WHERE support >= 2),
+        adj AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+        deg AS (SELECT u AS node, count(*) AS degree FROM adj GROUP BY 1),
+        h1 AS (SELECT a.u AS node, sum(d.degree) AS hub1
+               FROM adj a JOIN deg d ON d.node = a.v GROUP BY 1),
+        a2 AS (SELECT a.u AS node, sum(h.hub1) AS auth2
+               FROM adj a JOIN h1 h ON h.node = a.v GROUP BY 1)
+        SELECT CAST(deg.node AS BIGINT) AS node,
+               CAST(deg.degree AS BIGINT) AS degree,
+               CAST(h1.hub1 AS BIGINT) AS hub1,
+               CAST(a2.auth2 AS BIGINT) AS auth2
+        FROM deg JOIN h1 ON h1.node = deg.node JOIN a2 ON a2.node = deg.node
+    """,
+    "skipgram_counts": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        t AS (SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS i
+              FROM w),
+        p AS (SELECT a.tok AS w1, b.tok AS w2
+              FROM t a JOIN t b
+                ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 3)
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+    """,
+    "entity_graph": """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                          generate_subscripts(string_split(text, ' '), 1) AS i
+                   FROM documents),
+        c AS (SELECT doc_id, i, tok,
+                     CASE WHEN regexp_full_match(tok, '[a-z]{6,}')
+                          THEN 1 ELSE 0 END AS cap
+              FROM w),
+        isl AS (SELECT doc_id, i, tok, cap,
+                       i - SUM(cap) OVER (PARTITION BY doc_id
+                                          ORDER BY i) AS grp
+                FROM c),
+        e AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY i) AS entity
+              FROM isl WHERE cap = 1 GROUP BY doc_id, grp
+              HAVING count(*) >= 2),
+        d AS (SELECT DISTINCT doc_id, entity FROM e),
+        p AS (SELECT a.entity AS e1, b.entity AS e2
+              FROM d a JOIN d b
+                ON a.doc_id = b.doc_id AND a.entity < b.entity)
+        SELECT e1, e2, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 2
     """,
     "mutual_knn": """
         WITH q AS (

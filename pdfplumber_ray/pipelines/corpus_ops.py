@@ -7853,3 +7853,217 @@ def grid_cores_ds(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def skipgram_counts_ds(
+    docs: Dataset,
+    window: int = 3,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> Dataset:
+    """Directional skip-gram pair counts — the co-occurrence statistics
+    behind word2vec/GloVe-style embedding pretraining: every ordered
+    token pair ``(w_i, w_j)`` with ``1 <= j - i <= window`` inside a
+    document, counted corpus-wide, kept when ``n >= min_count``.
+
+    Scale shape: documents never split across rows, so ALL pair
+    generation is block-local — for each offset ``d`` the pair stream is
+    two views of the flattened token array (``flat[:-d]``, ``flat[d:]``)
+    masked to same-document positions (vectorized parent-index compare,
+    no per-doc loop); one Arrow ``group_by`` combiner per block, then
+    ONE vocab-bounded ``groupby(w1, w2)`` sum with the frequency filter
+    applied distributed. Complexity is ``window * corpus_tokens`` rows
+    pre-combine — linear, no shuffle amplification."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        n = len(flat)
+        if n < 2:
+            return empty
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offs))
+        lefts, rights = [], []
+        for d in range(1, window + 1):
+            if d >= n:
+                break
+            same = parent[:-d] == parent[d:]
+            idx = np.flatnonzero(same)
+            if len(idx) == 0:
+                continue
+            lefts.append(pc.take(flat, pa.array(idx, pa.int64())))
+            rights.append(pc.take(flat, pa.array(idx + d, pa.int64())))
+        if not lefts:
+            return empty
+        t = pa.table(
+            {
+                "w1": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in lefts]),
+                "w2": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in rights]),
+            }
+        ).append_column(
+            "n_partial",
+            pa.array(np.ones(sum(len(a) for a in lefts), np.int64), pa.int64()),
+        )
+        return t.group_by(["w1", "w2"]).aggregate([("n_partial", "sum")]).rename_columns(
+            ["w1", "w2", "n_partial"]
+        )
+
+    agg = (
+        docs.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n_partial"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n_partial)").cast(pa.int64())
+        keep = pc.greater_equal(n, pa.scalar(min_count, pa.int64()))
+        return pa.table(
+            {
+                "w1": batch.column("w1").filter(keep),
+                "w2": batch.column("w2").filter(keep),
+                "n": n.filter(keep),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def entity_graph_ds(
+    docs: Dataset,
+    min_support: int = 2,
+    min_run: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_pattern: str = "[a-z]{6,}",
+) -> Dataset:
+    """Entity co-occurrence edges — the knowledge-graph construction
+    pass over a mined corpus: two entities (multi-token runs per
+    ``entity_mentions_ds`` semantics) are linked when they appear
+    together in >= ``min_support`` distinct documents. Emits
+    ``(e1, e2, n)`` with ``e1 < e2`` lexicographically.
+
+    Scale shape: a document's text lives in ONE row, so entity
+    extraction, per-doc dedup, and within-doc pair generation are all
+    block-local (run detection over the flattened token stream exactly
+    as in ``entity_mentions_ds``; pairs via the size-grouped triu
+    template over each doc's sorted distinct-entity indices — a loop
+    over distinct doc entity-counts, never over docs); one Arrow
+    combiner per block, then ONE ``groupby(e1, e2)`` with the support
+    filter applied distributed. Hub docs (many entities) are the skew
+    risk: pair fan-out is quadratic in a doc's distinct-entity count,
+    bounded in practice by doc length; cap upstream via a length filter
+    if a pathological corpus needs it."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "e1": pa.array([], pa.string()),
+                "e2": pa.array([], pa.string()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(pc.fill_null(batch.column(text_col), ""), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return empty
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offs))
+        cap = pc.match_substring_regex(
+            flat, f"^(?:{token_pattern})$"
+        ).to_numpy(zero_copy_only=False)
+        capidx = np.flatnonzero(cap)
+        if len(capidx) == 0:
+            return empty
+        brk = np.concatenate(
+            (
+                [True],
+                (np.diff(capidx) != 1)
+                | (parent[capidx[1:]] != parent[capidx[:-1]]),
+            )
+        )
+        run_id = np.cumsum(brk) - 1
+        run_starts = np.flatnonzero(brk)
+        run_lens = np.diff(np.concatenate((run_starts, [len(capidx)])))
+        keep = run_lens >= min_run
+        if not keep.any():
+            return empty
+        tok_keep = keep[run_id]
+        kept_tokens = pc.take(flat, pa.array(capidx[tok_keep], pa.int64()))
+        kept_lens = run_lens[keep]
+        kept_offsets = pa.array(
+            np.concatenate(([0], np.cumsum(kept_lens))), pa.int32()
+        )
+        mentions = pc.binary_join(
+            pa.ListArray.from_arrays(kept_offsets, kept_tokens), " "
+        )
+        ent = np.asarray(mentions.to_pylist(), dtype=object)
+        doc = parent[capidx[tok_keep]][np.concatenate(([0], np.cumsum(kept_lens)))[:-1]]
+        # per-doc distinct entities, sorted (so pairs come out e1 < e2)
+        order = np.lexsort((ent.astype(str), doc))
+        ds_, es_ = doc[order], ent[order]
+        first = np.concatenate(([True], (ds_[1:] != ds_[:-1]) | (es_[1:] != es_[:-1])))
+        ds_, es_ = ds_[first], es_[first]
+        # size-grouped triu pairs over per-doc segments of the INDEX array
+        starts = np.flatnonzero(
+            np.concatenate(([True], ds_[1:] != ds_[:-1]))
+        )
+        seg_len = np.diff(np.concatenate((starts, [len(ds_)])))
+        i_parts, j_parts = [], []
+        for k in np.unique(seg_len):
+            if k < 2:
+                continue
+            sel = starts[seg_len == k]
+            idx = sel[:, None] + np.arange(int(k))[None, :]
+            iu, ju = np.triu_indices(int(k), 1)
+            i_parts.append(idx[:, iu].ravel())
+            j_parts.append(idx[:, ju].ravel())
+        if not i_parts:
+            return empty
+        ii = np.concatenate(i_parts)
+        jj = np.concatenate(j_parts)
+        t = pa.table(
+            {
+                "e1": pa.array(es_[ii], pa.string()),
+                "e2": pa.array(es_[jj], pa.string()),
+                "n_partial": pa.array(np.ones(len(ii), np.int64), pa.int64()),
+            }
+        )
+        return t.group_by(["e1", "e2"]).aggregate([("n_partial", "sum")]).rename_columns(
+            ["e1", "e2", "n_partial"]
+        )
+
+    agg = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["e1", "e2"])
+        .aggregate(Sum("n_partial"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n_partial)").cast(pa.int64())
+        keep = pc.greater_equal(n, pa.scalar(min_support, pa.int64()))
+        return pa.table(
+            {
+                "e1": batch.column("e1").filter(keep),
+                "e2": batch.column("e2").filter(keep),
+                "n": n.filter(keep),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1513,65 +1513,12 @@ def label_prop_step_ds(
         )
 
     adj_ds = edges.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True)
+    adj_ds = adj_ds.materialize()  # consumed by l1 AND the attach
     l1 = adj_ds.groupby("node").min("nb")  # (node, min(nb))
-
-    def tag_labels(batch: pa.Table) -> pa.Table:
-        node = batch.column("node").to_numpy(zero_copy_only=False)
-        lbl = batch.column("min(nb)").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "bkt": pa.array(
-                    (_mix64(node) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
-                ),
-                "key": pa.array(node, pa.int64()),
-                "side": pa.array(np.zeros(len(node), np.int8), pa.int8()),
-                "val": pa.array(lbl, pa.int64()),
-            }
-        )
-
-    def tag_adj(batch: pa.Table) -> pa.Table:
-        node = batch.column("node").to_numpy(zero_copy_only=False)
-        nb = batch.column("nb").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "bkt": pa.array(
-                    (_mix64(nb) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
-                ),
-                "key": pa.array(nb, pa.int64()),
-                "side": pa.array(np.ones(len(node), np.int8), pa.int8()),
-                "val": pa.array(node, pa.int64()),
-            }
-        )
-
-    tagged = l1.map_batches(
-        tag_labels, batch_format="pyarrow", zero_copy_batch=True
-    ).union(adj_ds.map_batches(tag_adj, batch_format="pyarrow", zero_copy_batch=True))
-
-    lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
-
-    def attach(group: pa.Table) -> pa.Table:
-        empty = pa.table({f.name: pa.array([], f.type) for f in lbl_schema})
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        key = group.column("key").to_numpy(zero_copy_only=False)
-        val = group.column("val").to_numpy(zero_copy_only=False)
-        lmask = side == 0
-        amask = ~lmask
-        if not lmask.any() or not amask.any():
-            return empty
-        lkey, lval = key[lmask], val[lmask]
-        o = np.argsort(lkey, kind="stable")
-        lkey, lval = lkey[o], lval[o]
-        pos = np.searchsorted(lkey, key[amask])
-        # every adj neighbor has a round-1 label by construction
-        return pa.table(
-            {
-                "node": pa.array(val[amask], pa.int64()),
-                "label": pa.array(lval[pos], pa.int64()),
-            }
-        )
-
-    labelled = (
-        tagged.groupby("bkt").map_groups(attach, batch_format="pyarrow")
+    # round-2 input: each adjacency row picks up its neighbor's round-1
+    # label via the shared bounded co-group attach
+    labelled = _attach_by_neighbor(adj_ds, l1, "min(nb)", n_buckets).rename_columns(
+        ["node", "label"]
     )
 
     def tag_node(batch: pa.Table) -> pa.Table:
@@ -1615,3 +1562,171 @@ def label_prop_step_ds(
         .groupby("bkt")
         .map_groups(mode, batch_format="pyarrow")
     )
+
+
+def _attach_by_neighbor(
+    adj_ds: Dataset, kv_ds: Dataset, val_name: str, n_buckets: int
+) -> Dataset:
+    """Co-group attach of a per-node value onto adjacency rows by their
+    NEIGHBOR endpoint: for each ``(node, nb)`` row emit ``(node,
+    val[nb])``. One bounded hash-bucket shuffle (tagged union keyed by
+    ``mix64(join key)``), sorted ``searchsorted`` probe inside the
+    bucket — never a broadcast of the node-count-sized value vector.
+    ``kv_ds`` holds ``(node, <val_name>)`` with exactly one row per node;
+    every ``nb`` must appear in it (true for degree-like values derived
+    from the same adjacency)."""
+
+    def tag_vals(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        val = batch.column(val_name).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(node) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "key": pa.array(node, pa.int64()),
+                "side": pa.array(np.zeros(len(node), np.int8), pa.int8()),
+                "val": pa.array(val, pa.int64()),
+            }
+        )
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(nb) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "key": pa.array(nb, pa.int64()),
+                "side": pa.array(np.ones(len(node), np.int8), pa.int8()),
+                "val": pa.array(node, pa.int64()),
+            }
+        )
+
+    tagged = kv_ds.map_batches(
+        tag_vals, batch_format="pyarrow", zero_copy_batch=True
+    ).union(adj_ds.map_batches(tag_adj, batch_format="pyarrow", zero_copy_batch=True))
+
+    out_schema = pa.schema([("node", pa.int64()), ("nb_val", pa.int64())])
+
+    def attach(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        val = group.column("val").to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        amask = ~lmask
+        if not lmask.any() or not amask.any():
+            return empty
+        lkey, lval = key[lmask], val[lmask]
+        o = np.argsort(lkey, kind="stable")
+        lkey, lval = lkey[o], lval[o]
+        pos = np.searchsorted(lkey, key[amask])
+        return pa.table(
+            {
+                "node": pa.array(val[amask], pa.int64()),
+                "nb_val": pa.array(lval[pos], pa.int64()),
+            }
+        )
+
+    return tagged.groupby("bkt").map_groups(attach, batch_format="pyarrow")
+
+
+def hits_step_ds(
+    lineitem: Dataset,
+    min_support: int = 2,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Two integer-exact HITS iterations (Kleinberg 1999) over the
+    undirected co-purchase graph from the uniform init ``hub0 = 1``:
+
+    * ``auth1(v) = sum(hub0 over N(v)) = deg(v)``
+    * ``hub1(v)  = sum(auth1 over N(v))`` — the neighbor-degree mass
+    * ``auth2(v) = sum(hub1 over N(v))`` — two-step authority
+
+    Unnormalized fixed-point arithmetic (normalization is a single
+    global scalar per round — deferable, and skipping it keeps every
+    value an exact int64 so the SQL twin matches bit-for-bit; bound:
+    ``sum-of-degrees^2`` per node below 2^63).
+
+    Scale shape: each half-iteration is ONE ``_attach_by_neighbor``
+    co-group (bounded-bucket shuffle, searchsorted probe — no
+    node-vector broadcast) followed by ONE combined ``groupby(node)``
+    sum; the three per-node columns merge by a final sum-groupby over a
+    tagged union (additive merge, no join)."""
+    edges = copurchase_edges_ds(lineitem, min_support, n_buckets)
+
+    def adj(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate((x, y)), pa.int64()),
+                "nb": pa.array(np.concatenate((y, x)), pa.int64()),
+            }
+        )
+
+    adj_ds = edges.map_batches(
+        adj, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, np.int64), pa.int64())
+        )
+
+    deg = (
+        adj_ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("one"))
+    )  # (node, sum(one)) = auth1
+
+    hub1 = (
+        _attach_by_neighbor(adj_ds, deg, "sum(one)", n_buckets)
+        .groupby("node")
+        .aggregate(Sum("nb_val"))
+    )  # (node, sum(nb_val)) = hub1
+
+    auth2 = (
+        _attach_by_neighbor(adj_ds, hub1, "sum(nb_val)", n_buckets)
+        .groupby("node")
+        .aggregate(Sum("nb_val"))
+    )
+
+    def widen(col: str, slot: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            z = np.zeros(len(v), np.int64)
+            cols = [z, z, z]
+            cols[slot] = v
+            return pa.table(
+                {
+                    "node": batch.column("node").cast(pa.int64()),
+                    "degree": pa.array(cols[0], pa.int64()),
+                    "hub1": pa.array(cols[1], pa.int64()),
+                    "auth2": pa.array(cols[2], pa.int64()),
+                }
+            )
+
+        return fn
+
+    merged = (
+        deg.map_batches(widen("sum(one)", 0), batch_format="pyarrow")
+        .union(hub1.map_batches(widen("sum(nb_val)", 1), batch_format="pyarrow"))
+        .union(auth2.map_batches(widen("sum(nb_val)", 2), batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Sum("degree"), Sum("hub1"), Sum("auth2"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node").cast(pa.int64()),
+                "degree": batch.column("sum(degree)").cast(pa.int64()),
+                "hub1": batch.column("sum(hub1)").cast(pa.int64()),
+                "auth2": batch.column("sum(auth2)").cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

@@ -2245,3 +2245,97 @@ def test_grid_cores_counts_and_neighbors(ray_session):
     assert out[(-1, -1)]["n_occupied_neighbors"] == 1
     # total point mass is conserved
     assert sum(r["n_points"] for r in out.values()) == 12
+
+
+def test_skipgram_counts_hand_example(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # "a b a b a" with window 2: (a,b)x2 @d1, (b,a)x2 @d1,
+    # (a,a)x3 @d2... wait: d2 pairs: (a,a),(b,b),(a,a) -> (a,a)x2,(b,b)x1
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["a b a b a"], pa.string()),
+            }
+        )
+    )
+    rows = {(r["w1"], r["w2"]): r["n"] for r in
+            co.skipgram_counts_ds(docs, window=2, min_count=1).take_all()}
+    assert rows == {("a", "b"): 2, ("b", "a"): 2, ("a", "a"): 2, ("b", "b"): 1}
+
+
+def test_skipgram_counts_no_cross_doc_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["x y", "z w"], pa.string()),
+            }
+        )
+    )
+    rows = {(r["w1"], r["w2"]) for r in
+            co.skipgram_counts_ds(docs, window=3, min_count=1).take_all()}
+    # never (y, z) — window must not leak across document boundaries
+    assert rows == {("x", "y"), ("z", "w")}
+
+
+def test_entity_graph_support_filter(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # entities = runs of >=2 tokens matching [a-z]{6,}
+    # doc1+doc2 share (aaaaaa bbbbbb, cccccc dddddd) -> support 2
+    # doc3 pairs it with (eeeeee ffffff) only once -> filtered out
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "aaaaaa bbbbbb X cccccc dddddd",
+                        "cccccc dddddd X aaaaaa bbbbbb",
+                        "aaaaaa bbbbbb X eeeeee ffffff",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    rows = {(r["e1"], r["e2"]): r["n"] for r in
+            co.entity_graph_ds(docs, min_support=2).take_all()}
+    assert rows == {("aaaaaa bbbbbb", "cccccc dddddd"): 2}
+
+
+def test_hits_path_graph_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import graph as gr
+
+    # path 1-2-3 (each edge via 2 shared orders => support 2)
+    rows = []
+    ok = 0
+    for pair in ([1, 2], [2, 3]):
+        for rep in range(2):
+            ok += 1
+            rows.extend((ok, p) for p in pair)
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+                "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+            }
+        )
+    )
+    out = {r["node"]: (r["degree"], r["hub1"], r["auth2"]) for r in
+           gr.hits_step_ds(li, min_support=2).take_all()}
+    # deg: 1->1, 2->2, 3->1 ; hub1(v)=sum deg(N(v)): 1->2, 2->2, 3->2
+    # auth2(v)=sum hub1(N(v)): 1->2, 2->4, 3->2
+    assert out == {1: (1, 2, 2), 2: (2, 2, 4), 3: (1, 2, 2)}
