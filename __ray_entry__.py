@@ -3597,6 +3597,21 @@ def q_entity_graph(sf_dir: str) -> ray.data.Dataset:
     return co.entity_graph_ds(_documents(sf_dir), min_support=2)
 
 
+def q_cluster_inertia(sf_dir: str) -> ray.data.Dataset:
+    """Per-cluster inertia components (k-means / SemDeDup quality
+    audit): exact integer n, sum of squared norms, and squared norm of
+    the component sum per label — WCSS derives rationally. One pass,
+    per-batch combiners, label-bounded groupbys, additive merge."""
+    return co.cluster_inertia_ds(_embeddings(sf_dir))
+
+
+def q_dim_variance(sf_dir: str) -> ray.data.Dataset:
+    """Per-dimension moment screen over the embedding column (variance
+    audit before whitening/PQ): exact integer n, sum, sum-of-squares
+    per dim. One row per dim per block, 64-group final sum."""
+    return co.dim_variance_ds(_embeddings(sf_dir))
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3727,6 +3742,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "hits": q_hits,
     "skipgram_counts": q_skipgram_counts,
     "entity_graph": q_entity_graph,
+    "cluster_inertia": q_cluster_inertia,
+    "dim_variance": q_dim_variance,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -3986,6 +4003,8 @@ _FRONT_R5 = [
     "hits",
     "skipgram_counts",
     "entity_graph",
+    "cluster_inertia",
+    "dim_variance",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4588,6 +4607,38 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "cluster_inertia": """
+        WITH q AS (
+          SELECT label,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+          FROM embeddings),
+        u AS (SELECT label, generate_subscripts(qv, 1) AS dim,
+                     unnest(qv) AS comp
+              FROM q),
+        a AS (SELECT label, sum(comp * comp) AS sumsq FROM u GROUP BY 1),
+        cnt AS (SELECT label, count(*) AS n_vecs FROM q GROUP BY 1),
+        s AS (SELECT label, dim, sum(comp) AS sd FROM u GROUP BY 1, 2),
+        b AS (SELECT label, sum(sd * sd) AS dot_sum FROM s GROUP BY 1)
+        SELECT CAST(a.label AS BIGINT) AS label,
+               CAST(cnt.n_vecs AS BIGINT) AS n_vecs,
+               CAST(a.sumsq AS BIGINT) AS sumsq,
+               CAST(b.dot_sum AS BIGINT) AS dot_sum
+        FROM a JOIN b ON b.label = a.label
+        JOIN cnt ON cnt.label = a.label
+    """,
+    "dim_variance": """
+        WITH q AS (
+          SELECT list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+          FROM embeddings),
+        u AS (SELECT generate_subscripts(qv, 1) AS dim, unnest(qv) AS comp
+              FROM q)
+        SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(comp) AS BIGINT) AS s,
+               CAST(sum(comp * comp) AS BIGINT) AS ss
+        FROM u GROUP BY dim
     """,
     "hits": """
         WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -8067,3 +8067,166 @@ def entity_graph_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cluster_inertia_ds(
+    embeddings: Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Per-cluster inertia components — the k-means / SemDeDup cluster
+    quality diagnostic: for each label, ``n_vecs``, ``sumsq`` =
+    sum_i dot(q_i, q_i) and ``dot_sum`` = dot(sum_i q_i, sum_i q_i) over
+    e6-quantized vectors. The within-cluster sum of squares follows as
+    ``sumsq - dot_sum / n`` (kept rational — the two integer components
+    are emitted so ANY engine derives the same value exactly).
+
+    Integer bounds (documented): |q| <= ~2^21 per component keeps
+    ``dot_sum <= (n * 2^21)^2 * dims`` below 2^63 for n into the tens of
+    thousands per cluster at 64 dims; beyond that, shard labels.
+
+    Scale shape: one pass, two per-batch combiners (row-norm partials
+    and per-dimension component sums via ``np.add.at`` — no per-label
+    Python), two label-bounded ``groupby`` sums, and an additive
+    union-merge of the per-label columns (no join)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sumsq": pa.array([], pa.int64()),
+                "sd": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        m = _as_matrix(batch.column(vec_col))
+        q = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+        lbl = batch.column(label_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lbl, return_inverse=True)
+        d = q.shape[1]
+        acc = np.zeros((len(ul), d), np.int64)
+        np.add.at(acc, inv, q)
+        nrow = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        ssq = np.zeros(len(ul), np.int64)
+        np.add.at(ssq, inv, (q * q).sum(axis=1))
+        # dim rows carry per-dimension component sums; dim = -1 rows carry
+        # the scalar (n, sumsq) partials
+        lab_rows = np.concatenate((ul, np.repeat(ul, d)))
+        dim_rows = np.concatenate(
+            (np.full(len(ul), -1, np.int64), np.tile(np.arange(d, dtype=np.int64), len(ul)))
+        )
+        n_rows = np.concatenate((nrow, np.zeros(len(ul) * d, np.int64)))
+        ssq_rows = np.concatenate((ssq, np.zeros(len(ul) * d, np.int64)))
+        sd_rows = np.concatenate((np.zeros(len(ul), np.int64), acc.reshape(-1)))
+        return pa.table(
+            {
+                "label": pa.array(lab_rows, pa.int64()),
+                "dim": pa.array(dim_rows, pa.int64()),
+                "n": pa.array(n_rows, pa.int64()),
+                "sumsq": pa.array(ssq_rows, pa.int64()),
+                "sd": pa.array(sd_rows, pa.int64()),
+            }
+        )
+
+    agg = (
+        embeddings.select_columns([label_col, vec_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("n"), Sum("sumsq"), Sum("sd"))
+    )
+
+    def square_dims(batch: pa.Table) -> pa.Table:
+        lbl = batch.column("label").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dim = batch.column("dim").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = batch.column("sum(n)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ssq = batch.column("sum(sumsq)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sd = batch.column("sum(sd)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        isdim = dim >= 0
+        return pa.table(
+            {
+                "label": pa.array(lbl, pa.int64()),
+                "n_vecs": pa.array(np.where(isdim, 0, n), pa.int64()),
+                "sumsq": pa.array(np.where(isdim, 0, ssq), pa.int64()),
+                "dot_sum": pa.array(np.where(isdim, sd * sd, 0), pa.int64()),
+            }
+        )
+
+    merged = (
+        agg.map_batches(square_dims, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(Sum("n_vecs"), Sum("sumsq"), Sum("dot_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": batch.column("label").cast(pa.int64()),
+                "n_vecs": batch.column("sum(n_vecs)").cast(pa.int64()),
+                "sumsq": batch.column("sum(sumsq)").cast(pa.int64()),
+                "dot_sum": batch.column("sum(dot_sum)").cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dim_variance_ds(
+    embeddings: Dataset,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Per-dimension moment screen over the embedding column — the
+    feature-variance audit run before whitening / PCA / PQ codebook
+    training: for each dimension its exact integer ``n``, ``s`` =
+    sum(q) and ``ss`` = sum(q^2) over e6-quantized components (variance
+    = (ss - s^2/n) / n stays derivable exactly from the emitted
+    integers).
+
+    Scale shape: one streaming pass; each block contributes ONE row per
+    dimension (columnwise numpy sums — no per-row work), then a
+    dimension-bounded ``groupby`` (64 groups) sums partials. No
+    materialization, no broadcast."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "ss": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        m = _as_matrix(batch.column(vec_col))
+        q = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(d, q.shape[0], np.int64), pa.int64()),
+                "s": pa.array(q.sum(axis=0), pa.int64()),
+                "ss": pa.array((q * q).sum(axis=0), pa.int64()),
+            }
+        )
+
+    agg = (
+        embeddings.select_columns([vec_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Sum("n"), Sum("s"), Sum("ss"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dim": batch.column("dim").cast(pa.int64()),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+                "s": batch.column("sum(s)").cast(pa.int64()),
+                "ss": batch.column("sum(ss)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

@@ -2339,3 +2339,49 @@ def test_hits_path_graph_hand_computed(ray_session):
     # deg: 1->1, 2->2, 3->1 ; hub1(v)=sum deg(N(v)): 1->2, 2->2, 3->2
     # auth2(v)=sum hub1(N(v)): 1->2, 2->4, 3->2
     assert out == {1: (1, 2, 2), 2: (2, 2, 4), 3: (1, 2, 2)}
+
+
+def test_cluster_inertia_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # label 0: [1, 0] and [0, 1] (e0 scale -> q = 1e6 units)
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "label": pa.array([0, 0, 1], pa.int32()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.0, 1.0], [2.0, 0.0]], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = {r["label"]: r for r in co.cluster_inertia_ds(embs).take_all()}
+    M = 10**6
+    assert out[0]["n_vecs"] == 2
+    assert out[0]["sumsq"] == 2 * M * M          # |q1|^2 + |q2|^2
+    assert out[0]["dot_sum"] == 2 * M * M        # |(1,1)*M|^2
+    assert out[1]["n_vecs"] == 1
+    assert out[1]["sumsq"] == 4 * M * M
+    assert out[1]["dot_sum"] == 4 * M * M
+
+
+def test_dim_variance_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "embedding": pa.array(
+                    [[1.0, -1.0], [3.0, 0.0]], pa.list_(pa.float32())
+                )
+            }
+        )
+    )
+    out = {r["dim"]: r for r in co.dim_variance_ds(embs).take_all()}
+    M = 10**6
+    assert out[1]["n"] == 2 and out[1]["s"] == 4 * M and out[1]["ss"] == 10 * M * M
+    assert out[2]["n"] == 2 and out[2]["s"] == -1 * M and out[2]["ss"] == 1 * M * M
