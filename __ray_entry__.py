@@ -3612,6 +3612,22 @@ def q_dim_variance(sf_dir: str) -> ray.data.Dataset:
     return co.dim_variance_ds(_embeddings(sf_dir))
 
 
+def q_centroid_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Per-cluster centroid outliers (mislabel audit): top-5 members
+    farthest from their label centroid in the integer-exact scaled form
+    ||n*q - S||^2. Tiny (label x dim) stats broadcast; vectors stream
+    once emitting per-block top-k partials."""
+    return co.centroid_outliers_ds(_embeddings(sf_dir), k=5)
+
+
+def q_sampled_dup_rate(sf_dir: str) -> ray.data.Dataset:
+    """O(N) sampled duplication-rate estimate: one md5-deterministic
+    partner per doc, exact 5-gram Jaccard per pair, e3 histogram.
+    Partner texts attach via the generic bucketed hash join — the pair
+    list is N rows and never collects."""
+    return co.sampled_dup_rate_ds(_documents(sf_dir))
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3744,6 +3760,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "entity_graph": q_entity_graph,
     "cluster_inertia": q_cluster_inertia,
     "dim_variance": q_dim_variance,
+    "centroid_outliers": q_centroid_outliers,
+    "sampled_dup_rate": q_sampled_dup_rate,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4005,6 +4023,8 @@ _FRONT_R5 = [
     "entity_graph",
     "cluster_inertia",
     "dim_variance",
+    "centroid_outliers",
+    "sampled_dup_rate",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4607,6 +4627,54 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "centroid_outliers": """
+        WITH q AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+          FROM embeddings),
+        u AS (SELECT vec_id, label, generate_subscripts(qv, 1) - 1 AS dim,
+                     unnest(qv) AS comp
+              FROM q),
+        cnt AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
+        s AS (SELECT label, dim, sum(comp) AS sd FROM u GROUP BY 1, 2),
+        d AS (SELECT u.vec_id, u.label,
+                     sum((cnt.n * u.comp - s.sd) * (cnt.n * u.comp - s.sd))
+                         AS d2n2
+              FROM u JOIN s ON s.label = u.label AND s.dim = u.dim
+                     JOIN cnt ON cnt.label = u.label
+              GROUP BY 1, 2),
+        r AS (SELECT label, vec_id, d2n2,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY d2n2 DESC, vec_id) AS rnk
+              FROM d)
+        SELECT CAST(label AS BIGINT) AS label, CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(d2n2 AS BIGINT) AS d2n2, CAST(rnk AS BIGINT) AS "rank"
+        FROM r WHERE rnk <= 5
+    """,
+    "sampled_dup_rate": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        s AS (SELECT doc_id,
+          CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+               ELSE list_distinct([array_to_string(l[i:i+4], ' ')
+                                   for i in range(1, len(l)-3)])
+          END AS sh FROM t),
+        n AS (SELECT count(*) AS nn FROM documents),
+        pr AS (SELECT doc_id AS doc_a,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                           ::UBIGINT % (SELECT nn FROM n) AS BIGINT) AS doc_b
+               FROM documents),
+        pp AS (SELECT doc_a, doc_b FROM pr WHERE doc_a <> doc_b),
+        j AS (SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+                     len(a.sh) + len(b.sh) AS tot
+              FROM pp p JOIN s a ON a.doc_id = p.doc_a
+                        JOIN s b ON b.doc_id = p.doc_b),
+        je AS (SELECT inter * 1000 // greatest(tot - inter, 1) AS jac_e3 FROM j)
+        SELECT CAST(jac_e3 // 100 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(jac_e3) AS BIGINT) AS jac_e3_sum
+        FROM je GROUP BY 1
     """,
     "cluster_inertia": """
         WITH q AS (

@@ -8230,3 +8230,272 @@ def dim_variance_ds(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def centroid_outliers_ds(
+    embeddings: Dataset,
+    k: int = 5,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_labels: int = 1_000_000,
+) -> Dataset:
+    """Per-cluster centroid outliers — the mislabel / contamination audit
+    of an embedding partition: for each label the top-``k`` member
+    vectors FARTHEST from the label centroid (distance DESC, id ASC).
+
+    Exactness without rational centroids: the squared distance to the
+    mean scales to the all-integer form ``d2n2 = ||n*q - S||^2`` (n =
+    cluster size, S = per-dim component sum), monotone in the true
+    distance within a label. Bound (documented): ``(n * |q|)^2 * dims <
+    2^63`` — holds to n ~ 10^4 members at |q| <= 2^21, 64 dims; shard
+    labels or move to float128/hugeint beyond.
+
+    Scale shape: pass 1 accumulates (n, S) per label with the
+    ``np.add.at`` scatter combiner and ONE label-bounded groupby; the
+    tiny (labels x dims) table broadcasts via ``ray.put`` under
+    ``max_labels``; pass 2 streams the vectors once computing d2n2
+    vectorized and emits per-block top-k partials, so the final
+    ``groupby(label)`` sees <= blocks * k rows per label."""
+
+    def sums_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sd": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        m = _as_matrix(batch.column(vec_col))
+        q = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+        lbl = batch.column(label_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lbl, return_inverse=True)
+        d = q.shape[1]
+        acc = np.zeros((len(ul), d), np.int64)
+        np.add.at(acc, inv, q)
+        nrow = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ul, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ul))),
+                "n": pa.array(np.repeat(nrow, d) * (np.tile(np.arange(d), len(ul)) == 0), pa.int64()),
+                "sd": pa.array(acc.reshape(-1), pa.int64()),
+            }
+        )
+
+    stats = (
+        embeddings.select_columns([label_col, vec_col])
+        .map_batches(sums_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("n"), Sum("sd"))
+        .materialize()
+    )
+    n_cells = stats.count()
+    if n_cells > max_labels * 64:
+        raise ValueError(
+            f"label x dim table ({n_cells}) exceeds the broadcast guard; "
+            "shard labels upstream"
+        )
+    rows = stats.take_all()
+    if not rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "d2n2": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    labels = sorted({r["label"] for r in rows})
+    lab_pos = {l: i for i, l in enumerate(labels)}
+    dims = 1 + max(r["dim"] for r in rows)
+    S = np.zeros((len(labels), dims), np.int64)
+    N = np.zeros(len(labels), np.int64)
+    for r in rows:
+        S[lab_pos[r["label"]], r["dim"]] = r["sum(sd)"]
+        N[lab_pos[r["label"]]] += r["sum(n)"]
+    lab_keys = np.asarray(labels, np.int64)
+    ref = ray.put((lab_keys, N, S))
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "d2n2": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        keys, nn, ss = ray.get(ref)
+        m = _as_matrix(batch.column(vec_col))
+        q = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+        lbl = batch.column(label_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lbl)
+        diff = q * nn[pos][:, None] - ss[pos]
+        d2 = (diff * diff).sum(axis=1)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # per-block top-k per label: lexsort (label, -d2, id) then head-k
+        order = np.lexsort((ids, -d2, lbl))
+        ls, dsort, isort = lbl[order], d2[order], ids[order]
+        seg = np.concatenate(([True], ls[1:] != ls[:-1]))
+        seg_id = np.cumsum(seg) - 1
+        starts = np.flatnonzero(seg)
+        rank_in = np.arange(len(ls)) - starts[seg_id]
+        keep = rank_in < k
+        return pa.table(
+            {
+                "label": pa.array(ls[keep], pa.int64()),
+                id_col: pa.array(isort[keep], pa.int64()),
+                "d2n2": pa.array(dsort[keep], pa.int64()),
+            }
+        )
+
+    partials = embeddings.select_columns(
+        [id_col, label_col, vec_col]
+    ).map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    final_schema = pa.schema(
+        [
+            ("label", pa.int64()),
+            (id_col, pa.int64()),
+            ("d2n2", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in final_schema})
+        d2 = group.column("d2n2").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -d2))[:k]
+        return pa.table(
+            {
+                "label": group.column("label").take(pa.array(order, pa.int64())),
+                id_col: pa.array(ids[order], pa.int64()),
+                "d2n2": pa.array(d2[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return partials.groupby("label").map_groups(final_topk, batch_format="pyarrow")
+
+
+def sampled_dup_rate_ds(
+    docs: Dataset,
+    shingle_k: int = 5,
+    bucket_e3: int = 100,
+    n_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Sampled corpus duplication-rate estimate: each document is paired
+    with ONE deterministic pseudo-random partner (``md5(id) % N``,
+    self-pairs dropped) and the exact distinct-``shingle_k``-gram Jaccard
+    of the pair is histogrammed — an O(N) unbiased snapshot of the
+    corpus's pairwise-similarity mass, where the true all-pairs scan is
+    O(N^2). Requires contiguous ids 0..N-1 (the synthetic corpus
+    contract; at scale, a rank column from ``row_number_ds`` supplies
+    the dense id space).
+
+    Scale shape: partner texts attach via the generic ``hash_join_ds``
+    bucket exchange (both sides shuffle ONCE, no broadcast — the pair
+    list is N rows, NOT collectible); the per-pair gram kernel mirrors
+    the dedup verify stages; per-batch bucket combiner then one tiny
+    ``groupby(bucket)``. Output: ``(bucket, n_pairs, jac_e3_sum)`` with
+    ``bucket = jac_e3 // bucket_e3``."""
+    from .analytics import hash_join_ds
+    import hashlib
+
+    n_docs = docs.count()
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "jac_e3_sum": pa.array([], pa.int64()),
+        }
+    )
+    if n_docs < 2:
+        return ray.data.from_arrow(empty)
+
+    def left_side(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        partner = np.asarray(
+            [
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:15], 16) % n_docs
+                for i in ids
+            ],
+            np.int64,
+        )
+        keep = partner != ids
+        t = pa.table(
+            {
+                "partner": pa.array(partner[keep], pa.int64()),
+                "doc_a": pa.array(ids[keep], pa.int64()),
+                "text_a": batch.column(text_col).filter(pa.array(keep)),
+            }
+        )
+        return t
+
+    def right_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "text_b": batch.column(text_col),
+            }
+        )
+
+    left = docs.select_columns([id_col, text_col]).map_batches(
+        left_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = docs.select_columns([id_col, text_col]).map_batches(
+        right_side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join_ds(left, right, "partner", id_col, n_buckets=n_buckets)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        jac_e3 = np.empty(len(ta), np.int64)
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            ga = ts.shingle_hashes(a or "", shingle_k)
+            gb = ts.shingle_hashes(b or "", shingle_k)
+            inter = np.intersect1d(ga, gb, assume_unique=True).shape[0]
+            union = ga.shape[0] + gb.shape[0] - inter
+            jac_e3[i] = inter * 1000 // max(union, 1)
+        bkt = jac_e3 // bucket_e3
+        ub, inv = np.unique(bkt, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(ub, pa.int64()),
+                "n_pairs": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "jac_e3_sum": pa.array(
+                    np.bincount(inv, weights=jac_e3).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        joined.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n_pairs"), Sum("jac_e3_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": batch.column("bucket").cast(pa.int64()),
+                "n_pairs": batch.column("sum(n_pairs)").cast(pa.int64()),
+                "jac_e3_sum": batch.column("sum(jac_e3_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

@@ -2385,3 +2385,60 @@ def test_dim_variance_hand_computed(ray_session):
     M = 10**6
     assert out[1]["n"] == 2 and out[1]["s"] == 4 * M and out[1]["ss"] == 10 * M * M
     assert out[2]["n"] == 2 and out[2]["s"] == -1 * M and out[2]["ss"] == 1 * M * M
+
+
+def test_centroid_outliers_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # label 0: three points on a line, outlier is the far one
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([10, 11, 12], pa.int64()),
+                "label": pa.array([0, 0, 0], pa.int32()),
+                "embedding": pa.array(
+                    [[0.0, 0.0], [1.0, 0.0], [5.0, 0.0]], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = co.centroid_outliers_ds(embs, k=2).take_all()
+    M = 10**6
+    # n=3, S=(6M, 0); d2n2 = (3q - 6M)^2: id10 -> 36M^2, 11 -> 9M^2, 12 -> 81M^2
+    assert [(r["vec_id"], r["d2n2"], r["rank"]) for r in out] == [
+        (12, 81 * M * M, 1),
+        (10, 36 * M * M, 2),
+    ]
+
+
+def test_sampled_dup_rate_planted_dup(ray_session):
+    import hashlib
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # find an id pair (i, md5(i) % 4) that is a real partner, plant
+    # identical text there so one pair hits jac = 1000
+    n = 4
+    partner = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % n
+        for i in range(n)
+    }
+    hit = next(i for i in range(n) if partner[i] != i)
+    texts = [f"unique words for doc {i} " + " ".join(["filler"] * 6) for i in range(n)]
+    texts[hit] = texts[partner[hit]] = "w0 w1 w2 w3 w4 w5 w6 w7"
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    rows = {r["bucket"]: r for r in co.sampled_dup_rate_ds(docs).take_all()}
+    # the planted identical pair lands in the top bucket (jac_e3 = 1000)
+    assert rows[10]["n_pairs"] >= 1
+    total = sum(r["n_pairs"] for r in rows.values())
+    assert total == sum(1 for i in range(n) if partner[i] != i)
