@@ -3628,6 +3628,24 @@ def q_sampled_dup_rate(sf_dir: str) -> ray.data.Dataset:
     return co.sampled_dup_rate_ds(_documents(sf_dir))
 
 
+def q_effective_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Dedup-discounted token mass per source: each doc's tokens
+    down-weighted by its exact-dup family size (eff = 1000*tok//fam).
+    One digest-bucket shuffle of (digest, tok, source) projections,
+    per-source partials, tiny final groupby."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return co.effective_tokens_ds(docs)
+
+
+def q_term_burstiness(sf_dir: str) -> ray.data.Dataset:
+    """Church-Gale term adaptation stats for the top-50 terms by tf:
+    (tf, df, max single-doc count). Per-doc counts exact in one Arrow
+    group_by per block; vocab-bounded merge; per-block top-k cut."""
+    return co.term_burstiness_ds(_documents(sf_dir), k=50)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3762,6 +3780,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "dim_variance": q_dim_variance,
     "centroid_outliers": q_centroid_outliers,
     "sampled_dup_rate": q_sampled_dup_rate,
+    "effective_tokens": q_effective_tokens,
+    "term_burstiness": q_term_burstiness,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4025,6 +4045,8 @@ _FRONT_R5 = [
     "dim_variance",
     "centroid_outliers",
     "sampled_dup_rate",
+    "effective_tokens",
+    "term_burstiness",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4627,6 +4649,32 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "effective_tokens": """
+        WITH h AS (SELECT source, md5(text) AS d,
+                          len(string_split(text, ' ')) AS tok
+                   FROM documents),
+        f AS (SELECT d, count(*) AS fam FROM h GROUP BY 1),
+        e AS (SELECT h.source, h.tok, h.tok * 1000 // f.fam AS eff
+              FROM h JOIN f ON f.d = h.d)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS raw_tokens,
+               CAST(sum(eff) AS BIGINT) AS effective_tokens_e3
+        FROM e GROUP BY 1
+    """,
+    "term_burstiness": """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS n FROM w GROUP BY 1, 2),
+        t AS (SELECT tok AS term, sum(n) AS tf, count(*) AS df,
+                     max(n) AS max_tf
+              FROM c GROUP BY 1),
+        r AS (SELECT term, tf, df, max_tf,
+                     row_number() OVER (ORDER BY tf DESC, term) AS rnk
+              FROM t)
+        SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               CAST(max_tf AS BIGINT) AS max_tf
+        FROM r WHERE rnk <= 50
     """,
     "centroid_outliers": """
         WITH q AS (

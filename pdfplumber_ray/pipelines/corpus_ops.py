@@ -8499,3 +8499,209 @@ def sampled_dup_rate_ds(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def effective_tokens_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Dedup-discounted token mass per source — the "what does dedup
+    actually buy us" report: each document's tokens are down-weighted by
+    its exact-duplicate family size (``eff = 1000 * tok // fam_size``),
+    so a source whose volume is mostly copies shows a large raw-vs-
+    effective gap. Emits ``(source, n_docs, raw_tokens,
+    effective_tokens_e3)``.
+
+    Scale shape: ONE digest-bucket shuffle (``md5(text)`` rows co-locate
+    by ``digest-hash % n_buckets`` — bounded group count, never a group
+    per digest); inside the bucket one lexsort yields family segments,
+    per-row discounts compute vectorized, and per-source partials leave
+    the bucket; a final tiny ``groupby(source)`` sums. Docs' text never
+    shuffles — only (digest, tok, source) projections."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "d": pa.array([], pa.string()),
+                "tok": pa.array([], pa.int64()),
+                "src": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = batch.column(text_col).to_pylist()
+        h = ts.md5_hex(texts)
+        ntok = np.asarray(
+            [t.count(" ") + 1 if t else 1 for t in texts], np.int64
+        )
+        bkt = np.asarray(
+            [int(x[:8], 16) % n_buckets for x in h], np.int64
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(bkt, pa.int64()),
+                "d": pa.array(h.tolist(), pa.string()),
+                "tok": pa.array(ntok, pa.int64()),
+                "src": batch.column(source_col),
+            }
+        )
+
+    part_schema = pa.schema(
+        [
+            ("src", pa.string()),
+            ("n_docs", pa.int64()),
+            ("raw", pa.int64()),
+            ("eff", pa.int64()),
+        ]
+    )
+
+    def bucket_discount(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in part_schema})
+        if group.num_rows == 0:
+            return empty
+        d = group.column("d").to_numpy(zero_copy_only=False).astype(str)
+        tok = group.column("tok").to_numpy(zero_copy_only=False)
+        src = group.column("src").to_numpy(zero_copy_only=False).astype(object)
+        order = np.lexsort((d,))
+        ds_, tok_, src_ = d[order], tok[order], src[order]
+        seg = np.concatenate(([True], ds_[1:] != ds_[:-1]))
+        seg_id = np.cumsum(seg) - 1
+        fam = np.bincount(seg_id)
+        eff = tok_ * 1000 // fam[seg_id]
+        us, inv = np.unique(src_.astype(str), return_inverse=True)
+        return pa.table(
+            {
+                "src": pa.array(us, pa.string()),
+                "n_docs": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "raw": pa.array(
+                    np.bincount(inv, weights=tok_).astype(np.int64), pa.int64()
+                ),
+                "eff": pa.array(
+                    np.bincount(inv, weights=eff).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        docs.select_columns([id_col, text_col, source_col])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_discount, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Sum("n_docs"), Sum("raw"), Sum("eff"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("src"),
+                "n_docs": batch.column("sum(n_docs)").cast(pa.int64()),
+                "raw_tokens": batch.column("sum(raw)").cast(pa.int64()),
+                "effective_tokens_e3": batch.column("sum(eff)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def term_burstiness_ds(
+    docs: Dataset,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Term adaptation / burstiness stats (Church & Gale): for the
+    corpus top-``k`` terms by total frequency, the triple ``(tf, df,
+    max_tf)`` — total occurrences, document frequency, and the largest
+    single-document count. ``tf/df`` far above 1 with a high ``max_tf``
+    marks bursty topical terms; flat terms are function words — the
+    signal behind adaptive stopword lists and topical-spam filters.
+
+    Scale shape: documents never split across rows, so per-doc term
+    counts are exact inside one Arrow ``group_by`` per block; the
+    per-block partial row per term carries (tf_p, df_p, max_p) and ONE
+    vocab-bounded ``groupby(term)`` merges them (Sum, Sum, Max); the
+    final global cut is per-block top-k partials -> sort+limit over
+    ``<= k * n_blocks`` rows, never a full-vocab sort."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "tf_p": pa.array([], pa.int64()),
+                "df_p": pa.array([], pa.int64()),
+                "mx_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(pc.fill_null(batch.column(text_col), ""), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return empty
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offs))
+        t = pa.table({"doc": pa.array(parent, pa.int64()), "term": flat})
+        dc = t.group_by(["doc", "term"]).aggregate([("doc", "count")])
+        per = pa.table(
+            {
+                "term": dc.column("term"),
+                "n": dc.column("doc_count").cast(pa.int64()),
+            }
+        )
+        g = per.group_by("term").aggregate(
+            [("n", "sum"), ("n", "count"), ("n", "max")]
+        )
+        return pa.table(
+            {
+                "term": g.column("term"),
+                "tf_p": g.column("n_sum").cast(pa.int64()),
+                "df_p": g.column("n_count").cast(pa.int64()),
+                "mx_p": g.column("n_max").cast(pa.int64()),
+            }
+        )
+
+    totals = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("tf_p"), Sum("df_p"), Max("mx_p"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "max_tf": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        tf = batch.column("sum(tf_p)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        terms = batch.column("term")
+        codes = np.unique(
+            terms.to_numpy(zero_copy_only=False).astype(str), return_inverse=True
+        )[1]
+        order = np.lexsort((codes, -tf))[:k]
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                "term": terms.take(take),
+                "tf": pa.array(tf[order], pa.int64()),
+                "df": batch.column("sum(df_p)").cast(pa.int64()).take(take),
+                "max_tf": batch.column("max(mx_p)").cast(pa.int64()).take(take),
+            }
+        )
+
+    return (
+        totals.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["tf", "term"], descending=[True, False])
+        .limit(k)
+    )

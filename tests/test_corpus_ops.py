@@ -2442,3 +2442,47 @@ def test_sampled_dup_rate_planted_dup(ray_session):
     assert rows[10]["n_pairs"] >= 1
     total = sum(r["n_pairs"] for r in rows.values())
     assert total == sum(1 for i in range(n) if partner[i] != i)
+
+
+def test_effective_tokens_discount(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # src A: two identical 4-token docs (fam=2) + one unique 2-token doc
+    # src B: one unique 3-token doc
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    ["a b c d", "a b c d", "x y", "p q r"], pa.string()
+                ),
+                "source": pa.array(["A", "A", "A", "B"], pa.string()),
+            }
+        )
+    )
+    out = {r["source"]: r for r in co.effective_tokens_ds(docs).take_all()}
+    assert out["A"]["n_docs"] == 3 and out["A"]["raw_tokens"] == 10
+    # eff: 4*1000//2 twice + 2*1000//1 = 2000 + 2000 + 2000 = 6000
+    assert out["A"]["effective_tokens_e3"] == 6000
+    assert out["B"]["raw_tokens"] == 3
+    assert out["B"]["effective_tokens_e3"] == 3000
+
+
+def test_term_burstiness_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["z z z q", "z q q"], pa.string()),
+            }
+        )
+    )
+    rows = {r["term"]: r for r in co.term_burstiness_ds(docs, k=10).take_all()}
+    assert rows["z"]["tf"] == 4 and rows["z"]["df"] == 2 and rows["z"]["max_tf"] == 3
+    assert rows["q"]["tf"] == 3 and rows["q"]["df"] == 2 and rows["q"]["max_tf"] == 2
