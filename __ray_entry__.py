@@ -3646,6 +3646,67 @@ def q_term_burstiness(sf_dir: str) -> ray.data.Dataset:
     return co.term_burstiness_ds(_documents(sf_dir), k=50)
 
 
+def q_full_join(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER equi-join: heavy purchasers (>= 14 purchase events)
+    against heavy error generators (>= 14 errors) by user; rows
+    unmatched on EITHER side emit once with sentinel -1 payload. The
+    generic bucket-hash shuffle join in ``how="full"`` mode — all three
+    branches (matched, left-only, right-only) populated on this data."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def side(ev_type: str, key: str, out: str):
+        def partial(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), ev_type))
+            if t.num_rows == 0:
+                return pa.table(
+                    {key: pa.array([], pa.int64()), "n_p": pa.array([], pa.int64())}
+                )
+            g = t.group_by("user_id").aggregate([("user_id", "count")])
+            return pa.table(
+                {
+                    key: g.column("user_id").cast(pa.int64()),
+                    "n_p": g.column("user_id_count").cast(pa.int64()),
+                }
+            )
+
+        agg = ev.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby(key).aggregate(Sum("n_p"))
+
+        def finish(b: pa.Table) -> pa.Table:
+            n = b.column("sum(n_p)").cast(pa.int64())
+            keep = pc.greater_equal(n, pa.scalar(14, pa.int64()))
+            return pa.table(
+                {key: b.column(key).cast(pa.int64()).filter(keep), out: n.filter(keep)}
+            )
+
+        return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+    left = side("purchase", "user_id", "n_purchases")
+    right = side("error", "uid", "n_errors")
+    joined = an.hash_join_ds(left, right, "user_id", "uid", how="full")
+
+    def coalesce(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "n_purchases": pc.fill_null(
+                    b.column("n_purchases").cast(pa.int64()), pa.scalar(-1, pa.int64())
+                ),
+                "n_errors": pc.fill_null(
+                    b.column("n_errors").cast(pa.int64()), pa.scalar(-1, pa.int64())
+                ),
+            }
+        )
+
+    return joined.map_batches(coalesce, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3782,6 +3843,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "sampled_dup_rate": q_sampled_dup_rate,
     "effective_tokens": q_effective_tokens,
     "term_burstiness": q_term_burstiness,
+    "full_join": q_full_join,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4047,6 +4109,7 @@ _FRONT_R5 = [
     "sampled_dup_rate",
     "effective_tokens",
     "term_burstiness",
+    "full_join",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4649,6 +4712,18 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "full_join": """
+        WITH p AS (SELECT user_id, count(*) AS n_purchases FROM events
+                   WHERE event_type = 'purchase' GROUP BY 1
+                   HAVING count(*) >= 14),
+        e AS (SELECT user_id, count(*) AS n_errors FROM events
+              WHERE event_type = 'error' GROUP BY 1
+              HAVING count(*) >= 14)
+        SELECT CAST(COALESCE(p.user_id, e.user_id) AS BIGINT) AS user_id,
+               CAST(COALESCE(p.n_purchases, -1) AS BIGINT) AS n_purchases,
+               CAST(COALESCE(e.n_errors, -1) AS BIGINT) AS n_errors
+        FROM p FULL JOIN e ON e.user_id = p.user_id
     """,
     "effective_tokens": """
         WITH h AS (SELECT source, md5(text) AS d,

@@ -1392,8 +1392,10 @@ def hash_join_ds(
 ) -> Dataset:
     """Generic equi-join of two LARGE datasets (N:M multiplicity) — the
     core relational exchange Ray Data's high-level API does not ship.
-    ``how="inner"`` (default) or ``"left"`` (unmatched left rows emit
-    once with null right payload — the LEFT OUTER JOIN contract).
+    ``how="inner"`` (default), ``"left"`` (unmatched left rows emit
+    once with null right payload — the LEFT OUTER JOIN contract), or
+    ``"full"`` (additionally, unmatched RIGHT rows emit once with null
+    left payload and their own key — FULL OUTER JOIN).
     Output carries the left key column plus every payload column
     of both sides (column names must not collide — pre-project/rename
     upstream, which also prunes the exchange to needed columns).
@@ -1473,10 +1475,20 @@ def hash_join_ds(
                 cols[c] = pa.nulls(lt.num_rows, r_schema.field(c).type)
             return pa.table(cols)
 
+        def right_only(rt: pa.Table) -> pa.Table:
+            cols = {left_key: rt.column("k")}
+            for c in lpay:
+                cols[c] = pa.nulls(rt.num_rows, l_schema.field(c).type)
+            for c in rpay:
+                cols[c] = rt.column(c)
+            return pa.table(cols)
+
         side = group.column("side").to_numpy(zero_copy_only=False)
         lmask = side == 0
         rmask = side == 1
         if not lmask.any():
+            if how == "full" and rmask.any():
+                return right_only(group.filter(pa.array(rmask)))
             return empty
         if not rmask.any():
             if how == "inner":
@@ -1495,11 +1507,19 @@ def hash_join_ds(
         counts = hi - lo
         total = int(counts.sum())
         parts = []
-        if how == "left":
+        if how in ("left", "full"):
             miss = np.flatnonzero(counts == 0)
             if miss.size:
                 parts.append(
                     left_only(group.take(pa.array(l_idx[miss], pa.int64())))
+                )
+        if how == "full":
+            r_unmatched = ~np.isin(rk_s, lk)
+            if r_unmatched.any():
+                parts.append(
+                    right_only(
+                        group.take(pa.array(r_sorted[r_unmatched], pa.int64()))
+                    )
                 )
         if total > 0:
             out_l = np.repeat(l_idx, counts)

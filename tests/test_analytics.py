@@ -2016,3 +2016,34 @@ def test_type_cross_corr_hand_computed(ray_session):
     assert rows[("a", "a")]["dot"] == 4 + 1 and rows[("a", "a")]["n_common"] == 2
     assert rows[("a", "b")]["dot"] == 2 * 3 and rows[("a", "b")]["n_common"] == 1
     assert rows[("b", "b")]["dot"] == 9
+
+
+def test_hash_join_full_outer_all_branches(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 2], pa.int64()),
+                "lv": pa.array(["a", "b", "c"], pa.string()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([2, 3], pa.int64()),
+                "rv": pa.array(["x", "y"], pa.string()),
+            }
+        )
+    )
+    rows = an.hash_join_ds(left, right, "k", "rk", how="full").take_all()
+    got = {(r["k"], r["lv"], r["rv"]) for r in rows}
+    assert got == {
+        (1, "a", None),      # left-only
+        (2, "b", "x"),       # matched (N:M)
+        (2, "c", "x"),
+        (3, None, "y"),      # right-only, key carried from the right
+    }
