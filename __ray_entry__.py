@@ -3707,6 +3707,24 @@ def q_full_join(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(coalesce, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_int8_quant_error(sf_dir: str) -> ray.data.Dataset:
+    """Per-dimension int8 scalar-quantization error audit: power-of-two
+    truncation shift per dim + exact integer error mass/max. Two
+    streaming passes, 64-group aggregates, 64-row broadcast."""
+    return co.int8_quant_error_ds(_embeddings(sf_dir))
+
+
+def q_assortativity(sf_dir: str) -> ray.data.Dataset:
+    """Degree-assortativity moment components of the co-purchase graph
+    (one exact-integer row; Pearson r derives rationally). Two co-group
+    attaches thread deg(u), deg(v) onto each directed edge — the degree
+    vector is never broadcast."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return gr.assortativity_ds(li, min_support=2)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3844,6 +3862,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "effective_tokens": q_effective_tokens,
     "term_burstiness": q_term_burstiness,
     "full_join": q_full_join,
+    "int8_quant_error": q_int8_quant_error,
+    "assortativity": q_assortativity,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4110,6 +4130,8 @@ _FRONT_R5 = [
     "effective_tokens",
     "term_burstiness",
     "full_join",
+    "int8_quant_error",
+    "assortativity",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4712,6 +4734,42 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "int8_quant_error": """
+        WITH q AS (
+          SELECT list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+          FROM embeddings),
+        u AS (SELECT generate_subscripts(qv, 1) AS dim, unnest(qv) AS comp
+              FROM q),
+        mx AS (SELECT dim, max(abs(comp)) AS m FROM u GROUP BY 1),
+        kk AS (SELECT dim,
+                      CASE WHEN m = 0 THEN 0
+                           ELSE greatest(length(bin(m)) - 7, 0) END AS k
+               FROM mx),
+        e AS (SELECT u.dim, kk.k,
+                     u.comp - (u.comp >> kk.k) * ((1::BIGINT) << kk.k) AS err
+              FROM u JOIN kk ON kk.dim = u.dim)
+        SELECT CAST(dim AS BIGINT) AS dim, CAST(k AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(err) AS BIGINT) AS sum_err,
+               CAST(max(err) AS BIGINT) AS max_err
+        FROM e GROUP BY 1, 2
+    """,
+    "assortativity": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS support
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2),
+        e AS (SELECT x, y FROM e0 WHERE support >= 2),
+        adj AS (SELECT x AS u, y AS v FROM e UNION ALL SELECT y, x FROM e),
+        deg AS (SELECT u AS node, count(*) AS d FROM adj GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+               CAST(sum(da.d) AS BIGINT) AS s_d,
+               CAST(sum(da.d * db.d) AS BIGINT) AS s_dd,
+               CAST(sum(da.d * da.d) AS BIGINT) AS s_d2
+        FROM adj a JOIN deg da ON da.node = a.u JOIN deg db ON db.node = a.v
     """,
     "full_join": """
         WITH p AS (SELECT user_id, count(*) AS n_purchases FROM events

@@ -8705,3 +8705,101 @@ def term_burstiness_ds(
         .sort(["tf", "term"], descending=[True, False])
         .limit(k)
     )
+
+
+def int8_quant_error_ds(
+    embeddings: Dataset,
+    keep_bits: int = 7,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Scalar-quantization error audit — the per-dimension report run
+    before shipping an int8 embedding index: for each dimension, the
+    power-of-two truncation shift ``k = max(bit_length(max|q|) -
+    keep_bits, 0)`` (so every value fits ``keep_bits`` magnitude bits)
+    and the EXACT truncation-error mass ``err = q - (q >> k) * 2^k``
+    (always in ``[0, 2^k)`` — arithmetic shift floors for negatives in
+    numpy and DuckDB alike). Emits ``(dim, k, n, sum_err, max_err)``.
+
+    Scale shape: pass 1 is the ``dim_variance_ds`` one-row-per-dim-
+    per-block max combiner; the 64-row (dim, k) table broadcasts via
+    ``ray.put``; pass 2 streams the vectors once computing the error
+    columnwise. No shuffle beyond the 64-group aggregates."""
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"dim": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        m = _as_matrix(batch.column(vec_col))
+        q = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+        d = q.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+                "mx": pa.array(np.abs(q).max(axis=0), pa.int64()),
+            }
+        )
+
+    maxes = (
+        embeddings.select_columns([vec_col])
+        .map_batches(max_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Max("mx"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "dim": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sum_err": pa.array([], pa.int64()),
+            "max_err": pa.array([], pa.int64()),
+        }
+    )
+    if not maxes:
+        return ray.data.from_arrow(empty)
+    dims = sorted(r["dim"] for r in maxes)
+    ks = np.zeros(len(dims), np.int64)
+    for r in maxes:
+        ks[r["dim"] - 1] = max(int(r["max(mx)"]).bit_length() - keep_bits, 0)
+    ref = ray.put(ks)
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty.drop_columns(["k"])
+        kv = ray.get(ref)
+        m = _as_matrix(batch.column(vec_col))
+        q = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+        err = q - (q >> kv[None, :]) * (np.int64(1) << kv)[None, :]
+        d = q.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(d, q.shape[0], np.int64), pa.int64()),
+                "sum_err": pa.array(err.sum(axis=0), pa.int64()),
+                "max_err": pa.array(err.max(axis=0), pa.int64()),
+            }
+        )
+
+    agg = (
+        embeddings.select_columns([vec_col])
+        .map_batches(err_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Sum("n"), Sum("sum_err"), Max("max_err"))
+    )
+    ks_list = ks  # closure
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dim = batch.column("dim").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dim": pa.array(dim, pa.int64()),
+                "k": pa.array(ks_list[dim - 1], pa.int64()),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+                "sum_err": batch.column("sum(sum_err)").cast(pa.int64()),
+                "max_err": batch.column("max(max_err)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

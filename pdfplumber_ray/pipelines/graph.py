@@ -1730,3 +1730,102 @@ def hits_step_ds(
         )
 
     return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def assortativity_ds(
+    lineitem: Dataset,
+    min_support: int = 2,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Degree-assortativity moment components over the co-purchase
+    graph (Newman 2002): one row of exact integer sums over DIRECTED
+    edges — ``(n_dir_edges, s_d, s_dd, s_d2)`` where per edge (u, v)
+    the terms are deg(u), deg(u)*deg(v), deg(u)^2. The Pearson degree
+    correlation derives rationally:
+    ``r = (n*s_dd - s_d^2) / (n*s_d2 - s_d^2)`` (symmetric edge list,
+    so the u- and v-marginals coincide). Hub-dominated (disassortative)
+    graphs flag skew risk for every neighborhood-join operator upstream.
+
+    Scale shape: TWO ``_attach_by_neighbor`` co-groups thread deg(v)
+    then deg(u) onto each directed edge without ever broadcasting the
+    degree vector; a streaming partial then folds everything into four
+    int64 counters per block and one single-group sum. Bound
+    (documented): ``sum(deg^2 per edge)`` must stay below 2^63 —
+    beyond that (deg ~ 10^6 hubs at 10^12 edges) switch the partial to
+    Python-int accumulation with a HUGEINT twin."""
+    edges = copurchase_edges_ds(lineitem, min_support, n_buckets)
+
+    def adj(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate((x, y)), pa.int64()),
+                "nb": pa.array(np.concatenate((y, x)), pa.int64()),
+            }
+        )
+
+    adj_ds = edges.map_batches(
+        adj, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, np.int64), pa.int64())
+        )
+
+    deg = (
+        adj_ds.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("one"))
+    )
+    # (node=u, nb_val=deg(v)) per directed edge
+    dnb = _attach_by_neighbor(adj_ds, deg, "sum(one)", n_buckets)
+
+    def swap(batch: pa.Table) -> pa.Table:
+        # re-enter the attach with the carried deg(v) as the payload and
+        # u as the join key, yielding (deg(v), deg(u)) pairs
+        return pa.table(
+            {
+                "node": batch.column("nb_val").cast(pa.int64()),
+                "nb": batch.column("node").cast(pa.int64()),
+            }
+        )
+
+    pairs = _attach_by_neighbor(
+        dnb.map_batches(swap, batch_format="pyarrow", zero_copy_batch=True),
+        deg,
+        "sum(one)",
+        n_buckets,
+    )  # (node=deg(v), nb_val=deg(u))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        dv = batch.column("node").to_numpy(zero_copy_only=False)
+        du = batch.column("nb_val").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n_e": pa.array([len(du)], pa.int64()),
+                "s_d": pa.array([int(du.sum())], pa.int64()),
+                "s_dd": pa.array([int((du * dv).sum())], pa.int64()),
+                "s_d2": pa.array([int((du * du).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Sum("n_e"), Sum("s_d"), Sum("s_dd"), Sum("s_d2"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_dir_edges": batch.column("sum(n_e)").cast(pa.int64()),
+                "s_d": batch.column("sum(s_d)").cast(pa.int64()),
+                "s_dd": batch.column("sum(s_dd)").cast(pa.int64()),
+                "s_d2": batch.column("sum(s_d2)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

@@ -2486,3 +2486,60 @@ def test_term_burstiness_hand_computed(ray_session):
     rows = {r["term"]: r for r in co.term_burstiness_ds(docs, k=10).take_all()}
     assert rows["z"]["tf"] == 4 and rows["z"]["df"] == 2 and rows["z"]["max_tf"] == 3
     assert rows["q"]["tf"] == 3 and rows["q"]["df"] == 2 and rows["q"]["max_tf"] == 2
+
+
+def test_int8_quant_error_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # dim1 q values: 1_000_000 and -1_000_000 -> bit_length(1e6)=20,
+    # k=13; err = q mod 2^13 (floor semantics for negatives)
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "embedding": pa.array(
+                    [[1.0, 0.01], [-1.0, 0.0]], pa.list_(pa.float32())
+                )
+            }
+        )
+    )
+    out = {r["dim"]: r for r in co.int8_quant_error_ds(embs).take_all()}
+    q = 1_000_000
+    k = q.bit_length() - 7
+    assert out[1]["k"] == k
+    errs = [q - (q >> k << k), (-q) - ((-q) >> k << k)]
+    assert out[1]["sum_err"] == sum(errs)
+    assert out[1]["max_err"] == max(errs)
+    # dim2 max|q| = 10000 -> k = 14 - 7 = 7
+    assert out[2]["k"] == (10_000).bit_length() - 7
+
+
+def test_assortativity_path_graph(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import graph as gr
+
+    # path 1-2-3: directed edges (1,2),(2,1),(2,3),(3,2); deg 1,2,1
+    rows = []
+    ok = 0
+    for pair in ([1, 2], [2, 3]):
+        for rep in range(2):
+            ok += 1
+            rows.extend((ok, p) for p in pair)
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+                "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+            }
+        )
+    )
+    out = gr.assortativity_ds(li, min_support=2).take_all()
+    assert len(out) == 1
+    r = out[0]
+    # per directed edge (u,v): deg(u) in [1,2,2,1], deg(v) in [2,1,1,2]
+    assert r["n_dir_edges"] == 4
+    assert r["s_d"] == 6
+    assert r["s_dd"] == 2 + 2 + 2 + 2
+    assert r["s_d2"] == 1 + 4 + 4 + 1
