@@ -3725,6 +3725,21 @@ def q_assortativity(sf_dir: str) -> ray.data.Dataset:
     return gr.assortativity_ds(li, min_support=2)
 
 
+def q_blocklist_hits(sf_dir: str) -> ray.data.Dataset:
+    """Blocklist / safety-lexicon gate: per-doc exact token hits against
+    a broadcast lexicon, permille rate, and the gate flag. Vectorized
+    pc.is_in + bincount, no shuffle."""
+    return co.blocklist_hits_ds(_documents(sf_dir))
+
+
+def q_semantic_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-space train/eval decontamination: each held-out vector
+    (id % 5 == 0) gets its nearest TRAIN vector by exact cosine + leak
+    flag — the semantic counterpart of the n-gram sweep. Train matrix
+    staged in the object store; eval side streams."""
+    return co.semantic_decontaminate_ds(_embeddings(sf_dir))
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3864,6 +3879,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "full_join": q_full_join,
     "int8_quant_error": q_int8_quant_error,
     "assortativity": q_assortativity,
+    "blocklist_hits": q_blocklist_hits,
+    "semantic_decontaminate": q_semantic_decontaminate,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4132,6 +4149,8 @@ _FRONT_R5 = [
     "full_join",
     "int8_quant_error",
     "assortativity",
+    "blocklist_hits",
+    "semantic_decontaminate",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4734,6 +4753,44 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "blocklist_hits": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        h AS (SELECT doc_id, len(l) AS n_tokens,
+                     len(list_filter(l,
+                         x -> x IN ('dup', 'hash', 'merge', 'spark'))) AS n_hits
+              FROM w)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(n_hits * 1000 // greatest(n_tokens, 1) AS BIGINT)
+                   AS hit_permille,
+               CAST(CASE WHEN n_hits * 1000 // greatest(n_tokens, 1) >= 40
+                         THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        FROM h
+    """,
+    "semantic_decontaminate": """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> floor(CAST(x AS DOUBLE) * 1e6)) AS qv
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, qv,
+                     sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+        s AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+                 list_dot_product(a.qv, b.qv) / a.nrm / b.nrm AS sim
+          FROM n a JOIN n b ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+        ),
+        r AS (SELECT vec_id, nb, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, nb) AS rnk
+              FROM s)
+        SELECT vec_id, nb AS nearest_train_id,
+               CAST(floor(sim * 1e6) AS BIGINT) AS sim_e6,
+               CAST(CASE WHEN floor(sim * 1e6) >= 990000
+                         THEN 1 ELSE 0 END AS BIGINT) AS leaked
+        FROM r WHERE rnk = 1
     """,
     "int8_quant_error": """
         WITH q AS (

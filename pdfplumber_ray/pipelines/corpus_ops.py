@@ -8803,3 +8803,150 @@ def int8_quant_error_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def blocklist_hits_ds(
+    docs: Dataset,
+    blocklist: Tuple[str, ...] = ("merge", "dup", "spark", "hash"),
+    flag_permille: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Blocklist / safety-lexicon filter — the standard term-based
+    content gate (profanity, PII keywords, spam markers) run before any
+    model-based safety pass: per document the exact token-hit count
+    against a broadcast lexicon, the hit rate in permille, and the gate
+    flag (``hit_permille >= flag_permille``). Emits ``(doc_id, n_tokens,
+    n_hits, hit_permille, flagged)``.
+
+    Scale shape: embarrassingly parallel — the lexicon ships once inside
+    the task closure (kilobytes), membership is one vectorized
+    ``pc.is_in`` over the flattened token stream, per-doc sums via
+    ``np.bincount`` on the parent index. No shuffle, no collect."""
+    lex = pa.array(sorted(set(blocklist)), pa.string())
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_hits": pa.array([], pa.int64()),
+                "hit_permille": pa.array([], pa.int64()),
+                "flagged": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(pc.fill_null(batch.column(text_col), ""), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offs)
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64), n_tok)
+        hits = pc.is_in(flat, value_set=lex).to_numpy(zero_copy_only=False)
+        n_hits = np.bincount(
+            parent[hits], minlength=len(toks)
+        ).astype(np.int64)
+        permille = n_hits * 1000 // np.maximum(n_tok, 1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "hit_permille": pa.array(permille, pa.int64()),
+                "flagged": pa.array(
+                    (permille >= flag_permille).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def semantic_decontaminate_ds(
+    embeddings: Dataset,
+    eval_mod: int = 5,
+    leak_sim_e6: int = 990_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Embedding-space train/eval decontamination — the SEMANTIC
+    counterpart of the n-gram ``decontaminate_ds``: for every held-out
+    vector (``id % eval_mod == 0``) its single nearest TRAIN vector by
+    exact cosine, with the leak flag ``sim_e6 >= leak_sim_e6``
+    (paraphrased benchmark items that n-gram overlap misses). Emits
+    ``(vec_id, nearest_train_id, sim_e6, leaked)``.
+
+    Exactness and scale shape inherit from ``knn_graph_ds``: e6-quantized
+    integer dot products (bit-identical doubles on both engines, id
+    tie-break), train matrix staged in the object store as block refs,
+    eval side streams with one matmul per staged block. Exact semantics
+    are the declared small-N oracle path; the 100 TB path prunes with
+    the IVF centroids first (``ann_ivf_topk_ds``)."""
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (ids % eval_mod) != 0
+        t = batch.filter(pa.array(keep))
+        m = _as_matrix(t.column(vec_col))
+        q = np.ascontiguousarray(np.floor(m * 1e6))
+        flat = pa.array(q.reshape(-1), pa.float64())
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "_nvec": pa.FixedSizeListArray.from_arrays(flat, q.shape[1]),
+            }
+        )
+
+    refs = (
+        embeddings.select_columns([id_col, vec_col])
+        .map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    refs_key = tuple(r.hex() for r in refs)
+
+    def top1(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "nearest_train_id": pa.array([], pa.int64()),
+                "sim_e6": pa.array([], pa.int64()),
+                "leaked": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_eval = (ids % eval_mod) == 0
+        if not is_eval.any():
+            return empty
+        t = batch.filter(pa.array(is_eval))
+        blocks = _emb_blocks(refs_key, refs, id_col)
+        if not blocks:
+            return empty
+        all_ids = np.concatenate([fids for fids, _ in blocks])
+        full = np.concatenate([fmat for _, fmat in blocks], axis=0)
+        colorder = np.argsort(all_ids, kind="stable")
+        all_ids = all_ids[colorder]
+        full = full[colorder]
+        nb_norm = np.sqrt((full * full).sum(axis=1))
+        mq = np.floor(_as_matrix(t.column(vec_col)) * 1e6)
+        na_norm = np.sqrt((mq * mq).sum(axis=1))
+        na_norm[na_norm == 0] = 1.0
+        sims = (mq @ full.T) / na_norm[:, None] / nb_norm[None, :]
+        best = np.argmax(sims, axis=1)  # first max = smallest id (id-sorted)
+        se = np.floor(sims[np.arange(len(best)), best] * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "nearest_train_id": pa.array(all_ids[best], pa.int64()),
+                "sim_e6": pa.array(se, pa.int64()),
+                "leaked": pa.array(
+                    (se >= leak_sim_e6).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return embeddings.map_batches(top1, batch_format="pyarrow", zero_copy_batch=True)

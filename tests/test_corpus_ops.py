@@ -2543,3 +2543,53 @@ def test_assortativity_path_graph(ray_session):
     assert r["s_d"] == 6
     assert r["s_dd"] == 2 + 2 + 2 + 2
     assert r["s_d2"] == 1 + 4 + 4 + 1
+
+
+def test_blocklist_hits_flagging(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["bad bad ok ok", "ok ok ok ok ok"], pa.string()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in
+           co.blocklist_hits_ds(docs, blocklist=("bad",), flag_permille=400).take_all()}
+    assert out[1]["n_hits"] == 2 and out[1]["hit_permille"] == 500
+    assert out[1]["flagged"] == 1
+    assert out[2]["n_hits"] == 0 and out[2]["flagged"] == 0
+
+
+def test_semantic_decontaminate_planted_leak(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # eval vec 0 (id%5==0) identical to train vec 1 -> leaked;
+    # eval vec 5 orthogonal to everything -> not leaked
+    vecs = {
+        0: [1.0, 0.0, 0.0],   # eval
+        1: [1.0, 0.0, 0.0],   # train, identical to 0
+        2: [0.5, 0.5, 0.0],   # train
+        5: [0.0, 0.0, 1.0],   # eval, far from all train
+    }
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(sorted(vecs), pa.int64()),
+                "embedding": pa.array(
+                    [vecs[i] for i in sorted(vecs)], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = {r["vec_id"]: r for r in co.semantic_decontaminate_ds(embs).take_all()}
+    assert set(out) == {0, 5}
+    assert out[0]["nearest_train_id"] == 1 and out[0]["leaked"] == 1
+    assert out[0]["sim_e6"] >= 999_999
+    assert out[5]["leaked"] == 0
