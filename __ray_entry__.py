@@ -3740,6 +3740,28 @@ def q_semantic_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return co.semantic_decontaminate_ds(_embeddings(sf_dir))
 
 
+def q_k_anonymity(sf_dir: str) -> ray.data.Dataset:
+    """k-anonymity / l-diversity privacy audit over the (nation,
+    segment) quasi-identifier combo with balance-bucket diversity.
+    Distinct-cell combiner -> two bounded groupbys; raw rows never
+    shuffle."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+    return an.k_anonymity_ds(cust, k=10, l_div=3)
+
+
+def q_stratified_kfold(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic stratified 5-fold assignment: per-language fold
+    counts balanced to ±1 via within-stratum md5 rank (RNG-free,
+    engine-reproducible)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return co.stratified_kfold_ds(docs, n_folds=5)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3881,6 +3903,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "assortativity": q_assortativity,
     "blocklist_hits": q_blocklist_hits,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "k_anonymity": q_k_anonymity,
+    "stratified_kfold": q_stratified_kfold,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4151,6 +4175,8 @@ _FRONT_R5 = [
     "assortativity",
     "blocklist_hits",
     "semantic_decontaminate",
+    "k_anonymity",
+    "stratified_kfold",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4753,6 +4779,37 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "k_anonymity": """
+        WITH b AS (
+          SELECT c_nationkey, c_mktsegment,
+                 (CAST(floor(c_acctbal * 100) AS BIGINT)
+                  + 100000 * (1::BIGINT << 20)) // 100000
+                 - (1::BIGINT << 20) AS bb
+          FROM customer),
+        cells AS (SELECT c_nationkey, c_mktsegment, bb, count(*) AS n
+                  FROM b GROUP BY 1, 2, 3),
+        combos AS (SELECT c_nationkey, c_mktsegment,
+                          sum(n) AS n_members, count(*) AS n_bal_buckets
+                   FROM cells GROUP BY 1, 2)
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(n_bal_buckets AS BIGINT) AS n_bal_buckets,
+               CAST(CASE WHEN n_members >= 10 THEN 1 ELSE 0 END AS BIGINT)
+                   AS k_anonymous,
+               CAST(CASE WHEN n_bal_buckets >= 3 THEN 1 ELSE 0 END AS BIGINT)
+                   AS l_diverse
+        FROM combos
+    """,
+    "stratified_kfold": """
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
+          FROM documents)
+        SELECT doc_id, lang AS stratum, CAST(rn % 5 AS BIGINT) AS fold
+        FROM r
     """,
     "blocklist_hits": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

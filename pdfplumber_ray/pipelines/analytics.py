@@ -7064,3 +7064,111 @@ def type_cross_corr_ds(
             }
         )
     )
+
+
+def k_anonymity_ds(
+    customer: Dataset,
+    k: int = 10,
+    l_div: int = 3,
+    bucket_cents: int = 100_000,
+) -> Dataset:
+    """k-anonymity / l-diversity audit over the customer table's
+    quasi-identifier combo (nation, market segment) — the privacy gate
+    run before releasing or joining user-derived training data: a combo
+    is k-anonymous when >= ``k`` members share it, and l-diverse when
+    the sensitive attribute (account balance, bucketed to
+    ``bucket_cents``) takes >= ``l_div`` distinct values inside it.
+    Emits one row per observed combo: ``(c_nationkey, c_mktsegment,
+    n_members, n_bal_buckets, k_anonymous, l_diverse)``.
+
+    Scale shape: per-batch distinct (combo, bucket) combiner →
+    ``groupby(combo, bucket)`` count → per-combo fold (members = sum,
+    diversity = row count) in a second bounded groupby. The combo
+    domain is nations x segments — tiny by construction; raw rows never
+    shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nat": pa.array([], pa.int64()),
+                "seg": pa.array([], pa.string()),
+                "bb": pa.array([], pa.int64()),
+                "n_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        cents = np.floor(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "nat": batch.column("c_nationkey").cast(pa.int64()),
+                "seg": batch.column("c_mktsegment"),
+                # TRUE floor division in shifted non-negative space so the
+                # SQL twin's integer `//` agrees for negative balances
+                "bb": pa.array(
+                    (cents + np.int64(bucket_cents) * np.int64(1 << 20))
+                    // np.int64(bucket_cents)
+                    - np.int64(1 << 20),
+                    pa.int64(),
+                ),
+            }
+        )
+        g = t.group_by(["nat", "seg", "bb"]).aggregate([("bb", "count")])
+        return pa.table(
+            {
+                "nat": g.column("nat"),
+                "seg": g.column("seg"),
+                "bb": g.column("bb"),
+                "n_p": g.column("bb_count").cast(pa.int64()),
+            }
+        )
+
+    cells = (
+        customer.select_columns(["c_nationkey", "c_mktsegment", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["nat", "seg", "bb"])
+        .aggregate(Sum("n_p"))
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "nat": batch.column("nat").cast(pa.int64()),
+                "seg": batch.column("seg"),
+                "n": batch.column("sum(n_p)").cast(pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["nat", "seg"]).aggregate([("n", "sum"), ("one", "sum")])
+        return pa.table(
+            {
+                "nat": g.column("nat"),
+                "seg": g.column("seg"),
+                "n_m": g.column("n_sum").cast(pa.int64()),
+                "n_b": g.column("one_sum").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        cells.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["nat", "seg"])
+        .aggregate(Sum("n_m"), Sum("n_b"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n_m)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nb = batch.column("sum(n_b)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_nationkey": batch.column("nat").cast(pa.int64()),
+                "c_mktsegment": batch.column("seg"),
+                "n_members": pa.array(n, pa.int64()),
+                "n_bal_buckets": pa.array(nb, pa.int64()),
+                "k_anonymous": pa.array((n >= k).astype(np.int64), pa.int64()),
+                "l_diverse": pa.array((nb >= l_div).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -8950,3 +8950,53 @@ def semantic_decontaminate_ds(
         )
 
     return embeddings.map_batches(top1, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_kfold_ds(
+    docs: Dataset,
+    n_folds: int = 5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Deterministic STRATIFIED k-fold assignment — the cross-validation
+    split that keeps every stratum's fold counts balanced to ±1 (plain
+    ``md5 % k`` hashing only balances in expectation): within each
+    stratum, documents order by ``(md5(id) hex, id)`` and fold =
+    ``rank % n_folds``. RNG-free, engine-reproducible, stable across
+    runs and cluster sizes. Emits ``(doc_id, stratum, fold)``.
+
+    Scale shape: strata are a BOUNDED label domain (languages/sources),
+    so one ``groupby(stratum)`` with an in-group vectorized md5-rank
+    serves the gate corpus; a mega-stratum (one language dominating a
+    web corpus) instead composes the ``row_number_ds`` decomposition —
+    per-stratum hash-histogram CDF + tie-run shuffle — to get the same
+    ranks without co-locating the stratum (documented scale path)."""
+    import hashlib
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("stratum", pa.string()), ("fold", pa.int64())]
+    )
+
+    def assign(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        ids = group.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hexes = np.asarray(
+            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids], dtype=object
+        )
+        order = np.lexsort((ids, hexes.astype(str)))
+        fold = np.empty(len(ids), np.int64)
+        fold[order] = np.arange(len(ids), dtype=np.int64) % n_folds
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "stratum": group.column(stratum_col),
+                "fold": pa.array(fold, pa.int64()),
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, stratum_col])
+        .groupby(stratum_col)
+        .map_groups(assign, batch_format="pyarrow")
+    )

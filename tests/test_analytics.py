@@ -2047,3 +2047,52 @@ def test_hash_join_full_outer_all_branches(ray_session):
         (2, "c", "x"),
         (3, None, "y"),      # right-only, key carried from the right
     }
+
+
+def test_k_anonymity_flags(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # combo (1, A): 3 members, balances in 3 distinct $1000 buckets
+    # combo (2, B): 1 member (not k-anonymous at k=2, not diverse at l=2)
+    cust = ray.data.from_arrow(
+        pa.table(
+            {
+                "c_nationkey": pa.array([1, 1, 1, 2], pa.int32()),
+                "c_mktsegment": pa.array(["A", "A", "A", "B"], pa.string()),
+                "c_acctbal": pa.array([100.0, 1100.0, 2100.0, -50.0], pa.float64()),
+            }
+        )
+    )
+    out = {(r["c_nationkey"], r["c_mktsegment"]): r
+           for r in an.k_anonymity_ds(cust, k=2, l_div=2).take_all()}
+    a = out[(1, "A")]
+    assert a["n_members"] == 3 and a["n_bal_buckets"] == 3
+    assert a["k_anonymous"] == 1 and a["l_diverse"] == 1
+    b = out[(2, "B")]
+    assert b["n_members"] == 1 and b["n_bal_buckets"] == 1
+    assert b["k_anonymous"] == 0 and b["l_diverse"] == 0
+
+
+def test_stratified_kfold_balance(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(23)), pa.int64()),
+                "lang": pa.array(["en"] * 13 + ["de"] * 10, pa.string()),
+            }
+        )
+    )
+    rows = co.stratified_kfold_ds(docs, n_folds=5).take_all()
+    assert len(rows) == 23
+    from collections import Counter
+    for stratum, total in (("en", 13), ("de", 10)):
+        c = Counter(r["fold"] for r in rows if r["stratum"] == stratum)
+        assert sum(c.values()) == total
+        # balanced to +/- 1 within each stratum
+        assert max(c.values()) - min(c.values()) <= 1
