@@ -3762,6 +3762,29 @@ def q_stratified_kfold(sf_dir: str) -> ray.data.Dataset:
     return co.stratified_kfold_ds(docs, n_folds=5)
 
 
+def q_syndication_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Syndicated-content histogram: template families (keyed on the
+    first-5-token opening — whole-text dups rarely cross sources, shared
+    openings do) bucketed by how many distinct sources they span.
+    Distinct-cell combiner -> digest groupbys -> tiny histogram."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return co.syndication_histogram_ds(docs, key_tokens=5)
+
+
+def q_ewma_running(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running EWMA (half-life = 1 event) in exact integer
+    arithmetic: each term floored independently (v >> age), summed —
+    order-stable and engine-exact where the recursive float EWMA is
+    neither. One bucketed shuffle + a loop over BIT WIDTH, not rows."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return an.ewma_running_ds(ev)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3905,6 +3928,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "semantic_decontaminate": q_semantic_decontaminate,
     "k_anonymity": q_k_anonymity,
     "stratified_kfold": q_stratified_kfold,
+    "syndication_histogram": q_syndication_histogram,
+    "ewma_running": q_ewma_running,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4177,6 +4202,8 @@ _FRONT_R5 = [
     "semantic_decontaminate",
     "k_anonymity",
     "stratified_kfold",
+    "syndication_histogram",
+    "ewma_running",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4779,6 +4806,30 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "syndication_histogram": """
+        WITH t AS (SELECT string_split(text, ' ') AS l, source
+                   FROM documents),
+        f AS (SELECT md5(array_to_string(l[1:5], ' ')) AS d,
+                     count(DISTINCT source) AS ns, count(*) AS nd
+              FROM t GROUP BY 1)
+        SELECT CAST(ns AS BIGINT) AS n_sources,
+               CAST(count(*) AS BIGINT) AS n_families,
+               CAST(sum(nd) AS BIGINT) AS n_docs
+        FROM f GROUP BY 1
+    """,
+    "ewma_running": """
+        WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                          CAST(floor(value * 100) AS BIGINT) AS v_e
+                   FROM events),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id) AS rn
+              FROM x)
+        SELECT a.event_id, a.user_id,
+               CAST(sum(b.v_e >> (a.rn - b.rn)) AS BIGINT) AS ewma_e
+        FROM r a JOIN r b
+          ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 30 AND a.rn
+        GROUP BY 1, 2
     """,
     "k_anonymity": """
         WITH b AS (

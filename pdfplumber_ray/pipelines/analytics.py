@@ -7172,3 +7172,94 @@ def k_anonymity_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ewma_running_ds(
+    events: Dataset,
+    max_shift: int = 30,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+    quant: int = 100,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Per-key running exponential moving average with half-life = one
+    event, in EXACT integer arithmetic: at each event (ordered by
+    ``ts``, ``tie``) the decayed state is
+
+        ``ewma_e(t) = sum over j <= t of v_e(j) >> (t - j)``
+
+    — every term floored independently, so the value is a plain integer
+    sum both engines reproduce bit-for-bit (the recursive float EWMA is
+    neither order-stable nor cross-engine exact). Terms older than
+    ``max_shift`` events are identically zero whenever values fit
+    ``max_shift`` bits (cents < 2^30 here), so the window is finite by
+    arithmetic, not truncation.
+
+    Scale shape: the ``running_total_ds`` exchange — pruned projection
+    shuffles ONCE by ``mix64(key) % n_buckets``; inside a bucket one
+    lexsort then ``max_shift`` vectorized shifted adds (a loop over the
+    BIT WIDTH, never over rows or keys) with segment-boundary masking.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        v_e = np.floor(v * quant).astype(np.int64)
+        bkt = (_mix64(k) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                tie_col: batch.column(tie_col).cast(pa.int64()),
+                key_col: pa.array(k, pa.int64()),
+                "ts_us": batch.column(ts_col).cast(pa.int64()),
+                "v_e": pa.array(v_e, pa.int64()),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field(tie_col, pa.int64()),
+            pa.field(key_col, pa.int64()),
+            pa.field("ewma_e", pa.int64()),
+        ]
+    )
+
+    def bucket_ewma(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        tie = group.column(tie_col).to_numpy(zero_copy_only=False)
+        v = group.column("v_e").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, vs = k[order], v[order]
+        n = len(ks)
+        # per-row rank within its key segment (to mask cross-key shifts)
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [n])))
+        seg_id = np.repeat(np.arange(len(starts)), seg_len)
+        rank = np.arange(n) - starts[seg_id]
+        out = vs.copy()
+        for s in range(1, max_shift + 1):
+            if s >= n:
+                break
+            contrib = vs[:-s] >> np.int64(s)
+            valid = (ks[s:] == ks[:-s]) & (rank[s:] >= s)
+            out[s:] += np.where(valid, contrib, 0)
+        return pa.table(
+            {
+                tie_col: pa.array(tie[order], pa.int64()),
+                key_col: pa.array(ks, pa.int64()),
+                "ewma_e": pa.array(out, pa.int64()),
+            }
+        )
+
+    projected = events.select_columns(
+        [key_col, ts_col, tie_col, value_col]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return _anchor_schema(
+        projected.groupby("bkt").map_groups(bucket_ewma, batch_format="pyarrow"),
+        out_schema,
+    )

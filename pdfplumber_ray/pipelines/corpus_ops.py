@@ -9000,3 +9000,113 @@ def stratified_kfold_ds(
         .groupby(stratum_col)
         .map_groups(assign, batch_format="pyarrow")
     )
+
+
+def syndication_histogram_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    source_col: str = "source",
+    key_tokens: Optional[int] = None,
+) -> Dataset:
+    """Syndicated-content detector: the histogram of exact-duplicate
+    families by how many distinct SOURCES each family spans — families
+    with ``n_sources > 1`` are wire-copy / mirror content whose dedup
+    keep-policy should be source-aware (dup_histogram sizes families;
+    this op tells WHERE they live). Emits ``(n_sources, n_families,
+    n_docs)``.
+
+    Scale shape: per-batch distinct (digest, source)+count combiner →
+    ``groupby(digest, source)`` sum → per-digest fold (sources = row
+    count, docs = sum) in one digest-bucket pass (bounded buckets, the
+    effective_tokens shuffle) → tiny histogram groupby."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "d": pa.array([], pa.string()),
+                "src": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = batch.column(text_col).to_pylist()
+        if key_tokens is not None:
+            # template-opening key: families keyed on the first k tokens
+            # (whole-text exact dups rarely cross sources; shared openings do)
+            texts = [" ".join((t or "").split(" ")[:key_tokens]) for t in texts]
+        h = pa.array(ts.md5_hex(texts).tolist(), pa.string())
+        t = pa.table({"d": h, "src": batch.column(source_col)})
+        g = t.group_by(["d", "src"]).aggregate([("src", "count")])
+        return pa.table(
+            {
+                "d": g.column("d"),
+                "src": g.column("src"),
+                "n_p": g.column("src_count").cast(pa.int64()),
+            }
+        )
+
+    cells = (
+        docs.select_columns([text_col, source_col])
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["d", "src"])
+        .aggregate(Sum("n_p"))
+    )
+
+    # per-digest fold: a digest's (d, src) rows may straddle groupby
+    # output blocks, so the fold keys on the digest itself — one more
+    # digest-bounded groupby (sources = row count, docs = sum)
+    refold = (
+        cells.map_batches(
+            lambda b: pa.table(
+                {
+                    "d": b.column("d"),
+                    "n": b.column("sum(n_p)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("d")
+        .aggregate(Sum("n"), ray.data.aggregate.Count())
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_sources": pa.array([], pa.int64()),
+                "n_families": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ns = batch.column("count()").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nd = batch.column("sum(n)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ns, return_inverse=True)
+        return pa.table(
+            {
+                "n_sources": pa.array(u, pa.int64()),
+                "n_families": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "n_docs": pa.array(
+                    np.bincount(inv, weights=nd).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        refold.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_sources")
+        .aggregate(Sum("n_families"), Sum("n_docs"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_sources": batch.column("n_sources").cast(pa.int64()),
+                "n_families": batch.column("sum(n_families)").cast(pa.int64()),
+                "n_docs": batch.column("sum(n_docs)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

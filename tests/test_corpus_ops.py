@@ -2593,3 +2593,47 @@ def test_semantic_decontaminate_planted_leak(ray_session):
     assert out[0]["nearest_train_id"] == 1 and out[0]["leaked"] == 1
     assert out[0]["sim_e6"] >= 999_999
     assert out[5]["leaked"] == 0
+
+
+def test_syndication_histogram_cross_source(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(
+                    ["same text here", "same text here", "only once"], pa.string()
+                ),
+                "source": pa.array(["A", "B", "A"], pa.string()),
+            }
+        )
+    )
+    rows = {r["n_sources"]: r for r in co.syndication_histogram_ds(docs).take_all()}
+    # one family spanning 2 sources (2 docs), one single-source family
+    assert rows[2]["n_families"] == 1 and rows[2]["n_docs"] == 2
+    assert rows[1]["n_families"] == 1 and rows[1]["n_docs"] == 1
+
+
+def test_ewma_running_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array([10, 20, 30, 10], pa.timestamp("us")),
+                "value": pa.array([8.0, 4.0, 2.0, 16.0], pa.float64()),
+            }
+        )
+    )
+    out = {r["event_id"]: r["ewma_e"] for r in an.ewma_running_ds(ev).take_all()}
+    # cents: 800, 400, 200, 1600
+    assert out[1] == 800
+    assert out[2] == 400 + (800 >> 1)
+    assert out[3] == 200 + (400 >> 1) + (800 >> 2)
+    assert out[4] == 1600  # different user: no carry-over

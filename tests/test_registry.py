@@ -30,31 +30,31 @@ def test_every_query_has_an_oracle():
 
 
 def test_front_window_holds_new_and_never_sampled():
-    """The round-5 rotation: newest operators lead the 50-entry driver
-    gate window (they have never had ANY external validation), the four
-    VERDICT-r4 scale-path twins stay pinned inside it every round, and
-    the remainder back-fills youngest-first (session-8 before
-    session-6/7; long-locally-verified analytics yield their slots)."""
+    """The round-5 final rotation: newest operators lead the 50-entry
+    driver gate window (session-10, then session-9 — they have never had
+    ANY external validation), the four VERDICT-r4 scale-path twins stay
+    pinned inside it, and session-8 back-fills the remaining slots
+    youngest-first (older, long-locally-verified entries yield)."""
     E = _load_entry()
     keys = list(E.QUERIES.keys())
     first50 = set(keys[:50])
     for name in (
-        # session-9 operators (newest — zero external validation)
-        "vocab_growth", "shard_balance", "power_iter_step",
+        # session-10 operators (newest — zero external validation)
+        "mutual_knn", "label_prop", "grid_cores", "hits",
+        "skipgram_counts", "entity_graph", "cluster_inertia",
+        "dim_variance", "centroid_outliers", "sampled_dup_rate",
+        "effective_tokens", "term_burstiness", "full_join",
+        "int8_quant_error", "assortativity", "blocklist_hits",
+        "semantic_decontaminate", "k_anonymity", "stratified_kfold",
+        "syndication_histogram", "ewma_running",
+        # session-9 operators
+        "link_jaccard", "vocab_growth", "shard_balance", "power_iter_step",
         "prefix_filter_pairs", "prefix_filter_verified", "type_cross_corr",
         "snm_pairs", "entity_mentions", "benford_audit", "spearman_corr",
         "time_weighted_avg", "gini_concentration", "sentence_stats",
         # VERDICT-r4 scale-path twins: pinned for driver validation
         "main_content", "substring_dedup", "dedup_resolution_cogroup",
         "asof_join_bucketed",
-        # session-8 additions (never driver-sampled yet)
-        "gap_fill", "running_peak", "periodicity", "symbolize",
-        "weighted_median", "two_hop", "temperature_mix",
-        "containment_dedup", "token_budget_select", "shuffle_shards",
-        "novelty_score", "apportion_quota", "chi2_assoc", "trending",
-        "robust_scale", "bigram_surprisal", "quota_sample", "keyness",
-        "rolling_active", "time_to_convert", "changepoint",
-        "revenue_by_nation", "length_buckets",
     ):
         assert name in first50, f"{name} fell outside the driver gate window"
     # the leading block must be exactly the declared rotation order
