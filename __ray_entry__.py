@@ -3785,6 +3785,22 @@ def q_ewma_running(sf_dir: str) -> ray.data.Dataset:
     return an.ewma_running_ds(ev)
 
 
+def q_term_trend(sf_dir: str) -> ray.data.Dataset:
+    """Vocabulary drift between corpus halves: per-term counts in the
+    first vs second half of the id space with an integer drift score
+    (+1e6 newly coined, -1e6 vanished). Tagged count combiner, one
+    vocab-bounded groupby, half-pivot."""
+    return co.term_trend_ds(_documents(sf_dir), min_count=20)
+
+
+def q_log_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Log2-bucket (order-of-magnitude) value histogram over events —
+    the heavy-tail audit; bucket = sign * bit_length(|cents|), exact on
+    both engines. Bincount combiner, tiny groupby."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return an.log_histogram_ds(ev)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3930,6 +3946,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "stratified_kfold": q_stratified_kfold,
     "syndication_histogram": q_syndication_histogram,
     "ewma_running": q_ewma_running,
+    "term_trend": q_term_trend,
+    "log_histogram": q_log_histogram,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4204,6 +4222,8 @@ _FRONT_R5 = [
     "stratified_kfold",
     "syndication_histogram",
     "ewma_running",
+    "term_trend",
+    "log_histogram",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4806,6 +4826,33 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "term_trend": """
+        WITH n AS (SELECT count(*) AS nn FROM documents),
+        w AS (SELECT CASE WHEN doc_id * 2 >= (SELECT nn FROM n)
+                          THEN 1 ELSE 0 END AS half,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+        c AS (SELECT tok AS term,
+                     sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c2
+              FROM w GROUP BY 1)
+        SELECT term, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+               CAST((c2 - c1) * 1000000 // (c1 + c2) AS BIGINT) AS drift_e6
+        FROM c WHERE c1 + c2 >= 20
+    """,
+    "log_histogram": """
+        WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        b AS (SELECT cents,
+                     CASE WHEN cents = 0 THEN 0
+                          WHEN cents > 0 THEN length(bin(cents))
+                          ELSE -length(bin(-cents)) END AS bucket
+              FROM c)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM b GROUP BY 1
     """,
     "syndication_histogram": """
         WITH t AS (SELECT string_split(text, ' ') AS l, source

@@ -7263,3 +7263,73 @@ def ewma_running_ds(
         projected.groupby("bkt").map_groups(bucket_ewma, batch_format="pyarrow"),
         out_schema,
     )
+
+
+def log_histogram_ds(
+    events: Dataset,
+    value_col: str = "value",
+    quant: int = 100,
+) -> Dataset:
+    """Order-of-magnitude (log2-bucket) value histogram — the heavy-tail
+    audit a linear histogram hides: each event's quantized magnitude
+    lands in bucket ``sign * bit_length(|cents|)`` (0 for zero), all
+    integer-exact (``bit_length`` == ``length(bin(x))`` in the SQL
+    twin). Emits ``(bucket, n_events, cents_sum)``.
+
+    Scale shape: per-batch bincount combiner over the ~128 possible
+    buckets, one tiny ``groupby(bucket)``. One pass, no materialization.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "cents_sum": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        cents = np.floor(
+            batch.column(value_col).to_numpy(zero_copy_only=False) * quant
+        ).astype(np.int64)
+        mag = np.abs(cents)
+        # vectorized bit_length: positions of the highest set bit + 1
+        bits = np.zeros(len(mag), np.int64)
+        nz = mag > 0
+        bits[nz] = np.floor(np.log2(mag[nz].astype(np.float64))).astype(np.int64) + 1
+        # float log2 is exact at powers of two below 2^53; correct the
+        # off-by-one cases arithmetically to TRUE bit_length
+        too_hi = nz & (np.int64(1) << np.minimum(bits - 1, 62) > mag)
+        bits[too_hi] -= 1
+        too_lo = nz & (np.int64(1) << np.minimum(bits, 62) <= mag)
+        bits[too_lo] += 1
+        bucket = np.where(cents < 0, -bits, bits)
+        u, inv = np.unique(bucket, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(u, pa.int64()),
+                "n_events": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "cents_sum": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        events.select_columns([value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n_events"), Sum("cents_sum"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": batch.column("bucket").cast(pa.int64()),
+                "n_events": batch.column("sum(n_events)").cast(pa.int64()),
+                "cents_sum": batch.column("sum(cents_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

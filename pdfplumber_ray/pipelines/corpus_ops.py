@@ -9110,3 +9110,106 @@ def syndication_histogram_ds(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def term_trend_ds(
+    docs: Dataset,
+    min_count: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Vocabulary drift between corpus halves — the neologism / topic-
+    shift detector run across crawl snapshots: token counts in the
+    first half of the id space (``id * 2 < N``) vs the second, with the
+    integer drift score ``sign(c2-c1) * (|c2-c1| * 1e6 // (c1+c2))``
+    (truncating toward zero, the SQL `//` convention; +1e6 = term newly
+    coined, -1e6 = term vanished). Terms below ``min_count``
+    total occurrences are dropped distributed. Emits ``(term, c1, c2,
+    drift_e6)``.
+
+    Scale shape: one tagged count combiner per block (the half flag
+    rides the key — disjoint key domains, one pass), ONE vocab-bounded
+    ``groupby(term, half)``, then a half-pivot inside a second bounded
+    groupby. N comes from a metadata count on the parquet read."""
+    n_docs = docs.count()
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "c1": pa.array([], pa.int64()),
+            "c2": pa.array([], pa.int64()),
+            "drift_e6": pa.array([], pa.int64()),
+        }
+    )
+    if n_docs == 0:
+        return ray.data.from_arrow(empty)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "half": pa.array([], pa.int64()),
+                    "n_p": pa.array([], pa.int64()),
+                }
+            )
+        toks = pc.split_pattern(pc.fill_null(batch.column(text_col), ""), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        half = (ids * 2 >= n_docs).astype(np.int64)
+        parent_half = np.repeat(half, np.diff(offs))
+        t = pa.table({"term": flat, "half": pa.array(parent_half, pa.int64())})
+        g = t.group_by(["term", "half"]).aggregate([("half", "count")])
+        return pa.table(
+            {
+                "term": g.column("term"),
+                "half": g.column("half"),
+                "n_p": g.column("half_count").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["term", "half"])
+        .aggregate(Sum("n_p"))
+    )
+
+    def pivot(batch: pa.Table) -> pa.Table:
+        h = batch.column("half").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = batch.column("sum(n_p)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "term": batch.column("term"),
+                "c1": pa.array(np.where(h == 0, n, 0), pa.int64()),
+                "c2": pa.array(np.where(h == 1, n, 0), pa.int64()),
+            }
+        )
+
+    agg = (
+        counts.map_batches(pivot, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("c1"), Sum("c2"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c1 = batch.column("sum(c1)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c2 = batch.column("sum(c2)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (c1 + c2) >= min_count
+        num = c2[keep] - c1[keep]
+        # TRUNCATING division (sign * |num|//den) — DuckDB's integer `//`
+        # truncates toward zero where numpy floors (robust_scale convention)
+        drift = np.sign(num) * (
+            np.abs(num) * 1_000_000 // (c1[keep] + c2[keep])
+        )
+        return pa.table(
+            {
+                "term": batch.column("term").filter(pa.array(keep)),
+                "c1": pa.array(c1[keep], pa.int64()),
+                "c2": pa.array(c2[keep], pa.int64()),
+                "drift_e6": pa.array(drift, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -2637,3 +2637,42 @@ def test_ewma_running_hand_computed(ray_session):
     assert out[2] == 400 + (800 >> 1)
     assert out[3] == 200 + (400 >> 1) + (800 >> 2)
     assert out[4] == 1600  # different user: no carry-over
+
+
+def test_term_trend_drift_sign(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # 4 docs: ids 0,1 = first half; 2,3 = second half
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["old old old", "old old", "new new new", "new new"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    rows = {r["term"]: r for r in co.term_trend_ds(docs, min_count=5).take_all()}
+    assert rows["old"]["c1"] == 5 and rows["old"]["c2"] == 0
+    assert rows["old"]["drift_e6"] == -1_000_000
+    assert rows["new"]["drift_e6"] == 1_000_000
+
+
+def test_log_histogram_buckets(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # binary-exact values; cents: 100, 200, -25, 0 -> buckets 7, 8, -5, 0
+    ev = ray.data.from_arrow(
+        pa.table({"value": pa.array([1.0, 2.0, -0.25, 0.0], pa.float64())})
+    )
+    rows = {r["bucket"]: r for r in an.log_histogram_ds(ev).take_all()}
+    assert rows[7]["n_events"] == 1 and rows[7]["cents_sum"] == 100
+    assert rows[8]["cents_sum"] == 200
+    assert rows[-5]["cents_sum"] == -25
+    assert rows[0]["n_events"] == 1
