@@ -3801,6 +3801,26 @@ def q_log_histogram(sf_dir: str) -> ray.data.Dataset:
     return an.log_histogram_ds(ev)
 
 
+def q_json_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured ELT: vectorized RE2 extraction of the integer
+    'k' property from the props JSON column, folded per event type
+    (n, nulls, sum, min, max). One pass, bounded groupby."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return an.json_props_stats_ds(ev)
+
+
+def q_ab_assignment(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic A/B arms: users md5-hash into 2 arms; per arm the
+    user count and purchase-conversion count (two-proportion inputs).
+    Events reduce to one row per user before the only exchange."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return an.ab_assignment_ds(ev)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3948,6 +3968,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ewma_running": q_ewma_running,
     "term_trend": q_term_trend,
     "log_histogram": q_log_histogram,
+    "json_props_stats": q_json_props_stats,
+    "ab_assignment": q_ab_assignment,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4224,6 +4246,8 @@ _FRONT_R5 = [
     "ewma_running",
     "term_trend",
     "log_histogram",
+    "json_props_stats",
+    "ab_assignment",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4826,6 +4850,31 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "json_props_stats": """
+        WITH x AS (SELECT event_type,
+                          TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                                   AS BIGINT) AS k
+                   FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE k IS NULL) AS BIGINT) AS n_null,
+               CAST(COALESCE(sum(k), 0) AS BIGINT) AS k_sum,
+               CAST(min(k) AS BIGINT) AS k_min,
+               CAST(max(k) AS BIGINT) AS k_max
+        FROM x GROUP BY 1
+    """,
+    "ab_assignment": """
+        WITH conv AS (SELECT user_id,
+                             max(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) AS c
+                      FROM events GROUP BY 1),
+        a AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     ::UBIGINT % 2 AS arm, c
+              FROM conv)
+        SELECT CAST(arm AS BIGINT) AS arm,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(c) AS BIGINT) AS n_converted
+        FROM a GROUP BY 1
     """,
     "term_trend": """
         WITH n AS (SELECT count(*) AS nn FROM documents),

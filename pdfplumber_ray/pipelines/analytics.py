@@ -7333,3 +7333,183 @@ def log_histogram_ds(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def json_props_stats_ds(
+    events: Dataset,
+    type_col: str = "event_type",
+    props_col: str = "props",
+) -> Dataset:
+    """Semi-structured property extraction + rollup — the ELT pass every
+    event pipeline runs over a JSON side-channel column: pull the
+    integer ``k`` property out of the ``props`` JSON string with ONE
+    vectorized RE2 ``extract_regex`` (no per-row json.loads) and fold
+    per event type into ``(event_type, n, k_sum, k_min, k_max)``.
+    Missing / malformed props count in ``n_null`` instead of failing
+    the pipeline (quarantine-as-data, never raise).
+
+    Scale shape: extraction and the type-domain combiner run inside one
+    ``map_batches``; a bounded ``groupby(event_type)`` merges. One pass,
+    no shuffle of raw rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "n_null": pa.array([], pa.int64()),
+                "k_sum": pa.array([], pa.int64()),
+                "k_min": pa.array([], pa.int64()),
+                "k_max": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ex = pc.extract_regex(
+            pc.fill_null(batch.column(props_col), ""), r'"k":\s*(?P<k>-?\d+)'
+        )
+        kstr = pc.struct_field(ex, "k")
+        valid = pc.is_valid(kstr).to_numpy(zero_copy_only=False)
+        k = np.zeros(batch.num_rows, np.int64)
+        if valid.any():
+            k[valid] = (
+                pc.cast(pc.drop_null(kstr), pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+        types = batch.column(type_col).to_numpy(zero_copy_only=False).astype(str)
+        ut, inv = np.unique(types, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        n_null = np.bincount(inv, weights=~valid).astype(np.int64)
+        k_sum = np.bincount(inv, weights=np.where(valid, k, 0)).astype(np.int64)
+        big = np.int64(1) << 62
+        k_min = np.full(len(ut), big, np.int64)
+        k_max = np.full(len(ut), -big, np.int64)
+        vi = inv[valid]
+        if len(vi):
+            np.minimum.at(k_min, vi, k[valid])
+            np.maximum.at(k_max, vi, k[valid])
+        return pa.table(
+            {
+                "event_type": pa.array(ut, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "n_null": pa.array(n_null, pa.int64()),
+                "k_sum": pa.array(k_sum, pa.int64()),
+                "k_min": pa.array(k_min, pa.int64()),
+                "k_max": pa.array(k_max, pa.int64()),
+            }
+        )
+
+    agg = (
+        events.select_columns([type_col, props_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n"), Sum("n_null"), Sum("k_sum"), Min("k_min"), Max("k_max"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+                "n_null": batch.column("sum(n_null)").cast(pa.int64()),
+                "k_sum": batch.column("sum(k_sum)").cast(pa.int64()),
+                "k_min": batch.column("min(k_min)").cast(pa.int64()),
+                "k_max": batch.column("max(k_max)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ab_assignment_ds(
+    events: Dataset,
+    convert_type: str = "purchase",
+    n_arms: int = 2,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> Dataset:
+    """Deterministic A/B experiment report: users hash into ``n_arms``
+    md5 buckets (stable across runs, engines, cluster sizes — the same
+    split rule the dataset_split family uses), and each arm reports
+    ``(arm, n_users, n_converted)`` where conversion = at least one
+    ``convert_type`` event. The two-proportion test statistic derives
+    rationally from the two rows.
+
+    Scale shape: per-batch distinct (user, converted-flag) combiner →
+    ONE ``groupby(user)`` max-fold (a user's events may span blocks) →
+    arm assignment + per-block arm counts → tiny ``groupby(arm)``. Raw
+    events reduce to one row per user before the only exchange."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], pa.int64()), "conv": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column(user_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        conv = (
+            pc.equal(batch.column(type_col), convert_type)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        uu, inv = np.unique(u, return_inverse=True)
+        cmax = np.zeros(len(uu), np.int64)
+        np.maximum.at(cmax, inv, conv)
+        return pa.table(
+            {"u": pa.array(uu, pa.int64()), "conv": pa.array(cmax, pa.int64())}
+        )
+
+    users = (
+        events.select_columns([user_col, type_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("u")
+        .aggregate(Max("conv"))
+    )
+
+    def arms(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "arm": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+                "n_converted": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column("u").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        conv = batch.column("max(conv)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        arm = np.asarray(
+            [
+                int(hashlib.md5(str(int(x)).encode()).hexdigest()[:15], 16) % n_arms
+                for x in u
+            ],
+            np.int64,
+        )
+        ua, inv = np.unique(arm, return_inverse=True)
+        return pa.table(
+            {
+                "arm": pa.array(ua, pa.int64()),
+                "n_users": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "n_converted": pa.array(
+                    np.bincount(inv, weights=conv).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        users.map_batches(arms, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("arm")
+        .aggregate(Sum("n_users"), Sum("n_converted"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "arm": batch.column("arm").cast(pa.int64()),
+                "n_users": batch.column("sum(n_users)").cast(pa.int64()),
+                "n_converted": batch.column("sum(n_converted)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

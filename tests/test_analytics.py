@@ -2096,3 +2096,54 @@ def test_stratified_kfold_balance(ray_session):
         assert sum(c.values()) == total
         # balanced to +/- 1 within each stratum
         assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_json_props_stats_malformed_quarantined(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+                "props": pa.array(
+                    ['{"k": 5}', '{"k": -3}', "not json", '{"k": 7}'],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = {r["event_type"]: r for r in an.json_props_stats_ds(ev).take_all()}
+    assert out["a"]["n"] == 3 and out["a"]["n_null"] == 1
+    assert out["a"]["k_sum"] == 2
+    assert out["a"]["k_min"] == -3 and out["a"]["k_max"] == 5
+    assert out["b"]["k_sum"] == 7 and out["b"]["n_null"] == 0
+
+
+def test_ab_assignment_deterministic(ray_session):
+    import hashlib
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+                "event_type": pa.array(
+                    ["purchase", "view", "view", "purchase"], pa.string()
+                ),
+            }
+        )
+    )
+    rows = {r["arm"]: r for r in an.ab_assignment_ds(ev).take_all()}
+    arm = {u: int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+           for u in (1, 2, 3)}
+    from collections import Counter
+    expect_users = Counter(arm.values())
+    expect_conv = Counter(a for u, a in arm.items() if u in (1, 3))
+    for a in set(arm.values()):
+        assert rows[a]["n_users"] == expect_users[a]
+        assert rows[a]["n_converted"] == expect_conv.get(a, 0)
+    assert sum(r["n_users"] for r in rows.values()) == 3
