@@ -3821,6 +3821,14 @@ def q_ab_assignment(sf_dir: str) -> ray.data.Dataset:
     return an.ab_assignment_ds(ev)
 
 
+def q_semantic_families(sf_dir: str) -> ray.data.Dataset:
+    """Semantic near-dup families: mutual-kNN evidence -> distributed
+    hash-min label propagation -> family sizes — the cluster table a
+    SemDeDup keep-one policy consumes. End-to-end composition of three
+    engine primitives, bounded shuffles throughout."""
+    return co.semantic_families_ds(_embeddings(sf_dir), k=5)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3970,6 +3978,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "log_histogram": q_log_histogram,
     "json_props_stats": q_json_props_stats,
     "ab_assignment": q_ab_assignment,
+    "semantic_families": q_semantic_families,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4248,6 +4257,7 @@ _FRONT_R5 = [
     "log_histogram",
     "json_props_stats",
     "ab_assignment",
+    "semantic_families",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4850,6 +4860,44 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "semantic_families": """
+        WITH RECURSIVE q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                                x -> floor(CAST(x AS DOUBLE) * 1e6)) AS qv
+          FROM embeddings
+        ),
+        n AS (SELECT vec_id, qv,
+                     sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+        s AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nb,
+                 list_dot_product(a.qv, b.qv) / a.nrm / b.nrm AS sim
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        ),
+        r AS (SELECT vec_id, nb, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, nb) AS rnk
+              FROM s),
+        k AS (SELECT vec_id, nb FROM r WHERE rnk <= 5),
+        m AS (SELECT a.vec_id AS x, a.nb AS y
+              FROM k a JOIN k b
+                ON a.vec_id = b.nb AND a.nb = b.vec_id AND a.vec_id < a.nb),
+        edges AS (SELECT x AS a, y AS b FROM m UNION SELECT y, x FROM m),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r2.a, e.b FROM reach r2 JOIN edges e ON r2.b = e.a
+          WHERE e.b <> r2.a),
+        canon AS (
+          SELECT a AS vec_id, LEAST(a, min(b)) AS family
+          FROM reach GROUP BY a),
+        fam AS (SELECT family, count(*) AS n_members
+                FROM canon GROUP BY 1)
+        SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+               CAST(c.family AS BIGINT) AS family,
+               CAST(f.n_members AS BIGINT) AS n_members
+        FROM canon c JOIN fam f ON f.family = c.family
     """,
     "json_props_stats": """
         WITH x AS (SELECT event_type,

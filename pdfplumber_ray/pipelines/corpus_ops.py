@@ -9213,3 +9213,110 @@ def term_trend_ds(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semantic_families_ds(
+    embeddings: Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_families: int = 20_000_000,
+) -> Dataset:
+    """Semantic near-dup FAMILIES — the end-to-end composition of three
+    engine primitives: reciprocal k-NN pairs (high-precision similarity
+    evidence) → distributed hash-min label propagation (the dedup
+    resolution kernel, O(log diameter) rounds) → family sizes. One row
+    per vector that has at least one mutual edge: ``(vec_id, family,
+    n_members)`` with family = the component's minimum member id —
+    exactly the cluster table a SemDeDup-style keep-one policy consumes.
+
+    Scale shape inherits from the parts: bounded bucket shuffles
+    throughout, nothing node-count-sized on the driver (family sizes
+    broadcast under ``max_broadcast_families``; above it, attach through
+    the generic bucketed hash join as ``connected_components_ds``
+    does)."""
+    from .analytics import hash_join_ds
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "family": pa.array([], pa.int64()),
+            "n_members": pa.array([], pa.int64()),
+        }
+    )
+    pairs = mutual_knn_ds(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(empty)
+    labels = _min_label_propagation(pairs, "x", "y").materialize()
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"family": pa.array([], pa.int64()), "sz_p": pa.array([], pa.int64())}
+            )
+        lab, cnt = np.unique(
+            batch.column("label").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "family": pa.array(lab, pa.int64()),
+                "sz_p": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    sizes = (
+        labels.map_batches(size_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("family")
+        .aggregate(Sum("sz_p"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "family": b.column("family").cast(pa.int64()),
+                    "n_members": b.column("sum(sz_p)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    if sizes.count() > max_broadcast_families:
+        renamed = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "family": b.column("label").cast(pa.int64()),
+                    id_col: b.column("node").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = hash_join_ds(renamed, sizes, "family", "family")
+        return joined.map_batches(
+            lambda b: b.select([id_col, "family", "n_members"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    rows = sizes.take_all()
+    fam_ids = np.asarray([r["family"] for r in rows], np.int64)
+    fam_sz = np.asarray([r["n_members"] for r in rows], np.int64)
+    order = np.argsort(fam_ids)
+    ref = ray.put((fam_ids[order], fam_sz[order]))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ids, sz = ray.get(ref)
+        lab = batch.column("label").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, lab)
+        return pa.table(
+            {
+                id_col: batch.column("node").cast(pa.int64()),
+                "family": pa.array(lab, pa.int64()),
+                "n_members": pa.array(sz[pos], pa.int64()),
+            }
+        )
+
+    return labels.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)

@@ -2676,3 +2676,33 @@ def test_log_histogram_buckets(ray_session):
     assert rows[8]["cents_sum"] == 200
     assert rows[-5]["cents_sum"] == -25
     assert rows[0]["n_events"] == 1
+
+
+def test_semantic_families_two_clusters(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # cluster A: 0,1,2 nearly identical; cluster B: 10,11 identical;
+    # vec 20 isolated (orthogonal — its mutual edges never form)
+    vecs = {
+        0: [1.0, 0.0, 0.0], 1: [0.999, 0.02, 0.0], 2: [0.998, 0.04, 0.0],
+        10: [0.0, 1.0, 0.0], 11: [0.0, 0.999, 0.02],
+        20: [0.0, 0.0, 1.0],
+    }
+    embs = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(sorted(vecs), pa.int64()),
+                "embedding": pa.array(
+                    [vecs[i] for i in sorted(vecs)], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    rows = {r["vec_id"]: r for r in co.semantic_families_ds(embs, k=1).take_all()}
+    # k=1 mutual edges: (0,1) [1's NN is 0, 0's NN is 1] and (10,11)
+    assert rows[0]["family"] == 0 and rows[1]["family"] == 0
+    assert rows[0]["n_members"] == 2
+    assert rows[10]["family"] == 10 and rows[11]["family"] == 10
+    assert 20 not in rows  # isolated vectors carry no family row
