@@ -3829,6 +3829,27 @@ def q_semantic_families(sf_dir: str) -> ray.data.Dataset:
     return co.semantic_families_ds(_embeddings(sf_dir), k=5)
 
 
+def q_fd_audit(sf_dir: str) -> ray.data.Dataset:
+    """Functional-dependency audit over lineitem: per declared FD the
+    LHS group count and violation count (distinct-cell combiner,
+    aggregate-only groupbys — never per-group Python)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_linenumber", "l_partkey",
+            "l_returnflag", "l_linestatus",
+        ],
+    )
+    return an.fd_audit_ds(li)
+
+
+def q_index_gap_stats(sf_dir: str) -> ray.data.Dataset:
+    """Inverted-index compression sizing: exact varint bytes of the
+    gap-encoded posting lists per document frequency (df band 2..64).
+    postings_ds exchange + vectorized gap/bit math."""
+    return an.index_gap_stats_ds(_documents(sf_dir))
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -3979,6 +4000,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "json_props_stats": q_json_props_stats,
     "ab_assignment": q_ab_assignment,
     "semantic_families": q_semantic_families,
+    "fd_audit": q_fd_audit,
+    "index_gap_stats": q_index_gap_stats,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4258,6 +4281,8 @@ _FRONT_R5 = [
     "json_props_stats",
     "ab_assignment",
     "semantic_families",
+    "fd_audit",
+    "index_gap_stats",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4860,6 +4885,46 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "fd_audit": """
+        WITH f1 AS (SELECT 'orderkey->returnflag' AS fd, l_orderkey AS lhs,
+                           count(DISTINCT l_returnflag) AS d
+                    FROM lineitem GROUP BY 2),
+        f2 AS (SELECT 'orderkey->linestatus' AS fd, l_orderkey AS lhs,
+                      count(DISTINCT l_linestatus) AS d
+               FROM lineitem GROUP BY 2),
+        f3 AS (SELECT 'orderkey,linenumber->partkey' AS fd,
+                      l_orderkey * 8 + l_linenumber AS lhs,
+                      count(DISTINCT l_partkey) AS d
+               FROM lineitem GROUP BY 2),
+        u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+              UNION ALL SELECT * FROM f3)
+        SELECT fd, CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(count(*) FILTER (WHERE d > 1) AS BIGINT) AS n_violations
+        FROM u GROUP BY 1
+    """,
+    "index_gap_stats": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        td AS (SELECT DISTINCT doc_id,
+                      array_to_string(l[i:i+1], ' ') AS token
+               FROM w, LATERAL (SELECT unnest(range(1, len(l))) AS i) s),
+        p AS (SELECT token, doc_id,
+                     lag(doc_id) OVER (PARTITION BY token
+                                       ORDER BY doc_id) AS prev
+              FROM td),
+        g AS (SELECT token,
+                     CASE WHEN prev IS NULL THEN doc_id + 1
+                          ELSE doc_id - prev END AS gap
+              FROM p),
+        b AS (SELECT token, count(*) AS df,
+                     sum((length(bin(gap)) + 6) // 7) AS bytes
+              FROM g GROUP BY 1)
+        SELECT CAST(df AS BIGINT) AS df,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(df) AS BIGINT) AS total_postings,
+               CAST(sum(bytes) AS BIGINT) AS total_bytes
+        FROM b WHERE df BETWEEN 2 AND 64 GROUP BY 1
     """,
     "semantic_families": """
         WITH RECURSIVE q AS (

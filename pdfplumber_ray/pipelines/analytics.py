@@ -7294,16 +7294,7 @@ def log_histogram_ds(
             batch.column(value_col).to_numpy(zero_copy_only=False) * quant
         ).astype(np.int64)
         mag = np.abs(cents)
-        # vectorized bit_length: positions of the highest set bit + 1
-        bits = np.zeros(len(mag), np.int64)
-        nz = mag > 0
-        bits[nz] = np.floor(np.log2(mag[nz].astype(np.float64))).astype(np.int64) + 1
-        # float log2 is exact at powers of two below 2^53; correct the
-        # off-by-one cases arithmetically to TRUE bit_length
-        too_hi = nz & (np.int64(1) << np.minimum(bits - 1, 62) > mag)
-        bits[too_hi] -= 1
-        too_lo = nz & (np.int64(1) << np.minimum(bits, 62) <= mag)
-        bits[too_lo] += 1
+        bits = _bit_length_exact(mag)
         bucket = np.where(cents < 0, -bits, bits)
         u, inv = np.unique(bucket, return_inverse=True)
         return pa.table(
@@ -7509,6 +7500,257 @@ def ab_assignment_ds(
                 "arm": batch.column("arm").cast(pa.int64()),
                 "n_users": batch.column("sum(n_users)").cast(pa.int64()),
                 "n_converted": batch.column("sum(n_converted)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fd_audit_ds(lineitem: Dataset) -> Dataset:
+    """Functional-dependency discovery audit over lineitem — the schema
+    profiling pass that tells a pipeline which columns are safe
+    partition/join keys: for each declared candidate FD, the number of
+    LHS groups and how many of them VIOLATE the dependency (more than
+    one distinct RHS value). Audited FDs: ``orderkey -> returnflag``,
+    ``orderkey -> linestatus`` (both expected dirty), and the PK check
+    ``(orderkey, linenumber) -> partkey`` (expected clean). Emits
+    ``(fd, n_lhs, n_violations)``.
+
+    Scale shape: per-batch distinct (fd, lhs, rhs-code) combiner → ONE
+    ``groupby`` over distinct cells → per-LHS distinct-RHS counts via a
+    second aggregate-only groupby (never ``map_groups`` — LHS groups are
+    near-singleton millions) → per-fd violation fold in a block
+    combiner + 3-row final groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "fd": pa.array([], pa.int64()),
+                "lhs": pa.array([], pa.int64()),
+                "rhs": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ok = batch.column("l_orderkey").cast(pa.int64())
+        ln = batch.column("l_linenumber").cast(pa.int64())
+        okn = ok.to_numpy(zero_copy_only=False)
+        lnn = ln.to_numpy(zero_copy_only=False)
+        parts = []
+        for fd_id, lhs, rhs in (
+            (0, okn, batch.column("l_returnflag")),
+            (1, okn, batch.column("l_linestatus")),
+            (2, okn * 8 + lnn, pc.cast(batch.column("l_partkey"), pa.string())),
+        ):
+            parts.append(
+                pa.table(
+                    {
+                        "fd": pa.array(np.full(len(lhs), fd_id, np.int64)),
+                        "lhs": pa.array(lhs, pa.int64()),
+                        "rhs": rhs,
+                    }
+                )
+            )
+        t = pa.concat_tables(parts)
+        return t.group_by(["fd", "lhs", "rhs"]).aggregate([])
+
+    cells = (
+        lineitem.select_columns(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_returnflag", "l_linestatus"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["fd", "lhs", "rhs"])
+        .count()
+        .groupby(["fd", "lhs"])
+        .count()
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "fd": pa.array([], pa.int64()),
+                "n_lhs": pa.array([], pa.int64()),
+                "n_violations": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        fd = batch.column("fd").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = batch.column("count()").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(fd, return_inverse=True)
+        return pa.table(
+            {
+                "fd": pa.array(u, pa.int64()),
+                "n_lhs": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "n_violations": pa.array(
+                    np.bincount(inv, weights=(d > 1)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        cells.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fd")
+        .aggregate(Sum("n_lhs"), Sum("n_violations"))
+    )
+    names = {
+        0: "orderkey->returnflag",
+        1: "orderkey->linestatus",
+        2: "orderkey,linenumber->partkey",
+    }
+
+    def rename(batch: pa.Table) -> pa.Table:
+        fd = batch.column("fd").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "fd": pa.array([names[int(x)] for x in fd], pa.string()),
+                "n_lhs": batch.column("sum(n_lhs)").cast(pa.int64()),
+                "n_violations": batch.column("sum(n_violations)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _bit_length_exact(x: np.ndarray) -> np.ndarray:
+    """Vectorized TRUE bit_length of positive int64s (float log2 with an
+    arithmetic off-by-one correction — exact regardless of libm
+    rounding)."""
+    bits = np.zeros(len(x), np.int64)
+    nz = x > 0
+    bits[nz] = np.floor(np.log2(x[nz].astype(np.float64))).astype(np.int64) + 1
+    too_hi = nz & (np.int64(1) << np.minimum(bits - 1, 62) > x)
+    bits[too_hi] -= 1
+    too_lo = nz & (np.int64(1) << np.minimum(bits, 62) <= x)
+    bits[too_lo] += 1
+    return bits
+
+
+def index_gap_stats_ds(
+    docs: Dataset,
+    min_df: int = 2,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Inverted-index compression sizing — the storage estimate an IR
+    infrastructure pass runs before building a posting store: per
+    document-frequency, the exact varint-encoded size of all gap-encoded
+    posting lists (gap_1 = first_id + 1, gap_i = id_i - id_{i-1}; varint
+    bytes = ``(bit_length(gap) + 6) // 7``). Emits ``(df, n_tokens,
+    total_postings, total_bytes)`` for tokens inside the df band.
+
+    Scale shape: the ``postings_ds`` exchange — per-doc-distinct (token,
+    doc) combiner, ONE ``md5(token) % n_buckets`` shuffle, in-bucket
+    segment + vectorized gap/byte math (``np.add.reduceat`` per
+    segment), per-df partials → tiny ``groupby(df)``."""
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "d": pa.array([], pa.int64()),
+                "bkt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(pc.fill_null(batch.column(text_col), ""), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        if len(flat) < 2:
+            return empty
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offs))
+        # BIGRAM terms (adjacent same-doc token pairs): unigram df is
+        # stopword-flat on web text — bigrams give the long-tail df
+        # spectrum an index actually stores
+        same = parent[:-1] == parent[1:]
+        idx = np.flatnonzero(same)
+        if len(idx) == 0:
+            return empty
+        grams = pc.binary_join_element_wise(
+            pc.take(flat, pa.array(idx, pa.int64())),
+            pc.take(flat, pa.array(idx + 1, pa.int64())),
+            " ",
+        )
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = ids[parent[idx]]
+        t = (
+            pa.table({"token": grams, "d": pa.array(d, pa.int64())})
+            .group_by(["token", "d"])
+            .aggregate([])
+        )
+        gl = t.column("token").to_pylist()
+        h = np.fromiter((ts.md5_u64(g) for g in gl), np.uint64, count=len(gl))
+        return t.append_column(
+            "bkt", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    pairs = docs.select_columns([id_col, text_col]).map_batches(
+        pairs_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    part_schema = pa.schema(
+        [
+            ("df", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("total_postings", pa.int64()),
+            ("total_bytes", pa.int64()),
+        ]
+    )
+
+    def bucket_sizes(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in part_schema})
+        if group.num_rows == 0:
+            return empty
+        tok = group.column("token").to_numpy(zero_copy_only=False).astype(str)
+        d = group.column("d").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(tok, return_inverse=True)
+        pair_key = np.unique(codes.astype(np.int64) * np.int64(2**40) + d)
+        codes_u = (pair_key >> np.int64(40)).astype(np.int64)
+        d_u = pair_key & (np.int64(2**40) - 1)
+        seg_first = np.concatenate(([True], codes_u[1:] != codes_u[:-1]))
+        seg_start = np.flatnonzero(seg_first)
+        seg_len = np.diff(np.concatenate((seg_start, [len(codes_u)])))
+        band = (seg_len >= min_df) & (seg_len <= max_df)
+        if not band.any():
+            return empty
+        gaps = np.diff(np.concatenate(([0], d_u)))
+        gaps[seg_start] = d_u[seg_start] + 1  # first entry: gap from -1
+        vbytes = (_bit_length_exact(gaps) + 6) // 7
+        seg_bytes = np.add.reduceat(vbytes, seg_start)
+        dfk = seg_len[band]
+        u, inv = np.unique(dfk, return_inverse=True)
+        return pa.table(
+            {
+                "df": pa.array(u, pa.int64()),
+                "n_tokens": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "total_postings": pa.array(
+                    np.bincount(inv, weights=dfk).astype(np.int64), pa.int64()
+                ),
+                "total_bytes": pa.array(
+                    np.bincount(inv, weights=seg_bytes[band]).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        pairs.groupby("bkt")
+        .map_groups(bucket_sizes, batch_format="pyarrow")
+        .groupby("df")
+        .aggregate(Sum("n_tokens"), Sum("total_postings"), Sum("total_bytes"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "df": batch.column("df").cast(pa.int64()),
+                "n_tokens": batch.column("sum(n_tokens)").cast(pa.int64()),
+                "total_postings": batch.column("sum(total_postings)").cast(pa.int64()),
+                "total_bytes": batch.column("sum(total_bytes)").cast(pa.int64()),
             }
         )
 

@@ -2147,3 +2147,51 @@ def test_ab_assignment_deterministic(ray_session):
         assert rows[a]["n_users"] == expect_users[a]
         assert rows[a]["n_converted"] == expect_conv.get(a, 0)
     assert sum(r["n_users"] for r in rows.values()) == 3
+
+
+def test_fd_audit_pk_holds_flags_dirty(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                "l_linenumber": pa.array([1, 2, 1], pa.int64()),
+                "l_partkey": pa.array([10, 11, 10], pa.int64()),
+                "l_returnflag": pa.array(["A", "R", "A"], pa.string()),
+                "l_linestatus": pa.array(["O", "O", "F"], pa.string()),
+            }
+        )
+    )
+    out = {r["fd"]: r for r in an.fd_audit_ds(li).take_all()}
+    # order 1 has two returnflags -> 1 violation of 2 lhs
+    assert out["orderkey->returnflag"]["n_lhs"] == 2
+    assert out["orderkey->returnflag"]["n_violations"] == 1
+    # linestatus is constant per order here -> clean
+    assert out["orderkey->linestatus"]["n_violations"] == 0
+    # PK check: (orderkey, linenumber) determines partkey
+    assert out["orderkey,linenumber->partkey"]["n_lhs"] == 3
+    assert out["orderkey,linenumber->partkey"]["n_violations"] == 0
+
+
+def test_index_gap_stats_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # bigram "a b" appears in docs 0 and 5 -> df 2,
+    # gaps (0+1, 5-0) = (1, 5) -> varint bytes (1, 1) -> total 2
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 5], pa.int64()),
+                "text": pa.array(["a b x", "a b y"], pa.string()),
+            }
+        )
+    )
+    out = {r["df"]: r for r in an.index_gap_stats_ds(docs).take_all()}
+    assert out[2]["n_tokens"] == 1          # only "a b" is in-band
+    assert out[2]["total_postings"] == 2
+    assert out[2]["total_bytes"] == 2
