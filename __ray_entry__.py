@@ -3850,6 +3850,25 @@ def q_index_gap_stats(sf_dir: str) -> ray.data.Dataset:
     return an.index_gap_stats_ds(_documents(sf_dir))
 
 
+def q_dataset_card(sf_dir: str) -> ray.data.Dataset:
+    """One-row dataset-card fact sheet: docs, tokens, chars, length
+    range, language/source counts, exact dup-doc count. Column-pruned
+    combiner passes, bounded groupbys."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return co.dataset_card_ds(docs)
+
+
+def q_pareto_share(sf_dir: str) -> ray.data.Dataset:
+    """Pareto traffic concentration: exact share of events generated by
+    the top-10%-heaviest users, decided on the bounded count-histogram
+    CDF (no user sort, raw events never shuffle)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return an.pareto_share_ds(ev, top_permille=100)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -4002,6 +4021,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "semantic_families": q_semantic_families,
     "fd_audit": q_fd_audit,
     "index_gap_stats": q_index_gap_stats,
+    "dataset_card": q_dataset_card,
+    "pareto_share": q_pareto_share,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4283,6 +4304,8 @@ _FRONT_R5 = [
     "semantic_families",
     "fd_audit",
     "index_gap_stats",
+    "dataset_card",
+    "pareto_share",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4885,6 +4908,34 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "dataset_card": """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+               CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                   AS n_dup_docs
+        FROM documents
+    """,
+    "pareto_share": """
+        WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        tot AS (SELECT count(*) AS n_users, sum(c) AS total FROM pu),
+        r AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn
+              FROM pu),
+        k AS (SELECT greatest(1, n_users * 100 // 1000) AS n_top,
+                     n_users, total
+              FROM tot),
+        tp AS (SELECT sum(r.c) AS top_events FROM r, k WHERE r.rn <= k.n_top)
+        SELECT CAST(k.n_users AS BIGINT) AS n_users,
+               CAST(k.n_top AS BIGINT) AS n_top_users,
+               CAST(k.total AS BIGINT) AS total_events,
+               CAST(tp.top_events AS BIGINT) AS top_events,
+               CAST(tp.top_events * 1000000 // k.total AS BIGINT) AS share_ppm
+        FROM k, tp
     """,
     "fd_audit": """
         WITH f1 AS (SELECT 'orderkey->returnflag' AS fd, l_orderkey AS lhs,

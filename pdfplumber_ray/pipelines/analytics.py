@@ -7755,3 +7755,104 @@ def index_gap_stats_ds(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pareto_share_ds(
+    events: Dataset,
+    top_permille: int = 100,
+    user_col: str = "user_id",
+) -> Dataset:
+    """Pareto concentration of event volume — "what share of traffic do
+    the top 10% heaviest users generate": exact integer
+    ``(n_users, n_top_users, total_events, top_events, share_ppm)``
+    where the top set is the ``top_permille`` heaviest users by event
+    count (count DESC, user ASC ties; ``n_top = max(1, n_users *
+    top_permille // 1000)``).
+
+    Scale shape: per-batch user-count combiner → ONE ``groupby(user)``
+    sum → the (count)-histogram CDF (one row per DISTINCT count value —
+    bounded domain) decides the cutoff and the tie-split EXACTLY without
+    sorting users; one streaming fold computes the shares. Raw events
+    never shuffle; nothing user-count-sized on the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], pa.int64()), "n_p": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        u = batch.column(user_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table(
+            {
+                "u": pa.array(uu, pa.int64()),
+                "n_p": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_user = (
+        events.select_columns([user_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("u")
+        .aggregate(Sum("n_p"))
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"c": pa.array([], pa.int64()), "n_u": pa.array([], pa.int64())}
+            )
+        c = batch.column("sum(n_p)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uc, n = np.unique(c, return_counts=True)
+        return pa.table(
+            {
+                "c": pa.array(uc, pa.int64()),
+                "n_u": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist_rows = (
+        per_user.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c")
+        .aggregate(Sum("n_u"))
+        .take_all()
+    )  # bounded: one row per DISTINCT event count
+    empty = pa.table(
+        {
+            "n_users": pa.array([], pa.int64()),
+            "n_top_users": pa.array([], pa.int64()),
+            "total_events": pa.array([], pa.int64()),
+            "top_events": pa.array([], pa.int64()),
+            "share_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if not hist_rows:
+        return ray.data.from_arrow(empty)
+    cs = np.asarray([r["c"] for r in hist_rows], np.int64)
+    nu = np.asarray([r["sum(n_u)"] for r in hist_rows], np.int64)
+    order = np.argsort(-cs)  # heaviest counts first
+    cs, nu = cs[order], nu[order]
+    n_users = int(nu.sum())
+    total = int((cs * nu).sum())
+    n_top = max(1, n_users * top_permille // 1000)
+    cum = np.cumsum(nu)
+    # take whole count-classes until n_top users are covered; the class
+    # straddling the boundary contributes pro-rata WHOLE users (exact,
+    # ties broken by taking the needed number — share is identical for
+    # any tie-break inside an equal-count class)
+    k = int(np.searchsorted(cum, n_top))
+    full = int(cs[:k] @ nu[:k])
+    prev = int(cum[k - 1]) if k > 0 else 0
+    top_events = full + int(cs[k]) * (n_top - prev)
+    share_ppm = top_events * 1_000_000 // total if total else 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_users": pa.array([n_users], pa.int64()),
+                "n_top_users": pa.array([n_top], pa.int64()),
+                "total_events": pa.array([total], pa.int64()),
+                "top_events": pa.array([top_events], pa.int64()),
+                "share_ppm": pa.array([share_ppm], pa.int64()),
+            }
+        )
+    )

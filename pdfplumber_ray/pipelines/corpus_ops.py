@@ -9320,3 +9320,117 @@ def semantic_families_ds(
         )
 
     return labels.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dataset_card_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Dataset-card summary — the one-row fact sheet published next to a
+    training corpus: document count, token and character totals,
+    distinct language/source counts, min/max doc length, and the exact
+    duplicate-family count (docs minus distinct text digests). Every
+    number integer-exact.
+
+    Scale shape: a handful of column-pruned streaming passes, each a
+    per-block combiner + bounded groupby (counters in a single-group
+    sum; text digests and the categorical domains as distinct-value
+    partials folded by groupby-count). Nothing unbounded reaches the
+    driver; each pass reads only its column."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "min_tokens": pa.array([], pa.int64()),
+                "max_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = pc.fill_null(batch.column(text_col), "")
+        toks = pc.split_pattern(texts, " ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chr = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_tokens": pa.array([int(n_tok.sum())], pa.int64()),
+                "n_chars": pa.array([int(n_chr.sum())], pa.int64()),
+                "min_tokens": pa.array([int(n_tok.min())], pa.int64()),
+                "max_tokens": pa.array([int(n_tok.max())], pa.int64()),
+            }
+        )
+
+    base = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(
+            Sum("n_docs"), Sum("n_tokens"), Sum("n_chars"),
+            Min("min_tokens"), Max("max_tokens"),
+        )
+    )
+
+    def digest_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.string())})
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {"d": pa.array(sorted(set(ts.md5_hex(texts).tolist())), pa.string())}
+        )
+
+    n_distinct_text = (
+        docs.select_columns([text_col])
+        .map_batches(digest_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("d")
+        .count()
+        .count()
+    )
+
+    def cats_partial(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"v": pa.array([], pa.string())})
+            vals = batch.column(col).to_numpy(zero_copy_only=False).astype(str)
+            return pa.table({"v": pa.array(np.unique(vals).tolist(), pa.string())})
+        return fn
+
+    cols = set(docs.schema().names)
+    n_langs = (
+        docs.select_columns(["lang"]).map_batches(
+            cats_partial("lang"), batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("v").count().count()
+        if "lang" in cols else 0
+    )
+    n_sources = (
+        docs.select_columns(["source"]).map_batches(
+            cats_partial("source"), batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("v").count().count()
+        if "source" in cols else 0
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_docs = batch.column("sum(n_docs)").cast(pa.int64())
+        return pa.table(
+            {
+                "n_docs": n_docs,
+                "n_tokens": batch.column("sum(n_tokens)").cast(pa.int64()),
+                "n_chars": batch.column("sum(n_chars)").cast(pa.int64()),
+                "min_tokens": batch.column("min(min_tokens)").cast(pa.int64()),
+                "max_tokens": batch.column("max(max_tokens)").cast(pa.int64()),
+                "n_langs": pa.array([n_langs] * batch.num_rows, pa.int64()),
+                "n_sources": pa.array([n_sources] * batch.num_rows, pa.int64()),
+                "n_dup_docs": pa.array(
+                    [int(n_docs[0].as_py()) - n_distinct_text] * batch.num_rows,
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return base.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -2706,3 +2706,41 @@ def test_semantic_families_two_clusters(ray_session):
     assert rows[0]["n_members"] == 2
     assert rows[10]["family"] == 10 and rows[11]["family"] == 10
     assert 20 not in rows  # isolated vectors carry no family row
+
+
+def test_dataset_card_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["a b c", "a b c", "x"], pa.string()),
+                "lang": pa.array(["en", "en", "de"], pa.string()),
+                "source": pa.array(["s1", "s2", "s1"], pa.string()),
+            }
+        )
+    )
+    row = co.dataset_card_ds(docs).take_all()[0]
+    assert row["n_docs"] == 3 and row["n_tokens"] == 7
+    assert row["n_chars"] == 11
+    assert row["min_tokens"] == 1 and row["max_tokens"] == 3
+    assert row["n_langs"] == 2 and row["n_sources"] == 2
+    assert row["n_dup_docs"] == 1  # 3 docs, 2 distinct texts
+
+
+def test_pareto_share_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # user 1: 8 events, users 2..10: 1 each -> 10 users, 17 events
+    # top 10% = 1 user -> user 1 -> share = 8/17
+    uid = [1] * 8 + list(range(2, 11))
+    ev = ray.data.from_arrow(pa.table({"user_id": pa.array(uid, pa.int64())}))
+    row = an.pareto_share_ds(ev, top_permille=100).take_all()[0]
+    assert row["n_users"] == 10 and row["n_top_users"] == 1
+    assert row["total_events"] == 17 and row["top_events"] == 8
+    assert row["share_ppm"] == 8 * 1_000_000 // 17
