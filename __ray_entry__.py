@@ -3869,6 +3869,27 @@ def q_pareto_share(sf_dir: str) -> ray.data.Dataset:
     return an.pareto_share_ds(ev, top_permille=100)
 
 
+def q_kendall_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Mann-Kendall trend components per event type: exact concordant /
+    discordant / tied pair counts over the observed daily series (tau
+    derives rationally). Report-sized dataflow; the quadratic runs over
+    report windows, never events."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return an.kendall_pairs_ds(ev)
+
+
+def q_source_prefix_audit(sf_dir: str) -> ray.data.Dataset:
+    """Per-source shared-opening boilerplate length via the min/max LCP
+    trick (LCP of a set == LCP of its lexicographic extremes): two
+    string aggregates per source, LCP on the report table."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return co.source_prefix_audit_ds(docs)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -4023,6 +4044,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "index_gap_stats": q_index_gap_stats,
     "dataset_card": q_dataset_card,
     "pareto_share": q_pareto_share,
+    "kendall_pairs": q_kendall_pairs,
+    "source_prefix_audit": q_source_prefix_audit,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4306,6 +4329,8 @@ _FRONT_R5 = [
     "index_gap_stats",
     "dataset_card",
     "pareto_share",
+    "kendall_pairs",
+    "source_prefix_audit",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4908,6 +4933,37 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "kendall_pairs": """
+        WITH w AS (SELECT event_type,
+                          (epoch_us(ts) // 86400000000) * 86400000000 AS w,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        nw AS (SELECT event_type, count(*) AS n_windows FROM w GROUP BY 1),
+        p AS (SELECT a.event_type,
+                     sum(CASE WHEN b.n > a.n THEN 1 ELSE 0 END) AS con,
+                     sum(CASE WHEN b.n < a.n THEN 1 ELSE 0 END) AS dis,
+                     sum(CASE WHEN b.n = a.n THEN 1 ELSE 0 END) AS tie
+              FROM w a JOIN w b
+                ON a.event_type = b.event_type AND a.w < b.w
+              GROUP BY 1)
+        SELECT nw.event_type,
+               CAST(nw.n_windows AS BIGINT) AS n_windows,
+               CAST(COALESCE(p.con, 0) AS BIGINT) AS concordant,
+               CAST(COALESCE(p.dis, 0) AS BIGINT) AS discordant,
+               CAST(COALESCE(p.tie, 0) AS BIGINT) AS tied
+        FROM nw LEFT JOIN p ON p.event_type = nw.event_type
+    """,
+    "source_prefix_audit": """
+        WITH s AS (SELECT source, min(text) AS mn, max(text) AS mx,
+                          count(*) AS n_docs
+                   FROM documents GROUP BY 1)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(len([i FOR i IN
+                         range(1, least(length(mn), length(mx)) + 1)
+                         IF substr(mn, 1, i) = substr(mx, 1, i)])
+                    AS BIGINT) AS lcp_chars
+        FROM s
     """,
     "dataset_card": """
         SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -7856,3 +7856,73 @@ def pareto_share_ds(
             }
         )
     )
+
+
+def kendall_pairs_ds(
+    events: Dataset,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    width_us: int = 86_400_000_000,
+) -> Dataset:
+    """Kendall trend components, INTEGER-EXACT: per event type over its
+    OBSERVED daily-count series (windows ordered by time), the number of
+    concordant, discordant, and tied pairs of (time, count) — the
+    Mann-Kendall monotone-trend test's exact inputs (tau derives
+    rationally as ``(C - D) / (C + D + T)``). Emits ``(event_type,
+    n_windows, concordant, discordant, tied)``.
+
+    Scale shape: the periodicity/symbolize report dataflow — (type,
+    window) count combiner → report-sized groupby → driver pair scan on
+    the TINY type x window table (the quadratic runs over windows of a
+    report, never over events)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_v = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts_v // width_us) * width_us
+        t = pa.table(
+            {
+                type_col: batch.column(type_col),
+                "w": pa.array(w, pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by([type_col, "w"]).aggregate([("n", "sum")])
+        return pa.table(
+            {
+                type_col: g.column(type_col),
+                "w": g.column("w"),
+                "n": g.column("n_sum"),
+            }
+        )
+
+    df = (
+        events.select_columns([ts_col, type_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([type_col, "w"])
+        .aggregate(Sum("n"))
+        .to_pandas()
+    )
+    types_out, nw, con, dis, tie = [], [], [], [], []
+    for tname, sub in df.groupby(type_col, sort=True):
+        s = sub.sort_values("w")
+        x = s["sum(n)"].to_numpy()
+        m = len(x)
+        d = x[None, :] - x[:, None]
+        iu = np.triu_indices(m, 1)
+        dd = d[iu]
+        types_out.append(tname)
+        nw.append(m)
+        con.append(int((dd > 0).sum()))
+        dis.append(int((dd < 0).sum()))
+        tie.append(int((dd == 0).sum()))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(types_out, pa.string()),
+                "n_windows": pa.array(nw, pa.int64()),
+                "concordant": pa.array(con, pa.int64()),
+                "discordant": pa.array(dis, pa.int64()),
+                "tied": pa.array(tie, pa.int64()),
+            }
+        )
+    )

@@ -9434,3 +9434,72 @@ def dataset_card_ds(
         )
 
     return base.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_prefix_audit_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> Dataset:
+    """Per-source common-opening audit — how many CHARACTERS of
+    boilerplate every document of a source shares at its start (feed
+    headers, wire-service lead-ins). Uses the classic min/max trick:
+    the longest common prefix of a SET of strings equals the LCP of its
+    lexicographic minimum and maximum, so the whole audit reduces to
+    two string aggregates per source. Emits ``(source, n_docs,
+    lcp_chars)``.
+
+    Scale shape: one streaming pass with per-batch (source, min, max,
+    count) combiners → bounded ``groupby(source)`` (Min/Max/Sum) → the
+    LCP computes driver-side on the report-sized table. Texts never
+    shuffle beyond one min/max candidate pair per source per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "mn": pa.array([], pa.string()),
+                "mx": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "src": batch.column(source_col),
+                "mn": pc.fill_null(batch.column(text_col), ""),
+                "mx": pc.fill_null(batch.column(text_col), ""),
+                "n_p": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+        return t.group_by("src").aggregate(
+            [("mn", "min"), ("mx", "max"), ("n_p", "sum")]
+        ).rename_columns(["src", "mn", "mx", "n_p"])
+
+    agg = (
+        docs.select_columns([text_col, source_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("src")
+        .aggregate(Min("mn"), Max("mx"), Sum("n_p"))
+    )
+    rows = agg.take_all()  # bounded: one row per source
+    srcs, nd, lcp = [], [], []
+    for r in sorted(rows, key=lambda r: r["src"]):
+        a, b = r["min(mn)"], r["max(mx)"]
+        m = min(len(a), len(b))
+        k = 0
+        while k < m and a[k] == b[k]:
+            k += 1
+        srcs.append(r["src"])
+        nd.append(int(r["sum(n_p)"]))
+        lcp.append(k)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_docs": pa.array(nd, pa.int64()),
+                "lcp_chars": pa.array(lcp, pa.int64()),
+            }
+        )
+    )

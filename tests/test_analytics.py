@@ -2195,3 +2195,50 @@ def test_index_gap_stats_hand_computed(ray_session):
     assert out[2]["n_tokens"] == 1          # only "a b" is in-band
     assert out[2]["total_postings"] == 2
     assert out[2]["total_bytes"] == 2
+
+
+def test_kendall_pairs_monotone_series(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # type "up": counts 1,2,3 on three days -> all 3 pairs concordant
+    day = 86_400_000_000
+    ts, et = [], []
+    for d, n in enumerate([1, 2, 3]):
+        ts.extend([d * day + i for i in range(n)])
+        et.extend(["up"] * n)
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(et, pa.string()),
+            }
+        )
+    )
+    row = an.kendall_pairs_ds(ev).take_all()[0]
+    assert row["event_type"] == "up" and row["n_windows"] == 3
+    assert row["concordant"] == 3 and row["discordant"] == 0 and row["tied"] == 0
+
+
+def test_source_prefix_audit_lcp(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(
+                    ["header one body a", "header one body b", "header two x"],
+                    pa.string(),
+                ),
+                "source": pa.array(["A", "A", "A"], pa.string()),
+            }
+        )
+    )
+    row = co.source_prefix_audit_ds(docs).take_all()[0]
+    # min = "header one body a", max = "header two x" -> LCP "header "
+    # + "one"/"two" diverge at 'o' vs 't' -> 7 chars
+    assert row["source"] == "A" and row["n_docs"] == 3
+    assert row["lcp_chars"] == len("header ")
