@@ -3890,6 +3890,17 @@ def q_source_prefix_audit(sf_dir: str) -> ray.data.Dataset:
     return co.source_prefix_audit_ds(docs)
 
 
+def q_ktruss(sf_dir: str) -> ray.data.Dataset:
+    """Bounded 3-truss peel over the co-purchase graph: 3 rounds of
+    dropping edges with zero triangle support, survivors emitted with
+    support recomputed in the final set. Each round is one link-Jaccard
+    wedge pass (pre-exchange edge-key filter, bounded shuffle)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return gr.ktruss_ds(li, k=3, rounds=3)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -4046,6 +4057,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pareto_share": q_pareto_share,
     "kendall_pairs": q_kendall_pairs,
     "source_prefix_audit": q_source_prefix_audit,
+    "ktruss": q_ktruss,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4331,6 +4343,7 @@ _FRONT_R5 = [
     "pareto_share",
     "kendall_pairs",
     "source_prefix_audit",
+    "ktruss",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -8131,6 +8144,50 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
 
 
 ORACLES["kcore"] = _kcore_oracle_sql()
+
+
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 3) -> str:
+    """Chained-CTE twin of ktruss_ds: round i keeps edges whose triangle
+    support within round i-1's edge set is >= k-2; the final select
+    reports the support recomputed within the survivor set (the kcore
+    budget-exhaustion convention)."""
+    thr = k - 2
+    parts = [
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        "eraw AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS s"
+        " FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey GROUP BY 1, 2)",
+        "e0 AS (SELECT x, y FROM eraw WHERE s >= 2)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"a{i} AS (SELECT x AS u, y AS v FROM e{i}"
+            f" UNION ALL SELECT y, x FROM e{i})"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.x, e.y, count(*) AS c FROM e{i} e"
+            f" JOIN a{i} p ON p.u = e.x"
+            f" JOIN a{i} q ON q.u = e.y AND q.v = p.v GROUP BY 1, 2)"
+        )
+        parts.append(f"e{i + 1} AS (SELECT x, y FROM c{i} WHERE c >= {thr})")
+    r = rounds
+    parts.append(
+        f"af AS (SELECT x AS u, y AS v FROM e{r} UNION ALL SELECT y, x FROM e{r})"
+    )
+    parts.append(
+        f"cf AS (SELECT e.x, e.y, count(*) AS c FROM e{r} e"
+        f" JOIN af p ON p.u = e.x"
+        f" JOIN af q ON q.u = e.y AND q.v = p.v GROUP BY 1, 2)"
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT CAST(e.x AS BIGINT) AS x, CAST(e.y AS BIGINT) AS y,"
+        f" CAST(COALESCE(cf.c, 0) AS BIGINT) AS support"
+        f" FROM e{r} e LEFT JOIN cf ON cf.x = e.x AND cf.y = e.y"
+    )
+
+
+ORACLES["ktruss"] = _ktruss_oracle_sql(k=3)
 ORACLES["throttle_events"] = """
     WITH r AS (
       SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,

@@ -1370,93 +1370,8 @@ def link_jaccard_ds(
     edge_tbl = edges.take_all()
     ex = np.asarray([r["x"] for r in edge_tbl], dtype=np.int64)
     ey = np.asarray([r["y"] for r in edge_tbl], dtype=np.int64)
-    edge_keys = np.sort(
-        (ex.astype(np.uint64) << np.uint64(32)) | ey.astype(np.uint64)
-    )
-    keys_ref = ray.put(edge_keys)
     nodes, deg = np.unique(np.concatenate((ex, ey)), return_counts=True)
-
-    def adj(batch: pa.Table) -> pa.Table:
-        x = batch.column("x").to_numpy(zero_copy_only=False)
-        y = batch.column("y").to_numpy(zero_copy_only=False)
-        node = np.concatenate((x, y))
-        nb = np.concatenate((y, x))
-        return pa.table(
-            {
-                "bkt": pa.array(
-                    (_mix64(node) % np.uint64(n_buckets)).astype(np.int64),
-                    pa.int64(),
-                ),
-                "node": pa.array(node, pa.int64()),
-                "nb": pa.array(nb, pa.int64()),
-            }
-        )
-
-    pair_schema = pa.schema(
-        [("lo", pa.int64()), ("hi", pa.int64()), ("c", pa.int64())]
-    )
-
-    def wedge_counts(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table({f.name: pa.array([], f.type) for f in pair_schema})
-        keys = ray.get(keys_ref)
-        v = group.column("node").to_numpy(zero_copy_only=False)
-        nb = group.column("nb").to_numpy(zero_copy_only=False)
-        order = np.lexsort((nb, v))
-        vs, nbs = v[order], nb[order]
-        starts = np.flatnonzero(np.concatenate(([True], vs[1:] != vs[:-1])))
-        seg_len = np.diff(np.concatenate((starts, [len(vs)])))
-        lo_parts, hi_parts = [], []
-        for k in np.unique(seg_len):
-            if k < 2:
-                continue
-            sel = starts[seg_len == k]
-            idx = sel[:, None] + np.arange(int(k))[None, :]
-            nbm = nbs[idx]
-            iu, ju = np.triu_indices(int(k), 1)
-            lo_parts.append(nbm[:, iu].ravel())
-            hi_parts.append(nbm[:, ju].ravel())
-        if not lo_parts:
-            return pa.table({f.name: pa.array([], f.type) for f in pair_schema})
-        a = np.concatenate(lo_parts)
-        b = np.concatenate(hi_parts)
-        lo = np.minimum(a, b).astype(np.uint64)
-        hi = np.maximum(a, b).astype(np.uint64)
-        comp = (lo << np.uint64(32)) | hi
-        # keep only wedge pairs that ARE edges before the exchange — the
-        # candidate stream shrinks from sum(deg^2) to <= |E|
-        pos = np.searchsorted(keys, comp)
-        is_edge = (pos < len(keys)) & (
-            keys[np.minimum(pos, len(keys) - 1)] == comp
-        )
-        comp = comp[is_edge]
-        if len(comp) == 0:
-            return pa.table({f.name: pa.array([], f.type) for f in pair_schema})
-        uniq, cnt = np.unique(comp, return_counts=True)
-        return pa.table(
-            {
-                "lo": pa.array((uniq >> np.uint64(32)).astype(np.int64), pa.int64()),
-                "hi": pa.array(
-                    (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
-                ),
-                "c": pa.array(cnt.astype(np.int64), pa.int64()),
-            }
-        )
-
-    common_rows = (
-        edges.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bkt")
-        .map_groups(wedge_counts, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
-        .aggregate(Sum("c"))
-        .take_all()  # <= |E| rows, same bound as the edge broadcast
-    )
-    common = {}
-    for r in common_rows:
-        common[(r["lo"], r["hi"])] = int(r["sum(c)"])
-    cm = np.array(
-        [common.get((int(a), int(b)), 0) for a, b in zip(ex, ey)], np.int64
-    )
+    cm = _edge_support(ex, ey, n_buckets)
     dx = deg[np.searchsorted(nodes, ex)]
     dy = deg[np.searchsorted(nodes, ey)]
     return ray.data.from_arrow(
@@ -1829,3 +1744,161 @@ def assortativity_ds(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _edge_support(
+    ex: np.ndarray, ey: np.ndarray, n_buckets: int
+) -> np.ndarray:
+    """Distributed per-edge triangle support: for every edge (ex[i],
+    ey[i]) the number of common neighbors, computed with the
+    link-Jaccard wedge dataflow — adjacency shuffles ONCE by
+    ``mix64(middle node)``, wedge pairs pre-filter against the broadcast
+    sorted edge keys BEFORE the exchange (candidate stream <= |E|), one
+    ``groupby(lo, hi)`` sums. Returns the support array aligned with the
+    input edge arrays. The edge list itself is driver-resident by the
+    caller's ``max_broadcast_edges`` guard."""
+    if len(ex) == 0:
+        return np.zeros(0, np.int64)
+    edge_keys = np.sort(
+        (ex.astype(np.uint64) << np.uint64(32)) | ey.astype(np.uint64)
+    )
+    keys_ref = ray.put(edge_keys)
+    edges = ray.data.from_arrow(
+        pa.table({"x": pa.array(ex, pa.int64()), "y": pa.array(ey, pa.int64())})
+    )
+
+    def adj(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        node = np.concatenate((x, y))
+        nb = np.concatenate((y, x))
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(node) % np.uint64(n_buckets)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "node": pa.array(node, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+            }
+        )
+
+    pair_schema = pa.schema(
+        [("lo", pa.int64()), ("hi", pa.int64()), ("c", pa.int64())]
+    )
+
+    def wedge_counts(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in pair_schema})
+        if group.num_rows < 2:
+            return empty
+        keys = ray.get(keys_ref)
+        v = group.column("node").to_numpy(zero_copy_only=False)
+        nb = group.column("nb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, v))
+        vs, nbs = v[order], nb[order]
+        starts = np.flatnonzero(np.concatenate(([True], vs[1:] != vs[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(vs)])))
+        lo_parts, hi_parts = [], []
+        for k in np.unique(seg_len):
+            if k < 2:
+                continue
+            sel = starts[seg_len == k]
+            idx = sel[:, None] + np.arange(int(k))[None, :]
+            nbm = nbs[idx]
+            iu, ju = np.triu_indices(int(k), 1)
+            lo_parts.append(nbm[:, iu].ravel())
+            hi_parts.append(nbm[:, ju].ravel())
+        if not lo_parts:
+            return empty
+        a = np.concatenate(lo_parts)
+        b = np.concatenate(hi_parts)
+        lo = np.minimum(a, b).astype(np.uint64)
+        hi = np.maximum(a, b).astype(np.uint64)
+        comp = (lo << np.uint64(32)) | hi
+        pos = np.searchsorted(keys, comp)
+        is_edge = (pos < len(keys)) & (
+            keys[np.minimum(pos, len(keys) - 1)] == comp
+        )
+        comp = comp[is_edge]
+        if len(comp) == 0:
+            return empty
+        uniq, cnt = np.unique(comp, return_counts=True)
+        return pa.table(
+            {
+                "lo": pa.array((uniq >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "hi": pa.array(
+                    (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
+                ),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    common_rows = (
+        edges.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(wedge_counts, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Sum("c"))
+        .take_all()  # <= |E| rows, same bound as the edge broadcast
+    )
+    common = {(r["lo"], r["hi"]): int(r["sum(c)"]) for r in common_rows}
+    return np.array(
+        [common.get((int(a), int(b)), 0) for a, b in zip(ex, ey)], np.int64
+    )
+
+
+def ktruss_ds(
+    lineitem: Dataset,
+    k: int = 4,
+    rounds: int = 3,
+    min_support: int = 2,
+    n_buckets: int = 512,
+    max_broadcast_edges: int = 20_000_000,
+) -> Dataset:
+    """Bounded k-truss peel (Cohen 2008) over the co-purchase graph: for
+    exactly ``rounds`` iterations, drop every edge whose triangle
+    support (common-neighbor count) is below ``k - 2``, then emit the
+    survivor edges with their support RECOMPUTED within the final
+    survivor set (the kcore budget-exhaustion convention, so the chained
+    SQL twin matches layer for layer). The k-truss is the standard
+    cohesive-subgraph certificate — stricter than k-core, it keeps only
+    edges embedded in dense triangle clusters.
+
+    Scale shape: each round is ONE ``_edge_support`` pass — the
+    link-Jaccard wedge dataflow (mix64 middle-node shuffle, pre-exchange
+    edge-key filter, one pair groupby). The edge list is driver-bounded
+    by ``max_broadcast_edges`` exactly like the triangle/link operators;
+    the peel loop multiplies passes, never memory."""
+    edges = copurchase_edges_ds(lineitem, min_support, n_buckets)
+    out_schema = pa.schema(
+        [("x", pa.int64()), ("y", pa.int64()), ("support", pa.int64())]
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    if n_edges > max_broadcast_edges:
+        raise ValueError(
+            f"filtered edge set ({n_edges}) exceeds max_broadcast_edges="
+            f"{max_broadcast_edges}"
+        )
+    edge_tbl = edges.take_all()
+    ex = np.asarray([r["x"] for r in edge_tbl], dtype=np.int64)
+    ey = np.asarray([r["y"] for r in edge_tbl], dtype=np.int64)
+    for _ in range(rounds):
+        if len(ex) == 0:
+            break
+        cm = _edge_support(ex, ey, n_buckets)
+        keep = cm >= k - 2
+        ex, ey = ex[keep], ey[keep]
+    support = _edge_support(ex, ey, n_buckets)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "x": pa.array(ex, pa.int64()),
+                "y": pa.array(ey, pa.int64()),
+                "support": pa.array(support, pa.int64()),
+            }
+        )
+    )

@@ -378,3 +378,31 @@ def test_link_jaccard_hand_graph(ray_session):
     assert r23["common"] == 1  # node 1 is the only common neighbor
     r14 = rows[(1, 4)]
     assert r14["common"] == 0 and r14["deg_y"] == 1
+
+
+def test_ktruss_peels_pendant_triangle_chain(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import graph as gr
+
+    # graph: triangle {1,2,3} + pendant edge 3-4 (all edges support>=2
+    # via 2 shared orders each)
+    rows = []
+    ok = 0
+    for pair in ([1, 2], [2, 3], [1, 3], [3, 4]):
+        for rep in range(2):
+            ok += 1
+            rows.extend((ok, p) for p in pair)
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+                "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+            }
+        )
+    )
+    out = {(r["x"], r["y"]): r["support"] for r in
+           gr.ktruss_ds(li, k=3, rounds=3).take_all()}
+    # 3-truss keeps the triangle (each edge in 1 triangle), drops 3-4
+    assert set(out) == {(1, 2), (2, 3), (1, 3)}
+    assert all(v == 1 for v in out.values())
