@@ -3901,6 +3901,24 @@ def q_ktruss(sf_dir: str) -> ray.data.Dataset:
     return gr.ktruss_ds(li, k=3, rounds=3)
 
 
+def q_fold_leakage(sf_dir: str) -> ray.data.Dataset:
+    """Cross-validation leakage audit: template families (first-5-token
+    key) whose members straddle different stratified folds — the
+    train/val contamination metric every CV split should report.
+    Composition of stratified_kfold + digest co-group."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return co.fold_leakage_ds(docs, n_folds=5, key_tokens=5)
+
+
+def q_hash_collision_audit(sf_dir: str) -> ray.data.Dataset:
+    """64-bit gram-hash birthday audit: distinct 5-grams vs distinct
+    md5-u64 hashes; any gap silently merges grams in every hash-keyed
+    dedup operator. Two distinct-combiner passes."""
+    return co.hash_collision_audit_ds(_documents(sf_dir))
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -4058,6 +4076,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "kendall_pairs": q_kendall_pairs,
     "source_prefix_audit": q_source_prefix_audit,
     "ktruss": q_ktruss,
+    "fold_leakage": q_fold_leakage,
+    "hash_collision_audit": q_hash_collision_audit,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4344,6 +4364,8 @@ _FRONT_R5 = [
     "kendall_pairs",
     "source_prefix_audit",
     "ktruss",
+    "fold_leakage",
+    "hash_collision_audit",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4946,6 +4968,52 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "fold_leakage": """
+        WITH r AS (SELECT doc_id, lang,
+                          row_number() OVER (
+                            PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                          - 1 AS rn
+                   FROM documents),
+        f AS (SELECT doc_id, rn % 5 AS fold FROM r),
+        dg AS (SELECT doc_id,
+                      md5(array_to_string(
+                          string_split(text, ' ')[1:5], ' ')) AS d
+               FROM documents),
+        fam AS (SELECT d, count(*) AS n, count(DISTINCT fold) AS nf
+                FROM dg JOIN f USING (doc_id) GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_families,
+               CAST(count(*) FILTER (WHERE n > 1) AS BIGINT)
+                   AS n_multi_doc_families,
+               CAST(count(*) FILTER (WHERE n > 1 AND nf > 1) AS BIGINT)
+                   AS n_leaky_families,
+               CAST(COALESCE(sum(n) FILTER (WHERE n > 1 AND nf > 1), 0)
+                    AS BIGINT) AS n_leaky_docs
+        FROM fam
+    """,
+    "hash_collision_audit": """
+        WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+        g AS (SELECT DISTINCT
+                CASE WHEN len(l) < 5 THEN array_to_string(l, ' ')
+                     ELSE NULL END AS short_g,
+                NULL AS long_g
+              FROM t WHERE len(l) < 5 AND len(l) >= 1
+              UNION
+              SELECT DISTINCT NULL, array_to_string(l[i:i+4], ' ')
+              FROM t, LATERAL (SELECT unnest(range(1, len(l) - 3)) AS i) s
+              WHERE len(l) >= 5),
+        gg AS (SELECT DISTINCT COALESCE(short_g, long_g) AS gram FROM g
+               WHERE COALESCE(short_g, long_g) IS NOT NULL),
+        h AS (SELECT DISTINCT
+                ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS hv
+              FROM gg)
+        SELECT CAST((SELECT count(*) FROM gg) AS BIGINT)
+                   AS n_distinct_grams,
+               CAST((SELECT count(*) FROM h) AS BIGINT)
+                   AS n_distinct_hashes,
+               CAST((SELECT count(*) FROM gg) - (SELECT count(*) FROM h)
+                    AS BIGINT) AS n_collisions
     """,
     "kendall_pairs": """
         WITH w AS (SELECT event_type,

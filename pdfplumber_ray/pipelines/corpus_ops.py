@@ -9503,3 +9503,218 @@ def source_prefix_audit_ds(
             }
         )
     )
+
+
+def fold_leakage_ds(
+    docs: Dataset,
+    n_folds: int = 5,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_tokens: Optional[int] = None,
+) -> Dataset:
+    """Cross-validation leakage audit — exact-duplicate families whose
+    members land in DIFFERENT folds of the stratified k-fold split
+    (training on one copy while validating on another silently inflates
+    every metric). Composes ``stratified_kfold_ds`` with the exact-dup
+    digest and reports ``(n_families, n_multi_doc_families,
+    n_leaky_families, n_leaky_docs)`` in one row.
+
+    Scale shape: fold assignment attaches per doc (bounded-stratum
+    rank), digests fold per batch, ONE ``groupby(digest)`` merges
+    (members = sum, distinct folds = fold-bitmask OR — exact for
+    n_folds <= 62), and a counter combiner folds the family table to
+    one row."""
+    folds = stratified_kfold_ds(
+        docs, n_folds=n_folds, stratum_col=stratum_col, id_col=id_col
+    )
+    # doc_id -> fold is deterministic, so re-derive text digests on the
+    # docs side and co-group by doc id via the generic bucketed join
+    from .analytics import hash_join_ds
+
+    def digests(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        if key_tokens is not None:
+            # template-family key (see syndication_histogram_ds): exact
+            # whole-text dups rarely straddle folds on a clean corpus;
+            # shared openings are the realistic leakage unit
+            texts = [" ".join((t or "").split(" ")[:key_tokens]) for t in texts]
+        return pa.table(
+            {
+                "did": batch.column(id_col).cast(pa.int64()),
+                "d": pa.array(ts.md5_hex(texts).tolist(), pa.string()),
+            }
+        )
+
+    dig = docs.select_columns([id_col, text_col]).map_batches(
+        digests, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join_ds(folds, dig, id_col, "did")
+
+    def fam_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "d": pa.array([], pa.string()),
+                "n_p": pa.array([], pa.int64()),
+                "mask_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        d = batch.column("d").to_numpy(zero_copy_only=False).astype(str)
+        m = np.int64(1) << batch.column("fold").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        # per-batch combiner: count + fold-bitmask OR per digest
+        u, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.bitwise_or.at(acc, inv, m)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "d": pa.array(u, pa.string()),
+                "n_p": pa.array(cnt, pa.int64()),
+                "mask_p": pa.array(acc, pa.int64()),
+            }
+        )
+
+    # Ray has no bitwise-OR aggregate: the per-digest fold happens in a
+    # digest-bucket co-group (bounded buckets, same as effective_tokens)
+    def tag(batch: pa.Table) -> pa.Table:
+        d = batch.column("d").to_numpy(zero_copy_only=False).astype(str)
+        bkt = np.asarray([int(x[:8], 16) % 512 for x in d], np.int64)
+        return batch.append_column("bkt", pa.array(bkt, pa.int64()))
+
+    fam_schema = pa.schema(
+        [
+            ("n_families", pa.int64()),
+            ("n_multi_doc_families", pa.int64()),
+            ("n_leaky_families", pa.int64()),
+            ("n_leaky_docs", pa.int64()),
+        ]
+    )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in fam_schema})
+        if group.num_rows == 0:
+            return empty
+        d = group.column("d").to_numpy(zero_copy_only=False).astype(str)
+        n = group.column("n_p").to_numpy(zero_copy_only=False)
+        m = group.column("mask_p").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(d, return_inverse=True)
+        nn = np.zeros(len(u), np.int64)
+        np.add.at(nn, inv, n)
+        mm = np.zeros(len(u), np.int64)
+        np.bitwise_or.at(mm, inv, m)
+        multi = nn > 1
+        # leaky: >1 member AND fold mask has >1 bit set
+        nbits = np.zeros(len(u), np.int64)
+        x = mm.copy()
+        while (x > 0).any():
+            nbits += x & 1
+            x >>= 1
+        leaky = multi & (nbits > 1)
+        return pa.table(
+            {
+                "n_families": pa.array([len(u)], pa.int64()),
+                "n_multi_doc_families": pa.array([int(multi.sum())], pa.int64()),
+                "n_leaky_families": pa.array([int(leaky.sum())], pa.int64()),
+                "n_leaky_docs": pa.array([int(nn[leaky].sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(fam_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+    )
+
+    rows = agg.take_all()  # <= n_buckets counter rows
+    if not rows:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([0], f.type) for f in fam_schema})
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_families": pa.array(
+                    [sum(r["n_families"] for r in rows)], pa.int64()
+                ),
+                "n_multi_doc_families": pa.array(
+                    [sum(r["n_multi_doc_families"] for r in rows)], pa.int64()
+                ),
+                "n_leaky_families": pa.array(
+                    [sum(r["n_leaky_families"] for r in rows)], pa.int64()
+                ),
+                "n_leaky_docs": pa.array(
+                    [sum(r["n_leaky_docs"] for r in rows)], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def hash_collision_audit_ds(
+    docs: Dataset,
+    shingle_k: int = 5,
+    text_col: str = "text",
+) -> Dataset:
+    """64-bit hash-space integrity audit: the number of DISTINCT word
+    ``shingle_k``-grams vs distinct md5-u64 gram hashes — every gap is a
+    birthday collision silently merging two different grams in every
+    hash-keyed operator (MinHash, substring dedup, decontamination).
+    Emits one row ``(n_distinct_grams, n_distinct_hashes,
+    n_collisions)``.
+
+    Scale shape: two distinct-combiner passes over the gram stream (one
+    keyed by gram string, one by hash), each a per-batch ``np.unique``
+    partial + one vocab-bounded groupby-count. Grams never collect."""
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string())})
+        out = set()
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split(" ")
+            if len(toks) < shingle_k:
+                if toks and toks != [""]:
+                    out.add(" ".join(toks))
+            else:
+                out.update(
+                    " ".join(toks[i : i + shingle_k])
+                    for i in range(len(toks) - shingle_k + 1)
+                )
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    grams = docs.select_columns([text_col]).map_batches(
+        gram_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_grams = grams.groupby("g").count().count()
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        gl = batch.column("g").to_pylist()
+        h = np.unique(
+            np.fromiter((ts.md5_u64(g) for g in gl), np.uint64, count=len(gl))
+        )
+        # int64 reinterpretation — distinct-count preserving, and Ray's
+        # groupby key path chokes on uint64 beyond int64 range
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    n_hashes = (
+        grams.map_batches(hash_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .count()
+        .count()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_distinct_grams": pa.array([n_grams], pa.int64()),
+                "n_distinct_hashes": pa.array([n_hashes], pa.int64()),
+                "n_collisions": pa.array([n_grams - n_hashes], pa.int64()),
+            }
+        )
+    )

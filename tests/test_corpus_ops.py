@@ -2744,3 +2744,53 @@ def test_pareto_share_hand_computed(ray_session):
     assert row["n_users"] == 10 and row["n_top_users"] == 1
     assert row["total_events"] == 17 and row["top_events"] == 8
     assert row["share_ppm"] == 8 * 1_000_000 // 17
+
+
+def test_fold_leakage_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # 10 docs, one stratum; two identical texts -> one multi family;
+    # with 5 folds and balanced assignment the pair may or may not
+    # split — pin exact values against a brute-force recomputation
+    import hashlib
+    texts = [f"unique doc {i} body" for i in range(10)]
+    texts[3] = texts[7] = "duplicated body text here"
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 10, pa.string()),
+            }
+        )
+    )
+    row = co.fold_leakage_ds(docs, n_folds=5).take_all()[0]
+    # brute force the same rule
+    order = sorted(range(10), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    fold = {i: r % 5 for r, i in enumerate(order)}
+    leak = 1 if fold[3] != fold[7] else 0
+    assert row["n_families"] == 9
+    assert row["n_multi_doc_families"] == 1
+    assert row["n_leaky_families"] == leak
+    assert row["n_leaky_docs"] == 2 * leak
+
+
+def test_hash_collision_audit_no_collisions_small(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["a b c d e f g"], pa.string()),
+            }
+        )
+    )
+    row = co.hash_collision_audit_ds(docs).take_all()[0]
+    assert row["n_distinct_grams"] == 3  # three 5-gram windows
+    assert row["n_distinct_hashes"] == 3
+    assert row["n_collisions"] == 0
