@@ -3919,6 +3919,17 @@ def q_hash_collision_audit(sf_dir: str) -> ray.data.Dataset:
     return co.hash_collision_audit_ds(_documents(sf_dir))
 
 
+def q_emd_lengths(sf_dir: str) -> ray.data.Dataset:
+    """Exact integer 1-D earth-mover distance between src0's and src1's
+    doc-length distributions (cross-multiplied, emd = emd_num/(na*nb))
+    — the drift integral complementing the KS max. ks_drift dataflow:
+    distinct-cell combiner, grid sweep on the bounded table."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return an.emd_lengths_ds(docs)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -4078,6 +4089,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ktruss": q_ktruss,
     "fold_leakage": q_fold_leakage,
     "hash_collision_audit": q_hash_collision_audit,
+    "emd_lengths": q_emd_lengths,
     "vocab_growth": q_vocab_growth,
     "shard_balance": q_shard_balance,
     "power_iter_step": q_power_iter_step,
@@ -4366,6 +4378,7 @@ _FRONT_R5 = [
     "ktruss",
     "fold_leakage",
     "hash_collision_audit",
+    "emd_lengths",
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4968,6 +4981,26 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "emd_lengths": """
+        WITH d AS (SELECT source, len(string_split(text, ' ')) AS v
+                   FROM documents WHERE source IN ('src0', 'src1')),
+        n AS (SELECT count(*) FILTER (WHERE source = 'src0') AS na,
+                     count(*) FILTER (WHERE source = 'src1') AS nb
+              FROM d),
+        c0 AS (SELECT v,
+                      count(*) FILTER (WHERE source = 'src0') AS fa,
+                      count(*) FILTER (WHERE source = 'src1') AS fb
+               FROM d GROUP BY v),
+        c AS (SELECT v, sum(fa) OVER (ORDER BY v) AS ca,
+                     sum(fb) OVER (ORDER BY v) AS cb,
+                     lead(v) OVER (ORDER BY v) AS nxt
+              FROM c0)
+        SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN c.nxt IS NULL THEN 0
+                             ELSE abs(c.ca * n.nb - c.cb * n.na)
+                                  * (c.nxt - c.v) END) AS BIGINT) AS emd_num
+        FROM c, n GROUP BY n.na, n.nb
     """,
     "fold_leakage": """
         WITH r AS (SELECT doc_id, lang,

@@ -7926,3 +7926,93 @@ def kendall_pairs_ds(
             }
         )
     )
+
+
+def emd_lengths_ds(
+    docs: Dataset,
+    source_a: str = "src0",
+    source_b: str = "src1",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> Dataset:
+    """Exact 1-D earth-mover (Wasserstein-1) distance between two
+    sources' document-length distributions — the drift INTEGRAL that
+    complements the KS drift MAX (`ks_drift_ds`): small persistent
+    shifts that never spike the KS statistic accumulate here. Emitted
+    cross-multiplied so everything stays integer:
+    ``emd = emd_num / (n_a * n_b)`` with
+    ``emd_num = sum over the value grid of |cdfA*n_b - cdfB*n_a| *
+    gap_to_next_value``. One row ``(n_a, n_b, emd_num)``.
+
+    Scale shape: the ks_drift dataflow — per-batch (source, value)
+    count combiner bounds the shuffle to distinct cells; the grid sweep
+    runs once on the bounded distinct-value table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], pa.string()),
+                "v": pa.array([], pa.int64()),
+                "n_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        keep = pc.is_in(
+            batch.column(source_col),
+            value_set=pa.array([source_a, source_b], pa.string()),
+        )
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(pc.fill_null(t.column(text_col), ""), " ")
+        v = pc.list_value_length(toks).cast(pa.int64())
+        tt = pa.table({"src": t.column(source_col), "v": v})
+        g = tt.group_by(["src", "v"]).aggregate([("v", "count")])
+        return pa.table(
+            {
+                "src": g.column("src"),
+                "v": g.column("v"),
+                "n_p": g.column("v_count").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.select_columns([source_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "v"])
+        .aggregate(Sum("n_p"))
+        .take_all()
+    )  # bounded: one row per (source, distinct length)
+    empty = pa.table(
+        {
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "emd_num": pa.array([], pa.int64()),
+        }
+    )
+    if not rows:
+        return ray.data.from_arrow(empty)
+    grid = sorted({r["v"] for r in rows})
+    fa = {v: 0 for v in grid}
+    fb = {v: 0 for v in grid}
+    for r in rows:
+        (fa if r["src"] == source_a else fb)[r["v"]] += int(r["sum(n_p)"])
+    n_a = sum(fa.values())
+    n_b = sum(fb.values())
+    ca = cb = 0
+    emd = 0
+    for i, v in enumerate(grid):
+        ca += fa[v]
+        cb += fb[v]
+        if i + 1 < len(grid):
+            emd += abs(ca * n_b - cb * n_a) * (grid[i + 1] - v)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+                "emd_num": pa.array([emd], pa.int64()),
+            }
+        )
+    )

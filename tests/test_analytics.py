@@ -2242,3 +2242,24 @@ def test_source_prefix_audit_lcp(ray_session):
     # + "one"/"two" diverge at 'o' vs 't' -> 7 chars
     assert row["source"] == "A" and row["n_docs"] == 3
     assert row["lcp_chars"] == len("header ")
+
+
+def test_emd_lengths_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # src0 lengths: [1, 3]; src1 lengths: [3, 3]
+    # grid 1,3: at v=1: ca=1, cb=0 -> |1*2 - 0*2| * (3-1) = 4
+    # emd = 4 / (2*2) = 1.0 (every src0 doc moves 1 token on average... )
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(["a", "a b c", "x y z", "p q r"], pa.string()),
+                "source": pa.array(["src0", "src0", "src1", "src1"], pa.string()),
+            }
+        )
+    )
+    row = an.emd_lengths_ds(docs).take_all()[0]
+    assert row["n_a"] == 2 and row["n_b"] == 2
+    assert row["emd_num"] == 4
