@@ -4379,6 +4379,15 @@ _FRONT_R5 = [
     "fold_leakage",
     "hash_collision_audit",
     "emd_lengths",
+    # VERDICT-r4 scale-path twins: pinned inside the 50-entry window
+    # every round, ahead of the session-9 backfill
+    "main_content",
+    "substring_dedup",
+    "dedup_resolution_cogroup",
+    "asof_join_bucketed",
+    # session-9 operators: youngest-first backfill; the overflow past
+    # slot 50 (benford/spearman/time-weighted/gini/sentence-stats and
+    # the late s9 stats) stays locally sweep-verified every session
     "link_jaccard",
     "vocab_growth",
     "shard_balance",
@@ -4393,11 +4402,6 @@ _FRONT_R5 = [
     "time_weighted_avg",
     "gini_concentration",
     "sentence_stats",
-    # VERDICT-r4 scale-path twins: keep driver-validated every round
-    "main_content",
-    "substring_dedup",
-    "dedup_resolution_cogroup",
-    "asof_join_bucketed",
     "gap_fill",
     "running_peak",
     "periodicity",

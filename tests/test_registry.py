@@ -46,15 +46,20 @@ def test_front_window_holds_new_and_never_sampled():
         "effective_tokens", "term_burstiness", "full_join",
         "int8_quant_error", "assortativity", "blocklist_hits",
         "semantic_decontaminate", "k_anonymity", "stratified_kfold",
-        "syndication_histogram", "ewma_running",
-        # session-9 operators
-        "link_jaccard", "vocab_growth", "shard_balance", "power_iter_step",
-        "prefix_filter_pairs", "prefix_filter_verified", "type_cross_corr",
-        "snm_pairs", "entity_mentions", "benford_audit", "spearman_corr",
-        "time_weighted_avg", "gini_concentration", "sentence_stats",
+        "syndication_histogram", "ewma_running", "term_trend",
+        "log_histogram", "json_props_stats", "ab_assignment",
+        "semantic_families", "fd_audit", "index_gap_stats",
+        "dataset_card", "pareto_share", "kendall_pairs",
+        "source_prefix_audit", "ktruss", "fold_leakage",
+        "hash_collision_audit", "emd_lengths",
         # VERDICT-r4 scale-path twins: pinned for driver validation
         "main_content", "substring_dedup", "dedup_resolution_cogroup",
         "asof_join_bucketed",
+        # session-9 backfill (youngest-first; the tail past slot 50
+        # stays locally sweep-verified)
+        "link_jaccard", "vocab_growth", "shard_balance", "power_iter_step",
+        "prefix_filter_pairs", "prefix_filter_verified", "type_cross_corr",
+        "snm_pairs",
     ):
         assert name in first50, f"{name} fell outside the driver gate window"
     # the leading block must be exactly the declared rotation order
