@@ -3930,6 +3930,34 @@ def q_emd_lengths(sf_dir: str) -> ray.data.Dataset:
     return an.emd_lengths_ds(docs)
 
 
+def q_dim_covariance(sf_dir: str) -> ray.data.Dataset:
+    """Cross-dimension covariance components over e6-quantized embedding
+    pairs (the pre-PCA correlation screen): exact integer n, s_i, s_j,
+    s_ij per unordered dim pair via ONE integer Gram matmul per block,
+    then a pair-bounded (2,080-group) sum."""
+    return co.dim_covariance_ds(_embeddings(sf_dir))
+
+
+def q_lsh_recall_audit(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end LSH tuning report: pairs from the production MinHash
+    banding (64 perms / 16 bands) vs the exact Jaccard ground truth at
+    the same 0.5 threshold — one row (n_lsh, n_true, n_hits); recall
+    and precision derive exactly. Both sides are band-key shuffles;
+    the audit adds one groupby over the tiny pair union."""
+    return co.lsh_recall_audit_ds(_documents(sf_dir), threshold=0.5)
+
+
+def q_lang_fertility(sf_dir: str) -> ray.data.Dataset:
+    """Tokenizer-fertility audit per language: exact n_docs, UTF-8
+    bytes, codepoints, whitespace tokens and BPE-regex tokens, so
+    bytes/token and subtokens/word ratios derive exactly. Per-block
+    language combiner, language-bounded final groupby."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+    return an.lang_fertility_ds(docs)
+
+
 def q_vocab_growth(sf_dir: str) -> ray.data.Dataset:
     """Heaps'-law vocabulary growth curve over 3-token shingles (the
     unigram vocab of the synthetic corpus saturates in decile 0; the
@@ -4053,6 +4081,9 @@ def q_sentence_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "dim_covariance": q_dim_covariance,
+    "lsh_recall_audit": q_lsh_recall_audit,
+    "lang_fertility": q_lang_fertility,
     "link_jaccard": q_link_jaccard,
     "mutual_knn": q_mutual_knn,
     "label_prop": q_label_prop,
@@ -4343,6 +4374,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "dim_covariance",
+    "lsh_recall_audit",
+    "lang_fertility",
     "mutual_knn",
     "label_prop",
     "grid_cores",
@@ -4985,6 +5019,76 @@ ORACLES: Dict[str, str] = {
         SELECT doc_a, doc_b, est_jaccard,
                inter * 1.0 / (tot - inter) AS jaccard
         FROM jac WHERE inter * 1.0 / (tot - inter) >= 0.5
+    """,
+    "dim_covariance": """
+        WITH q AS (
+          SELECT vec_id, list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qv
+          FROM embeddings),
+        u AS (SELECT vec_id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS comp
+              FROM q)
+        SELECT CAST(a.dim AS BIGINT) AS dim_i, CAST(b.dim AS BIGINT) AS dim_j,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.comp) AS BIGINT) AS s_i,
+               CAST(sum(b.comp) AS BIGINT) AS s_j,
+               CAST(sum(a.comp * b.comp) AS BIGINT) AS s_ij
+        FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY a.dim, b.dim
+    """,
+    "lsh_recall_audit": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents WHERE text <> ''),
+        g AS (SELECT doc_id,
+                CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                     ELSE list_distinct([array_to_string(l[i:i+4], ' ')
+                                         for i in range(1, len(l)-3)])
+                END AS sh FROM t),
+        x AS (SELECT DISTINCT doc_id,
+                ('0x' || substr(md5(s), 1, 16))::UBIGINT AS x
+              FROM (SELECT doc_id, unnest(sh) AS s FROM g)),
+        p AS (SELECT j,
+                (('0x' || substr(md5('a1:' || j), 1, 16))::UBIGINT
+                   % 2305843009213693950) + 1 AS a,
+                ('0x' || substr(md5('b1:' || j), 1, 16))::UBIGINT
+                   % 2305843009213693951 AS b
+              FROM range(64) r(j)),
+        s AS (SELECT doc_id, j,
+                min((a::HUGEINT * x + b) % 2305843009213693951) AS v
+              FROM x CROSS JOIN p GROUP BY doc_id, j),
+        bk AS (SELECT doc_id,
+                 substr(md5('band:' || (j // 4) || ':'
+                            || string_agg(v::VARCHAR, '-' ORDER BY j)), 1, 16)
+                   AS band_key
+               FROM s GROUP BY doc_id, (j // 4)),
+        c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bk a JOIN bk b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        e AS (SELECT c.doc_a, c.doc_b,
+                avg(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS est_jaccard
+              FROM c JOIN s sa ON sa.doc_id = c.doc_a
+                    JOIN s sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+              GROUP BY c.doc_a, c.doc_b),
+        lsh AS (SELECT doc_a, doc_b FROM e WHERE est_jaccard >= 0.5),
+        jt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_intersect(a.sh, b.sh)) AS inter,
+                      len(a.sh) + len(b.sh) AS tot
+               FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        truth AS (SELECT doc_a, doc_b FROM jt
+                  WHERE inter * 1.0 / (tot - inter) >= 0.5)
+        SELECT CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+               CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+               CAST((SELECT count(*) FROM lsh JOIN truth
+                     USING (doc_a, doc_b)) AS BIGINT) AS n_hits
+    """,
+    "lang_fertility": f"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_ws,
+               CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')))
+                   AS BIGINT) AS n_tokens_bpe
+        FROM documents GROUP BY lang
     """,
     "emd_lengths": """
         WITH d AS (SELECT source, len(string_split(text, ' ')) AS v

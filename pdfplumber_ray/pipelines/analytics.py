@@ -7928,6 +7928,89 @@ def kendall_pairs_ds(
     )
 
 
+def lang_fertility_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> Dataset:
+    """Tokenizer-fertility audit per language — the byte/char/token
+    budget report run before choosing a tokenizer or a sampling mix:
+    for each language the exact integers ``n_docs``, ``n_bytes`` (UTF-8
+    octets), ``n_chars`` (codepoints), ``n_tokens_ws`` (whitespace
+    tokens, `string_split` semantics) and ``n_tokens_bpe`` (the BPE-ish
+    regex tokenizer shared with `token_stats`). Fertility ratios
+    (bytes/token, chars/token, subtokens/word) derive exactly from the
+    emitted integers.
+
+    Scale shape: one streaming pass; byte/char/ws counts are pure Arrow
+    kernels, the regex count is the same compiled-pattern per-batch
+    loop `token_stats` uses; each block pre-aggregates to <= one row
+    per language, then a language-bounded ``groupby`` sums partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "nd_p": pa.array([], pa.int64()),
+                "nb_p": pa.array([], pa.int64()),
+                "nc_p": pa.array([], pa.int64()),
+                "nw_p": pa.array([], pa.int64()),
+                "ns_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        txt = pc.fill_null(batch.column(text_col), "")
+        tt = pa.table(
+            {
+                "lang": batch.column(lang_col),
+                "nd": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+                "nb": pc.binary_length(txt).cast(pa.int64()),
+                "nc": pc.utf8_length(txt).cast(pa.int64()),
+                "nw": pc.list_value_length(pc.split_pattern(txt, " ")).cast(
+                    pa.int64()
+                ),
+                "ns": pa.array(
+                    ts.bpe_token_count(txt.to_pylist()), pa.int64()
+                ),
+            }
+        )
+        g = tt.group_by(["lang"]).aggregate(
+            [("nd", "sum"), ("nb", "sum"), ("nc", "sum"), ("nw", "sum"), ("ns", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "nd_p": g.column("nd_sum").cast(pa.int64()),
+                "nb_p": g.column("nb_sum").cast(pa.int64()),
+                "nc_p": g.column("nc_sum").cast(pa.int64()),
+                "nw_p": g.column("nw_sum").cast(pa.int64()),
+                "ns_p": g.column("ns_sum").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.select_columns([lang_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("nd_p"), Sum("nb_p"), Sum("nc_p"), Sum("nw_p"), Sum("ns_p"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("sum(nd_p)").cast(pa.int64()),
+                "n_bytes": batch.column("sum(nb_p)").cast(pa.int64()),
+                "n_chars": batch.column("sum(nc_p)").cast(pa.int64()),
+                "n_tokens_ws": batch.column("sum(nw_p)").cast(pa.int64()),
+                "n_tokens_bpe": batch.column("sum(ns_p)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def emd_lengths_ds(
     docs: Dataset,
     source_a: str = "src0",

@@ -927,6 +927,120 @@ def ngram_jaccard_verify_ds(
     return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def lsh_recall_audit_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> Dataset:
+    """End-to-end quality audit of the production MinHash-LSH dedup
+    path: one row ``(n_lsh, n_true, n_hits)`` comparing the pairs the
+    banded pipeline emits (`minhash_pairs_ds` at its production
+    num_perm=64 / bands=16 settings) against the exact shingle-Jaccard
+    ground truth at the same threshold — recall = n_hits/n_true and
+    precision = n_hits/n_lsh derive exactly from the integers. This is
+    the tuning report run before committing band/row settings for a
+    full-corpus dedup (Broder/LSH S-curve validation on real data).
+
+    Ground truth reuses the recall-1 construction proven for
+    `near_dup_exact`: 64 one-row bands make any pair at j >= 0.5 a
+    candidate with probability 1 - 2^-64, then exact n-gram Jaccard
+    verification. Scale shape: both pair sets are LSH-bounded (band-key
+    shuffles only); the audit adds one groupby over the union of the
+    two pair sets (tiny by construction) and a per-batch count
+    combiner, so nothing beyond the pair lists ever concentrates."""
+
+    lsh = minhash_pairs_ds(
+        docs, text_col=text_col, id_col=id_col, threshold=threshold, max_bucket=None
+    )
+    cand = minhash_pairs_ds(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_perm=64,
+        bands=64,
+        threshold=0.0,
+        max_bucket=None,
+    )
+    truth = ngram_jaccard_verify_ds(
+        cand, docs, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+
+    def tag(in_lsh: int, in_true: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "doc_a": batch.column("doc_a").cast(pa.int64()),
+                    "doc_b": batch.column("doc_b").cast(pa.int64()),
+                    "in_lsh": pa.array(np.full(n, in_lsh, np.int64), pa.int64()),
+                    "in_true": pa.array(np.full(n, in_true, np.int64), pa.int64()),
+                }
+            )
+
+        return fn
+
+    tagged = lsh.map_batches(
+        tag(1, 0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(truth.map_batches(tag(0, 1), batch_format="pyarrow", zero_copy_batch=True))
+    per_pair = tagged.groupby(["doc_a", "doc_b"]).aggregate(
+        Sum("in_lsh"), Sum("in_true")
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "n_lsh_p": pa.array([], pa.int64()),
+                "n_true_p": pa.array([], pa.int64()),
+                "n_hits_p": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "sum(in_lsh)" not in batch.column_names:
+            return empty
+        in_l = batch.column("sum(in_lsh)").to_numpy(zero_copy_only=False) > 0
+        in_t = batch.column("sum(in_true)").to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_lsh_p": pa.array([int(in_l.sum())], pa.int64()),
+                "n_true_p": pa.array([int(in_t.sum())], pa.int64()),
+                "n_hits_p": pa.array([int((in_l & in_t).sum())], pa.int64()),
+            }
+        )
+
+    # sentinel zero row guarantees exactly one output row even when the
+    # corpus has no candidate pairs at all (the SQL twin's GROUP-BY-less
+    # aggregate always emits one row)
+    zero = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_lsh_p": pa.array([0], pa.int64()),
+                "n_true_p": pa.array([0], pa.int64()),
+                "n_hits_p": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    agg = (
+        per_pair.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .union(zero)
+        .groupby("k")
+        .aggregate(Sum("n_lsh_p"), Sum("n_true_p"), Sum("n_hits_p"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_lsh": batch.column("sum(n_lsh_p)").cast(pa.int64()),
+                "n_true": batch.column("sum(n_true_p)").cast(pa.int64()),
+                "n_hits": batch.column("sum(n_hits_p)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def containment_dedup_ds(
     pairs: Dataset,
     docs: Dataset,
@@ -8226,6 +8340,78 @@ def dim_variance_ds(
                 "n": batch.column("sum(n)").cast(pa.int64()),
                 "s": batch.column("sum(s)").cast(pa.int64()),
                 "ss": batch.column("sum(ss)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dim_covariance_ds(
+    embeddings: Dataset,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Cross-dimension covariance components over the embedding column —
+    the correlation screen run before whitening / PCA (redundant or
+    degenerate feature pairs surface here, not in `dim_variance_ds`'s
+    per-dim marginals): for every unordered dimension pair ``i <= j``
+    the exact integers ``n``, ``s_i`` = sum(q_i), ``s_j`` = sum(q_j) and
+    ``s_ij`` = sum(q_i * q_j) over e6-quantized components, so
+    ``cov = (s_ij - s_i*s_j/n) / n`` derives exactly from the emitted
+    row. Bound (documented): |q| <= 2^20 keeps each product < 2^40 and
+    the running sum safe to ~2^23 rows; shard or widen beyond.
+
+    Scale shape: one streaming pass; each block contributes the whole
+    d*(d+1)/2 upper triangle at once via ONE integer Gram matmul
+    (``q.T @ q`` — no per-row or per-pair Python), then a
+    pair-bounded ``groupby`` (2,080 groups at d=64) sums partials. No
+    materialization, no broadcast."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "dim_i": pa.array([], pa.int64()),
+                "dim_j": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s_i": pa.array([], pa.int64()),
+                "s_j": pa.array([], pa.int64()),
+                "s_ij": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        m = _as_matrix(batch.column(vec_col))
+        q = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+        d = q.shape[1]
+        iu, ju = np.triu_indices(d)
+        s = q.sum(axis=0)
+        gram = q.T @ q
+        return pa.table(
+            {
+                "dim_i": pa.array((iu + 1).astype(np.int64), pa.int64()),
+                "dim_j": pa.array((ju + 1).astype(np.int64), pa.int64()),
+                "n": pa.array(np.full(iu.size, q.shape[0], np.int64), pa.int64()),
+                "s_i": pa.array(s[iu], pa.int64()),
+                "s_j": pa.array(s[ju], pa.int64()),
+                "s_ij": pa.array(gram[iu, ju], pa.int64()),
+            }
+        )
+
+    agg = (
+        embeddings.select_columns([vec_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["dim_i", "dim_j"])
+        .aggregate(Sum("n"), Sum("s_i"), Sum("s_j"), Sum("s_ij"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dim_i": batch.column("dim_i").cast(pa.int64()),
+                "dim_j": batch.column("dim_j").cast(pa.int64()),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+                "s_i": batch.column("sum(s_i)").cast(pa.int64()),
+                "s_j": batch.column("sum(s_j)").cast(pa.int64()),
+                "s_ij": batch.column("sum(s_ij)").cast(pa.int64()),
             }
         )
 

@@ -2263,3 +2263,34 @@ def test_emd_lengths_hand_computed(ray_session):
     row = an.emd_lengths_ds(docs).take_all()[0]
     assert row["n_a"] == 2 and row["n_b"] == 2
     assert row["emd_num"] == 4
+
+
+def test_lang_fertility_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.functions import textstats as ts
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(["héllo wörld", "", "a b c"], pa.string()),
+                "lang": pa.array(["de", "de", "en"], pa.string()),
+            }
+        )
+    )
+    rows = {r["lang"]: r for r in an.lang_fertility_ds(docs).take_all()}
+    de, en = rows["de"], rows["en"]
+    assert de["n_docs"] == 2
+    # two 2-byte umlauts: 13 bytes vs 11 codepoints; '' counts 1 ws token
+    assert de["n_bytes"] == 13 and de["n_chars"] == 11
+    assert de["n_tokens_ws"] == 2 + 1
+    assert de["n_tokens_bpe"] == int(ts.bpe_token_count(["héllo wörld"])[0])
+    assert en == {
+        "lang": "en",
+        "n_docs": 1,
+        "n_bytes": 5,
+        "n_chars": 5,
+        "n_tokens_ws": 3,
+        "n_tokens_bpe": int(ts.bpe_token_count(["a b c"])[0]),
+    }

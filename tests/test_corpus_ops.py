@@ -2794,3 +2794,74 @@ def test_hash_collision_audit_no_collisions_small(ray_session):
     assert row["n_distinct_grams"] == 3  # three 5-gram windows
     assert row["n_distinct_hashes"] == 3
     assert row["n_collisions"] == 0
+
+
+def test_dim_covariance_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    vecs = pa.array([[1.0, 2.0], [3.0, 5.0]], pa.list_(pa.float32()))
+    emb = ray.data.from_arrow(pa.table({"embedding": vecs}))
+    rows = {(r["dim_i"], r["dim_j"]): r for r in co.dim_covariance_ds(emb).take_all()}
+    assert set(rows) == {(1, 1), (1, 2), (2, 2)}
+    m = 1_000_000
+    r = rows[(1, 2)]
+    assert r["n"] == 2
+    assert r["s_i"] == 4 * m and r["s_j"] == 7 * m
+    assert r["s_ij"] == (1 * 2 + 3 * 5) * m * m
+    assert rows[(1, 1)]["s_ij"] == (1 + 9) * m * m
+    assert rows[(2, 2)]["s_ij"] == (4 + 25) * m * m
+
+
+def test_lsh_recall_audit_dup_pair(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    dup = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        dup,
+                        dup,
+                        "completely different words about ships and harbors at dawn",
+                        "a third topic entirely gardens tomatoes weather rainfall",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    row = co.lsh_recall_audit_ds(docs, threshold=0.5).take_all()[0]
+    # the identical pair is both a true near-dup and an LSH hit
+    assert row["n_true"] == 1
+    assert row["n_lsh"] == 1
+    assert row["n_hits"] == 1
+
+
+def test_lsh_recall_audit_no_pairs_sentinel(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta epsilon zeta eta theta",
+                        "one two three four five six seven eight nine",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    rows = co.lsh_recall_audit_ds(docs, threshold=0.5).take_all()
+    assert len(rows) == 1
+    assert rows[0] == {"n_lsh": 0, "n_true": 0, "n_hits": 0}

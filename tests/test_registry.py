@@ -39,7 +39,9 @@ def test_front_window_holds_new_and_never_sampled():
     keys = list(E.QUERIES.keys())
     first50 = set(keys[:50])
     for name in (
-        # session-10 operators (newest — zero external validation)
+        # final-session operators (newest — zero external validation)
+        "dim_covariance", "lsh_recall_audit", "lang_fertility",
+        # session-10 operators
         "mutual_knn", "label_prop", "grid_cores", "hits",
         "skipgram_counts", "entity_graph", "cluster_inertia",
         "dim_variance", "centroid_outliers", "sampled_dup_rate",
@@ -55,11 +57,11 @@ def test_front_window_holds_new_and_never_sampled():
         # VERDICT-r4 scale-path twins: pinned for driver validation
         "main_content", "substring_dedup", "dedup_resolution_cogroup",
         "asof_join_bucketed",
-        # session-9 backfill (youngest-first; the tail past slot 50
-        # stays locally sweep-verified)
+        # session-9 backfill (youngest-first; the tail past slot 50 —
+        # snm_pairs yielded its slot to the final-session ops and stays
+        # locally sweep-verified)
         "link_jaccard", "vocab_growth", "shard_balance", "power_iter_step",
         "prefix_filter_pairs", "prefix_filter_verified", "type_cross_corr",
-        "snm_pairs",
     ):
         assert name in first50, f"{name} fell outside the driver gate window"
     # the leading block must be exactly the declared rotation order
