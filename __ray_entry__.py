@@ -66,13 +66,24 @@ def _doc_id_to_int(doc_ids: List[str]) -> pa.Array:
     return pa.array([int(d.rsplit("-", 1)[1]) for d in doc_ids], pa.int64())
 
 
-def _query_vector(sf_dir: str) -> np.ndarray:
-    """Deterministic ANN query: the embedding of the smallest vec_id."""
+def _query_vector(sf_dir: str) -> Optional[np.ndarray]:
+    """Deterministic ANN query: the embedding of the smallest vec_id
+    (``None`` on an empty embedding table — callers answer with a typed
+    empty top-k)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if t.num_rows == 0:
+        return None
     ids = t.column("vec_id").to_numpy()
     return np.asarray(t.column("embedding")[int(np.argmin(ids))].as_py(), dtype=np.float64)
+
+
+def _empty_topk() -> pa.Table:
+    """Typed zero-row ANN answer for the empty-corpus path."""
+    return pa.table(
+        {"vec_id": pa.array([], pa.int64()), "sim_e3": pa.array([], pa.int64())}
+    )
 
 
 def entry() -> Any:
@@ -776,15 +787,19 @@ def _sim_e3(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_ann_brute(sf_dir: str) -> ray.data.Dataset:
+def q_ann_brute(sf_dir: str) -> Any:
     q = _query_vector(sf_dir)
+    if q is None:
+        return _empty_topk()
     return _sim_e3(co.ann_brute_topk_ds(_embeddings(sf_dir), q, k=10))
 
 
-def q_ann_ivf(sf_dir: str) -> ray.data.Dataset:
+def q_ann_ivf(sf_dir: str) -> Any:
     """IVF variant run exact (nprobe == nlist) so the brute-force oracle
     applies; at scale nprobe < nlist trades recall for a pruned scan."""
     q = _query_vector(sf_dir)
+    if q is None:
+        return _empty_topk()
     return _sim_e3(
         co.ann_ivf_topk_ds(_embeddings(sf_dir), q, k=10, nlist=8, nprobe=8)
     )
@@ -3130,6 +3145,14 @@ def q_pq_search(sf_dir: str) -> ray.data.Dataset:
     query-to-centroid LUT broadcast, one streaming encode+gather pass,
     per-block top-k merge — the compressed-domain ANN answer path."""
     q = _query_vector(sf_dir)
+    if q is None:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                **{f"code_{s}": pa.array([], pa.int64()) for s in range(4)},
+                "adc2": pa.array([], pa.int64()),
+            }
+        )
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )

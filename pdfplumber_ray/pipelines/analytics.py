@@ -46,6 +46,30 @@ def _anchor_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
     return ray.data.from_arrow(empty).union(ds)
 
 
+def _small_df(ds: Dataset, cols: "dict[str, object]"):
+    """``to_pandas()`` for a SMALL (report-sized) aggregate with a
+    guaranteed schema.
+
+    Ray's ``groupby().aggregate()`` over a zero-row input yields a
+    dataset with no derivable schema, so ``to_pandas()`` returns a frame
+    with ZERO columns and downstream column access raises ``KeyError``
+    (the recurring empty-corpus crash class).  ``cols`` maps column name
+    -> pandas/numpy dtype; when the collect comes back column-less the
+    helper substitutes a typed empty frame so the empty path flows
+    through the same vectorized code as the populated one."""
+    return _ensure_cols(ds.to_pandas(), cols)
+
+
+def _ensure_cols(df, cols: "dict[str, object]"):
+    """Substitute a typed empty frame when a small collect came back
+    column-less (see :func:`_small_df`); pass populated frames through."""
+    import pandas as pd
+
+    if df.shape[1] == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+    return df
+
+
 def _mix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer over an int64/uint64 array — the
     deterministic cross-worker bucket hash for integer keys (Python's
@@ -558,6 +582,10 @@ def keep_latest_ds(
     def bucket_latest(group: pa.Table) -> pa.Table:
         return block_latest(group.drop_columns(["bkt"]))
 
+    if events.schema(fetch_if_missing=True) is None:
+        # empty input with no derivable schema: keep-latest of nothing
+        # is nothing; hand the (empty) input straight back
+        return events
     ev_schema = pa.schema(
         [
             pa.field(n, t)
@@ -765,8 +793,8 @@ def quality_audit_ds(
         (int_col, "n_rows", int(scal["sum(n_rows)"] or 0)),
         (text_col, "n_null", int(scal["sum(n_null_text)"] or 0)),
         (text_col, "n_empty", int(scal["sum(n_empty_text)"] or 0)),
-        (int_col, "min_value", int(scal["min(v_min)"])),
-        (int_col, "max_value", int(scal["max(v_max)"])),
+        (int_col, "min_value", int(scal["min(v_min)"] or 0)),
+        (int_col, "max_value", int(scal["max(v_max)"] or 0)),
     ] + [(c, "n_distinct", dmap.get(c, 0)) for c in cat_cols]
     return ray.data.from_arrow(
         pa.table(
@@ -1194,7 +1222,11 @@ def rollup_ds(
         .aggregate(Sum("sum_partial"), Sum("n_partial"))
     )
     rows = leaf.take_all()
-    key_vals = {k: np.array([str(r[k]) for r in rows]) for k in keys}
+    # dtype=str keeps the zero-row case a unicode array (a bare
+    # np.array([]) is float64 and np.char.add refuses to concatenate it)
+    key_vals = {
+        k: np.array([str(r[k]) for r in rows], dtype=str) for k in keys
+    }
     sums = np.array([r["sum(sum_partial)"] for r in rows], np.int64)
     ns = np.array([r["sum(n_partial)"] for r in rows], np.int64)
 
@@ -1216,6 +1248,8 @@ def rollup_ds(
             for k in kept[1:]:
                 comp = np.char.add(np.char.add(comp, "\x1f"), key_vals[k])
             uniq, inv = np.unique(comp, return_inverse=True)
+            if len(uniq) == 0:  # empty input: this grouping set has no rows
+                continue
             order = np.argsort(inv, kind="stable")
             starts = np.flatnonzero(
                 np.concatenate(([True], inv[order][1:] != inv[order][:-1]))
@@ -1409,6 +1443,15 @@ def hash_join_ds(
     key lands one bucket; cap or salt upstream for pathological N:M
     fan-out (the output itself is |matches|-sized regardless of
     strategy)."""
+    if (
+        left.schema(fetch_if_missing=True) is None
+        or right.schema(fetch_if_missing=True) is None
+    ):
+        # a side is empty with no derivable schema (zero blocks after its
+        # upstream transforms) — the join output is necessarily empty,
+        # and its payload columns are unknowable; return a typed-empty
+        # sentinel the query boundary can still count/collect.
+        return ray.data.from_arrow(pa.table({}))
     lpay = [c for c in left.schema().names if c != left_key]
     rpay = [c for c in right.schema().names if c != right_key]
     overlap = set(lpay) & set(rpay)
@@ -5495,13 +5538,13 @@ def chi2_assoc_ds(
             {col_a: g.column(col_a), col_b: g.column(col_b), "n": g.column("n_sum")}
         )
 
-    cells = (
+    cells = _small_df(
         ds.select_columns([col_a, col_b])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby([col_a, col_b])
-        .aggregate(Sum("n"))
-        .to_pandas()  # tiny: one row per observed cell
-    )
+        .aggregate(Sum("n")),
+        {col_a: object, col_b: object, "sum(n)": np.int64},
+    )  # tiny: one row per observed cell
     obs = {
         (ai, bi): int(oi)
         for ai, bi, oi in zip(cells[col_a], cells[col_b], cells["sum(n)"])
@@ -5655,7 +5698,11 @@ def robust_scale_ds(
             f"(group, value) domain ({hist.count()}) exceeds "
             f"max_domain_broadcast={max_domain_broadcast}"
         )
-    df = hist.to_pandas().sort_values(["g", "v"]).reset_index(drop=True)
+    df = (
+        _small_df(hist, {"g": object, "v": np.int64, "sum(n)": np.int64})
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
     cuts: Dict[str, Tuple[int, int]] = {}
     for gname, sub in df.groupby("g", sort=False):
         vals = sub["v"].to_numpy(dtype=np.int64)
@@ -5764,11 +5811,11 @@ def keyness_ds(
             {"term": batch.column("term"), "ct": batch.column("sum(c)")}
         )
 
-    tt = (
+    tt = _small_df(
         st.map_batches(term_tot_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term")
-        .aggregate(Sum("ct"))
-        .to_pandas()
+        .aggregate(Sum("ct")),
+        {"term": object, "sum(ct)": np.int64},
     )
     terms_sorted = np.asarray(tt["term"].tolist(), dtype=object).astype(str)
     ct_sorted = tt["sum(ct)"].to_numpy(dtype=np.int64)
@@ -5840,9 +5887,12 @@ def keyness_ds(
             }
         )
 
-    cands = st.map_batches(
-        score_topk, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()  # sources x block-k rows, tiny
+    cands = _ensure_cols(
+        st.map_batches(
+            score_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas(),  # sources x block-k rows, tiny
+        {"s": object, "term": object, "c_s": np.int64, "lift_e6": np.int64},
+    )
     rows = []
     for s, sub in cands.groupby("s", sort=True):
         sub = sub.sort_values(
@@ -6090,6 +6140,7 @@ def changepoint_ds(
         .aggregate(Sum("n"))
         .to_pandas()  # report-sized: types x windows
     )
+    df = _ensure_cols(df, {type_col: object, "w": np.int64, "sum(n)": np.int64})
     types_out, nw_out, cw_out, dev_out = [], [], [], []
     for tname, sub in df.groupby(type_col, sort=True):
         w = sub["w"].to_numpy(dtype=np.int64)
@@ -6173,15 +6224,21 @@ def revenue_by_nation_ds(
             f"customer side ({n_cust} rows) exceeds max_lookup_rows="
             f"{max_lookup_rows}; use a second bucketed join"
         )
-    cdf = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+    cdf = _ensure_cols(
+        customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas(),
+        {"c_custkey": np.int64, "c_nationkey": np.int64},
+    )
     ckeys = cdf["c_custkey"].to_numpy(dtype=np.int64)
     cnat = cdf["c_nationkey"].to_numpy(dtype=np.int64)
     o = np.argsort(ckeys, kind="stable")
     ckeys, cnat = ckeys[o], cnat[o]
-    ndf = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    ndf = _ensure_cols(
+        nation.select_columns(["n_nationkey", "n_name"]).to_pandas(),
+        {"n_nationkey": np.int64, "n_name": object},
+    )
     # nation keys are small ints: direct-index name table
     nkeys = ndf["n_nationkey"].to_numpy(dtype=np.int64)
-    names_tbl = np.empty(int(nkeys.max()) + 1, dtype=object)
+    names_tbl = np.empty(int(nkeys.max()) + 1 if len(nkeys) else 0, dtype=object)
     names_tbl[nkeys] = ndf["n_name"].to_numpy(dtype=object)
     cust_ref = ray.put((ckeys, cnat, names_tbl))
 
@@ -6268,6 +6325,7 @@ def symbolize_ds(
         .aggregate(Sum("n"))
         .to_pandas()
     )
+    df = _ensure_cols(df, {type_col: object, "w": np.int64, "sum(n)": np.int64})
     types_out, nw_out, word_out = [], [], []
     for tname, sub in df.groupby(type_col, sort=True):
         w = sub["w"].to_numpy(dtype=np.int64)
@@ -6354,7 +6412,24 @@ def weighted_median_ds(
     )
     if hist.count() > max_domain_broadcast:
         raise ValueError("value domain exceeds max_domain_broadcast")
-    df = hist.to_pandas().sort_values("v").reset_index(drop=True)
+    df = (
+        _small_df(
+            hist, {"v": np.int64, "sum(c)": np.int64, "sum(wt)": np.int64}
+        )
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    if len(df) == 0:  # empty corpus: no median exists — zero-row report
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "wmedian": pa.array([], pa.int64()),
+                    "total_weight": pa.array([], pa.int64()),
+                    "plain_median": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        )
     vals = df["v"].to_numpy(dtype=np.int64)
     cnts = df["sum(c)"].to_numpy(dtype=np.int64)
     wts = df["sum(wt)"].to_numpy(dtype=np.int64)
@@ -6496,6 +6571,7 @@ def periodicity_ds(
         .aggregate(Sum("n"))
         .to_pandas()
     )
+    df = _ensure_cols(df, {type_col: object, "w": np.int64, "sum(n)": np.int64})
     types_out, nw_out, lag_out, ac_out = [], [], [], []
     for tname, sub in df.groupby(type_col, sort=True):
         w = sub["w"].to_numpy(dtype=np.int64)
@@ -6691,11 +6767,15 @@ def benford_audit_ds(
         .aggregate(Sum("n"))
         .materialize()
     )
-    df = hist.to_pandas().sort_values("digit").reset_index(drop=True)
+    df = (
+        _small_df(hist, {"digit": np.int64, "sum(n)": np.int64})
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
     digits = df["digit"].to_numpy(dtype=np.int64)
     counts = df["sum(n)"].to_numpy(dtype=np.int64)
     total = int(counts.sum())
-    share = counts * 1_000_000_000 // total
+    share = counts * 1_000_000_000 // max(total, 1)
     bexp = np.array(
         [_BENFORD_E9[d - 1] for d in digits], dtype=np.int64
     )
@@ -6754,7 +6834,9 @@ def spearman_corr_ds(
     )
     if joint.count() > max_domain_broadcast:
         raise ValueError("joint value domain exceeds max_domain_broadcast")
-    df = joint.to_pandas()
+    df = _small_df(
+        joint, {"x": np.int64, "y": np.int64, "sum(c)": np.int64}
+    )
     xs = df["x"].to_numpy(dtype=np.int64)
     ys = df["y"].to_numpy(dtype=np.int64)
     cs = df["sum(c)"].to_numpy(dtype=np.int64)
@@ -6904,7 +6986,11 @@ def gini_concentration_ds(
     )
     if hist.count() > max_domain_broadcast:
         raise ValueError("value domain exceeds max_domain_broadcast")
-    df = hist.to_pandas().sort_values("v").reset_index(drop=True)
+    df = (
+        _small_df(hist, {"v": np.int64, "sum(c)": np.int64})
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
     vals = df["v"].to_numpy(dtype=np.int64)
     cnts = df["sum(c)"].to_numpy(dtype=np.int64)
     n = int(cnts.sum())
@@ -7034,7 +7120,9 @@ def type_cross_corr_ds(
         .aggregate(Sum("n"))
         .materialize()
     )
-    df = cells.to_pandas()
+    df = _small_df(
+        cells, {"et": object, "w": np.int64, "sum(n)": np.int64}
+    )
     ets = df["et"].to_numpy(dtype=object).astype(str)
     ws = df["w"].to_numpy(dtype=np.int64)
     ns = df["sum(n)"].to_numpy(dtype=np.int64)
@@ -7902,6 +7990,7 @@ def kendall_pairs_ds(
         .aggregate(Sum("n"))
         .to_pandas()
     )
+    df = _ensure_cols(df, {type_col: object, "w": np.int64, "sum(n)": np.int64})
     types_out, nw, con, dis, tie = [], [], [], [], []
     for tname, sub in df.groupby(type_col, sort=True):
         s = sub.sort_values("w")

@@ -403,7 +403,15 @@ def temperature_mix_ds(
         .aggregate(Sum("d"), Sum("w"))
         .materialize()  # tiny: one row per stratum
     )
-    words = [int(r) for r in agg.to_pandas()["sum(w)"]]
+    from .analytics import _small_df
+
+    words = [
+        int(r)
+        for r in _small_df(
+            agg,
+            {ga: object, gb: object, "sum(d)": np.int64, "sum(w)": np.int64},
+        )["sum(w)"]
+    ]
     total_sqrt = sum(math.isqrt(w) for w in words)
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -3189,6 +3197,16 @@ def semantic_dedup_pairs_ds(
     ).iter_batches(batch_format="pyarrow"):
         cand_ids.extend(b.column(id_col).to_pylist())
         cand_vecs.extend(_as_matrix(b.column(vec_col)))
+    if not cand_vecs:  # empty embedding table: no clusters, no pairs
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        )
     order = np.argsort(np.asarray(cand_ids), kind="stable")[:n_clusters]
     cent = np.stack([cand_vecs[i] for i in order])
     cn = np.linalg.norm(cent, axis=1)
@@ -6072,13 +6090,20 @@ def token_budget_select_ds(
         .aggregate(Sum("w"))
         .to_pandas()  # tiny: one row per distinct score
     )
+    from .analytics import _ensure_cols
+
+    classes = _ensure_cols(classes, {"score": np.int64, "sum(w)": np.int64})
     sc = classes["score"].to_numpy(dtype=np.int64)
     wc = classes["sum(w)"].to_numpy(dtype=np.int64)
     order = np.argsort(-sc)  # score DESC
     sc, wc = sc[order], wc[order]
     if budget_tokens is None:
         budget_tokens = int(wc.sum()) * budget_permille // 1000
-    offsets = np.concatenate(([0], np.cumsum(wc)[:-1]))
+    offsets = (
+        np.concatenate(([0], np.cumsum(wc)[:-1]))
+        if len(wc)
+        else np.zeros(0, dtype=np.int64)
+    )
     live = offsets < budget_tokens  # classes that can still contribute
     offset_map = {int(s): int(o) for s, o in zip(sc[live], offsets[live])}
     offset_ref = ray.put(offset_map)
@@ -6362,7 +6387,13 @@ def apportion_quota_ds(
         .aggregate(Sum("d"))
         .materialize()  # tiny: one row per stratum
     )
-    df = agg.to_pandas().sort_values([ga, gb]).reset_index(drop=True)
+    from .analytics import _small_df
+
+    df = (
+        _small_df(agg, {ga: object, gb: object, "sum(d)": np.int64})
+        .sort_values([ga, gb])
+        .reset_index(drop=True)
+    )
     n = df["sum(d)"].to_numpy(dtype=np.int64)
     total = int(n.sum())
     base = k * n // max(total, 1)
@@ -6460,7 +6491,11 @@ def bigram_surprisal_ds(
             f"gram vocabulary ({n_vocab}) exceeds max_vocab_broadcast="
             f"{max_vocab_broadcast}; shard the count map"
         )
-    df = vocab_rows.to_pandas()
+    from .analytics import _small_df
+
+    df = _small_df(
+        vocab_rows, {"g": object, "k": np.int64, "sum(c)": np.int64}
+    )
     uni_m = df[df["k"] == 1]
     big_m = df[df["k"] == 2]
     ut = np.asarray(uni_m["g"].tolist(), dtype=object).astype(str)
@@ -6616,7 +6651,26 @@ def length_buckets_ds(
             f"value domain ({hist.count()}) exceeds "
             f"max_domain_broadcast={max_domain_broadcast}"
         )
-    df = hist.to_pandas().sort_values("v").reset_index(drop=True)
+    from .analytics import _small_df
+
+    df = (
+        _small_df(hist, {"v": np.int64, "sum(c)": np.int64})
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    if len(df) == 0:  # empty corpus: no buckets to report
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "max_len": pa.array([], pa.int64()),
+                    "sum_len": pa.array([], pa.int64()),
+                    "padding": pa.array([], pa.int64()),
+                    "padding_permille": pa.array([], pa.int64()),
+                }
+            )
+        )
     vals = df["v"].to_numpy(dtype=np.int64)
     cnts = df["sum(c)"].to_numpy(dtype=np.int64)
     cum = np.cumsum(cnts)
@@ -6800,9 +6854,14 @@ def term_coverage_ds(
             }
         )
 
-    cand = vocab.map_batches(
-        topk_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()  # blocks x kmax rows, tiny
+    from .analytics import _ensure_cols
+
+    cand = _ensure_cols(
+        vocab.map_batches(
+            topk_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas(),  # blocks x kmax rows, tiny
+        {"term": object, "c": np.int64},
+    )
     terms = np.asarray(cand["term"].tolist(), dtype=object).astype(str)
     c = cand["c"].to_numpy(dtype=np.int64)
     order = np.lexsort((terms, -c))
@@ -6968,7 +7027,11 @@ def backoff_surprisal_ds(
     )
     if vocab_rows.count() > max_vocab_broadcast:
         raise ValueError("train gram vocabulary exceeds max_vocab_broadcast")
-    df = vocab_rows.to_pandas()
+    from .analytics import _small_df
+
+    df = _small_df(
+        vocab_rows, {"g": object, "k": np.int64, "sum(c)": np.int64}
+    )
     uni_m = df[df["k"] == 1]
     big_m = df[df["k"] == 2]
     ut = np.asarray(uni_m["g"].tolist(), dtype=object).astype(str)
@@ -7457,7 +7520,9 @@ def prefix_filter_pairs_ds(
     df_tbl = toks_ds.groupby("token").aggregate(_Count()).materialize()
     if df_tbl.count() > max_vocab_broadcast:
         raise ValueError("token vocabulary exceeds max_vocab_broadcast")
-    vdf = df_tbl.to_pandas()
+    from .analytics import _small_df
+
+    vdf = _small_df(df_tbl, {"token": object, "count()": np.int64})
     vocab = np.sort(vdf["token"].to_numpy(dtype=object).astype(str))
     dfs = np.empty(len(vocab), dtype=np.int64)
     order = np.argsort(vdf["token"].to_numpy(dtype=object).astype(str))

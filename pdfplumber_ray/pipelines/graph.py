@@ -1429,6 +1429,16 @@ def label_prop_step_ds(
 
     adj_ds = edges.map_batches(adj, batch_format="pyarrow", zero_copy_batch=True)
     adj_ds = adj_ds.materialize()  # consumed by l1 AND the attach
+    if adj_ds.count() == 0:  # no qualifying edges: no communities
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "votes": pa.array([], pa.int64()),
+                }
+            )
+        )
     l1 = adj_ds.groupby("node").min("nb")  # (node, min(nb))
     # round-2 input: each adjacency row picks up its neighbor's round-1
     # label via the shared bounded co-group attach
