@@ -1420,6 +1420,7 @@ def q_revenue_by_region(sf_dir: str) -> ray.data.Dataset:
     lut = {
         sk: rk_to_name[nk_to_rk[nk]]
         for sk, nk in zip(sup.column("s_suppkey").to_pylist(), sup.column("s_nationkey").to_pylist())
+        if nk in nk_to_rk and nk_to_rk[nk] in rk_to_name  # inner-join: drop dangling FKs
     }
     lut_ref = ray.put(lut)
 
@@ -1430,12 +1431,13 @@ def q_revenue_by_region(sf_dir: str) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lut_ref)
         names = pa.array(
-            [lookup[s] for s in batch.column("l_suppkey").to_pylist()], pa.string()
-        )
+            [lookup.get(s) for s in batch.column("l_suppkey").to_pylist()],
+            pa.string(),
+        )  # None = dangling FK, dropped below (inner-join semantics)
         cents = pc.cast(
             pc.round(pc.multiply(batch.column("l_extendedprice"), 100)), pa.int64()
         )
-        t = pa.table({"r_name": names, "cents": cents})
+        t = pa.table({"r_name": names, "cents": cents}).filter(pc.is_valid(names))
         g = pa.TableGroupBy(t, ["r_name"]).aggregate([("cents", "sum")])
         return pa.table(
             {"r_name": g.column("r_name"), "p_cents": g.column("cents_sum")}
@@ -1473,9 +1475,10 @@ def q_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lut_ref)
         brands = pa.array(
-            [lookup[p] for p in batch.column("l_partkey").to_pylist()], pa.string()
-        )
-        t = pa.table({"p_brand": brands})
+            [lookup.get(p) for p in batch.column("l_partkey").to_pylist()],
+            pa.string(),
+        )  # None = dangling FK, dropped below (inner-join semantics)
+        t = pa.table({"p_brand": brands}).filter(pc.is_valid(brands))
         g = pa.TableGroupBy(t, ["p_brand"]).aggregate([("p_brand", "count")])
         return pa.table(
             {

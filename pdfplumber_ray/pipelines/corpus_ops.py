@@ -1873,8 +1873,16 @@ def _emb_blocks(refs_key, refs, id_col: str):
         _EMB_BLOCK_CACHE.clear()
         blocks = []
         for t in ray.get(list(refs)):
+            # zero-row blocks can carry the pre-transform schema (the
+            # batcher skips the UDF on empty blocks) — nothing to scan
+            if t.num_rows == 0 or "_nvec" not in t.schema.names:
+                continue
             col = t.column("_nvec").combine_chunks()
-            mat = col.values.to_numpy(zero_copy_only=True).reshape(len(col), -1)
+            # _nvec is a FixedSizeList: the explicit width also keeps the
+            # reshape valid for 0-row slices (reshape(0, -1) raises)
+            mat = col.values.to_numpy(zero_copy_only=True).reshape(
+                len(col), col.type.list_size
+            )
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
             blocks.append((ids, mat))
         cached = blocks
@@ -5207,6 +5215,11 @@ def _pq_learn(
     if not cand:
         return None
     init = np.array([np.asarray(r["_qv"], np.float64) for r in cand[:k]])
+    if len(init) < k:
+        # fewer vectors than centroids: pad by repeating the last init
+        # row — ties assign to the smallest centroid id, so duplicate
+        # centroids never win an assignment and encoding is unchanged
+        init = np.vstack([init, np.repeat(init[-1:], k - len(init), axis=0)])
     d = init.shape[1]
     if d % m_sub:
         raise ValueError(f"dim {d} not divisible by m_sub={m_sub}")
@@ -9141,7 +9154,9 @@ def semantic_decontaminate_ds(
         ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         keep = (ids % eval_mod) != 0
         t = batch.filter(pa.array(keep))
-        m = _as_matrix(t.column(vec_col))
+        # matrix from the UNfiltered batch, rows filtered after: keeps the
+        # true vector width even when every row of this batch is held out
+        m = _as_matrix(batch.column(vec_col))[keep]
         q = np.ascontiguousarray(np.floor(m * 1e6))
         flat = pa.array(q.reshape(-1), pa.float64())
         return pa.table(

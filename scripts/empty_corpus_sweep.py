@@ -26,12 +26,20 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_empty_corpus(src: str, dst: str) -> None:
+def make_empty_corpus(src: str, dst: str, rows: int = 0) -> None:
+    """Write a degenerate clone of every table: zero rows (schema only)
+    when ``rows == 0``, else the first ``rows`` real rows — the n=1 case
+    exercises the n<2 branches (singleton groups, variance-of-one,
+    no-pair similarity) that empty tables skip entirely."""
     os.makedirs(dst, exist_ok=True)
     for f in sorted(os.listdir(src)):
         if f.endswith(".parquet"):
-            sch = pq.read_schema(os.path.join(src, f))
-            pq.write_table(sch.empty_table(), os.path.join(dst, f))
+            if rows == 0:
+                sch = pq.read_schema(os.path.join(src, f))
+                pq.write_table(sch.empty_table(), os.path.join(dst, f))
+            else:
+                t = pq.read_table(os.path.join(src, f))
+                pq.write_table(t.slice(0, rows), os.path.join(dst, f))
 
 
 def main() -> int:
@@ -39,9 +47,12 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.001")
     ap.add_argument("--dst", default="/tmp/sf_empty")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--rows", type=int, default=0, help="0 = empty tables; N = first N rows"
+    )
     args = ap.parse_args()
 
-    make_empty_corpus(args.src, args.dst)
+    make_empty_corpus(args.src, args.dst, rows=args.rows)
 
     import ray
 

@@ -62,6 +62,22 @@ CRASHED_R5 = [
     "weighted_median",
 ]
 
+# every query that crashed in the round-5 SINGLE-ROW sweep (n=1): the
+# n<k PQ codebook init, eval-split-empties-the-train-side embedding
+# staging, schema-carrying zero-row object-store blocks, and dangling
+# foreign keys against one-row dimension tables
+CRASHED_R5_ONE_ROW = [
+    "embedding_near_dup",
+    "knn_graph",
+    "mutual_knn",
+    "parts_by_brand",
+    "pq_encode",
+    "pq_search",
+    "revenue_by_region",
+    "semantic_decontaminate",
+    "semantic_families",
+]
+
 SRC = "/root/testdata/sf0.001"
 
 
@@ -91,4 +107,22 @@ def test_query_survives_empty_corpus(ray_session, empty_corpus, name):
     # report-style ops may legitimately emit a few summary rows
     # (grand-total rollup row, zeroed coverage rows); the contract is
     # "no crash, bounded output", not "zero rows"
+    assert _n_rows(out) <= 10
+
+
+@pytest.fixture(scope="module")
+def one_row_corpus(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("sf_one")
+    for f in sorted(os.listdir(SRC)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(SRC, f))
+            pq.write_table(t.slice(0, 1), str(dst / f))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", CRASHED_R5_ONE_ROW)
+def test_query_survives_one_row_corpus(ray_session, one_row_corpus, name):
+    import __ray_entry__ as e
+
+    out = e.queries()[name](one_row_corpus)
     assert _n_rows(out) <= 10
