@@ -4106,7 +4106,37 @@ def q_sentence_stats(sf_dir: str) -> ray.data.Dataset:
     return an.sentence_stats_ds(_documents(sf_dir))
 
 
+def q_kappa_agreement(sf_dir: str) -> ray.data.Dataset:
+    """Cohen's kappa (exact integer num/den components) between the
+    declared lang column and the stopword detector: the chance-corrected
+    label-quality audit, riding the lang_confusion combiner — only the
+    langs x langs matrix reaches the driver."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+    return co.kappa_agreement_ds(docs)
+
+
+def q_minimizer_sketch(sf_dir: str) -> ray.data.Dataset:
+    """(w=4, k=2) minimizer sketch audit per doc: windowed min over
+    md5_u64 bigram-shingle hashes; emits shingle count, distinct
+    minimizer count and a 63-bit xor checksum of the sketch — zero
+    shuffle, one sliding_window_view per batch."""
+    return co.minimizer_sketch_ds(_documents(sf_dir), w=4)
+
+
+def q_bool_retrieval(sf_dir: str) -> ray.data.Dataset:
+    """Conjunctive (AND) retrieval: docs containing ALL top-3 tokens by
+    document frequency (df DESC, token ASC) — df combiner + per-block
+    top-k, query terms broadcast in the closure, one streaming
+    np.isin membership pass."""
+    return co.bool_retrieval_ds(_documents(sf_dir), n_terms=3)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "kappa_agreement": q_kappa_agreement,
+    "minimizer_sketch": q_minimizer_sketch,
+    "bool_retrieval": q_bool_retrieval,
     "dim_covariance": q_dim_covariance,
     "lsh_recall_audit": q_lsh_recall_audit,
     "lang_fertility": q_lang_fertility,
@@ -4400,6 +4430,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "kappa_agreement",
+    "minimizer_sketch",
+    "bool_retrieval",
     "dim_covariance",
     "lsh_recall_audit",
     "lang_fertility",
@@ -8512,4 +8545,66 @@ ORACLES["surprisal"] = """
            CAST(sum(bits) AS BIGINT) AS surprisal_bits,
            CAST(1000 * sum(bits) // count(*) AS BIGINT) AS mean_bits_e3
     FROM b GROUP BY doc_id
+"""
+ORACLES["kappa_agreement"] = f"""
+    WITH s AS (SELECT lang, {_LANG_SCORES} FROM documents),
+    p AS (SELECT lang AS declared,
+                 CASE WHEN s_en=0 AND s_es=0 AND s_de=0 AND s_fr=0 THEN 'und'
+                      WHEN s_en>=s_es AND s_en>=s_de AND s_en>=s_fr THEN 'en'
+                      WHEN s_es>=s_de AND s_es>=s_fr THEN 'es'
+                      WHEN s_de>=s_fr THEN 'de'
+                      ELSE 'fr' END AS detected
+          FROM s),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(coalesce(count(*) FILTER (declared = detected), 0)
+                     AS BIGINT) AS n_agree
+            FROM p),
+    r AS (SELECT declared AS k, CAST(count(*) AS BIGINT) AS rk FROM p GROUP BY 1),
+    c AS (SELECT detected AS k, CAST(count(*) AS BIGINT) AS ck FROM p GROUP BY 1),
+    pe AS (SELECT CAST(coalesce(sum(rk * ck), 0) AS BIGINT) AS pe_num
+           FROM r JOIN c USING (k))
+    SELECT n_total, n_agree, pe_num,
+           n_total * n_agree - pe_num AS kappa_num,
+           n_total * n_total - pe_num AS kappa_den
+    FROM tot, pe
+"""
+ORACLES["minimizer_sketch"] = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tk AS (SELECT doc_id,
+                  CAST(generate_subscripts(toks, 1) AS BIGINT) AS i,
+                  unnest(toks) AS tok
+           FROM t),
+    s AS (SELECT doc_id, i,
+                 ('0x' || substr(md5(tok || ' ' ||
+                      lead(tok) OVER (PARTITION BY doc_id ORDER BY i)), 1, 16)
+                 )::UBIGINT AS h
+          FROM tk
+          QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL),
+    w AS (SELECT doc_id, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+          FROM s),
+    m AS (SELECT DISTINCT doc_id, wmin FROM w WHERE i <= greatest(n - 3, 1)),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_minimizers,
+                   CAST(bit_xor(CAST(wmin % 9223372036854775808 AS BIGINT))
+                     AS BIGINT) AS min_xor
+            FROM m GROUP BY doc_id),
+    ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+           FROM s GROUP BY doc_id)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           coalesce(ns.n_shingles, 0) AS n_shingles,
+           coalesce(agg.n_minimizers, 0) AS n_minimizers,
+           coalesce(agg.min_xor, 0) AS min_xor
+    FROM documents d LEFT JOIN ns USING (doc_id) LEFT JOIN agg USING (doc_id)
+"""
+ORACLES["bool_retrieval"] = """
+    WITH td AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    df AS (SELECT token, count(*) AS df FROM td GROUP BY 1),
+    top3 AS (SELECT token FROM df ORDER BY df DESC, token LIMIT 3)
+    SELECT CAST(td.doc_id AS BIGINT) AS doc_id
+    FROM td JOIN top3 USING (token)
+    GROUP BY td.doc_id
+    HAVING count(*) = (SELECT count(*) FROM top3)
 """

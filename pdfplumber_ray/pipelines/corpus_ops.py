@@ -9984,3 +9984,273 @@ def hash_collision_audit_ds(
             }
         )
     )
+
+
+def kappa_agreement_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> Dataset:
+    """Cohen's kappa between the declared language label and the n-gram
+    detector — the inter-annotator / label-vs-model agreement audit run
+    before trusting either side of a metadata column (chance-corrected,
+    unlike raw accuracy). INTEGER-EXACT components instead of the float
+    statistic: with ``N`` docs, ``A`` agreements, row marginals ``r_k``
+    and column marginals ``c_k``,
+
+        pe_num    = sum_k r_k * c_k
+        kappa_num = N * A - pe_num      (kappa = kappa_num / kappa_den)
+        kappa_den = N * N - pe_num
+
+    Scale shape: rides :func:`lang_confusion_ds` (per-batch detect +
+    combiner, ONE tiny langs x langs groupby); only the confusion matrix
+    (<= |langs|^2 rows) ever reaches the driver. Emits a single row
+    ``(n_total, n_agree, pe_num, kappa_num, kappa_den)``."""
+    from .analytics import _small_df
+
+    conf = _small_df(
+        lang_confusion_ds(docs, text_col=text_col, lang_col=lang_col),
+        {"declared": object, "detected": object, "n_docs": np.int64},
+    )
+    n = conf["n_docs"].to_numpy(np.int64) if len(conf) else np.empty(0, np.int64)
+    declared = conf["declared"].to_numpy() if len(conf) else np.empty(0, object)
+    detected = conf["detected"].to_numpy() if len(conf) else np.empty(0, object)
+    n_total = int(n.sum())
+    n_agree = int(n[declared == detected].sum()) if len(conf) else 0
+    labels = np.unique(np.concatenate([declared, detected]))
+    pe_num = 0
+    for lab in labels:
+        r_k = int(n[declared == lab].sum())
+        c_k = int(n[detected == lab].sum())
+        pe_num += r_k * c_k
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_total": pa.array([n_total], pa.int64()),
+                "n_agree": pa.array([n_agree], pa.int64()),
+                "pe_num": pa.array([pe_num], pa.int64()),
+                "kappa_num": pa.array([n_total * n_agree - pe_num], pa.int64()),
+                "kappa_den": pa.array([n_total * n_total - pe_num], pa.int64()),
+            }
+        )
+    )
+
+
+def minimizer_sketch_ds(
+    docs: Dataset,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """(w,2)-minimizer sketch audit per document: hash every word bigram
+    shingle (``md5_u64``, the oracle-shared primitive), slide a window of
+    ``w`` consecutive shingles, and keep each window's minimum hash — the
+    minimizer scheme (Roberts et al. 2004, the winnowing/MinHash-lite
+    sketch modern substring-dedup pipelines use to cut shingle volume
+    ~w-fold while guaranteeing any match of length >= w+1 shingles shares
+    a sketch element). Valid window starts are ``1..max(n-w+1, 1)`` (full
+    windows; a doc shorter than ``w`` shingles contributes its single
+    truncated window = the global min).
+
+    Emits ONE row per doc — ``(doc_id, n_shingles, n_minimizers,
+    min_xor)`` where ``n_minimizers`` counts DISTINCT selected hashes and
+    ``min_xor`` xors them mod 2^63 (an order-invariant sketch checksum a
+    SQL oracle reproduces bit-for-bit) — so the compression ratio
+    ``n_minimizers / n_shingles`` is directly auditable.
+
+    Scale shape: pure ``map_batches``, zero shuffle. The sliding-window
+    min is ONE ``sliding_window_view`` over a sentinel-padded flat hash
+    array covering every doc in the batch — no per-doc Python loop for
+    the windowing; per-doc distinctness falls out of one lexsort."""
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.int64())
+        nb = batch.num_rows
+        empty_cols = {
+            id_col: ids,
+            "n_shingles": pa.array(np.zeros(nb, np.int64)),
+            "n_minimizers": pa.array(np.zeros(nb, np.int64)),
+            "min_xor": pa.array(np.zeros(nb, np.int64)),
+        }
+        if nb == 0:
+            return pa.table(empty_cols)
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.maximum(n_tok - 1, 0).astype(np.int64)  # shingles per doc
+        m = int(lens.sum())
+        if m == 0:
+            return pa.table(empty_cols)
+        # flat bigram shingles: tok[i] + ' ' + tok[i+1] within each doc
+        flat_tok = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        tok_base = np.concatenate([[0], np.cumsum(n_tok)[:-1]]).astype(np.int64)
+        sh_base = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        doc_of = np.repeat(np.arange(nb), lens)
+        pos = np.arange(m) - sh_base[doc_of]  # 0-based shingle pos in doc
+        left = flat_tok[tok_base[doc_of] + pos]
+        right = flat_tok[tok_base[doc_of] + pos + 1]
+        h = np.fromiter(
+            (ts.md5_u64(a + " " + b) for a, b in zip(left, right)),
+            np.uint64,
+            count=m,
+        )
+        # sentinel-pad w-1 slots after each doc segment, then ONE
+        # sliding-window min over the padded flat array
+        pad = w - 1
+        padded_len = m + pad * nb
+        padded = np.full(padded_len, sentinel, np.uint64)
+        pbase = sh_base + pad * np.arange(nb)  # padded start of each doc
+        padded[np.repeat(pbase, lens) + pos] = h
+        tail = np.full(pad, sentinel, np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(
+            np.concatenate([padded, tail]), w
+        ).min(axis=1)
+        # valid starts: pos 0 .. max(n-w, 0)
+        valid = pos <= np.maximum(lens - w, 0)[doc_of]
+        wmin = win[np.repeat(pbase, lens) + pos][valid]
+        vdoc = doc_of[valid]
+        # distinct (doc, wmin): lexsort + boundary mask
+        order = np.lexsort((wmin, vdoc))
+        d_s, v_s = vdoc[order], wmin[order]
+        keep = np.ones(d_s.size, dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+        d_u, v_u = d_s[keep], v_s[keep]
+        n_min = np.bincount(d_u, minlength=nb).astype(np.int64)
+        # xor of distinct minimizer hashes mod 2^63, segment-reduced
+        v63 = (v_u & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(n_min)[:-1]]).astype(np.int64)
+        xor = np.zeros(nb, np.int64)
+        has = n_min > 0
+        if v63.size:
+            xor[has] = np.bitwise_xor.reduceat(v63, starts[has])
+        return pa.table(
+            {
+                id_col: ids,
+                "n_shingles": pa.array(lens),
+                "n_minimizers": pa.array(n_min),
+                "min_xor": pa.array(xor),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def bool_retrieval_ds(
+    docs: Dataset,
+    n_terms: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Boolean AND retrieval over the inverted-index tokenization: find
+    every document containing ALL of the corpus's top-``n_terms`` tokens
+    by document frequency (df DESC, token ASC ties) — the conjunctive
+    multi-term query an index serves, expressed here as the
+    data-engine-side posting intersection. Self-contained query choice
+    (top-df terms) keeps the operator deterministic at every corpus size
+    with no external query file.
+
+    Scale shape: df totals via the per-batch DISTINCT (token, doc)
+    combiner -> ONE vocab-sized ``groupby`` -> per-block top-k so the
+    final sort+limit moves <= k rows per block; the k query terms (a
+    constant) broadcast in the task closure; matching is one streaming
+    ``map_batches`` pass with a vectorized ``np.isin`` membership probe
+    and a bincount segment reduce — no second shuffle, no driver loop."""
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), "n_partial": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        d = np.repeat(
+            batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False),
+            n_tok,
+        )
+        # a doc lives in exactly one batch, so per-batch-distinct pairs
+        # are globally distinct: count(pairs) per token IS the df
+        t = (
+            pa.table({"token": flat, "d": pa.array(d, pa.int64())})
+            .group_by(["token", "d"])
+            .aggregate([])
+        )
+        g = t.group_by(["token"]).aggregate([("d", "count")])
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "n_partial": g.column("d_count").cast(pa.int64()),
+            }
+        )
+
+    totals = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(pairs_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n_partial"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        n = batch.column("sum(n_partial)").to_numpy(zero_copy_only=False)
+        toks = batch.column("token")
+        codes = np.unique(
+            toks.to_numpy(zero_copy_only=False).astype(str), return_inverse=True
+        )[1]
+        order = np.lexsort((codes, -n))[:n_terms]
+        return pa.table(
+            {"token": toks.take(pa.array(order)), "df": pa.array(n[order], pa.int64())}
+        )
+
+    from .analytics import _small_df
+
+    top = _small_df(
+        totals.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["df", "token"], descending=[True, False])
+        .limit(n_terms),
+        {"token": object, "df": np.int64},
+    )
+    terms = np.sort(
+        top["token"].astype(str).to_numpy() if len(top) else np.empty(0, str)
+    )
+    k = len(terms)
+
+    def match(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64())})
+        if batch.num_rows == 0 or k == 0:
+            return empty
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(str)
+        if flat.size == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(batch.num_rows), n_tok)
+        # code each token as its index in the sorted terms (clip = miss)
+        code = np.searchsorted(terms, flat)
+        code = np.clip(code, 0, k - 1)
+        hit = terms[code] == flat
+        pairs = np.unique(doc_idx[hit] * k + code[hit])
+        n_hit = np.bincount(pairs // k, minlength=batch.num_rows)
+        sel = np.flatnonzero(n_hit == k)
+        return pa.table(
+            {id_col: batch.column(id_col).cast(pa.int64()).take(pa.array(sel))}
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        match, batch_format="pyarrow", zero_copy_batch=True
+    )

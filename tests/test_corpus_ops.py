@@ -2865,3 +2865,146 @@ def test_lsh_recall_audit_no_pairs_sentinel(ray_session):
     rows = co.lsh_recall_audit_ds(docs, threshold=0.5).take_all()
     assert len(rows) == 1
     assert rows[0] == {"n_lsh": 0, "n_true": 0, "n_hits": 0}
+
+
+def test_kappa_agreement_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # two docs detected 'en' (stopword-heavy), one detected 'und';
+    # declared labels agree on exactly one of them
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(
+                    [
+                        "the of and to in is was the of and",
+                        "the of and to in is was the of and",
+                        "zzz qqq xxx",
+                    ],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en", "de", "und"], pa.string()),
+            }
+        )
+    )
+    row = co.kappa_agreement_ds(docs).take_all()[0]
+    # confusion: (en,en)=1 (de,en)=1 (und,und)=1
+    # rows: en=1 de=1 und=1; cols: en=2 und=1
+    # pe_num = r_en*c_en + r_und*c_und = 1*2 + 1*1 = 3
+    assert row["n_total"] == 3 and row["n_agree"] == 2
+    assert row["pe_num"] == 3
+    assert row["kappa_num"] == 3 * 2 - 3 == 3
+    assert row["kappa_den"] == 9 - 3 == 6
+
+
+def test_kappa_agreement_empty_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {"text": pa.array([], pa.string()), "lang": pa.array([], pa.string())}
+        )
+    )
+    row = co.kappa_agreement_ds(docs).take_all()[0]
+    assert row == {
+        "n_total": 0,
+        "n_agree": 0,
+        "pe_num": 0,
+        "kappa_num": 0,
+        "kappa_den": 0,
+    }
+
+
+def test_minimizer_sketch_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.functions import textstats as ts
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    text = "a b c d e f g"  # 6 bigram shingles, w=4 -> starts 1..3
+    grams = ["a b", "b c", "c d", "d e", "e f", "f g"]
+    h = [ts.md5_u64(g) for g in grams]
+    wmins = {min(h[i : i + 4]) for i in range(3)}
+    expect_xor = 0
+    for v in wmins:
+        expect_xor ^= v % (1 << 63)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "text": pa.array([text], pa.string()),
+            }
+        )
+    )
+    row = co.minimizer_sketch_ds(docs, w=4).take_all()[0]
+    assert row["n_shingles"] == 6
+    assert row["n_minimizers"] == len(wmins)
+    assert row["min_xor"] == expect_xor
+
+
+def test_minimizer_sketch_short_and_empty_docs(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.functions import textstats as ts
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # doc 1: 2 shingles < w -> single truncated window = global min
+    # doc 2: one token -> zero shingles -> zero row
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["x y z", "solo"], pa.string()),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in co.minimizer_sketch_ds(docs, w=4).take_all()}
+    gmin = min(ts.md5_u64("x y"), ts.md5_u64("y z"))
+    assert rows[1]["n_shingles"] == 2
+    assert rows[1]["n_minimizers"] == 1
+    assert rows[1]["min_xor"] == gmin % (1 << 63)
+    assert rows[2] == {"doc_id": 2, "n_shingles": 0, "n_minimizers": 0, "min_xor": 0}
+
+
+def test_bool_retrieval_top_terms_and_conjunction(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # df: alpha=4 beta=3 gamma=3 delta=1 -> top3 = alpha, beta, gamma
+    # (gamma ties beta at df 3; token ASC keeps both over delta)
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta",
+                        "alpha beta gamma",
+                        "alpha beta",
+                        "alpha gamma",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    got = sorted(r["doc_id"] for r in co.bool_retrieval_ds(docs, n_terms=3).take_all())
+    assert got == [1, 2]
+
+
+def test_bool_retrieval_empty_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+    )
+    assert co.bool_retrieval_ds(docs, n_terms=3).take_all() == []

@@ -39,7 +39,9 @@ def test_front_window_holds_new_and_never_sampled():
     keys = list(E.QUERIES.keys())
     first50 = set(keys[:50])
     for name in (
-        # final-session operators (newest — zero external validation)
+        # session-11 operators (newest — zero external validation)
+        "kappa_agreement", "minimizer_sketch", "bool_retrieval",
+        # session-10-final operators
         "dim_covariance", "lsh_recall_audit", "lang_fertility",
         # session-10 operators
         "mutual_knn", "label_prop", "grid_cores", "hits",
@@ -58,10 +60,10 @@ def test_front_window_holds_new_and_never_sampled():
         "main_content", "substring_dedup", "dedup_resolution_cogroup",
         "asof_join_bucketed",
         # session-9 backfill (youngest-first; the tail past slot 50 —
-        # snm_pairs yielded its slot to the final-session ops and stays
+        # snm_pairs, and now prefix_filter_pairs / prefix_filter_verified /
+        # type_cross_corr, yielded their slots to newer ops and stay
         # locally sweep-verified)
         "link_jaccard", "vocab_growth", "shard_balance", "power_iter_step",
-        "prefix_filter_pairs", "prefix_filter_verified", "type_cross_corr",
     ):
         assert name in first50, f"{name} fell outside the driver gate window"
     # the leading block must be exactly the declared rotation order
