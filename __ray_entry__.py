@@ -4133,7 +4133,43 @@ def q_bool_retrieval(sf_dir: str) -> ray.data.Dataset:
     return co.bool_retrieval_ds(_documents(sf_dir), n_terms=3)
 
 
+def q_inversion_count(sf_dir: str) -> ray.data.Dataset:
+    """Stream order-quality audit: per user, exact inversion count —
+    event pairs whose ingest order (event_id) contradicts their event
+    time. One bucketed shuffle, vectorized chunked triangular pair
+    enumeration inside the bucket."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    return an.inversion_count_ds(events)
+
+
+def q_hist_intersection(sf_dir: str) -> ray.data.Dataset:
+    """Histogram-intersection overlap between the length distributions
+    of the two largest sources (256-char buckets) — integer-exact
+    distribution-drift check; only the (sources x buckets) domain
+    reaches the driver."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return co.hist_intersection_ds(docs, bucket_width=256)
+
+
+def q_marginal_vocab(sf_dir: str) -> ray.data.Dataset:
+    """Marginal vocabulary contribution per source: distinct tokens vs
+    tokens owned under the lexicographic-first-source greedy cover —
+    ONE token-hash bucketed shuffle, in-bucket np.unique is the global
+    distinct."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return co.marginal_vocab_ds(docs)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "inversion_count": q_inversion_count,
+    "hist_intersection": q_hist_intersection,
+    "marginal_vocab": q_marginal_vocab,
     "kappa_agreement": q_kappa_agreement,
     "minimizer_sketch": q_minimizer_sketch,
     "bool_retrieval": q_bool_retrieval,
@@ -4430,6 +4466,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "inversion_count",
+    "hist_intersection",
+    "marginal_vocab",
     "kappa_agreement",
     "minimizer_sketch",
     "bool_retrieval",
@@ -8607,4 +8646,50 @@ ORACLES["bool_retrieval"] = """
     FROM td JOIN top3 USING (token)
     GROUP BY td.doc_id
     HAVING count(*) = (SELECT count(*) FROM top3)
+"""
+ORACLES["inversion_count"] = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+    inv AS (SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_inv
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND a.t > b.t
+            GROUP BY a.user_id),
+    n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM e GROUP BY user_id)
+    SELECT CAST(n.user_id AS BIGINT) AS user_id,
+           n.n_events,
+           n.n_events * (n.n_events - 1) // 2 AS n_pairs,
+           coalesce(inv.n_inv, 0) AS n_inversions
+    FROM n LEFT JOIN inv USING (user_id)
+"""
+ORACLES["hist_intersection"] = """
+    WITH h AS (SELECT source AS g, n_chars // 256 AS b,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1, 2),
+    tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY g),
+    r AS (SELECT g, n, row_number() OVER (ORDER BY n DESC, g) AS rk FROM tot),
+    i AS (SELECT CAST(coalesce(sum(least(ha.c, hb.c)), 0) AS BIGINT)
+                   AS n_intersect
+          FROM h ha JOIN h hb ON ha.b = hb.b
+          WHERE ha.g = (SELECT g FROM r WHERE rk = 1)
+            AND hb.g = (SELECT g FROM r WHERE rk = 2))
+    SELECT (SELECT g FROM r WHERE rk = 1) AS source_a,
+           (SELECT g FROM r WHERE rk = 2) AS source_b,
+           coalesce((SELECT n FROM r WHERE rk = 1), 0) AS n_a,
+           coalesce((SELECT n FROM r WHERE rk = 2), 0) AS n_b,
+           i.n_intersect
+    FROM i
+"""
+ORACLES["marginal_vocab"] = """
+    WITH st AS (SELECT DISTINCT source,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    own AS (SELECT token, min(source) AS owner FROM st GROUP BY token)
+    SELECT st.source,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(coalesce(sum(CASE WHEN own.owner = st.source THEN 1 END), 0)
+             AS BIGINT) AS n_owned_tokens
+    FROM st JOIN own USING (token)
+    GROUP BY st.source
 """

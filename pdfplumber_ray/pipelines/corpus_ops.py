@@ -10254,3 +10254,214 @@ def bool_retrieval_ds(
     return docs.select_columns([id_col, text_col]).map_batches(
         match, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def hist_intersection_ds(
+    docs: Dataset,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    bucket_width: int = 256,
+) -> Dataset:
+    """Histogram-intersection similarity between the length distributions
+    of the two LARGEST sources (doc count DESC, source ASC ties) — the
+    integer-exact distribution-drift check run before mixing two crawls
+    (intersection/size is the overlap coefficient; unlike KS/EMD it
+    needs no floats at all). Emits ONE row ``(source_a, source_b, n_a,
+    n_b, n_intersect)`` with ``n_intersect = sum_b min(cnt_a(b),
+    cnt_b(b))`` over ``value // bucket_width`` buckets; ``source_b`` is
+    NULL (with zero counts) for a single-source corpus.
+
+    Scale shape: per-batch (source, bucket) count combiner -> ONE
+    groupby over the bounded (sources x buckets) domain -> only that
+    domain-sized table reaches the driver."""
+    from .analytics import _small_df
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "b": pa.array([], pa.int64()),
+                    "n_partial": pa.array([], pa.int64()),
+                }
+            )
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "g": batch.column(group_col),
+                "b": pa.array(v // bucket_width, pa.int64()),
+            }
+        )
+        g = t.group_by(["g", "b"]).aggregate([("b", "count")])
+        return pa.table(
+            {
+                "g": g.column("g"),
+                "b": g.column("b"),
+                "n_partial": g.column("b_count").cast(pa.int64()),
+            }
+        )
+
+    hist = _small_df(
+        docs.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "b"])
+        .aggregate(Sum("n_partial")),
+        {"g": object, "b": np.int64, "sum(n_partial)": np.int64},
+    )
+    srcs = hist["g"].to_numpy() if len(hist) else np.empty(0, object)
+    bkts = hist["b"].to_numpy(np.int64) if len(hist) else np.empty(0, np.int64)
+    cnts = hist["sum(n_partial)"].to_numpy(np.int64) if len(hist) else np.empty(0, np.int64)
+    labels, codes = np.unique(srcs.astype(str), return_inverse=True) if len(hist) else (
+        np.empty(0, str),
+        np.empty(0, np.int64),
+    )
+    totals = np.bincount(codes, weights=cnts, minlength=len(labels)).astype(np.int64)
+    order = np.lexsort((labels, -totals))
+    src_a = str(labels[order[0]]) if len(labels) >= 1 else None
+    src_b = str(labels[order[1]]) if len(labels) >= 2 else None
+    n_a = int(totals[order[0]]) if src_a is not None else 0
+    n_b = int(totals[order[1]]) if src_b is not None else 0
+    n_int = 0
+    if src_b is not None:
+        ca: Dict[int, int] = {}
+        for bk, c in zip(bkts[codes == order[0]], cnts[codes == order[0]]):
+            ca[int(bk)] = int(c)
+        for bk, c in zip(bkts[codes == order[1]], cnts[codes == order[1]]):
+            n_int += min(ca.get(int(bk), 0), int(c))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source_a": pa.array([src_a], pa.string()),
+                "source_b": pa.array([src_b], pa.string()),
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+                "n_intersect": pa.array([n_int], pa.int64()),
+            }
+        )
+    )
+
+
+def marginal_vocab_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Marginal vocabulary contribution per source: assign every distinct
+    corpus token to its lexicographically FIRST source (a deterministic
+    greedy set-cover order) and count, per source, both its distinct
+    vocabulary and the tokens it alone contributes under that order —
+    the curation signal for which crawl actually widens coverage vs
+    re-supplying the shared core. Emits ``(source, n_distinct_tokens,
+    n_owned_tokens)``.
+
+    Scale shape: per-batch DISTINCT (source, token) combiner -> ONE
+    shuffle by ``md5(token) % n_buckets`` (bounded groups; every copy of
+    a token co-locates, so in-bucket np.unique IS the global distinct
+    and the in-bucket min IS the global owner) -> per-bucket per-source
+    partial counts -> final groupby over the tiny source domain."""
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("d", pa.int64()),
+            ("o", pa.int64()),
+        ]
+    )
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "bkt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        g = np.repeat(
+            batch.column(group_col).to_numpy(zero_copy_only=False).astype(str), n_tok
+        )
+        t = (
+            pa.table({"g": pa.array(g, pa.string()), "token": flat})
+            .group_by(["g", "token"])
+            .aggregate([])
+        )
+        gl = t.column("token").to_pylist()
+        h = np.fromiter((ts.md5_u64(x) for x in gl), np.uint64, count=len(gl))
+        return t.append_column(
+            "bkt", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        g = group.column("g").to_numpy(zero_copy_only=False).astype(str)
+        tok = group.column("token").to_numpy(zero_copy_only=False).astype(object)
+        # global distinct (token, source) pairs: lexsort + boundary mask
+        order = np.lexsort((g, tok))
+        g_s, t_s = g[order], tok[order]
+        keep = np.ones(g_s.size, dtype=bool)
+        keep[1:] = (t_s[1:] != t_s[:-1]) | (g_s[1:] != g_s[:-1])
+        g_u, t_u = g_s[keep], t_s[keep]
+        # per-source distinct-token partials
+        labels, codes = np.unique(g_u, return_inverse=True)
+        d = np.bincount(codes, minlength=len(labels)).astype(np.int64)
+        # owner = first source per token (sorted by token then source,
+        # so the first row of each token run is the lexicographic min)
+        first = np.ones(t_u.size, dtype=bool)
+        first[1:] = t_u[1:] != t_u[:-1]
+        o = np.bincount(codes[first], minlength=len(labels)).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(labels.astype(object), pa.string()),
+                "d": pa.array(d),
+                "o": pa.array(o),
+            }
+        )
+
+    from .analytics import _anchor_schema
+
+    bucketed = _anchor_schema(
+        docs.select_columns([group_col, text_col])
+        .map_batches(pairs_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_counts, batch_format="pyarrow"),
+        out_schema,
+    )
+    out = bucketed.groupby("source").aggregate(Sum("d"), Sum("o"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "source" not in batch.column_names:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_distinct_tokens": pa.array([], pa.int64()),
+                    "n_owned_tokens": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_distinct_tokens": batch.column("sum(d)").cast(pa.int64()),
+                "n_owned_tokens": batch.column("sum(o)").cast(pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema(
+            [
+                ("source", pa.string()),
+                ("n_distinct_tokens", pa.int64()),
+                ("n_owned_tokens", pa.int64()),
+            ]
+        ),
+    )

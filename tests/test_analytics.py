@@ -2294,3 +2294,74 @@ def test_lang_fertility_hand_computed(ray_session):
         "n_tokens_ws": 3,
         "n_tokens_bpe": int(ts.bpe_token_count(["a b c"])[0]),
     }
+
+
+def test_inversion_count_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # user 1 by ingest order (event_id): ts = 100, 50, 150, 20
+    # inversions: (100,50) (100,20) (50,20) (150,20) -> 4 of C(4,2)=6
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "event_id": pa.array([10, 11, 12, 13, 20], pa.int64()),
+                "ts": pa.array([100, 50, 150, 20, 5], pa.int64()),
+            }
+        )
+    )
+    rows = {r["user_id"]: r for r in an.inversion_count_ds(events).take_all()}
+    assert rows[1] == {
+        "user_id": 1,
+        "n_events": 4,
+        "n_pairs": 6,
+        "n_inversions": 4,
+    }
+    assert rows[2] == {
+        "user_id": 2,
+        "n_events": 1,
+        "n_pairs": 0,
+        "n_inversions": 0,
+    }
+
+
+def test_inversion_count_chunked_matches_unchunked(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    rng = np.random.RandomState(7)
+    n = 60
+    events_tbl = pa.table(
+        {
+            "user_id": pa.array(np.repeat([1, 2, 3], n // 3), pa.int64()),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(rng.randint(0, 50, n).astype(np.int64)),
+        }
+    )
+    big = an.inversion_count_ds(ray.data.from_arrow(events_tbl)).take_all()
+    small = an.inversion_count_ds(
+        ray.data.from_arrow(events_tbl), max_pair_chunk=3
+    ).take_all()
+    key = lambda r: r["user_id"]
+    assert sorted(big, key=key) == sorted(small, key=key)
+
+
+def test_inversion_count_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert an.inversion_count_ds(events).take_all() == []

@@ -3008,3 +3008,95 @@ def test_bool_retrieval_empty_corpus(ray_session):
         )
     )
     assert co.bool_retrieval_ds(docs, n_terms=3).take_all() == []
+
+
+def test_hist_intersection_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # buckets (width 256): a -> {0:1, 1:1, 2:1}; b -> {0:2, 2:1}; c is
+    # third-largest and ignored. intersect = min(1,2)+min(1,0)+min(1,1)=2
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a", "a", "a", "b", "b", "b", "c"]),
+                "n_chars": pa.array([10, 300, 600, 20, 30, 700, 5], pa.int64()),
+            }
+        )
+    )
+    row = co.hist_intersection_ds(docs, bucket_width=256).take_all()[0]
+    assert row == {
+        "source_a": "a",
+        "source_b": "b",
+        "n_a": 3,
+        "n_b": 3,
+        "n_intersect": 2,
+    }
+
+
+def test_hist_intersection_single_source(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["only", "only"]),
+                "n_chars": pa.array([1, 2], pa.int64()),
+            }
+        )
+    )
+    row = co.hist_intersection_ds(docs).take_all()[0]
+    assert row == {
+        "source_a": "only",
+        "source_b": None,
+        "n_a": 2,
+        "n_b": 0,
+        "n_intersect": 0,
+    }
+
+
+def test_marginal_vocab_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # vocab: a = {x, y, z}, b = {z, w, x}; lexicographic-first owner:
+    # x,y,z -> a; w -> b
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a", "a", "b"]),
+                "text": pa.array(["x y", "y z", "z w x"]),
+            }
+        )
+    )
+    rows = {r["source"]: r for r in co.marginal_vocab_ds(docs).take_all()}
+    assert rows["a"] == {
+        "source": "a",
+        "n_distinct_tokens": 3,
+        "n_owned_tokens": 3,
+    }
+    assert rows["b"] == {
+        "source": "b",
+        "n_distinct_tokens": 3,
+        "n_owned_tokens": 1,
+    }
+
+
+def test_marginal_vocab_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert co.marginal_vocab_ds(docs).take_all() == []

@@ -39,7 +39,9 @@ def test_front_window_holds_new_and_never_sampled():
     keys = list(E.QUERIES.keys())
     first50 = set(keys[:50])
     for name in (
-        # session-11 operators (newest — zero external validation)
+        # session-12 operators (newest — zero external validation)
+        "inversion_count", "hist_intersection", "marginal_vocab",
+        # session-11 operators
         "kappa_agreement", "minimizer_sketch", "bool_retrieval",
         # session-10-final operators
         "dim_covariance", "lsh_recall_audit", "lang_fertility",
@@ -60,10 +62,11 @@ def test_front_window_holds_new_and_never_sampled():
         "main_content", "substring_dedup", "dedup_resolution_cogroup",
         "asof_join_bucketed",
         # session-9 backfill (youngest-first; the tail past slot 50 —
-        # snm_pairs, and now prefix_filter_pairs / prefix_filter_verified /
-        # type_cross_corr, yielded their slots to newer ops and stay
-        # locally sweep-verified)
-        "link_jaccard", "vocab_growth", "shard_balance", "power_iter_step",
+        # vocab_growth / shard_balance / power_iter_step joined snm_pairs,
+        # prefix_filter_pairs, prefix_filter_verified and type_cross_corr
+        # in yielding their slots to newer ops; all stay locally
+        # sweep-verified)
+        "link_jaccard",
     ):
         assert name in first50, f"{name} fell outside the driver gate window"
     # the leading block must be exactly the declared rotation order
