@@ -4166,7 +4166,40 @@ def q_marginal_vocab(sf_dir: str) -> ray.data.Dataset:
     return co.marginal_vocab_ds(docs)
 
 
+def q_interarrival_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-user inter-arrival gap stats (count/min/discrete-median/max,
+    exact int64 microseconds) — session-timeout and watermark-budget
+    input; one bucketed shuffle, two lexsorts, zero per-key Python."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return an.interarrival_stats_ds(events)
+
+
+def q_activity_streaks(sf_dir: str) -> ray.data.Dataset:
+    """Per-user gaps-and-islands: distinct active days, longest
+    consecutive-day streak, number of streaks; distinct-cell combiner +
+    one bucketed shuffle."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return an.activity_streaks_ds(events)
+
+
+def q_key_skew_audit(sf_dir: str) -> ray.data.Dataset:
+    """Join-key skew audit of lineitem.l_orderkey: one summary row with
+    group-size max/p99/top-share — the pre-shuffle go/no-go check; only
+    the bounded size histogram reaches the driver."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    return an.key_skew_audit_ds(li, key_col="l_orderkey")
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "interarrival_stats": q_interarrival_stats,
+    "activity_streaks": q_activity_streaks,
+    "key_skew_audit": q_key_skew_audit,
     "inversion_count": q_inversion_count,
     "hist_intersection": q_hist_intersection,
     "marginal_vocab": q_marginal_vocab,
@@ -4466,9 +4499,18 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "interarrival_stats",
+    "activity_streaks",
+    "key_skew_audit",
     "inversion_count",
     "hist_intersection",
     "marginal_vocab",
+    # VERDICT-r4 scale-path twins: pinned directly behind the newest ops
+    # so window pressure from new sessions can never push them past 50
+    "main_content",
+    "substring_dedup",
+    "dedup_resolution_cogroup",
+    "asof_join_bucketed",
     "kappa_agreement",
     "minimizer_sketch",
     "bool_retrieval",
@@ -4511,12 +4553,6 @@ _FRONT_R5 = [
     "fold_leakage",
     "hash_collision_audit",
     "emd_lengths",
-    # VERDICT-r4 scale-path twins: pinned inside the 50-entry window
-    # every round, ahead of the session-9 backfill
-    "main_content",
-    "substring_dedup",
-    "dedup_resolution_cogroup",
-    "asof_join_bucketed",
     # session-9 operators: youngest-first backfill; the overflow past
     # slot 50 (benford/spearman/time-weighted/gini/sentence-stats and
     # the late s9 stats) stays locally sweep-verified every session
@@ -8680,6 +8716,65 @@ ORACLES["hist_intersection"] = """
            coalesce((SELECT n FROM r WHERE rk = 2), 0) AS n_b,
            i.n_intersect
     FROM i
+"""
+ORACLES["interarrival_stats"] = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+    g AS (SELECT user_id,
+                 t - lag(t) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS gap
+          FROM e QUALIFY gap IS NOT NULL),
+    counts AS (SELECT user_id, gap, count(*) AS n FROM g GROUP BY 1, 2),
+    tot AS (SELECT user_id, sum(n) AS N FROM counts GROUP BY 1),
+    cum AS (SELECT user_id, gap,
+                   sum(n) OVER (PARTITION BY user_id ORDER BY gap) AS c
+            FROM counts),
+    med AS (SELECT c.user_id, min(c.gap) AS med_gap
+            FROM cum c JOIN tot t USING (user_id)
+            WHERE c.c >= CAST(ceil(0.5 * t.N) AS BIGINT)
+            GROUP BY 1)
+    SELECT CAST(g.user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(g.gap) AS BIGINT) AS min_gap_us,
+           CAST(med.med_gap AS BIGINT) AS med_gap_us,
+           CAST(max(g.gap) AS BIGINT) AS max_gap_us
+    FROM g JOIN med USING (user_id)
+    GROUP BY g.user_id, med.med_gap
+"""
+ORACLES["activity_streaks"] = """
+    WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    i AS (SELECT user_id, day,
+                 day - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS grp
+          FROM d),
+    s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+          FROM i GROUP BY user_id, grp)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS max_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM s GROUP BY user_id
+"""
+ORACLES["key_skew_audit"] = """
+    WITH s AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz
+               FROM lineitem GROUP BY 1),
+    h AS (SELECT sz, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_keys,
+                   CAST(sum(sz * cnt) AS BIGINT) AS n_rows,
+                   CAST(max(sz) AS BIGINT) AS max_group
+            FROM h),
+    cum AS (SELECT sz, sum(cnt) OVER (ORDER BY sz) AS c FROM h),
+    p99 AS (SELECT CAST(min(cum.sz) AS BIGINT) AS p99_group
+            FROM cum, tot
+            WHERE cum.c >= greatest(CAST(ceil(0.99 * tot.n_keys) AS BIGINT), 1))
+    SELECT coalesce(tot.n_rows, 0) AS n_rows,
+           coalesce(tot.n_keys, 0) AS n_keys,
+           coalesce(tot.max_group, 0) AS max_group,
+           coalesce(p99.p99_group, 0) AS p99_group,
+           coalesce(tot.max_group * 1000000 // nullif(tot.n_rows, 0), 0)
+             AS top_share_ppm
+    FROM tot LEFT JOIN p99 ON TRUE
 """
 ORACLES["marginal_vocab"] = """
     WITH st AS (SELECT DISTINCT source,

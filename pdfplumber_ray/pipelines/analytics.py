@@ -8287,3 +8287,274 @@ def inversion_count_ds(
         .map_groups(count_inversions, batch_format="pyarrow")
     )
     return _anchor_schema(out, out_schema)
+
+
+def interarrival_stats_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Per-key inter-arrival gap statistics ordered by (ts, tie): gap
+    count, min, discrete median (smallest gap whose cumulative count
+    reaches ``ceil(0.5 * n)`` — the engine-portable integer convention
+    shared with grouped_quantiles), and max, all exact int64
+    microseconds. The canonical input for sizing session timeouts and
+    streaming watermark budgets. Keys with fewer than two events emit
+    nothing.
+
+    Scale shape: ONE ``mix64(key) % n_buckets`` shuffle of the 3-column
+    projection (bounded group count); in-bucket one lexsort segments
+    keys, diffs are a single vectorized subtract, and the median is a
+    second lexsort by (key, gap) + per-segment rank pick — no per-key
+    Python."""
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("min_gap_us", pa.int64()),
+            ("med_gap_us", pa.int64()),
+            ("max_gap_us", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(k, pa.int64()),
+                "t": batch.column(ts_col).cast(pa.int64()),
+                "tie": batch.column(tie_col).cast(pa.int64()),
+            }
+        )
+
+    def gap_stats(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows < 2:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        tie = group.column("tie").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, ts_ = k[order], t[order]
+        same = ks[1:] == ks[:-1]
+        if not same.any():
+            return empty
+        gaps = (ts_[1:] - ts_[:-1])[same]
+        gk = ks[1:][same]
+        # sort gaps by (key, gap) so per-key medians are rank picks
+        g_order = np.lexsort((gaps, gk))
+        gk_s, gaps_s = gk[g_order], gaps[g_order]
+        new_key = np.concatenate(([True], gk_s[1:] != gk_s[:-1]))
+        seg_start = np.flatnonzero(new_key)
+        lens = np.diff(np.concatenate((seg_start, [gk_s.size])))
+        med_idx = seg_start + np.ceil(0.5 * lens).astype(np.int64) - 1
+        return pa.table(
+            {
+                key_col: pa.array(gk_s[seg_start], pa.int64()),
+                "n_gaps": pa.array(lens.astype(np.int64)),
+                "min_gap_us": pa.array(gaps_s[seg_start], pa.int64()),
+                "med_gap_us": pa.array(gaps_s[med_idx], pa.int64()),
+                "max_gap_us": pa.array(
+                    gaps_s[seg_start + lens - 1], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        events.select_columns([key_col, ts_col, tie_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(gap_stats, batch_format="pyarrow")
+    )
+    return _anchor_schema(out, out_schema)
+
+
+def activity_streaks_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Per-key activity streaks (gaps-and-islands): distinct active
+    days, the longest run of CONSECUTIVE days, and the number of runs —
+    the retention/engagement compaction every product warehouse
+    maintains. Day = ``ts_us // day_us`` (UTC bucket), all exact int64.
+
+    Scale shape: per-batch DISTINCT (key, day) Arrow combiner shrinks
+    the exchange to active-day cells; ONE ``mix64(key)`` bucketed
+    shuffle; in-bucket a lexsort + boundary masks segment keys and
+    streaks, per-streak lengths come from one bincount and per-key
+    maxima from ``np.maximum.reduceat`` — no per-key Python."""
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("n_active_days", pa.int64()),
+            ("max_streak", pa.int64()),
+            ("n_streaks", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bkt": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                }
+            )
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cells = (
+            pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "day": pa.array(t // day_us, pa.int64()),
+                }
+            )
+            .group_by(["k", "day"])
+            .aggregate([])
+        )
+        ku = cells.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(ku) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": cells.column("k"),
+                "day": cells.column("day"),
+            }
+        )
+
+    def streaks(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        d = group.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))
+        ks, ds_ = k[order], d[order]
+        # distinct (key, day) — batch combiner dedups within batches only
+        keep = np.concatenate(([True], (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])))
+        ks, ds_ = ks[keep], ds_[keep]
+        new_key = np.concatenate(([True], ks[1:] != ks[:-1]))
+        new_streak = new_key.copy()
+        new_streak[1:] |= (ds_[1:] - ds_[:-1]) != 1
+        streak_id = np.cumsum(new_streak) - 1
+        streak_len = np.bincount(streak_id).astype(np.int64)
+        streak_start = np.flatnonzero(new_streak)
+        streak_key = ks[streak_start]
+        key_first_streak = np.flatnonzero(
+            np.concatenate(([True], streak_key[1:] != streak_key[:-1]))
+        )
+        max_streak = np.maximum.reduceat(streak_len, key_first_streak)
+        n_streaks = np.diff(
+            np.concatenate((key_first_streak, [streak_len.size]))
+        ).astype(np.int64)
+        n_days = np.add.reduceat(streak_len, key_first_streak)
+        return pa.table(
+            {
+                key_col: pa.array(streak_key[key_first_streak], pa.int64()),
+                "n_active_days": pa.array(n_days.astype(np.int64)),
+                "max_streak": pa.array(max_streak.astype(np.int64)),
+                "n_streaks": pa.array(n_streaks),
+            }
+        )
+
+    out = (
+        events.select_columns([key_col, ts_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(streaks, batch_format="pyarrow")
+    )
+    return _anchor_schema(out, out_schema)
+
+
+def key_skew_audit_ds(
+    table: Dataset,
+    key_col: str = "l_orderkey",
+    p: float = 0.99,
+) -> Dataset:
+    """Join-key skew audit: ONE summary row ``(n_rows, n_keys,
+    max_group, p99_group, top_share_ppm)`` describing the group-size
+    distribution of a prospective join/shuffle key — the go/no-go check
+    before hash-partitioning 100 TB by that key (a max_group in the
+    millions means salting, cf. the LSH max_bucket caps). ``p99_group``
+    follows the shared discrete-quantile convention (smallest size with
+    cumulative key count >= ceil(p * n_keys)); ``top_share_ppm =
+    max_group * 1e6 // n_rows``. Zero rows in -> one all-zero row out.
+
+    Scale shape: per-batch key-count Arrow combiner -> aggregate-only
+    ``groupby(key).sum`` (never map_groups over near-singleton keys) ->
+    per-batch (size, count) partials -> tiny size-histogram groupby;
+    only the bounded histogram reaches the driver."""
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table({"k": batch.column(key_col).cast(pa.int64())})
+            .group_by("k")
+            .aggregate([("k", "count")])
+        )
+        return pa.table(
+            {"k": g.column("k"), "n": g.column("k_count").cast(pa.int64())}
+        )
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum(n)" not in batch.column_names:
+            return pa.table(
+                {"sz": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table({"sz": batch.column("sum(n)").cast(pa.int64())})
+            .group_by("sz")
+            .aggregate([("sz", "count")])
+        )
+        return pa.table(
+            {"sz": g.column("sz"), "c": g.column("sz_count").cast(pa.int64())}
+        )
+
+    hist = _small_df(
+        table.select_columns([key_col])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("n"))
+        .map_batches(size_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sz")
+        .aggregate(Sum("c")),
+        {"sz": np.int64, "sum(c)": np.int64},
+    )
+    if len(hist):
+        sz = hist["sz"].to_numpy(np.int64)
+        c = hist["sum(c)"].to_numpy(np.int64)
+        order = np.argsort(sz, kind="stable")
+        sz, c = sz[order], c[order]
+        n_keys = int(c.sum())
+        n_rows = int((sz * c).sum())
+        max_group = int(sz[-1])
+        cum = np.cumsum(c)
+        rank = max(int(np.ceil(p * n_keys)), 1)
+        p99_group = int(sz[np.searchsorted(cum, rank)])
+        top_share_ppm = max_group * 1_000_000 // n_rows
+    else:
+        n_keys = n_rows = max_group = p99_group = top_share_ppm = 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "n_keys": pa.array([n_keys], pa.int64()),
+                "max_group": pa.array([max_group], pa.int64()),
+                "p99_group": pa.array([p99_group], pa.int64()),
+                "top_share_ppm": pa.array([top_share_ppm], pa.int64()),
+            }
+        )
+    )

@@ -2365,3 +2365,123 @@ def test_inversion_count_empty(ray_session):
         )
     )
     assert an.inversion_count_ds(events).take_all() == []
+
+
+def test_interarrival_stats_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # user 1 ts: 0, 10, 40, 100 -> gaps 10, 30, 60
+    # median convention: smallest gap with cum count >= ceil(0.5*3)=2 -> 30
+    # user 2: one event -> no row
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array([0, 10, 40, 100, 7], pa.int64()),
+            }
+        )
+    )
+    rows = an.interarrival_stats_ds(events).take_all()
+    assert rows == [
+        {
+            "user_id": 1,
+            "n_gaps": 3,
+            "min_gap_us": 10,
+            "med_gap_us": 30,
+            "max_gap_us": 60,
+        }
+    ]
+
+
+def test_interarrival_stats_even_gap_count_low_median(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # gaps 10, 20, 30, 40: ceil(0.5*4)=2 -> med = 20 (low median)
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([3] * 5, pa.int64()),
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array([0, 10, 30, 60, 100], pa.int64()),
+            }
+        )
+    )
+    row = an.interarrival_stats_ds(events).take_all()[0]
+    assert row["med_gap_us"] == 20 and row["n_gaps"] == 4
+
+
+def test_activity_streaks_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # user 1 days: 0,1,2, 5,6, 9 -> streaks 3,2,1; two events on day 1
+    # user 2 days: 4 -> one streak of 1
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    [0, day, day + 5, 2 * day, 5 * day, 6 * day, 9 * day, 4 * day],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+    rows = {r["user_id"]: r for r in an.activity_streaks_ds(events).take_all()}
+    assert rows[1] == {
+        "user_id": 1,
+        "n_active_days": 6,
+        "max_streak": 3,
+        "n_streaks": 3,
+    }
+    assert rows[2] == {
+        "user_id": 2,
+        "n_active_days": 1,
+        "max_streak": 1,
+        "n_streaks": 1,
+    }
+
+
+def test_key_skew_audit_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # sizes: key 1 -> 6, keys 2..5 -> 1 each; n_keys=5, n_rows=10
+    # p99: ceil(.99*5)=5 -> smallest size with cum>=5 is 6
+    tbl = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([1] * 6 + [2, 3, 4, 5], pa.int64())}
+        )
+    )
+    row = an.key_skew_audit_ds(tbl, key_col="k").take_all()[0]
+    assert row == {
+        "n_rows": 10,
+        "n_keys": 5,
+        "max_group": 6,
+        "p99_group": 6,
+        "top_share_ppm": 600_000,
+    }
+
+
+def test_key_skew_audit_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    tbl = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    row = an.key_skew_audit_ds(tbl, key_col="k").take_all()[0]
+    assert row == {
+        "n_rows": 0,
+        "n_keys": 0,
+        "max_group": 0,
+        "p99_group": 0,
+        "top_share_ppm": 0,
+    }

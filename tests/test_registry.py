@@ -40,7 +40,12 @@ def test_front_window_holds_new_and_never_sampled():
     first50 = set(keys[:50])
     for name in (
         # session-12 operators (newest — zero external validation)
+        "interarrival_stats", "activity_streaks", "key_skew_audit",
         "inversion_count", "hist_intersection", "marginal_vocab",
+        # VERDICT-r4 scale-path twins: pinned directly behind the newest
+        # ops so window pressure can never push them past slot 50
+        "main_content", "substring_dedup", "dedup_resolution_cogroup",
+        "asof_join_bucketed",
         # session-11 operators
         "kappa_agreement", "minimizer_sketch", "bool_retrieval",
         # session-10-final operators
@@ -57,16 +62,9 @@ def test_front_window_holds_new_and_never_sampled():
         "semantic_families", "fd_audit", "index_gap_stats",
         "dataset_card", "pareto_share", "kendall_pairs",
         "source_prefix_audit", "ktruss", "fold_leakage",
-        "hash_collision_audit", "emd_lengths",
-        # VERDICT-r4 scale-path twins: pinned for driver validation
-        "main_content", "substring_dedup", "dedup_resolution_cogroup",
-        "asof_join_bucketed",
-        # session-9 backfill (youngest-first; the tail past slot 50 —
-        # vocab_growth / shard_balance / power_iter_step joined snm_pairs,
-        # prefix_filter_pairs, prefix_filter_verified and type_cross_corr
-        # in yielding their slots to newer ops; all stay locally
-        # sweep-verified)
-        "link_jaccard",
+        # the tail past slot 50 (hash_collision_audit, emd_lengths,
+        # link_jaccard and the earlier session-9 yields) stays locally
+        # sweep-verified every session
     ):
         assert name in first50, f"{name} fell outside the driver gate window"
     # the leading block must be exactly the declared rotation order
