@@ -4196,7 +4196,39 @@ def q_key_skew_audit(sf_dir: str) -> ray.data.Dataset:
     return an.key_skew_audit_ds(li, key_col="l_orderkey")
 
 
+def q_dwell_times(sf_dir: str) -> ray.data.Dataset:
+    """Per-(user, event_type) time-in-state: each event opens a state
+    lasting until the user's next event; one bucketed shuffle, in-bucket
+    lexsort + shifted subtract, Arrow group_by finishes locally."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return an.dwell_times_ds(events)
+
+
+def q_vocab_drift(sf_dir: str) -> ray.data.Dataset:
+    """Adjacent-source vocabulary drift chain: exact distinct-token
+    overlap (n_a, n_b, n_common) per lexicographically consecutive
+    source pair; ONE token-hash bucketed shuffle."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return co.vocab_drift_ds(docs)
+
+
+def q_edit_distance_join(sf_dir: str) -> ray.data.Dataset:
+    """PassJoin-style string-similarity self-join: doc pairs whose
+    36-char padded prefixes are within Levenshtein distance 2 —
+    pigeonhole segment blocking, pair-vectorized DP verify
+    (max_bucket=None keeps the oracle exact)."""
+    return co.edit_distance_join_ds(_documents(sf_dir), max_bucket=None)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "dwell_times": q_dwell_times,
+    "vocab_drift": q_vocab_drift,
+    "edit_distance_join": q_edit_distance_join,
     "interarrival_stats": q_interarrival_stats,
     "activity_streaks": q_activity_streaks,
     "key_skew_audit": q_key_skew_audit,
@@ -4499,6 +4531,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "dwell_times",
+    "vocab_drift",
+    "edit_distance_join",
     "interarrival_stats",
     "activity_streaks",
     "key_skew_audit",
@@ -8716,6 +8751,50 @@ ORACLES["hist_intersection"] = """
            coalesce((SELECT n FROM r WHERE rk = 2), 0) AS n_b,
            i.n_intersect
     FROM i
+"""
+ORACLES["dwell_times"] = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+               FROM events),
+    g AS (SELECT user_id, event_type,
+                 lead(t) OVER (PARTITION BY user_id
+                               ORDER BY t, event_id) - t AS dwell
+          FROM e QUALIFY dwell IS NOT NULL)
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dwell) AS BIGINT) AS total_dwell_us
+    FROM g GROUP BY 1, 2
+"""
+ORACLES["vocab_drift"] = """
+    WITH st AS (SELECT DISTINCT source,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    srcs AS (SELECT source, row_number() OVER (ORDER BY source) AS rk
+             FROM (SELECT DISTINCT source FROM documents)),
+    d AS (SELECT s.rk, CAST(count(*) AS BIGINT) AS n
+          FROM st JOIN srcs s USING (source) GROUP BY 1),
+    common AS (SELECT sa.rk AS rk, CAST(count(*) AS BIGINT) AS n_common
+               FROM st a JOIN srcs sa ON a.source = sa.source
+               JOIN st b ON b.token = a.token
+               JOIN srcs sb ON b.source = sb.source AND sb.rk = sa.rk + 1
+               GROUP BY 1)
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           da.n AS n_a, db.n AS n_b,
+           coalesce(c.n_common, 0) AS n_common
+    FROM srcs sa JOIN srcs sb ON sb.rk = sa.rk + 1
+    JOIN d da ON da.rk = sa.rk
+    JOIN d db ON db.rk = sb.rk
+    LEFT JOIN common c ON c.rk = sa.rk
+"""
+ORACLES["edit_distance_join"] = """
+    WITH p AS (SELECT doc_id,
+                      rpad(substr(coalesce(text, ''), 1, 36), 36, chr(1))
+                        AS pfx
+               FROM documents)
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+           CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_distance
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 2
 """
 ORACLES["interarrival_stats"] = """
     WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),

@@ -8558,3 +8558,89 @@ def key_skew_audit_ds(
             }
         )
     )
+
+
+def dwell_times_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    type_col: str = "event_type",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Per-(key, state) dwell time: each event opens a state named by its
+    ``type_col`` that lasts until the key's NEXT event (any type); emits
+    ``(key, event_type, n_intervals, total_dwell_us)`` — the
+    time-in-state compaction behind engagement and funnel-latency
+    reporting. A key's last event has no successor and contributes
+    nothing.
+
+    Scale shape: ONE ``mix64(key)`` bucketed shuffle of the 4-column
+    projection; a key's rows co-locate, so in-bucket one lexsort +
+    shifted subtract computes every dwell and an Arrow group_by
+    finishes (key, type) locally — no second exchange."""
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            (type_col, pa.string()),
+            ("n_intervals", pa.int64()),
+            ("total_dwell_us", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(k, pa.int64()),
+                "t": batch.column(ts_col).cast(pa.int64()),
+                "tie": batch.column(tie_col).cast(pa.int64()),
+                "typ": batch.column(type_col).cast(pa.string()),
+            }
+        )
+
+    def dwell(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows < 2:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        tie = group.column("tie").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, t, k))
+        ks, ts_ = k[order], t[order]
+        lead = np.concatenate((ks[1:] == ks[:-1], [False]))
+        if not lead.any():
+            return empty
+        d = np.empty(ks.size, np.int64)
+        d[:-1] = ts_[1:] - ts_[:-1]
+        typ = group.column("typ").take(pa.array(order[lead]))
+        g = (
+            pa.table(
+                {
+                    key_col: pa.array(ks[lead], pa.int64()),
+                    type_col: typ,
+                    "dw": pa.array(d[lead], pa.int64()),
+                }
+            )
+            .group_by([key_col, type_col])
+            .aggregate([("dw", "count"), ("dw", "sum")])
+        )
+        return pa.table(
+            {
+                key_col: g.column(key_col),
+                type_col: g.column(type_col),
+                "n_intervals": g.column("dw_count").cast(pa.int64()),
+                "total_dwell_us": g.column("dw_sum").cast(pa.int64()),
+            }
+        )
+
+    out = (
+        events.select_columns([key_col, ts_col, tie_col, type_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(dwell, batch_format="pyarrow")
+    )
+    return _anchor_schema(out, out_schema)

@@ -10465,3 +10465,343 @@ def marginal_vocab_ds(
             ]
         ),
     )
+
+
+def vocab_drift_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Vocabulary-drift chain: for every ADJACENT pair of sources in
+    lexicographic order, the exact distinct-token overlap ``(source_a,
+    source_b, n_a, n_b, n_common)`` — Jaccard is ``n_common / (n_a +
+    n_b - n_common)``, kept as exact integers. The crawl-over-crawl
+    drift audit run before swapping a corpus snapshot.
+
+    Scale shape: the source DOMAIN (tiny by definition) is collected
+    once to fix ranks; per-batch DISTINCT (source, token) combiner ->
+    ONE ``md5(token) % n_buckets`` shuffle (every copy of a token
+    co-locates, so in-bucket np.unique IS the global distinct and
+    rank-adjacency counting is local) -> per-bucket (rank, d, c)
+    partials -> one bounded groupby over ranks."""
+    from .analytics import _anchor_schema, _small_df
+
+    out_schema = pa.schema(
+        [
+            ("source_a", pa.string()),
+            ("source_b", pa.string()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("n_common", pa.int64()),
+        ]
+    )
+    dom = _small_df(
+        docs.select_columns([group_col]).groupby(group_col).count(),
+        {group_col: object},
+    )
+    labels = sorted(str(s) for s in dom[group_col].tolist()) if len(dom) else []
+    if len(labels) < 2:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    rank = {s: i for i, s in enumerate(labels)}
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rk": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.string()),
+                "bkt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(pc.fill_null(batch.column(text_col), ""), pattern=" ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        g = np.repeat(
+            batch.column(group_col).to_numpy(zero_copy_only=False).astype(str), n_tok
+        )
+        t = (
+            pa.table({"g": pa.array(g, pa.string()), "tok": flat})
+            .group_by(["g", "tok"])
+            .aggregate([])
+        )
+        rk = np.fromiter(
+            (rank[s] for s in t.column("g").to_pylist()), np.int64, count=t.num_rows
+        )
+        tl = t.column("tok").to_pylist()
+        h = np.fromiter((ts.md5_u64(x) for x in tl), np.uint64, count=len(tl))
+        return pa.table(
+            {
+                "rk": pa.array(rk, pa.int64()),
+                "tok": t.column("tok"),
+                "bkt": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            }
+        )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rk": pa.array([], pa.int64()),
+                "d": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        rk = group.column("rk").to_numpy(zero_copy_only=False)
+        tok = group.column("tok").to_numpy(zero_copy_only=False).astype(object)
+        order = np.lexsort((rk, tok))
+        rk_s, tok_s = rk[order], tok[order]
+        keep = np.ones(rk_s.size, dtype=bool)
+        keep[1:] = (tok_s[1:] != tok_s[:-1]) | (rk_s[1:] != rk_s[:-1])
+        rk_u, tok_u = rk_s[keep], tok_s[keep]
+        d = np.bincount(rk_u, minlength=len(labels)).astype(np.int64)
+        # adjacency: consecutive distinct rows of the same token with
+        # rank diff exactly 1 (sorted by token then rank)
+        same_tok = tok_u[1:] == tok_u[:-1]
+        adj = same_tok & ((rk_u[1:] - rk_u[:-1]) == 1)
+        c = np.bincount(rk_u[:-1][adj], minlength=len(labels)).astype(np.int64)
+        rks = np.arange(len(labels), dtype=np.int64)
+        nz = (d > 0) | (c > 0)
+        return pa.table(
+            {
+                "rk": pa.array(rks[nz]),
+                "d": pa.array(d[nz]),
+                "c": pa.array(c[nz]),
+            }
+        )
+
+    agg = _small_df(
+        docs.select_columns([group_col, text_col])
+        .map_batches(pairs_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_counts, batch_format="pyarrow")
+        .groupby("rk")
+        .aggregate(Sum("d"), Sum("c")),
+        {"rk": np.int64, "sum(d)": np.int64, "sum(c)": np.int64},
+    )
+    d_tot = np.zeros(len(labels), np.int64)
+    c_tot = np.zeros(len(labels), np.int64)
+    if len(agg):
+        rk_a = agg["rk"].to_numpy(np.int64)
+        d_tot[rk_a] = agg["sum(d)"].to_numpy(np.int64)
+        c_tot[rk_a] = agg["sum(c)"].to_numpy(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source_a": pa.array(labels[:-1], pa.string()),
+                "source_b": pa.array(labels[1:], pa.string()),
+                "n_a": pa.array(d_tot[:-1]),
+                "n_b": pa.array(d_tot[1:]),
+                "n_common": pa.array(c_tot[:-1]),
+            }
+        )
+    )
+
+
+def edit_distance_join_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 36,
+    tau: int = 2,
+    max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+    n_buckets: int = 512,
+) -> Dataset:
+    """String-similarity self-join (PassJoin-style, Li et al. 2011 —
+    public method): all doc pairs whose ``width``-char prefixes (padded
+    with ``\\x01`` to exactly ``width``) are within Levenshtein distance
+    ``tau``. Emits ``(doc_a, doc_b, edit_distance)`` with doc_a < doc_b.
+
+    Blocking is the pigeonhole segment filter: the padded prefix splits
+    into ``tau + 1`` equal segments; any pair within distance tau shares
+    at least one segment, with the survivor's position shifted by at
+    most tau. Docs INDEX their exact segments and PROBE every segment
+    window shifted by -tau..tau; a candidate is verified with an exact
+    Levenshtein DP vectorized ACROSS pairs (one (pairs x width) numpy
+    sweep, no per-pair Python DP).
+
+    Scale shape: the only exchange moves (segment-hash bucket, role,
+    id, prefix) rows; in-bucket searchsorted matches probes to index
+    segments, per-segment caps star-collapse hot keys (empty-text
+    cliques), duplicate candidates collapse via one Min-groupby over
+    the (tiny by construction) verified pair set."""
+    assert width % (tau + 1) == 0, "width must divide into tau+1 segments"
+    seg_w = width // (tau + 1)
+    pad = "\x01"
+
+    def block(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "kh": pa.array([], pa.uint64()),
+                "role": pa.array([], pa.int8()),
+                "doc_id": pa.array([], batch.schema.field(id_col).type),
+                "pfx": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch.column(id_col)
+        texts = batch.column(text_col).to_pylist()
+        pfx = [(t or "")[:width].ljust(width, pad) for t in texts]
+        out_kh: List[int] = []
+        out_role: List[int] = []
+        out_idx: List[int] = []
+        out_pfx: List[str] = []
+        for i, p in enumerate(pfx):
+            seen: set = set()
+            for j in range(tau + 1):
+                base = j * seg_w
+                key = (j, p[base : base + seg_w], 0)
+                if key not in seen:
+                    seen.add(key)
+                    out_kh.append(ts.md5_u64(f"{j}:{p[base:base + seg_w]}"))
+                    out_role.append(0)
+                    out_idx.append(i)
+                    out_pfx.append(p)
+                for dlt in range(-tau, tau + 1):
+                    start = min(max(base + dlt, 0), width - seg_w)
+                    key = (j, p[start : start + seg_w], 1)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    out_kh.append(ts.md5_u64(f"{j}:{p[start:start + seg_w]}"))
+                    out_role.append(1)
+                    out_idx.append(i)
+                    out_pfx.append(p)
+        kh = np.array(out_kh, np.uint64)
+        return pa.table(
+            {
+                "bkt": pa.array((kh % np.uint64(n_buckets)).astype(np.int64)),
+                "kh": pa.array(kh),
+                "role": pa.array(np.array(out_role, np.int8)),
+                "doc_id": ids.take(pa.array(out_idx, pa.int64())),
+                "pfx": pa.array(out_pfx, pa.string()),
+            }
+        )
+
+    def _lev_vectorized(a_str: np.ndarray, b_str: np.ndarray) -> np.ndarray:
+        """Exact Levenshtein between fixed-width string rows, DP
+        vectorized across the pair axis."""
+        n = a_str.size
+        a = a_str.astype(f"U{width}").view(np.uint32).reshape(n, width)
+        b = b_str.astype(f"U{width}").view(np.uint32).reshape(n, width)
+        prev = np.broadcast_to(
+            np.arange(width + 1, dtype=np.int64), (n, width + 1)
+        ).copy()
+        col = np.arange(1, width + 1, dtype=np.int64)
+        for i in range(1, width + 1):
+            sub = prev[:, :-1] + (a[:, i - 1 : i] != b)
+            dele = prev[:, 1:] + 1
+            m = np.minimum(sub, dele)
+            # running-min insertion pass: cur[j] = min(cur[j-1]+1, m[j])
+            t = np.concatenate(
+                (np.full((n, 1), i, np.int64), m - col[None, :]), axis=1
+            )
+            run = np.minimum.accumulate(t, axis=1)
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            cur[:, 1:] = run[:, 1:] + col[None, :]
+            prev = cur
+        return prev[:, -1]
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], group.schema.field("doc_id").type),
+                "doc_b": pa.array([], group.schema.field("doc_id").type),
+                "edit_distance": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        kh = group.column("kh").to_numpy(zero_copy_only=False)
+        role = group.column("role").to_numpy(zero_copy_only=False)
+        order = np.lexsort((role, kh))
+        kh_s, role_s = kh[order], role[order]
+        # index rows (role 0) sorted first within each kh run
+        idx_mask = role_s == 0
+        idx_pos = np.flatnonzero(idx_mask)
+        prb_pos = np.flatnonzero(~idx_mask)
+        if idx_pos.size == 0 or prb_pos.size == 0:
+            return empty
+        idx_kh = kh_s[idx_pos]
+        lo = np.searchsorted(idx_kh, kh_s[prb_pos], side="left")
+        hi = np.searchsorted(idx_kh, kh_s[prb_pos], side="right")
+        cnt = hi - lo
+        if max_bucket is not None:
+            over = cnt > max_bucket
+            if over.any():
+                _log_star_fallback(
+                    "edit-distance segment", int(cnt.max()), max_bucket
+                )
+                cnt = np.minimum(cnt, max_bucket)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        p_rep = np.repeat(prb_pos, cnt)
+        offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        i_idx = idx_pos[np.repeat(lo, cnt) + (np.arange(total) - offs)]
+        docs_np = group.column("doc_id").to_numpy(zero_copy_only=False)[order]
+        pfx_np = group.column("pfx").to_numpy(zero_copy_only=False)[order]
+        da, db = docs_np[p_rep], docs_np[i_idx]
+        neq = da != db
+        if not neq.any():
+            return empty
+        a_doc, b_doc = da[neq], db[neq]
+        a_pfx, b_pfx = pfx_np[p_rep][neq], pfx_np[i_idx][neq]
+        # canonical order + in-bucket dedup before the expensive DP
+        swap = a_doc > b_doc
+        a_doc2 = np.where(swap, b_doc, a_doc)
+        b_doc2 = np.where(swap, a_doc, b_doc)
+        a_pfx2 = np.where(swap, b_pfx, a_pfx)
+        b_pfx2 = np.where(swap, a_pfx, b_pfx)
+        o2 = np.lexsort((b_doc2, a_doc2))
+        a_doc2, b_doc2 = a_doc2[o2], b_doc2[o2]
+        a_pfx2, b_pfx2 = a_pfx2[o2], b_pfx2[o2]
+        keep = np.ones(a_doc2.size, dtype=bool)
+        keep[1:] = (a_doc2[1:] != a_doc2[:-1]) | (b_doc2[1:] != b_doc2[:-1])
+        a_doc2, b_doc2 = a_doc2[keep], b_doc2[keep]
+        a_pfx2, b_pfx2 = a_pfx2[keep], b_pfx2[keep]
+        dist = _lev_vectorized(a_pfx2, b_pfx2)
+        ok = dist <= tau
+        if not ok.any():
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(a_doc2[ok]),
+                "doc_b": pa.array(b_doc2[ok]),
+                "edit_distance": pa.array(dist[ok].astype(np.int64)),
+            }
+        )
+
+    blocked = docs.select_columns([id_col, text_col]).map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = blocked.groupby("bkt").map_groups(bucket_pairs, batch_format="pyarrow")
+    dedup = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("edit_distance"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "edit_distance": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "edit_distance": batch.column("min(edit_distance)").cast(pa.int64()),
+            }
+        )
+
+    return dedup.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -2485,3 +2485,35 @@ def test_key_skew_audit_empty(ray_session):
         "p99_group": 0,
         "top_share_ppm": 0,
     }
+
+
+def test_dwell_times_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # user 1: view@0 -> view@10 -> buy@25 -> view@100 (no successor)
+    # dwell: view 10 (0..10), view 15 (10..25), buy 75 (25..100)
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array([0, 10, 25, 100], pa.int64()),
+                "event_type": pa.array(["view", "view", "buy", "view"]),
+            }
+        )
+    )
+    rows = {
+        (r["user_id"], r["event_type"]): r
+        for r in an.dwell_times_ds(events).take_all()
+    }
+    assert rows[(1, "view")]["n_intervals"] == 2
+    assert rows[(1, "view")]["total_dwell_us"] == 25
+    assert rows[(1, "buy")] == {
+        "user_id": 1,
+        "event_type": "buy",
+        "n_intervals": 1,
+        "total_dwell_us": 75,
+    }
+    assert len(rows) == 2

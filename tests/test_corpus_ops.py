@@ -3100,3 +3100,90 @@ def test_marginal_vocab_empty(ray_session):
         )
     )
     assert co.marginal_vocab_ds(docs).take_all() == []
+
+
+def test_vocab_drift_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # vocab: a={x,y}, b={y,z,w}, c={w}
+    # chain rows: (a,b): common {y} -> 1; (b,c): common {w} -> 1
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a", "b", "c"]),
+                "text": pa.array(["x y", "y z w", "w"]),
+            }
+        )
+    )
+    rows = co.vocab_drift_ds(docs).take_all()
+    assert rows == [
+        {"source_a": "a", "source_b": "b", "n_a": 2, "n_b": 3, "n_common": 1},
+        {"source_a": "b", "source_b": "c", "n_a": 3, "n_b": 1, "n_common": 1},
+    ]
+
+
+def test_vocab_drift_single_source_and_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    one = ray.data.from_arrow(
+        pa.table({"source": pa.array(["a"]), "text": pa.array(["x"])})
+    )
+    assert co.vocab_drift_ds(one).take_all() == []
+    zero = ray.data.from_arrow(
+        pa.table(
+            {"source": pa.array([], pa.string()), "text": pa.array([], pa.string())}
+        )
+    )
+    assert co.vocab_drift_ds(zero).take_all() == []
+
+
+def test_edit_distance_join_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # doc 1 and 2: one substitution apart -> ED 1
+    # doc 3: identical to doc 1 -> ED 0
+    # doc 4: unrelated -> no pair
+    base = "the quick brown fox jumps over pad"
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [base, base.replace("quick", "quack"), base,
+                     "completely different text body here now"],
+                ),
+            }
+        )
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["edit_distance"]
+        for r in co.edit_distance_join_ds(docs, max_bucket=None).take_all()
+    }
+    assert rows == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+
+def test_edit_distance_join_insertion_shift(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # one insertion near the front shifts every later segment by 1 —
+    # exercises the probe-shift (delta) blocking path
+    a = "abcdefghijklmnopqrstuvwxyz0123456789"  # exactly 36 chars
+    b = "Xabcdefghijklmnopqrstuvwxyz012345678"  # insert at 0, trunc to 36
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([a, b]),
+            }
+        )
+    )
+    rows = co.edit_distance_join_ds(docs, max_bucket=None).take_all()
+    assert rows == [{"doc_a": 1, "doc_b": 2, "edit_distance": 2}]
