@@ -4225,7 +4225,48 @@ def q_edit_distance_join(sf_dir: str) -> ray.data.Dataset:
     return co.edit_distance_join_ds(_documents(sf_dir), max_bucket=None)
 
 
+def q_order_reconcile(sf_dir: str) -> ray.data.Dataset:
+    """Fact reconciliation: per order status, orders whose line-derived
+    cents disagree with the header total and the absolute drift; line
+    combiner -> aggregate-only groupby -> bucketed LEFT hash join ->
+    status-domain fold."""
+    return an.order_reconcile_ds(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        ),
+    )
+
+
+def q_weekday_profile(sf_dir: str) -> ray.data.Dataset:
+    """Weekly seasonality fingerprint per event type: events and
+    distinct active days per weekday ((epoch_day + 4) % 7, Monday=0);
+    bounded (type, day) combiner, tiny final fold."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return an.weekday_profile_ds(events)
+
+
+def q_rfm_scores(sf_dir: str) -> ray.data.Dataset:
+    """RFM segmentation: per-user recency day / frequency / monetary
+    cents plus 1..5 quintile scores under the integer-exact discrete
+    boundary convention; one aggregate-only groupby + three
+    bounded-domain histogram collects."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return an.rfm_scores_ds(events)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "order_reconcile": q_order_reconcile,
+    "weekday_profile": q_weekday_profile,
+    "rfm_scores": q_rfm_scores,
     "dwell_times": q_dwell_times,
     "vocab_drift": q_vocab_drift,
     "edit_distance_join": q_edit_distance_join,
@@ -4531,6 +4572,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "order_reconcile",
+    "weekday_profile",
+    "rfm_scores",
     "dwell_times",
     "vocab_drift",
     "edit_distance_join",
@@ -8751,6 +8795,73 @@ ORACLES["hist_intersection"] = """
            coalesce((SELECT n FROM r WHERE rk = 2), 0) AS n_b,
            i.n_intersect
     FROM i
+"""
+ORACLES["order_reconcile"] = """
+    WITH lc AS (SELECT l_orderkey,
+                       CAST(sum(CAST(floor(l_extendedprice
+                                           * (1 - l_discount)
+                                           * (1 + l_tax) * 100) AS BIGINT))
+                         AS BIGINT) AS line_cents
+                FROM lineitem GROUP BY 1),
+    o AS (SELECT o_orderkey, o_orderstatus,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+          FROM orders),
+    j AS (SELECT o.o_orderstatus, o.total_cents,
+                 coalesce(lc.line_cents, 0) AS line_cents
+          FROM o LEFT JOIN lc ON o.o_orderkey = lc.l_orderkey)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(CASE WHEN line_cents <> total_cents THEN 1 END),
+                         0) AS BIGINT) AS n_mismatch,
+           CAST(coalesce(sum(abs(line_cents - total_cents)), 0) AS BIGINT)
+             AS sum_abs_diff_cents
+    FROM j GROUP BY 1
+"""
+ORACLES["weekday_profile"] = """
+    WITH e AS (SELECT event_type,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2)
+    SELECT event_type,
+           CAST((day + 4) % 7 AS BIGINT) AS weekday,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM c GROUP BY 1, 2
+"""
+
+
+def _rfm_boundary_cte(name: str, expr: str) -> str:
+    return f"""
+    cnt_{name} AS (SELECT {expr} AS v, count(*) AS n FROM u GROUP BY 1),
+    tot_{name} AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM cnt_{name}),
+    cum_{name} AS (SELECT v, sum(n) OVER (ORDER BY v) AS c FROM cnt_{name}),
+    b_{name} AS (SELECT s, min(v) AS b
+                 FROM cum_{name}, tot_{name},
+                      (VALUES (1), (2), (3), (4)) q(s)
+                 WHERE c >= greatest((s * N + 4) // 5, 1)
+                 GROUP BY s)"""
+
+
+ORACLES["rfm_scores"] = f"""
+    WITH u AS (SELECT user_id,
+                      max(epoch_us(ts)) // 86400000000 AS r_days,
+                      CAST(count(*) AS BIGINT) AS f,
+                      CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                        AS m_cents
+               FROM events GROUP BY 1),
+    {_rfm_boundary_cte('r', 'r_days')},
+    {_rfm_boundary_cte('f', 'f')},
+    {_rfm_boundary_cte('m', 'm_cents // 100')}
+    SELECT CAST(u.user_id AS BIGINT) AS user_id,
+           CAST(u.r_days AS BIGINT) AS r_days, u.f, u.m_cents,
+           CAST(1 + (SELECT count(*) FROM b_r WHERE b < u.r_days) AS BIGINT)
+             AS r_score,
+           CAST(1 + (SELECT count(*) FROM b_f WHERE b < u.f) AS BIGINT)
+             AS f_score,
+           CAST(1 + (SELECT count(*) FROM b_m WHERE b < u.m_cents // 100)
+             AS BIGINT) AS m_score
+    FROM u
 """
 ORACLES["dwell_times"] = """
     WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id

@@ -8644,3 +8644,407 @@ def dwell_times_ds(
         .map_groups(dwell, batch_format="pyarrow")
     )
     return _anchor_schema(out, out_schema)
+
+
+def order_reconcile_ds(
+    lineitem: Dataset,
+    orders: Dataset,
+) -> Dataset:
+    """Fact-table reconciliation audit: per order status, how many
+    orders' line-derived totals (``sum(floor(extendedprice *
+    (1 - discount) * (1 + tax) * 100))``) disagree with the order
+    header's ``floor(o_totalprice * 100)``, and by how much in absolute
+    cents — the classic warehouse consistency gate before publishing a
+    revenue mart. Orders with no lines reconcile against 0. Cents come
+    from the identical IEEE double product on both engines.
+
+    Scale shape: lineitem reduces to one row per order via a per-batch
+    cents combiner + aggregate-only groupby BEFORE the join; the join is
+    the generic bucketed hash join (one exchange each side, LEFT so
+    line-less orders surface); a per-batch status combiner feeds the
+    final status-domain groupby."""
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "cents": pa.array([], pa.int64())}
+            )
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = batch.column("l_tax").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * (1.0 + tax) * 100).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("cents", "sum")])
+        )
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "cents": g.column("cents_sum").cast(pa.int64()),
+            }
+        )
+
+    def li_finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "line_cents": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "line_cents": batch.column("sum(cents)").cast(pa.int64()),
+            }
+        )
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        tot = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_orderstatus": batch.column("o_orderstatus").cast(pa.string()),
+                "total_cents": pa.array(
+                    np.floor(tot * 100).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    li_sums = (
+        lineitem.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"]
+        )
+        .map_batches(li_proj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("cents"))
+        .map_batches(li_finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    od = orders.select_columns(
+        ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ).map_batches(o_proj, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join_ds(od, li_sums, "o_orderkey", "l_orderkey", how="left")
+    out_schema = pa.schema(
+        [
+            ("o_orderstatus", pa.string()),
+            ("n_orders", pa.int64()),
+            ("n_mismatch", pa.int64()),
+            ("sum_abs_diff_cents", pa.int64()),
+        ]
+    )
+
+    def status_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderstatus" not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        tot = batch.column("total_cents").to_numpy(zero_copy_only=False)
+        line = pc.fill_null(batch.column("line_cents"), 0).to_numpy(
+            zero_copy_only=False
+        )
+        diff = np.abs(line - tot)
+        g = (
+            pa.table(
+                {
+                    "o_orderstatus": batch.column("o_orderstatus"),
+                    "n_orders": pa.array(np.ones(len(tot), np.int64)),
+                    "n_mismatch": pa.array((diff != 0).astype(np.int64)),
+                    "sum_abs_diff_cents": pa.array(diff.astype(np.int64)),
+                }
+            )
+            .group_by("o_orderstatus")
+            .aggregate(
+                [
+                    ("n_orders", "sum"),
+                    ("n_mismatch", "sum"),
+                    ("sum_abs_diff_cents", "sum"),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "o_orderstatus": g.column("o_orderstatus"),
+                "n_orders": g.column("n_orders_sum").cast(pa.int64()),
+                "n_mismatch": g.column("n_mismatch_sum").cast(pa.int64()),
+                "sum_abs_diff_cents": g.column("sum_abs_diff_cents_sum").cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        joined.map_batches(status_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n_orders"), Sum("n_mismatch"), Sum("sum_abs_diff_cents"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderstatus" not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        return pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "n_orders": batch.column("sum(n_orders)").cast(pa.int64()),
+                "n_mismatch": batch.column("sum(n_mismatch)").cast(pa.int64()),
+                "sum_abs_diff_cents": batch.column(
+                    "sum(sum_abs_diff_cents)"
+                ).cast(pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )
+
+
+def weekday_profile_ds(
+    events: Dataset,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+) -> Dataset:
+    """Weekly seasonality fingerprint: per (event_type, weekday) the
+    event count and the number of distinct active days — the shape
+    check behind weekday-aware traffic forecasts. ``weekday = (epoch_day
+    + 4) % 7`` (Monday = 0), a pure integer formula identical on both
+    engines (no date-library convention risk).
+
+    Scale shape: per-batch (type, day) count combiner -> ONE bounded
+    groupby over the (types x days) domain -> tiny (type, weekday)
+    fold; nothing unbounded reaches the driver."""
+    out_schema = pa.schema(
+        [
+            (type_col, pa.string()),
+            ("weekday", pa.int64()),
+            ("n_events", pa.int64()),
+            ("n_days", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "typ": pa.array([], pa.string()),
+                    "day": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "typ": batch.column(type_col).cast(pa.string()),
+                    "day": pa.array(t // day_us, pa.int64()),
+                }
+            )
+            .group_by(["typ", "day"])
+            .aggregate([("day", "count")])
+        )
+        return pa.table(
+            {
+                "typ": g.column("typ"),
+                "day": g.column("day"),
+                "n": g.column("day_count").cast(pa.int64()),
+            }
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "typ" not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    type_col: batch.column("typ"),
+                    "weekday": pa.array((day + 4) % 7, pa.int64()),
+                    "n_events": batch.column("sum(n)").cast(pa.int64()),
+                    "n_days": pa.array(np.ones(len(day), np.int64)),
+                }
+            )
+            .group_by([type_col, "weekday"])
+            .aggregate([("n_events", "sum"), ("n_days", "sum")])
+        )
+        return pa.table(
+            {
+                type_col: g.column(type_col),
+                "weekday": g.column("weekday"),
+                "n_events": g.column("n_events_sum").cast(pa.int64()),
+                "n_days": g.column("n_days_sum").cast(pa.int64()),
+            }
+        )
+
+    out = (
+        events.select_columns([type_col, ts_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["typ", "day"])
+        .aggregate(Sum("n"))
+        .map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([type_col, "weekday"])
+        .aggregate(Sum("n_events"), Sum("n_days"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or type_col not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        return pa.table(
+            {
+                type_col: batch.column(type_col),
+                "weekday": batch.column("weekday").cast(pa.int64()),
+                "n_events": batch.column("sum(n_events)").cast(pa.int64()),
+                "n_days": batch.column("sum(n_days)").cast(pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )
+
+
+def rfm_scores_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    day_us: int = 86_400_000_000,
+) -> Dataset:
+    """RFM segmentation: per user the recency day (last event's
+    ``ts_us // day_us``), frequency (event count), monetary total
+    (``sum(floor(value * 100))`` cents) plus 1..5 quintile scores per
+    dimension. Scores use the integer-exact discrete convention: the
+    s-th boundary is the smallest value whose cumulative user count
+    reaches ``(s * N + 4) // 5`` (pure-integer ceil, no float q * N),
+    and ``score = 1 + #(boundaries < value)`` — deterministic under
+    ties on both engines. Scoring dimensions quantize to BOUNDED
+    domains (days, counts, whole dollars) so the boundary histograms
+    the driver collects stay small at any corpus size; exact cents are
+    still emitted raw.
+
+    Scale shape: one aggregate-only ``groupby(user)`` builds the RFM
+    table (materialized once — it is also the output); three
+    bounded-domain histogram collects fix the quintile boundaries; one
+    final ``map_batches`` assigns scores with the 12 boundary ints in
+    the closure."""
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("r_days", pa.int64()),
+            ("f", pa.int64()),
+            ("m_cents", pa.int64()),
+            ("r_score", pa.int64()),
+            ("f_score", pa.int64()),
+            ("m_score", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: batch.column(key_col).cast(pa.int64()),
+                "t": batch.column(ts_col).cast(pa.int64()),
+                "cents": pa.array(np.floor(v * 100).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def to_rfm(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key_col not in batch.column_names:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "r_days": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.int64()),
+                    "m_cents": pa.array([], pa.int64()),
+                }
+            )
+        t = batch.column("max(t)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: batch.column(key_col).cast(pa.int64()),
+                "r_days": pa.array(t // day_us, pa.int64()),
+                "f": batch.column("count()").cast(pa.int64()),
+                "m_cents": batch.column("sum(cents)").cast(pa.int64()),
+            }
+        )
+
+    rfm = (
+        events.select_columns([key_col, ts_col, value_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(Max("t"), Count(), Sum("cents"))
+        .map_batches(to_rfm, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def boundaries(col: str, quant: Optional[int] = None) -> np.ndarray:
+        hist = _small_df(
+            rfm.map_batches(
+                lambda b, c=col, q=quant: pa.table(
+                    {
+                        "v": pa.array(
+                            (
+                                b.column(c).to_numpy(zero_copy_only=False) // q
+                                if q
+                                else b.column(c).to_numpy(zero_copy_only=False)
+                            ),
+                            pa.int64(),
+                        )
+                    }
+                )
+                .group_by("v")
+                .aggregate([("v", "count")])
+                .rename_columns(["v", "n"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("v")
+            .aggregate(Sum("n")),
+            {"v": np.int64, "sum(n)": np.int64},
+        )
+        if not len(hist):
+            return np.zeros(4, np.int64)
+        v = hist["v"].to_numpy(np.int64)
+        n = hist["sum(n)"].to_numpy(np.int64)
+        o = np.argsort(v, kind="stable")
+        v, n = v[o], n[o]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        ranks = np.array(
+            [(s * total + 4) // 5 for s in (1, 2, 3, 4)], np.int64
+        )
+        return v[np.searchsorted(cum, np.maximum(ranks, 1))]
+
+    b_r = boundaries("r_days")
+    b_f = boundaries("f")
+    b_m = boundaries("m_cents", quant=100)  # whole dollars
+
+    def score(vals: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+        return 1 + (vals[:, None] > bounds[None, :]).sum(axis=1).astype(np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        r = batch.column("r_days").to_numpy(zero_copy_only=False)
+        f = batch.column("f").to_numpy(zero_copy_only=False)
+        m = batch.column("m_cents").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "r_days": batch.column("r_days"),
+                "f": batch.column("f"),
+                "m_cents": batch.column("m_cents"),
+                "r_score": pa.array(score(r, b_r)),
+                "f_score": pa.array(score(f, b_f)),
+                "m_score": pa.array(score(m // 100, b_m)),
+            }
+        )
+
+    return _anchor_schema(
+        rfm.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )

@@ -2517,3 +2517,107 @@ def test_dwell_times_hand_computed(ray_session):
         "total_dwell_us": 75,
     }
     assert len(rows) == 2
+
+
+def test_order_reconcile_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # order 1 (status O): lines 10.00 + 5.00 = header 15.00 -> match
+    # order 2 (status F): lines 3.00 vs header 4.00 -> 100c drift
+    # order 3 (status F): NO lines vs header 2.00 -> 200c drift
+    lineitem = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 5.0, 3.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0]),
+                "l_tax": pa.array([0.0, 0.0, 0.0]),
+            }
+        )
+    )
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderstatus": pa.array(["O", "F", "F"]),
+                "o_totalprice": pa.array([15.0, 4.0, 2.0]),
+            }
+        )
+    )
+    rows = {
+        r["o_orderstatus"]: r
+        for r in an.order_reconcile_ds(lineitem, orders).take_all()
+    }
+    assert rows["O"] == {
+        "o_orderstatus": "O",
+        "n_orders": 1,
+        "n_mismatch": 0,
+        "sum_abs_diff_cents": 0,
+    }
+    assert rows["F"] == {
+        "o_orderstatus": "F",
+        "n_orders": 2,
+        "n_mismatch": 2,
+        "sum_abs_diff_cents": 300,
+    }
+
+
+def test_weekday_profile_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # day 0 = Thursday (weekday 4); day 4 = Monday (weekday 1)
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["a", "a", "a", "b"]),
+                "ts": pa.array([0, 5, 4 * day, 0], pa.int64()),
+            }
+        )
+    )
+    rows = {
+        (r["event_type"], r["weekday"]): r
+        for r in an.weekday_profile_ds(events).take_all()
+    }
+    assert rows[("a", 4)] == {
+        "event_type": "a",
+        "weekday": 4,
+        "n_events": 2,
+        "n_days": 1,
+    }
+    assert rows[("a", 1)]["n_events"] == 1
+    assert rows[("b", 4)]["n_days"] == 1
+    assert len(rows) == 3
+
+
+def test_rfm_scores_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # five users, one event each: r_days 0..4, f all 1, dollars 1..5
+    # boundaries (N=5, rank s): ranks 1,2,3,4 -> values at those ranks
+    # r bounds = [0,1,2,3] -> scores 1,2,3,4,5
+    # f bounds = [1,1,1,1] -> all f=1 -> score 1
+    # m bounds = [1,2,3,4] -> scores 1..5
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array([0, day, 2 * day, 3 * day, 4 * day], pa.int64()),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+            }
+        )
+    )
+    rows = {r["user_id"]: r for r in an.rfm_scores_ds(events).take_all()}
+    for uid in range(1, 6):
+        r = rows[uid]
+        assert r["r_days"] == uid - 1
+        assert r["f"] == 1 and r["f_score"] == 1
+        assert r["m_cents"] == uid * 100
+        assert r["r_score"] == uid and r["m_score"] == uid

@@ -40,6 +40,7 @@ def test_front_window_holds_new_and_never_sampled():
     first50 = set(keys[:50])
     for name in (
         # session-12 operators (newest — zero external validation)
+        "order_reconcile", "weekday_profile", "rfm_scores",
         "dwell_times", "vocab_drift", "edit_distance_join",
         "interarrival_stats", "activity_streaks", "key_skew_audit",
         "inversion_count", "hist_intersection", "marginal_vocab",
@@ -61,11 +62,11 @@ def test_front_window_holds_new_and_never_sampled():
         "syndication_histogram", "ewma_running", "term_trend",
         "log_histogram", "json_props_stats", "ab_assignment",
         "semantic_families", "fd_audit", "index_gap_stats",
-        "dataset_card", "pareto_share", "kendall_pairs",
-        # the tail past slot 50 (source_prefix_audit, ktruss,
-        # fold_leakage, hash_collision_audit, emd_lengths, link_jaccard
-        # and the earlier session-9 yields) stays locally sweep-verified
-        # every session
+        # the tail past slot 50 (dataset_card, pareto_share,
+        # kendall_pairs, source_prefix_audit, ktruss, fold_leakage,
+        # hash_collision_audit, emd_lengths, link_jaccard and the
+        # earlier session-9 yields) stays locally sweep-verified every
+        # session
     ):
         assert name in first50, f"{name} fell outside the driver gate window"
     # the leading block must be exactly the declared rotation order
