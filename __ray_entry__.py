@@ -4263,7 +4263,48 @@ def q_rfm_scores(sf_dir: str) -> ray.data.Dataset:
     return an.rfm_scores_ds(events)
 
 
+def q_ship_lag_stats(sf_dir: str) -> ray.data.Dataset:
+    """Order-to-ship latency per priority: line count + min/discrete-
+    median/max lag days; bucketed hash join then a bounded
+    (priority, lag) histogram."""
+    return an.ship_lag_stats_ds(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        ),
+    )
+
+
+def q_zonemap_prune(sf_dir: str) -> ray.data.Dataset:
+    """Zone-map pruning audit: per 100-doc id shard the n_chars min/max
+    and whether a >= 2000 scan skips it; bounded shard-domain combiner."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return an.zonemap_prune_ds(docs, shard_size=100, threshold=2000)
+
+
+def q_open_order_backlog(sf_dir: str) -> ray.data.Dataset:
+    """Daily open-order backlog: +1/-1 interval boundary deltas (order
+    day .. last ship day) + one running sum over the bounded day
+    domain — never expands per-order day ranges."""
+    return an.open_order_backlog_ds(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        ),
+    )
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "ship_lag_stats": q_ship_lag_stats,
+    "zonemap_prune": q_zonemap_prune,
+    "open_order_backlog": q_open_order_backlog,
     "order_reconcile": q_order_reconcile,
     "weekday_profile": q_weekday_profile,
     "rfm_scores": q_rfm_scores,
@@ -4572,6 +4613,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "ship_lag_stats",
+    "zonemap_prune",
+    "open_order_backlog",
     "order_reconcile",
     "weekday_profile",
     "rfm_scores",
@@ -8795,6 +8839,60 @@ ORACLES["hist_intersection"] = """
            coalesce((SELECT n FROM r WHERE rk = 2), 0) AS n_b,
            i.n_intersect
     FROM i
+"""
+ORACLES["ship_lag_stats"] = """
+    WITH j AS (SELECT o.o_orderpriority AS prio,
+                      epoch_us(l.l_shipdate) // 86400000000
+                      - epoch_us(o.o_orderdate) // 86400000000 AS lag
+               FROM lineitem l JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey),
+    c AS (SELECT prio, lag, CAST(count(*) AS BIGINT) AS n
+          FROM j GROUP BY 1, 2),
+    tot AS (SELECT prio, CAST(sum(n) AS BIGINT) AS N,
+                   CAST(min(lag) AS BIGINT) AS mn,
+                   CAST(max(lag) AS BIGINT) AS mx
+            FROM c GROUP BY 1),
+    cum AS (SELECT prio, lag,
+                   sum(n) OVER (PARTITION BY prio ORDER BY lag) AS cc
+            FROM c),
+    med AS (SELECT cum.prio, CAST(min(cum.lag) AS BIGINT) AS med
+            FROM cum JOIN tot USING (prio)
+            WHERE cc >= (N + 1) // 2 GROUP BY 1)
+    SELECT tot.prio AS o_orderpriority, tot.N AS n_lines,
+           tot.mn AS min_lag_days, med.med AS med_lag_days,
+           tot.mx AS max_lag_days
+    FROM tot JOIN med USING (prio)
+"""
+ORACLES["zonemap_prune"] = """
+    SELECT doc_id // 100 AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_v,
+           CAST(max(n_chars) AS BIGINT) AS max_v,
+           CAST(CASE WHEN max(n_chars) < 2000 THEN 1 ELSE 0 END AS BIGINT)
+             AS prunable
+    FROM documents GROUP BY 1
+"""
+ORACLES["open_order_backlog"] = """
+    WITH ld AS (SELECT l_orderkey,
+                       max(epoch_us(l_shipdate) // 86400000000) AS end_day
+                FROM lineitem GROUP BY 1),
+    o AS (SELECT o_orderkey,
+                 epoch_us(o_orderdate) // 86400000000 AS start_day
+          FROM orders),
+    iv AS (SELECT o.start_day,
+                  greatest(coalesce(ld.end_day, o.start_day), o.start_day)
+                    AS end_day
+           FROM o LEFT JOIN ld ON o.o_orderkey = ld.l_orderkey),
+    deltas AS (SELECT start_day AS day, 1 AS d FROM iv
+               UNION ALL
+               SELECT end_day + 1, -1 FROM iv),
+    agg AS (SELECT day, CAST(sum(d) AS BIGINT) AS d FROM deltas GROUP BY 1),
+    days AS (SELECT unnest(range((SELECT min(day) FROM agg),
+                                 (SELECT max(day) FROM agg) + 1)) AS day)
+    SELECT CAST(days.day AS BIGINT) AS day,
+           CAST(sum(coalesce(agg.d, 0)) OVER (ORDER BY days.day) AS BIGINT)
+             AS n_open
+    FROM days LEFT JOIN agg USING (day)
 """
 ORACLES["order_reconcile"] = """
     WITH lc AS (SELECT l_orderkey,

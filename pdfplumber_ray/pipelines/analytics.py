@@ -9048,3 +9048,334 @@ def rfm_scores_ds(
         rfm.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
         out_schema,
     )
+
+
+def ship_lag_stats_ds(
+    lineitem: Dataset,
+    orders: Dataset,
+    day_us: int = 86_400_000_000,
+) -> Dataset:
+    """Order-to-ship latency distribution per order priority: line
+    count, min / discrete-median / max lag in whole days (``ship_day -
+    order_day``; median = smallest lag whose cumulative count reaches
+    ``(N + 1) // 2``, the shared pure-integer convention). The SLA
+    report behind fulfillment dashboards.
+
+    Scale shape: the generic bucketed hash join (lines x order headers,
+    one exchange each side) -> per-batch (priority, lag) count combiner
+    -> ONE bounded groupby over the (priorities x lag-days) domain ->
+    only that histogram reaches the driver."""
+    out_schema = pa.schema(
+        [
+            ("o_orderpriority", pa.string()),
+            ("n_lines", pa.int64()),
+            ("min_lag_days", pa.int64()),
+            ("med_lag_days", pa.int64()),
+            ("max_lag_days", pa.int64()),
+        ]
+    )
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        t = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "ship_day": pa.array(t // day_us, pa.int64()),
+            }
+        )
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        t = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "prio": batch.column("o_orderpriority").cast(pa.string()),
+                "order_day": pa.array(t // day_us, pa.int64()),
+            }
+        )
+
+    li = lineitem.select_columns(["l_orderkey", "l_shipdate"]).map_batches(
+        li_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    od = orders.select_columns(
+        ["o_orderkey", "o_orderpriority", "o_orderdate"]
+    ).map_batches(o_proj, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join_ds(li, od, "l_orderkey", "o_orderkey", how="inner")
+
+    def lag_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "prio" not in batch.column_names:
+            return pa.table(
+                {
+                    "prio": pa.array([], pa.string()),
+                    "lag": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ship = batch.column("ship_day").to_numpy(zero_copy_only=False)
+        od_ = batch.column("order_day").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "prio": batch.column("prio"),
+                    "lag": pa.array(ship - od_, pa.int64()),
+                }
+            )
+            .group_by(["prio", "lag"])
+            .aggregate([("lag", "count")])
+        )
+        return pa.table(
+            {
+                "prio": g.column("prio"),
+                "lag": g.column("lag"),
+                "n": g.column("lag_count").cast(pa.int64()),
+            }
+        )
+
+    hist = _small_df(
+        joined.map_batches(lag_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["prio", "lag"])
+        .aggregate(Sum("n")),
+        {"prio": object, "lag": np.int64, "sum(n)": np.int64},
+    )
+    if not len(hist):
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    prio = hist["prio"].to_numpy(object).astype(str)
+    lag = hist["lag"].to_numpy(np.int64)
+    n = hist["sum(n)"].to_numpy(np.int64)
+    order = np.lexsort((lag, prio))
+    prio, lag, n = prio[order], lag[order], n[order]
+    new = np.concatenate(([True], prio[1:] != prio[:-1]))
+    starts = np.flatnonzero(new)
+    ends = np.concatenate((starts[1:], [prio.size]))
+    rows = []
+    for s, e in zip(starts, ends):
+        tot = int(n[s:e].sum())
+        cum = np.cumsum(n[s:e])
+        med = int(lag[s:e][np.searchsorted(cum, (tot + 1) // 2)])
+        rows.append((str(prio[s]), tot, int(lag[s]), med, int(lag[e - 1])))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+                "n_lines": pa.array([r[1] for r in rows], pa.int64()),
+                "min_lag_days": pa.array([r[2] for r in rows], pa.int64()),
+                "med_lag_days": pa.array([r[3] for r in rows], pa.int64()),
+                "max_lag_days": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def zonemap_prune_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    value_col: str = "n_chars",
+    shard_size: int = 100,
+    threshold: int = 2000,
+) -> Dataset:
+    """Zone-map pruning audit: per id-range shard (``id // shard_size``)
+    the min/max of ``value_col`` plus whether a ``value >= threshold``
+    scan could skip the shard entirely (``max < threshold``) — the
+    data-layout health check that decides whether range-partitioned
+    parquet actually prunes. Emits ``(shard_id, n_docs, min_v, max_v,
+    prunable)``.
+
+    Scale shape: per-batch (shard, count/min/max) Arrow combiner ->
+    ONE aggregate-only groupby over the bounded shard domain."""
+    out_schema = pa.schema(
+        [
+            ("shard_id", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("min_v", pa.int64()),
+            ("max_v", pa.int64()),
+            ("prunable", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "shard_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        i = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "shard_id": pa.array(i // shard_size, pa.int64()),
+                    "v": batch.column(value_col).cast(pa.int64()),
+                }
+            )
+            .group_by("shard_id")
+            .aggregate([("v", "count"), ("v", "min"), ("v", "max")])
+        )
+        return pa.table(
+            {
+                "shard_id": g.column("shard_id"),
+                "n": g.column("v_count").cast(pa.int64()),
+                "mn": g.column("v_min").cast(pa.int64()),
+                "mx": g.column("v_max").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.select_columns([id_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard_id")
+        .aggregate(Sum("n"), Min("mn"), Max("mx"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "shard_id" not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        mx = batch.column("max(mx)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard_id": batch.column("shard_id").cast(pa.int64()),
+                "n_docs": batch.column("sum(n)").cast(pa.int64()),
+                "min_v": batch.column("min(mn)").cast(pa.int64()),
+                "max_v": batch.column("max(mx)").cast(pa.int64()),
+                "prunable": pa.array((mx < threshold).astype(np.int64)),
+            }
+        )
+
+    return _anchor_schema(
+        agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )
+
+
+def open_order_backlog_ds(
+    lineitem: Dataset,
+    orders: Dataset,
+    day_us: int = 86_400_000_000,
+) -> Dataset:
+    """Daily open-order backlog curve: an order opens on its order day
+    and closes on its LAST line-ship day (clamped to at least the order
+    day; line-less orders open and close same-day); emits one row per
+    day of the observed span with the exact number of open orders —
+    the interval-stabbing aggregate behind WIP dashboards, computed as
+    +1/-1 boundary deltas + one running sum (never by expanding
+    per-order day ranges).
+
+    Scale shape: line max-ship-day via aggregate-only groupby -> one
+    bucketed LEFT hash join to headers -> per-batch delta combiner ->
+    bounded day-domain groupby; only the day-delta table reaches the
+    driver, where the dense cumsum is a single np.arange."""
+    out_schema = pa.schema([("day", pa.int64()), ("n_open", pa.int64())])
+
+    def li_proj(batch: pa.Table) -> pa.Table:
+        t = batch.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "ship_day": pa.array(t // day_us, pa.int64()),
+            }
+        )
+
+    def li_finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_orderkey" not in batch.column_names:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "end_day": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "end_day": batch.column("max(ship_day)").cast(pa.int64()),
+            }
+        )
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        t = batch.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "start_day": pa.array(t // day_us, pa.int64()),
+            }
+        )
+
+    ld = (
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(li_proj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Max("ship_day"))
+        .map_batches(li_finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    od = orders.select_columns(["o_orderkey", "o_orderdate"]).map_batches(
+        o_proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join_ds(od, ld, "o_orderkey", "l_orderkey", how="left")
+
+    def delta_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "start_day" not in batch.column_names:
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        start = batch.column("start_day").to_numpy(zero_copy_only=False)
+        end = pc.fill_null(batch.column("end_day"), -(1 << 62)).to_numpy(
+            zero_copy_only=False
+        )
+        end = np.maximum(end, start)
+        g = (
+            pa.table(
+                {
+                    "day": pa.array(np.concatenate((start, end + 1)), pa.int64()),
+                    "d": pa.array(
+                        np.concatenate(
+                            (
+                                np.ones(start.size, np.int64),
+                                np.full(start.size, -1, np.int64),
+                            )
+                        )
+                    ),
+                }
+            )
+            .group_by("day")
+            .aggregate([("d", "sum")])
+        )
+        return pa.table(
+            {"day": g.column("day"), "d": g.column("d_sum").cast(pa.int64())}
+        )
+
+    deltas = _small_df(
+        joined.map_batches(
+            delta_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("day")
+        .aggregate(Sum("d")),
+        {"day": np.int64, "sum(d)": np.int64},
+    )
+    if not len(deltas):
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    dday = deltas["day"].to_numpy(np.int64)
+    dd = deltas["sum(d)"].to_numpy(np.int64)
+    lo, hi = int(dday.min()), int(dday.max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[dday - lo] = dd
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(np.arange(lo, hi + 1, dtype=np.int64)),
+                "n_open": pa.array(np.cumsum(dense)),
+            }
+        )
+    )

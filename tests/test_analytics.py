@@ -2621,3 +2621,101 @@ def test_rfm_scores_hand_computed(ray_session):
         assert r["f"] == 1 and r["f_score"] == 1
         assert r["m_cents"] == uid * 100
         assert r["r_score"] == uid and r["m_score"] == uid
+
+
+def test_ship_lag_stats_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # priority P: lags 1, 3, 10 -> med rank (3+1)//2=2 -> 3
+    # priority Q: lag -2 (ships before order date) alone
+    lineitem = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+                "l_shipdate": pa.array(
+                    [1 * day, 3 * day, 10 * day, 0], pa.int64()
+                ),
+            }
+        )
+    )
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderpriority": pa.array(["P", "P", "Q"]),
+                "o_orderdate": pa.array([0, 0, 2 * day], pa.int64()),
+            }
+        )
+    )
+    rows = {
+        r["o_orderpriority"]: r
+        for r in an.ship_lag_stats_ds(lineitem, orders).take_all()
+    }
+    assert rows["P"] == {
+        "o_orderpriority": "P",
+        "n_lines": 3,
+        "min_lag_days": 1,
+        "med_lag_days": 3,
+        "max_lag_days": 10,
+    }
+    assert rows["Q"]["min_lag_days"] == -2 and rows["Q"]["n_lines"] == 1
+
+
+def test_zonemap_prune_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 100, 101], pa.int64()),
+                "n_chars": pa.array([10, 50, 900, 3000], pa.int64()),
+            }
+        )
+    )
+    rows = {
+        r["shard_id"]: r
+        for r in an.zonemap_prune_ds(docs, shard_size=100, threshold=2000).take_all()
+    }
+    assert rows[0] == {
+        "shard_id": 0,
+        "n_docs": 2,
+        "min_v": 10,
+        "max_v": 50,
+        "prunable": 1,
+    }
+    assert rows[1]["prunable"] == 0 and rows[1]["max_v"] == 3000
+
+
+def test_open_order_backlog_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # order 1: opens day 0, last ship day 2 -> open days 0,1,2
+    # order 2: opens day 1, NO lines -> open day 1 only
+    # order 3: opens day 4, ships day 3 (clamped) -> open day 4 only
+    lineitem = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 3], pa.int64()),
+                "l_shipdate": pa.array([1 * day, 2 * day, 3 * day], pa.int64()),
+            }
+        )
+    )
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderdate": pa.array([0, 1 * day, 4 * day], pa.int64()),
+            }
+        )
+    )
+    rows = an.open_order_backlog_ds(lineitem, orders).take_all()
+    curve = {r["day"]: r["n_open"] for r in rows}
+    assert curve == {0: 1, 1: 2, 2: 1, 3: 0, 4: 1, 5: 0}
