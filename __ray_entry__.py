@@ -4301,7 +4301,37 @@ def q_open_order_backlog(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_freq_of_freqs(sf_dir: str) -> ray.data.Dataset:
+    """Zipf spectrum: distinct terms + token mass per log2 term-frequency
+    bucket (bucket 1 = hapax mass); vocab groupby then a <= 64-row
+    bucket fold."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return co.freq_of_freqs_ds(docs)
+
+
+def q_oov_rate(sf_dir: str) -> ray.data.Dataset:
+    """Per-source OOV rate vs the corpus's own top-16 terms (freq DESC,
+    token ASC); block top-k vocab build + streaming searchsorted probe."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return co.oov_rate_ds(docs, n_vocab=16)
+
+
+def q_sole_source_risk(sf_dir: str) -> ray.data.Dataset:
+    """Supply-concentration histogram: parts by distinct-supplier count
+    (bucket 1 = sole-source risk); distinct-pair combiner + three
+    aggregate-only groupbys."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    return an.sole_source_risk_ds(li)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "freq_of_freqs": q_freq_of_freqs,
+    "oov_rate": q_oov_rate,
+    "sole_source_risk": q_sole_source_risk,
     "ship_lag_stats": q_ship_lag_stats,
     "zonemap_prune": q_zonemap_prune,
     "open_order_backlog": q_open_order_backlog,
@@ -4613,6 +4643,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "freq_of_freqs",
+    "oov_rate",
+    "sole_source_risk",
     "ship_lag_stats",
     "zonemap_prune",
     "open_order_backlog",
@@ -8839,6 +8872,36 @@ ORACLES["hist_intersection"] = """
            coalesce((SELECT n FROM r WHERE rk = 2), 0) AS n_b,
            i.n_intersect
     FROM i
+"""
+ORACLES["freq_of_freqs"] = """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1)
+    SELECT CAST(length(bin(f)) AS BIGINT) AS freq_bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(f) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1
+"""
+ORACLES["oov_rate"] = """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    tf AS (SELECT t, count(*) AS f FROM tok GROUP BY 1),
+    vocab AS (SELECT t FROM tf ORDER BY f DESC, t LIMIT 16),
+    s AS (SELECT tok.source,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(sum(CASE WHEN vocab.t IS NULL THEN 1 END), 0)
+                   AS BIGINT) AS n_oov
+          FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+          GROUP BY tok.source)
+    SELECT source, n_tokens, n_oov,
+           CAST(n_oov * 1000000 // greatest(n_tokens, 1) AS BIGINT) AS oov_ppm
+    FROM s
+"""
+ORACLES["sole_source_risk"] = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_suppliers
+          FROM ps GROUP BY 1)
+    SELECT n_suppliers, CAST(count(*) AS BIGINT) AS n_parts
+    FROM c GROUP BY 1
 """
 ORACLES["ship_lag_stats"] = """
     WITH j AS (SELECT o.o_orderpriority AS prio,

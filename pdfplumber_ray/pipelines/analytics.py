@@ -9379,3 +9379,93 @@ def open_order_backlog_ds(
             }
         )
     )
+
+
+def sole_source_risk_ds(
+    lineitem: Dataset,
+    part_col: str = "l_partkey",
+    supp_col: str = "l_suppkey",
+) -> Dataset:
+    """Supply-concentration histogram: how many parts are served by
+    exactly N distinct suppliers (bucket 1 = the sole-source risk set
+    a procurement review flags first). Emits ``(n_suppliers,
+    n_parts)``.
+
+    Scale shape: per-batch DISTINCT (part, supplier) Arrow combiner ->
+    aggregate-only dedup groupby -> per-batch part-count fold ->
+    aggregate-only per-part groupby -> tiny histogram groupby; three
+    exchanges, all aggregate-only, nothing per-group Python."""
+    out_schema = pa.schema(
+        [("n_suppliers", pa.int64()), ("n_parts", pa.int64())]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"p": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+            )
+        return (
+            pa.table(
+                {
+                    "p": batch.column(part_col).cast(pa.int64()),
+                    "s": batch.column(supp_col).cast(pa.int64()),
+                }
+            )
+            .group_by(["p", "s"])
+            .aggregate([])
+        )
+
+    def part_fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "p" not in batch.column_names:
+            return pa.table(
+                {"p": pa.array([], pa.int64()), "one": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "p": batch.column("p").cast(pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    def hist_fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum(one)" not in batch.column_names:
+            return pa.table(
+                {
+                    "n_suppliers": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "n_suppliers": batch.column("sum(one)").cast(pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    out = (
+        lineitem.select_columns([part_col, supp_col])
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p", "s"])
+        .count()
+        .map_batches(part_fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .aggregate(Sum("one"))
+        .map_batches(hist_fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_suppliers")
+        .aggregate(Sum("one"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_suppliers" not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        return pa.table(
+            {
+                "n_suppliers": batch.column("n_suppliers").cast(pa.int64()),
+                "n_parts": batch.column("sum(one)").cast(pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )

@@ -10805,3 +10805,257 @@ def edit_distance_join_ds(
         )
 
     return dedup.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def freq_of_freqs_ds(
+    docs: Dataset,
+    text_col: str = "text",
+) -> Dataset:
+    """Frequency-of-frequencies spectrum (the Zipf/lexicon health check):
+    term-frequency counts folded into log2 buckets — ``freq_bucket =
+    bit_length(freq)`` (== ``length(bin(f))`` in SQL, integer-exact via
+    the shared ``_bit_length_exact`` kernel) with the number of distinct
+    terms and total token mass per bucket. Bucket 1 is the hapax mass
+    every smoothing estimator needs.
+
+    Scale shape: per-batch token-count combiner -> ONE aggregate-only
+    vocab groupby -> per-batch bucket fold -> tiny (<= 64-row) bucket
+    groupby."""
+    from .analytics import _anchor_schema, _bit_length_exact
+
+    out_schema = pa.schema(
+        [
+            ("freq_bucket", pa.int64()),
+            ("n_terms", pa.int64()),
+            ("n_tokens", pa.int64()),
+        ]
+    )
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        flat = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(batch.column(text_col), ""), pattern=" ")
+        )
+        if len(flat) == 0:
+            return empty
+        g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "n": g.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    def bucket_fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum(n)" not in batch.column_names:
+            return pa.table(
+                {
+                    "freq_bucket": pa.array([], pa.int64()),
+                    "n_terms": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        f = batch.column("sum(n)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = _bit_length_exact(f)
+        g = (
+            pa.table(
+                {
+                    "freq_bucket": pa.array(b.astype(np.int64)),
+                    "n_terms": pa.array(np.ones(f.size, np.int64)),
+                    "n_tokens": pa.array(f),
+                }
+            )
+            .group_by("freq_bucket")
+            .aggregate([("n_terms", "sum"), ("n_tokens", "sum")])
+        )
+        return pa.table(
+            {
+                "freq_bucket": g.column("freq_bucket"),
+                "n_terms": g.column("n_terms_sum").cast(pa.int64()),
+                "n_tokens": g.column("n_tokens_sum").cast(pa.int64()),
+            }
+        )
+
+    out = (
+        docs.select_columns([text_col])
+        .map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n"))
+        .map_batches(bucket_fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("freq_bucket")
+        .aggregate(Sum("n_terms"), Sum("n_tokens"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "freq_bucket" not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        return pa.table(
+            {
+                "freq_bucket": batch.column("freq_bucket").cast(pa.int64()),
+                "n_terms": batch.column("sum(n_terms)").cast(pa.int64()),
+                "n_tokens": batch.column("sum(n_tokens)").cast(pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )
+
+
+def oov_rate_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_vocab: int = 16,
+) -> Dataset:
+    """Out-of-vocabulary rate per source against the corpus's own
+    top-``n_vocab`` terms by total frequency (freq DESC, token ASC
+    ties) — the fixed-vocabulary coverage audit run before committing a
+    tokenizer/vocab budget. Emits ``(source, n_tokens, n_oov,
+    oov_ppm)`` with ``oov_ppm = n_oov * 1e6 // n_tokens``.
+
+    Scale shape: term totals via the per-batch count combiner -> ONE
+    vocab groupby -> per-block top-k so the final sort+limit moves
+    <= k rows per block; the k vocab terms broadcast in the closure;
+    the second pass is a streaming searchsorted membership probe with
+    a per-batch source combiner -> source-domain groupby."""
+    from .analytics import _anchor_schema, _small_df
+
+    out_schema = pa.schema(
+        [
+            (group_col, pa.string()),
+            ("n_tokens", pa.int64()),
+            ("n_oov", pa.int64()),
+            ("oov_ppm", pa.int64()),
+        ]
+    )
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        flat = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(batch.column(text_col), ""), pattern=" ")
+        )
+        if len(flat) == 0:
+            return empty
+        g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "n": g.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    totals = (
+        docs.select_columns([text_col])
+        .map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), "f": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0 or "token" not in batch.column_names:
+            return empty
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        toks = batch.column("token")
+        codes = np.unique(
+            toks.to_numpy(zero_copy_only=False).astype(str), return_inverse=True
+        )[1]
+        order = np.lexsort((codes, -n))[:n_vocab]
+        return pa.table(
+            {"token": toks.take(pa.array(order)), "f": pa.array(n[order], pa.int64())}
+        )
+
+    top = _small_df(
+        totals.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["f", "token"], descending=[True, False])
+        .limit(n_vocab),
+        {"token": object, "f": np.int64},
+    )
+    vocab = np.sort(
+        top["token"].astype(str).to_numpy() if len(top) else np.empty(0, str)
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "t": pa.array([], pa.int64()),
+                "o": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(str)
+        if flat.size == 0:
+            return empty
+        src = np.repeat(
+            batch.column(group_col).to_numpy(zero_copy_only=False).astype(str),
+            n_tok,
+        )
+        if vocab.size:
+            code = np.clip(np.searchsorted(vocab, flat), 0, vocab.size - 1)
+            oov = (vocab[code] != flat).astype(np.int64)
+        else:
+            oov = np.ones(flat.size, np.int64)
+        g = (
+            pa.table(
+                {
+                    group_col: pa.array(src, pa.string()),
+                    "t": pa.array(np.ones(flat.size, np.int64)),
+                    "o": pa.array(oov),
+                }
+            )
+            .group_by(group_col)
+            .aggregate([("t", "sum"), ("o", "sum")])
+        )
+        return pa.table(
+            {
+                group_col: g.column(group_col),
+                "t": g.column("t_sum").cast(pa.int64()),
+                "o": g.column("o_sum").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.select_columns([group_col, text_col])
+        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Sum("t"), Sum("o"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or group_col not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        t = batch.column("sum(t)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        o = batch.column("sum(o)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_tokens": pa.array(t),
+                "n_oov": pa.array(o),
+                "oov_ppm": pa.array(
+                    np.where(t > 0, o * 1_000_000 // np.maximum(t, 1), 0)
+                ),
+            }
+        )
+
+    return _anchor_schema(
+        agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )

@@ -2719,3 +2719,22 @@ def test_open_order_backlog_hand_computed(ray_session):
     rows = an.open_order_backlog_ds(lineitem, orders).take_all()
     curve = {r["day"]: r["n_open"] for r in rows}
     assert curve == {0: 1, 1: 2, 2: 1, 3: 0, 4: 1, 5: 0}
+
+
+def test_sole_source_risk_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # part 1: suppliers {10, 11} (dup pair collapses); parts 2, 3: one each
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                "l_suppkey": pa.array([10, 11, 10, 20, 30], pa.int64()),
+            }
+        )
+    )
+    rows = {r["n_suppliers"]: r for r in an.sole_source_risk_ds(li).take_all()}
+    assert rows[2] == {"n_suppliers": 2, "n_parts": 1}
+    assert rows[1] == {"n_suppliers": 1, "n_parts": 2}

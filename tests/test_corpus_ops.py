@@ -3187,3 +3187,49 @@ def test_edit_distance_join_insertion_shift(ray_session):
     )
     rows = co.edit_distance_join_ds(docs, max_bucket=None).take_all()
     assert rows == [{"doc_a": 1, "doc_b": 2, "edit_distance": 2}]
+
+
+def test_freq_of_freqs_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # freqs: a=4 (bucket 3), b=2 c=2 (bucket 2), d=1 (bucket 1)
+    docs = ray.data.from_arrow(
+        pa.table({"text": pa.array(["a a b c", "a a b c d"])})
+    )
+    rows = {r["freq_bucket"]: r for r in co.freq_of_freqs_ds(docs).take_all()}
+    assert rows[3] == {"freq_bucket": 3, "n_terms": 1, "n_tokens": 4}
+    assert rows[2] == {"freq_bucket": 2, "n_terms": 2, "n_tokens": 4}
+    assert rows[1] == {"freq_bucket": 1, "n_terms": 1, "n_tokens": 1}
+
+
+def test_oov_rate_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import corpus_ops as co
+
+    # freqs: x=3 y=2 z=1 w=1 -> top-2 vocab {x, y} (w/z lose ties to y? no:
+    # top by freq DESC then token ASC -> x(3), y(2))
+    # source A tokens: x y x -> 0 oov; source B: z w x y -> 2 oov
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["A", "B"]),
+                "text": pa.array(["x y x", "z w x y"]),
+            }
+        )
+    )
+    rows = {r["source"]: r for r in co.oov_rate_ds(docs, n_vocab=2).take_all()}
+    assert rows["A"] == {
+        "source": "A",
+        "n_tokens": 3,
+        "n_oov": 0,
+        "oov_ppm": 0,
+    }
+    assert rows["B"] == {
+        "source": "B",
+        "n_tokens": 4,
+        "n_oov": 2,
+        "oov_ppm": 500_000,
+    }
