@@ -4328,7 +4328,40 @@ def q_sole_source_risk(sf_dir: str) -> ray.data.Dataset:
     return an.sole_source_risk_ds(li)
 
 
+def q_late_events(sf_dir: str) -> ray.data.Dataset:
+    """Watermark-lateness audit per event type (1h budget): two-phase
+    distributed prefix-max over ingest order — per-range maxima, driver
+    prefix over the tiny range table, seeded in-range cummax."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+    return an.late_events_ds(events, budget_us=3_600_000_000)
+
+
+def q_encoding_size_audit(sf_dir: str) -> ray.data.Dataset:
+    """Column-encoding size audit over documents (lang/source/text):
+    plain vs dictionary byte estimates; one value-hash shuffle per
+    column for the exact distinct set."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "text"]
+    )
+    return an.encoding_size_audit_ds(docs)
+
+
+def q_dup_baskets(sf_dir: str) -> ray.data.Dataset:
+    """Duplicate-basket histogram: orders sharing a byte-identical
+    distinct part set (md5 of the sorted part list); one order-hash
+    shuffle, per-order fingerprints inside the bucket."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return an.dup_baskets_ds(li)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "late_events": q_late_events,
+    "encoding_size_audit": q_encoding_size_audit,
+    "dup_baskets": q_dup_baskets,
     "freq_of_freqs": q_freq_of_freqs,
     "oov_rate": q_oov_rate,
     "sole_source_risk": q_sole_source_risk,
@@ -4643,6 +4676,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "late_events",
+    "encoding_size_audit",
+    "dup_baskets",
     "freq_of_freqs",
     "oov_rate",
     "sole_source_risk",
@@ -8872,6 +8908,54 @@ ORACLES["hist_intersection"] = """
            coalesce((SELECT n FROM r WHERE rk = 2), 0) AS n_b,
            i.n_intersect
     FROM i
+"""
+ORACLES["late_events"] = """
+    WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t FROM events),
+    w AS (SELECT event_type, t,
+                 max(t) OVER (ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS wm
+          FROM e)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(coalesce(sum(CASE WHEN t < wm - 3600000000 THEN 1 END), 0)
+             AS BIGINT) AS n_late
+    FROM w GROUP BY 1
+"""
+
+
+def _enc_block(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT coalesce({c}, '')) AS BIGINT) AS n_distinct,
+           CAST(coalesce(sum(strlen(coalesce({c}, ''))), 0) AS BIGINT)
+             AS plain_bytes,
+           CAST((SELECT coalesce(sum(strlen(v)), 0)
+                 FROM (SELECT DISTINCT coalesce({c}, '') AS v FROM documents))
+                + 4 * count(*) AS BIGINT) AS dict_bytes
+    FROM documents"""
+
+
+ORACLES["encoding_size_audit"] = (
+    _enc_block("lang")
+    + "\n    UNION ALL\n"
+    + _enc_block("source")
+    + "\n    UNION ALL\n"
+    + _enc_block("text")
+)
+ORACLES["dup_baskets"] = """
+    WITH ps AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    b AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS sz,
+                 md5(string_agg(CAST(l_partkey AS VARCHAR), '-'
+                                ORDER BY l_partkey)) AS fp
+          FROM ps GROUP BY 1),
+    g AS (SELECT sz, fp, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2)
+    SELECT sz AS basket_size,
+           CAST(sum(n) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_distinct_baskets,
+           CAST(sum(n) - count(*) AS BIGINT) AS n_dup_orders
+    FROM g GROUP BY 1
 """
 ORACLES["freq_of_freqs"] = """
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),

@@ -9469,3 +9469,412 @@ def sole_source_risk_ds(
         out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
         out_schema,
     )
+
+
+def late_events_ds(
+    events: Dataset,
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    ts_col: str = "ts",
+    budget_us: int = 3_600_000_000,
+    n_ranges: int = 4096,
+) -> Dataset:
+    """Watermark-lateness audit: replaying events in ingest order
+    (``seq_col``), the watermark is the running max event time seen
+    STRICTLY BEFORE each event; an event is late when ``ts < watermark
+    - budget``. Emits per event type ``(n_events, n_late)`` — the
+    measurement that decides whether a streaming job's allowed-lateness
+    budget would have dropped data.
+
+    Scale shape: a textbook two-phase distributed prefix scan. Phase 1
+    computes per-ingest-range maxima (``seq // range_width``, bounded
+    domain) with one aggregate-only groupby; the driver prefix-maxes
+    that tiny table into per-range carry-ins. Phase 2 re-shuffles by
+    range once, sorts each range by seq locally, and applies a shifted
+    cummax seeded with the carry-in — no global sort, no sequential
+    pass over the corpus."""
+    out_schema = pa.schema(
+        [
+            (type_col, pa.string()),
+            ("n_events", pa.int64()),
+            ("n_late", pa.int64()),
+        ]
+    )
+    bounds = (
+        events.select_columns([seq_col])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "mn": pa.array(
+                        [b.column(seq_col).cast(pa.int64()).to_numpy(
+                            zero_copy_only=False
+                        ).min()] if b.num_rows else [],
+                        pa.int64(),
+                    ),
+                    "mx": pa.array(
+                        [b.column(seq_col).cast(pa.int64()).to_numpy(
+                            zero_copy_only=False
+                        ).max()] if b.num_rows else [],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .aggregate(Min("mn"), Max("mx"))
+    )
+    if not bounds or bounds.get("min(mn)") is None:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    lo = int(bounds["min(mn)"])
+    hi = int(bounds["max(mx)"])
+    width = max((hi - lo) // n_ranges + 1, 1)
+
+    def project(batch: pa.Table) -> pa.Table:
+        s = batch.column(seq_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rng": pa.array((s - lo) // width, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "t": batch.column(ts_col).cast(pa.int64()),
+                "typ": batch.column(type_col).cast(pa.string()),
+            }
+        )
+
+    projected = events.select_columns(
+        [seq_col, ts_col, type_col]
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    projected = projected.materialize()  # phase 1 + phase 2 both consume it
+
+    range_max = _small_df(
+        projected.select_columns(["rng", "t"]).groupby("rng").aggregate(Max("t")),
+        {"rng": np.int64, "max(t)": np.int64},
+    )
+    carry = np.full(n_ranges + 1, -(1 << 62), np.int64)
+    if len(range_max):
+        r = range_max["rng"].to_numpy(np.int64)
+        m = range_max["max(t)"].to_numpy(np.int64)
+        tmp = np.full(n_ranges + 1, -(1 << 62), np.int64)
+        tmp[r] = m
+        # carry[i] = max over ranges < i
+        carry[1:] = np.maximum.accumulate(tmp[:-1])
+    carry_ref = ray.put(carry)
+
+    def late_partial(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "typ": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "l": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        cr = ray.get(carry_ref)
+        s = group.column("s").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        rng = group.column("rng").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, rng))
+        t_s, rng_s = t[order], rng[order]
+        new_rng = np.concatenate(([True], rng_s[1:] != rng_s[:-1]))
+        # shifted cummax within each range, seeded with the carry-in
+        wm = np.empty(t_s.size, np.int64)
+        wm[0] = cr[rng_s[0]]
+        wm[1:] = t_s[:-1]
+        seg_id = np.cumsum(new_rng) - 1
+        starts = np.flatnonzero(new_rng)
+        wm[starts] = cr[rng_s[starts]]
+        # running max of wm within segments (pandas grouped cummax)
+        import pandas as pd
+
+        wm = pd.Series(wm).groupby(seg_id).cummax().to_numpy()
+        late = (t_s < wm - budget_us).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "typ": group.column("typ").take(pa.array(order)),
+                    "n": pa.array(np.ones(t_s.size, np.int64)),
+                    "l": pa.array(late),
+                }
+            )
+            .group_by("typ")
+            .aggregate([("n", "sum"), ("l", "sum")])
+        )
+        return pa.table(
+            {
+                "typ": g.column("typ"),
+                "n": g.column("n_sum").cast(pa.int64()),
+                "l": g.column("l_sum").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        projected.groupby("rng")
+        .map_groups(late_partial, batch_format="pyarrow")
+        .groupby("typ")
+        .aggregate(Sum("n"), Sum("l"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "typ" not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        return pa.table(
+            {
+                type_col: batch.column("typ"),
+                "n_events": batch.column("sum(n)").cast(pa.int64()),
+                "n_late": batch.column("sum(l)").cast(pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )
+
+
+def encoding_size_audit_ds(
+    docs: Dataset,
+    columns: Sequence[str] = ("lang", "source", "text"),
+    n_buckets: int = 512,
+) -> Dataset:
+    """Column-encoding size audit: per string column the row count,
+    distinct count, plain-encoding byte size (sum of octet lengths) and
+    a dictionary-encoding estimate (``distinct_bytes + 4 * n`` — one
+    int32 code per row) — the layout decision input for columnar
+    writers. Emits one row per audited column.
+
+    Scale shape: plain bytes via a per-batch sum combiner; distinct
+    values co-locate through ONE ``md5(value) % n_buckets`` shuffle per
+    column (in-bucket np.unique IS the global distinct), so only
+    per-bucket (count, bytes) partials and the tiny per-column fold
+    move afterwards."""
+    from ..functions import textstats as ts_mod
+
+    out_schema = pa.schema(
+        [
+            ("column_name", pa.string()),
+            ("n", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("plain_bytes", pa.int64()),
+            ("dict_bytes", pa.int64()),
+        ]
+    )
+    results = []
+    for col in columns:
+        def plain_partial(batch: pa.Table, c=col) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"n": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+                )
+            v = pc.fill_null(batch.column(c), "")
+            return pa.table(
+                {
+                    "n": pa.array([batch.num_rows], pa.int64()),
+                    "b": pa.array(
+                        [int(pc.sum(pc.binary_length(v)).as_py() or 0)],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        plain = docs.select_columns([col]).map_batches(
+            plain_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).aggregate(Sum("n"), Sum("b"))
+        n_rows = int(plain["sum(n)"] or 0) if plain else 0
+        plain_bytes = int(plain["sum(b)"] or 0) if plain else 0
+
+        def distinct_partial(batch: pa.Table, c=col) -> pa.Table:
+            empty = pa.table(
+                {"v": pa.array([], pa.string()), "bkt": pa.array([], pa.int64())}
+            )
+            if batch.num_rows == 0:
+                return empty
+            u = pc.unique(pc.fill_null(batch.column(c), ""))
+            vals = u.to_pylist()
+            h = np.fromiter(
+                (ts_mod.md5_u64(x) for x in vals), np.uint64, count=len(vals)
+            )
+            return pa.table(
+                {
+                    "v": u,
+                    "bkt": pa.array(
+                        (h % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        def bucket_distinct(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.table(
+                    {"d": pa.array([], pa.int64()), "db": pa.array([], pa.int64())}
+                )
+            u = pc.unique(group.column("v"))
+            return pa.table(
+                {
+                    "d": pa.array([len(u)], pa.int64()),
+                    "db": pa.array(
+                        [int(pc.sum(pc.binary_length(u)).as_py() or 0)],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        dist = (
+            docs.select_columns([col])
+            .map_batches(
+                distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("bkt")
+            .map_groups(bucket_distinct, batch_format="pyarrow")
+            .aggregate(Sum("d"), Sum("db"))
+        )
+        n_distinct = int(dist["sum(d)"] or 0) if dist else 0
+        distinct_bytes = int(dist["sum(db)"] or 0) if dist else 0
+        results.append(
+            (str(col), n_rows, n_distinct, plain_bytes, distinct_bytes + 4 * n_rows)
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "column_name": pa.array([r[0] for r in results], pa.string()),
+                "n": pa.array([r[1] for r in results], pa.int64()),
+                "n_distinct": pa.array([r[2] for r in results], pa.int64()),
+                "plain_bytes": pa.array([r[3] for r in results], pa.int64()),
+                "dict_bytes": pa.array([r[4] for r in results], pa.int64()),
+            }
+        )
+    )
+
+
+def dup_baskets_ds(
+    lineitem: Dataset,
+    order_col: str = "l_orderkey",
+    part_col: str = "l_partkey",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Duplicate-basket histogram: orders whose DISTINCT part set is
+    byte-identical to another order's (fingerprint = md5 of the
+    numerically-sorted part list) — the market-structure dedup signal
+    behind bot/reseller detection. Emits per basket size ``(n_orders,
+    n_distinct_baskets, n_dup_orders)``.
+
+    Scale shape: distinct (order, part) combiner -> ONE
+    ``mix64(order)`` bucketed shuffle (an order's parts co-locate) ->
+    per-order fingerprint inside the bucket (one md5 per ORDER — the
+    per-entity cost class shared with the per-doc MinHash signature) ->
+    aggregate-only (size, fp) dedup groupby -> tiny size-domain fold."""
+    import hashlib
+
+    out_schema = pa.schema(
+        [
+            ("basket_size", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("n_distinct_baskets", pa.int64()),
+            ("n_dup_orders", pa.int64()),
+        ]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "o": pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64()),
+                    "bkt": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pa.table(
+                {
+                    "o": batch.column(order_col).cast(pa.int64()),
+                    "p": batch.column(part_col).cast(pa.int64()),
+                }
+            )
+            .group_by(["o", "p"])
+            .aggregate([])
+        )
+        o = g.column("o").to_numpy(zero_copy_only=False)
+        return g.append_column(
+            "bkt",
+            pa.array((_mix64(o) % np.uint64(n_buckets)).astype(np.int64)),
+        )
+
+    def bucket_fp(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"sz": pa.array([], pa.int64()), "fp": pa.array([], pa.string())}
+        )
+        if group.num_rows == 0:
+            return empty
+        o = group.column("o").to_numpy(zero_copy_only=False)
+        p = group.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        os_, ps_ = o[order], p[order]
+        keep = np.concatenate(
+            ([True], (os_[1:] != os_[:-1]) | (ps_[1:] != ps_[:-1]))
+        )
+        os_, ps_ = os_[keep], ps_[keep]
+        new = np.concatenate(([True], os_[1:] != os_[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [os_.size]))
+        fps = [
+            hashlib.md5(
+                "-".join(str(int(x)) for x in ps_[s:e]).encode()
+            ).hexdigest()
+            for s, e in zip(starts, ends)
+        ]
+        return pa.table(
+            {
+                "sz": pa.array((ends - starts).astype(np.int64)),
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    def size_fold(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sz" not in batch.column_names:
+            return pa.table(
+                {
+                    "sz": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "d": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "sz": batch.column("sz").cast(pa.int64()),
+                "n": batch.column("count()").cast(pa.int64()),
+                "d": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    out = (
+        lineitem.select_columns([order_col, part_col])
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_fp, batch_format="pyarrow")
+        .groupby(["sz", "fp"])
+        .count()
+        .map_batches(size_fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sz")
+        .aggregate(Sum("n"), Sum("d"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sz" not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        n = batch.column("sum(n)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = batch.column("sum(d)").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "basket_size": batch.column("sz").cast(pa.int64()),
+                "n_orders": pa.array(n),
+                "n_distinct_baskets": pa.array(d),
+                "n_dup_orders": pa.array(n - d),
+            }
+        )
+
+    return _anchor_schema(
+        out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )

@@ -2738,3 +2738,108 @@ def test_sole_source_risk_hand_computed(ray_session):
     rows = {r["n_suppliers"]: r for r in an.sole_source_risk_ds(li).take_all()}
     assert rows[2] == {"n_suppliers": 2, "n_parts": 1}
     assert rows[1] == {"n_suppliers": 1, "n_parts": 2}
+
+
+def test_late_events_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # ingest order (event_id): ts = 100, 250, 40, 90, 260
+    # watermark before each: -, 100, 250, 250, 250; budget 50:
+    # late when t < wm - 50: event 3 (40 < 200) and event 4 (90 < 200)
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array([100, 250, 40, 90, 260], pa.int64()),
+                "event_type": pa.array(["a", "a", "a", "b", "b"]),
+            }
+        )
+    )
+    rows = {
+        r["event_type"]: r
+        for r in an.late_events_ds(events, budget_us=50).take_all()
+    }
+    assert rows["a"] == {"event_type": "a", "n_events": 3, "n_late": 1}
+    assert rows["b"] == {"event_type": "b", "n_events": 2, "n_late": 1}
+
+
+def test_late_events_range_carry(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # force multiple seq ranges (n_ranges=2) so the carry-in path runs:
+    # global max lives in the first range, late event in the second
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 1000, 1001], pa.int64()),
+                "ts": pa.array([500, 900, 100, 950], pa.int64()),
+                "event_type": pa.array(["x", "x", "x", "x"]),
+            }
+        )
+    )
+    rows = an.late_events_ds(events, budget_us=100, n_ranges=2).take_all()
+    # event 1000: wm=900 -> 100 < 800 late; event 1001: wm=900, 950 ok
+    assert rows == [{"event_type": "x", "n_events": 4, "n_late": 1}]
+
+
+def test_encoding_size_audit_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["en", "en", "de"]),
+                "source": pa.array(["s1", "s1", "s1"]),
+                "text": pa.array(["aa", "bb", "aa"]),
+            }
+        )
+    )
+    rows = {
+        r["column_name"]: r for r in an.encoding_size_audit_ds(docs).take_all()
+    }
+    assert rows["lang"] == {
+        "column_name": "lang",
+        "n": 3,
+        "n_distinct": 2,
+        "plain_bytes": 6,
+        "dict_bytes": 4 + 12,
+    }
+    assert rows["source"]["n_distinct"] == 1
+    assert rows["text"]["dict_bytes"] == 4 + 12
+
+
+def test_dup_baskets_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # orders 1 and 2 share basket {5, 7} (order 2 lists 7 twice);
+    # order 3 has basket {5} alone
+    li = ray.data.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 2, 2, 3], pa.int64()),
+                "l_partkey": pa.array([5, 7, 7, 5, 7, 5], pa.int64()),
+            }
+        )
+    )
+    rows = {r["basket_size"]: r for r in an.dup_baskets_ds(li).take_all()}
+    assert rows[2] == {
+        "basket_size": 2,
+        "n_orders": 2,
+        "n_distinct_baskets": 1,
+        "n_dup_orders": 1,
+    }
+    assert rows[1] == {
+        "basket_size": 1,
+        "n_orders": 1,
+        "n_distinct_baskets": 1,
+        "n_dup_orders": 0,
+    }

@@ -40,6 +40,7 @@ def test_front_window_holds_new_and_never_sampled():
     first50 = set(keys[:50])
     for name in (
         # session-12 operators (newest — zero external validation)
+        "late_events", "encoding_size_audit", "dup_baskets",
         "freq_of_freqs", "oov_rate", "sole_source_risk",
         "ship_lag_stats", "zonemap_prune", "open_order_backlog",
         "order_reconcile", "weekday_profile", "rfm_scores",
@@ -61,8 +62,8 @@ def test_front_window_holds_new_and_never_sampled():
         "effective_tokens", "term_burstiness", "full_join",
         "int8_quant_error", "assortativity", "blocklist_hits",
         "semantic_decontaminate", "k_anonymity", "stratified_kfold",
-        "syndication_histogram", "ewma_running", "term_trend",
-        # the tail past slot 50 (log_histogram, json_props_stats,
+        # the tail past slot 50 (syndication_histogram, ewma_running,
+        # term_trend, log_histogram, json_props_stats,
         # ab_assignment, semantic_families, fd_audit,
         # index_gap_stats, dataset_card, pareto_share,
         # kendall_pairs, source_prefix_audit, ktruss, fold_leakage,
