@@ -4358,7 +4358,29 @@ def q_dup_baskets(sf_dir: str) -> ray.data.Dataset:
     return an.dup_baskets_ds(li)
 
 
+def q_churn_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Day-over-day audience overlap: active users of d and d+1 plus
+    the exact retained intersection; distinct-cell combiner + one
+    user-hash shuffle, bounded day-domain fold."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return an.churn_overlap_ds(events)
+
+
+def q_value_mad(sf_dir: str) -> ray.data.Dataset:
+    """Robust center/spread per event type: discrete median + median
+    absolute deviation of cents-quantized value; one (type, cents)
+    histogram groupby, MAD re-bucketed from the same histogram."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return an.value_mad_ds(events)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "churn_overlap": q_churn_overlap,
+    "value_mad": q_value_mad,
     "late_events": q_late_events,
     "encoding_size_audit": q_encoding_size_audit,
     "dup_baskets": q_dup_baskets,
@@ -4676,6 +4698,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "churn_overlap",
+    "value_mad",
     "late_events",
     "encoding_size_audit",
     "dup_baskets",
@@ -8908,6 +8932,49 @@ ORACLES["hist_intersection"] = """
            coalesce((SELECT n FROM r WHERE rk = 2), 0) AS n_b,
            i.n_intersect
     FROM i
+"""
+ORACLES["churn_overlap"] = """
+    WITH d AS (SELECT DISTINCT user_id,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    act AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    ret AS (SELECT a.day, CAST(count(*) AS BIGINT) AS n
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND b.day = a.day + 1
+            GROUP BY 1),
+    span AS (SELECT unnest(range(coalesce((SELECT min(day) FROM d), 0),
+                                 coalesce((SELECT max(day) FROM d), 0)))
+               AS day)
+    SELECT CAST(span.day AS BIGINT) AS day,
+           coalesce(a1.n, 0) AS n_active,
+           coalesce(a2.n, 0) AS n_active_next,
+           coalesce(r.n, 0) AS n_retained
+    FROM span LEFT JOIN act a1 ON a1.day = span.day
+    LEFT JOIN act a2 ON a2.day = span.day + 1
+    LEFT JOIN ret r ON r.day = span.day
+"""
+ORACLES["value_mad"] = """
+    WITH q AS (SELECT event_type AS typ,
+                      CAST(floor(value * 100) AS BIGINT) AS v
+               FROM events),
+    c AS (SELECT typ, v, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1, 2),
+    tot AS (SELECT typ, CAST(sum(n) AS BIGINT) AS N FROM c GROUP BY 1),
+    cum AS (SELECT typ, v, sum(n) OVER (PARTITION BY typ ORDER BY v) AS cc
+            FROM c),
+    med AS (SELECT cum.typ, CAST(min(cum.v) AS BIGINT) AS med
+            FROM cum JOIN tot USING (typ)
+            WHERE cc >= (N + 1) // 2 GROUP BY 1),
+    dev AS (SELECT c.typ, abs(c.v - med.med) AS dv,
+                   CAST(sum(c.n) AS BIGINT) AS n
+            FROM c JOIN med USING (typ) GROUP BY 1, 2),
+    dcum AS (SELECT typ, dv, sum(n) OVER (PARTITION BY typ ORDER BY dv) AS cc
+             FROM dev),
+    mad AS (SELECT dcum.typ, CAST(min(dcum.dv) AS BIGINT) AS mad
+            FROM dcum JOIN tot USING (typ)
+            WHERE cc >= (N + 1) // 2 GROUP BY 1)
+    SELECT tot.typ AS event_type, tot.N AS n,
+           med.med AS med_cents, mad.mad AS mad_cents
+    FROM tot JOIN med USING (typ) JOIN mad USING (typ)
 """
 ORACLES["late_events"] = """
     WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t FROM events),

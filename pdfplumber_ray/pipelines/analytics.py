@@ -9878,3 +9878,232 @@ def dup_baskets_ds(
         out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
         out_schema,
     )
+
+
+def churn_overlap_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Day-over-day audience overlap: for every day ``d`` in the
+    observed span (except the last), the active-user counts of ``d``
+    and ``d+1`` plus the exact retained-user intersection — churned =
+    ``n_active - n_retained``, new = ``n_active_next - n_retained``.
+    The daily churn diagnostic behind retention dashboards.
+
+    Scale shape: distinct (user, day) Arrow combiner -> ONE
+    ``mix64(user)`` shuffle (a user's active days co-locate, so
+    consecutive-day pairs count locally) -> per-bucket (day, active,
+    retained) partials -> bounded day-domain groupby; the dense chain
+    assembles from the tiny day table on the driver."""
+    out_schema = pa.schema(
+        [
+            ("day", pa.int64()),
+            ("n_active", pa.int64()),
+            ("n_active_next", pa.int64()),
+            ("n_retained", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bkt": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                }
+            )
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cells = (
+            pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "day": pa.array(t // day_us, pa.int64()),
+                }
+            )
+            .group_by(["k", "day"])
+            .aggregate([])
+        )
+        ku = cells.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(ku) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": cells.column("k"),
+                "day": cells.column("day"),
+            }
+        )
+
+    def bucket_counts(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "a": pa.array([], pa.int64()),
+                "r": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        d = group.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))
+        ks, ds_ = k[order], d[order]
+        keep = np.concatenate(([True], (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])))
+        ks, ds_ = ks[keep], ds_[keep]
+        same_user = ks[1:] == ks[:-1]
+        retained = same_user & ((ds_[1:] - ds_[:-1]) == 1)
+        lo = int(ds_.min())
+        act = np.bincount(ds_ - lo).astype(np.int64)
+        ret = np.bincount(ds_[:-1][retained] - lo, minlength=act.size).astype(
+            np.int64
+        )
+        days = np.arange(lo, lo + act.size, dtype=np.int64)
+        nz = (act > 0) | (ret > 0)
+        return pa.table(
+            {
+                "day": pa.array(days[nz]),
+                "a": pa.array(act[nz]),
+                "r": pa.array(ret[nz]),
+            }
+        )
+
+    agg = _small_df(
+        events.select_columns([key_col, ts_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_counts, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("a"), Sum("r")),
+        {"day": np.int64, "sum(a)": np.int64, "sum(r)": np.int64},
+    )
+    if not len(agg):
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    day = agg["day"].to_numpy(np.int64)
+    a = agg["sum(a)"].to_numpy(np.int64)
+    r = agg["sum(r)"].to_numpy(np.int64)
+    lo, hi = int(day.min()), int(day.max())
+    act = np.zeros(hi - lo + 1, np.int64)
+    ret = np.zeros(hi - lo + 1, np.int64)
+    act[day - lo] = a
+    ret[day - lo] = r
+    if act.size < 2:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    days_out = np.arange(lo, hi, dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(days_out),
+                "n_active": pa.array(act[:-1]),
+                "n_active_next": pa.array(act[1:]),
+                "n_retained": pa.array(ret[:-1]),
+            }
+        )
+    )
+
+
+def value_mad_ds(
+    events: Dataset,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    quant: int = 100,
+) -> Dataset:
+    """Robust center/spread per event type: the discrete median of the
+    cents-quantized value and the median absolute deviation around it
+    (both under the shared ``smallest value with cumulative count >=
+    ceil(n/2)`` convention) — the outlier-resistant scale estimate MAD
+    provides where variance is skew-dominated. Emits ``(event_type, n,
+    med_cents, mad_cents)``.
+
+    Scale shape: ONE (type, cents) count-combiner groupby; the MAD
+    derives from the SAME collected histogram by re-bucketing
+    ``|v - med|`` on the driver — no second corpus pass."""
+    out_schema = pa.schema(
+        [
+            (type_col, pa.string()),
+            ("n", pa.int64()),
+            ("med_cents", pa.int64()),
+            ("mad_cents", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "typ": pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "typ": batch.column(type_col).cast(pa.string()),
+                    "v": pa.array(np.floor(v * quant).astype(np.int64), pa.int64()),
+                }
+            )
+            .group_by(["typ", "v"])
+            .aggregate([("v", "count")])
+        )
+        return pa.table(
+            {
+                "typ": g.column("typ"),
+                "v": g.column("v"),
+                "n": g.column("v_count").cast(pa.int64()),
+            }
+        )
+
+    hist = _small_df(
+        events.select_columns([type_col, value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["typ", "v"])
+        .aggregate(Sum("n")),
+        {"typ": object, "v": np.int64, "sum(n)": np.int64},
+    )
+    if not len(hist):
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    typ = hist["typ"].to_numpy(object).astype(str)
+    v = hist["v"].to_numpy(np.int64)
+    n = hist["sum(n)"].to_numpy(np.int64)
+    order = np.lexsort((v, typ))
+    typ, v, n = typ[order], v[order], n[order]
+    starts = np.flatnonzero(np.concatenate(([True], typ[1:] != typ[:-1])))
+    ends = np.concatenate((starts[1:], [typ.size]))
+
+    def disc_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        cum = np.cumsum(cnts)
+        rank = (int(cum[-1]) + 1) // 2
+        return int(vals[np.searchsorted(cum, max(rank, 1))])
+
+    rows = []
+    for s, e in zip(starts, ends):
+        med = disc_median(v[s:e], n[s:e])
+        dev = np.abs(v[s:e] - med)
+        o2 = np.argsort(dev, kind="stable")
+        # merge equal deviations (v below and above med can collide)
+        dv, inv = np.unique(dev[o2], return_inverse=True)
+        dn = np.bincount(inv, weights=n[s:e][o2]).astype(np.int64)
+        mad = disc_median(dv, dn)
+        rows.append((str(typ[s]), int(n[s:e].sum()), med, mad))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                type_col: pa.array([r[0] for r in rows], pa.string()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "med_cents": pa.array([r[2] for r in rows], pa.int64()),
+                "mad_cents": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )

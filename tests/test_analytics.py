@@ -2843,3 +2843,57 @@ def test_dup_baskets_hand_computed(ray_session):
         "n_distinct_baskets": 1,
         "n_dup_orders": 0,
     }
+
+
+def test_churn_overlap_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # day 0: users {1,2}; day 1: {2,3}; day 2: {3}
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 2, 2, 3, 3, 2], pa.int64()),
+                "ts": pa.array(
+                    [0, 5, day, day + 1, 2 * day, 3], pa.int64()
+                ),
+            }
+        )
+    )
+    rows = {r["day"]: r for r in an.churn_overlap_ds(events).take_all()}
+    assert rows[0] == {
+        "day": 0,
+        "n_active": 2,
+        "n_active_next": 2,
+        "n_retained": 1,
+    }
+    assert rows[1] == {
+        "day": 1,
+        "n_active": 2,
+        "n_active_next": 1,
+        "n_retained": 1,
+    }
+    assert len(rows) == 2
+
+
+def test_value_mad_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # cents: 100, 200, 300, 10000 -> med rank (4+1)//2=2 -> 200
+    # deviations: 100, 0, 100, 9800 -> sorted 0,100,100,9800 -> mad 100
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 4),
+                "value": pa.array([1.0, 2.0, 3.0, 100.0]),
+            }
+        )
+    )
+    rows = an.value_mad_ds(events).take_all()
+    assert rows == [
+        {"event_type": "x", "n": 4, "med_cents": 200, "mad_cents": 100}
+    ]

@@ -40,6 +40,7 @@ def test_front_window_holds_new_and_never_sampled():
     first50 = set(keys[:50])
     for name in (
         # session-12 operators (newest — zero external validation)
+        "churn_overlap", "value_mad",
         "late_events", "encoding_size_audit", "dup_baskets",
         "freq_of_freqs", "oov_rate", "sole_source_risk",
         "ship_lag_stats", "zonemap_prune", "open_order_backlog",
@@ -61,8 +62,9 @@ def test_front_window_holds_new_and_never_sampled():
         "dim_variance", "centroid_outliers", "sampled_dup_rate",
         "effective_tokens", "term_burstiness", "full_join",
         "int8_quant_error", "assortativity", "blocklist_hits",
-        "semantic_decontaminate", "k_anonymity", "stratified_kfold",
-        # the tail past slot 50 (syndication_histogram, ewma_running,
+        "semantic_decontaminate",
+        # the tail past slot 50 (k_anonymity, stratified_kfold,
+        # syndication_histogram, ewma_running,
         # term_trend, log_histogram, json_props_stats,
         # ab_assignment, semantic_families, fd_audit,
         # index_gap_stats, dataset_card, pareto_share,
