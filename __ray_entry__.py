@@ -4378,7 +4378,41 @@ def q_value_mad(sf_dir: str) -> ray.data.Dataset:
     return an.value_mad_ds(events)
 
 
+def q_cdc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Content-defined chunking shared-chunk histogram (storage-dedup /
+    sub-document verbatim-reuse modality): rolling 8-char window hash
+    cuts, md5 chunk keys, distinct-doc counts; one bounded
+    hash-bucket shuffle."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return an.cdc_chunks_ds(docs)
+
+
+def q_poisson_bootstrap(sf_dir: str) -> ray.data.Dataset:
+    """One-pass Poisson(1) bootstrap of mean doc length per source
+    (16 deterministic replicates, inverse-CDF on md5 uniforms); single
+    streaming pass, tiny (source, rep) fold."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return an.poisson_bootstrap_ds(docs)
+
+
+def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss +/-1 sign projection of e6-quantized
+    embeddings onto k=16 components with division-free norm-audit
+    columns; shuffle-free integer matmul per batch."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return an.rand_projection_ds(emb)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "cdc_chunks": q_cdc_chunks,
+    "poisson_bootstrap": q_poisson_bootstrap,
+    "rand_projection": q_rand_projection,
     "churn_overlap": q_churn_overlap,
     "value_mad": q_value_mad,
     "late_events": q_late_events,
@@ -4698,6 +4732,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "cdc_chunks",
+    "poisson_bootstrap",
+    "rand_projection",
     "churn_overlap",
     "value_mad",
     "late_events",
@@ -9289,4 +9326,105 @@ ORACLES["marginal_vocab"] = """
              AS BIGINT) AS n_owned_tokens
     FROM st JOIN own USING (token)
     GROUP BY st.source
+"""
+ORACLES["cdc_chunks"] = """
+    WITH d AS (SELECT doc_id, text, length(text) AS L
+               FROM documents WHERE length(text) >= 1),
+    pos AS (SELECT doc_id, text, L, unnest(range(8, L + 1)) AS i
+            FROM d WHERE L >= 8),
+    cut0 AS (SELECT doc_id, text, i FROM pos WHERE
+        (ascii(substr(text, i - 7, 1))::BIGINT * 27512614111
+       + ascii(substr(text, i - 6, 1))::BIGINT * 887503681
+       + ascii(substr(text, i - 5, 1))::BIGINT * 28629151
+       + ascii(substr(text, i - 4, 1))::BIGINT * 923521
+       + ascii(substr(text, i - 3, 1))::BIGINT * 29791
+       + ascii(substr(text, i - 2, 1))::BIGINT * 961
+       + ascii(substr(text, i - 1, 1))::BIGINT * 31
+       + ascii(substr(text, i, 1))::BIGINT) % 64 = 0),
+    cuts AS (SELECT DISTINCT doc_id, text, i FROM
+             (SELECT doc_id, text, i FROM cut0
+              UNION ALL SELECT doc_id, text, L AS i FROM d)),
+    seg AS (SELECT doc_id,
+              substr(text,
+                     coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1,
+                     i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0))
+                AS chunk
+            FROM cuts),
+    agg AS (SELECT md5(chunk) AS hsh, min(length(chunk)) AS clen,
+                   count(*) AS occ, count(DISTINCT doc_id) AS nd
+            FROM seg GROUP BY 1)
+    SELECT CAST(nd AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(occ) AS BIGINT) AS occurrences,
+           CAST(sum(clen) AS BIGINT) AS chunk_chars
+    FROM agg GROUP BY nd
+"""
+ORACLES["poisson_bootstrap"] = """
+    WITH x AS (
+      SELECT source, n_chars, rep,
+             ('0x' || substr(md5('pb|' || doc_id || '|' || rep), 1, 8))::UBIGINT AS h
+      FROM documents CROSS JOIN (SELECT unnest(range(16)) AS rep)),
+    w AS (SELECT source, rep, n_chars,
+            CASE WHEN h < 1580030168 THEN 0
+                 WHEN h < 3160060337 THEN 1
+                 WHEN h < 3950075421 THEN 2
+                 WHEN h < 4213413783 THEN 3
+                 WHEN h < 4279248373 THEN 4
+                 WHEN h < 4292415291 THEN 5
+                 WHEN h < 4294609777 THEN 6
+                 WHEN h < 4294923276 THEN 7
+                 WHEN h < 4294962463 THEN 8
+                 ELSE 9 END AS wt
+          FROM x),
+    g AS (SELECT source, rep, sum(wt) AS ne, sum(wt * n_chars) AS ws
+          FROM w GROUP BY 1, 2 HAVING sum(wt) > 0)
+    SELECT source, CAST(rep AS BIGINT) AS rep, CAST(ne AS BIGINT) AS n_eff,
+           CAST(ws AS BIGINT) AS sum_chars,
+           CAST(ws * 1000 // ne AS BIGINT) AS mean_chars_e3
+    FROM g
+"""
+ORACLES["rand_projection"] = """
+    WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+                        AS q
+               FROM embeddings),
+    s AS (SELECT j, d,
+            CASE WHEN ('0x' || substr(md5('rp|' || j || '|' || d), 1, 8))::UBIGINT
+                      % 2 = 0
+                 THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(range(16)) AS j)
+          CROSS JOIN (SELECT DISTINCT d FROM q) u(d)),
+    p AS (SELECT q.vec_id, s.j, sum(s.sgn * q.q) AS pj
+          FROM q JOIN s ON s.d = q.d GROUP BY 1, 2),
+    n AS (SELECT vec_id, sum(q * q) AS l2q FROM q GROUP BY 1),
+    pp AS (SELECT vec_id, sum(pj * pj) AS p2 FROM p GROUP BY 1),
+    pv AS (SELECT vec_id,
+             sum(CASE WHEN j = 0 THEN pj END) AS proj_0,
+             sum(CASE WHEN j = 1 THEN pj END) AS proj_1,
+             sum(CASE WHEN j = 2 THEN pj END) AS proj_2,
+             sum(CASE WHEN j = 3 THEN pj END) AS proj_3,
+             sum(CASE WHEN j = 4 THEN pj END) AS proj_4,
+             sum(CASE WHEN j = 5 THEN pj END) AS proj_5,
+             sum(CASE WHEN j = 6 THEN pj END) AS proj_6,
+             sum(CASE WHEN j = 7 THEN pj END) AS proj_7,
+             sum(CASE WHEN j = 8 THEN pj END) AS proj_8,
+             sum(CASE WHEN j = 9 THEN pj END) AS proj_9,
+             sum(CASE WHEN j = 10 THEN pj END) AS proj_10,
+             sum(CASE WHEN j = 11 THEN pj END) AS proj_11,
+             sum(CASE WHEN j = 12 THEN pj END) AS proj_12,
+             sum(CASE WHEN j = 13 THEN pj END) AS proj_13,
+             sum(CASE WHEN j = 14 THEN pj END) AS proj_14,
+             sum(CASE WHEN j = 15 THEN pj END) AS proj_15
+           FROM p GROUP BY 1)
+    SELECT pv.vec_id,
+           CAST(proj_0 AS BIGINT) AS proj_0, CAST(proj_1 AS BIGINT) AS proj_1,
+           CAST(proj_2 AS BIGINT) AS proj_2, CAST(proj_3 AS BIGINT) AS proj_3,
+           CAST(proj_4 AS BIGINT) AS proj_4, CAST(proj_5 AS BIGINT) AS proj_5,
+           CAST(proj_6 AS BIGINT) AS proj_6, CAST(proj_7 AS BIGINT) AS proj_7,
+           CAST(proj_8 AS BIGINT) AS proj_8, CAST(proj_9 AS BIGINT) AS proj_9,
+           CAST(proj_10 AS BIGINT) AS proj_10, CAST(proj_11 AS BIGINT) AS proj_11,
+           CAST(proj_12 AS BIGINT) AS proj_12, CAST(proj_13 AS BIGINT) AS proj_13,
+           CAST(proj_14 AS BIGINT) AS proj_14, CAST(proj_15 AS BIGINT) AS proj_15,
+           CAST(n.l2q AS BIGINT) AS l2q, CAST(pp.p2 AS BIGINT) AS p2
+    FROM pv JOIN n USING (vec_id) JOIN pp USING (vec_id)
 """

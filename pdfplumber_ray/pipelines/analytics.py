@@ -10107,3 +10107,326 @@ def value_mad_ds(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session 13: sub-document CDC dedup, one-pass Poisson bootstrap,
+# Johnson-Lindenstrauss sign projection.
+# ---------------------------------------------------------------------------
+
+_CDC_WIN = 8
+_CDC_POW = np.array([31 ** (7 - k) for k in range(8)], dtype=np.int64)
+
+
+def cdc_chunks_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = 64,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Content-defined chunking (CDC) shared-chunk histogram — the
+    storage-dedup modality (LBFS / Venti style): split every document at
+    positions where a rolling window hash of the last ``_CDC_WIN``
+    characters satisfies ``h % mask == 0``, then count how many distinct
+    documents share each chunk.  Because boundaries depend only on local
+    content, a paragraph pasted into two otherwise-different documents
+    yields byte-identical chunks — sub-document verbatim reuse that
+    document-level MinHash misses (the chunk level of Lee et al.'s
+    exact-substring dedup, reference-free).
+
+    Window hash: ``sum(cp[k] * 31^(7-k))`` over the 8 code points ending
+    at the position (no min/max chunk length — every qualifying position
+    cuts, so the rule is order-free and embarrassingly parallel).  Docs
+    shorter than the window form a single whole-text chunk.
+
+    Output: one row per distinct-document count ``n_docs`` with the
+    number of distinct chunk values, total occurrences, and summed
+    distinct-chunk character length.
+
+    Scale shape: per-batch chunker emits ``(md5(chunk), doc, occ, len)``
+    partials deduped per (chunk, doc); ONE ``hash % n_buckets`` shuffle
+    co-locates each chunk value in a BOUNDED group count; buckets
+    segment with one lexsort and emit tiny ``n_docs`` histograms that a
+    final small groupby folds."""
+    import hashlib
+
+    def chunker(batch: pa.Table) -> pa.Table:
+        ids_ = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        hs: List[int] = []
+        ds_: List[int] = []
+        ln: List[int] = []
+        oc: List[int] = []
+        per_doc: "dict[tuple[int, bytes], tuple[int, int]]" = {}
+        for did, txt in zip(ids_, texts):
+            if not txt:
+                continue
+            cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            n = cp.size
+            if n >= _CDC_WIN:
+                win = np.lib.stride_tricks.sliding_window_view(cp, _CDC_WIN)
+                hv = win @ _CDC_POW
+                cuts = np.flatnonzero(hv % mask == 0) + _CDC_WIN  # 1-based ends
+                if cuts.size == 0 or cuts[-1] != n:
+                    cuts = np.append(cuts, n)
+            else:
+                cuts = np.array([n], dtype=np.int64)
+            start = 0
+            for e in cuts:
+                chunk = txt[start : int(e)]
+                start = int(e)
+                key = (int(did), hashlib.md5(chunk.encode()).digest())
+                occ, _ = per_doc.get(key, (0, 0))
+                per_doc[key] = (occ + 1, len(chunk))
+        for (did, dig), (occ, clen) in per_doc.items():
+            hs.append(int.from_bytes(dig[:8], "big") >> 1)
+            ds_.append(did)
+            oc.append(occ)
+            ln.append(clen)
+        h = np.array(hs, dtype=np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(h % n_buckets if h.size else h, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "d": pa.array(np.array(ds_, dtype=np.int64), pa.int64()),
+                "occ": pa.array(np.array(oc, dtype=np.int64), pa.int64()),
+                "clen": pa.array(np.array(ln, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_hist(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_docs": pa.array([], pa.int64()),
+                "nc": pa.array([], pa.int64()),
+                "occ": pa.array([], pa.int64()),
+                "cb": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        d = group.column("d").to_numpy(zero_copy_only=False)
+        occ = group.column("occ").to_numpy(zero_copy_only=False)
+        clen = group.column("clen").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d, occ, clen = h[order], d[order], occ[order], clen[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        seg = np.zeros(h.size, dtype=np.int64)
+        seg[starts] = 1
+        seg = np.cumsum(seg) - 1
+        nd = np.bincount(seg).astype(np.int64)  # rows are (chunk, doc) unique
+        tot_occ = np.bincount(seg, weights=occ).astype(np.int64)
+        cl = clen[starts]
+        uniq_nd, inv = np.unique(nd, return_inverse=True)
+        return pa.table(
+            {
+                "n_docs": pa.array(uniq_nd, pa.int64()),
+                "nc": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "occ": pa.array(
+                    np.bincount(inv, weights=tot_occ).astype(np.int64), pa.int64()
+                ),
+                "cb": pa.array(
+                    np.bincount(inv, weights=cl).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    hist = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(chunker, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_hist, batch_format="pyarrow")
+        .groupby("n_docs")
+        .aggregate(Sum("nc"), Sum("occ"), Sum("cb"))
+    )
+    df = _small_df(
+        hist,
+        {
+            "n_docs": np.int64,
+            "sum(nc)": np.int64,
+            "sum(occ)": np.int64,
+            "sum(cb)": np.int64,
+        },
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array(df["n_docs"].to_numpy(np.int64), pa.int64()),
+                "n_chunks": pa.array(df["sum(nc)"].to_numpy(np.int64), pa.int64()),
+                "occurrences": pa.array(df["sum(occ)"].to_numpy(np.int64), pa.int64()),
+                "chunk_chars": pa.array(df["sum(cb)"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+    )
+
+
+_POIS1_T = np.array(
+    [
+        1580030168,
+        3160060337,
+        3950075421,
+        4213413783,
+        4279248373,
+        4292415291,
+        4294609777,
+        4294923276,
+        4294962463,
+    ],
+    dtype=np.int64,
+)
+
+
+def poisson_bootstrap_ds(
+    docs: Dataset,
+    group_col: str = "source",
+    val_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_reps: int = 16,
+) -> Dataset:
+    """One-pass Poisson bootstrap of the mean document length per source:
+    each (row, replicate) pair draws a deterministic Poisson(1) weight
+    (inverse-CDF on a 32-bit md5 uniform), so every replicate is a
+    with-replacement resample computed WITHOUT materializing resample
+    indices — the only bootstrap shape that works on a 100 TB corpus
+    (one streaming pass, no per-replicate shuffle; Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012).
+
+    Output per (source, rep): effective resample size ``n_eff``,
+    weighted char sum, and the exact floor-divided mean in millichars.
+
+    Scale shape: a single ``map_batches`` pass emits per-batch
+    (source, rep) partial sums; the global fold is a groupby over the
+    tiny ``sources x n_reps`` domain."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_ = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = batch.column(val_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        src = batch.column(group_col).to_pylist()
+        n = len(src)
+        if n == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "rep": pa.array([], pa.int64()),
+                    "ne": pa.array([], pa.int64()),
+                    "ws": pa.array([], pa.int64()),
+                }
+            )
+        h = np.empty((n, n_reps), dtype=np.int64)
+        for i, did in enumerate(ids_):
+            pre = f"pb|{int(did)}|"
+            for b in range(n_reps):
+                h[i, b] = int(
+                    hashlib.md5((pre + str(b)).encode()).hexdigest()[:8], 16
+                )
+        w = np.searchsorted(_POIS1_T, h.ravel(), side="right").reshape(n, n_reps)
+        t = pa.table(
+            {
+                group_col: pa.array(np.repeat(np.array(src, dtype=object), n_reps)),
+                "rep": pa.array(np.tile(np.arange(n_reps, dtype=np.int64), n), pa.int64()),
+                "ne": pa.array(w.ravel().astype(np.int64), pa.int64()),
+                "ws": pa.array(
+                    (w * vals[:, None]).ravel().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by([group_col, "rep"]).aggregate([("ne", "sum"), ("ws", "sum")])
+        return g.rename_columns([group_col, "rep", "ne", "ws"])
+
+    agg = (
+        docs.select_columns([id_col, group_col, val_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "rep"])
+        .aggregate(Sum("ne"), Sum("ws"))
+    )
+    df = _small_df(
+        agg,
+        {group_col: object, "rep": np.int64, "sum(ne)": np.int64, "sum(ws)": np.int64},
+    )
+    ne = df["sum(ne)"].to_numpy(np.int64)
+    ws = df["sum(ws)"].to_numpy(np.int64)
+    keep = ne > 0
+    mean_e3 = np.zeros(ne.size, dtype=np.int64)
+    mean_e3[keep] = ws[keep] * 1000 // ne[keep]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                group_col: pa.array(df[group_col].astype(str)[keep], pa.string()),
+                "rep": pa.array(df["rep"].to_numpy(np.int64)[keep], pa.int64()),
+                "n_eff": pa.array(ne[keep], pa.int64()),
+                "sum_chars": pa.array(ws[keep], pa.int64()),
+                "mean_chars_e3": pa.array(mean_e3[keep], pa.int64()),
+            }
+        )
+    )
+
+
+def _rp_signs(k: int, dim: int) -> np.ndarray:
+    """Deterministic +/-1 Johnson-Lindenstrauss sign matrix (k x dim),
+    seeded from md5 so the DuckDB twin reproduces it bit-exactly."""
+    import hashlib
+
+    s = np.empty((k, dim), dtype=np.int64)
+    for j in range(k):
+        for d in range(dim):
+            hv = int(hashlib.md5(f"rp|{j}|{d}".encode()).hexdigest()[:8], 16)
+            s[j, d] = 1 if hv % 2 == 0 else -1
+    return s
+
+
+def rand_projection_ds(
+    emb: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+) -> Dataset:
+    """Johnson-Lindenstrauss sign random projection (Achlioptas 2001
+    "Database-friendly random projections"): project each embedding onto
+    ``k`` deterministic +/-1 sign vectors over e6-quantized components —
+    the standard dimension-reduction front end before LSH bucketing or
+    ANN indexing at corpus scale.  Emits the projected vector plus the
+    exact squared-norm pair (``l2q``, ``p2``) whose ratio audits JL
+    distance preservation (E[p2] = k * l2q) division-free, so every
+    column stays integer-exact.
+
+    Scale shape: the k x dim sign matrix is a module-level constant built
+    once per worker (never shipped per batch); the projection is one
+    integer matmul per batch; no shuffle at all."""
+    sign_cache: "dict[int, np.ndarray]" = {}
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids_ = batch.column(id_col).cast(pa.int64())
+        col = batch.column(vec_col).combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            cols = {id_col: pa.array([], pa.int64())}
+            for j in range(k):
+                cols[f"proj_{j}"] = pa.array([], pa.int64())
+            cols["l2q"] = pa.array([], pa.int64())
+            cols["p2"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        dim = flat.size // n
+        q = np.floor(flat * 1e6).astype(np.int64).reshape(n, dim)
+        s = sign_cache.get(dim)
+        if s is None:
+            s = _rp_signs(k, dim)
+            sign_cache[dim] = s
+        proj = q @ s.T
+        cols = {id_col: ids_}
+        for j in range(k):
+            cols[f"proj_{j}"] = pa.array(proj[:, j], pa.int64())
+        cols["l2q"] = pa.array((q * q).sum(axis=1), pa.int64())
+        cols["p2"] = pa.array((proj * proj).sum(axis=1), pa.int64())
+        return pa.table(cols)
+
+    return emb.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -2897,3 +2897,130 @@ def test_value_mad_hand_computed(ray_session):
     assert rows == [
         {"event_type": "x", "n": 4, "med_cents": 200, "mad_cents": 100}
     ]
+
+
+def test_cdc_chunks_shared_paragraph(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # this paragraph has internal window-hash cuts at char positions
+    # 31/70/78/154, so the PREFIXed copy in doc 2 re-synchronizes and
+    # shares the post-cut chunks with doc 1
+    para = (
+        "jumps the lazy zeta alpha gamma quick brown gamma delta zeta "
+        "jumps quick delta over delta delta alpha lazy alpha zeta gamma "
+        "fox jumps jumps beta dog zeta alpha lazy"
+    )
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([para, "PREFIX " + para, "short"]),
+            }
+        )
+    )
+    rows = {r["n_docs"]: r for r in an.cdc_chunks_ds(docs).take_all()}
+
+    # reference chunker (independent scalar implementation)
+    def chunks(txt):
+        cps = [ord(c) for c in txt]
+        cuts = []
+        for i in range(7, len(cps)):
+            h = sum(cps[i - 7 + k] * 31 ** (7 - k) for k in range(8))
+            if h % 64 == 0:
+                cuts.append(i + 1)
+        if not cuts or cuts[-1] != len(cps):
+            cuts.append(len(cps))
+        out, s = [], 0
+        for e in cuts:
+            out.append(txt[s:e])
+            s = e
+        return out
+
+    exp = {}
+    for did, txt in [(1, para), (2, "PREFIX " + para), (3, "short")]:
+        for c in chunks(txt):
+            key = hashlib.md5(c.encode()).digest()
+            occ, dset, _ = exp.get(key, (0, set(), 0))
+            exp[key] = (occ + 1, dset | {did}, len(c))
+    hist = {}
+    for occ, dset, ln in exp.values():
+        nd = len(dset)
+        a, b, c = hist.get(nd, (0, 0, 0))
+        hist[nd] = (a + 1, b + occ, c + ln)
+    assert set(rows) == set(hist)
+    for nd, (nc, occ, cb) in hist.items():
+        assert rows[nd]["n_chunks"] == nc
+        assert rows[nd]["occurrences"] == occ
+        assert rows[nd]["chunk_chars"] == cb
+    # the shared paragraph must contribute at least one 2-doc chunk
+    assert 2 in rows
+
+
+def test_poisson_bootstrap_deterministic(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12], pa.int64()),
+                "source": pa.array(["s"] * 3),
+                "n_chars": pa.array([100, 200, 300], pa.int64()),
+            }
+        )
+    )
+    rows = {r["rep"]: r for r in an.poisson_bootstrap_ds(docs).take_all()}
+
+    T = an._POIS1_T
+
+    def wt(did, b):
+        h = int(hashlib.md5(f"pb|{did}|{b}".encode()).hexdigest()[:8], 16)
+        return int(np.searchsorted(T, h, side="right"))
+
+    for b in range(16):
+        ne = sum(wt(d, b) for d in (10, 11, 12))
+        ws = sum(wt(d, b) * v for d, v in ((10, 100), (11, 200), (12, 300)))
+        if ne == 0:
+            assert b not in rows
+        else:
+            assert rows[b]["n_eff"] == ne
+            assert rows[b]["sum_chars"] == ws
+            assert rows[b]["mean_chars_e3"] == ws * 1000 // ne
+    # two runs are identical (pure function of ids)
+    again = {r["rep"]: r for r in an.poisson_bootstrap_ds(docs).take_all()}
+    assert again == rows
+
+
+def test_rand_projection_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    vecs = [[0.5, -0.25, 0.125], [1.0, 0.0, -1.0]]
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([7, 8], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    )
+    rows = {r["vec_id"]: r for r in an.rand_projection_ds(emb).take_all()}
+    s = an._rp_signs(16, 3)
+    for vid, v in ((7, vecs[0]), (8, vecs[1])):
+        q = np.floor(np.array(v, dtype=np.float64) * 1e6).astype(np.int64)
+        proj = q @ s.T
+        for j in range(16):
+            assert rows[vid][f"proj_{j}"] == proj[j]
+        assert rows[vid]["l2q"] == int((q * q).sum())
+        assert rows[vid]["p2"] == int((proj * proj).sum())

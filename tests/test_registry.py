@@ -39,7 +39,9 @@ def test_front_window_holds_new_and_never_sampled():
     keys = list(E.QUERIES.keys())
     first50 = set(keys[:50])
     for name in (
-        # session-12 operators (newest — zero external validation)
+        # session-13 operators (newest — zero external validation)
+        "cdc_chunks", "poisson_bootstrap", "rand_projection",
+        # session-12 operators
         "churn_overlap", "value_mad",
         "late_events", "encoding_size_audit", "dup_baskets",
         "freq_of_freqs", "oov_rate", "sole_source_risk",
@@ -61,9 +63,9 @@ def test_front_window_holds_new_and_never_sampled():
         "skipgram_counts", "entity_graph", "cluster_inertia",
         "dim_variance", "centroid_outliers", "sampled_dup_rate",
         "effective_tokens", "term_burstiness", "full_join",
-        "int8_quant_error", "assortativity", "blocklist_hits",
-        "semantic_decontaminate",
-        # the tail past slot 50 (k_anonymity, stratified_kfold,
+        "int8_quant_error",
+        # the tail past slot 50 (assortativity, blocklist_hits,
+        # semantic_decontaminate, k_anonymity, stratified_kfold,
         # syndication_histogram, ewma_running,
         # term_trend, log_histogram, json_props_stats,
         # ab_assignment, semantic_families, fd_audit,
