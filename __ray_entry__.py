@@ -4378,6 +4378,46 @@ def q_value_mad(sf_dir: str) -> ray.data.Dataset:
     return an.value_mad_ds(events)
 
 
+def q_motif_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Matrix-profile-style motif discovery: per user, the
+    non-overlapping length-4 window pair of the cents value series with
+    minimum L1 distance; one user-hash shuffle, per-key local O(w^2)."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return an.motif_pairs_ds(events)
+
+
+def q_regression_fit(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-customer OLS R^2 (permille) of spend cents vs order
+    day; 6-moment int64 combiner, big-int finish on the report table."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return an.regression_fit_ds(orders)
+
+
+def q_dup_edit_audit(sf_dir: str) -> ray.data.Dataset:
+    """Prefix-blocked near-dup edit-distance audit: docs sharing their
+    first 24 chars pair up (blocks capped at the 64 lowest ids) and get
+    the exact Levenshtein of their first 256 chars."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return an.dup_edit_audit_ds(docs)
+
+
+def q_phonetic_keys(sf_dir: str) -> ray.data.Dataset:
+    """Phonetic-key (soundex-lite) blocking over the corpus vocabulary:
+    the full key table with distinct-token counts and lexicographic
+    extremes (n_tokens >= 2 rows are the collision classes); count
+    combiner + bounded vocab groupby."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return an.phonetic_keys_ds(docs)
+
+
 def q_cdc_chunks(sf_dir: str) -> ray.data.Dataset:
     """Content-defined chunking shared-chunk histogram (storage-dedup /
     sub-document verbatim-reuse modality): rolling 8-char window hash
@@ -4410,6 +4450,10 @@ def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "motif_pairs": q_motif_pairs,
+    "regression_fit": q_regression_fit,
+    "dup_edit_audit": q_dup_edit_audit,
+    "phonetic_keys": q_phonetic_keys,
     "cdc_chunks": q_cdc_chunks,
     "poisson_bootstrap": q_poisson_bootstrap,
     "rand_projection": q_rand_projection,
@@ -4732,6 +4776,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "motif_pairs",
+    "regression_fit",
+    "dup_edit_audit",
+    "phonetic_keys",
     "cdc_chunks",
     "poisson_bootstrap",
     "rand_projection",
@@ -9427,4 +9475,77 @@ ORACLES["rand_projection"] = """
            CAST(proj_14 AS BIGINT) AS proj_14, CAST(proj_15 AS BIGINT) AS proj_15,
            CAST(n.l2q AS BIGINT) AS l2q, CAST(pp.p2 AS BIGINT) AS p2
     FROM pv JOIN n USING (vec_id) JOIN pp USING (vec_id)
+"""
+ORACLES["motif_pairs"] = """
+    WITH e AS (SELECT user_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i,
+                 CAST(floor(value * 100) AS BIGINT) AS v
+               FROM events),
+    w AS (SELECT user_id, i, v AS v0,
+            lead(v, 1) OVER (PARTITION BY user_id ORDER BY i) AS v1,
+            lead(v, 2) OVER (PARTITION BY user_id ORDER BY i) AS v2,
+            lead(v, 3) OVER (PARTITION BY user_id ORDER BY i) AS v3
+          FROM e),
+    ww AS (SELECT * FROM w WHERE v3 IS NOT NULL),
+    p AS (SELECT a.user_id, a.i AS ia, b.i AS ib,
+            abs(a.v0 - b.v0) + abs(a.v1 - b.v1)
+          + abs(a.v2 - b.v2) + abs(a.v3 - b.v3) AS d
+          FROM ww a JOIN ww b
+            ON a.user_id = b.user_id AND b.i >= a.i + 4),
+    r AS (SELECT user_id, ia, ib, d,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY d, ia, ib) AS rn
+          FROM p)
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(ia AS BIGINT) AS win_a,
+           CAST(ib AS BIGINT) AS win_b, CAST(d AS BIGINT) AS l1_cents
+    FROM r WHERE rn = 1
+"""
+ORACLES["regression_fit"] = """
+    WITH b AS (SELECT CAST(o_custkey AS BIGINT) AS k,
+                      epoch_us(o_orderdate) // 86400000000 AS x,
+                      CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+               FROM orders),
+    m AS (SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+          FROM b GROUP BY k),
+    f AS (SELECT k, n,
+            (n * sxy - sx * sy)::HUGEINT AS num,
+            (n * sxx - sx * sx)::HUGEINT AS dx,
+            (n * syy - sy * sy)::HUGEINT AS dy
+          FROM m WHERE n >= 3)
+    SELECT k AS o_custkey, CAST(n AS BIGINT) AS n,
+           CAST(num * num * 1000 // (dx * dy) AS BIGINT) AS r2_permille
+    FROM f WHERE dx > 0 AND dy > 0
+"""
+ORACLES["dup_edit_audit"] = """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 24),
+    r AS (SELECT doc_id, substr(text, 1, 24) AS pfx, substr(text, 1, 256) AS t,
+                 row_number() OVER (PARTITION BY substr(text, 1, 24)
+                                    ORDER BY doc_id) AS rn
+          FROM d),
+    c AS (SELECT doc_id, pfx, t FROM r WHERE rn <= 64)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev
+    FROM c a JOIN c b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+"""
+ORACLES["phonetic_keys"] = """
+    WITH tok AS (SELECT lower(unnest(string_split(text, ' '))) AS t
+                 FROM documents),
+    tf AS (SELECT t, count(*) AS c FROM tok
+           WHERE len(t) BETWEEN 4 AND 16 AND regexp_full_match(t, '[a-z]+')
+           GROUP BY 1),
+    ch AS (SELECT t, unnest(range(1, len(t) + 1)) AS i FROM tf),
+    cc AS (SELECT t, i, substr(t, i, 1) AS c FROM ch),
+    f AS (SELECT t, i, c FROM cc
+          WHERE i = 1 OR c NOT IN ('a', 'e', 'i', 'o', 'u')),
+    g AS (SELECT t, i, c, lag(c) OVER (PARTITION BY t ORDER BY i) AS pc
+          FROM f),
+    k AS (SELECT t, string_agg(c, '' ORDER BY i) AS pkey
+          FROM g WHERE pc IS NULL OR pc <> c GROUP BY t)
+    SELECT k.pkey, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(tf.c) AS BIGINT) AS n_occ,
+           min(k.t) AS tok_min, max(k.t) AS tok_max
+    FROM k JOIN tf ON tf.t = k.t
+    GROUP BY k.pkey
 """

@@ -10430,3 +10430,500 @@ def rand_projection_ds(
     return emb.select_columns([id_col, vec_col]).map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def motif_pairs_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    win: int = 4,
+    n_buckets: int = 512,
+) -> Dataset:
+    """Matrix-profile-style motif discovery per key (Yeh et al. 2016,
+    simplified to exact integers): among all length-``win`` sliding
+    windows of the cents-quantized value series (ordered by ts,
+    event_id), the NON-OVERLAPPING window pair with minimum L1 distance
+    — the "repeated shape" diagnostic behind time-series motif mining,
+    fraud-pattern search and sensor-template discovery.  Ties break on
+    the smallest (first, second) 1-based window index.
+
+    Scale shape: 32-byte projection shuffles ONCE by ``mix64(key)``
+    bucket (bounded group count); per-key series segment inside the
+    bucket via one lexsort; the O(w^2) distance matrix is per-key local
+    and bounded by the per-key window count."""
+    out_schema = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("win_a", pa.int64()),
+            ("win_b", pa.int64()),
+            ("l1_cents", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bkt": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                    "e": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.floor(
+            batch.column(val_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_mix64(k) % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(k),
+                "t": pa.array(t),
+                "e": pa.array(e),
+                "v": pa.array(v),
+            }
+        )
+
+    def bucket_motifs(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        e = group.column("e").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, k))
+        k, v = k[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((starts[1:], [k.size]))
+        ks: List[int] = []
+        ia: List[int] = []
+        ib: List[int] = []
+        dd: List[int] = []
+        for s, en in zip(starts, ends):
+            series = v[s:en]
+            if series.size < 2 * win:
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(series, win)
+            d = np.abs(w[:, None, :] - w[None, :, :]).sum(axis=2)
+            i_idx, j_idx = np.meshgrid(
+                np.arange(w.shape[0]), np.arange(w.shape[0]), indexing="ij"
+            )
+            valid = j_idx >= i_idx + win
+            dv = d[valid]
+            iv, jv = i_idx[valid], j_idx[valid]
+            best = dv.min()
+            cand = np.flatnonzero(dv == best)
+            # ties: smallest ia then ib — candidate order is already
+            # row-major (i asc, j asc), so the first hit wins
+            c = cand[0]
+            ks.append(int(k[s]))
+            ia.append(int(iv[c]) + 1)
+            ib.append(int(jv[c]) + 1)
+            dd.append(int(best))
+        return pa.table(
+            {
+                key_col: pa.array(ks, pa.int64()),
+                "win_a": pa.array(ia, pa.int64()),
+                "win_b": pa.array(ib, pa.int64()),
+                "l1_cents": pa.array(dd, pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        events.select_columns([key_col, ts_col, id_col, val_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_motifs, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+def regression_fit_ds(
+    orders: Dataset,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    val_col: str = "o_totalprice",
+    day_us: int = 86_400_000_000,
+    min_n: int = 3,
+) -> Dataset:
+    """Per-key ordinary-least-squares goodness of fit: the exact
+    R-squared (permille) of spend-cents against order-day — the
+    model-quality audit over the same (x, y) pairs whose slope the
+    ``trend`` operator reports.  All moments are integer sums;
+    R^2 = (n*sxy - sx*sy)^2 / ((n*sxx - sx^2)(n*syy - sy^2)) is
+    evaluated in arbitrary-precision Python ints (the numerator square
+    exceeds int64), floor-quantized to permille.  Keys with fewer than
+    ``min_n`` orders or a degenerate variance are excluded.
+
+    Scale shape: per-batch moment combiner (6 int64 partials per key)
+    -> ONE groupby over the key domain -> a vectorized-percolumn
+    map_batches evaluates the big-int formula on the report-sized
+    aggregate; nothing collects on the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+                "sxx": pa.array([], pa.int64()),
+                "sxy": pa.array([], pa.int64()),
+                "syy": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (
+            batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // day_us
+        )
+        y = np.floor(
+            batch.column(val_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": pa.array(k),
+                "n": pa.array(np.ones(k.size, dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx": pa.array(x * x),
+                "sxy": pa.array(x * y),
+                "syy": pa.array(y * y),
+            }
+        )
+        g = t.group_by("k").aggregate(
+            [
+                ("n", "sum"),
+                ("sx", "sum"),
+                ("sy", "sum"),
+                ("sxx", "sum"),
+                ("sxy", "sum"),
+                ("syy", "sum"),
+            ]
+        )
+        return g.rename_columns(["k", "n", "sx", "sy", "sxx", "sxy", "syy"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "r2_permille": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "k" not in batch.column_names:
+            return empty
+        ks = batch.column("k").to_pylist()
+        n = batch.column("sum(n)").to_pylist()
+        sx = batch.column("sum(sx)").to_pylist()
+        sy = batch.column("sum(sy)").to_pylist()
+        sxx = batch.column("sum(sxx)").to_pylist()
+        sxy = batch.column("sum(sxy)").to_pylist()
+        syy = batch.column("sum(syy)").to_pylist()
+        ok: List[int] = []
+        nn: List[int] = []
+        r2: List[int] = []
+        for i in range(len(ks)):
+            if n[i] < min_n:
+                continue
+            dx = n[i] * sxx[i] - sx[i] * sx[i]
+            dy = n[i] * syy[i] - sy[i] * sy[i]
+            if dx <= 0 or dy <= 0:
+                continue
+            num = n[i] * sxy[i] - sx[i] * sy[i]
+            ok.append(ks[i])
+            nn.append(n[i])
+            r2.append(num * num * 1000 // (dx * dy))
+        return pa.table(
+            {
+                key_col: pa.array(ok, pa.int64()),
+                "n": pa.array(nn, pa.int64()),
+                "r2_permille": pa.array(r2, pa.int64()),
+            }
+        )
+
+    return (
+        orders.select_columns([key_col, ts_col, val_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("n"), Sum("sx"), Sum("sy"), Sum("sxx"), Sum("sxy"), Sum("syy"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Exact unit-cost edit distance, row-vectorized DP (matches DuckDB
+    ``levenshtein``).  The insertion sweep uses the prefix-min identity
+    ``cur[j] = j + min_k<=j (cur[k] - k)``."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    aa = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    rng = np.arange(lb + 1, dtype=np.int64)
+    prev = rng.copy()
+    cur = np.empty(lb + 1, dtype=np.int64)
+    for i in range(la):
+        cur[0] = i + 1
+        np.minimum(prev[:-1] + (bb != aa[i]), prev[1:] + 1, out=cur[1:])
+        cur = np.minimum(cur, np.minimum.accumulate(cur - rng) + rng)
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def dup_edit_audit_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 24,
+    trunc: int = 256,
+    max_block: int = 64,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Near-duplicate EDIT-DISTANCE audit with prefix blocking: documents
+    sharing their first ``prefix_len`` characters form candidate blocks
+    (the cheap blocking key of record-linkage pipelines); every in-block
+    pair gets the exact unit-cost Levenshtein distance of its first
+    ``trunc`` characters — the threshold-calibration measurement behind
+    "how different are my near-dups really".  Blocks cap at the
+    ``max_block`` LOWEST doc ids (deterministic, mirrored in SQL), so a
+    boilerplate block can never go quadratic unbounded.
+
+    Scale shape: prefix-hash projection shuffles ONCE by hash bucket
+    (bounded groups); blocks segment inside the bucket; the DP cost is
+    per-pair local and bounded by ``max_block^2 * trunc^2``."""
+    import hashlib
+
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("lev", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "h": pa.array([], pa.int64()),
+                "d": pa.array([], pa.int64()),
+                "txt": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids_ = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        hs: List[int] = []
+        ds_: List[int] = []
+        tx: List[str] = []
+        for did, txt in zip(ids_, texts):
+            if txt is None or len(txt) < prefix_len:
+                continue
+            h = int.from_bytes(
+                hashlib.md5(txt[:prefix_len].encode()).digest()[:8], "big"
+            ) >> 1
+            hs.append(h)
+            ds_.append(int(did))
+            tx.append(txt[:trunc])
+        h = np.array(hs, dtype=np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(h % n_buckets if h.size else h, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "d": pa.array(np.array(ds_, dtype=np.int64), pa.int64()),
+                "txt": pa.array(tx, pa.string()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        d = group.column("d").to_numpy(zero_copy_only=False)
+        txt = group.column("txt").to_pylist()
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        txt = [txt[i] for i in order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        ends = np.concatenate((starts[1:], [h.size]))
+        da: List[int] = []
+        db: List[int] = []
+        lv: List[int] = []
+        for s, e in zip(starts, ends):
+            m = min(e - s, max_block)
+            for i in range(s, s + m):
+                for j in range(i + 1, s + m):
+                    da.append(int(d[i]))
+                    db.append(int(d[j]))
+                    lv.append(_levenshtein(txt[i], txt[j]))
+        return pa.table(
+            {
+                "doc_a": pa.array(da, pa.int64()),
+                "doc_b": pa.array(db, pa.int64()),
+                "lev": pa.array(lv, pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        docs.select_columns([id_col, text_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_pairs, batch_format="pyarrow"),
+        out_schema,
+    )
+
+
+_PH_VOWELS = frozenset("aeiou")
+
+
+def _phonetic_key(tok: str) -> str:
+    """First char + non-vowel remainder, consecutive duplicates
+    collapsed on the vowel-stripped sequence (soundex-lite; mirrors the
+    SQL twin's lag-based island rule)."""
+    seq = [tok[0]] + [c for c in tok[1:] if c not in _PH_VOWELS]
+    out = [seq[0]]
+    for c in seq[1:]:
+        if c != out[-1]:
+            out.append(c)
+    return "".join(out)
+
+
+def phonetic_keys_ds(
+    docs: Dataset,
+    text_col: str = "text",
+    min_len: int = 4,
+    max_len: int = 16,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Phonetic-key blocking over the corpus vocabulary (the classic
+    record-linkage "sounds-alike" join key, soundex-lite variant):
+    lowercase alphabetic tokens map to first-char + deduplicated
+    consonant skeleton.  Emits the FULL blocking-key table — per key the
+    distinct-token count, total corpus occurrences and the
+    lexicographic min/max member; rows with ``n_tokens >= 2`` are the
+    phonetic collision classes a fuzzy-matching pipeline blocks on.
+
+    Scale shape: token counts via the per-batch Arrow count combiner ->
+    ONE vocab groupby; key derivation runs on the BOUNDED distinct-token
+    table; one more hash-bucket shuffle groups keys."""
+    import re
+
+    tok_re = re.compile(r"[a-z]+\Z")
+
+    out_schema = pa.schema(
+        [
+            ("pkey", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("n_occ", pa.int64()),
+            ("tok_min", pa.string()),
+            ("tok_max", pa.string()),
+        ]
+    )
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        flat = pc.list_flatten(
+            pc.split_pattern(
+                pc.utf8_lower(pc.fill_null(batch.column(text_col), "")), pattern=" "
+            )
+        )
+        if len(flat) == 0:
+            return empty
+        g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "n": g.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    totals = (
+        docs.select_columns([text_col])
+        .map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n"))
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "pkey": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "occ": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "token" not in batch.column_names:
+            return empty
+        toks = batch.column("token").to_pylist()
+        occ = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        bk: List[int] = []
+        pk: List[str] = []
+        tk: List[str] = []
+        oc: List[int] = []
+        for t, o in zip(toks, occ):
+            if t is None or not (min_len <= len(t) <= max_len) or not tok_re.match(t):
+                continue
+            key = _phonetic_key(t)
+            bk.append(
+                int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
+                % n_buckets
+            )
+            pk.append(key)
+            tk.append(t)
+            oc.append(int(o))
+        return pa.table(
+            {
+                "bkt": pa.array(bk, pa.int64()),
+                "pkey": pa.array(pk, pa.string()),
+                "token": pa.array(tk, pa.string()),
+                "occ": pa.array(oc, pa.int64()),
+            }
+        )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        g = group.group_by("pkey").aggregate(
+            [("token", "count"), ("occ", "sum"), ("token", "min"), ("token", "max")]
+        )
+        return pa.table(
+            {
+                "pkey": g.column("pkey"),
+                "n_tokens": g.column("token_count").cast(pa.int64()),
+                "n_occ": g.column("occ_sum").cast(pa.int64()),
+                "tok_min": g.column("token_min"),
+                "tok_max": g.column("token_max"),
+            }
+        )
+
+    return _anchor_schema(
+        totals.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_fold, batch_format="pyarrow"),
+        out_schema,
+    )

@@ -3024,3 +3024,139 @@ def test_rand_projection_hand_computed(ray_session):
             assert rows[vid][f"proj_{j}"] == proj[j]
         assert rows[vid]["l2q"] == int((q * q).sum())
         assert rows[vid]["p2"] == int((proj * proj).sum())
+
+
+def test_motif_pairs_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # series (cents): 100 200 300 400 | 900 | 100 200 300 400
+    # windows: w1=(1,2,3,4) w2=(2,3,4,9) w3=(3,4,9,1) w4=(4,9,1,2)
+    #          w5=(9,1,2,3) w6=(1,2,3,4)  (x100 cents)
+    # non-overlap j>=i+4: (1,5) d=|1-9|+|2-1|+|3-2|+|4-3|=11 -> 1100
+    #                     (1,6) d=0 ; (2,6) d=|2-1|+...=1+1+1+5=8 -> 800
+    # min is (1,6) with 0
+    vals = [1.0, 2.0, 3.0, 4.0, 9.0, 1.0, 2.0, 3.0, 4.0]
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([5] * 9, pa.int64()),
+                "ts": pa.array(list(range(9)), pa.timestamp("us")),
+                "event_id": pa.array(list(range(9)), pa.int64()),
+                "value": pa.array(vals),
+            }
+        )
+    )
+    rows = an.motif_pairs_ds(events).take_all()
+    assert rows == [{"user_id": 5, "win_a": 1, "win_b": 6, "l1_cents": 0}]
+
+
+def test_regression_fit_perfect_line(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # y = 2x exactly -> R^2 = 1000 permille; second key constant-x -> excluded
+    days = [1, 2, 3, 4]
+    orders = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64()),
+                "o_orderdate": pa.array(
+                    [d * 86_400_000_000 for d in days] + [86_400_000_000] * 3,
+                    pa.timestamp("us"),
+                ),
+                "o_totalprice": pa.array(
+                    [2.0, 4.0, 6.0, 8.0, 1.0, 2.0, 3.0]
+                ),
+            }
+        )
+    )
+    rows = {r["o_custkey"]: r for r in an.regression_fit_ds(orders).take_all()}
+    assert rows[1]["n"] == 4 and rows[1]["r2_permille"] == 1000
+    assert 2 not in rows  # zero x-variance excluded
+
+
+def test_levenshtein_matches_reference_cases():
+    from pdfplumber_ray.pipelines.analytics import _levenshtein
+
+    assert _levenshtein("kitten", "sitting") == 3
+    assert _levenshtein("", "abc") == 3
+    assert _levenshtein("abc", "") == 3
+    assert _levenshtein("same", "same") == 0
+    assert _levenshtein("flaw", "lawn") == 2
+    # brute-force cross-check on random short strings
+    import itertools
+    import random
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rng = random.Random(7)
+    for _ in range(200):
+        a = "".join(rng.choice("abc") for _ in range(rng.randrange(0, 9)))
+        b = "".join(rng.choice("abc") for _ in range(rng.randrange(0, 9)))
+        assert _levenshtein(a, b) == ref(a, b), (a, b)
+
+
+def test_dup_edit_audit_blocks_and_caps(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    pfx = "x" * 24
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+                "text": pa.array(
+                    [pfx + "abcdef", pfx + "abXdef", pfx + "zz", "short"]
+                ),
+            }
+        )
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["lev"] for r in
+            an.dup_edit_audit_ds(docs).take_all()}
+    # doc 9 is shorter than the prefix -> excluded entirely
+    assert set(rows) == {(1, 2), (1, 3), (2, 3)}
+    assert rows[(1, 2)] == 1          # one substitution
+    assert rows[(1, 3)] == 6          # abcdef -> zz = 2 sub + 4 del
+    # cap: with max_block=2 only the two lowest ids pair
+    capped = an.dup_edit_audit_ds(docs, max_block=2).take_all()
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(1, 2)}
+
+
+def test_phonetic_keys_hand_vocab(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # robert/rubart collide on 'rbrt'; aaron keeps leading vowel
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(
+                    ["robert rubart robert", "aaron calls Robert", "x 12ab"]
+                ),
+            }
+        )
+    )
+    rows = {r["pkey"]: r for r in an.phonetic_keys_ds(docs).take_all()}
+    # ROBERT lowers to robert: 4 occurrences across docs
+    rb = rows["rbrt"]
+    assert rb["n_tokens"] == 2
+    assert rb["n_occ"] == 4
+    assert rb["tok_min"] == "robert" and rb["tok_max"] == "rubart"
+    ar = rows["arn"]  # aaron -> a + rn? seq: a,r,n -> collapse 'aa'->a
+    assert ar["n_tokens"] == 1 and ar["n_occ"] == 1
+    assert "calls" in {rows[k]["tok_min"] for k in rows}
+    # '12ab' and single-char 'x' filtered
+    assert all(len(r["tok_min"]) >= 4 for r in rows.values())
