@@ -4378,6 +4378,26 @@ def q_value_mad(sf_dir: str) -> ray.data.Dataset:
     return an.value_mad_ds(events)
 
 
+def q_cdc_families(sf_dir: str) -> ray.data.Dataset:
+    """Verbatim-reuse families: connected components of the CDC
+    chunk-sharing graph (min 16-char chunks, ubiquitous chunks capped
+    out); chunk-hash bucket shuffle + O(log n) min-label propagation."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return an.cdc_families_ds(docs)
+
+
+def q_gini_stump(sf_dir: str) -> ray.data.Dataset:
+    """Exact CART-style decision-stump screen: top-5 n_chars thresholds
+    minimizing weighted Gini impurity of the lang partition; (value,
+    label) count combiner + bounded-domain groupby, big-int finish."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"]
+    )
+    return an.gini_stump_ds(docs)
+
+
 def q_motif_pairs(sf_dir: str) -> ray.data.Dataset:
     """Matrix-profile-style motif discovery: per user, the
     non-overlapping length-4 window pair of the cents value series with
@@ -4450,6 +4470,8 @@ def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "cdc_families": q_cdc_families,
+    "gini_stump": q_gini_stump,
     "motif_pairs": q_motif_pairs,
     "regression_fit": q_regression_fit,
     "dup_edit_audit": q_dup_edit_audit,
@@ -4776,6 +4798,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "cdc_families",
+    "gini_stump",
     "motif_pairs",
     "regression_fit",
     "dup_edit_audit",
@@ -9548,4 +9572,73 @@ ORACLES["phonetic_keys"] = """
            min(k.t) AS tok_min, max(k.t) AS tok_max
     FROM k JOIN tf ON tf.t = k.t
     GROUP BY k.pkey
+"""
+ORACLES["cdc_families"] = """
+    WITH RECURSIVE d AS (SELECT doc_id, text, length(text) AS L
+               FROM documents WHERE length(text) >= 1),
+    pos AS (SELECT doc_id, text, L, unnest(range(8, L + 1)) AS i
+            FROM d WHERE L >= 8),
+    cut0 AS (SELECT doc_id, text, i FROM pos WHERE
+        (ascii(substr(text, i - 7, 1))::BIGINT * 27512614111
+       + ascii(substr(text, i - 6, 1))::BIGINT * 887503681
+       + ascii(substr(text, i - 5, 1))::BIGINT * 28629151
+       + ascii(substr(text, i - 4, 1))::BIGINT * 923521
+       + ascii(substr(text, i - 3, 1))::BIGINT * 29791
+       + ascii(substr(text, i - 2, 1))::BIGINT * 961
+       + ascii(substr(text, i - 1, 1))::BIGINT * 31
+       + ascii(substr(text, i, 1))::BIGINT) % 64 = 0),
+    cuts AS (SELECT DISTINCT doc_id, text, i FROM
+             (SELECT doc_id, text, i FROM cut0
+              UNION ALL SELECT doc_id, text, L AS i FROM d)),
+    seg AS (SELECT doc_id,
+              substr(text,
+                     coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1,
+                     i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0))
+                AS chunk
+            FROM cuts),
+    dc AS (SELECT DISTINCT doc_id, md5(chunk) AS hsh FROM seg
+           WHERE length(chunk) >= 16),
+    ok AS (SELECT hsh FROM dc GROUP BY hsh
+           HAVING count(*) BETWEEN 2 AND 64),
+    e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+           FROM dc a JOIN dc b ON a.hsh = b.hsh AND a.doc_id < b.doc_id
+           JOIN ok ON ok.hsh = a.hsh),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      WHERE e.b <> r.a),
+    canon AS (SELECT a AS doc_id, LEAST(a, min(b)) AS family_id
+              FROM reach GROUP BY a)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(family_id AS BIGINT) AS family_id
+    FROM canon
+"""
+ORACLES["gini_stump"] = """
+    WITH c AS (SELECT CAST(n_chars AS BIGINT) AS v, lang AS g,
+                      count(*) AS cnt
+               FROM documents GROUP BY 1, 2),
+    vs AS (SELECT DISTINCT v FROM c),
+    gs AS (SELECT DISTINCT g FROM c),
+    grid AS (SELECT vs.v, gs.g, coalesce(c.cnt, 0) AS cnt
+             FROM vs CROSS JOIN gs
+             LEFT JOIN c ON c.v = vs.v AND c.g = gs.g),
+    cum AS (SELECT v, g,
+              sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cl,
+              sum(cnt) OVER (PARTITION BY g) AS tg
+            FROM grid),
+    agg AS (SELECT v,
+              sum(cl)::HUGEINT AS nl,
+              sum(cl * cl)::HUGEINT AS sl,
+              sum((tg - cl) * (tg - cl))::HUGEINT AS sr,
+              sum(tg - cl)::HUGEINT AS nr
+            FROM cum GROUP BY v),
+    t AS (SELECT (SELECT sum(cnt) FROM c)::HUGEINT AS n),
+    f AS (SELECT v, nl, nr,
+            1000000 - (sl * nr + sr * nl) * 1000000 // (t.n * nl * nr) AS imp
+          FROM agg, t WHERE nl > 0 AND nr > 0)
+    SELECT CAST(v AS BIGINT) AS threshold, CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right, CAST(imp AS BIGINT) AS impurity_e6
+    FROM f ORDER BY imp, v LIMIT 5
 """

@@ -10118,37 +10118,11 @@ _CDC_WIN = 8
 _CDC_POW = np.array([31 ** (7 - k) for k in range(8)], dtype=np.int64)
 
 
-def cdc_chunks_ds(
-    docs: Dataset,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    mask: int = 64,
-    n_buckets: int = 256,
-) -> Dataset:
-    """Content-defined chunking (CDC) shared-chunk histogram — the
-    storage-dedup modality (LBFS / Venti style): split every document at
-    positions where a rolling window hash of the last ``_CDC_WIN``
-    characters satisfies ``h % mask == 0``, then count how many distinct
-    documents share each chunk.  Because boundaries depend only on local
-    content, a paragraph pasted into two otherwise-different documents
-    yields byte-identical chunks — sub-document verbatim reuse that
-    document-level MinHash misses (the chunk level of Lee et al.'s
-    exact-substring dedup, reference-free).
-
-    Window hash: ``sum(cp[k] * 31^(7-k))`` over the 8 code points ending
-    at the position (no min/max chunk length — every qualifying position
-    cuts, so the rule is order-free and embarrassingly parallel).  Docs
-    shorter than the window form a single whole-text chunk.
-
-    Output: one row per distinct-document count ``n_docs`` with the
-    number of distinct chunk values, total occurrences, and summed
-    distinct-chunk character length.
-
-    Scale shape: per-batch chunker emits ``(md5(chunk), doc, occ, len)``
-    partials deduped per (chunk, doc); ONE ``hash % n_buckets`` shuffle
-    co-locates each chunk value in a BOUNDED group count; buckets
-    segment with one lexsort and emit tiny ``n_docs`` histograms that a
-    final small groupby folds."""
+def _cdc_chunk_partials(id_col: str, text_col: str, mask: int, n_buckets: int):
+    """Build the per-batch CDC chunker: cuts where the rolling 8-char
+    window hash is 0 mod ``mask``; emits one row per DISTINCT
+    (chunk md5, doc) with its occurrence count and char length, plus the
+    hash bucket for the downstream bounded-group shuffle."""
     import hashlib
 
     def chunker(batch: pa.Table) -> pa.Table:
@@ -10196,6 +10170,42 @@ def cdc_chunks_ds(
                 "clen": pa.array(np.array(ln, dtype=np.int64), pa.int64()),
             }
         )
+
+    return chunker
+
+
+def cdc_chunks_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = 64,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Content-defined chunking (CDC) shared-chunk histogram — the
+    storage-dedup modality (LBFS / Venti style): split every document at
+    positions where a rolling window hash of the last ``_CDC_WIN``
+    characters satisfies ``h % mask == 0``, then count how many distinct
+    documents share each chunk.  Because boundaries depend only on local
+    content, a paragraph pasted into two otherwise-different documents
+    yields byte-identical chunks — sub-document verbatim reuse that
+    document-level MinHash misses (the chunk level of Lee et al.'s
+    exact-substring dedup, reference-free).
+
+    Window hash: ``sum(cp[k] * 31^(7-k))`` over the 8 code points ending
+    at the position (no min/max chunk length — every qualifying position
+    cuts, so the rule is order-free and embarrassingly parallel).  Docs
+    shorter than the window form a single whole-text chunk.
+
+    Output: one row per distinct-document count ``n_docs`` with the
+    number of distinct chunk values, total occurrences, and summed
+    distinct-chunk character length.
+
+    Scale shape: per-batch chunker emits ``(md5(chunk), doc, occ, len)``
+    partials deduped per (chunk, doc); ONE ``hash % n_buckets`` shuffle
+    co-locates each chunk value in a BOUNDED group count; buckets
+    segment with one lexsort and emit tiny ``n_docs`` histograms that a
+    final small groupby folds."""
+    chunker = _cdc_chunk_partials(id_col, text_col, mask, n_buckets)
 
     def bucket_hist(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -10926,4 +10936,193 @@ def phonetic_keys_ds(
         .groupby("bkt")
         .map_groups(bucket_fold, batch_format="pyarrow"),
         out_schema,
+    )
+
+
+def cdc_families_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = 64,
+    min_chunk_len: int = 16,
+    max_chunk_docs: int = 64,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Verbatim-reuse families: connected components of the
+    chunk-sharing graph — two documents are linked when they share a
+    content-defined chunk of at least ``min_chunk_len`` characters, and
+    families are the transitive closure (the sub-document analogue of
+    MinHash dedup clusters: press-release syndication, quote chains,
+    licence blocks).  Chunks claimed by more than ``max_chunk_docs``
+    documents are ubiquitous boilerplate and are EXCLUDED from edge
+    building (the LSH hot-bucket cap pattern; mirrored in the SQL twin)
+    so one viral chunk can never collapse the corpus into one family.
+
+    Output: ``(doc_id, family_id)`` for every document in a family of
+    >= 2, with ``family_id`` = the component's minimum doc id.
+
+    Scale shape: CDC chunker partials -> ONE chunk-hash bucket shuffle
+    (bounded groups) -> per-chunk star edges to the minimum doc ->
+    hash-min label propagation with pointer doubling
+    (:func:`corpus_ops._min_label_propagation`, O(log diameter)
+    rounds)."""
+    from .corpus_ops import _min_label_propagation
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("family_id", pa.int64())])
+    chunker = _cdc_chunk_partials(id_col, text_col, mask, n_buckets)
+
+    def bucket_edges(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        keep = pc.greater_equal(group.column("clen"), min_chunk_len)
+        group = group.filter(keep)
+        if group.num_rows == 0:
+            return empty
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        d = group.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        ends = np.concatenate((starts[1:], [h.size]))
+        sizes = ends - starts
+        ok = (sizes >= 2) & (sizes <= max_chunk_docs)
+        a_: List[np.ndarray] = []
+        b_: List[np.ndarray] = []
+        for s, e in zip(starts[ok], ends[ok]):
+            a_.append(np.full(e - s - 1, d[s], dtype=np.int64))
+            b_.append(d[s + 1 : e])
+        if not a_:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_), pa.int64()),
+                "b": pa.array(np.concatenate(b_), pa.int64()),
+            }
+        )
+
+    pairs = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(chunker, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_edges, batch_format="pyarrow")
+    )
+    pairs = _anchor_schema(
+        pairs, pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    ).materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    labels = _min_label_propagation(pairs, "a", "b")
+    return labels.map_batches(
+        lambda b: pa.table(
+            {id_col: b.column("node"), "family_id": b.column("label")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def gini_stump_ds(
+    docs: Dataset,
+    feat_col: str = "n_chars",
+    label_col: str = "lang",
+    top_k: int = 5,
+) -> Dataset:
+    """Exact decision-stump screening (CART-style, Breiman 1984): the
+    ``top_k`` integer thresholds ``t`` on ``feat_col`` that minimize the
+    weighted Gini impurity of the ``label_col`` partition
+    (``feat <= t`` vs ``> t``) — the feature-quality audit run before
+    committing a cheap rule-based quality filter.  Impurity is the exact
+    floor-quantized ``1e6 - (SL*nR + SR*nL) * 1e6 // (n*nL*nR)`` with
+    ``SL/SR`` the summed squared class counts (arbitrary-precision
+    Python ints — the cubic numerator exceeds int64); ties break on the
+    smaller threshold.
+
+    Scale shape: per-batch (feat, label) count combiner -> ONE groupby
+    over the (distinct feature values x label) domain (bounded by the
+    value domain, NOT the corpus) -> cumulative sweep on the collected
+    grid."""
+    out_schema = pa.schema(
+        [
+            ("threshold", pa.int64()),
+            ("n_left", pa.int64()),
+            ("n_right", pa.int64()),
+            ("impurity_e6", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "v": pa.array([], pa.int64()),
+                "g": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        t = pa.table(
+            {
+                "v": batch.column(feat_col).cast(pa.int64()),
+                "g": batch.column(label_col).cast(pa.string()),
+            }
+        )
+        gg = t.group_by(["v", "g"]).aggregate([("v", "count")])
+        return pa.table(
+            {
+                "v": gg.column("v"),
+                "g": gg.column("g"),
+                "c": gg.column("v_count").cast(pa.int64()),
+            }
+        )
+
+    grid = _small_df(
+        docs.select_columns([feat_col, label_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["v", "g"])
+        .aggregate(Sum("c")),
+        {"v": np.int64, "g": object, "sum(c)": np.int64},
+    )
+    empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+    if not len(grid):
+        return ray.data.from_arrow(empty)
+    v = grid["v"].to_numpy(np.int64)
+    g = grid["g"].astype(str).to_numpy()
+    c = grid["sum(c)"].to_numpy(np.int64)
+    ts = np.unique(v)
+    langs, gcode = np.unique(g, return_inverse=True)
+    # dense counts grid: rows = thresholds, cols = labels
+    vi = np.searchsorted(ts, v)
+    dense = np.zeros((ts.size, langs.size), dtype=np.int64)
+    np.add.at(dense, (vi, gcode), c)
+    cum = np.cumsum(dense, axis=0)
+    tot = cum[-1]
+    n = int(tot.sum())
+    rows: List[tuple] = []
+    for i in range(ts.size - 1):  # last value splits nothing to the right
+        nl = int(cum[i].sum())
+        nr = n - nl
+        if nl == 0 or nr == 0:
+            continue
+        sl = sum(int(x) * int(x) for x in cum[i])
+        sr = sum(int(x - y) * int(x - y) for x, y in zip(tot, cum[i]))
+        imp = 1_000_000 - (sl * nr + sr * nl) * 1_000_000 // (n * nl * nr)
+        rows.append((imp, int(ts[i]), nl, nr))
+    if not rows:
+        return ray.data.from_arrow(empty)
+    rows.sort()
+    rows = rows[:top_k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "threshold": pa.array([r[1] for r in rows], pa.int64()),
+                "n_left": pa.array([r[2] for r in rows], pa.int64()),
+                "n_right": pa.array([r[3] for r in rows], pa.int64()),
+                "impurity_e6": pa.array([r[0] for r in rows], pa.int64()),
+            }
+        )
     )

@@ -3160,3 +3160,62 @@ def test_phonetic_keys_hand_vocab(ray_session):
     assert "calls" in {rows[k]["tok_min"] for k in rows}
     # '12ab' and single-char 'x' filtered
     assert all(len(r["tok_min"]) >= 4 for r in rows.values())
+
+
+def test_cdc_families_transitive(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # Paragraph with internal cuts (positions 31/70/78/154, see
+    # test_cdc_chunks_shared_paragraph): docs 1+2 share its tail chunks,
+    # docs 2+3 share a different >=16-char chunk -> {1,2,3} is ONE
+    # family by transitivity; doc 9 is isolated.
+    para = (
+        "jumps the lazy zeta alpha gamma quick brown gamma delta zeta "
+        "jumps quick delta over delta delta alpha lazy alpha zeta gamma "
+        "fox jumps jumps beta dog zeta alpha lazy"
+    )
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+                "text": pa.array(
+                    [para, "PREFIX " + para, "PREFIX " + para[:31], "unrelated"]
+                ),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r["family_id"] for r in
+            an.cdc_families_ds(docs).take_all()}
+    assert rows.get(1) == 1 and rows.get(2) == 1
+    assert 9 not in rows
+    # doc 3 joins iff it shares a >=16 char chunk with doc 2 — both
+    # start with "PREFIX " + same 31 chars, so their first cut chunk
+    # matches when the cut re-synchronizes inside the shared prefix.
+    # Regardless of that, family ids must be component minima.
+    assert all(fid <= d for d, fid in rows.items())
+
+
+def test_gini_stump_perfect_split(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # n_chars <= 10 is all "en", > 10 all "fr" -> impurity 0 at t=10
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "n_chars": pa.array([5, 7, 10, 20, 30, 40], pa.int64()),
+                "lang": pa.array(["en", "en", "en", "fr", "fr", "fr"]),
+            }
+        )
+    )
+    rows = an.gini_stump_ds(docs).take_all()
+    best = rows[0]
+    assert best["threshold"] == 10
+    assert best["n_left"] == 3 and best["n_right"] == 3
+    assert best["impurity_e6"] == 0
+    # worst candidate must be positive impurity, ordering ascending
+    imps = [r["impurity_e6"] for r in rows]
+    assert imps == sorted(imps)

@@ -40,6 +40,7 @@ def test_front_window_holds_new_and_never_sampled():
     first50 = set(keys[:50])
     for name in (
         # session-13 operators (newest — zero external validation)
+        "cdc_families", "gini_stump",
         "motif_pairs", "regression_fit", "dup_edit_audit",
         "phonetic_keys",
         "cdc_chunks", "poisson_bootstrap", "rand_projection",
@@ -63,8 +64,9 @@ def test_front_window_holds_new_and_never_sampled():
         # session-10 operators
         "mutual_knn", "label_prop", "grid_cores", "hits",
         "skipgram_counts", "entity_graph", "cluster_inertia",
-        "dim_variance", "centroid_outliers", "sampled_dup_rate",
-        # the tail past slot 50 (effective_tokens, term_burstiness, full_join,
+        "dim_variance",
+        # the tail past slot 50 (centroid_outliers, sampled_dup_rate,
+        # effective_tokens, term_burstiness, full_join,
         # int8_quant_error, assortativity, blocklist_hits,
         # semantic_decontaminate, k_anonymity, stratified_kfold,
         # syndication_histogram, ewma_running,
