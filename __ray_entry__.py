@@ -4378,6 +4378,25 @@ def q_value_mad(sf_dir: str) -> ray.data.Dataset:
     return an.value_mad_ds(events)
 
 
+def q_seasonal_naive_error(sf_dir: str) -> ray.data.Dataset:
+    """Forecast-baseline audit: per event type, exact MAE (cents) of the
+    seasonal-naive predictor (daily total = total 7 days prior);
+    (type, day) cents combiner + bounded-domain groupby."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return an.seasonal_naive_error_ds(events)
+
+
+def q_feature_hashing(sf_dir: str) -> ray.data.Dataset:
+    """Hashing-trick bag-of-words featurization: 16 signed md5 slots per
+    document, no vocabulary build or shuffle — pure map_batches."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return an.feature_hashing_ds(docs)
+
+
 def q_cdc_families(sf_dir: str) -> ray.data.Dataset:
     """Verbatim-reuse families: connected components of the CDC
     chunk-sharing graph (min 16-char chunks, ubiquitous chunks capped
@@ -4470,6 +4489,8 @@ def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "seasonal_naive_error": q_seasonal_naive_error,
+    "feature_hashing": q_feature_hashing,
     "cdc_families": q_cdc_families,
     "gini_stump": q_gini_stump,
     "motif_pairs": q_motif_pairs,
@@ -4798,6 +4819,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "seasonal_naive_error",
+    "feature_hashing",
     "cdc_families",
     "gini_stump",
     "motif_pairs",
@@ -9641,4 +9664,44 @@ ORACLES["gini_stump"] = """
     SELECT CAST(v AS BIGINT) AS threshold, CAST(nl AS BIGINT) AS n_left,
            CAST(nr AS BIGINT) AS n_right, CAST(imp AS BIGINT) AS impurity_e6
     FROM f ORDER BY imp, v LIMIT 5
+"""
+ORACLES["seasonal_naive_error"] = """
+    WITH dd AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                       sum(CAST(floor(value * 100) AS BIGINT)) AS s
+                FROM events GROUP BY 1, 2),
+    j AS (SELECT a.event_type, abs(a.s - b.s) AS err
+          FROM dd a JOIN dd b
+            ON b.event_type = a.event_type AND b.day = a.day - 7)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(err) AS BIGINT) AS abs_err_sum,
+           CAST(sum(err) * 1000 // count(*) AS BIGINT) AS mae_cents_e3
+    FROM j GROUP BY event_type
+"""
+ORACLES["feature_hashing"] = """
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split(coalesce(text, ''), ' ')) AS t
+                 FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::UBIGINT AS hv
+          FROM tok),
+    s AS (SELECT doc_id, (hv % 16)::BIGINT AS slot,
+                 CASE WHEN (hv // 16) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          FROM h)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(sum(CASE WHEN slot = 0 THEN sgn END), 0) AS BIGINT) AS fh_0,
+           CAST(coalesce(sum(CASE WHEN slot = 1 THEN sgn END), 0) AS BIGINT) AS fh_1,
+           CAST(coalesce(sum(CASE WHEN slot = 2 THEN sgn END), 0) AS BIGINT) AS fh_2,
+           CAST(coalesce(sum(CASE WHEN slot = 3 THEN sgn END), 0) AS BIGINT) AS fh_3,
+           CAST(coalesce(sum(CASE WHEN slot = 4 THEN sgn END), 0) AS BIGINT) AS fh_4,
+           CAST(coalesce(sum(CASE WHEN slot = 5 THEN sgn END), 0) AS BIGINT) AS fh_5,
+           CAST(coalesce(sum(CASE WHEN slot = 6 THEN sgn END), 0) AS BIGINT) AS fh_6,
+           CAST(coalesce(sum(CASE WHEN slot = 7 THEN sgn END), 0) AS BIGINT) AS fh_7,
+           CAST(coalesce(sum(CASE WHEN slot = 8 THEN sgn END), 0) AS BIGINT) AS fh_8,
+           CAST(coalesce(sum(CASE WHEN slot = 9 THEN sgn END), 0) AS BIGINT) AS fh_9,
+           CAST(coalesce(sum(CASE WHEN slot = 10 THEN sgn END), 0) AS BIGINT) AS fh_10,
+           CAST(coalesce(sum(CASE WHEN slot = 11 THEN sgn END), 0) AS BIGINT) AS fh_11,
+           CAST(coalesce(sum(CASE WHEN slot = 12 THEN sgn END), 0) AS BIGINT) AS fh_12,
+           CAST(coalesce(sum(CASE WHEN slot = 13 THEN sgn END), 0) AS BIGINT) AS fh_13,
+           CAST(coalesce(sum(CASE WHEN slot = 14 THEN sgn END), 0) AS BIGINT) AS fh_14,
+           CAST(coalesce(sum(CASE WHEN slot = 15 THEN sgn END), 0) AS BIGINT) AS fh_15
+    FROM s GROUP BY doc_id
 """

@@ -11126,3 +11126,153 @@ def gini_stump_ds(
             }
         )
     )
+
+
+def seasonal_naive_error_ds(
+    events: Dataset,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    period_days: int = 7,
+    day_us: int = 86_400_000_000,
+) -> Dataset:
+    """Forecast-baseline accuracy audit: the mean absolute error of the
+    SEASONAL-NAIVE predictor (today's daily total = the total
+    ``period_days`` ago) per event type — the sanity floor every
+    demand/traffic forecasting model must beat (Hyndman & Athanasopoulos,
+    "Forecasting: Principles and Practice").  Days without a
+    lag-``period_days`` observation are excluded from the evaluation.
+    All values are exact cents; ``mae_cents_e3 = err_sum * 1000 // n``.
+
+    Scale shape: per-batch (type, day) cents combiner -> ONE groupby
+    over the bounded (type x day) domain -> the lag join runs on the
+    collected daily table (days x types, report-sized by construction)."""
+    out_schema = pa.schema(
+        [
+            (type_col, pa.string()),
+            ("n_eval", pa.int64()),
+            ("abs_err_sum", pa.int64()),
+            ("mae_cents_e3", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    type_col: pa.array([], pa.string()),
+                    "day": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        t = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.floor(
+            batch.column(val_col).cast(pa.float64()).to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    type_col: batch.column(type_col),
+                    "day": pa.array(t // day_us, pa.int64()),
+                    "s": pa.array(v, pa.int64()),
+                }
+            )
+            .group_by([type_col, "day"])
+            .aggregate([("s", "sum")])
+        )
+        return g.rename_columns([type_col, "day", "s"])
+
+    df = _small_df(
+        events.select_columns([type_col, ts_col, val_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([type_col, "day"])
+        .aggregate(Sum("s")),
+        {type_col: object, "day": np.int64, "sum(s)": np.int64},
+    )
+    if not len(df):
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    typ = df[type_col].astype(str).to_numpy()
+    day = df["day"].to_numpy(np.int64)
+    s = df["sum(s)"].to_numpy(np.int64)
+    order = np.lexsort((day, typ))
+    typ, day, s = typ[order], day[order], s[order]
+    starts = np.flatnonzero(np.concatenate(([True], typ[1:] != typ[:-1])))
+    ends = np.concatenate((starts[1:], [typ.size]))
+    names: List[str] = []
+    nn: List[int] = []
+    es: List[int] = []
+    me: List[int] = []
+    for st, en in zip(starts, ends):
+        d, v = day[st:en], s[st:en]
+        pos = np.searchsorted(d, d - period_days)
+        pos_c = np.clip(pos, 0, d.size - 1)
+        hit = d[pos_c] == d - period_days
+        if not hit.any():
+            continue
+        err = int(np.abs(v[hit] - v[pos_c][hit]).sum())
+        n = int(hit.sum())
+        names.append(str(typ[st]))
+        nn.append(n)
+        es.append(err)
+        me.append(err * 1000 // n)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                type_col: pa.array(names, pa.string()),
+                "n_eval": pa.array(nn, pa.int64()),
+                "abs_err_sum": pa.array(es, pa.int64()),
+                "mae_cents_e3": pa.array(me, pa.int64()),
+            }
+        )
+    )
+
+
+def feature_hashing_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+) -> Dataset:
+    """Hashing-trick bag-of-words featurization (Weinberger et al. 2009,
+    "Feature Hashing for Large Scale Multitask Learning"): each token
+    hashes to one of ``k`` signed slots (slot = md5 % k, sign from the
+    next hash bit), giving every document a fixed-width integer feature
+    vector with NO vocabulary build, broadcast, or shuffle — the
+    classic way to featurize an unbounded token stream at corpus scale.
+
+    Scale shape: pure ``map_batches``; md5 runs once per DISTINCT token
+    per batch (vocab-bounded), then scatters vectorized."""
+    import hashlib
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = {id_col: pa.array([], pa.int64())}
+        for j in range(k):
+            cols[f"fh_{j}"] = pa.array([], pa.int64())
+        if batch.num_rows == 0:
+            return pa.table(cols)
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        parents = np.asarray(pc.list_parent_indices(flat))
+        words = flat.flatten().to_pylist()
+        uniq, inv = np.unique(np.array(words, dtype=object), return_inverse=True)
+        slot_u = np.empty(uniq.size, dtype=np.int64)
+        sign_u = np.empty(uniq.size, dtype=np.int64)
+        for i, w in enumerate(uniq):
+            h = int(hashlib.md5(str(w).encode()).hexdigest()[:8], 16)
+            slot_u[i] = h % k
+            sign_u[i] = 1 if (h // k) % 2 == 0 else -1
+        fh = np.zeros((batch.num_rows, k), dtype=np.int64)
+        np.add.at(fh, (parents, slot_u[inv]), sign_u[inv])
+        out = {id_col: batch.column(id_col).cast(pa.int64())}
+        for j in range(k):
+            out[f"fh_{j}"] = pa.array(fh[:, j], pa.int64())
+        return pa.table(out)
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )

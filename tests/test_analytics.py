@@ -3219,3 +3219,64 @@ def test_gini_stump_perfect_split(ray_session):
     # worst candidate must be positive impurity, ordering ascending
     imps = [r["impurity_e6"] for r in rows]
     assert imps == sorted(imps)
+
+
+def test_seasonal_naive_error_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # type x: day0=100c day7=300c day14=250c
+    #   eval day7 vs day0: |300-100|=200; day14 vs day7: |250-300|=50
+    # type y: only day0 -> excluded
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(["x", "x", "x", "y"]),
+                "ts": pa.array([0, 7 * day, 14 * day, 0], pa.timestamp("us")),
+                "value": pa.array([1.0, 3.0, 2.5, 9.0]),
+            }
+        )
+    )
+    rows = an.seasonal_naive_error_ds(events).take_all()
+    assert rows == [
+        {
+            "event_type": "x",
+            "n_eval": 2,
+            "abs_err_sum": 250,
+            "mae_cents_e3": 125_000,
+        }
+    ]
+
+
+def test_feature_hashing_deterministic_and_additive(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["cat cat dog", "cat"]),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in an.feature_hashing_ds(docs).take_all()}
+
+    def hv(w):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        return h % 16, 1 if (h // 16) % 2 == 0 else -1
+
+    exp1 = [0] * 16
+    for w, c in (("cat", 2), ("dog", 1)):
+        s, g = hv(w)
+        exp1[s] += g * c
+    got1 = [rows[1][f"fh_{j}"] for j in range(16)]
+    assert got1 == exp1
+    # single-token doc: exactly one nonzero slot of magnitude 1
+    got2 = [rows[2][f"fh_{j}"] for j in range(16)]
+    assert sorted(map(abs, got2)) == [0] * 15 + [1]
