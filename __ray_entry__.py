@@ -4378,6 +4378,26 @@ def q_value_mad(sf_dir: str) -> ray.data.Dataset:
     return an.value_mad_ds(events)
 
 
+def q_quantile_map(sf_dir: str) -> ray.data.Dataset:
+    """Exact CDF alignment between sources: for each ordered source
+    pair and distinct n_chars value, the same-rank value in the other
+    source (cross-multiplied integer rule, no floats)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return an.quantile_map_ds(docs)
+
+
+def q_effective_sample_size(sf_dir: str) -> ray.data.Dataset:
+    """Kish effective sample size per source with n_chars weights:
+    (sum w)^2 / sum w^2 exact via big-int finish; 3-partial combiner +
+    tiny stratum groupby."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return an.effective_sample_size_ds(docs)
+
+
 def q_seasonal_naive_error(sf_dir: str) -> ray.data.Dataset:
     """Forecast-baseline audit: per event type, exact MAE (cents) of the
     seasonal-naive predictor (daily total = total 7 days prior);
@@ -4489,6 +4509,8 @@ def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "quantile_map": q_quantile_map,
+    "effective_sample_size": q_effective_sample_size,
     "seasonal_naive_error": q_seasonal_naive_error,
     "feature_hashing": q_feature_hashing,
     "cdc_families": q_cdc_families,
@@ -4819,6 +4841,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "quantile_map",
+    "effective_sample_size",
     "seasonal_naive_error",
     "feature_hashing",
     "cdc_families",
@@ -9704,4 +9728,32 @@ ORACLES["feature_hashing"] = """
            CAST(coalesce(sum(CASE WHEN slot = 14 THEN sgn END), 0) AS BIGINT) AS fh_14,
            CAST(coalesce(sum(CASE WHEN slot = 15 THEN sgn END), 0) AS BIGINT) AS fh_15
     FROM s GROUP BY doc_id
+"""
+ORACLES["quantile_map"] = """
+    WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+               FROM documents GROUP BY 1, 2),
+    cum AS (SELECT source, v,
+              sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cu,
+              sum(cnt) OVER (PARTITION BY source) AS n
+            FROM c),
+    p AS (SELECT a.source AS sa, b.source AS sb, a.v, a.cu AS ca,
+                 b.v AS bv
+          FROM cum a JOIN cum b ON a.source <> b.source
+          WHERE b.cu * a.n >= a.cu * b.n)
+    SELECT sa AS src_a, sb AS src_b, CAST(v AS BIGINT) AS v,
+           CAST(ca AS BIGINT) AS cum_a, CAST(min(bv) AS BIGINT) AS mapped_v
+    FROM p GROUP BY sa, sb, v, ca
+"""
+ORACLES["effective_sample_size"] = """
+    WITH m AS (SELECT source, count(*) AS n,
+                      sum(CAST(n_chars AS BIGINT)) AS sw,
+                      sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                        AS sw2
+               FROM documents GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n, CAST(sw AS BIGINT) AS sum_w,
+           CAST(sw2 AS BIGINT) AS sum_w2,
+           CAST(sw::HUGEINT * sw * 1000 // sw2 AS BIGINT) AS ess_e3,
+           CAST(sw::HUGEINT * sw * 1000 // (n * sw2) AS BIGINT)
+             AS ess_ratio_permille
+    FROM m WHERE sw2 > 0
 """

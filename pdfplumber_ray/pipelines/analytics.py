@@ -11276,3 +11276,198 @@ def feature_hashing_ds(
     return docs.select_columns([id_col, text_col]).map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def quantile_map_ds(
+    docs: Dataset,
+    group_col: str = "source",
+    val_col: str = "n_chars",
+) -> Dataset:
+    """Exact quantile mapping (histogram matching / CDF alignment, the
+    domain-adaptation primitive): for every ordered source pair (a, b)
+    and every distinct value ``v`` seen in ``a``, the value in ``b``
+    sitting at the same cumulative rank —
+    ``mapped_v = min{ u in b : cdf_b(u) * n_a >= cdf_a(v) * n_b }``
+    (cross-multiplied, so the comparison is integer-exact; always
+    defined because cdf_b(max) = n_b).  The table answers "what length
+    in source b corresponds to length v in source a", aligning
+    per-source quality thresholds without floats.
+
+    Scale shape: per-batch (source, value) count combiner -> ONE
+    groupby over the bounded (source x value domain) grid -> pairwise
+    searchsorted sweep on the collected grid (report-sized by
+    construction)."""
+    out_schema = pa.schema(
+        [
+            ("src_a", pa.string()),
+            ("src_b", pa.string()),
+            ("v", pa.int64()),
+            ("cum_a", pa.int64()),
+            ("mapped_v", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pa.table(
+                {
+                    group_col: batch.column(group_col),
+                    "v": batch.column(val_col).cast(pa.int64()),
+                }
+            )
+            .group_by([group_col, "v"])
+            .aggregate([("v", "count")])
+        )
+        return pa.table(
+            {
+                group_col: g.column(group_col),
+                "v": g.column("v"),
+                "c": g.column("v_count").cast(pa.int64()),
+            }
+        )
+
+    df = _small_df(
+        docs.select_columns([group_col, val_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "v"])
+        .aggregate(Sum("c")),
+        {group_col: object, "v": np.int64, "sum(c)": np.int64},
+    )
+    if not len(df):
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    src = df[group_col].astype(str).to_numpy()
+    v = df["v"].to_numpy(np.int64)
+    c = df["sum(c)"].to_numpy(np.int64)
+    order = np.lexsort((v, src))
+    src, v, c = src[order], v[order], c[order]
+    starts = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+    ends = np.concatenate((starts[1:], [src.size]))
+    per: "dict[str, tuple[np.ndarray, np.ndarray, int]]" = {}
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(c[s:e])
+        per[str(src[s])] = (v[s:e], cum, int(cum[-1]))
+    names = sorted(per)
+    sa: List[str] = []
+    sb: List[str] = []
+    vv: List[int] = []
+    ca: List[int] = []
+    mv: List[int] = []
+    for a in names:
+        va, cuma, na = per[a]
+        for b in names:
+            if b == a:
+                continue
+            vb, cumb, nb = per[b]
+            # min u with cumb(u) * na >= cuma(v) * nb
+            idx = np.searchsorted(cumb * na, cuma * nb, side="left")
+            mapped = vb[np.clip(idx, 0, vb.size - 1)]
+            sa.extend([a] * va.size)
+            sb.extend([b] * va.size)
+            vv.extend(va.tolist())
+            ca.extend(cuma.tolist())
+            mv.extend(mapped.tolist())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src_a": pa.array(sa, pa.string()),
+                "src_b": pa.array(sb, pa.string()),
+                "v": pa.array(vv, pa.int64()),
+                "cum_a": pa.array(ca, pa.int64()),
+                "mapped_v": pa.array(mv, pa.int64()),
+            }
+        )
+    )
+
+
+def effective_sample_size_ds(
+    docs: Dataset,
+    group_col: str = "source",
+    w_col: str = "n_chars",
+) -> Dataset:
+    """Kish effective sample size per stratum (Kish 1965; the
+    importance-sampling health diagnostic): with per-row weights ``w``,
+    ``ESS = (sum w)^2 / (sum w^2)`` — how many EQUAL-weight samples the
+    weighted set is worth.  ``ess_ratio_permille = ESS * 1000 / n``
+    near 1000 means weights are flat; small values flag a stratum
+    dominated by a few heavy rows (the failure mode of aggressive
+    up/down-weighting).  Exact: the quadratic sums are int64 partials,
+    the final ratios arbitrary-precision Python ints.
+
+    Scale shape: one ``map_batches`` combiner pass (3 int64 partials
+    per stratum) -> groupby over the tiny stratum domain."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sw": pa.array([], pa.int64()),
+                    "sw2": pa.array([], pa.int64()),
+                }
+            )
+        w = batch.column(w_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n": pa.array(np.ones(w.size, dtype=np.int64)),
+                "sw": pa.array(w),
+                "sw2": pa.array(w * w),
+            }
+        )
+        g = t.group_by(group_col).aggregate(
+            [("n", "sum"), ("sw", "sum"), ("sw2", "sum")]
+        )
+        return g.rename_columns([group_col, "n", "sw", "sw2"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sum_w": pa.array([], pa.int64()),
+                "sum_w2": pa.array([], pa.int64()),
+                "ess_e3": pa.array([], pa.int64()),
+                "ess_ratio_permille": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or group_col not in batch.column_names:
+            return empty
+        gs = batch.column(group_col).to_pylist()
+        n = batch.column("sum(n)").to_pylist()
+        sw = batch.column("sum(sw)").to_pylist()
+        sw2 = batch.column("sum(sw2)").to_pylist()
+        keep = [i for i in range(len(gs)) if sw2[i] > 0]
+        return pa.table(
+            {
+                group_col: pa.array([str(gs[i]) for i in keep], pa.string()),
+                "n": pa.array([n[i] for i in keep], pa.int64()),
+                "sum_w": pa.array([sw[i] for i in keep], pa.int64()),
+                "sum_w2": pa.array([sw2[i] for i in keep], pa.int64()),
+                "ess_e3": pa.array(
+                    [sw[i] * sw[i] * 1000 // sw2[i] for i in keep], pa.int64()
+                ),
+                "ess_ratio_permille": pa.array(
+                    [sw[i] * sw[i] * 1000 // (n[i] * sw2[i]) for i in keep],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        docs.select_columns([group_col, w_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .aggregate(Sum("n"), Sum("sw"), Sum("sw2"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -3280,3 +3280,49 @@ def test_feature_hashing_deterministic_and_additive(ray_session):
     # single-token doc: exactly one nonzero slot of magnitude 1
     got2 = [rows[2][f"fh_{j}"] for j in range(16)]
     assert sorted(map(abs, got2)) == [0] * 15 + [1]
+
+
+def test_quantile_map_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # a: values 1,2,3,4 (n=4); b: values 10,20 (n=2, counts 1,1)
+    # cdf_a: 1->1/4, 2->2/4, 3->3/4, 4->4/4
+    # mapped into b: min u with cdf_b(u) >= q: 1/4->10, 2/4->10, 3/4->20, 1->20
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["a"] * 4 + ["b"] * 2),
+                "n_chars": pa.array([1, 2, 3, 4, 10, 20], pa.int64()),
+            }
+        )
+    )
+    rows = {
+        (r["src_a"], r["v"]): r["mapped_v"]
+        for r in an.quantile_map_ds(docs).take_all()
+        if r["src_a"] == "a"
+    }
+    assert rows == {("a", 1): 10, ("a", 2): 10, ("a", 3): 20, ("a", 4): 20}
+
+
+def test_effective_sample_size_flat_vs_skewed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["flat"] * 4 + ["skew"] * 4),
+                "n_chars": pa.array([5, 5, 5, 5, 1, 1, 1, 97], pa.int64()),
+            }
+        )
+    )
+    rows = {r["source"]: r for r in an.effective_sample_size_ds(docs).take_all()}
+    # flat weights: ESS == n exactly
+    assert rows["flat"]["ess_e3"] == 4000
+    assert rows["flat"]["ess_ratio_permille"] == 1000
+    # skewed: (100)^2*1000 // (1+1+1+9409) = 10_000_000 // 9412
+    assert rows["skew"]["ess_e3"] == 10_000_000 // 9412
+    assert rows["skew"]["ess_ratio_permille"] == 10_000_000 // (4 * 9412)
