@@ -4378,6 +4378,13 @@ def q_value_mad(sf_dir: str) -> ray.data.Dataset:
     return an.value_mad_ds(events)
 
 
+def q_dedup_modality_agreement(sf_dir: str) -> ray.data.Dataset:
+    """Agreement matrix across the three dedup definitions (exact text,
+    verified shingle-Jaccard >= 0.5, CDC shared chunk >= 16 chars):
+    pair-set sizes + pairwise/triple intersections in one row."""
+    return an.dedup_modality_agreement_ds(_documents(sf_dir))
+
+
 def q_quantile_map(sf_dir: str) -> ray.data.Dataset:
     """Exact CDF alignment between sources: for each ordered source
     pair and distinct n_chars value, the same-rank value in the other
@@ -4509,6 +4516,7 @@ def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "dedup_modality_agreement": q_dedup_modality_agreement,
     "quantile_map": q_quantile_map,
     "effective_sample_size": q_effective_sample_size,
     "seasonal_naive_error": q_seasonal_naive_error,
@@ -4841,6 +4849,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "dedup_modality_agreement",
     "quantile_map",
     "effective_sample_size",
     "seasonal_naive_error",
@@ -9756,4 +9765,67 @@ ORACLES["effective_sample_size"] = """
            CAST(sw::HUGEINT * sw * 1000 // (n * sw2) AS BIGINT)
              AS ess_ratio_permille
     FROM m WHERE sw2 > 0
+"""
+ORACLES["dedup_modality_agreement"] = """
+    WITH ex0 AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+    exr AS (SELECT doc_id, h,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM ex0),
+    exc AS (SELECT doc_id, h FROM exr WHERE rn <= 64),
+    ex AS (SELECT a.doc_id AS a, b.doc_id AS b
+           FROM exc a JOIN exc b ON a.h = b.h AND a.doc_id < b.doc_id),
+    t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    s AS (SELECT doc_id,
+            CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+                 ELSE list_distinct([array_to_string(l[i:i+4], ' ')
+                                     for i in range(1, len(l)-3)])
+            END AS sh FROM t),
+    p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(a.sh) + len(b.sh) AS tot
+          FROM s a JOIN s b ON a.doc_id < b.doc_id),
+    jc AS (SELECT a, b FROM p WHERE 2 * inter >= tot - inter),
+    d AS (SELECT doc_id, text, length(text) AS L
+          FROM documents WHERE length(text) >= 1),
+    pos AS (SELECT doc_id, text, L, unnest(range(8, L + 1)) AS i
+            FROM d WHERE L >= 8),
+    cut0 AS (SELECT doc_id, text, i FROM pos WHERE
+        (ascii(substr(text, i - 7, 1))::BIGINT * 27512614111
+       + ascii(substr(text, i - 6, 1))::BIGINT * 887503681
+       + ascii(substr(text, i - 5, 1))::BIGINT * 28629151
+       + ascii(substr(text, i - 4, 1))::BIGINT * 923521
+       + ascii(substr(text, i - 3, 1))::BIGINT * 29791
+       + ascii(substr(text, i - 2, 1))::BIGINT * 961
+       + ascii(substr(text, i - 1, 1))::BIGINT * 31
+       + ascii(substr(text, i, 1))::BIGINT) % 64 = 0),
+    cuts AS (SELECT DISTINCT doc_id, text, i FROM
+             (SELECT doc_id, text, i FROM cut0
+              UNION ALL SELECT doc_id, text, L AS i FROM d)),
+    seg AS (SELECT doc_id,
+              substr(text,
+                     coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1,
+                     i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0))
+                AS chunk
+            FROM cuts),
+    dc AS (SELECT DISTINCT doc_id, md5(chunk) AS hsh FROM seg
+           WHERE length(chunk) >= 16),
+    dcr AS (SELECT doc_id, hsh,
+                   row_number() OVER (PARTITION BY hsh ORDER BY doc_id) AS rn
+            FROM dc),
+    dcc AS (SELECT doc_id, hsh FROM dcr WHERE rn <= 64),
+    cd AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM dcc a JOIN dcc b ON a.hsh = b.hsh AND a.doc_id < b.doc_id),
+    u AS (SELECT a, b, max(e) AS e, max(j) AS j, max(c) AS c FROM (
+            SELECT a, b, 1 AS e, 0 AS j, 0 AS c FROM ex
+            UNION ALL SELECT a, b, 0 AS e, 1 AS j, 0 AS c FROM jc
+            UNION ALL SELECT a, b, 0 AS e, 0 AS j, 1 AS c FROM cd)
+          GROUP BY a, b)
+    SELECT CAST(coalesce(sum(e), 0) AS BIGINT) AS n_exact,
+           CAST(coalesce(sum(j), 0) AS BIGINT) AS n_jaccard,
+           CAST(coalesce(sum(c), 0) AS BIGINT) AS n_cdc,
+           CAST(coalesce(sum(e * j), 0) AS BIGINT) AS n_exact_jaccard,
+           CAST(coalesce(sum(e * c), 0) AS BIGINT) AS n_exact_cdc,
+           CAST(coalesce(sum(j * c), 0) AS BIGINT) AS n_jaccard_cdc,
+           CAST(coalesce(sum(e * j * c), 0) AS BIGINT) AS n_all3
+    FROM u
 """

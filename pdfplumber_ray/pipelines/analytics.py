@@ -11471,3 +11471,219 @@ def effective_sample_size_ds(
         .aggregate(Sum("n"), Sum("sw"), Sum("sw2"))
         .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def dedup_modality_agreement_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    min_chunk_len: int = 16,
+    max_block: int = 64,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Cross-modality dedup AGREEMENT matrix: how the three duplicate
+    definitions overlap on the same corpus — (1) EXACT byte-identical
+    text, (2) near-dup word-shingle Jaccard >= threshold (the MinHash
+    rule, exactly verified), (3) CDC shared-chunk (>= ``min_chunk_len``
+    chars).  Emits ONE row of pair-set cardinalities and pairwise /
+    triple intersections — the calibration table that tells a curation
+    pipeline which cheap modality can stand in for which expensive one.
+    Exact-dup groups and CDC chunk groups cap at the ``max_block``
+    lowest doc ids (mirrored in SQL) so pathological blocks stay
+    bounded.
+
+    Scale shape: three pair generators (hash-bucket shuffles with
+    bounded groups; the Jaccard side reuses the LSH-candidate + exact
+    verify chain) -> per-pair flag fold (ONE pair-key groupby) ->
+    seven-indicator combiner down to a single row."""
+    from .corpus_ops import minhash_pairs_ds, ngram_jaccard_verify_ds
+
+    import hashlib
+
+    pair_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("e", pa.int64()),
+            ("j", pa.int64()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def _flag_table(a: np.ndarray, b: np.ndarray, which: str) -> pa.Table:
+        z = np.zeros(a.size, dtype=np.int64)
+        o = np.ones(a.size, dtype=np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "e": pa.array(o if which == "e" else z),
+                "j": pa.array(o if which == "j" else z),
+                "c": pa.array(o if which == "c" else z),
+            }
+        )
+
+    def _group_pairs(
+        h: np.ndarray, d: np.ndarray, lo_ok: int, which: str
+    ) -> pa.Table:
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        ends = np.concatenate((starts[1:], [h.size]))
+        a_: List[np.ndarray] = []
+        b_: List[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            m = min(int(e - s), max_block)
+            if m < lo_ok:
+                continue
+            dd = d[s : s + m]
+            ii, jj = np.triu_indices(m, k=1)
+            a_.append(dd[ii])
+            b_.append(dd[jj])
+        if not a_:
+            return pa.table({f.name: pa.array([], f.type) for f in pair_schema})
+        return _flag_table(np.concatenate(a_), np.concatenate(b_), which)
+
+    # (1) exact-dup pairs
+    def exact_project(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "h": pa.array([], pa.int64()),
+                "d": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids_ = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5((t or "").encode()).digest()[:8], "big"
+                )
+                >> 1
+                for t in texts
+            ),
+            np.int64,
+            count=len(texts),
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(hs % n_buckets if hs.size else hs, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "d": pa.array(ids_, pa.int64()),
+            }
+        )
+
+    def exact_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in pair_schema})
+        return _group_pairs(
+            group.column("h").to_numpy(zero_copy_only=False),
+            group.column("d").to_numpy(zero_copy_only=False),
+            2,
+            "e",
+        )
+
+    ex = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(exact_project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(exact_pairs, batch_format="pyarrow")
+    )
+
+    # (2) verified-Jaccard near-dup pairs (LSH candidates + exact verify)
+    cands = minhash_pairs_ds(
+        docs, num_perm=64, bands=64, threshold=0.0, max_bucket=None
+    )
+    ver = ngram_jaccard_verify_ds(cands, docs, threshold=jaccard_threshold)
+
+    def jac_flags(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in pair_schema})
+        a = batch.column("doc_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return _flag_table(lo, hi, "j")
+
+    jc = ver.map_batches(jac_flags, batch_format="pyarrow", zero_copy_batch=True)
+
+    # (3) CDC shared-chunk pairs
+    chunker = _cdc_chunk_partials(id_col, text_col, 64, n_buckets)
+
+    def cdc_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in pair_schema})
+        keep = pc.greater_equal(group.column("clen"), min_chunk_len)
+        group = group.filter(keep)
+        if group.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type) for f in pair_schema})
+        return _group_pairs(
+            group.column("h").to_numpy(zero_copy_only=False),
+            group.column("d").to_numpy(zero_copy_only=False),
+            2,
+            "c",
+        )
+
+    cd = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(chunker, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(cdc_pairs, batch_format="pyarrow")
+    )
+
+    union = _anchor_schema(ex.union(jc).union(cd), pair_schema)
+    folded = union.groupby(["a", "b"]).aggregate(Max("e"), Max("j"), Max("c"))
+
+    def products(batch: pa.Table) -> pa.Table:
+        cols = [
+            "n_exact",
+            "n_jaccard",
+            "n_cdc",
+            "n_exact_jaccard",
+            "n_exact_cdc",
+            "n_jaccard_cdc",
+            "n_all3",
+        ]
+        if batch.num_rows == 0 or "max(e)" not in batch.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        e = batch.column("max(e)").to_numpy(zero_copy_only=False)
+        j = batch.column("max(j)").to_numpy(zero_copy_only=False)
+        c = batch.column("max(c)").to_numpy(zero_copy_only=False)
+        vals = [
+            e.sum(),
+            j.sum(),
+            c.sum(),
+            (e * j).sum(),
+            (e * c).sum(),
+            (j * c).sum(),
+            (e * j * c).sum(),
+        ]
+        return pa.table(
+            {nc: pa.array([int(v)], pa.int64()) for nc, v in zip(cols, vals)}
+        )
+
+    parts = _small_df(
+        folded.map_batches(products, batch_format="pyarrow", zero_copy_batch=True),
+        {
+            "n_exact": np.int64,
+            "n_jaccard": np.int64,
+            "n_cdc": np.int64,
+            "n_exact_jaccard": np.int64,
+            "n_exact_cdc": np.int64,
+            "n_jaccard_cdc": np.int64,
+            "n_all3": np.int64,
+        },
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                c: pa.array(
+                    [int(parts[c].sum()) if len(parts) else 0], pa.int64()
+                )
+                for c in parts.columns
+            }
+        )
+    )

@@ -3326,3 +3326,41 @@ def test_effective_sample_size_flat_vs_skewed(ray_session):
     # skewed: (100)^2*1000 // (1+1+1+9409) = 10_000_000 // 9412
     assert rows["skew"]["ess_e3"] == 10_000_000 // 9412
     assert rows["skew"]["ess_ratio_permille"] == 10_000_000 // (4 * 9412)
+
+
+def test_dedup_modality_agreement_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # docs 1,2: byte-identical (exact + jaccard + cdc if a >=16 chunk
+    # exists); docs 3,4: share a long paragraph but differ (cdc likely,
+    # jaccard high); doc 9 unique.
+    para = (
+        "jumps the lazy zeta alpha gamma quick brown gamma delta zeta "
+        "jumps quick delta over delta delta alpha lazy alpha zeta gamma "
+        "fox jumps jumps beta dog zeta alpha lazy"
+    )
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 9], pa.int64()),
+                "text": pa.array(
+                    [para, para, para + " tail one", "PREFIX " + para, "zz"]
+                ),
+            }
+        )
+    )
+    row = an.dedup_modality_agreement_ds(docs).take_all()[0]
+    # identical pair (1,2) must be counted by ALL three modalities
+    assert row["n_exact"] == 1
+    assert row["n_all3"] >= 1
+    # the near-identical family makes jaccard and cdc supersets of exact
+    assert row["n_jaccard"] >= row["n_exact_jaccard"] >= 1
+    assert row["n_cdc"] >= row["n_exact_cdc"] >= 1
+    # intersections can never exceed their parents
+    assert row["n_exact_jaccard"] <= min(row["n_exact"], row["n_jaccard"])
+    assert row["n_jaccard_cdc"] <= min(row["n_jaccard"], row["n_cdc"])
+    assert row["n_all3"] <= min(
+        row["n_exact_jaccard"], row["n_exact_cdc"], row["n_jaccard_cdc"]
+    )
