@@ -4378,6 +4378,23 @@ def q_value_mad(sf_dir: str) -> ray.data.Dataset:
     return an.value_mad_ds(events)
 
 
+def q_bow_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Bag-of-words (order-invariant) duplicate histogram: identical
+    sorted token multisets; one md5 per doc + bounded bag-hash shuffle."""
+    return an.bow_dedup_ds(_documents(sf_dir))
+
+
+def q_hard_negatives(sf_dir: str) -> ray.data.Dataset:
+    """Contrastive hard-negative mining: same coarse grid cell,
+    different label, with exact integer squared L2 for margin filters;
+    one bounded cell groupby."""
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return an.hard_negatives_ds(emb)
+
+
 def q_dedup_modality_agreement(sf_dir: str) -> ray.data.Dataset:
     """Agreement matrix across the three dedup definitions (exact text,
     verified shingle-Jaccard >= 0.5, CDC shared chunk >= 16 chars):
@@ -4516,6 +4533,8 @@ def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "bow_dedup": q_bow_dedup,
+    "hard_negatives": q_hard_negatives,
     "dedup_modality_agreement": q_dedup_modality_agreement,
     "quantile_map": q_quantile_map,
     "effective_sample_size": q_effective_sample_size,
@@ -4849,6 +4868,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "bow_dedup",
+    "hard_negatives",
     "dedup_modality_agreement",
     "quantile_map",
     "effective_sample_size",
@@ -9828,4 +9849,42 @@ ORACLES["dedup_modality_agreement"] = """
            CAST(coalesce(sum(j * c), 0) AS BIGINT) AS n_jaccard_cdc,
            CAST(coalesce(sum(e * j * c), 0) AS BIGINT) AS n_all3
     FROM u
+"""
+ORACLES["bow_dedup"] = """
+    WITH bags AS (SELECT md5(array_to_string(list_sort(
+                    string_split(coalesce(text, ''), ' ')), ' ')) AS h
+                  FROM documents),
+    grp AS (SELECT h, count(*) AS sz FROM bags GROUP BY h)
+    SELECT CAST(sz AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM grp GROUP BY sz
+"""
+ORACLES["hard_negatives"] = """
+    WITH x AS (SELECT vec_id, CAST(label AS BIGINT) AS lab,
+                      generate_subscripts(embedding, 1) - 1 AS d,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                           AS BIGINT) AS q
+               FROM embeddings),
+    cellv AS (SELECT vec_id, lab,
+                string_agg(
+                  CAST(CAST(floor(CAST(q AS DOUBLE) / 250000) AS BIGINT)
+                       AS VARCHAR), '|' ORDER BY d)
+                  FILTER (WHERE d < 4) AS cell
+              FROM x GROUP BY 1, 2),
+    r AS (SELECT vec_id, lab, cell,
+                 row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+          FROM cellv),
+    c AS (SELECT vec_id, lab, cell FROM r WHERE rn <= 64),
+    p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.lab AS la, b.lab AS lb
+          FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE a.lab <> b.lab),
+    d2 AS (SELECT p.va, p.vb, p.la, p.lb,
+                  sum((xa.q - xb.q) * (xa.q - xb.q)) AS d2q
+           FROM p JOIN x xa ON xa.vec_id = p.va
+                  JOIN x xb ON xb.vec_id = p.vb AND xb.d = xa.d
+           GROUP BY 1, 2, 3, 4)
+    SELECT va AS vec_a, vb AS vec_b, la AS label_a, lb AS label_b,
+           CAST(d2q AS BIGINT) AS d2q
+    FROM d2
 """

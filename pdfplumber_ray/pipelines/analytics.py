@@ -11687,3 +11687,192 @@ def dedup_modality_agreement_ds(
             }
         )
     )
+
+
+def bow_dedup_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> Dataset:
+    """Bag-of-words (order-invariant) duplicate histogram: documents
+    whose token MULTISETS are identical after sorting — the
+    "shuffled plagiarism" modality that exact byte dedup misses and
+    shingle Jaccard only catches probabilistically (reordered sentences
+    keep the exact same bag).  Emits one row per group size with the
+    number of bags and documents at that size; ``group_size >= 2`` rows
+    are the order-invariant duplicate classes.
+
+    Scale shape: one md5 per document over the sorted token join (the
+    per-entity cost class of a MinHash signature) -> ONE bag-hash bucket
+    shuffle (bounded groups) -> per-bucket size histogram -> tiny
+    group-size fold."""
+    import hashlib
+
+    def project(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"bkt": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        texts = batch.column(text_col).to_pylist()
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(
+                        " ".join(sorted((t or "").split(" "))).encode()
+                    ).digest()[:8],
+                    "big",
+                )
+                >> 1
+                for t in texts
+            ),
+            np.int64,
+            count=len(texts),
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(hs % n_buckets if hs.size else hs, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+            }
+        )
+
+    def bucket_hist(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "group_size": pa.array([], pa.int64()),
+                "ng": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        _, counts = np.unique(h, return_counts=True)
+        sz, ngr = np.unique(counts, return_counts=True)
+        return pa.table(
+            {
+                "group_size": pa.array(sz.astype(np.int64), pa.int64()),
+                "ng": pa.array(ngr.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = _small_df(
+        docs.select_columns([id_col, text_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_hist, batch_format="pyarrow")
+        .groupby("group_size")
+        .aggregate(Sum("ng")),
+        {"group_size": np.int64, "sum(ng)": np.int64},
+    )
+    gs = agg["group_size"].to_numpy(np.int64)
+    ng = agg["sum(ng)"].to_numpy(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "group_size": pa.array(gs, pa.int64()),
+                "n_groups": pa.array(ng, pa.int64()),
+                "n_docs": pa.array(gs * ng, pa.int64()),
+            }
+        )
+    )
+
+
+def hard_negatives_ds(
+    emb: Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    grid_dims: int = 4,
+    cell_e6: int = 250_000,
+    max_cell: int = 64,
+) -> Dataset:
+    """Hard-negative mining for contrastive training (the in-batch
+    negatives recipe of SimCLR / DPR, made deterministic): embedding
+    pairs that land in the SAME coarse grid cell (first ``grid_dims``
+    e6-quantized components floor-divided by ``cell_e6``) but carry
+    DIFFERENT labels — close in representation space yet semantically
+    distinct, exactly the negatives a contrastive loss learns most
+    from.  Each pair carries the exact integer squared L2 distance over
+    ALL components for downstream margin filtering.  Cells cap at the
+    ``max_cell`` lowest vec ids (mirrored in SQL).
+
+    Scale shape: cell key is a per-row projection (no broadcast); ONE
+    cell-hash shuffle with bounded groups; within-cell pair generation
+    is quadratic only in the capped cell population."""
+    import hashlib
+
+    out_schema = pa.schema(
+        [
+            ("vec_a", pa.int64()),
+            ("vec_b", pa.int64()),
+            ("label_a", pa.int64()),
+            ("label_b", pa.int64()),
+            ("d2q", pa.int64()),
+        ]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        empty_cols = {
+            "cell": pa.array([], pa.string()),
+            "v": pa.array([], pa.int64()),
+            "lab": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0:
+            empty_cols["q"] = pa.array([], pa.list_(pa.int64()))
+            return pa.table(empty_cols)
+        ids_ = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        labs = batch.column(label_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        col = batch.column(vec_col).combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        n = batch.num_rows
+        dim = flat.size // n
+        q = np.floor(flat * 1e6).astype(np.int64).reshape(n, dim)
+        cells = q[:, :grid_dims] // cell_e6  # floor division (negatives ok)
+        keys = ["|".join(map(str, row)) for row in cells]
+        return pa.table(
+            {
+                "cell": pa.array(keys, pa.string()),
+                "v": pa.array(ids_, pa.int64()),
+                "lab": pa.array(labs, pa.int64()),
+                "q": pa.array(list(q), pa.list_(pa.int64())),
+            }
+        )
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        if group.num_rows == 0:
+            return empty
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        lab = group.column("lab").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")[:max_cell]
+        v, lab = v[order], lab[order]
+        ql = group.column("q").to_pylist()
+        q = np.array([ql[i] for i in order], dtype=np.int64)
+        m = v.size
+        if m < 2:
+            return empty
+        ii, jj = np.triu_indices(m, k=1)
+        diff_lab = lab[ii] != lab[jj]
+        ii, jj = ii[diff_lab], jj[diff_lab]
+        if ii.size == 0:
+            return empty
+        d = q[ii] - q[jj]
+        d2 = (d * d).sum(axis=1)
+        return pa.table(
+            {
+                "vec_a": pa.array(v[ii], pa.int64()),
+                "vec_b": pa.array(v[jj], pa.int64()),
+                "label_a": pa.array(lab[ii], pa.int64()),
+                "label_b": pa.array(lab[jj], pa.int64()),
+                "d2q": pa.array(d2, pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        emb.select_columns([id_col, vec_col, label_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pyarrow"),
+        out_schema,
+    )

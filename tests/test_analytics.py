@@ -3364,3 +3364,67 @@ def test_dedup_modality_agreement_planted(ray_session):
     assert row["n_all3"] <= min(
         row["n_exact_jaccard"], row["n_exact_cdc"], row["n_jaccard_cdc"]
     )
+
+
+def test_bow_dedup_order_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the cat sat",
+                        "sat the cat",      # same bag, reordered
+                        "cat sat the",      # same bag again
+                        "the cat cat",      # different multiset
+                        "unique words here",
+                    ]
+                ),
+            }
+        )
+    )
+    rows = {r["group_size"]: r for r in an.bow_dedup_ds(docs).take_all()}
+    assert rows[3]["n_groups"] == 1 and rows[3]["n_docs"] == 3
+    assert rows[1]["n_groups"] == 2 and rows[1]["n_docs"] == 2
+
+
+def test_hard_negatives_same_cell_diff_label(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # v1/v2: same cell (all coords ~0.01 apart), labels differ -> pair
+    # v3: same cell, same label as v1 -> no pair with v1
+    # v4: far away cell -> no pairs
+    dim = 8
+    base = [0.1] * dim
+    near = [0.11] * dim
+    far = [0.9] * dim
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "embedding": pa.array(
+                    [base, near, base, far], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0, 1, 0, 2], pa.int32()),
+            }
+        )
+    )
+    rows = {(r["vec_a"], r["vec_b"]): r for r in
+            an.hard_negatives_ds(emb).take_all()}
+    assert (1, 2) in rows and (2, 3) in rows
+    assert (1, 3) not in rows  # same label
+    assert all(4 not in k for k in rows)
+    # exact integer squared distance: per dim q diff
+    qa = np.floor(np.array(base, np.float64) * 1e6).astype(np.int64)
+    qb = np.floor(np.array(near, np.float64) * 1e6).astype(np.int64)
+    # float32 storage: recompute through float32 like the operator does
+    qa32 = np.floor(np.array(base, np.float32).astype(np.float64) * 1e6).astype(np.int64)
+    qb32 = np.floor(np.array(near, np.float32).astype(np.float64) * 1e6).astype(np.int64)
+    assert rows[(1, 2)]["d2q"] == int(((qa32 - qb32) ** 2).sum())

@@ -40,6 +40,7 @@ def test_front_window_holds_new_and_never_sampled():
     first50 = set(keys[:50])
     for name in (
         # session-13 operators (newest — zero external validation)
+        "bow_dedup", "hard_negatives",
         "dedup_modality_agreement",
         "quantile_map", "effective_sample_size",
         "seasonal_naive_error", "feature_hashing",
@@ -65,8 +66,9 @@ def test_front_window_holds_new_and_never_sampled():
         # session-10-final operators
         "dim_covariance", "lsh_recall_audit", "lang_fertility",
         # session-10 operators
-        "mutual_knn", "label_prop", "grid_cores",
-        # the tail past slot 50 (hits, skipgram_counts, entity_graph,
+        "mutual_knn",
+        # the tail past slot 50 (label_prop, grid_cores,
+        # hits, skipgram_counts, entity_graph,
         # cluster_inertia, dim_variance,
         # centroid_outliers, sampled_dup_rate,
         # effective_tokens, term_burstiness, full_join,
