@@ -4378,6 +4378,42 @@ def q_value_mad(sf_dir: str) -> ray.data.Dataset:
     return an.value_mad_ds(events)
 
 
+def q_rare_token_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Rare-shingle blocking pairs (inverted-index candidate generation):
+    docs sharing a 3-word shingle with df in [2, 3]; per-shingle fan-out
+    bounded by construction, no caps or salts needed."""
+    return an.rare_token_pairs_ds(_documents(sf_dir))
+
+
+def q_temporal_split(sf_dir: str) -> ray.data.Dataset:
+    """Leakage-free temporal 70/15/15 split report with exact discrete
+    day-quantile cutoffs; bounded day-domain groupbys only."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return an.temporal_split_ds(events)
+
+
+def q_join_card_estimate(sf_dir: str) -> ray.data.Dataset:
+    """Sampling-based self-join cardinality estimator audit on user_id:
+    exact sum(c^2) vs the 1/16 key-sampled scaled estimate with signed
+    error permille."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return an.join_card_estimate_ds(events)
+
+
+def q_bottomk_sample(sf_dir: str) -> ray.data.Dataset:
+    """Bottom-k (KMV) exact-size uniform sample: the 100 docs with the
+    smallest 60-bit md5 rank; per-block bottom-k partials, the big
+    table never shuffles."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return an.bottomk_sample_ds(docs)
+
+
 def q_bow_dedup(sf_dir: str) -> ray.data.Dataset:
     """Bag-of-words (order-invariant) duplicate histogram: identical
     sorted token multisets; one md5 per doc + bounded bag-hash shuffle."""
@@ -4533,6 +4569,10 @@ def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "rare_token_pairs": q_rare_token_pairs,
+    "temporal_split": q_temporal_split,
+    "join_card_estimate": q_join_card_estimate,
+    "bottomk_sample": q_bottomk_sample,
     "bow_dedup": q_bow_dedup,
     "hard_negatives": q_hard_negatives,
     "dedup_modality_agreement": q_dedup_modality_agreement,
@@ -4868,6 +4908,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "rare_token_pairs",
+    "temporal_split",
+    "join_card_estimate",
+    "bottomk_sample",
     "bow_dedup",
     "hard_negatives",
     "dedup_modality_agreement",
@@ -9887,4 +9931,70 @@ ORACLES["hard_negatives"] = """
     SELECT va AS vec_a, vb AS vec_b, la AS label_a, lb AS label_b,
            CAST(d2q AS BIGINT) AS d2q
     FROM d2
+"""
+ORACLES["rare_token_pairs"] = """
+    WITH t0 AS (SELECT doc_id,
+                       string_split(coalesce(text, ''), ' ') AS w
+                FROM documents),
+    tok0 AS (SELECT doc_id,
+                    unnest(list_transform(
+                        range(1, greatest(len(w) - 1, 1)),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
+             FROM t0),
+    tok AS (SELECT DISTINCT doc_id, t FROM tok0),
+    df AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+    rare AS (SELECT t FROM df WHERE df BETWEEN 2 AND 3),
+    post AS (SELECT tok.doc_id, tok.t FROM tok JOIN rare USING (t))
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+           CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_rare
+    FROM post a JOIN post b ON a.t = b.t AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+ORACLES["temporal_split"] = """
+    WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type
+               FROM events),
+    dd AS (SELECT day, count(*) AS c FROM e GROUP BY day),
+    cc AS (SELECT day, sum(c) OVER (ORDER BY day) AS cum,
+                  (SELECT count(*) FROM e) AS n
+           FROM dd),
+    t1 AS (SELECT min(day) AS d FROM cc WHERE cum * 100 >= 70 * n),
+    t2 AS (SELECT min(day) AS d FROM cc WHERE cum * 100 >= 85 * n),
+    s AS (SELECT CASE WHEN day <= (SELECT d FROM t1) THEN 'train'
+                      WHEN day <= (SELECT d FROM t2) THEN 'valid'
+                      ELSE 'test' END AS split,
+                 event_type, day
+          FROM e)
+    SELECT split, event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(day) AS BIGINT) AS day_min,
+           CAST(max(day) AS BIGINT) AS day_max
+    FROM s GROUP BY 1, 2
+"""
+ORACLES["join_card_estimate"] = """
+    WITH c AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+    q AS (SELECT sum(c * c)::HUGEINT AS actual,
+                 sum(CASE WHEN ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))
+                               ::UBIGINT % 16 = 0
+                          THEN c * c ELSE 0 END)::HUGEINT AS sampled
+          FROM c)
+    SELECT CAST(coalesce(actual, 0) AS BIGINT) AS actual_join_rows,
+           CAST(coalesce(sampled, 0) * 16 AS BIGINT) AS estimated_join_rows,
+           CAST(CASE WHEN coalesce(actual, 0) > 0
+                     THEN abs(coalesce(sampled, 0) * 16 - actual) * 1000
+                          // actual
+                     ELSE 0 END AS BIGINT) AS abs_err_permille,
+           CAST(CASE WHEN coalesce(sampled, 0) * 16 > coalesce(actual, 0) THEN 1
+                     WHEN coalesce(sampled, 0) * 16 < coalesce(actual, 0) THEN -1
+                     ELSE 0 END AS BIGINT) AS err_sign
+    FROM q
+"""
+ORACLES["bottomk_sample"] = """
+    WITH r AS (SELECT doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        ::UBIGINT AS h60,
+                      n_chars
+               FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(h60 AS BIGINT) AS h60,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM r ORDER BY h60, doc_id LIMIT 100
 """

@@ -11876,3 +11876,431 @@ def hard_negatives_ds(
         .map_groups(cell_pairs, batch_format="pyarrow"),
         out_schema,
     )
+
+
+def rare_token_pairs_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 3,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Rare-shingle blocking (the inverted-index candidate generator of
+    entity-resolution pipelines, complementing prefix and phonetic
+    blocking): document pairs sharing at least one 3-word shingle whose
+    document frequency lies in ``[min_df, max_df]`` — rare enough to be
+    discriminative, shared enough to link.  Single tokens are useless
+    blocking keys on a natural-language corpus (every word is frequent);
+    trigram shingles give a sharp df distribution.  Emits each candidate
+    pair with the count of distinct rare shingles it shares.
+
+    Scale shape: shingle-df combiner -> ONE vocab groupby; rare
+    (shingle, doc) postings shuffle by shingle hash — per-shingle pair
+    fan-out is bounded by ``max_df`` BY CONSTRUCTION
+    (<= max_df*(max_df-1)/2), so no cap or salt is ever needed; final
+    pair-key groupby counts."""
+    import hashlib
+
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("n_shared_rare", pa.int64()),
+        ]
+    )
+
+    def postings(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "d": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        parents = np.asarray(pc.list_parent_indices(flat))
+        words = np.asarray(flat.flatten().to_pylist(), dtype=object)
+        ids_ = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if words.size < 3:
+            return empty
+        # 3-word shingles: starts where all three tokens share a parent.
+        ok = (parents[:-2] == parents[1:-1]) & (parents[:-2] == parents[2:])
+        if not ok.any():
+            return empty
+        w0 = words[:-2][ok].astype(str)
+        w1 = words[1:-1][ok].astype(str)
+        w2 = words[2:][ok].astype(str)
+        sh = np.char.add(
+            np.char.add(np.char.add(np.char.add(w0, " "), w1), " "), w2
+        )
+        t = pa.table(
+            {
+                "token": pa.array(sh, pa.string()),
+                "d": pa.array(ids_[parents[:-2][ok]], pa.int64()),
+            }
+        )
+        return t.group_by(["token", "d"]).aggregate([])
+
+    posts = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["token", "d"])
+        .aggregate(Count())
+    )
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "h": pa.array([], pa.int64()),
+                "d": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "token" not in batch.column_names:
+            return empty
+        toks = batch.column("token").to_pylist()
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(t).encode()).digest()[:8], "big")
+                >> 1
+                for t in toks
+            ),
+            np.int64,
+            count=len(toks),
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(hs % n_buckets if hs.size else hs, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "d": batch.column("d").cast(pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        d = group.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        ends = np.concatenate((starts[1:], [h.size]))
+        sizes = ends - starts
+        ok = (sizes >= min_df) & (sizes <= max_df)
+        a_: List[np.ndarray] = []
+        b_: List[np.ndarray] = []
+        for s, e in zip(starts[ok], ends[ok]):
+            m = int(e - s)
+            ii, jj = np.triu_indices(m, k=1)
+            a_.append(d[s:e][ii])
+            b_.append(d[s:e][jj])
+        if not a_:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_), pa.int64()),
+                "b": pa.array(np.concatenate(b_), pa.int64()),
+            }
+        )
+
+    pairs = (
+        posts.map_batches(tag_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    pairs = _anchor_schema(
+        pairs, pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    )
+    agg = pairs.groupby(["a", "b"]).aggregate(Count())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        return pa.table(
+            {
+                "doc_a": batch.column("a"),
+                "doc_b": batch.column("b"),
+                "n_shared_rare": batch.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )
+
+
+def temporal_split_ds(
+    events: Dataset,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    day_us: int = 86_400_000_000,
+    train_pct: int = 70,
+    valid_pct: int = 15,
+) -> Dataset:
+    """Leakage-free temporal train/valid/test split report: cutoff DAYS
+    are exact discrete quantiles of the event-day distribution (smallest
+    day with ``cum * 100 >= pct * N``), so everything before the cutoff
+    trains and nothing after leaks backwards — the time-ordered split
+    every forecasting / recsys eval needs instead of a hash split.
+    Emits per (split, event_type): row count and day bounds.
+
+    Scale shape: (day) count combiner -> bounded day-domain groupby ->
+    cutoffs on the collected day table; the per-(split, type) counts
+    come from ONE more combiner + tiny groupby (cutoffs broadcast in the
+    closure)."""
+    out_schema = pa.schema(
+        [
+            ("split", pa.string()),
+            (type_col, pa.string()),
+            ("n_events", pa.int64()),
+            ("day_min", pa.int64()),
+            ("day_max", pa.int64()),
+        ]
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"day": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        t = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"day": pa.array(t // day_us, pa.int64())})
+            .group_by("day")
+            .aggregate([("day", "count")])
+        )
+        return pa.table(
+            {"day": g.column("day"), "c": g.column("day_count").cast(pa.int64())}
+        )
+
+    days = _small_df(
+        events.select_columns([ts_col])
+        .map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("c")),
+        {"day": np.int64, "sum(c)": np.int64},
+    )
+    if not len(days):
+        return ray.data.from_arrow(
+            pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        )
+    d = days["day"].to_numpy(np.int64)
+    c = days["sum(c)"].to_numpy(np.int64)
+    order = np.argsort(d)
+    d, c = d[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    t1 = int(d[np.searchsorted(cum * 100, train_pct * n, side="left")])
+    t2 = int(
+        d[np.searchsorted(cum * 100, (train_pct + valid_pct) * n, side="left")]
+    )
+
+    def split_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "split": pa.array([], pa.string()),
+                    type_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "dmin": pa.array([], pa.int64()),
+                    "dmax": pa.array([], pa.int64()),
+                }
+            )
+        t = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = t // day_us
+        split = np.where(day <= t1, "train", np.where(day <= t2, "valid", "test"))
+        g = (
+            pa.table(
+                {
+                    "split": pa.array(split.astype(object)),
+                    type_col: batch.column(type_col),
+                    "day": pa.array(day, pa.int64()),
+                }
+            )
+            .group_by(["split", type_col])
+            .aggregate([("day", "count"), ("day", "min"), ("day", "max")])
+        )
+        return pa.table(
+            {
+                "split": g.column("split"),
+                type_col: g.column(type_col),
+                "n": g.column("day_count").cast(pa.int64()),
+                "dmin": g.column("day_min"),
+                "dmax": g.column("day_max"),
+            }
+        )
+
+    agg = _small_df(
+        events.select_columns([ts_col, type_col])
+        .map_batches(split_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["split", type_col])
+        .aggregate(Sum("n"), Min("dmin"), Max("dmax")),
+        {
+            "split": object,
+            type_col: object,
+            "sum(n)": np.int64,
+            "min(dmin)": np.int64,
+            "max(dmax)": np.int64,
+        },
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "split": pa.array(agg["split"].astype(str), pa.string()),
+                type_col: pa.array(agg[type_col].astype(str), pa.string()),
+                "n_events": pa.array(agg["sum(n)"].to_numpy(np.int64), pa.int64()),
+                "day_min": pa.array(agg["min(dmin)"].to_numpy(np.int64), pa.int64()),
+                "day_max": pa.array(agg["max(dmax)"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+    )
+
+
+def join_card_estimate_ds(
+    events: Dataset,
+    key_col: str = "user_id",
+    sample_mod: int = 16,
+) -> Dataset:
+    """Sampling-based join-cardinality estimator AUDIT (the query-planner
+    primitive): the self-join size on ``key_col`` is ``sum_k c_k^2``;
+    the estimator samples keys with ``md5(key) % sample_mod == 0`` and
+    scales by ``sample_mod`` (each key's quadratic contribution is
+    included with probability 1/mod, so the scaled sum is unbiased).
+    Emits one row: exact size, estimate, and the signed error permille —
+    the calibration check before trusting sampled statistics for plan
+    choices at scale.
+
+    Scale shape: per-key count combiner -> ONE key groupby -> per-batch
+    quadratic partials (exact and sampled) -> single-row fold; the
+    sample never materializes."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        k = batch.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"k": pa.array(k, pa.int64())})
+            .group_by("k")
+            .aggregate([("k", "count")])
+        )
+        return pa.table(
+            {"k": g.column("k"), "c": g.column("k_count").cast(pa.int64())}
+        )
+
+    def quad(batch: pa.Table) -> pa.Table:
+        cols = ["actual", "est_contrib"]
+        if batch.num_rows == 0 or "k" not in batch.column_names:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        c = batch.column("sum(c)").to_numpy(zero_copy_only=False)
+        sq = c * c
+        sampled = np.fromiter(
+            (
+                int(hashlib.md5(str(int(x)).encode()).hexdigest()[:8], 16)
+                % sample_mod
+                == 0
+                for x in k
+            ),
+            bool,
+            count=k.size,
+        )
+        return pa.table(
+            {
+                "actual": pa.array([int(sq.sum())], pa.int64()),
+                "est_contrib": pa.array([int(sq[sampled].sum())], pa.int64()),
+            }
+        )
+
+    parts = _small_df(
+        events.select_columns([key_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("c"))
+        .map_batches(quad, batch_format="pyarrow", zero_copy_batch=True),
+        {"actual": np.int64, "est_contrib": np.int64},
+    )
+    actual = int(parts["actual"].sum()) if len(parts) else 0
+    est = (int(parts["est_contrib"].sum()) if len(parts) else 0) * sample_mod
+    err = abs(est - actual) * 1000 // actual if actual > 0 else 0
+    sign = 1 if est > actual else (-1 if est < actual else 0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "actual_join_rows": pa.array([actual], pa.int64()),
+                "estimated_join_rows": pa.array([est], pa.int64()),
+                "abs_err_permille": pa.array([err], pa.int64()),
+                "err_sign": pa.array([sign], pa.int64()),
+            }
+        )
+    )
+
+
+def bottomk_sample_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    val_col: str = "n_chars",
+    k: int = 100,
+) -> Dataset:
+    """Bottom-k (KMV) uniform sample WITHOUT replacement: the ``k``
+    documents with the smallest 60-bit md5 rank — the hash-ordered
+    simple random sample whose size is EXACT (unlike threshold hash
+    sampling) and which composes across shards by merging per-shard
+    bottom-k sets (the K-Minimum-Values sketch construction, Bar-Yossef
+    et al. 2002).
+
+    Scale shape: per-block bottom-k partial (each block forwards <= k
+    rows) -> global sort + limit over <= k * n_blocks rows — the big
+    table never shuffles."""
+    import hashlib
+
+    def rank(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "h60": pa.array([], pa.int64()),
+                val_col: pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids_ = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hs = np.fromiter(
+            (
+                int(hashlib.md5(str(int(x)).encode()).hexdigest()[:15], 16)
+                for x in ids_
+            ),
+            np.int64,
+            count=ids_.size,
+        )
+        order = np.lexsort((ids_, hs))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids_[order], pa.int64()),
+                "h60": pa.array(hs[order], pa.int64()),
+                val_col: batch.column(val_col).cast(pa.int64()).take(
+                    pa.array(order)
+                ),
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, val_col])
+        .map_batches(rank, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["h60", id_col])
+        .limit(k)
+    )

@@ -3428,3 +3428,103 @@ def test_hard_negatives_same_cell_diff_label(ray_session):
     qa32 = np.floor(np.array(base, np.float32).astype(np.float64) * 1e6).astype(np.int64)
     qb32 = np.floor(np.array(near, np.float32).astype(np.float64) * 1e6).astype(np.int64)
     assert rows[(1, 2)]["d2q"] == int(((qa32 - qb32) ** 2).sum())
+
+
+def test_rare_token_pairs_trigram_blocking(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # docs 1 and 2 share the trigram "quick brown fox" (df=2 -> rare);
+    # "the quick brown" appears in 1,2,3,4 (df=4 -> too common);
+    # doc 5 shares nothing.
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox jumps",
+                        "see the quick brown fox",
+                        "the quick brown bear naps",
+                        "the quick brown bear runs",
+                        "completely different words entirely",
+                    ]
+                ),
+            }
+        )
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["n_shared_rare"] for r in
+            an.rare_token_pairs_ds(docs, max_df=3).take_all()}
+    # (1,2): "quick brown fox" (df=2); (3,4): "quick brown bear" (df=2)
+    assert rows[(1, 2)] >= 1 and rows[(3, 4)] >= 1
+    assert all(5 not in k for k in rows)
+    # df=4 trigram "the quick brown" must not link (1,3) on its own:
+    assert (1, 3) not in rows and (1, 4) not in rows
+
+
+def test_temporal_split_exact_quantile_cutoffs(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    day = 86_400_000_000
+    # 10 events on days 0..9, one per day, one type.  Exact discrete
+    # quantiles: train cutoff = smallest day with cum*100 >= 70*10
+    # -> day 6 (cum 7); valid cutoff = smallest day with cum*100 >=
+    # 85*10 -> day 8 (cum(day7)=8 -> 800 < 850; cum(day8)=9 -> 900).
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([d * day for d in range(10)], pa.int64()),
+                "event_type": pa.array(["view"] * 10),
+            }
+        )
+    )
+    rows = {r["split"]: r for r in an.temporal_split_ds(events).take_all()}
+    assert rows["train"]["n_events"] == 7
+    assert rows["train"]["day_min"] == 0 and rows["train"]["day_max"] == 6
+    assert rows["valid"]["n_events"] == 2 and rows["valid"]["day_min"] == 7
+    assert rows["test"]["n_events"] == 1 and rows["test"]["day_min"] == 9
+
+
+def test_join_card_estimate_exact_side(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # key 1 x3, key 2 x2, key 3 x1 -> self-join size 9 + 4 + 1 = 14
+    events = ray.data.from_arrow(
+        pa.table({"user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64())})
+    )
+    row = an.join_card_estimate_ds(events).take_all()[0]
+    assert row["actual_join_rows"] == 14
+    est = row["estimated_join_rows"]
+    assert est % 16 == 0  # scaled by the sampling modulus
+    if row["actual_join_rows"] > 0 and est != row["actual_join_rows"]:
+        assert row["err_sign"] in (-1, 1)
+
+
+def test_bottomk_sample_exact_size_and_merge(ray_session):
+    import hashlib
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    n = 500
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "n_chars": pa.array([i * 7 % 97 for i in range(n)], pa.int64()),
+            }
+        )
+    ).repartition(8)  # force per-block partials to merge
+    k = 25
+    got = an.bottomk_sample_ds(docs, k=k).take_all()
+    assert len(got) == k
+    want = sorted(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i)
+        for i in range(n)
+    )[:k]
+    assert [(r["h60"], r["doc_id"]) for r in got] == want

@@ -39,7 +39,10 @@ def test_front_window_holds_new_and_never_sampled():
     keys = list(E.QUERIES.keys())
     first50 = set(keys[:50])
     for name in (
-        # session-13 operators (newest — zero external validation)
+        # session-14 operators (newest — zero external validation)
+        "rare_token_pairs", "temporal_split",
+        "join_card_estimate", "bottomk_sample",
+        # session-13 operators
         "bow_dedup", "hard_negatives",
         "dedup_modality_agreement",
         "quantile_map", "effective_sample_size",
@@ -63,11 +66,8 @@ def test_front_window_holds_new_and_never_sampled():
         "asof_join_bucketed",
         # session-11 operators
         "kappa_agreement", "minimizer_sketch", "bool_retrieval",
-        # session-10-final operators
-        "dim_covariance", "lsh_recall_audit", "lang_fertility",
-        # session-10 operators
-        "mutual_knn",
-        # the tail past slot 50 (label_prop, grid_cores,
+        # the tail past slot 50 (dim_covariance, lsh_recall_audit,
+        # lang_fertility, mutual_knn, label_prop, grid_cores,
         # hits, skipgram_counts, entity_graph,
         # cluster_inertia, dim_variance,
         # centroid_outliers, sampled_dup_rate,
