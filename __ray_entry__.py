@@ -4414,6 +4414,34 @@ def q_bottomk_sample(sf_dir: str) -> ray.data.Dataset:
     return an.bottomk_sample_ds(docs)
 
 
+def q_span_kind_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Markov bigram census of span kinds over the INTERLEAVED payload
+    (heading -> text -> media flow); vectorized bigram partials, one
+    bounded |kinds|^2 groupby."""
+    return an.span_kind_transitions_ds(_annot_docs(sf_dir))
+
+
+def q_media_density(sf_dir: str) -> ray.data.Dataset:
+    """Per-document interleaving profile (span counts by class, text
+    chars, media permille) — the multimodal triage table; pure per-batch
+    projection, no shuffle."""
+    return an.media_density_ds(_annot_docs(sf_dir))
+
+
+def q_span_offset_audit(sf_dir: str) -> ray.data.Dataset:
+    """Offset-integrity audit of the interleaved payload: within-doc
+    strict monotonicity + checksum totals, one row out; single-row
+    fold, nothing shuffles."""
+    return an.span_offset_audit_ds(_annot_docs(sf_dir))
+
+
+def q_kind_runlengths(sf_dir: str) -> ray.data.Dataset:
+    """Run-length census of span kinds (runs, longest run, span totals
+    per kind) — separates tabular / prose / gallery corpora; vectorized
+    RLE partials, one bounded groupby."""
+    return an.kind_runlengths_ds(_annot_docs(sf_dir))
+
+
 def q_bow_dedup(sf_dir: str) -> ray.data.Dataset:
     """Bag-of-words (order-invariant) duplicate histogram: identical
     sorted token multisets; one md5 per doc + bounded bag-hash shuffle."""
@@ -4569,6 +4597,10 @@ def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "span_kind_transitions": q_span_kind_transitions,
+    "media_density": q_media_density,
+    "span_offset_audit": q_span_offset_audit,
+    "kind_runlengths": q_kind_runlengths,
     "rare_token_pairs": q_rare_token_pairs,
     "temporal_split": q_temporal_split,
     "join_card_estimate": q_join_card_estimate,
@@ -4908,6 +4940,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "span_kind_transitions",
+    "media_density",
+    "span_offset_audit",
+    "kind_runlengths",
     "rare_token_pairs",
     "temporal_split",
     "join_card_estimate",
@@ -4950,13 +4986,14 @@ _FRONT_R5 = [
     "key_skew_audit",
     "inversion_count",
     "hist_intersection",
-    "marginal_vocab",
-    # VERDICT-r4 scale-path twins: pinned directly behind the newest ops
-    # so window pressure from new sessions can never push them past 50
+    # VERDICT-r4 scale-path twins: pinned so window pressure from new
+    # sessions can never push them past slot 50 (they fill 47-50 now)
     "main_content",
     "substring_dedup",
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
+    # session-12 tail yielded to keep the twins inside the gate window
+    "marginal_vocab",
     "kappa_agreement",
     "minimizer_sketch",
     "bool_retrieval",
@@ -9997,4 +10034,71 @@ ORACLES["bottomk_sample"] = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(h60 AS BIGINT) AS h60,
            CAST(n_chars AS BIGINT) AS n_chars
     FROM r ORDER BY h60, doc_id LIMIT 100
+"""
+ORACLES["span_kind_transitions"] = """
+    WITH d AS (SELECT CASE WHEN coalesce(text, '') = '' THEN 0
+                           ELSE CAST(ceil(len(string_split(text, ' ')) / 6.0)
+                                     AS BIGINT) END AS c
+               FROM documents),
+    t AS (
+      SELECT 'heading' AS kind_from, 'media_ref' AS kind_to,
+             count(*) AS n FROM d WHERE c = 1
+      UNION ALL
+      SELECT 'heading', 'text', count(*) FROM d WHERE c >= 2
+      UNION ALL
+      SELECT 'text', 'text', coalesce(sum(c - 2), 0) FROM d WHERE c >= 3
+      UNION ALL
+      SELECT 'text', 'media_ref', count(*) FROM d WHERE c >= 2
+    )
+    SELECT kind_from, kind_to, CAST(n AS BIGINT) AS n FROM t WHERE n > 0
+"""
+ORACLES["media_density"] = """
+    WITH d AS (SELECT doc_id, text,
+                      CASE WHEN coalesce(text, '') = '' THEN 0
+                           ELSE CAST(ceil(len(string_split(text, ' ')) / 6.0)
+                                     AS BIGINT) END AS c
+               FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(c + 1 AS BIGINT) AS n_spans,
+           CAST(1 AS BIGINT) AS n_media,
+           CAST(c AS BIGINT) AS n_text,
+           CAST(CASE WHEN c = 0 THEN 0
+                     ELSE len(text) - (c - 1) END AS BIGINT) AS text_chars,
+           CAST(1000 // (c + 1) AS BIGINT) AS media_permille
+    FROM d
+"""
+ORACLES["span_offset_audit"] = """
+    WITH d AS (SELECT text,
+                      CASE WHEN coalesce(text, '') = '' THEN 0
+                           ELSE CAST(ceil(len(string_split(text, ' ')) / 6.0)
+                                     AS BIGINT) END AS c
+               FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_monotonic,
+           CAST(coalesce(sum(CASE WHEN c = 0 THEN 0
+                                  ELSE len(text) - c + 2 END), 0) AS BIGINT)
+               AS sum_final_offset,
+           CAST(coalesce(max(c + 1), 0) AS BIGINT) AS max_span_count
+    FROM d
+"""
+ORACLES["kind_runlengths"] = """
+    WITH d AS (SELECT CASE WHEN coalesce(text, '') = '' THEN 0
+                           ELSE CAST(ceil(len(string_split(text, ' ')) / 6.0)
+                                     AS BIGINT) END AS c
+               FROM documents),
+    t AS (
+      SELECT 'heading' AS kind, count(*) AS n_runs, 1 AS max_run,
+             count(*) AS n_spans
+      FROM d WHERE c >= 1
+      UNION ALL
+      SELECT 'text', count(*), coalesce(max(c - 1), 0),
+             coalesce(sum(c - 1), 0)
+      FROM d WHERE c >= 2
+      UNION ALL
+      SELECT 'media_ref', count(*), 1, count(*) FROM d
+    )
+    SELECT kind, CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(max_run AS BIGINT) AS max_run,
+           CAST(n_spans AS BIGINT) AS n_spans
+    FROM t WHERE n_spans > 0
 """

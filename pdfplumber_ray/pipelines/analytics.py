@@ -12304,3 +12304,326 @@ def bottomk_sample_ds(
         .sort(["h60", id_col])
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Session 15: span-structure analytics over the INTERLEAVED payload —
+# operators on the (doc_id, spans: list<struct<kind,text,media_ref,offset>>)
+# table itself (the north-rule input shape), not on flat text columns.
+# ---------------------------------------------------------------------------
+
+
+def _span_lists(batch: pa.Table):
+    """(offsets, struct values, per-doc list lengths, parent doc index)
+    for the ``spans`` column — the shared zero-copy unpack."""
+    spans = batch.column("spans").combine_chunks()
+    offs = spans.offsets.to_numpy()
+    lens = np.diff(offs)
+    parents = np.repeat(np.arange(len(lens)), lens)
+    return offs, spans.values, lens, parents
+
+
+def span_kind_transitions_ds(docs: Dataset) -> Dataset:
+    """Markov bigram census of span KINDS across each document's ordered
+    span sequence — the structural fingerprint of an interleaved corpus
+    (how often text flows into media, headings into body, cells into
+    cells).  Emits corpus-wide ``(kind_from, kind_to, n)`` counts.
+
+    Scale shape: per-batch vectorized bigram partials (codes via
+    ``pc.index_in`` against the tiny kind vocabulary, pair counts via one
+    ``np.bincount``) -> ONE bounded groupby over <= |kinds|^2 rows."""
+    out_schema = pa.schema(
+        [
+            ("kind_from", pa.string()),
+            ("kind_to", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+    empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty.select(["kind_from", "kind_to", "n"])
+        _, vals, lens, parents = _span_lists(batch)
+        if len(vals) < 2:
+            return empty
+        kind_arr = vals.field("kind")
+        vocab, codes = np.unique(
+            np.asarray(kind_arr.to_pylist(), dtype=object), return_inverse=True
+        )
+        same = parents[:-1] == parents[1:]
+        if not same.any():
+            return empty
+        k = len(vocab)
+        pair = codes[:-1][same] * k + codes[1:][same]
+        cnt = np.bincount(pair, minlength=k * k).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "kind_from": pa.array(vocab[nz // k].astype(str), pa.string()),
+                "kind_to": pa.array(vocab[nz % k].astype(str), pa.string()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.select_columns(["spans"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["kind_from", "kind_to"])
+        .aggregate(Sum("n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "kind_from" not in batch.column_names:
+            return empty
+        return pa.table(
+            {
+                "kind_from": batch.column("kind_from"),
+                "kind_to": batch.column("kind_to"),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )
+
+
+def media_density_ds(docs: Dataset, id_to_int=None) -> Dataset:
+    """Per-document interleaving profile: span counts by class (media vs
+    text-bearing), total text chars, and media share in permille — the
+    triage table a multimodal curation pipeline filters on (drop all-media
+    shells, keep text-rich mixed docs).
+
+    Scale shape: pure per-batch vectorized projection (one
+    ``np.bincount`` per measure over the list parents); no shuffle."""
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_spans", pa.int64()),
+            ("n_media", pa.int64()),
+            ("n_text", pa.int64()),
+            ("text_chars", pa.int64()),
+            ("media_permille", pa.int64()),
+        ]
+    )
+    empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+
+    def profile(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        _, vals, lens, parents = _span_lists(batch)
+        nd = len(lens)
+        ids_ = np.asarray(
+            [int(str(d).rsplit("-", 1)[-1]) for d in
+             batch.column("doc_id").to_pylist()],
+            np.int64,
+        )
+        is_media = np.asarray(
+            pc.equal(vals.field("kind"), "media_ref").to_numpy(
+                zero_copy_only=False
+            ),
+            bool,
+        )
+        tl = pc.utf8_length(vals.field("text")).to_numpy(zero_copy_only=False)
+        n_media = np.bincount(parents, weights=is_media, minlength=nd)
+        chars = np.bincount(parents, weights=tl, minlength=nd)
+        n_spans = lens.astype(np.int64)
+        nm = n_media.astype(np.int64)
+        permille = np.where(n_spans > 0, nm * 1000 // np.maximum(n_spans, 1), 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_, pa.int64()),
+                "n_spans": pa.array(n_spans, pa.int64()),
+                "n_media": pa.array(nm, pa.int64()),
+                "n_text": pa.array(n_spans - nm, pa.int64()),
+                "text_chars": pa.array(chars.astype(np.int64), pa.int64()),
+                "media_permille": pa.array(permille.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        docs.map_batches(profile, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )
+
+
+def span_offset_audit_ds(docs: Dataset) -> Dataset:
+    """Corpus-wide offset-integrity audit of the interleaved payload: are
+    span offsets strictly increasing within every document (the ordering
+    invariant downstream span-sequence equality depends on), plus the
+    checksum-grade totals (sum of final offsets, max span count).  ONE
+    row out.
+
+    Scale shape: per-batch vectorized partials (diff over list values
+    with a cross-boundary mask) -> single-row fold; nothing shuffles."""
+    out_schema = pa.schema(
+        [
+            ("n_docs", pa.int64()),
+            ("n_monotonic", pa.int64()),
+            ("sum_final_offset", pa.int64()),
+            ("max_span_count", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = ["n_docs", "n_monotonic", "sum_final_offset", "max_span_count"]
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        offs, vals, lens, parents = _span_lists(batch)
+        off_vals = vals.field("offset").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nd = len(lens)
+        if len(off_vals) > 1:
+            same = parents[:-1] == parents[1:]
+            bad = (np.diff(off_vals) <= 0) & same
+            bad_docs = np.unique(parents[:-1][bad])
+            n_mono = nd - len(bad_docs)
+        else:
+            n_mono = nd
+        last_idx = offs[1:] - 1  # final span per doc (lens may be 0)
+        has = lens > 0
+        sum_final = int(off_vals[last_idx[has]].sum()) if has.any() else 0
+        return pa.table(
+            {
+                "n_docs": pa.array([nd], pa.int64()),
+                "n_monotonic": pa.array([int(n_mono)], pa.int64()),
+                "sum_final_offset": pa.array([sum_final], pa.int64()),
+                "max_span_count": pa.array(
+                    [int(lens.max()) if nd else 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = _small_df(
+        docs.select_columns(["spans"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        {
+            "n_docs": np.int64,
+            "n_monotonic": np.int64,
+            "sum_final_offset": np.int64,
+            "max_span_count": np.int64,
+        },
+    )
+    if not len(parts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_docs": pa.array([0], pa.int64()),
+                    "n_monotonic": pa.array([0], pa.int64()),
+                    "sum_final_offset": pa.array([0], pa.int64()),
+                    "max_span_count": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([int(parts["n_docs"].sum())], pa.int64()),
+                "n_monotonic": pa.array(
+                    [int(parts["n_monotonic"].sum())], pa.int64()
+                ),
+                "sum_final_offset": pa.array(
+                    [int(parts["sum_final_offset"].sum())], pa.int64()
+                ),
+                "max_span_count": pa.array(
+                    [int(parts["max_span_count"].max())], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def kind_runlengths_ds(docs: Dataset) -> Dataset:
+    """Run-length census of span kinds: per kind, how many maximal
+    consecutive runs the corpus holds, the longest run, and the total
+    span count — the structure signal that separates cell-run-heavy
+    (tabular) corpora from prose (long text runs) and galleries (media
+    runs).
+
+    Scale shape: per-batch vectorized RLE (run starts = kind-change OR
+    doc-boundary; lengths by diff of start indices) -> ONE bounded
+    groupby over <= |kinds| rows."""
+    out_schema = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("n_runs", pa.int64()),
+            ("max_run", pa.int64()),
+            ("n_spans", pa.int64()),
+        ]
+    )
+    empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = ["kind", "n_runs", "max_run", "n_spans"]
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "n_runs": pa.array([], pa.int64()),
+                    "max_run": pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                }
+            )
+        _, vals, lens, parents = _span_lists(batch)
+        n = len(vals)
+        if n == 0:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.string()),
+                    "n_runs": pa.array([], pa.int64()),
+                    "max_run": pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                }
+            )
+        vocab, codes = np.unique(
+            np.asarray(vals.field("kind").to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        new_run = np.ones(n, bool)
+        if n > 1:
+            new_run[1:] = (codes[1:] != codes[:-1]) | (parents[1:] != parents[:-1])
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.concatenate((starts, [n])))
+        run_code = codes[starts]
+        k = len(vocab)
+        n_runs = np.bincount(run_code, minlength=k).astype(np.int64)
+        max_run = np.zeros(k, np.int64)
+        np.maximum.at(max_run, run_code, run_len)
+        n_spans = np.bincount(run_code, weights=run_len, minlength=k).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "kind": pa.array(vocab.astype(str), pa.string()),
+                "n_runs": pa.array(n_runs, pa.int64()),
+                "max_run": pa.array(max_run, pa.int64()),
+                "n_spans": pa.array(n_spans, pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.select_columns(["spans"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kind")
+        .aggregate(Sum("n_runs"), Max("max_run"), Sum("n_spans"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "kind" not in batch.column_names:
+            return empty
+        return pa.table(
+            {
+                "kind": batch.column("kind"),
+                "n_runs": batch.column("sum(n_runs)").cast(pa.int64()),
+                "max_run": batch.column("max(max_run)").cast(pa.int64()),
+                "n_spans": batch.column("sum(n_spans)").cast(pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )

@@ -3528,3 +3528,88 @@ def test_bottomk_sample_exact_size_and_merge(ray_session):
         for i in range(n)
     )[:k]
     assert [(r["h60"], r["doc_id"]) for r in got] == want
+
+
+def _span_table():
+    import pyarrow as pa
+    from pdfplumber_ray.sources.synth_corpus import SPAN
+
+    def s(kind, text, media="", off=0):
+        return {"kind": kind, "text": text, "media_ref": media, "offset": off}
+
+    docs = [
+        # heading -> text -> text -> cell -> cell -> media
+        [s("heading", "intro", off=0), s("text", "aaa bbb", off=5),
+         s("text", "ccc", off=12), s("table_cell", "x", off=15),
+         s("table_cell", "y", off=16),
+         s("media_ref", "", "media://d/0", 17)],
+        # media-only doc
+        [s("media_ref", "", "media://d/1", 0)],
+        # NON-monotonic offsets (9 then 3)
+        [s("text", "one", off=9), s("text", "two", off=3)],
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                ["doc-00000001", "doc-00000002", "doc-00000003"], pa.string()
+            ),
+            "spans": pa.array(docs, pa.list_(SPAN)),
+        }
+    )
+
+
+def test_span_kind_transitions_bigrams(ray_session):
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(_span_table())
+    rows = {(r["kind_from"], r["kind_to"]): r["n"] for r in
+            an.span_kind_transitions_ds(docs).take_all()}
+    assert rows[("heading", "text")] == 1
+    assert rows[("text", "text")] == 2  # doc1 has one, doc3 has one
+    assert rows[("text", "table_cell")] == 1
+    assert rows[("table_cell", "table_cell")] == 1
+    assert rows[("table_cell", "media_ref")] == 1
+    # doc boundaries never create transitions
+    assert ("media_ref", "text") not in rows
+    assert ("media_ref", "media_ref") not in rows
+
+
+def test_media_density_profile(ray_session):
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(_span_table())
+    rows = {r["doc_id"]: r for r in an.media_density_ds(docs).take_all()}
+    d1 = rows[1]
+    assert d1["n_spans"] == 6 and d1["n_media"] == 1 and d1["n_text"] == 5
+    assert d1["text_chars"] == len("intro") + len("aaa bbb") + len("ccc") + 2
+    assert d1["media_permille"] == 1000 // 6
+    d2 = rows[2]
+    assert d2["n_spans"] == 1 and d2["media_permille"] == 1000
+
+
+def test_span_offset_audit_catches_violation(ray_session):
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(_span_table())
+    row = an.span_offset_audit_ds(docs).take_all()[0]
+    assert row["n_docs"] == 3
+    assert row["n_monotonic"] == 2  # doc3's offsets decrease
+    assert row["sum_final_offset"] == 17 + 0 + 3
+    assert row["max_span_count"] == 6
+
+
+def test_kind_runlengths_rle(ray_session):
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    docs = ray.data.from_arrow(_span_table())
+    rows = {r["kind"]: r for r in an.kind_runlengths_ds(docs).take_all()}
+    assert rows["text"]["n_runs"] == 2  # doc1 run of 2, doc3 run of 2
+    assert rows["text"]["max_run"] == 2
+    assert rows["text"]["n_spans"] == 4
+    assert rows["table_cell"]["n_runs"] == 1
+    assert rows["table_cell"]["max_run"] == 2
+    assert rows["media_ref"]["n_runs"] == 2 and rows["media_ref"]["max_run"] == 1

@@ -39,7 +39,11 @@ def test_front_window_holds_new_and_never_sampled():
     keys = list(E.QUERIES.keys())
     first50 = set(keys[:50])
     for name in (
-        # session-14 operators (newest — zero external validation)
+        # session-15 operators (newest — zero external validation):
+        # span-structure analytics over the interleaved payload
+        "span_kind_transitions", "media_density",
+        "span_offset_audit", "kind_runlengths",
+        # session-14 operators
         "rare_token_pairs", "temporal_split",
         "join_card_estimate", "bottomk_sample",
         # session-13 operators
@@ -59,15 +63,15 @@ def test_front_window_holds_new_and_never_sampled():
         "order_reconcile", "weekday_profile", "rfm_scores",
         "dwell_times", "vocab_drift", "edit_distance_join",
         "interarrival_stats", "activity_streaks", "key_skew_audit",
-        "inversion_count", "hist_intersection", "marginal_vocab",
+        "inversion_count", "hist_intersection",
         # VERDICT-r4 scale-path twins: pinned directly behind the newest
         # ops so window pressure can never push them past slot 50
         "main_content", "substring_dedup", "dedup_resolution_cogroup",
         "asof_join_bucketed",
-        # session-11 operators
-        "kappa_agreement", "minimizer_sketch", "bool_retrieval",
-        # the tail past slot 50 (dim_covariance, lsh_recall_audit,
-        # lang_fertility, mutual_knn, label_prop, grid_cores,
+        # the tail past slot 50 (marginal_vocab, kappa_agreement,
+        # minimizer_sketch, bool_retrieval, dim_covariance,
+        # lsh_recall_audit, lang_fertility, mutual_knn, label_prop,
+        # grid_cores,
         # hits, skipgram_counts, entity_graph,
         # cluster_inertia, dim_variance,
         # centroid_outliers, sampled_dup_rate,
