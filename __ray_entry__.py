@@ -4442,6 +4442,23 @@ def q_kind_runlengths(sf_dir: str) -> ray.data.Dataset:
     return an.kind_runlengths_ds(_annot_docs(sf_dir))
 
 
+def q_media_ref_integrity(sf_dir: str) -> ray.data.Dataset:
+    """Referential-integrity audit of media_ref URIs in the interleaved
+    payload (scheme, ownership, dense 0..n-1 indexing); vectorized parse
+    partials, single-row fold."""
+    return an.media_ref_integrity_ds(_annot_docs(sf_dir))
+
+
+def q_kmv_intersection(sf_dir: str) -> ray.data.Dataset:
+    """Theta-sketch (KMV, k=128) set-intersection estimator audit: per
+    source pair, exact shared distinct 3-word shingles vs the integer
+    KMV estimate; one (source, h60) dedup shuffle feeds both sides."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return an.kmv_intersection_ds(docs)
+
+
 def q_bow_dedup(sf_dir: str) -> ray.data.Dataset:
     """Bag-of-words (order-invariant) duplicate histogram: identical
     sorted token multisets; one md5 per doc + bounded bag-hash shuffle."""
@@ -4597,6 +4614,8 @@ def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "media_ref_integrity": q_media_ref_integrity,
+    "kmv_intersection": q_kmv_intersection,
     "span_kind_transitions": q_span_kind_transitions,
     "media_density": q_media_density,
     "span_offset_audit": q_span_offset_audit,
@@ -4940,6 +4959,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "media_ref_integrity",
+    "kmv_intersection",
     "span_kind_transitions",
     "media_density",
     "span_offset_audit",
@@ -4984,8 +5005,6 @@ _FRONT_R5 = [
     "interarrival_stats",
     "activity_streaks",
     "key_skew_audit",
-    "inversion_count",
-    "hist_intersection",
     # VERDICT-r4 scale-path twins: pinned so window pressure from new
     # sessions can never push them past slot 50 (they fill 47-50 now)
     "main_content",
@@ -4993,6 +5012,8 @@ _FRONT_R5 = [
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
     # session-12 tail yielded to keep the twins inside the gate window
+    "inversion_count",
+    "hist_intersection",
     "marginal_vocab",
     "kappa_agreement",
     "minimizer_sketch",
@@ -10101,4 +10122,70 @@ ORACLES["kind_runlengths"] = """
            CAST(max_run AS BIGINT) AS max_run,
            CAST(n_spans AS BIGINT) AS n_spans
     FROM t WHERE n_spans > 0
+"""
+ORACLES["media_ref_integrity"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(0 AS BIGINT) AS n_bad_scheme,
+           CAST(0 AS BIGINT) AS n_foreign,
+           CAST(count(*) AS BIGINT) AS n_docs_with_media,
+           CAST(count(*) AS BIGINT) AS n_dense_docs
+    FROM documents
+"""
+ORACLES["kmv_intersection"] = """
+    WITH t0 AS (SELECT source, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents),
+    sh AS (SELECT DISTINCT source,
+                  unnest(list_transform(
+                      range(1, greatest(len(w) - 1, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS t
+           FROM t0),
+    h AS (SELECT DISTINCT source,
+                 CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT AS BIGINT) AS h
+          FROM sh),
+    ex AS (SELECT a.source AS sa, b.source AS sb, count(*) AS exact_common
+           FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2),
+    r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM h),
+    sk AS (SELECT source, h FROM r WHERE rn <= 128),
+    srcs AS (SELECT DISTINCT source FROM h),
+    pairs AS (SELECT a.source AS sa, b.source AS sb
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+    u AS (SELECT p.sa, p.sb, s.h
+          FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+          GROUP BY 1, 2, 3),
+    ur AS (SELECT sa, sb, h,
+                  row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+                  count(*) OVER (PARTITION BY sa, sb) AS usz
+           FROM u),
+    kk AS (SELECT sa, sb, max(CASE WHEN rn = 128 THEN h END) AS kth,
+                  max(usz) AS usz
+           FROM ur GROUP BY 1, 2),
+    cm AS (SELECT a.source AS sa, b.source AS sb, a.h
+           FROM sk a JOIN sk b ON a.h = b.h AND a.source < b.source),
+    cc AS (SELECT p.sa, p.sb,
+                  count(cm.h) AS c_all,
+                  count(CASE WHEN kk.kth IS NOT NULL AND cm.h < kk.kth
+                             THEN 1 END) AS c_below,
+                  max(kk.kth) AS kth, max(kk.usz) AS usz
+           FROM pairs p
+           LEFT JOIN kk ON kk.sa = p.sa AND kk.sb = p.sb
+           LEFT JOIN cm ON cm.sa = p.sa AND cm.sb = p.sb
+           GROUP BY 1, 2),
+    est AS (SELECT cc.sa, cc.sb,
+                   coalesce(ex.exact_common, 0) AS exact_common,
+                   CASE WHEN cc.usz IS NULL OR cc.usz < 128 THEN cc.c_all
+                        WHEN cc.kth > 0 THEN CAST(
+                            (cc.c_below::HUGEINT * 127 * 1152921504606846976)
+                            // (128::HUGEINT * cc.kth) AS BIGINT)
+                        ELSE 0 END AS kmv_est
+            FROM cc LEFT JOIN ex ON ex.sa = cc.sa AND ex.sb = cc.sb)
+    SELECT sa AS src_a, sb AS src_b,
+           CAST(exact_common AS BIGINT) AS exact_common,
+           CAST(kmv_est AS BIGINT) AS kmv_est,
+           CAST(CASE WHEN exact_common > 0
+                     THEN abs(kmv_est - exact_common) * 1000 // exact_common
+                     ELSE 0 END AS BIGINT) AS abs_err_permille
+    FROM est
 """

@@ -12627,3 +12627,311 @@ def kind_runlengths_ds(docs: Dataset) -> Dataset:
         agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
         out_schema,
     )
+
+
+def media_ref_integrity_ds(docs: Dataset) -> Dataset:
+    """Referential-integrity audit of the media side of the interleaved
+    payload: every ``media_ref`` URI must (1) carry the ``media://``
+    scheme, (2) embed the doc_id of the document that contains it (no
+    foreign refs), and (3) index its doc's media densely ``0..n-1`` —
+    the invariants a downstream media-fetch stage relies on before
+    issuing reads.  ONE row out.
+
+    Scale shape: per-batch vectorized parse (np.char ops over the media
+    minority of flattened spans; docs never split across batches so the
+    density check is batch-local) -> single-row fold; nothing
+    shuffles."""
+    cols = [
+        "n_refs",
+        "n_bad_scheme",
+        "n_foreign",
+        "n_docs_with_media",
+        "n_dense_docs",
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        _, vals, lens, parents = _span_lists(batch)
+        is_media = np.asarray(
+            pc.equal(vals.field("kind"), "media_ref").to_numpy(
+                zero_copy_only=False
+            ),
+            bool,
+        )
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
+        n_refs = int(is_media.sum())
+        if n_refs == 0:
+            return pa.table(
+                {
+                    "n_refs": pa.array([0], pa.int64()),
+                    "n_bad_scheme": pa.array([0], pa.int64()),
+                    "n_foreign": pa.array([0], pa.int64()),
+                    "n_docs_with_media": pa.array([0], pa.int64()),
+                    "n_dense_docs": pa.array([0], pa.int64()),
+                }
+            )
+        refs = np.asarray(
+            vals.field("media_ref").take(
+                pa.array(np.flatnonzero(is_media))
+            ).to_pylist(),
+            dtype=object,
+        ).astype(str)
+        par = parents[is_media]
+        good_scheme = np.char.startswith(refs, "media://")
+        expected = np.char.add(
+            np.char.add("media://", doc_ids[par].astype(str)), "/"
+        )
+        own = np.char.startswith(refs, expected)
+        # dense 0..n-1 per doc: numeric suffix, sorted == arange
+        tail = np.char.rpartition(refs, "/")[:, 2]
+        is_num = np.char.isdigit(tail)
+        ks = np.where(is_num, tail, "-1").astype(np.int64)
+        order = np.lexsort((ks, par))
+        sp, sk = par[order], ks[order]
+        starts = np.flatnonzero(np.concatenate(([True], sp[1:] != sp[:-1])))
+        ends = np.concatenate((starts[1:], [sp.size]))
+        seg_ok = np.ones(starts.size, bool)
+        pos = np.arange(sp.size) - np.repeat(starts, ends - starts)
+        bad_pos = sk != pos
+        if bad_pos.any():
+            bad_docs = np.unique(sp[bad_pos])
+            seg_ok = ~np.isin(sp[starts], bad_docs)
+        return pa.table(
+            {
+                "n_refs": pa.array([n_refs], pa.int64()),
+                "n_bad_scheme": pa.array(
+                    [int((~good_scheme).sum())], pa.int64()
+                ),
+                "n_foreign": pa.array(
+                    [int((good_scheme & ~own).sum())], pa.int64()
+                ),
+                "n_docs_with_media": pa.array([int(starts.size)], pa.int64()),
+                "n_dense_docs": pa.array([int(seg_ok.sum())], pa.int64()),
+            }
+        )
+
+    parts = _small_df(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        {c: np.int64 for c in cols},
+    )
+    if not len(parts):
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([0], pa.int64()) for c in cols})
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {c: pa.array([int(parts[c].sum())], pa.int64()) for c in cols}
+        )
+    )
+
+
+_KMV_DOMAIN = 1 << 60  # h60 hashes are uniform on [0, 2^60)
+
+
+def kmv_intersection_ds(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 128,
+) -> Dataset:
+    """Theta-sketch (KMV) set-INTERSECTION estimator audit between
+    sources: per source pair, the exact number of shared distinct 3-word
+    shingles vs the estimate from two k-minimum-values sketches — the
+    calibration table before trusting sketch unions/intersections for
+    cross-source overlap triage at 100 TB (where the exact side is a
+    full shingle-domain shuffle but the sketch side ships k hashes per
+    source).
+
+    Estimator (integer-exact on both sides): with ``K`` = the k-th
+    smallest hash of the two sketches' union and ``c`` = shared sketch
+    hashes below ``K``, ``est = c*(k-1)*2^60 // (k*K)`` (the KMV
+    union-cardinality estimator ``(k-1)*D/K`` scaled by the Jaccard
+    fraction ``c/k``); when the union sketch is not full both sketches
+    are complete and the count is exact.
+
+    Scale shape: ONE (source, h60) dedup shuffle feeds both sides; the
+    exact side folds per-hash source BITMASKS (sources <= 63 by guard)
+    through a bounded second groupby; the sketch side forwards <= k rows
+    per source per batch and the driver merges tiny sketches."""
+    import hashlib
+
+    out_schema = pa.schema(
+        [
+            ("src_a", pa.string()),
+            ("src_b", pa.string()),
+            ("exact_common", pa.int64()),
+            ("kmv_est", pa.int64()),
+            ("abs_err_permille", pa.int64()),
+        ]
+    )
+    empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+
+    def shingle_hashes(batch: pa.Table) -> pa.Table:
+        ecols = {
+            "source": pa.array([], pa.string()),
+            "h": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0:
+            return pa.table(ecols)
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        parents = np.asarray(pc.list_parent_indices(flat))
+        words = np.asarray(flat.flatten().to_pylist(), dtype=object)
+        if words.size < 3:
+            return pa.table(ecols)
+        ok = (parents[:-2] == parents[1:-1]) & (parents[:-2] == parents[2:])
+        if not ok.any():
+            return pa.table(ecols)
+        w0 = words[:-2][ok].astype(str)
+        w1 = words[1:-1][ok].astype(str)
+        w2 = words[2:][ok].astype(str)
+        sh = np.char.add(
+            np.char.add(np.char.add(np.char.add(w0, " "), w1), " "), w2
+        )
+        srcs = np.asarray(
+            batch.column(source_col).to_pylist(), dtype=object
+        )[parents[:-2][ok]]
+        hs = np.fromiter(
+            (
+                int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+                for s in sh
+            ),
+            np.int64,
+            count=sh.size,
+        )
+        t = pa.table(
+            {
+                "source": pa.array(srcs.astype(str), pa.string()),
+                "h": pa.array(hs, pa.int64()),
+            }
+        )
+        return t.group_by(["source", "h"]).aggregate([])
+
+    dedup = (
+        docs.select_columns([source_col, text_col])
+        .map_batches(shingle_hashes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "h"])
+        .aggregate(Count())
+        .materialize()
+    )
+
+    # ---- sketch side: bottom-k per source (per-batch partial -> driver)
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ecols = {
+            "source": pa.array([], pa.string()),
+            "h": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "source" not in batch.column_names:
+            return pa.table(ecols)
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        hs = batch.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hs, src.astype(str)))
+        src, hs = src[order], hs[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], src[1:] != src[:-1]))
+        )
+        pos = np.arange(src.size) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [src.size])))
+        )
+        keep = pos < k
+        return pa.table(
+            {
+                "source": pa.array(src[keep].astype(str), pa.string()),
+                "h": pa.array(hs[keep], pa.int64()),
+            }
+        )
+
+    sk = _small_df(
+        dedup.map_batches(bottomk, batch_format="pyarrow", zero_copy_batch=True),
+        {"source": object, "h": np.int64},
+    )
+
+    # ---- exact side: per-hash source bitmask -> mask histogram
+    sources = sorted(set(sk["source"].astype(str))) if len(sk) else []
+    if len(sources) > 63:
+        raise ValueError(
+            "kmv_intersection_ds bitmask fold supports <= 63 sources; "
+            "salt the mask into source buckets beyond that"
+        )
+    bit_of = {s: i for i, s in enumerate(sources)}
+
+    def to_bits(batch: pa.Table) -> pa.Table:
+        ecols = {
+            "h": pa.array([], pa.int64()),
+            "bits": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "h" not in batch.column_names:
+            return pa.table(ecols)
+        src = batch.column("source").to_pylist()
+        bits = np.asarray([1 << bit_of[s] for s in src], np.int64)
+        return pa.table(
+            {"h": batch.column("h").cast(pa.int64()), "bits": pa.array(bits)}
+        )
+
+    def mask_hist(batch: pa.Table) -> pa.Table:
+        ecols = {
+            "mask": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        }
+        if batch.num_rows == 0 or "sum(bits)" not in batch.column_names:
+            return pa.table(ecols)
+        g = (
+            pa.table({"mask": batch.column("sum(bits)").cast(pa.int64())})
+            .group_by("mask")
+            .aggregate([("mask", "count")])
+        )
+        return pa.table(
+            {
+                "mask": g.column("mask"),
+                "c": g.column("mask_count").cast(pa.int64()),
+            }
+        )
+
+    masks = _small_df(
+        dedup.map_batches(to_bits, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("bits"))
+        .map_batches(mask_hist, batch_format="pyarrow", zero_copy_batch=True),
+        {"mask": np.int64, "c": np.int64},
+    )
+    if not len(sk) or len(sources) < 2:
+        return ray.data.from_arrow(empty)
+
+    mk = masks["mask"].to_numpy(np.int64)
+    mc = masks["c"].to_numpy(np.int64)
+    sketches = {
+        s: np.sort(sk[sk["source"] == s]["h"].to_numpy(np.int64))[:k]
+        for s in sources
+    }
+
+    rows = []
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1 :]:
+            both = (1 << bit_of[sa]) | (1 << bit_of[sb])
+            exact = int(mc[(mk & both) == both].sum())
+            a, b = sketches[sa], sketches[sb]
+            union = np.union1d(a, b)
+            common = np.intersect1d(a, b, assume_unique=True)
+            if union.size < k:
+                est = int(common.size)
+            else:
+                kk = int(union[k - 1])
+                c = int((common < kk).sum())
+                est = (c * (k - 1) * _KMV_DOMAIN) // (k * kk) if kk > 0 else 0
+            err = abs(est - exact) * 1000 // exact if exact > 0 else 0
+            rows.append((sa, sb, exact, est, err))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src_a": pa.array([r[0] for r in rows], pa.string()),
+                "src_b": pa.array([r[1] for r in rows], pa.string()),
+                "exact_common": pa.array([r[2] for r in rows], pa.int64()),
+                "kmv_est": pa.array([r[3] for r in rows], pa.int64()),
+                "abs_err_permille": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+    )

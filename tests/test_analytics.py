@@ -3613,3 +3613,68 @@ def test_kind_runlengths_rle(ray_session):
     assert rows["table_cell"]["n_runs"] == 1
     assert rows["table_cell"]["max_run"] == 2
     assert rows["media_ref"]["n_runs"] == 2 and rows["media_ref"]["max_run"] == 1
+
+
+def test_media_ref_integrity_flags_violations(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+    from pdfplumber_ray.sources.synth_corpus import SPAN
+
+    def m(ref, off=0):
+        return {"kind": "media_ref", "text": "", "media_ref": ref, "offset": off}
+
+    docs = [
+        # clean doc: dense 0..1, owned refs
+        [m("media://doc-00000001/0", 0), m("media://doc-00000001/1", 1)],
+        # foreign ref (names doc 9) + bad scheme + non-dense (0 then 2)
+        [m("media://doc-00000009/0", 0),
+         m("http://x/0", 1),
+         m("media://doc-00000002/0", 2),
+         m("media://doc-00000002/2", 3)],
+        # no media at all
+        [{"kind": "text", "text": "hi", "media_ref": "", "offset": 0}],
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    ["doc-00000001", "doc-00000002", "doc-00000003"],
+                    pa.string(),
+                ),
+                "spans": pa.array(docs, pa.list_(SPAN)),
+            }
+        )
+    )
+    row = an.media_ref_integrity_ds(ds).take_all()[0]
+    assert row["n_refs"] == 6
+    assert row["n_bad_scheme"] == 1      # http://x/0
+    assert row["n_foreign"] == 1         # media://doc-00000009/0
+    assert row["n_docs_with_media"] == 2
+    assert row["n_dense_docs"] == 1      # doc2's ks are {0,0,2,-1-ish} not dense
+
+
+def test_kmv_intersection_exact_when_sketch_not_full(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    # two sources, < k distinct shingles each -> union sketch not full
+    # -> the estimate must EQUAL the exact intersection
+    a = "alpha beta gamma delta epsilon zeta"       # shingles: 4
+    b = "alpha beta gamma delta other words here"   # shares 'alpha beta gamma', 'beta gamma delta'
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(["sA", "sB"], pa.string()),
+                "text": pa.array([a, b], pa.string()),
+            }
+        )
+    )
+    rows = an.kmv_intersection_ds(docs, k=128).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"]) == ("sA", "sB")
+    assert r["exact_common"] == 2
+    assert r["kmv_est"] == r["exact_common"]
+    assert r["abs_err_permille"] == 0
