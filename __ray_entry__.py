@@ -4442,6 +4442,16 @@ def q_kind_runlengths(sf_dir: str) -> ray.data.Dataset:
     return an.kind_runlengths_ds(_annot_docs(sf_dir))
 
 
+def q_cohort_ltv(sf_dir: str) -> ray.data.Dataset:
+    """Cohort lifetime-value triangle: exact revenue cents + active
+    users per (cohort_week, age_weeks); one mix64(user)-bucket shuffle,
+    in-bucket vectorized cohort attach, tiny final groupby."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return an.cohort_ltv_ds(ev)
+
+
 def q_media_ref_integrity(sf_dir: str) -> ray.data.Dataset:
     """Referential-integrity audit of media_ref URIs in the interleaved
     payload (scheme, ownership, dense 0..n-1 indexing); vectorized parse
@@ -4614,6 +4624,7 @@ def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "cohort_ltv": q_cohort_ltv,
     "media_ref_integrity": q_media_ref_integrity,
     "kmv_intersection": q_kmv_intersection,
     "span_kind_transitions": q_span_kind_transitions,
@@ -4959,6 +4970,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "cohort_ltv",
     "media_ref_integrity",
     "kmv_intersection",
     "span_kind_transitions",
@@ -5004,7 +5016,6 @@ _FRONT_R5 = [
     "edit_distance_join",
     "interarrival_stats",
     "activity_streaks",
-    "key_skew_audit",
     # VERDICT-r4 scale-path twins: pinned so window pressure from new
     # sessions can never push them past slot 50 (they fill 47-50 now)
     "main_content",
@@ -5012,6 +5023,7 @@ _FRONT_R5 = [
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
     # session-12 tail yielded to keep the twins inside the gate window
+    "key_skew_audit",
     "inversion_count",
     "hist_intersection",
     "marginal_vocab",
@@ -10188,4 +10200,17 @@ ORACLES["kmv_intersection"] = """
                      THEN abs(kmv_est - exact_common) * 1000 // exact_common
                      ELSE 0 END AS BIGINT) AS abs_err_permille
     FROM est
+"""
+ORACLES["cohort_ltv"] = """
+    WITH e AS (SELECT user_id,
+                      epoch_us(ts) // 604800000000 AS w,
+                      CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS c
+               FROM events),
+    uw AS (SELECT user_id, w, sum(c) AS c FROM e GROUP BY 1, 2),
+    ch AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1)
+    SELECT CAST(ch.cw AS BIGINT) AS cohort_week,
+           CAST(uw.w - ch.cw AS BIGINT) AS age_weeks,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(uw.c) AS BIGINT) AS revenue_cents
+    FROM uw JOIN ch USING (user_id) GROUP BY 1, 2
 """

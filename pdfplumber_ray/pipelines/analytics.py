@@ -12935,3 +12935,146 @@ def kmv_intersection_ds(
             }
         )
     )
+
+
+def cohort_ltv_ds(
+    events: Dataset,
+    week_us: int = 7 * 86_400 * 1_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    n_buckets: int = 512,
+) -> Dataset:
+    """Cohort LIFETIME-VALUE triangle: revenue (exact cents) and active
+    users per ``(cohort_week, age_weeks)`` cell, where a user's cohort
+    is their first active week — the monetization counterpart of
+    :func:`cohort_retention_ds` (which only counts activity).
+
+    Scale shape: per-batch ``(user, week, sum cents)`` combiner -> ONE
+    shuffle by ``mix64(user) % n_buckets`` (bounded group count) ->
+    in-bucket lexsort segments users, cohort = each segment's first
+    week, cents partials collapse per distinct (user, week) -> final
+    tiny groupby over the (weeks x ages) domain."""
+    out_schema = pa.schema(
+        [
+            ("cohort_week", pa.int64()),
+            ("age_weeks", pa.int64()),
+            ("n_users", pa.int64()),
+            ("revenue_cents", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "u": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                "bkt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        v = pc.fill_null(batch.column(value_col), 0.0).to_numpy(
+            zero_copy_only=False
+        )
+        t = (
+            pa.table(
+                {
+                    "u": batch.column(user_col).cast(pa.int64()),
+                    "w": pc.divide(
+                        batch.column(ts_col).cast(pa.int64()),
+                        pa.scalar(week_us, pa.int64()),
+                    ),
+                    "c": pa.array(
+                        np.floor(v * 100.0).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+            .group_by(["u", "w"])
+            .aggregate([("c", "sum")])
+        )
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        bkt = (_mix64(u) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "u": t.column("u"),
+                "w": t.column("w"),
+                "c": t.column("c_sum").cast(pa.int64()),
+                "bkt": pa.array(bkt),
+            }
+        )
+
+    pairs = events.select_columns([user_col, ts_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_week": pa.array([], pa.int64()),
+                "age_weeks": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
+                "c_partial": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w, c = u[order], w[order], c[order]
+        # collapse cross-block partials of the same (u, w)
+        first = np.concatenate(([True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])))
+        idx = np.flatnonzero(first)
+        cu, cw = u[idx], w[idx]
+        cc = np.add.reduceat(c, idx)
+        seg_first = np.concatenate(([True], cu[1:] != cu[:-1]))
+        cohort = cw[
+            np.maximum.accumulate(np.where(seg_first, np.arange(len(cw)), 0))
+        ]
+        t = (
+            pa.table(
+                {
+                    "cohort_week": pa.array(cohort, pa.int64()),
+                    "age_weeks": pa.array(cw - cohort, pa.int64()),
+                    "n": pa.array(np.ones(len(cw), np.int64), pa.int64()),
+                    "c": pa.array(cc, pa.int64()),
+                }
+            )
+            .group_by(["cohort_week", "age_weeks"])
+            .aggregate([("n", "sum"), ("c", "sum")])
+        )
+        return pa.table(
+            {
+                "cohort_week": t.column("cohort_week"),
+                "age_weeks": t.column("age_weeks"),
+                "n_partial": t.column("n_sum").cast(pa.int64()),
+                "c_partial": t.column("c_sum").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        pairs.groupby("bkt")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby(["cohort_week", "age_weeks"])
+        .aggregate(Sum("n_partial"), Sum("c_partial"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cohort_week" not in batch.column_names:
+            return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+        return pa.table(
+            {
+                "cohort_week": batch.column("cohort_week").cast(pa.int64()),
+                "age_weeks": batch.column("age_weeks").cast(pa.int64()),
+                "n_users": batch.column("sum(n_partial)").cast(pa.int64()),
+                "revenue_cents": batch.column("sum(c_partial)").cast(pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )

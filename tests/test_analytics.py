@@ -3678,3 +3678,29 @@ def test_kmv_intersection_exact_when_sketch_not_full(ray_session):
     assert r["exact_common"] == 2
     assert r["kmv_est"] == r["exact_common"]
     assert r["abs_err_permille"] == 0
+
+
+def test_cohort_ltv_triangle(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+
+    wk = 7 * 86_400 * 1_000_000
+    # user 1: first week 0 (10.50), active again week 2 (2.25)
+    # user 2: first week 2 (1.00) -> cohort 2 age 0
+    events = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([0, 1000, 2 * wk, 2 * wk + 5], pa.int64()),
+                "value": pa.array([10.0, 0.50, 2.25, 1.00], pa.float64()),
+            }
+        )
+    )
+    rows = {(r["cohort_week"], r["age_weeks"]): r for r in
+            an.cohort_ltv_ds(events).take_all()}
+    assert rows[(0, 0)]["n_users"] == 1
+    assert rows[(0, 0)]["revenue_cents"] == 1050
+    assert rows[(0, 2)]["revenue_cents"] == 225
+    assert rows[(2, 0)]["n_users"] == 1
+    assert rows[(2, 0)]["revenue_cents"] == 100
