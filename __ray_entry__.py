@@ -4442,6 +4442,20 @@ def q_kind_runlengths(sf_dir: str) -> ray.data.Dataset:
     return an.kind_runlengths_ds(_annot_docs(sf_dir))
 
 
+def q_caption_mining(sf_dir: str) -> ray.data.Dataset:
+    """Caption-candidate mining: every media_ref paired with its nearest
+    preceding text-bearing span (the LAION-style image-text pairing step
+    over interleaved docs); pure cummax projection, no shuffle."""
+    return an.caption_mining_ds(_annot_docs(sf_dir))
+
+
+def q_span_pack(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal-aware greedy sequence packing (24-word budget, media
+    spans cost zero and never split from position); vectorized
+    chunk-depth rounds via searchsorted over prefix sums, no shuffle."""
+    return an.span_pack_ds(_annot_docs(sf_dir), budget_words=24)
+
+
 def q_cohort_ltv(sf_dir: str) -> ray.data.Dataset:
     """Cohort lifetime-value triangle: exact revenue cents + active
     users per (cohort_week, age_weeks); one mix64(user)-bucket shuffle,
@@ -4624,6 +4638,8 @@ def q_rand_projection(sf_dir: str) -> ray.data.Dataset:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "caption_mining": q_caption_mining,
+    "span_pack": q_span_pack,
     "cohort_ltv": q_cohort_ltv,
     "media_ref_integrity": q_media_ref_integrity,
     "kmv_intersection": q_kmv_intersection,
@@ -4970,6 +4986,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 # to the tail.
 _FRONT_R5 = [
     # newest operators lead — they have never had any external validation
+    "caption_mining",
+    "span_pack",
     "cohort_ltv",
     "media_ref_integrity",
     "kmv_intersection",
@@ -5014,8 +5032,6 @@ _FRONT_R5 = [
     "dwell_times",
     "vocab_drift",
     "edit_distance_join",
-    "interarrival_stats",
-    "activity_streaks",
     # VERDICT-r4 scale-path twins: pinned so window pressure from new
     # sessions can never push them past slot 50 (they fill 47-50 now)
     "main_content",
@@ -5023,6 +5039,8 @@ _FRONT_R5 = [
     "dedup_resolution_cogroup",
     "asof_join_bucketed",
     # session-12 tail yielded to keep the twins inside the gate window
+    "interarrival_stats",
+    "activity_streaks",
     "key_skew_audit",
     "inversion_count",
     "hist_intersection",
@@ -10213,4 +10231,41 @@ ORACLES["cohort_ltv"] = """
            CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(uw.c) AS BIGINT) AS revenue_cents
     FROM uw JOIN ch USING (user_id) GROUP BY 1, 2
+"""
+ORACLES["caption_mining"] = """
+    WITH d AS (SELECT doc_id, text,
+                      CASE WHEN coalesce(text, '') = '' THEN 0
+                           ELSE len(string_split(text, ' ')) END AS w,
+                      CASE WHEN coalesce(text, '') = '' THEN 0
+                           ELSE CAST(ceil(len(string_split(text, ' ')) / 6.0)
+                                     AS BIGINT) END AS c
+               FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'media://doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '/0'
+               AS media_ref,
+           CASE WHEN c = 0 THEN ''
+                ELSE array_to_string(
+                    list_slice(string_split(text, ' '), 6 * (c - 1) + 1, w),
+                    ' ') END AS caption,
+           CAST(CASE WHEN c = 0 THEN 0 ELSE w - 6 * (c - 1) END AS BIGINT)
+               AS caption_words
+    FROM d
+"""
+ORACLES["span_pack"] = """
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN coalesce(text, '') = '' THEN 0
+                           ELSE len(string_split(text, ' ')) END AS w,
+                      CASE WHEN coalesce(text, '') = '' THEN 0
+                           ELSE CAST(ceil(len(string_split(text, ' ')) / 6.0)
+                                     AS BIGINT) END AS c
+               FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(CASE WHEN c = 0 THEN 1 ELSE (c + 3) // 4 END AS BIGINT)
+               AS n_chunks,
+           CAST(CASE WHEN c = 0 THEN 0
+                     WHEN c > ((c - 1) % 4) + 1 THEN 24
+                     ELSE 6 * ((c - 1) % 4) + (w - 6 * (c - 1)) END AS BIGINT)
+               AS max_chunk_words,
+           CAST(w AS BIGINT) AS total_words
+    FROM d
 """

@@ -13078,3 +13078,181 @@ def cohort_ltv_ds(
         agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
         out_schema,
     )
+
+
+def caption_mining_ds(docs: Dataset) -> Dataset:
+    """Caption-candidate mining over the interleaved payload: for every
+    ``media_ref`` span, pair it with the nearest PRECEDING text-bearing
+    span in the same document — the alt-text/caption heuristic that
+    builds (image, text) training pairs from interleaved web documents.
+    Emits ``(doc_id, media_ref, caption, caption_words)``; media with no
+    preceding text gets an empty caption.
+
+    Scale shape: pure per-batch vectorized projection — the preceding
+    text index per span is one cummax over the flattened span values
+    (doc boundaries masked via list parents); NO shuffle."""
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("media_ref", pa.string()),
+            ("caption", pa.string()),
+            ("caption_words", pa.int64()),
+        ]
+    )
+    empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+
+    def mine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        _, vals, lens, parents = _span_lists(batch)
+        n = len(vals)
+        if n == 0:
+            return empty
+        is_media = np.asarray(
+            pc.equal(vals.field("kind"), "media_ref").to_numpy(
+                zero_copy_only=False
+            ),
+            bool,
+        )
+        if not is_media.any():
+            return empty
+        texts = np.asarray(vals.field("text").to_pylist(), dtype=object)
+        has_text = ~is_media & (np.char.str_len(texts.astype(str)) > 0)
+        # last text-bearing index at-or-before each position, -1 if none
+        idx = np.where(has_text, np.arange(n), -1)
+        last_text = np.maximum.accumulate(idx)
+        # reset at doc boundaries: a doc's first span can't see backwards
+        doc_start = np.concatenate(([0], np.flatnonzero(
+            parents[1:] != parents[:-1]) + 1))
+        # recompute per segment: subtract segment-start cummax leakage by
+        # masking candidates from earlier docs
+        seg_first = np.zeros(n, np.int64)
+        seg_first[doc_start] = doc_start
+        seg_start = np.maximum.accumulate(seg_first)
+        valid = last_text >= seg_start
+        m = np.flatnonzero(is_media)
+        cap_idx = last_text[m]
+        ok = valid[m] & (cap_idx >= 0)
+        caps = np.where(ok, texts[np.maximum(cap_idx, 0)], "").astype(object)
+        words = np.where(
+            np.char.str_len(caps.astype(str)) > 0,
+            np.char.count(caps.astype(str), " ") + 1,
+            0,
+        ).astype(np.int64)
+        doc_ids = np.asarray(
+            [int(str(d).rsplit("-", 1)[-1]) for d in
+             batch.column("doc_id").to_pylist()],
+            np.int64,
+        )
+        refs = np.asarray(
+            vals.field("media_ref").take(pa.array(m)).to_pylist(),
+            dtype=object,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[parents[m]], pa.int64()),
+                "media_ref": pa.array(refs.astype(str), pa.string()),
+                "caption": pa.array(caps.astype(str), pa.string()),
+                "caption_words": pa.array(words, pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        docs.map_batches(mine, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )
+
+
+def span_pack_ds(docs: Dataset, budget_words: int = 24) -> Dataset:
+    """Multimodal-aware greedy sequence packing: walk each document's
+    ordered spans, closing a chunk whenever adding the next TEXT span
+    would exceed ``budget_words`` (media spans cost zero words and never
+    split from their position) — the packing step that turns interleaved
+    docs into fixed-budget training sequences without ever cutting a
+    media span out of context.  Emits per doc: chunk count, max chunk
+    words, total words.
+
+    Scale shape: per-batch vectorized greedy fold — chunk boundaries by
+    ``searchsorted`` over the flat word prefix-sum, one round per chunk
+    DEPTH (all docs advance one chunk per iteration, so the only loop is
+    bounded by max-chunks-per-doc, with every inner op vectorized across
+    the batch); NO shuffle."""
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_chunks", pa.int64()),
+            ("max_chunk_words", pa.int64()),
+            ("total_words", pa.int64()),
+        ]
+    )
+    empty = pa.table({f.name: pa.array([], f.type) for f in out_schema})
+
+    def pack(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        offs, vals, lens, parents = _span_lists(batch)
+        n = len(vals)
+        doc_ids = np.asarray(
+            [int(str(d).rsplit("-", 1)[-1]) for d in
+             batch.column("doc_id").to_pylist()],
+            np.int64,
+        )
+        nd = len(lens)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "n_chunks": pa.array(np.zeros(nd, np.int64)),
+                    "max_chunk_words": pa.array(np.zeros(nd, np.int64)),
+                    "total_words": pa.array(np.zeros(nd, np.int64)),
+                }
+            )
+        texts = np.asarray(vals.field("text").to_pylist(), dtype=object).astype(
+            str
+        )
+        w = np.where(
+            np.char.str_len(texts) > 0, np.char.count(texts, " ") + 1, 0
+        ).astype(np.int64)
+        # greedy fold, one vectorized round per chunk depth: a chunk
+        # starting at span s covers [s, j) with j = the largest index
+        # keeping P[j] - P[s] <= budget (>= one span always taken)
+        P = np.concatenate(([0], np.cumsum(w)))
+        pos = offs[:-1].astype(np.int64).copy()
+        end = offs[1:].astype(np.int64)
+        n_chunks = np.zeros(nd, np.int64)
+        max_w = np.zeros(nd, np.int64)
+        tot = P[end] - P[offs[:-1]]
+        active = pos < end
+        while active.any():
+            s0 = pos[active]
+            j = np.searchsorted(P, P[s0] + budget_words, side="right") - 1
+            j = np.maximum(j, s0 + 1)
+            j = np.minimum(j, end[active])
+            cw = P[j] - P[s0]
+            # a zero-word chunk (leading media only) must still take the
+            # next text span even when it alone exceeds the budget, plus
+            # any zero-cost spans that follow it
+            zf = (cw == 0) & (j < end[active])
+            if zf.any():
+                jj = j[zf]
+                j2 = np.searchsorted(P, P[jj + 1], side="right") - 1
+                j2 = np.minimum(np.maximum(j2, jj + 1), end[active][zf])
+                j[zf] = j2
+                cw[zf] = P[j2] - P[s0[zf]]
+            n_chunks[active] += 1
+            np.maximum.at(max_w, np.flatnonzero(active), cw)
+            pos[active] = j
+            active = pos < end
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_chunks": pa.array(n_chunks, pa.int64()),
+                "max_chunk_words": pa.array(max_w, pa.int64()),
+                "total_words": pa.array(tot, pa.int64()),
+            }
+        )
+
+    return _anchor_schema(
+        docs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True),
+        out_schema,
+    )

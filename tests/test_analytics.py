@@ -3704,3 +3704,77 @@ def test_cohort_ltv_triangle(ray_session):
     assert rows[(0, 2)]["revenue_cents"] == 225
     assert rows[(2, 0)]["n_users"] == 1
     assert rows[(2, 0)]["revenue_cents"] == 100
+
+
+def test_caption_mining_nearest_preceding_text(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+    from pdfplumber_ray.sources.synth_corpus import SPAN
+
+    def s(kind, text, media="", off=0):
+        return {"kind": kind, "text": text, "media_ref": media, "offset": off}
+
+    docs = [
+        # media after text -> caption = "second span here"
+        [s("text", "first", off=0), s("text", "second span here", off=5),
+         s("media_ref", "", "media://a/0", 21)],
+        # LEADING media: no preceding text in this doc (the previous
+        # doc's text must NOT leak across the boundary)
+        [s("media_ref", "", "media://b/0", 0), s("text", "after", off=1)],
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["doc-00000001", "doc-00000002"]),
+                "spans": pa.array(docs, pa.list_(SPAN)),
+            }
+        )
+    )
+    rows = {r["media_ref"]: r for r in an.caption_mining_ds(ds).take_all()}
+    assert rows["media://a/0"]["caption"] == "second span here"
+    assert rows["media://a/0"]["caption_words"] == 3
+    assert rows["media://b/0"]["caption"] == ""
+    assert rows["media://b/0"]["caption_words"] == 0
+
+
+def test_span_pack_greedy_budget(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdfplumber_ray.pipelines import analytics as an
+    from pdfplumber_ray.sources.synth_corpus import SPAN
+
+    def t(words):
+        return {"kind": "text", "text": " ".join(["w"] * words),
+                "media_ref": "", "offset": 0}
+
+    def m():
+        return {"kind": "media_ref", "text": "", "media_ref": "media://x",
+                "offset": 0}
+
+    docs = [
+        # 6+6+6+6 = 24 exact, then 6+media -> 2 chunks, max 24
+        [t(6), t(6), t(6), t(6), t(6), m()],
+        # leading media + oversized 30-word span: media chunk absorbs the
+        # oversized span (zero-word chunks must take the next text span)
+        [m(), t(30), t(2)],
+        # media-only doc -> exactly one zero-word chunk
+        [m(), m()],
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    ["doc-00000001", "doc-00000002", "doc-00000003"]
+                ),
+                "spans": pa.array(docs, pa.list_(SPAN)),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in
+            an.span_pack_ds(ds, budget_words=24).take_all()}
+    assert rows[1]["n_chunks"] == 2 and rows[1]["max_chunk_words"] == 24
+    assert rows[1]["total_words"] == 30
+    assert rows[2]["n_chunks"] == 2  # [media + 30w] then [2w]
+    assert rows[2]["max_chunk_words"] == 30 and rows[2]["total_words"] == 32
+    assert rows[3]["n_chunks"] == 1 and rows[3]["max_chunk_words"] == 0

@@ -41,7 +41,9 @@ def test_front_window_holds_new_and_never_sampled():
     for name in (
         # session-15 operators (newest — zero external validation):
         # span-structure analytics over the interleaved payload + the
-        # media-integrity and KMV sketch audits + the cohort-LTV triangle
+        # media-integrity and KMV sketch audits, the cohort-LTV triangle,
+        # caption mining and multimodal-aware packing
+        "caption_mining", "span_pack",
         "cohort_ltv", "media_ref_integrity", "kmv_intersection",
         "span_kind_transitions", "media_density",
         "span_offset_audit", "kind_runlengths",
@@ -64,13 +66,12 @@ def test_front_window_holds_new_and_never_sampled():
         "ship_lag_stats", "zonemap_prune", "open_order_backlog",
         "order_reconcile", "weekday_profile", "rfm_scores",
         "dwell_times", "vocab_drift", "edit_distance_join",
-        "interarrival_stats", "activity_streaks",
         # VERDICT-r4 scale-path twins: pinned directly behind the newest
         # ops so window pressure can never push them past slot 50
         "main_content", "substring_dedup", "dedup_resolution_cogroup",
         "asof_join_bucketed",
-        # the tail past slot 50 (key_skew_audit, inversion_count,
-        # hist_intersection,
+        # the tail past slot 50 (interarrival_stats, activity_streaks,
+        # key_skew_audit, inversion_count, hist_intersection,
         # marginal_vocab, kappa_agreement,
         # minimizer_sketch, bool_retrieval, dim_covariance,
         # lsh_recall_audit, lang_fertility, mutual_knn, label_prop,
